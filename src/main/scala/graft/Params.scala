@@ -1,0 +1,17 @@
+package graft
+
+/** Shared constants used by BOTH the Spark implementations and the
+  * generated DuckDB oracle SQL — single source of truth so the two sides
+  * cannot drift.
+  */
+object Params {
+  val stopwords: Seq[String] = Seq("the", "and", "of", "to", "a", "is", "in")
+  val shingleK = 3
+  val minhashHashes = 16
+  val minhashBandRows = 4
+  val jaccardMin = 0.5
+  val simhashBits = 16
+  val annBits = 4
+  val topK = 5
+  val cosineDupMin = 0.95
+}

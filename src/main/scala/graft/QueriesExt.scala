@@ -1,0 +1,421 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Multimodal, Shingles, Similarity, TextStats}
+import graft.functions.Parity._
+
+/** Training-data-pipeline operators (dedup family, similarity search,
+  * text analysis, multimodal plumbing, as-of join, JSON, percentiles).
+  *
+  * The dedup/fingerprint oracle SQL is GENERATED from the same
+  * [[Params]] constants as the Spark implementations, and the hash family
+  * is md5-as-hex (portable across engines), so even MinHash signatures
+  * hash-match DuckDB exactly.
+  */
+object QueriesExt {
+
+  private def t(s: org.apache.spark.sql.SparkSession, dir: String, n: String) =
+    Tables.load(s, dir, n)
+
+  import Params._
+
+  // ── DuckDB SQL fragment builders (kept in lockstep with Spark ops) ──
+  private val dTok = "list_filter(string_split(text, ' '), t -> len(t) > 0)"
+  private val dTokLower =
+    "list_filter(string_split(lower(text), ' '), t -> len(t) > 0)"
+  private def dShingles(tk: String, k: Int): String =
+    s"""CASE WHEN len($tk) <= $k THEN [array_to_string($tk, ' ')]
+       ELSE list_transform(range(1, len($tk) - ${k - 1} + 1),
+         i -> array_to_string($tk[i:i+${k - 1}], ' ')) END"""
+  private def dSeedHash(seed: Int, s: String) = s"md5('$seed|' || $s)"
+  private def dMinHash(sh: String, seed: Int) =
+    s"list_aggregate(list_transform($sh, s -> ${dSeedHash(seed, "s")}), 'min')"
+  private val dNorm =
+    "trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'), '\\s+', ' ', 'g'))"
+  private def dsumSql(x: String) =
+    s"CAST(SUM(CAST(($x) AS DECIMAL(30,8))) AS DOUBLE)"
+
+  /** 64-dim dot product as an explicit left-associated double sum — the
+    * bit-exact twin of [[Similarity.dot]]'s sequential fold.
+    */
+  private def dDot(a: String, b: String): String =
+    (1 to 64).map(i => s"CAST($a[$i] AS DOUBLE)*CAST($b[$i] AS DOUBLE)")
+      .mkString(" + ")
+  private def dBucket(v: String): String =
+    (1 to annBits).map(i =>
+      s"(CASE WHEN $v[$i] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── Text analysis: token counts + quality components ───────────────
+    QueryDef("q20_text_stats",
+      (s, dir) => t(s, dir, "documents").select(
+        col("doc_id"),
+        TextStats.tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).cast("long").as("len_chars"),
+        TextStats.meanWordLen(col("text")).as("mean_word_len"),
+        TextStats.punctRatio(col("text")).as("punct_ratio"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+        CAST(len($dTok) AS BIGINT) AS n_tokens,
+        CAST(length(text) AS BIGINT) AS len_chars,
+        CASE WHEN len($dTok) > 0 THEN
+          CAST(list_sum(list_transform($dTok, t -> len(t))) AS DOUBLE)
+            / CAST(len($dTok) AS DOUBLE) ELSE 0.0::DOUBLE END
+          AS mean_word_len,
+        CASE WHEN length(text) > 0 THEN
+          CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+            AS DOUBLE) / CAST(length(text) AS DOUBLE)
+          ELSE 0.0::DOUBLE END AS punct_ratio
+        FROM documents ORDER BY doc_id""")),
+
+    // ── Quality scoring (length/stopword/punct composite) ──────────────
+    QueryDef("q21_quality_score",
+      (s, dir) => t(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        TextStats.stopwordRatio(col("text"), stopwords).as("stopword_ratio"),
+        TextStats.qualityScore(col("text"), stopwords).as("quality"))
+        .orderBy("doc_id"),
+      Some {
+        val stopList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+        val tkl = dTokLower
+        val stopRatio =
+          s"""CASE WHEN len($tkl) > 0 THEN
+             CAST(len(list_filter($tkl, t -> list_contains($stopList, t)))
+               AS DOUBLE) / CAST(len($tkl) AS DOUBLE)
+             ELSE 0.0::DOUBLE END"""
+        val punct =
+          s"""CASE WHEN length(text) > 0 THEN
+             CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+               AS DOUBLE) / CAST(length(text) AS DOUBLE)
+             ELSE 0.0::DOUBLE END"""
+        val lenScore =
+          "least(CAST(length(text) AS DOUBLE) / CAST(500.0 AS DOUBLE), CAST(1.0 AS DOUBLE))"
+        s"""SELECT doc_id, lang, $stopRatio AS stopword_ratio,
+          round($lenScore * CAST(0.5 AS DOUBLE)
+            + least(($stopRatio) * CAST(5.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.3 AS DOUBLE)
+            + (CAST(1.0 AS DOUBLE) - least(($punct) * CAST(10.0 AS DOUBLE), CAST(1.0 AS DOUBLE))) * CAST(0.2 AS DOUBLE),
+            6) AS quality
+          FROM documents ORDER BY doc_id"""
+      }),
+
+    // ── Language ID (marker-token argmax, declaration-order ties) ──────
+    QueryDef("q22_lang_id",
+      (s, dir) => t(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        TextStats.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id"),
+      Some {
+        val tkl = dTokLower
+        def score(markers: Seq[String]) = {
+          val lst = markers.map(w => s"'$w'").mkString("[", ", ", "]")
+          s"len(list_filter($tkl, t -> list_contains($lst, t)))"
+        }
+        val ms = TextStats.langMarkers
+        val inner = s"""SELECT doc_id, lang,
+          ${ms.zipWithIndex.map { case ((_, m), i) => s"${score(m)} AS s$i" }
+            .mkString(", ")} FROM documents"""
+        // replicate the Spark fold: strict > switches the running best
+        val folded = ms.zipWithIndex.drop(1).foldLeft(
+          (s"'${ms.head._1}'", "s0", s"($inner)")) {
+          case ((bestL, bestS, from), ((lang, _), i)) =>
+            (s"CASE WHEN s$i > __v THEN '$lang' ELSE __b END",
+              s"CASE WHEN s$i > __v THEN s$i ELSE __v END",
+              s"(SELECT doc_id, lang, ${ms.indices.map(j => s"s$j")
+                .mkString(", ")}, $bestL AS __b, $bestS AS __v FROM $from)")
+        }
+        val (lastL, _, from) = folded
+        s"""SELECT doc_id, lang, $lastL AS lang_pred
+          FROM $from ORDER BY doc_id"""
+      }),
+
+    // ── Document fingerprints (content md5 + 1-hash MinHash rolling) ───
+    QueryDef("q23_fingerprint",
+      (s, dir) => t(s, dir, "documents").select(
+        col("doc_id"),
+        TextStats.contentFingerprint(col("text")).as("content_fp"),
+        TextStats.rollingFingerprint(col("text"), 5).as("rolling_fp"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, md5($dNorm) AS content_fp,
+        ${dMinHash(dShingles(dTok, 5), 0)} AS rolling_fp
+        FROM documents ORDER BY doc_id""")),
+
+    // ── Exact dedup on normalized-content fingerprint ──────────────────
+    QueryDef("q24_dedup_exact",
+      (s, dir) => Dedup.exactByContent(t(s, dir, "documents"),
+        "doc_id", "text").orderBy("doc_id"),
+      Some(s"""SELECT min(doc_id) AS doc_id, COUNT(*) AS dup_count
+        FROM documents GROUP BY md5($dNorm) ORDER BY doc_id""")),
+
+    // ── MinHash signatures + LSH band keys (flattened columns) ─────────
+    QueryDef("q25_minhash_signature",
+      (s, dir) => {
+        val sigs = Dedup.minhashSignatures(t(s, dir, "documents"),
+          "doc_id", "text", shingleK, minhashHashes, minhashBandRows)
+        val sigCols = (0 until minhashHashes).map(i =>
+          element_at(col("signature"), i + 1).as(f"mh_$i%02d"))
+        val bandCols = (0 until minhashHashes / minhashBandRows).map(b =>
+          element_at(col("band_keys"), b + 1).as(s"band_$b"))
+        sigs.select(col("doc_id") +: (sigCols ++ bandCols): _*)
+          .orderBy("doc_id")
+      },
+      Some {
+        val sh = dShingles(dTok, shingleK)
+        val sigExprs = (0 until minhashHashes)
+          .map(seed => s"${dMinHash("sh", seed)} AS mh_$seed")
+        val bands = (0 until minhashHashes / minhashBandRows).map { b =>
+          val lo = b * minhashBandRows + 1
+          val hi = b * minhashBandRows + minhashBandRows
+          s"'$b:' || md5(array_to_string([${(lo to hi).map(i => s"mh_${i - 1}")
+            .mkString(", ")}], ',')) AS band_$b"
+        }
+        val mhAliases = (0 until minhashHashes)
+          .map(i => f"mh_$i AS mh_$i%02d")
+        s"""SELECT doc_id, ${mhAliases.mkString(", ")},
+          ${bands.mkString(", ")}
+          FROM (SELECT doc_id, ${sigExprs.mkString(", ")}
+            FROM (SELECT doc_id, $sh AS sh FROM documents))
+          ORDER BY doc_id"""
+      }),
+
+    // ── MinHash+LSH candidate near-dup pairs ───────────────────────────
+    QueryDef("q26_minhash_pairs",
+      (s, dir) => Dedup.minhashCandidates(t(s, dir, "documents"),
+        "doc_id", "text", shingleK, minhashHashes, minhashBandRows)
+        .orderBy("id_a", "id_b"),
+      Some {
+        val sh = dShingles(dTok, shingleK)
+        val sigExprs = (0 until minhashHashes)
+          .map(seed => s"${dMinHash("sh", seed)} AS mh_$seed")
+        val bandExprs = (0 until minhashHashes / minhashBandRows).map { b =>
+          val lo = b * minhashBandRows + 1
+          val hi = b * minhashBandRows + minhashBandRows
+          s"'$b:' || md5(array_to_string([${(lo to hi).map(i => s"mh_${i - 1}")
+            .mkString(", ")}], ','))"
+        }
+        s"""WITH sig AS (SELECT doc_id, ${sigExprs.mkString(", ")}
+            FROM (SELECT doc_id, $sh AS sh FROM documents)),
+          bands AS (SELECT doc_id,
+            unnest([${bandExprs.mkString(", ")}]) AS bk FROM sig)
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b USING (bk)
+          WHERE a.doc_id < b.doc_id ORDER BY id_a, id_b"""
+      }),
+
+    // ── SimHash fingerprints ───────────────────────────────────────────
+    QueryDef("q27_simhash",
+      (s, dir) => t(s, dir, "documents").select(
+        col("doc_id"),
+        Dedup.simhash(col("text"), simhashBits).as("simhash"))
+        .orderBy("doc_id"),
+      Some {
+        val bits = (0 until simhashBits).map { i =>
+          s"""(CASE WHEN list_sum(list_transform($dTok, t ->
+             CASE WHEN substr(${dSeedHash(0, "t")}, ${i + 1}, 1) IN
+               ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) > 0
+             THEN '1' ELSE '0' END)"""
+        }
+        s"""SELECT doc_id, ${bits.mkString(" || ")} AS simhash
+          FROM documents ORDER BY doc_id"""
+      }),
+
+    // ── Exact n-gram Jaccard near-dup pairs (inverted index join) ──────
+    QueryDef("q28_ngram_jaccard",
+      (s, dir) => Dedup.ngramJaccardPairs(t(s, dir, "documents"),
+        "doc_id", "text", shingleK, jaccardMin)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH sh AS (SELECT doc_id, unnest(list_distinct(
+            ${dShingles(dTok, shingleK)})) AS shingle FROM documents),
+        sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+          FROM sh a JOIN sh b USING (shingle)
+          WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        SELECT id_a, id_b,
+          CAST(shared AS DOUBLE) / CAST(x.n + y.n - shared AS DOUBLE)
+            AS jaccard
+        FROM p JOIN sz x ON p.id_a = x.doc_id JOIN sz y ON p.id_b = y.doc_id
+        WHERE CAST(shared AS DOUBLE) / CAST(x.n + y.n - shared AS DOUBLE)
+          >= $jaccardMin
+        ORDER BY id_a, id_b""")),
+
+    // ── Embedding cosine near-dup pairs (sign-LSH bucketed candidates) ─
+    QueryDef("q29_embed_dups",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val v = e.select(col("vec_id"), col("embedding"),
+          Similarity.signBucket(col("embedding"), annBits).as("bucket"))
+        v.alias("a").join(v.alias("b"),
+          col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+            Similarity.cosine(col("a.embedding"), col("b.embedding"))
+              .as("cos"))
+          .filter(col("cos") >= 0.4)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH v AS (SELECT vec_id, embedding,
+          ${dBucket("embedding")} AS bucket FROM embeddings)
+        SELECT * FROM (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            (${dDot("a.embedding", "b.embedding")})
+              / (sqrt(${dDot("a.embedding", "a.embedding")})
+                 * sqrt(${dDot("b.embedding", "b.embedding")})) AS cos
+          FROM v a JOIN v b
+            ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        WHERE cos >= CAST(0.4 AS DOUBLE) ORDER BY id_a, id_b""")),
+
+    // ── Brute-force cosine top-k (exact ANN baseline) ──────────────────
+    QueryDef("q30_ann_bruteforce",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 20),
+          "vec_id", "embedding", topK)
+          .orderBy("probe_id", "rank")
+      },
+      Some(s"""WITH pairs AS (
+          SELECT a.vec_id AS probe_id, b.vec_id AS nn_id,
+            (${dDot("a.embedding", "b.embedding")})
+              / (sqrt(${dDot("a.embedding", "a.embedding")})
+                 * sqrt(${dDot("b.embedding", "b.embedding")})) AS cos
+          FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+          WHERE a.vec_id < 20)
+        SELECT probe_id, nn_id, cos, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY probe_id
+            ORDER BY cos DESC, nn_id ASC) AS rank FROM pairs)
+        WHERE rank <= $topK ORDER BY probe_id, rank""")),
+
+    // ── Bucketed ANN top-k (the scale path: equi-join, no cross join) ──
+    QueryDef("q31_ann_bucketed",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Similarity.bucketedTopK(e, e.filter(col("vec_id") < 20),
+          "vec_id", "embedding", topK, annBits)
+          .orderBy("probe_id", "rank")
+      },
+      Some(s"""WITH v AS (SELECT vec_id, embedding,
+          ${dBucket("embedding")} AS bucket FROM embeddings),
+        pairs AS (
+          SELECT a.vec_id AS probe_id, b.vec_id AS nn_id,
+            (${dDot("a.embedding", "b.embedding")})
+              / (sqrt(${dDot("a.embedding", "a.embedding")})
+                 * sqrt(${dDot("b.embedding", "b.embedding")})) AS cos
+          FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+          WHERE a.vec_id < 20)
+        SELECT probe_id, nn_id, cos, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY probe_id
+            ORDER BY cos DESC, nn_id ASC) AS rank FROM pairs)
+        WHERE rank <= $topK ORDER BY probe_id, rank""")),
+
+    // ── Multimodal: binary payload + stubbed batched decode ────────────
+    QueryDef("q32_multimodal",
+      (s, dir) => {
+        val media = Multimodal.asMediaTable(t(s, dir, "documents"),
+          "doc_id", "text")
+        Multimodal.decodeFeatures(media).select(
+          col("media_id"), col("byte_len"),
+          element_at(col("feature"), 2).as("mean_byte"),
+          element_at(col("feature"), 3).as("min_byte"),
+          element_at(col("feature"), 4).as("max_byte"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id,
+        CAST(strlen(text) AS BIGINT) AS byte_len,
+        CAST(list_sum(list_transform(range(1, strlen(text) + 1),
+          i -> ascii(substr(text, CAST(i AS INT), 1)))) AS DOUBLE)
+          / CAST(strlen(text) AS DOUBLE) AS mean_byte,
+        CAST(list_aggregate(list_transform(range(1, strlen(text) + 1),
+          i -> ascii(substr(text, CAST(i AS INT), 1))), 'min') AS DOUBLE)
+          AS min_byte,
+        CAST(list_aggregate(list_transform(range(1, strlen(text) + 1),
+          i -> ascii(substr(text, CAST(i AS INT), 1))), 'max') AS DOUBLE)
+          AS max_byte
+        FROM documents ORDER BY media_id""")),
+
+    // ── Semi-structured: JSON property extraction + aggregation ────────
+    QueryDef("q33_json_extract",
+      (s, dir) => t(s, dir, "events")
+        .withColumn("k_val",
+          get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(lsum(col("k_val")).as("sum_k"),
+          count(col("k_val")).as("n_with_k"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+        CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+          AS BIGINT) AS sum_k,
+        COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT))
+          AS n_with_k
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ── Exact percentiles via positional selection (engine-portable) ───
+    QueryDef("q34_percentiles",
+      (s, dir) => {
+        val w = Window.partitionBy("c_mktsegment")
+          .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+        val ranked = t(s, dir, "customer")
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("n",
+            count(lit(1)).over(Window.partitionBy("c_mktsegment")))
+        val midLo = floor((col("n") + 1) / 2)
+        val midHi = floor((col("n") + 2) / 2)
+        val p90 = ceil(col("n") * 0.9)
+        ranked.groupBy("c_mktsegment").agg(
+          (sum(when(col("rn") === midLo || col("rn") === midHi,
+            col("c_acctbal"))) /
+            (max(midHi) - max(midLo) + lit(1))).as("median_bal"),
+          max(when(col("rn") === p90, col("c_acctbal"))).as("p90_bal"),
+          count(lit(1)).as("n_customers"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""WITH ranked AS (SELECT c_mktsegment, c_acctbal,
+          row_number() OVER (PARTITION BY c_mktsegment
+            ORDER BY c_acctbal ASC, c_custkey ASC) AS rn,
+          COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+        FROM customer)
+        SELECT c_mktsegment,
+          SUM(CASE WHEN rn = floor((n + 1) / CAST(2.0 AS DOUBLE))
+            OR rn = floor((n + 2) / CAST(2.0 AS DOUBLE))
+            THEN c_acctbal END)
+            / (max(floor((n + 2) / CAST(2.0 AS DOUBLE)))
+               - max(floor((n + 1) / CAST(2.0 AS DOUBLE))) + 1)
+            AS median_bal,
+          max(CASE WHEN rn = ceil(n * CAST(0.9 AS DOUBLE))
+            THEN c_acctbal END) AS p90_bal,
+          COUNT(*) AS n_customers
+        FROM ranked GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // ── As-of join: purchase ← most recent prior view per user ─────────
+    // Spark-first: union-and-carry-forward (sort once per user, no
+    // range-join explosion) — the classic distributed as-of shape.
+    QueryDef("q35_asof_join",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .filter(col("event_type").isin("view", "purchase"))
+          .withColumn("pref",
+            when(col("event_type") === "view", 0).otherwise(1))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").asc, col("pref").asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev
+          .withColumn("view_event_id",
+            last(when(col("pref") === 0, col("event_id")), ignoreNulls = true)
+              .over(w))
+          .withColumn("view_us",
+            last(when(col("pref") === 0, unix_micros(col("ts"))),
+              ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("view_event_id"),
+            (unix_micros(col("ts")) - col("view_us")).as("lag_us"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT p.event_id, p.user_id,
+          v.event_id AS view_event_id,
+          epoch_us(p.ts) - epoch_us(v.ts) AS lag_us
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN
+          (SELECT * FROM events WHERE event_type = 'view') v
+          ON p.user_id = v.user_id AND p.ts >= v.ts
+        ORDER BY p.event_id"""))
+  )
+}

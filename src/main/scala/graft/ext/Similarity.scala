@@ -1,0 +1,76 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Baseline: brute-force cosine top-k (exact). Scale path: bucketed ANN —
+  * sign-LSH buckets computed per-row, candidates restricted to the probe's
+  * bucket, so the join is an equi-join on a short key instead of a cross
+  * join. All arithmetic is double-precision, left-to-right `aggregate`
+  * folds, so a single-threaded SQL oracle produces bit-identical values.
+  */
+object Similarity {
+
+  /** Dot product of two float arrays in double precision (sequential fold
+    * — deterministic and oracle-exact, stays inside codegen).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k cosine neighbors for each probe vector.
+    * Brute force = one broadcast of the (small) probe set against the full
+    * corpus: at 100 TB you broadcast the probes, never the corpus, and the
+    * scan stays a single map stage + per-partition top-k via window.
+    */
+  def bruteForceTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val pairs = probes.select(col(idCol).as("probe_id"),
+        col(vecCol).as("probe_vec"))
+      .hint("broadcast")
+      .crossJoin(corpus.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec")))
+      .filter(col("probe_id") =!= col("nn_id"))
+      .withColumn("cos", cosine(col("probe_vec"), col("nn_vec")))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("nn_id").asc)
+    pairs.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("probe_id", "nn_id", "cos", "rank")
+  }
+
+  /** Sign-LSH bucket key: the sign bits of the first `bits` dimensions.
+    * (A trivially deterministic stand-in for random-hyperplane LSH; at
+    * scale, replace the selector with seeded pseudo-random hyperplanes —
+    * the plumbing, one short string key per row, is identical.)
+    */
+  def signBucket(vec: Column, bits: Int): Column =
+    concat((0 until bits).map(i =>
+      when(element_at(vec, i + 1) >= 0, lit("1")).otherwise(lit("0"))): _*)
+
+  /** Bucketed ANN top-k: candidates share the probe's sign bucket.
+    * One equi-join shuffle on the bucket key instead of a cross join.
+    */
+  def bucketedTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+                   vecCol: String, k: Int, bits: Int = 4): DataFrame = {
+    val c = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"),
+      signBucket(col(vecCol), bits).as("bucket"))
+    val p = probes.select(col(idCol).as("probe_id"),
+      col(vecCol).as("probe_vec"),
+      signBucket(col(vecCol), bits).as("bucket"))
+    val pairs = p.join(c, Seq("bucket"))
+      .filter(col("probe_id") =!= col("nn_id"))
+      .withColumn("cos", cosine(col("probe_vec"), col("nn_vec")))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("nn_id").asc)
+    pairs.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("probe_id", "nn_id", "cos", "rank")
+  }
+}

@@ -1,0 +1,107 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline, all expressed as
+  * pure per-row `Column` pipelines — zero shuffle, full whole-stage
+  * codegen, embarrassingly parallel at any scale.
+  */
+object TextStats {
+
+  /** Whitespace tokenization. `split` with a regex keeps semantics
+    * identical to a SQL oracle's single-space split when the corpus is
+    * single-space separated; `filter(len > 0)` guards stray empties.
+    */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => length(t) > 0)
+
+  /** Token count (whitespace tokens). */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish subword count estimate: words + digit runs + punctuation
+    * marks each count as a token (a cheap deterministic proxy for a BPE
+    * tokenizer's granularity, computable as a regex count).
+    */
+  def subwordCount(text: Column): Column =
+    size(filter(split(text, "(?<=[ .,!?;:])|(?=[ .,!?;:])"),
+      t => length(trim(t)) > 0)).cast("long")
+
+  /** Quality-score components: length score, stopword ratio, punctuation
+    * ratio, mean word length. Deterministic arithmetic only (oracle-able).
+    */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(lower(text))
+    val stopArr = array(stopwords.map(lit): _*)
+    when(size(toks) > 0,
+      size(filter(toks, t => array_contains(stopArr, t))).cast("double") /
+        size(toks).cast("double")).otherwise(lit(0.0))
+  }
+
+  def punctRatio(text: Column): Column =
+    when(length(text) > 0,
+      (length(text) - length(regexp_replace(text, "[.,!?;:]", "")))
+        .cast("double") / length(text).cast("double"))
+      .otherwise(lit(0.0))
+
+  def meanWordLen(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) > 0,
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long"))
+        .cast("double") / size(toks).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Composite quality score in [0,1]: favors mid-length docs with a sane
+    * stopword presence and low punctuation noise.
+    */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
+    val stop     = stopwordRatio(text, stopwords)
+    val punct    = punctRatio(text)
+    round(lenScore * lit(0.5) + least(stop * lit(5.0), lit(1.0)) * lit(0.3) +
+      (lit(1.0) - least(punct * lit(10.0), lit(1.0))) * lit(0.2), 6)
+  }
+
+  /** N-gram-heuristic language ID: score each candidate language by
+    * counting its marker tokens; argmax wins (ties broken by fixed
+    * language order). Markers are standard high-frequency function words.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "es" -> Seq("el", "la", "de", "que", "es"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "est"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  def langScore(text: Column, markers: Seq[String]): Column = {
+    val toks = tokens(lower(text))
+    val arr = array(markers.map(lit): _*)
+    size(filter(toks, t => array_contains(arr, t))).cast("long")
+  }
+
+  def langId(text: Column): Column = {
+    val scored = langMarkers.map { case (l, m) => (l, langScore(text, m)) }
+    // argmax with deterministic tie-break on declaration order
+    scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
+      case ((bestLang, bestScore), (l, s)) =>
+        (when(s > bestScore, lit(l)).otherwise(bestLang),
+          when(s > bestScore, s).otherwise(bestScore))
+    }._1
+  }
+
+  /** Document fingerprints.
+    * - `contentFingerprint`: md5 of the normalized text (lower, collapse
+    *   whitespace, strip punctuation) — a content-defined exact-dup key.
+    * - `rollingFingerprint`: min md5 over k-word shingles — a 1-hash
+    *   MinHash, stable under local edits away from the minimizing shingle.
+    */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[.,!?;:]", ""),
+      "\\s+", " "))
+
+  def contentFingerprint(text: Column): Column = md5(normalized(text))
+
+  def rollingFingerprint(text: Column, k: Int = 5): Column =
+    array_min(Shingles.shingleHashes(tokens(text), k, seed = 0))
+}

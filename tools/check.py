@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Local dev harness mirroring the driver's correctness gate:
+run graft.Verify at a given SF, then compare each query's parquet output
+against its DuckDB oracle (columns sorted by name, values hashed).
+
+Usage: python3 tools/check.py [sfDir] [outDir] [queryFilter]
+(Dev tooling only — the shipped library is pure Scala/Spark.)
+"""
+import sys, os, glob, json
+import duckdb
+import pandas as pd
+
+sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+flt = sys.argv[3] if len(sys.argv) > 3 else ""
+
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    con.sql(f"CREATE VIEW {t} AS FROM '{sf}/{t}.parquet'")
+
+oracle = json.load(open(f"{out}/oracle_sql.json"))
+
+def canon(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize dtypes for hashing: floats to repr, rest to str
+    rows = []
+    for col in df.columns:
+        s = df[col]
+        if s.dtype.kind == "f":
+            rows.append(s.map(lambda v: repr(float(v)) if pd.notna(v) else "NULL"))
+        else:
+            rows.append(s.map(lambda v: "NULL" if v is None or (isinstance(v, float) and pd.isna(v)) else str(v)))
+    return pd.concat(rows, axis=1)
+
+ok = bad = 0
+for name in sorted(oracle):
+    if flt and flt not in name:
+        continue
+    files = glob.glob(f"{out}/{name}/*.parquet")
+    if not files:
+        print(f"FAIL {name}: no spark output"); bad += 1; continue
+    try:
+        spark_df = con.sql(f"SELECT * FROM '{out}/{name}/*.parquet'").df()
+        duck_df = con.sql(oracle[name]).df()
+    except Exception as e:
+        print(f"FAIL {name}: {e}"); bad += 1; continue
+    a, b = canon(spark_df), canon(duck_df)
+    schema_ok = sorted(map(str.lower, spark_df.columns)) == sorted(map(str.lower, duck_df.columns))
+    rows_ok = len(a) == len(b)
+    # hash ignoring row order (sort rows)
+    ha = pd.util.hash_pandas_object(a.sort_values(list(a.columns)).reset_index(drop=True), index=False).sum()
+    hb = pd.util.hash_pandas_object(b.sort_values(list(b.columns)).reset_index(drop=True), index=False).sum()
+    if schema_ok and rows_ok and ha == hb:
+        print(f"OK   {name}  rows={len(a)}"); ok += 1
+    else:
+        print(f"FAIL {name}: schema_ok={schema_ok} rows {len(a)} vs {len(b)} hash_eq={ha==hb}")
+        if schema_ok and rows_ok:
+            merged = a.sort_values(list(a.columns)).reset_index(drop=True).compare(
+                b.sort_values(list(b.columns)).reset_index(drop=True))
+            print(merged.head(5))
+        else:
+            print(" spark cols:", sorted(spark_df.columns))
+            print(" duck  cols:", sorted(duck_df.columns))
+        bad += 1
+print(f"\n{ok} OK, {bad} FAIL")
+sys.exit(1 if bad else 0)
