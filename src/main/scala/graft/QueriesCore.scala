@@ -399,6 +399,48 @@ object QueriesCore {
         ${dsumSql("o_totalprice")} AS revenue, COUNT(*) AS n_orders
         FROM orders GROUP BY 1 ORDER BY order_month""")),
 
+    // ── Reference-parity calendar (golden vs date_dim.csv; §2.8) ───────
+    QueryDef("q36_date_dim_parity",
+      (s, _) => DateDim.referenceParity(s).orderBy("full_date"),
+      Some("""WITH cal AS (
+          SELECT unnest(generate_series(DATE '2005-01-01',
+            DATE '2026-01-01', INTERVAL 1 DAY))::DATE AS d),
+        wk AS (SELECT d,
+          (d - CAST(dayofweek(d) AS INT)) AS sun_start,
+          date_trunc('week', d)::DATE AS mon_start FROM cal),
+        anch AS (SELECT *, sun_start - 1 AS sat, mon_start + 3 AS thu
+          FROM wk)
+        SELECT
+          CAST(date_diff('day', DATE '2005-01-01', d) + 1 AS BIGINT) AS id,
+          d AS full_date,
+          CAST(date_diff('day', DATE '2005-01-01', d) + 1 AS BIGINT)
+            AS day_of_month,
+          CAST((year(d) - 2005) * 12 + month(d) AS BIGINT) AS month,
+          dayname(d) AS day_name,
+          monthname(d) AS month_name,
+          CAST(year(d) AS BIGINT) AS year,
+          CAST(year(d) AS VARCHAR) || '-' || strftime(d, '%b')
+            AS start_of_week,
+          CAST(day(d) AS BIGINT) AS day_of_week,
+          CAST(dayofyear(d) AS BIGINT) AS day_of_year,
+          CAST((dayofyear(sat) - 1) // 7 + 1 AS BIGINT) AS iso_week,
+          CAST(year(sat) AS VARCHAR) || '-W' ||
+            lpad(CAST((dayofyear(sat) - 1) // 7 + 1 AS VARCHAR), 2, '0')
+            AS iso_week_year,
+          sun_start AS start_of_iso_week,
+          CAST((dayofyear(thu) - 1) // 7 + 1 AS BIGINT) AS iso_week_alt,
+          CAST(year(mon_start) AS VARCHAR) || '-W' ||
+            lpad(CAST((dayofyear(thu) - 1) // 7 + 1 AS VARCHAR), 2, '0')
+            AS iso_week_year_alt,
+          mon_start AS start_of_iso_alt,
+          CAST(year(d) AS VARCHAR) || '-Q' ||
+            lpad(CAST(quarter(d) AS VARCHAR), 2, '0') AS quarter,
+          CAST((year(d) - 2005) * 4 + quarter(d) AS BIGINT) AS quarter_num,
+          'Non-Holiday' AS holiday_flag,
+          CASE WHEN dayofweek(d) IN (0, 6) THEN 'Weekend' ELSE 'Weekday' END
+            AS is_weekend
+        FROM anch ORDER BY full_date""")),
+
     // ── C2 run-log state machine shape: latest status per entity ───────
     QueryDef("q18_latest_status",
       (s, dir) => {

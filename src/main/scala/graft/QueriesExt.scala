@@ -18,6 +18,17 @@ object QueriesExt {
   private def t(s: org.apache.spark.sql.SparkSession, dir: String, n: String) =
     Tables.load(s, dir, n)
 
+  /** CPU-heavy per-row pipelines (hashing, dot products) need the map
+    * stage spread across cores even when the input arrives as one split
+    * (the local testdata is single-row-group parquet ⇒ one scan task). A
+    * round-robin repartition of the raw rows is one cheap shuffle that
+    * unlocks full parallelism; on a cluster where the source already has
+    * thousands of splits, AQE coalesces it into a near-no-op.
+    */
+  private def tPar(s: org.apache.spark.sql.SparkSession, dir: String,
+                   n: String) =
+    Tables.load(s, dir, n).repartition(s.sparkContext.defaultParallelism)
+
   import Params._
 
   // ── DuckDB SQL fragment builders (kept in lockstep with Spark ops) ──
@@ -31,6 +42,13 @@ object QueriesExt {
   private def dSeedHash(seed: Int, s: String) = s"md5('$seed|' || $s)"
   private def dMinHash(sh: String, seed: Int) =
     s"list_aggregate(list_transform($sh, s -> ${dSeedHash(seed, "s")}), 'min')"
+  // numeric MinHash twins of Shingles.baseHash/minHashSignature
+  private def dBaseHash(sh: String) =
+    s"list_transform($sh, s -> ('0x' || substr(md5(s), 1, 7))::BIGINT)"
+  private def dMinHashNum(baseList: String, i: Int) =
+    s"""list_aggregate(list_transform($baseList,
+       x -> (x * ${Shingles.affineA(i)} + ${Shingles.affineB(i)})
+            % ${Shingles.MinHashP}), 'min')"""
   private val dNorm =
     "trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'), '\\s+', ' ', 'g'))"
   private def dsumSql(x: String) =
@@ -50,7 +68,7 @@ object QueriesExt {
 
     // ── Text analysis: token counts + quality components ───────────────
     QueryDef("q20_text_stats",
-      (s, dir) => t(s, dir, "documents").select(
+      (s, dir) => tPar(s, dir, "documents").select(
         col("doc_id"),
         TextStats.tokenCount(col("text")).as("n_tokens"),
         length(col("text")).cast("long").as("len_chars"),
@@ -72,7 +90,7 @@ object QueriesExt {
 
     // ── Quality scoring (length/stopword/punct composite) ──────────────
     QueryDef("q21_quality_score",
-      (s, dir) => t(s, dir, "documents").select(
+      (s, dir) => tPar(s, dir, "documents").select(
         col("doc_id"), col("lang"),
         TextStats.stopwordRatio(col("text"), stopwords).as("stopword_ratio"),
         TextStats.qualityScore(col("text"), stopwords).as("quality"))
@@ -102,7 +120,7 @@ object QueriesExt {
 
     // ── Language ID (marker-token argmax, declaration-order ties) ──────
     QueryDef("q22_lang_id",
-      (s, dir) => t(s, dir, "documents").select(
+      (s, dir) => tPar(s, dir, "documents").select(
         col("doc_id"), col("lang"),
         TextStats.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id"),
@@ -132,7 +150,7 @@ object QueriesExt {
 
     // ── Document fingerprints (content md5 + 1-hash MinHash rolling) ───
     QueryDef("q23_fingerprint",
-      (s, dir) => t(s, dir, "documents").select(
+      (s, dir) => tPar(s, dir, "documents").select(
         col("doc_id"),
         TextStats.contentFingerprint(col("text")).as("content_fp"),
         TextStats.rollingFingerprint(col("text"), 5).as("rolling_fp"))
@@ -143,7 +161,7 @@ object QueriesExt {
 
     // ── Exact dedup on normalized-content fingerprint ──────────────────
     QueryDef("q24_dedup_exact",
-      (s, dir) => Dedup.exactByContent(t(s, dir, "documents"),
+      (s, dir) => Dedup.exactByContent(tPar(s, dir, "documents"),
         "doc_id", "text").orderBy("doc_id"),
       Some(s"""SELECT min(doc_id) AS doc_id, COUNT(*) AS dup_count
         FROM documents GROUP BY md5($dNorm) ORDER BY doc_id""")),
@@ -151,7 +169,7 @@ object QueriesExt {
     // ── MinHash signatures + LSH band keys (flattened columns) ─────────
     QueryDef("q25_minhash_signature",
       (s, dir) => {
-        val sigs = Dedup.minhashSignatures(t(s, dir, "documents"),
+        val sigs = Dedup.minhashSignatures(tPar(s, dir, "documents"),
           "doc_id", "text", shingleK, minhashHashes, minhashBandRows)
         val sigCols = (0 until minhashHashes).map(i =>
           element_at(col("signature"), i + 1).as(f"mh_$i%02d"))
@@ -163,7 +181,7 @@ object QueriesExt {
       Some {
         val sh = dShingles(dTok, shingleK)
         val sigExprs = (0 until minhashHashes)
-          .map(seed => s"${dMinHash("sh", seed)} AS mh_$seed")
+          .map(seed => s"${dMinHashNum("base", seed)} AS mh_$seed")
         val bands = (0 until minhashHashes / minhashBandRows).map { b =>
           val lo = b * minhashBandRows + 1
           val hi = b * minhashBandRows + minhashBandRows
@@ -175,19 +193,19 @@ object QueriesExt {
         s"""SELECT doc_id, ${mhAliases.mkString(", ")},
           ${bands.mkString(", ")}
           FROM (SELECT doc_id, ${sigExprs.mkString(", ")}
-            FROM (SELECT doc_id, $sh AS sh FROM documents))
+            FROM (SELECT doc_id, ${dBaseHash(sh)} AS base FROM documents))
           ORDER BY doc_id"""
       }),
 
     // ── MinHash+LSH candidate near-dup pairs ───────────────────────────
     QueryDef("q26_minhash_pairs",
-      (s, dir) => Dedup.minhashCandidates(t(s, dir, "documents"),
+      (s, dir) => Dedup.minhashCandidates(tPar(s, dir, "documents"),
         "doc_id", "text", shingleK, minhashHashes, minhashBandRows)
         .orderBy("id_a", "id_b"),
       Some {
         val sh = dShingles(dTok, shingleK)
         val sigExprs = (0 until minhashHashes)
-          .map(seed => s"${dMinHash("sh", seed)} AS mh_$seed")
+          .map(seed => s"${dMinHashNum("base", seed)} AS mh_$seed")
         val bandExprs = (0 until minhashHashes / minhashBandRows).map { b =>
           val lo = b * minhashBandRows + 1
           val hi = b * minhashBandRows + minhashBandRows
@@ -195,7 +213,7 @@ object QueriesExt {
             .mkString(", ")}], ','))"
         }
         s"""WITH sig AS (SELECT doc_id, ${sigExprs.mkString(", ")}
-            FROM (SELECT doc_id, $sh AS sh FROM documents)),
+            FROM (SELECT doc_id, ${dBaseHash(sh)} AS base FROM documents)),
           bands AS (SELECT doc_id,
             unnest([${bandExprs.mkString(", ")}]) AS bk FROM sig)
           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -205,7 +223,7 @@ object QueriesExt {
 
     // ── SimHash fingerprints ───────────────────────────────────────────
     QueryDef("q27_simhash",
-      (s, dir) => t(s, dir, "documents").select(
+      (s, dir) => tPar(s, dir, "documents").select(
         col("doc_id"),
         Dedup.simhash(col("text"), simhashBits).as("simhash"))
         .orderBy("doc_id"),
@@ -222,7 +240,7 @@ object QueriesExt {
 
     // ── Exact n-gram Jaccard near-dup pairs (inverted index join) ──────
     QueryDef("q28_ngram_jaccard",
-      (s, dir) => Dedup.ngramJaccardPairs(t(s, dir, "documents"),
+      (s, dir) => Dedup.ngramJaccardPairs(tPar(s, dir, "documents"),
         "doc_id", "text", shingleK, jaccardMin)
         .orderBy("id_a", "id_b"),
       Some(s"""WITH sh AS (SELECT doc_id, unnest(list_distinct(
@@ -242,7 +260,7 @@ object QueriesExt {
     // ── Embedding cosine near-dup pairs (sign-LSH bucketed candidates) ─
     QueryDef("q29_embed_dups",
       (s, dir) => {
-        val e = t(s, dir, "embeddings")
+        val e = tPar(s, dir, "embeddings")
         val v = e.select(col("vec_id"), col("embedding"),
           Similarity.signBucket(col("embedding"), annBits).as("bucket"))
         v.alias("a").join(v.alias("b"),
@@ -268,7 +286,7 @@ object QueriesExt {
     // ── Brute-force cosine top-k (exact ANN baseline) ──────────────────
     QueryDef("q30_ann_bruteforce",
       (s, dir) => {
-        val e = t(s, dir, "embeddings")
+        val e = tPar(s, dir, "embeddings")
         Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 20),
           "vec_id", "embedding", topK)
           .orderBy("probe_id", "rank")
@@ -288,7 +306,7 @@ object QueriesExt {
     // ── Bucketed ANN top-k (the scale path: equi-join, no cross join) ──
     QueryDef("q31_ann_bucketed",
       (s, dir) => {
-        val e = t(s, dir, "embeddings")
+        val e = tPar(s, dir, "embeddings")
         Similarity.bucketedTopK(e, e.filter(col("vec_id") < 20),
           "vec_id", "embedding", topK, annBits)
           .orderBy("probe_id", "rank")
@@ -310,7 +328,7 @@ object QueriesExt {
     // ── Multimodal: binary payload + stubbed batched decode ────────────
     QueryDef("q32_multimodal",
       (s, dir) => {
-        val media = Multimodal.asMediaTable(t(s, dir, "documents"),
+        val media = Multimodal.asMediaTable(tPar(s, dir, "documents"),
           "doc_id", "text")
         Multimodal.decodeFeatures(media).select(
           col("media_id"), col("byte_len"),

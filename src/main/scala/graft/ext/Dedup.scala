@@ -25,32 +25,55 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
       .drop("__fp")
 
-  /** MinHash signatures + LSH band keys per document. */
+  /** MinHash signatures + LSH band keys per document.
+    * Signature computation is the native expression
+    * [[graft.functions.NativeExprs.minHashSignature]] (one md5 per
+    * shingle + affine permutations in a tight loop); the HOF pipeline
+    * [[Shingles.minHashSignature]] is its bit-identical reference
+    * implementation.
+    */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         shingleK: Int, numHashes: Int, rowsPerBand: Int): DataFrame = {
     val toks = TextStats.tokens(col(textCol))
     docs.select(col(idCol),
-      Shingles.minHashSignature(toks, shingleK, numHashes).as("signature"))
+      graft.functions.NativeExprs.minHashSignature(toks, shingleK, numHashes)
+        .as("signature"))
       .withColumn("band_keys",
         Shingles.bandKeys(col("signature"), numHashes, rowsPerBand))
   }
 
+  /** All (a, b) pairs with a < b from each bucket's sorted id array —
+    * per-row array expression, no join.
+    */
+  private def inBucketPairs(ids: Column): Column = {
+    val sorted = sort_array(ids)
+    flatten(transform(sorted, (x, i) =>
+      transform(slice(sorted, i + lit(2), size(sorted) - i - 1),
+        y => struct(x.as("id_a"), y.as("id_b")))))
+  }
+
   /** MinHash+LSH candidate pairs: docs sharing ≥1 band key.
-    * explode(band_keys) → self-join on the key → distinct (a, b) with a<b.
-    * The join key is a 32-char digest: candidates are found with ONE
-    * shuffle on band_key; skewed (very common) bands can be salted — with
-    * b bands of r rows the expected bucket sizes stay small for any
-    * non-degenerate corpus.
+    *
+    * Shape: explode(band_keys) → groupBy band key (collect ids) → expand
+    * in-bucket pairs → distinct. One aggregation shuffle + one distinct
+    * shuffle, and — unlike the naive exploded self-join — the expensive
+    * signature computation runs exactly ONCE per document (a self-join
+    * would re-evaluate the md5 pipeline on both plan branches). Buckets of
+    * size 1 (the vast majority under any sane band config) are dropped
+    * before pair expansion. LSH bounds bucket sizes for non-degenerate
+    * corpora; a skewed/degenerate band key (e.g. all-empty docs) should be
+    * salted or capped upstream.
     */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         shingleK: Int = 5, numHashes: Int = 16,
                         rowsPerBand: Int = 4): DataFrame = {
     val sigs = minhashSignatures(docs, idCol, textCol, shingleK, numHashes,
       rowsPerBand)
-    val exploded = sigs.select(col(idCol), explode(col("band_keys")).as("bk"))
-    exploded.alias("a").join(exploded.alias("b"), Seq("bk"))
-      .filter(col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+    sigs.select(col(idCol), explode(col("band_keys")).as("bk"))
+      .groupBy("bk").agg(collect_list(col(idCol)).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(inBucketPairs(col("ids"))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .distinct()
   }
 
@@ -60,7 +83,13 @@ object Dedup {
     * Pure per-row expression (transform over bit positions + aggregate
     * over tokens).
     */
-  def simhash(text: Column, bits: Int = 16): Column = {
+  def simhash(text: Column, bits: Int = 16): Column =
+    graft.functions.NativeExprs.simhash(TextStats.tokens(text), bits)
+
+  /** HOF reference implementation of [[simhash]] (bit-identical; kept for
+    * the parity spec).
+    */
+  def simhashHof(text: Column, bits: Int = 16): Column = {
     val toks = TextStats.tokens(text)
     val hashes = transform(toks, t => Shingles.seededHash(t, 0))
     concat(
@@ -81,13 +110,20 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         k: Int, minJaccard: Double): DataFrame = {
     val withSh = docs.select(col(idCol),
-      array_distinct(Shingles.wordShingles(TextStats.tokens(col(textCol)), k))
+      graft.functions.NativeExprs
+        .wordShingles(TextStats.tokens(col(textCol)), k, distinct = true)
         .as("sh"))
     val sizes = withSh.select(col(idCol), size(col("sh")).cast("long").as("n"))
+    // Posting lists per shingle, pairs expanded in-bucket: shingles are
+    // computed once per doc (a self-joined inverted index would evaluate
+    // the shingling on both branches) and singleton postings — the long
+    // tail of any corpus — are dropped before the pair stage.
     val inv = withSh.select(col(idCol), explode(col("sh")).as("shingle"))
-    val shared = inv.alias("a").join(inv.alias("b"), Seq("shingle"))
-      .filter(col(s"a.$idCol") < col(s"b.$idCol"))
-      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+    val shared = inv.groupBy("shingle")
+      .agg(collect_list(col(idCol)).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(inBucketPairs(col("ids"))).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(count(lit(1)).as("shared"))
     shared
       .join(sizes.withColumnRenamed(idCol, "id_a")

@@ -35,12 +35,44 @@ object Shingles {
   def shingleHashes(toks: Column, k: Int, seed: Int): Column =
     transform(wordShingles(toks, k), s => seededHash(s, seed))
 
-  /** MinHash signature: for each seed, the minimum seeded hash over the
-    * shingle set (classic one-permutation-per-seed construction).
+  // ── Numeric MinHash family ─────────────────────────────────────────
+  // One digest per shingle, then k "permutations" as affine maps
+  // (a_i·x + b_i) mod P — the classic construction. 16× less hashing
+  // than a digest-per-seed family, and every value is reproducible in
+  // plain SQL: base = ('0x' || substr(md5(s),1,7))::BIGINT.
+  // Bounds: base < 2^28, a < 2^31 ⇒ a·x + b < 2^60 — no 64-bit overflow
+  // in either engine (DuckDB BIGINT overflow would error, Java wraps;
+  // neither is reached).
+
+  /** Mersenne-ish prime modulus for the affine permutations. */
+  val MinHashP: Long = 1000000007L
+
+  /** Deterministic per-seed affine constants (Knuth multiplier mixes). */
+  def affineA(i: Int): Long = (2654435761L * (i + 1)) % 2147483647L
+  def affineB(i: Int): Long = (2654435761L * i + 104729L) % MinHashP
+
+  /** 28-bit numeric base hash of one shingle: first 7 md5 hex chars. */
+  def baseHash(s: Column): Column =
+    conv(substring(md5(s), 1, 7), 16, 10).cast("long")
+
+  /** MinHash signature as `array<long>`: element i is
+    * min over shingles of (a_i·baseHash + b_i) mod P.
+    *
+    * Built as ONE `aggregate` fold over the base-hash array so each
+    * shingle is md5'd exactly once and bound to a lambda variable — the
+    * naive per-seed `array_min(transform(...md5...))` form would inline
+    * the digest pipeline into all k seed expressions (interpreted
+    * higher-order functions get no common-subexpression elimination).
     */
-  def minHashSignature(toks: Column, k: Int, numHashes: Int): Column =
-    array((0 until numHashes).map(seed =>
-      array_min(shingleHashes(toks, k, seed))): _*)
+  def minHashSignature(toks: Column, k: Int, numHashes: Int): Column = {
+    val ab = array((0 until numHashes).map(i =>
+      struct(lit(affineA(i)).as("a"), lit(affineB(i)).as("b"))): _*)
+    aggregate(
+      transform(wordShingles(toks, k), s => baseHash(s)),
+      array_repeat(lit(MinHashP), numHashes),
+      (acc, x) => zip_with(acc, ab,
+        (m, c) => least(m, (x * c.getField("a") + c.getField("b")) % MinHashP)))
+  }
 
   /** LSH band keys: split the signature into bands of `rowsPerBand` and
     * hash each band to one key. Docs sharing any band key are candidates.
@@ -49,8 +81,9 @@ object Shingles {
     val numBands = numHashes / rowsPerBand
     array((0 until numBands).map { b =>
       concat(lit(s"$b:"),
-        md5(array_join(slice(signature, b * rowsPerBand + 1, rowsPerBand),
-          ",")))
+        md5(array_join(
+          transform(slice(signature, b * rowsPerBand + 1, rowsPerBand),
+            _.cast("string")), ",")))
     }: _*)
   }
 }

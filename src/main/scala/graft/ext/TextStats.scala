@@ -103,5 +103,11 @@ object TextStats {
   def contentFingerprint(text: Column): Column = md5(normalized(text))
 
   def rollingFingerprint(text: Column, k: Int = 5): Column =
+    graft.functions.NativeExprs.rollingFingerprint(tokens(text), k)
+
+  /** HOF reference implementation of [[rollingFingerprint]]
+    * (bit-identical; kept for the parity spec).
+    */
+  def rollingFingerprintHof(text: Column, k: Int = 5): Column =
     array_min(Shingles.shingleHashes(tokens(text), k, seed = 0))
 }

@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ Expression bridge. Spark 4 moved the public `Column` to a
+  * ColumnNode facade and made the converter (`classic.ExpressionUtils`)
+  * `private[sql]`, so libraries adding native Catalyst expressions need a
+  * shim inside the `org.apache.spark.sql` namespace — the same pattern
+  * used by frameless & co.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

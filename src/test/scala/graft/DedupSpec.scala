@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.{Dedup, Shingles, TextStats}
+
+/** Dedup family semantics on hand-built corpora: exact-by-content,
+  * MinHash/LSH recall of true near-dups, SimHash locality, exact n-gram
+  * Jaccard values.
+  */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docA  = "the quick brown fox jumps over the lazy dog today"
+  private val docA2 = "the quick brown fox jumps over the lazy dog tonight"
+  private val docB  = "completely different content about spark engines here"
+
+  private def corpus = Seq(
+    (1L, docA), (2L, docA2), (3L, docB),
+    (4L, "The quick brown fox jumps over the lazy dog today."), // = 1 normalized
+    (5L, docB)).toDF("doc_id", "text")
+
+  test("exact dedup groups case/punctuation-normalized duplicates") {
+    val out = Dedup.exactByContent(corpus, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // 1≡4 (normalization), 3≡5 (identical), 2 unique
+    assert(out.toSeq === Seq((1L, 2L), (2L, 1L), (3L, 2L)))
+  }
+
+  test("minhash: identical docs share full signatures; near-dups share bands") {
+    val pairs = Dedup.minhashCandidates(corpus, "doc_id", "text",
+      shingleK = 3, numHashes = 16, rowsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((3L, 5L)), "identical docs must be candidates")
+    assert(pairs.contains((1L, 2L)), "one-word-edit near-dups should collide")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)),
+      "unrelated docs must not be candidates")
+  }
+
+  test("minhash signature is deterministic and per-seed minimal") {
+    val sig = Dedup.minhashSignatures(corpus.filter($"doc_id" === 1),
+      "doc_id", "text", 3, 4, 2)
+      .select("signature").head().getSeq[Long](0)
+    val toks = docA.split(" ").toSeq
+    val shingles = toks.sliding(3).map(_.mkString(" ")).toSeq
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val bases = shingles.map(sh =>
+      java.lang.Long.parseLong(md5hex(sh).take(7), 16))
+    val expected = (0 until 4).map(i => bases.map(x =>
+      (x * Shingles.affineA(i) + Shingles.affineB(i)) % Shingles.MinHashP).min)
+    assert(sig === expected)
+  }
+
+  test("simhash: identical docs match; near-dups within small hamming") {
+    val fps = corpus.select($"doc_id", Dedup.simhash($"text", 16).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(3L) === fps(5L))
+    def hamming(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    assert(hamming(fps(1L), fps(2L)) <= 4,
+      s"near-dup hamming too large: ${hamming(fps(1L), fps(2L))}")
+    assert(hamming(fps(1L), fps(3L)) > 0)
+  }
+
+  test("ngram jaccard computes the exact set similarity") {
+    val out = Dedup.ngramJaccardPairs(
+      Seq((1L, docA), (2L, docA2)).toDF("doc_id", "text"),
+      "doc_id", "text", k = 3, minJaccard = 0.0)
+      .head()
+    // 8 distinct 3-shingles each, 7 shared → J = 7 / 9
+    assert(out.getLong(0) === 1L && out.getLong(1) === 2L)
+    assert(math.abs(out.getDouble(2) - 7.0 / 9.0) < 1e-12)
+  }
+
+  test("wordShingles: short docs collapse to one whole-doc shingle") {
+    val sh = Seq((1L, "two words")).toDF("id", "text")
+      .select(Shingles.wordShingles(TextStats.tokens($"text"), 5).as("s"))
+      .head().getSeq[String](0)
+    assert(sh === Seq("two words"))
+  }
+}

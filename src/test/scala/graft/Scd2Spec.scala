@@ -1,0 +1,87 @@
+package graft
+
+import java.sql.Date
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.etl.Scd2
+
+/** Textbook-SCD2 invariants (SURVEY §2.7, §5.4): exactly one open version
+  * per key, closed versions end before the sentinel, re-running the same
+  * snapshot is a no-op, change/new/gone handling.
+  */
+class Scd2Spec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val d1 = Date.valueOf("2024-01-01")
+  private val d2 = Date.valueOf("2024-01-02")
+  private val d3 = Date.valueOf("2024-01-03")
+
+  private def snap(rows: (String, Int, String)*): DataFrame =
+    rows.toSeq.toDF("natural_key", "price", "brand")
+
+  private def init(s: DataFrame, load: Date): DataFrame =
+    s.withColumn("dt_load_to_dw", lit(load))
+      .withColumn("dt_last_update", lit(Scd2.Sentinel))
+
+  private val tracked = Seq("price", "brand")
+
+  test("new key inserts one open version") {
+    val dim0 = init(snap(("a", 1, "x")), d1)
+    val merged = Scd2.merge(dim0, snap(("a", 1, "x"), ("b", 9, "y")),
+      "natural_key", tracked, d2)
+    assert(merged.count() === 2)
+    val b = merged.filter($"natural_key" === "b").head()
+    assert(b.getAs[Date]("dt_load_to_dw") === d2)
+    assert(b.getAs[Date]("dt_last_update") === Scd2.Sentinel)
+  }
+
+  test("changed key closes the old version and opens a new one") {
+    val dim0 = init(snap(("a", 1, "x")), d1)
+    val merged = Scd2.merge(dim0, snap(("a", 2, "x")),
+      "natural_key", tracked, d2).cache()
+    assert(merged.count() === 2)
+    val closed = merged.filter($"dt_last_update" === lit(d2)).head()
+    assert(closed.getAs[Int]("price") === 1)
+    val open = merged.filter($"dt_last_update" === lit(Scd2.Sentinel)).head()
+    assert(open.getAs[Int]("price") === 2)
+    assert(open.getAs[Date]("dt_load_to_dw") === d2)
+  }
+
+  test("idempotence: merging an identical snapshot changes nothing") {
+    val dim0 = init(snap(("a", 1, "x"), ("b", 2, "y")), d1)
+    val once = Scd2.merge(dim0, snap(("a", 1, "x"), ("b", 2, "y")),
+      "natural_key", tracked, d2)
+    assert(once.exceptAll(dim0).isEmpty && dim0.exceptAll(once).isEmpty)
+  }
+
+  test("key absent from snapshot is kept as-is (no spurious close)") {
+    val dim0 = init(snap(("a", 1, "x"), ("gone", 7, "z")), d1)
+    val merged = Scd2.merge(dim0, snap(("a", 1, "x")),
+      "natural_key", tracked, d2)
+    val gone = merged.filter($"natural_key" === "gone").head()
+    assert(gone.getAs[Date]("dt_last_update") === Scd2.Sentinel)
+  }
+
+  test("invariant holds across multi-day history: one open version per key") {
+    val dim0 = init(snap(("a", 1, "x"), ("b", 2, "y")), d1)
+    val dim1 = Scd2.merge(dim0, snap(("a", 5, "x"), ("b", 2, "y"),
+      ("c", 3, "z")), "natural_key", tracked, d2)
+    val dim2 = Scd2.merge(dim1, snap(("a", 6, "x"), ("c", 3, "z")),
+      "natural_key", tracked, d3).cache()
+
+    val opens = dim2.filter($"dt_last_update" === lit(Scd2.Sentinel))
+      .groupBy("natural_key").count()
+    assert(opens.filter($"count" =!= 1).isEmpty)
+    // 'a' has three versions: d1 (closed d2), d2 (closed d3), d3 (open)
+    val a = dim2.filter($"natural_key" === "a")
+      .orderBy("dt_load_to_dw").collect()
+    assert(a.map(_.getAs[Int]("price")).toSeq === Seq(1, 5, 6))
+    assert(a.map(_.getAs[Date]("dt_last_update")).toSeq ===
+      Seq(d2, d3, Scd2.Sentinel))
+    // closed versions strictly precede the sentinel
+    assert(dim2.filter($"dt_last_update" =!= lit(Scd2.Sentinel) &&
+      $"dt_last_update" >= lit(Scd2.Sentinel)).isEmpty)
+  }
+}
