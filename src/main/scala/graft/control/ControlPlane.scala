@@ -1,0 +1,149 @@
+package graft.control
+
+import java.sql.{Date, Timestamp}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Control plane (SURVEY §2.9): config lookup, the run-log status state
+  * machine, idempotence guards, retry, and alerting — the reference keeps
+  * these in two Postgres tables (`file_config`, `file_logs`, docx §9)
+  * driven by copy-pasted psycopg2 helpers in each script.
+  *
+  * Spark-native design: both tables are small DataFrames (parquet/Delta
+  * on a cluster); every guard is a filter + isEmpty probe; transitions
+  * are validated in the driver (they're control flow, not data flow).
+  */
+object ControlPlane {
+
+  /** `file_config` row (docx §9; fixture FIXTURES A4). */
+  final case class FileConfig(
+      id: Int, name: String, source: String, sourceFileLocation: String,
+      destinationTableStaging: String, destinationTableDw: String,
+      bucketName: String, folderB2Name: String, bucketId: String)
+
+  /** Run-log status domain (docx §3):
+    * RUNNING → ES (extract succeeded) → LS (staging loaded) → LWS
+    * (warehouse loaded); EF = failure from any state.
+    */
+  object Status {
+    val Running = "RUNNING"
+    val ExtractSuccess = "ES"
+    val LoadedStaging = "LS"
+    val LoadedWarehouse = "LWS"
+    val ExtractFailure = "EF"
+    val all: Set[String] =
+      Set(Running, ExtractSuccess, LoadedStaging, LoadedWarehouse,
+        ExtractFailure)
+  }
+
+  /** Legal transitions of the run-log state machine
+    * (`extract_file.py:495-532`, `load_to_staging.py:543-562`,
+    * `load_to_dw.py:542-558`; flowcharts drawio pages 2-4).
+    */
+  val legalTransitions: Set[(String, String)] = {
+    import Status._
+    Set(
+      Running -> ExtractSuccess,
+      ExtractSuccess -> Running, // staging re-marks RUNNING while loading
+      Running -> LoadedStaging,
+      LoadedStaging -> Running, // dw re-marks RUNNING while loading
+      Running -> LoadedWarehouse,
+      Running -> ExtractFailure,
+      ExtractSuccess -> ExtractFailure,
+      LoadedStaging -> ExtractFailure)
+  }
+
+  def transition(from: String, to: String): Either[String, String] =
+    if (!Status.all(to)) Left(s"unknown status $to")
+    else if (legalTransitions((from, to))) Right(to)
+    else Left(s"illegal transition $from -> $to")
+
+  /** `file_logs` row (docx §9). */
+  final case class RunLogEntry(
+      id: Long, idConfig: Int, fileName: String, time: Date, status: String,
+      count: Long, fileSizeKb: Long, dtUpdate: Timestamp)
+
+  def emptyLog(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[RunLogEntry].toDF()
+  }
+
+  /** Upsert by (idConfig, time): the reference UPDATEs the day's row in
+    * place (D5); with immutable storage we keep latest-wins by dtUpdate.
+    */
+  def upsert(log: DataFrame, entry: RunLogEntry): DataFrame = {
+    import log.sparkSession.implicits._
+    val updated = log.unionByName(Seq(entry).toDF())
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("idConfig", "time")
+      .orderBy(col("dtUpdate").desc, col("id").desc)
+    updated.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // ── Idempotence guards (C3) ────────────────────────────────────────
+  // The reference's guards are existence probes on the day's log row;
+  // note `load_to_staging.py:288-313` names its check "RUNNING or LS"
+  // but actually probes status='ES' with an inverted boolean (SURVEY
+  // B5) — the INTENT, implemented here, is:
+  //   extract runs only if the day hasn't already started/succeeded;
+  //   staging runs only if extract succeeded (ES present);
+  //   dw runs only if staging succeeded (LS present).
+
+  private def dayRows(log: DataFrame, idConfig: Int, day: Date) =
+    log.filter(col("idConfig") === idConfig && col("time") === lit(day))
+
+  /** P3 guard (`extract_file.py:332-362`): skip extract if the day is
+    * already RUNNING or extracted.
+    */
+  def canExtract(log: DataFrame, idConfig: Int, day: Date): Boolean =
+    dayRows(log, idConfig, day)
+      .filter(col("status").isin(Status.Running, Status.ExtractSuccess))
+      .isEmpty
+
+  /** P5 guard, corrected intent of `load_to_staging.py:288-313`. */
+  def readyForStaging(log: DataFrame, idConfig: Int, day: Date): Boolean =
+    !dayRows(log, idConfig, day)
+      .filter(col("status") === Status.ExtractSuccess).isEmpty
+
+  /** P5 guard (`load_to_dw.py:431-456`). */
+  def readyForDw(log: DataFrame, idConfig: Int, day: Date): Boolean =
+    !dayRows(log, idConfig, day)
+      .filter(col("status") === Status.LoadedStaging).isEmpty
+
+  // ── Retry (C4) ─────────────────────────────────────────────────────
+
+  /** Fixed-interval retry — the corrected version of the reference's
+    * loop, which NameErrors on its first retry (`extract_file.py:466-480`,
+    * SURVEY B2: `attemps` initialized, `attempts` incremented).
+    */
+  @annotation.tailrec
+  def retry[T](attempts: Int, delayMs: Long)(op: () => T): T =
+    scala.util.Try(op()) match {
+      case scala.util.Success(v) => v
+      case scala.util.Failure(e) if attempts <= 1 => throw e
+      case scala.util.Failure(_) =>
+        Thread.sleep(delayMs)
+        retry(attempts - 1, delayMs)(op)
+    }
+
+  // ── Alerting (C5) ──────────────────────────────────────────────────
+
+  /** Failure-path alerting. The reference emails via Gmail SMTP with a
+    * hardcoded app password in three copy-pasted functions
+    * (`extract_file.py:365-394`, SURVEY B6); here it's a trait with
+    * injected transport and no embedded secrets.
+    */
+  trait Alerter { def alert(subject: String, body: String): Unit }
+
+  object NoopAlerter extends Alerter {
+    override def alert(subject: String, body: String): Unit = ()
+  }
+
+  final class CollectingAlerter extends Alerter {
+    val sent = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    override def alert(subject: String, body: String): Unit =
+      sent += (subject -> body)
+  }
+}
