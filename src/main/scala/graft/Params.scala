@@ -14,4 +14,6 @@ object Params {
   val annBits = 4
   val topK = 5
   val cosineDupMin = 0.95
+  val ivfNlist = 8
+  val sessionGapMinutes = 30
 }

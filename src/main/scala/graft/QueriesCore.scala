@@ -464,6 +464,119 @@ object QueriesCore {
           FROM events)
         WHERE rn = 1 ORDER BY user_id""")),
 
+    // ── Full outer join + coalesce (dimension conformance shape) ───────
+    QueryDef("q38_outer_join",
+      (s, dir) => {
+        val cust = t(s, dir, "customer").groupBy(col("c_nationkey")
+          .as("nationkey")).agg(count(lit(1)).as("n_cust"))
+        val supp = t(s, dir, "supplier").groupBy(col("s_nationkey")
+          .as("nationkey")).agg(count(lit(1)).as("n_supp"))
+        cust.join(supp, Seq("nationkey"), "full_outer")
+          .select(col("nationkey"),
+            coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+            coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+          .orderBy("nationkey")
+      },
+      Some("""SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+          COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+        FROM (SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust
+              FROM customer GROUP BY 1) c
+        FULL OUTER JOIN
+             (SELECT s_nationkey AS nationkey, COUNT(*) AS n_supp
+              FROM supplier GROUP BY 1) s
+        USING (nationkey)
+        ORDER BY nationkey""")),
+
+    // ── Pivot (mart-layer crosstab; Spark .pivot ↔ CASE aggregation) ───
+    QueryDef("q39_pivot",
+      (s, dir) => t(s, dir, "orders")
+        .withColumn("order_year", year(col("o_orderdate")).cast("long"))
+        .groupBy("order_year")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(dsum(col("o_totalprice")))
+        .na.fill(0.0, Seq("F", "O", "P"))
+        .orderBy("order_year"),
+      Some(s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+        COALESCE(${dsumSql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")}, 0.0) AS "F",
+        COALESCE(${dsumSql("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")}, 0.0) AS "O",
+        COALESCE(${dsumSql("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")}, 0.0) AS "P"
+        FROM orders GROUP BY 1 ORDER BY order_year""")),
+
+    // ── Lag/lead analytics (time-series deltas per entity) ─────────────
+    QueryDef("q40_lag_lead",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").asc, col("event_id").asc)
+        t(s, dir, "events")
+          .withColumn("prev_value", lag(col("value"), 1).over(w))
+          .withColumn("next_value", lead(col("value"), 1).over(w))
+          .withColumn("delta", col("value") - col("prev_value"))
+          .select("event_id", "user_id", "value", "prev_value",
+            "next_value", "delta")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, value,
+          lag(value) OVER w AS prev_value,
+          lead(value) OVER w AS next_value,
+          value - lag(value) OVER w AS delta
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        ORDER BY event_id""")),
+
+    // ── Gap-based sessionization (batch; 30-min inactivity gap) ────────
+    QueryDef("q41_sessions",
+      (s, dir) => {
+        val gapUs = Params.sessionGapMinutes * 60L * 1000000L
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").asc, col("event_id").asc)
+        t(s, dir, "events")
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+          .withColumn("is_new",
+            (col("prev_us").isNull ||
+              unix_micros(col("ts")) - col("prev_us") > gapUs).cast("long"))
+          .withColumn("session_id", sum(col("is_new")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"),
+            date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss")
+              .as("session_start"),
+            date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss")
+              .as("session_end"))
+          .orderBy("user_id", "session_id")
+      },
+      Some(s"""WITH flagged AS (
+          SELECT user_id, event_id, ts,
+            CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                 > ${Params.sessionGapMinutes * 60L * 1000000L}
+              THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        sessions AS (
+          SELECT user_id, ts,
+            CAST(SUM(is_new) OVER (PARTITION BY user_id
+              ORDER BY ts ASC, event_id ASC
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+          FROM flagged)
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+          strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+          strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+        FROM sessions GROUP BY user_id, session_id
+        ORDER BY user_id, session_id""")),
+
+    // ── Distinct aggregates ────────────────────────────────────────────
+    QueryDef("q42_distinct_agg",
+      (s, dir) => t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(countDistinct(col("o_custkey")).as("n_customers"),
+          count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("revenue"))
+        .orderBy("o_orderpriority"),
+      Some(s"""SELECT o_orderpriority,
+        COUNT(DISTINCT o_custkey) AS n_customers, COUNT(*) AS n_orders,
+        ${dsumSql("o_totalprice")} AS revenue
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     // ── Tumbling-window aggregation (batch twin of the streaming path) ─
     QueryDef("q19_hourly_window",
       (s, dir) => graft.streaming.Streams

@@ -325,6 +325,42 @@ object QueriesExt {
             ORDER BY cos DESC, nn_id ASC) AS rank FROM pairs)
         WHERE rank <= $topK ORDER BY probe_id, rank""")),
 
+    // ── IVF ANN top-k (deterministic coarse quantizer, nprobe=1) ───────
+    QueryDef("q37_ann_ivf",
+      (s, dir) => {
+        val e = tPar(s, dir, "embeddings")
+        Similarity.ivfTopK(e, e.filter(col("vec_id") < 20),
+          "vec_id", "embedding", topK, ivfNlist)
+          .orderBy("probe_id", "rank")
+      },
+      Some {
+        def cos(a: String, b: String) =
+          s"""(${dDot(a, b)}) / (sqrt(${dDot(a, a)}) * sqrt(${dDot(b, b)}))"""
+        s"""WITH cents AS (
+            SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+            WHERE vec_id < $ivfNlist),
+          scored AS (
+            SELECT e.vec_id, cid,
+              ${cos("e.embedding", "cvec")} AS ccos
+            FROM embeddings e CROSS JOIN cents),
+          cell AS (
+            SELECT vec_id, cid AS cell FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id
+                ORDER BY ccos DESC, cid ASC) AS rn FROM scored)
+            WHERE rn = 1),
+          v AS (SELECT e.vec_id, e.embedding, cell
+            FROM embeddings e JOIN cell USING (vec_id)),
+          pairs AS (
+            SELECT a.vec_id AS probe_id, b.vec_id AS nn_id,
+              ${cos("a.embedding", "b.embedding")} AS cos
+            FROM v a JOIN v b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+            WHERE a.vec_id < 20)
+          SELECT probe_id, nn_id, cos, rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY probe_id
+              ORDER BY cos DESC, nn_id ASC) AS rank FROM pairs)
+          WHERE rank <= $topK ORDER BY probe_id, rank"""
+      }),
+
     // ── Multimodal: binary payload + stubbed batched decode ────────────
     QueryDef("q32_multimodal",
       (s, dir) => {

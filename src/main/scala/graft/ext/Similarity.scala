@@ -56,6 +56,49 @@ object Similarity {
     concat((0 until bits).map(i =>
       when(element_at(vec, i + 1) >= 0, lit("1")).otherwise(lit("0"))): _*)
 
+  /** IVF-style cell assignment: each vector goes to its nearest centroid
+    * (max cosine, ties to the lowest centroid id). Centroids are by
+    * construction a SMALL relation (nlist rows) — the assignment is a
+    * broadcast nested loop + one hash aggregation with map-side partial
+    * `max_by`, so the corpus is scanned once and never shuffled wide.
+    * Deterministic "training": centroids are the first `nlist` vectors by
+    * id (a seeded coarse quantizer; swap in k-means centroids without
+    * touching the plumbing).
+    */
+  def ivfAssign(vectors: DataFrame, centroids: DataFrame, idCol: String,
+                vecCol: String): DataFrame = {
+    val cells = vectors.alias("v")
+      .crossJoin(broadcast(centroids.select(col(idCol).as("__cid"),
+        col(vecCol).as("__cvec"))))
+      .withColumn("__cos", cosine(col(s"v.$vecCol"), col("__cvec")))
+      .groupBy(col(s"v.$idCol").as(idCol))
+      .agg(max_by(col("__cid"), struct(col("__cos"), -col("__cid")))
+        .as("cell"))
+    vectors.join(cells, idCol)
+  }
+
+  /** IVF ANN top-k (nprobe=1): probes search only their own cell.
+    * One equi-join on the cell id replaces the cross join; recall is
+    * bounded by quantizer quality exactly as in a real IVF index.
+    */
+  def ivfTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+              vecCol: String, k: Int, nlist: Int): DataFrame = {
+    val centroids = corpus.filter(col(idCol) < nlist)
+    val c = ivfAssign(corpus, centroids, idCol, vecCol)
+      .select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"), col("cell"))
+    val p = ivfAssign(probes, centroids, idCol, vecCol)
+      .select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"),
+        col("cell"))
+    val pairs = p.join(c, Seq("cell"))
+      .filter(col("probe_id") =!= col("nn_id"))
+      .withColumn("cos", cosine(col("probe_vec"), col("nn_vec")))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("nn_id").asc)
+    pairs.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("probe_id", "nn_id", "cos", "rank")
+  }
+
   /** Bucketed ANN top-k: candidates share the probe's sign bucket.
     * One equi-join shuffle on the bucket key instead of a cross join.
     */

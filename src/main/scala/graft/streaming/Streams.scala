@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.StructType
 
 /** Structured-Streaming re-expression of the reference's daily batch
@@ -37,11 +38,54 @@ object Streams {
     * memory sink (local smoke path; on a cluster this would be a
     * `writeStream.format("delta"/"parquet")` with a real trigger).
     */
-  def runToMemory(df: DataFrame, name: String): DataFrame = {
-    val q = df.writeStream.outputMode("complete")
+  def runToMemory(df: DataFrame, name: String,
+                  mode: String = "complete"): DataFrame = {
+    val q = df.writeStream.outputMode(mode)
       .format("memory").queryName(name).start()
     q.processAllAvailable()
     q.stop()
     df.sparkSession.table(name)
+  }
+
+  /** Typed event row for stateful operators. */
+  final case class Event(event_id: Long, user_id: Long, event_type: String,
+                         value: Double)
+
+  /** Streaming exact dedup: keep the FIRST event per (user, event_type)
+    * across the whole stream — custom keyed state via
+    * `flatMapGroupsWithState` (SURVEY §2.10; the streaming twin of A1 /
+    * [[graft.etl.Clean.dedupFirst]]). State per key is one boolean;
+    * at scale this runs on the state store (RocksDB-backed on a
+    * cluster), partitioned by the group key.
+    */
+  def streamingDedupFirst(events: Dataset[Event]): Dataset[Event] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[Boolean, Event](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state) =>
+          if (state.exists) Iterator.empty
+          else { state.update(true); rows.take(1) }
+      }
+  }
+
+  /** Streaming running aggregate per user — `mapGroupsWithState`
+    * keeping (count, sum) state and emitting the updated totals each
+    * micro-batch (C2-style latest-state tracking, streaming twin of
+    * q18).
+    */
+  def runningUserTotals(events: Dataset[Event]): Dataset[(Long, Long, Double)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        GroupStateTimeout.NoTimeout) {
+        case (user, rows, state) =>
+          val (c0, s0) = state.getOption.getOrElse((0L, 0.0))
+          var c = c0; var s = s0
+          rows.foreach { e => c += 1; s += e.value }
+          state.update((c, s))
+          (user, c, s)
+      }
   }
 }

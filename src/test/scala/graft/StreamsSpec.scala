@@ -31,4 +31,48 @@ class StreamsSpec extends AnyFunSuite {
       batch.exceptAll(streamed).isEmpty)
     assert(batch.count() > 0)
   }
+
+  test("stateful streaming dedup keeps exactly one event per key") {
+    import spark.implicits._
+    val batchEvents = Tables.load(spark, TestSpark.sf0001, "events")
+      .select("event_id", "user_id", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("events_dedup").toString
+    batchEvents.write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(batchEvents.schema).parquet(dir)
+      .as[Streams.Event]
+    val out = Streams.runToMemory(
+      Streams.streamingDedupFirst(stream).toDF(), "dedup_test", "append")
+
+    val expectedKeys = batchEvents
+      .select("user_id", "event_type").distinct().count()
+    assert(out.count() === expectedKeys)
+    assert(out.groupBy("user_id", "event_type").count()
+      .filter(col("count") > 1).isEmpty)
+  }
+
+  test("mapGroupsWithState running totals equal batch aggregation") {
+    import spark.implicits._
+    val batchEvents = Tables.load(spark, TestSpark.sf0001, "events")
+      .select("event_id", "user_id", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("events_tot").toString
+    batchEvents.write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(batchEvents.schema).parquet(dir)
+      .as[Streams.Event]
+    val out = Streams.runToMemory(
+      Streams.runningUserTotals(stream).toDF("user_id", "n", "sum_value"),
+      "totals_test", "update")
+
+    // single micro-batch ⇒ final state equals the batch aggregate
+    val expected = batchEvents.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+    val got = out.groupBy("user_id")
+      .agg(max(col("n")).as("n"), max(col("sum_value")).as("sum_value"))
+    assert(got.count() === expected.count())
+    val joined = got.alias("g").join(expected.alias("e"), "user_id")
+      .filter(col("g.n") =!= col("e.n") ||
+        abs(col("g.sum_value") - col("e.sum_value")) > 1e-9)
+    assert(joined.isEmpty)
+  }
 }
