@@ -1,7 +1,7 @@
 package graft.etl
 
 import java.sql.Date
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Textbook SCD2 merge (SURVEY §2.7). The reference composes this from
@@ -45,38 +45,35 @@ object Scd2 {
 
     val joined = snap.alias("s").join(cur.alias("c"), Seq(key), "full_outer")
 
-    val isNew       = col(s"c.__sig").isNull && col(s"s.__sig").isNotNull
-    val isGone      = col(s"s.__sig").isNull && col(s"c.__sig").isNotNull
-    val isChanged   = col(s"s.__sig").isNotNull && col(s"c.__sig").isNotNull &&
-      col(s"s.__sig") =!= col(s"c.__sig")
-    val isUnchanged = col(s"s.__sig").isNotNull && col(s"c.__sig").isNotNull &&
-      col(s"s.__sig") === col(s"c.__sig")
+    val isNew     = col("c.__sig").isNull && col("s.__sig").isNotNull
+    val isChanged = col("s.__sig").isNotNull && col("c.__sig").isNotNull &&
+      col("s.__sig") =!= col("c.__sig")
 
+    // ONE pass over the joined rows: each key emits 1 or 2 output rows
+    // (case-built array + explode). Filtering four separate branches out
+    // of `joined` would re-execute the join and re-scan both inputs per
+    // branch — 8 scans instead of 2 in the physical plan.
     val snapCols = snapshot.columns
-    def fromSnap(df: DataFrame) = df.select(col(key) +:
-      snapCols.filterNot(_ == key).map(c => col(s"s.$c").as(c)): _*)
-    def fromCur(df: DataFrame) = df.select(col(key) +:
-      current.columns.filterNot(c => c == key || c == "__sig")
-        .map(c => col(s"c.$c").as(c)): _*)
+    val outCols = snapCols ++ Seq("dt_load_to_dw", "dt_last_update")
 
-    // 1) brand-new keys → open version
-    val news = fromSnap(joined.filter(isNew))
-      .withColumn("dt_load_to_dw", lit(loadDate))
-      .withColumn("dt_last_update", lit(Sentinel))
-    // 2) changed keys → close old version, append new open version
-    val closedOut = fromCur(joined.filter(isChanged))
-      .withColumn("dt_last_update", lit(loadDate))
-    val newVersions = fromSnap(joined.filter(isChanged))
-      .withColumn("dt_load_to_dw", lit(loadDate))
-      .withColumn("dt_last_update", lit(Sentinel))
-    // 3) unchanged + keys absent from today's snapshot stay as-is
-    val untouched = fromCur(joined.filter(isUnchanged || isGone))
+    val openFromSnap = struct(
+      (snapCols.map(c =>
+        (if (c == key) col(key) else col(s"s.$c")).as(c)) ++ Seq(
+        lit(loadDate).as("dt_load_to_dw"),
+        lit(Sentinel).as("dt_last_update"))): _*)
+    def fromCur(lastUpdate: Column) = struct(
+      (snapCols.map(c =>
+        (if (c == key) col(key) else col(s"c.$c")).as(c)) ++ Seq(
+        col("c.dt_load_to_dw").as("dt_load_to_dw"),
+        lastUpdate.as("dt_last_update"))): _*)
 
-    val cols = news.columns.map(col)
-    closed.select(cols: _*)
-      .unionByName(untouched.select(cols: _*))
-      .unionByName(closedOut.select(cols: _*))
-      .unionByName(news)
-      .unionByName(newVersions)
+    val emitted = joined.select(explode(
+      when(isNew, array(openFromSnap))
+        .when(isChanged, array(fromCur(lit(loadDate)), openFromSnap))
+        .otherwise(array(fromCur(col("c.dt_last_update"))))) // unchanged/gone
+      .as("r"))
+      .select(outCols.map(c => col(s"r.$c").as(c)): _*)
+
+    closed.select(outCols.map(col): _*).unionByName(emitted)
   }
 }

@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** SQL surface for the native expressions: `graft_dot`,
+  * `graft_minhash_signature`, `graft_word_shingles`, `graft_simhash`,
+  * `graft_rolling_fingerprint`.
+  *
+  * Install on new sessions via
+  * `spark.sql.extensions=graft.functions.GraftExtensions` (the canonical
+  * `SparkSessionExtensions` path) or on a live session with
+  * [[GraftFunctions.register]].
+  */
+object GraftFunctions {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case Literal(v: Long, LongType)   => v.toInt
+    case other =>
+      throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+  }
+
+  private def bool(e: Expression, what: String): Boolean = e match {
+    case Literal(b: Boolean, _) => b
+    case other =>
+      throw new IllegalArgumentException(
+        s"$what must be a boolean literal, got $other")
+  }
+
+  val descriptions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[NativeExprs.DotProductExpr].getName,
+        "graft_dot"),
+      (args: Seq[Expression]) => NativeExprs.DotProductExpr(args(0), args(1))),
+    (FunctionIdentifier("graft_minhash_signature"),
+      new ExpressionInfo(classOf[NativeExprs.MinHashSignatureExpr].getName,
+        "graft_minhash_signature"),
+      (args: Seq[Expression]) => NativeExprs.MinHashSignatureExpr(args(0),
+        intArg(args(1), "k"), intArg(args(2), "numHashes"))),
+    (FunctionIdentifier("graft_word_shingles"),
+      new ExpressionInfo(classOf[NativeExprs.WordShinglesExpr].getName,
+        "graft_word_shingles"),
+      (args: Seq[Expression]) => NativeExprs.WordShinglesExpr(args(0),
+        intArg(args(1), "k"),
+        if (args.length > 2) bool(args(2), "distinct") else false)),
+    (FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[NativeExprs.SimHashExpr].getName,
+        "graft_simhash"),
+      (args: Seq[Expression]) => NativeExprs.SimHashExpr(args(0),
+        intArg(args(1), "bits"))),
+    (FunctionIdentifier("graft_rolling_fingerprint"),
+      new ExpressionInfo(classOf[NativeExprs.RollingFingerprintExpr].getName,
+        "graft_rolling_fingerprint"),
+      (args: Seq[Expression]) => NativeExprs.RollingFingerprintExpr(args(0),
+        intArg(args(1), "k"))))
+
+  /** Register on a live session. */
+  def register(spark: SparkSession): Unit =
+    descriptions.foreach { case (id, info, builder) =>
+      ColumnBridge.registerFunction(spark, id, info, builder)
+    }
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.descriptions.foreach(ext.injectFunction)
+}

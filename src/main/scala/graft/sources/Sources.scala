@@ -1,0 +1,81 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink surface (SURVEY §2.1).
+  *
+  * The reference moves every byte through driver-local Python: pandas
+  * `to_csv` (S3, `extract_file.py:99-137`), B2 upload/download + per-row
+  * INSERT (S4-S6, `load_to_staging.py:118-188`), object-store existence
+  * checks (S5, `load_to_staging.py:316-359`). Spark-native: the Hadoop
+  * FileSystem API abstracts local/S3-compatible stores uniformly, reads
+  * are schema-enforced scans, and writes are distributed jobs.
+  */
+object Sources {
+
+  /** S6/S7 — schema-enforced CSV scan (no inference in production paths;
+    * SURVEY §1.2).
+    */
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+              header: Boolean = true): DataFrame =
+    spark.read.schema(schema)
+      .option("header", header.toString)
+      .option("encoding", "UTF-8")
+      .csv(path)
+
+  /** S3 — deterministic single-file CSV write with the reference's
+    * `data_{id}_{name}_{date}_{domain}.csv` naming
+    * (`extract_file.py:104-108`): write via a one-partition job to a temp
+    * dir, then rename the part file. Only for feed-sized extracts — a
+    * deliberate driver-side chokepoint the reference's contract demands;
+    * large outputs use [[writeWarehouse]].
+    */
+  def writeSingleCsv(df: DataFrame, destFile: String): Unit = {
+    val spark = df.sparkSession
+    val tmp = destFile + ".__tmp__"
+    df.coalesce(1).write.mode("overwrite").option("header", "true")
+      // the writer trims cell whitespace by default, which would corrupt
+      // feeds like the reference's "7900000 " price values on roundtrip
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = FileSystem.get(new java.net.URI(tmp), conf)
+    val part = fs.globStatus(new Path(tmp, "part-*"))(0).getPath
+    val dest = new Path(destFile)
+    if (fs.exists(dest)) fs.delete(dest, false)
+    fs.rename(part, dest)
+    fs.delete(new Path(tmp), true)
+  }
+
+  /** S5 — existence probe (B2 `get_file_info_by_name` analogue). */
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    FileSystem.get(new java.net.URI(path), conf).exists(new Path(path))
+  }
+
+  /** Warehouse writer: parquet partitioned by load date so daily loads
+    * append one partition and date-filtered reads prune (the 100 TB
+    * layout for `dw` — SURVEY §4: "partition dw by dt_load_to_dw").
+    */
+  def writeWarehouse(df: DataFrame, path: String,
+                     partitionCol: String = "dt_load_to_dw",
+                     mode: String = "append"): Unit =
+    df.write.mode(mode).partitionBy(partitionCol).parquet(path)
+
+  def readWarehouse(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** F8 — file metadata for the run log (size KB, rounded to 2 places
+    * like `extract_file.py:225-263`).
+    */
+  def fileStats(spark: SparkSession, path: String): (Long, Double) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = FileSystem.get(new java.net.URI(path), conf)
+    val st = fs.getFileStatus(new Path(path))
+    (st.getLen, math.round(st.getLen / 1024.0 * 100) / 100.0)
+  }
+}

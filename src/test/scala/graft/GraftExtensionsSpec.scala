@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.GraftFunctions
+
+/** The native expressions must be callable from plain SQL once
+  * registered (FunctionRegistry injection — the same descriptions back
+  * the `spark.sql.extensions` entry point `GraftExtensions`).
+  */
+class GraftExtensionsSpec extends AnyFunSuite {
+  private lazy val spark = { val s = TestSpark.spark
+    GraftFunctions.register(s); s }
+
+  test("graft_dot from SQL") {
+    val v = spark.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .head().getDouble(0)
+    assert(v === 11.0)
+  }
+
+  test("graft_minhash_signature / shingles / simhash / fingerprint from SQL") {
+    val r = spark.sql(
+      """SELECT
+        graft_minhash_signature(split('a b c d', ' '), 2, 4) AS sig,
+        graft_word_shingles(split('a b c d', ' '), 2, true) AS sh,
+        graft_simhash(split('a b c', ' '), 8) AS sim,
+        graft_rolling_fingerprint(split('a b c d e f', ' '), 3) AS rf""")
+      .head()
+    assert(r.getSeq[Long](0).length === 4)
+    assert(r.getSeq[String](1) === Seq("a b", "b c", "c d"))
+    assert(r.getString(2).length === 8)
+    assert(r.getString(3).matches("[0-9a-f]{32}"))
+  }
+
+  test("non-literal size argument is rejected with a clear error") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_simhash(split('a', ' '), length('xx'))")
+        .collect()
+    }
+    assert(e.getMessage.contains("integer literal"))
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import java.sql.Date
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.etl.Pipeline
+import graft.sources.Sources
+
+class SourcesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val dailyCsv =
+    "/root/reference/daily/data_matkinh_daily_2024-12-08_kinhmatviettin.vn.csv"
+
+  test("single-file CSV roundtrip with deterministic name (S3/S6)") {
+    val dir = java.nio.file.Files.createTempDirectory("csv_sink").toString
+    val dest = s"$dir/data_1_matkinh_daily_2024-12-08_test.csv"
+    val df = Sources.readCsv(spark, dailyCsv, Pipeline.feedSchema)
+    Sources.writeSingleCsv(df, dest)
+
+    assert(Sources.exists(spark, dest))
+    assert(!Sources.exists(spark, s"$dir/nope.csv"))
+    val (bytes, kb) = Sources.fileStats(spark, dest)
+    assert(bytes > 0 && kb > 0)
+
+    val back = Sources.readCsv(spark, dest, Pipeline.feedSchema)
+    assert(back.count() === df.count())
+    assert(df.exceptAll(back).isEmpty && back.exceptAll(df).isEmpty)
+  }
+
+  test("partitioned warehouse write prunes date-filtered scans") {
+    val d1 = Date.valueOf("2024-12-08")
+    val day1 = Pipeline.ingestDaily(spark, dailyCsv, 1, d1, d1)
+    val dw = Pipeline.loadToDw(Pipeline.emptyDw(spark),
+      Pipeline.snapshotOf(day1, 1, d1), d1)
+
+    val path = java.nio.file.Files.createTempDirectory("dw_parts").toString
+    Sources.writeWarehouse(dw, path, mode = "overwrite")
+
+    val read = Sources.readWarehouse(spark, path)
+      .filter(col("dt_load_to_dw") === lit(d1))
+    assert(read.count() === 100)
+    // the date filter must become a partition filter, not a data filter
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(dt_load_to_dw"),
+      s"expected partition pruning in:\n$plan")
+  }
+}
