@@ -386,6 +386,19 @@ object QueriesExt {
           AS max_byte
         FROM documents ORDER BY media_id""")),
 
+    // ── Token counting: whitespace + BPE-ish regex (SURVEY §2.10) ──────
+    QueryDef("q43_subword_count",
+      (s, dir) => tPar(s, dir, "documents").select(
+        col("doc_id"),
+        TextStats.tokenCount(col("text")).as("n_ws_tokens"),
+        TextStats.subwordCount(col("text")).as("n_subwords"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+        CAST(len($dTok) AS BIGINT) AS n_ws_tokens,
+        CAST(len(regexp_extract_all(text, '[^ .,!?;:]+|[.,!?;:]'))
+          AS BIGINT) AS n_subwords
+        FROM documents ORDER BY doc_id""")),
+
     // ── Semi-structured: JSON property extraction + aggregation ────────
     QueryDef("q33_json_extract",
       (s, dir) => t(s, dir, "events")

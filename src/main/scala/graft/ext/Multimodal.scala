@@ -81,4 +81,64 @@ object Multimodal {
         mn.toDouble, mx.toDouble)
     }
   }
+
+  /** "Resize": payload transform + metadata rewrite, batched per
+    * partition. A real implementation swaps [[stubResize]] for an image
+    * scaler (JNI/libvips); schema, row-count contract and batch shape
+    * are the production plumbing.
+    */
+  def resize(media: DataFrame, width: Int, height: Int): DataFrame = {
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(mediaSchema))
+    media.select("media_id", "media_type", "payload", "meta")
+      .mapPartitions { rows =>
+        // scaler initialization would happen HERE, once per partition
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]](2)
+          Row(r.getLong(0), r.getString(1), stubResize(payload, width, height),
+            Row("application/octet-stream", width, height,
+              r.getAs[Row](3).getAs[java.lang.Long]("duration_ms")))
+        }
+      }(enc)
+  }
+
+  /** STUB scaler: deterministic downsample — keeps every stride-th byte
+    * so output size tracks the target area (a real codec decodes,
+    * scales, re-encodes).
+    */
+  private def stubResize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    if (payload == null || payload.isEmpty) payload
+    else {
+      val target = math.max(1, math.min(payload.length, w * h / 256))
+      val stride = math.max(1, payload.length / target)
+      payload.indices.collect { case i if i % stride == 0 => payload(i) }
+        .toArray
+    }
+  }
+
+  val frameSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_no", IntegerType, nullable = false),
+    StructField("frame", BinaryType, nullable = true)))
+
+  /** "Frame sampling": one row per sampled frame (row-expanding, like a
+    * video decoder emitting every Nth frame). The stub slices the payload
+    * into `n` contiguous chunks; a real implementation seeks keyframes.
+    */
+  def frameSample(media: DataFrame, n: Int): DataFrame = {
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(frameSchema))
+    media.select("media_id", "payload").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        if (payload == null || payload.isEmpty) Iterator.empty
+        else {
+          val chunk = math.max(1, payload.length / n)
+          (0 until math.min(n, payload.length)).iterator.map { i =>
+            Row(id, i, payload.slice(i * chunk,
+              math.min(payload.length, (i + 1) * chunk)))
+          }
+        }
+      }
+    }(enc)
+  }
 }

@@ -19,13 +19,14 @@ object TextStats {
   /** Token count (whitespace tokens). */
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
-  /** BPE-ish subword count estimate: words + digit runs + punctuation
-    * marks each count as a token (a cheap deterministic proxy for a BPE
-    * tokenizer's granularity, computable as a regex count).
+  /** BPE-ish subword count estimate: words + punctuation marks each
+    * count as a token (a cheap deterministic proxy for a BPE tokenizer's
+    * granularity). RE2-compatible alternation (no lookaround) so the same
+    * pattern runs in any oracle engine.
     */
   def subwordCount(text: Column): Column =
-    size(filter(split(text, "(?<=[ .,!?;:])|(?=[ .,!?;:])"),
-      t => length(trim(t)) > 0)).cast("long")
+    size(regexp_extract_all(text, lit("[^ .,!?;:]+|[.,!?;:]"), lit(0)))
+      .cast("long")
 
   /** Quality-score components: length score, stopword ratio, punctuation
     * ratio, mean word length. Deterministic arithmetic only (oracle-able).

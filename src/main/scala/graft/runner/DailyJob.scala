@@ -1,0 +1,92 @@
+package graft.runner
+
+import java.sql.{Date, Timestamp}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.control.ControlPlane
+import graft.control.ControlPlane._
+import graft.etl.Pipeline
+
+/** E2'/E3' — the reference's per-day staging + warehouse runs
+  * (`load_to_staging.py:478-564`, `load_to_dw.py:491-560`) composed from
+  * the pure pipeline functions and the control plane: guard → log RUNNING
+  * → work → log success, with EF + alert on failure. Scraping (E1) stays
+  * outside the engine by design (SURVEY §2.1 S1/S2) — ingest starts at
+  * the landed CSV.
+  */
+object DailyJob {
+
+  final case class State(staging: DataFrame, dw: DataFrame, log: DataFrame)
+
+  def initial(spark: SparkSession): State =
+    State(
+      staging = Pipeline.emptyDw(spark)
+        .drop("dt_load_to_dw", "dt_last_update"),
+      dw = Pipeline.emptyDw(spark),
+      log = ControlPlane.emptyLog(spark))
+
+  private def logEntry(id: Long, config: FileConfig, day: Date,
+                       status: String, count: Long, nowMs: Long) =
+    RunLogEntry(id, config.id, s"data_${config.id}_" +
+      s"${config.destinationTableStaging}_${day}_${config.source}.csv",
+      day, status, count, 0L, new Timestamp(nowMs))
+
+  /** Stage 2: landed CSV → staging. Guard: the extract must have
+    * succeeded (ES); failures mark EF and alert instead of throwing raw.
+    */
+  def runStaging(state: State, config: FileConfig, csvPath: String,
+                 day: Date, alerter: Alerter = NoopAlerter,
+                 nowMs: Long = 0L): State = {
+    if (!readyForStaging(state.log, config.id, day)) {
+      alerter.alert(s"staging skipped ${config.id}/$day",
+        "no ES row - extract has not succeeded")
+      return state
+    }
+    val running = upsert(state.log,
+      logEntry(day.toLocalDate.toEpochDay, config, day, Status.Running,
+        0L, nowMs))
+    try {
+      val spark = state.staging.sparkSession
+      val ingested = Pipeline.ingestDaily(spark, csvPath, config.id, day, day)
+      val staged = state.staging.unionByName(ingested)
+      val done = upsert(running,
+        logEntry(day.toLocalDate.toEpochDay, config, day,
+          Status.LoadedStaging, ingested.count(), nowMs + 1))
+      State(staged, state.dw, done)
+    } catch {
+      case e: Exception =>
+        alerter.alert(s"staging failed ${config.id}/$day", e.getMessage)
+        State(state.staging, state.dw, upsert(running,
+          logEntry(day.toLocalDate.toEpochDay, config, day,
+            Status.ExtractFailure, 0L, nowMs + 1)))
+    }
+  }
+
+  /** Stage 3: staging slice → SCD2 warehouse. Guard: staging must have
+    * loaded (LS).
+    */
+  def runWarehouse(state: State, config: FileConfig, day: Date,
+                   alerter: Alerter = NoopAlerter,
+                   nowMs: Long = 0L): State = {
+    if (!readyForDw(state.log, config.id, day)) {
+      alerter.alert(s"dw skipped ${config.id}/$day",
+        "no LS row - staging has not loaded")
+      return state
+    }
+    try {
+      val snapshot = Pipeline.snapshotOf(state.staging, config.id, day)
+      val dw = Pipeline.loadToDw(state.dw, snapshot, day)
+      val done = upsert(state.log,
+        logEntry(day.toLocalDate.toEpochDay, config, day,
+          Status.LoadedWarehouse, dw.count(), nowMs + 2))
+      State(state.staging, dw, done)
+    } catch {
+      case e: Exception =>
+        alerter.alert(s"dw failed ${config.id}/$day", e.getMessage)
+        State(state.staging, state.dw, upsert(state.log,
+          logEntry(day.toLocalDate.toEpochDay, config, day,
+            Status.ExtractFailure, 0L, nowMs + 2)))
+    }
+  }
+}
