@@ -31,7 +31,7 @@ object QueriesCore {
 
   /** CAST(SUM(CAST(x AS DECIMAL(30,8))) AS DOUBLE) — dsum's oracle twin. */
   private def dsumSql(x: String) =
-    s"CAST(SUM(CAST(($x) AS DECIMAL(30,8))) AS DOUBLE)"
+    s"CAST(CAST(SUM(CAST(($x) AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)"
   private def davgSql(x: String) = s"${dsumSql(x)} / COUNT($x)"
 
   val defs: Seq[QueryDef] = Seq(

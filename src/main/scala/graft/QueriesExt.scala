@@ -52,7 +52,7 @@ object QueriesExt {
   private val dNorm =
     "trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'), '\\s+', ' ', 'g'))"
   private def dsumSql(x: String) =
-    s"CAST(SUM(CAST(($x) AS DECIMAL(30,8))) AS DOUBLE)"
+    s"CAST(CAST(SUM(CAST(($x) AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)"
 
   /** 64-dim dot product as an explicit left-associated double sum — the
     * bit-exact twin of [[Similarity.dot]]'s sequential fold.
@@ -111,10 +111,10 @@ object QueriesExt {
         val lenScore =
           "least(CAST(length(text) AS DOUBLE) / CAST(500.0 AS DOUBLE), CAST(1.0 AS DOUBLE))"
         s"""SELECT doc_id, lang, $stopRatio AS stopword_ratio,
-          round($lenScore * CAST(0.5 AS DOUBLE)
+          $lenScore * CAST(0.5 AS DOUBLE)
             + least(($stopRatio) * CAST(5.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.3 AS DOUBLE)
-            + (CAST(1.0 AS DOUBLE) - least(($punct) * CAST(10.0 AS DOUBLE), CAST(1.0 AS DOUBLE))) * CAST(0.2 AS DOUBLE),
-            6) AS quality
+            + (CAST(1.0 AS DOUBLE) - least(($punct) * CAST(10.0 AS DOUBLE), CAST(1.0 AS DOUBLE))) * CAST(0.2 AS DOUBLE)
+            AS quality
           FROM documents ORDER BY doc_id"""
       }),
 

@@ -54,14 +54,17 @@ object TextStats {
   }
 
   /** Composite quality score in [0,1]: favors mid-length docs with a sane
-    * stopword presence and low punctuation noise.
+    * stopword presence and low punctuation noise. Raw IEEE double (no
+    * final rounding — engines disagree on decimal rounding of binary
+    * doubles at half-way points, while the arithmetic itself is
+    * bit-reproducible).
     */
   def qualityScore(text: Column, stopwords: Seq[String]): Column = {
     val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
     val stop     = stopwordRatio(text, stopwords)
     val punct    = punctRatio(text)
-    round(lenScore * lit(0.5) + least(stop * lit(5.0), lit(1.0)) * lit(0.3) +
-      (lit(1.0) - least(punct * lit(10.0), lit(1.0))) * lit(0.2), 6)
+    lenScore * lit(0.5) + least(stop * lit(5.0), lit(1.0)) * lit(0.3) +
+      (lit(1.0) - least(punct * lit(10.0), lit(1.0))) * lit(0.2)
   }
 
   /** N-gram-heuristic language ID: score each candidate language by

@@ -1,5 +1,6 @@
 package graft.sources
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Bucketed-table support: pre-shuffle fact tables on their join/agg key
@@ -17,6 +18,15 @@ object Bucketing {
 
   def writeBucketed(df: DataFrame, table: String, key: String,
                     buckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    // idempotence across sessions: a previous JVM's managed-table
+    // location survives while the in-memory catalog entry doesn't, and
+    // saveAsTable refuses to reuse the orphaned directory
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new Path(spark.conf.get("spark.sql.warehouse.dir"), table)
+    val fs = FileSystem.get(loc.toUri,
+      spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     val w = df.write.mode("overwrite")
       .format("parquet")
       .bucketBy(buckets, key)
