@@ -235,6 +235,30 @@ object QueriesCore {
         ORDER BY l_returnflag ASC NULLS FIRST,
           l_linestatus ASC NULLS FIRST""")),
 
+    // ── GROUPING SETS via the SQL surface (mart layer, SURVEY §2.10) ───
+    QueryDef("q44_grouping_sets",
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("orders_v")
+        s.sql(s"""
+          SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+            o_orderpriority,
+            CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE)
+              AS DOUBLE) AS revenue,
+            COUNT(*) AS n_orders
+          FROM orders_v
+          GROUP BY GROUPING SETS ((order_year), (o_orderpriority), ())
+          ORDER BY order_year ASC NULLS FIRST,
+            o_orderpriority ASC NULLS FIRST""")
+      },
+      Some(s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+        o_orderpriority,
+        ${dsumSql("o_totalprice")} AS revenue,
+        COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((order_year), (o_orderpriority), ())
+        ORDER BY order_year ASC NULLS FIRST,
+          o_orderpriority ASC NULLS FIRST""")),
+
     // ── Set operations (SURVEY §2.10) ──────────────────────────────────
     QueryDef("q11_setops",
       (s, dir) => {
