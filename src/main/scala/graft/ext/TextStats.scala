@@ -84,7 +84,13 @@ object TextStats {
     size(filter(toks, t => array_contains(arr, t))).cast("long")
   }
 
-  def langId(text: Column): Column = {
+  def langId(text: Column): Column =
+    graft.functions.NativeExprs.langId(tokens(lower(text)), langMarkers)
+
+  /** HOF reference implementation of [[langId]] (bit-identical; kept for
+    * the parity spec).
+    */
+  def langIdHof(text: Column): Column = {
     val scored = langMarkers.map { case (l, m) => (l, langScore(text, m)) }
     // argmax with deterministic tie-break on declaration order
     scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {

@@ -278,6 +278,53 @@ object NativeExprs {
       copy(child = c)
   }
 
+  /** Marker-token language ID over lowercased tokens: count hits per
+    * language, argmax with declaration-order tie-break —
+    * [[graft.ext.TextStats.langId]]'s tight-loop twin (one pass over the
+    * tokens against hash sets instead of `langs × tokens` interpreted
+    * array_contains scans).
+    */
+  case class LangIdExpr(child: Expression,
+                        markers: Seq[(String, Seq[String])])
+      extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = StringType
+    override def prettyName: String = "graft_lang_id"
+
+    @transient private lazy val langs = markers.map(_._1).toArray
+    @transient private lazy val sets: Array[java.util.HashSet[String]] =
+      markers.map { case (_, ws) =>
+        val s = new java.util.HashSet[String]()
+        ws.foreach(s.add); s
+      }.toArray
+
+    override def nullSafeEval(input: Any): Any = {
+      val toks = input.asInstanceOf[ArrayData]
+      val n = toks.numElements()
+      val scores = new Array[Long](langs.length)
+      var i = 0
+      while (i < n) {
+        val t = toks.getUTF8String(i).toString
+        var l = 0
+        while (l < langs.length) {
+          if (sets(l).contains(t)) scores(l) += 1
+          l += 1
+        }
+        i += 1
+      }
+      var best = 0
+      var l = 1
+      while (l < langs.length) {
+        if (scores(l) > scores(best)) best = l
+        l += 1
+      }
+      UTF8String.fromString(langs(best))
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   // ── Column wrappers ─────────────────────────────────────────────────
   def minHashSignature(tokens: Column, k: Int, numHashes: Int): Column =
     ColumnBridge.column(
@@ -299,4 +346,9 @@ object NativeExprs {
   def simhash(tokens: Column, bits: Int): Column =
     ColumnBridge.column(
       SimHashExpr(ColumnBridge.expression(tokens), bits))
+
+  def langId(lowerTokens: Column,
+             markers: Seq[(String, Seq[String])]): Column =
+    ColumnBridge.column(
+      LangIdExpr(ColumnBridge.expression(lowerTokens), markers))
 }

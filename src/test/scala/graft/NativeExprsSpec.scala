@@ -51,6 +51,19 @@ class NativeExprsSpec extends AnyFunSuite {
     }
   }
 
+  test("LangIdExpr ≡ HOF langId on marker-bearing and empty docs") {
+    val docs = Seq(
+      "the cat and the dog of the house is big",
+      "el perro de la casa es que grande la vida",
+      "der hund und die katze das ist gut",
+      "le chat et le chien les animaux est la",
+      "no markers whatsoever xyz", "").toDF("text")
+    val out = docs.select(
+      TextStats.langId(col("text")).as("native"),
+      TextStats.langIdHof(col("text")).as("hof")).collect()
+    out.foreach(r => assert(r.getString(0) === r.getString(1)))
+  }
+
   test("DotProductExpr ≡ HOF fold on float arrays and handles nulls") {
     val df = Seq(
       (Array(1.0f, 2.5f, -3.0f), Array(0.5f, 4.0f, 2.0f)),
