@@ -16,4 +16,5 @@ object Params {
   val cosineDupMin = 0.95
   val ivfNlist = 8
   val sessionGapMinutes = 30
+  val kmvK = 64
 }

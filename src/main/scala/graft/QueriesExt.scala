@@ -51,6 +51,29 @@ object QueriesExt {
             % ${Shingles.MinHashP}), 'min')"""
   private val dNorm =
     "trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'), '\\s+', ' ', 'g'))"
+
+  /** Shared CTE text: MinHash signatures → LSH bands → candidate pairs
+    * (the oracle twin of [[Dedup.minhashCandidates]]); yields CTEs named
+    * `sig`, `bands`, `cand`.
+    */
+  private def dMinhashCandCtes: String = {
+    val sh = dShingles(dTok, shingleK)
+    val sigExprs = (0 until minhashHashes)
+      .map(seed => s"${dMinHashNum("base", seed)} AS mh_$seed")
+    val bandExprs = (0 until minhashHashes / minhashBandRows).map { b =>
+      val lo = b * minhashBandRows + 1
+      val hi = b * minhashBandRows + minhashBandRows
+      s"'$b:' || md5(array_to_string([${(lo to hi).map(i => s"mh_${i - 1}")
+        .mkString(", ")}], ','))"
+    }
+    s"""sig AS (SELECT doc_id, ${sigExprs.mkString(", ")}
+        FROM (SELECT doc_id, ${dBaseHash(sh)} AS base FROM documents)),
+      bands AS (SELECT doc_id,
+        unnest([${bandExprs.mkString(", ")}]) AS bk FROM sig),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b USING (bk)
+        WHERE a.doc_id < b.doc_id)"""
+  }
   private def dsumSql(x: String) =
     s"CAST(CAST(SUM(CAST(($x) AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)"
 
@@ -202,24 +225,8 @@ object QueriesExt {
       (s, dir) => Dedup.minhashCandidates(tPar(s, dir, "documents"),
         "doc_id", "text", shingleK, minhashHashes, minhashBandRows)
         .orderBy("id_a", "id_b"),
-      Some {
-        val sh = dShingles(dTok, shingleK)
-        val sigExprs = (0 until minhashHashes)
-          .map(seed => s"${dMinHashNum("base", seed)} AS mh_$seed")
-        val bandExprs = (0 until minhashHashes / minhashBandRows).map { b =>
-          val lo = b * minhashBandRows + 1
-          val hi = b * minhashBandRows + minhashBandRows
-          s"'$b:' || md5(array_to_string([${(lo to hi).map(i => s"mh_${i - 1}")
-            .mkString(", ")}], ','))"
-        }
-        s"""WITH sig AS (SELECT doc_id, ${sigExprs.mkString(", ")}
-            FROM (SELECT doc_id, ${dBaseHash(sh)} AS base FROM documents)),
-          bands AS (SELECT doc_id,
-            unnest([${bandExprs.mkString(", ")}]) AS bk FROM sig)
-          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM bands a JOIN bands b USING (bk)
-          WHERE a.doc_id < b.doc_id ORDER BY id_a, id_b"""
-      }),
+      Some(s"""WITH $dMinhashCandCtes
+        SELECT id_a, id_b FROM cand ORDER BY id_a, id_b""")),
 
     // ── SimHash fingerprints ───────────────────────────────────────────
     QueryDef("q27_simhash",
@@ -451,6 +458,71 @@ object QueriesExt {
             THEN c_acctbal END) AS p90_bal,
           COUNT(*) AS n_customers
         FROM ranked GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // ── Near-dup clustering: candidate pairs → connected components ────
+    QueryDef("q45_dedup_clusters",
+      (s, dir) => {
+        val pairs = Dedup.minhashCandidates(tPar(s, dir, "documents"),
+          "doc_id", "text", shingleK, minhashHashes, minhashBandRows)
+        Dedup.dedupClusters(pairs)
+          .select(col("id").as("doc_id"), col("cluster"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $dMinhashCandCtes,
+        edges AS (SELECT id_a AS u, id_b AS v FROM cand
+                  UNION SELECT id_b, id_a FROM cand),
+        nodes AS (SELECT DISTINCT u AS id FROM edges),
+        reach(id, r) AS (
+          SELECT id, id FROM nodes
+          UNION
+          SELECT rr.id, e.v FROM reach rr JOIN edges e ON rr.r = e.u)
+        SELECT id AS doc_id, min(r) AS cluster
+        FROM reach GROUP BY id ORDER BY doc_id""")),
+
+    // ── KMV distinct sketch (deterministic → oracle-verifiable) ────────
+    QueryDef("q46_kmv_distinct",
+      (s, dir) => graft.ext.Sketches.kmvDistinct(
+        t(s, dir, "orders"), col("o_custkey"), kmvK),
+      Some(s"""WITH h AS (SELECT DISTINCT
+          ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 7))::BIGINT
+            AS h FROM orders),
+        top AS (SELECT h FROM h ORDER BY h ASC LIMIT $kmvK)
+        SELECT COUNT(*) AS k_actual, max(h) AS kth_hash,
+          CASE WHEN COUNT(*) < $kmvK THEN CAST(COUNT(*) AS DOUBLE)
+          ELSE CAST(COUNT(*) - 1 AS DOUBLE) * CAST(268435456.0 AS DOUBLE)
+               / CAST(max(h) AS DOUBLE) END AS distinct_estimate
+        FROM top""")),
+
+    // ── 7-day moving average (window frame ROWS BETWEEN) ───────────────
+    QueryDef("q47_moving_avg",
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val daily = t(s, dir, "orders")
+          .groupBy(to_date(col("o_orderdate")).as("order_date"))
+          .agg(sum(col("o_totalprice").cast(DecimalType(30, 8)))
+            .as("rev_dec"))
+        // a daily series is tiny after aggregation (thousands of rows at
+        // any source scale), so the global-order window is deliberate
+        val w = Window.orderBy("order_date").rowsBetween(-6, 0)
+        daily.select(
+          col("order_date"),
+          col("rev_dec").cast("double").as("revenue"),
+          (sum(col("rev_dec")).over(w).cast("double") /
+            count(lit(1)).over(w)).as("ma7"))
+          .orderBy("order_date")
+      },
+      Some("""WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS order_date,
+            SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS rev_dec
+          FROM orders GROUP BY 1)
+        SELECT order_date,
+          CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE) AS revenue,
+          CAST(CAST(SUM(rev_dec) OVER w AS VARCHAR) AS DOUBLE)
+            / COUNT(*) OVER w AS ma7
+        FROM daily
+        WINDOW w AS (ORDER BY order_date
+          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        ORDER BY order_date""")),
 
     // ── As-of join: purchase ← most recent prior view per user ─────────
     // Spark-first: union-and-carry-forward (sort once per user, no

@@ -101,6 +101,42 @@ object Dedup {
       }: _*)
   }
 
+  /** Connected components over a candidate-pair graph → cluster id per
+    * document (min doc id in the component): the step that turns
+    * near-dup PAIRS into dedup GROUPS (keep one representative per
+    * cluster).
+    *
+    * Iterative min-label propagation: each round every node adopts the
+    * smallest label among itself and its neighbors; the driver loops
+    * until a round changes nothing (distributed work per round, one
+    * scalar count at the driver — the standard Spark iterative-algorithm
+    * shape). LSH components are shallow (diameter ≈ 2-3) so this
+    * converges in a handful of rounds; for adversarially long chains
+    * switch to alternating small-star/large-star for O(log n) rounds.
+    */
+  def dedupClusters(pairs: DataFrame, aCol: String = "id_a",
+                    bCol: String = "id_b"): DataFrame = {
+    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .distinct().cache()
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("label", col("id")).cache()
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("v"), col("label").as("vlab")), "v")
+        .groupBy(col("u").as("id")).agg(min(col("vlab")).as("nlab"))
+      val updated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nlab"), col("label")))
+            .as("newlab"))
+        .cache()
+      changed = updated.filter(col("newlab") =!= col("label")).count()
+      labels = updated.select(col("id"), col("newlab").as("label")).cache()
+    }
+    labels.select(col("id"), col("label").as("cluster"))
+  }
+
   /** Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle,
     * via an inverted index (explode distinct shingles → equi-join on
     * shingle → count shared per pair). Exact because J(a,b) > 0 implies a

@@ -74,6 +74,16 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(out.getDouble(2) - 7.0 / 9.0) < 1e-12)
   }
 
+  test("dedupClusters: transitive closure with min-id labels") {
+    // chain 1-2-3-4 (diameter 3, needs >1 propagation round) + pair 9-10
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (9L, 10L))
+      .toDF("id_a", "id_b")
+    val out = Dedup.dedupClusters(pairs).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (9L, 9L), (10L, 9L)))
+  }
+
   test("wordShingles: short docs collapse to one whole-doc shingle") {
     val sh = Seq((1L, "two words")).toDF("id", "text")
       .select(Shingles.wordShingles(TextStats.tokens($"text"), 5).as("s"))
