@@ -601,6 +601,30 @@ object QueriesCore {
         ${dsumSql("o_totalprice")} AS revenue
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // ── Scalar + correlated subqueries via the SQL surface ─────────────
+    QueryDef("q48_subqueries",
+      (s, dir) => {
+        t(s, dir, "customer").createOrReplaceTempView("customer_v")
+        t(s, dir, "orders").createOrReplaceTempView("orders_sq_v")
+        s.sql("""
+          SELECT c_custkey, c_mktsegment, c_acctbal
+          FROM customer_v c
+          WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS
+                  DECIMAL(30,8))) AS DOUBLE) / COUNT(*) FROM customer_v)
+            AND EXISTS (SELECT 1 FROM orders_sq_v o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_totalprice > 300000)
+          ORDER BY c_custkey""")
+      },
+      Some(s"""SELECT c_custkey, c_mktsegment, c_acctbal
+        FROM customer c
+        WHERE c_acctbal > (SELECT ${dsumSql("c_acctbal")} / COUNT(*)
+                           FROM customer)
+          AND EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
+        ORDER BY c_custkey""")),
+
     // ── Tumbling-window aggregation (batch twin of the streaming path) ─
     QueryDef("q19_hourly_window",
       (s, dir) => graft.streaming.Streams

@@ -482,7 +482,7 @@ object QueriesExt {
     // ── KMV distinct sketch (deterministic → oracle-verifiable) ────────
     QueryDef("q46_kmv_distinct",
       (s, dir) => graft.ext.Sketches.kmvDistinct(
-        t(s, dir, "orders"), col("o_custkey"), kmvK),
+        tPar(s, dir, "orders"), col("o_custkey"), kmvK),
       Some(s"""WITH h AS (SELECT DISTINCT
           ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 7))::BIGINT
             AS h FROM orders),

@@ -47,6 +47,34 @@ object Streams {
     df.sparkSession.table(name)
   }
 
+  /** Stream-stream join: purchases matched to same-user views within a
+    * lookback window. Both sides carry watermarks so the state store can
+    * evict expired rows; the time-range predicate bounds the buffered
+    * range per key — the canonical watermarked interval-join shape.
+    * Works identically on batch frames (Catalyst plans a plain range
+    * join) — write-once logic for both modes.
+    */
+  def viewToPurchase(views: DataFrame, purchases: DataFrame,
+                     lookback: String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame = {
+    val v0 = views.select(col("user_id").as("v_user"),
+      col("event_id").as("view_event_id"), col("ts").as("view_ts"))
+    val p0 = purchases.select(col("user_id").as("p_user"),
+      col("event_id").as("purchase_event_id"), col("ts").as("purchase_ts"),
+      col("value"))
+    val v = if (v0.isStreaming) v0.withWatermark("view_ts", watermark) else v0
+    val p = if (p0.isStreaming) p0.withWatermark("purchase_ts", watermark)
+            else p0
+    p.join(v,
+      col("p_user") === col("v_user") &&
+        col("view_ts") <= col("purchase_ts") &&
+        col("view_ts") >= col("purchase_ts") - expr(s"INTERVAL $lookback"),
+      "inner")
+      .select(col("purchase_event_id"), col("p_user").as("user_id"),
+        col("view_event_id"), col("purchase_ts"), col("view_ts"),
+        col("value"))
+  }
+
   /** Typed event row for stateful operators. */
   final case class Event(event_id: Long, user_id: Long, event_type: String,
                          value: Double)

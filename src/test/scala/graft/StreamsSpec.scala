@@ -51,6 +51,27 @@ class StreamsSpec extends AnyFunSuite {
       .filter(col("count") > 1).isEmpty)
   }
 
+  test("stream-stream interval join equals the batch range join") {
+    val events = Tables.load(spark, TestSpark.sf0001, "events")
+    val views = events.filter(col("event_type") === "view")
+    val purchases = events.filter(col("event_type") === "purchase")
+    val batch = Streams.viewToPurchase(views, purchases)
+    assert(batch.count() > 0)
+
+    val vDir = java.nio.file.Files.createTempDirectory("ss_views").toString
+    val pDir = java.nio.file.Files.createTempDirectory("ss_purch").toString
+    views.write.mode("overwrite").parquet(vDir)
+    purchases.write.mode("overwrite").parquet(pDir)
+    val vs = spark.readStream.schema(views.schema).parquet(vDir)
+    val ps = spark.readStream.schema(purchases.schema).parquet(pDir)
+    val streamed = Streams.runToMemory(
+      Streams.viewToPurchase(vs, ps, watermark = "1000 hours"),
+      "ss_join_test", "append")
+
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty)
+  }
+
   test("mapGroupsWithState running totals equal batch aggregation") {
     import spark.implicits._
     val batchEvents = Tables.load(spark, TestSpark.sf0001, "events")
