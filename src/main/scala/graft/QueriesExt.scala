@@ -524,6 +524,48 @@ object QueriesExt {
           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         ORDER BY order_date""")),
 
+    // ── Typed Aggregator (UDAF surface; bit-compatible with dsum) ──────
+    QueryDef("q49_typed_agg",
+      (s, dir) => t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(graft.functions.TypedAggs.exactSumUdaf(col("o_totalprice"))
+          .as("revenue"), count(lit(1)).as("n_orders"))
+        .orderBy("o_orderstatus"),
+      Some(s"""SELECT o_orderstatus, ${dsumSql("o_totalprice")} AS revenue,
+        COUNT(*) AS n_orders
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ── Generator / UDTF surface: positional token explode ─────────────
+    QueryDef("q50_posexplode",
+      (s, dir) => t(s, dir, "documents")
+        .filter(col("doc_id") < 20)
+        .select(col("doc_id"),
+          posexplode(TextStats.tokens(col("text"))).as(Seq("pos", "token")))
+        .withColumn("pos", col("pos").cast("long"))
+        .orderBy("doc_id", "pos"),
+      Some(s"""SELECT doc_id, CAST(pos AS BIGINT) AS pos, tok AS token
+        FROM (SELECT doc_id, unnest(toks) AS tok,
+                unnest(range(len(toks))) AS pos
+              FROM (SELECT doc_id, $dTok AS toks FROM documents
+                    WHERE doc_id < 20))
+        ORDER BY doc_id, pos""")),
+
+    // ── Deterministic train/val split (hash-mod, retry-safe) ───────────
+    QueryDef("q51_train_split",
+      (s, dir) => tPar(s, dir, "documents")
+        .withColumn("split",
+          when(Shingles.baseHash(col("doc_id").cast("string")) % 10 < 9,
+            "train").otherwise("val"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_doc_id"))
+        .orderBy("split"),
+      Some("""SELECT CASE WHEN
+          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+            % 10 < 9 THEN 'train' ELSE 'val' END AS split,
+        COUNT(*) AS n_docs, min(doc_id) AS min_doc_id
+        FROM documents GROUP BY 1 ORDER BY split""")),
+
     // ── As-of join: purchase ← most recent prior view per user ─────────
     // Spark-first: union-and-carry-forward (sort once per user, no
     // range-join explosion) — the classic distributed as-of shape.
