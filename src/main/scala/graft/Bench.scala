@@ -23,13 +23,19 @@ object Bench {
     // warm the JVM/codegen paths once so per-query numbers measure the
     // engine, not first-use classloading
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    // min of two executions per query: the box runs periodic background
+    // jobs and a single sample can catch a load spike (observed 0.3s
+    // queries reading 25s once); min-of-N is the standard noise floor
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      val samples = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> samples.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -132,9 +132,15 @@ object Dedup {
             .as("newlab"))
         .cache()
       changed = updated.filter(col("newlab") =!= col("label")).count()
+      val prev = labels
       labels = updated.select(col("id"), col("newlab").as("label")).cache()
+      labels.count() // materialize before dropping the parent cache
+      prev.unpersist(); updated.unpersist()
     }
-    labels.select(col("id"), col("label").as("cluster"))
+    val out = labels.select(col("id"), col("label").as("cluster"))
+      .localCheckpoint(eager = true) // sever lineage from the caches
+    edges.unpersist(); labels.unpersist()
+    out
   }
 
   /** Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle,
