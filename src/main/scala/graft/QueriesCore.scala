@@ -625,6 +625,45 @@ object QueriesCore {
                         AND o.o_totalprice > 300000)
         ORDER BY c_custkey""")),
 
+    // ── Window distribution functions (ntile / percent_rank / cume) ────
+    QueryDef("q52_window_dist",
+      (s, dir) => {
+        val w = Window.partitionBy("c_mktsegment")
+          .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+        t(s, dir, "customer").select(
+          col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_mktsegment, c_acctbal,
+          CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+          percent_rank() OVER w AS pct_rank,
+          cume_dist() OVER w AS cume
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment
+          ORDER BY c_acctbal ASC, c_custkey ASC)
+        ORDER BY c_custkey""")),
+
+    // ── Array aggregation over nested types (sorted collect_list) ──────
+    QueryDef("q53_array_agg",
+      (s, dir) => t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(sort_array(collect_set(col("event_type"))).as("event_types"))
+        .select(col("user_id"),
+          col("event_types"),
+          size(col("event_types")).cast("long").as("n_distinct_types"),
+          array_contains(col("event_types"), "purchase").as("has_purchase"))
+        .orderBy("user_id"),
+      Some("""SELECT user_id,
+          list_sort(list(DISTINCT event_type)) AS event_types,
+          CAST(len(list_sort(list(DISTINCT event_type))) AS BIGINT)
+            AS n_distinct_types,
+          list_contains(list(DISTINCT event_type), 'purchase')
+            AS has_purchase
+        FROM events GROUP BY user_id ORDER BY user_id""")),
+
     // ── Tumbling-window aggregation (batch twin of the streaming path) ─
     QueryDef("q19_hourly_window",
       (s, dir) => graft.streaming.Streams

@@ -76,4 +76,58 @@ object Scd2 {
 
     closed.select(outCols.map(col): _*).unionByName(emitted)
   }
+
+  /** Incremental SCD2 against a parquet warehouse partitioned by
+    * `is_current` (the 100 TB layout): closed history is APPEND-ONLY and
+    * is never read nor rewritten by a merge — only the (much smaller)
+    * current partition is joined against the snapshot and dynamically
+    * overwritten.
+    *
+    * Layout: `path/is_current=true/` (one open version per key) and
+    * `path/is_current=false/` (closed history). Requires
+    * `spark.sql.sources.partitionOverwriteMode=dynamic` so the overwrite
+    * touches only `is_current=true`.
+    */
+  def mergeInPlace(spark: org.apache.spark.sql.SparkSession, path: String,
+                   snapshot: DataFrame, key: String, tracked: Seq[String],
+                   loadDate: Date): Unit = {
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // partition pruning: only is_current=true files are scanned
+      val current = spark.read.parquet(path)
+        .filter(col("is_current") === true).drop("is_current")
+      val merged = merge(current, snapshot, key, tracked, loadDate)
+        // materialize before writing into the path we just read
+        .localCheckpoint(true)
+      // 1) history is append-only: add ONLY the rows closed by this merge
+      //    (an overwrite containing them would drop prior history)
+      merged.filter(col("dt_last_update") =!= lit(Sentinel))
+        .withColumn("is_current", lit(false))
+        .write.mode("append").partitionBy("is_current").parquet(path)
+      // 2) open rows dynamically overwrite just the is_current=true
+      //    partition. Crash between the writes re-appends on retry —
+      //    exactly-once needs a transactional table format (Delta MERGE);
+      //    the partition layout and pruning behavior are identical there.
+      merged.filter(col("dt_last_update") === lit(Sentinel))
+        .withColumn("is_current", lit(true))
+        .write.mode("overwrite").partitionBy("is_current").parquet(path)
+    } finally {
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None =>
+          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+
+  /** Bootstrap the partitioned layout from a first-day snapshot. */
+  def initPartitioned(snapshot: DataFrame, path: String,
+                      loadDate: Date): Unit =
+    snapshot
+      .withColumn("dt_load_to_dw", lit(loadDate))
+      .withColumn("dt_last_update", lit(Sentinel))
+      .withColumn("is_current", lit(true))
+      .write.mode("overwrite").partitionBy("is_current").parquet(path)
 }

@@ -64,6 +64,44 @@ class Scd2Spec extends AnyFunSuite {
     assert(gone.getAs[Date]("dt_last_update") === Scd2.Sentinel)
   }
 
+  test("mergeInPlace: history append-only, only current partition rewrites") {
+    val path = java.nio.file.Files.createTempDirectory("dw_scd2").toString
+    Scd2.initPartitioned(snap(("a", 1, "x"), ("b", 2, "y")), path, d1)
+
+    Scd2.mergeInPlace(spark, path, snap(("a", 5, "x"), ("c", 3, "z")),
+      "natural_key", tracked, d2)
+    val afterDay2 = spark.read.parquet(path)
+    assert(afterDay2.count() === 4) // a(closed), a'(open), b(open), c(open)
+    val closedFiles1 = new java.io.File(s"$path/is_current=false")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+
+    Scd2.mergeInPlace(spark, path, snap(("a", 6, "x"), ("c", 3, "z")),
+      "natural_key", tracked, d3)
+    val dw = spark.read.parquet(path).cache()
+    assert(dw.count() === 5)
+    // closed history from day 2 survived (append-only partition)
+    assert(dw.filter($"natural_key" === "a" && $"dt_last_update" === lit(d2))
+      .head().getAs[Int]("price") === 1)
+    val a = dw.filter($"natural_key" === "a").orderBy("dt_load_to_dw")
+      .collect()
+    assert(a.map(_.getAs[Int]("price")).toSeq === Seq(1, 5, 6))
+    // one open version per key; open rows all in is_current=true
+    val opens = dw.filter($"is_current" === true)
+    assert(opens.count() === 3)
+    assert(opens.filter($"dt_last_update" =!= lit(Scd2.Sentinel)).isEmpty)
+    // history partition only gained files, was never rewritten smaller
+    val closedFiles2 = new java.io.File(s"$path/is_current=false")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(closedFiles2 >= closedFiles1)
+
+    // current-partition read prunes: only is_current=true files scanned
+    dw.unpersist() // else the plan matches the cached relation above
+    val plan = spark.read.parquet(path)
+      .filter($"is_current" === true)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(is_current"))
+  }
+
   test("invariant holds across multi-day history: one open version per key") {
     val dim0 = init(snap(("a", 1, "x"), ("b", 2, "y")), d1)
     val dim1 = Scd2.merge(dim0, snap(("a", 5, "x"), ("b", 2, "y"),
