@@ -69,6 +69,46 @@ object Sources {
   def readWarehouse(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Small-file compaction: rewrite a parquet dataset into
+    * ~`targetMb`-sized files (daily appends accumulate small files; scan
+    * task count and namenode pressure grow with file count, so periodic
+    * compaction is part of any production warehouse). Writes to a temp
+    * dir first and swaps, so readers never observe a half-rewritten
+    * dataset.
+    */
+  def compact(spark: SparkSession, path: String, targetMb: Int = 128): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = FileSystem.get(new java.net.URI(path), conf)
+    val bytes = fs.getContentSummary(new Path(path)).getLength
+    val parts = math.max(1, math.ceil(bytes / (targetMb * 1024.0 * 1024.0)).toInt)
+    val tmp = path + ".__compact__"
+    spark.read.parquet(path).repartition(parts)
+      .write.mode("overwrite").parquet(tmp)
+    val dest = new Path(path)
+    val bak = new Path(path + ".__old__")
+    fs.rename(dest, bak)
+    fs.rename(new Path(tmp), dest)
+    fs.delete(bak, true)
+  }
+
+  /** Malformed-row policy for CSV ingest: PERMISSIVE (default — bad
+    * cells null out, row kept + captured in `_corrupt_record`),
+    * DROPMALFORMED, or FAILFAST. The reference silently skips rows whose
+    * INSERT throws (`load_to_staging.py:166-176` catches per-row) —
+    * DROPMALFORMED is its semantic twin; PERMISSIVE is the auditable
+    * default here.
+    */
+  def readCsvWithPolicy(spark: SparkSession, path: String,
+                        schema: StructType, mode: String): DataFrame = {
+    val withCorrupt = if (mode == "PERMISSIVE")
+      schema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    else schema
+    spark.read.schema(withCorrupt)
+      .option("header", "true")
+      .option("mode", mode)
+      .csv(path)
+  }
+
   /** F8 — file metadata for the run log (size KB, rounded to 2 places
     * like `extract_file.py:225-263`).
     */
