@@ -205,6 +205,24 @@ object QueriesCore {
               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
           FROM orders) WHERE rank <= 3 ORDER BY o_custkey, rank""")),
 
+    // ── Custom physical operator: heap-based per-key top-k ─────────────
+    // Same semantics as q08, executed by TopKPerKeyExec (custom
+    // LogicalPlan + Strategy + SparkPlan; no per-partition sort) and
+    // verified against the identical row_number oracle.
+    QueryDef("q54_topk_custom_op",
+      (s, dir) => graft.plans.TopKPerKey.topKPerKey(
+        t(s, dir, "orders"),
+        Seq("o_custkey"),
+        Seq(graft.plans.TopKPerKey.Sort("o_totalprice", asc = false),
+          graft.plans.TopKPerKey.Sort("o_orderkey")), 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+        .orderBy("o_custkey", "rank"),
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+            row_number() OVER (PARTITION BY o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+          FROM orders) WHERE rank <= 3 ORDER BY o_custkey, rank""")),
+
     // ── ROLLUP (mart layer P4 reconstruction, SURVEY §2.10) ────────────
     QueryDef("q09_rollup",
       (s, dir) => t(s, dir, "orders")
