@@ -40,11 +40,7 @@ object Similarity {
       .crossJoin(corpus.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec")))
       .filter(col("probe_id") =!= col("nn_id"))
       .withColumn("cos", cosine(col("probe_vec"), col("nn_vec")))
-    val w = Window.partitionBy("probe_id")
-      .orderBy(col("cos").desc, col("nn_id").asc)
-    pairs.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("probe_id", "nn_id", "cos", "rank")
+    rankTopK(pairs, k)
   }
 
   /** Sign-LSH bucket key: the sign bits of the first `bits` dimensions.
@@ -92,11 +88,7 @@ object Similarity {
     val pairs = p.join(c, Seq("cell"))
       .filter(col("probe_id") =!= col("nn_id"))
       .withColumn("cos", cosine(col("probe_vec"), col("nn_vec")))
-    val w = Window.partitionBy("probe_id")
-      .orderBy(col("cos").desc, col("nn_id").asc)
-    pairs.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("probe_id", "nn_id", "cos", "rank")
+    rankTopK(pairs, k)
   }
 
   /** Bucketed ANN top-k: candidates share the probe's sign bucket.
@@ -112,10 +104,19 @@ object Similarity {
     val pairs = p.join(c, Seq("bucket"))
       .filter(col("probe_id") =!= col("nn_id"))
       .withColumn("cos", cosine(col("probe_vec"), col("nn_vec")))
-    val w = Window.partitionBy("probe_id")
-      .orderBy(col("cos").desc, col("nn_id").asc)
-    pairs.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("probe_id", "nn_id", "cos", "rank")
+    rankTopK(pairs, k)
   }
+
+  /** Per-probe top-k ranking via the custom heap operator
+    * ([[graft.plans.TopKPerKey]]): one clustering exchange, no
+    * per-partition sort — the window row_number formulation would fully
+    * sort every candidate set first.
+    */
+  private def rankTopK(pairs: DataFrame, k: Int): DataFrame =
+    graft.plans.TopKPerKey.topKPerKey(
+      pairs.select("probe_id", "nn_id", "cos"),
+      Seq("probe_id"),
+      Seq(graft.plans.TopKPerKey.Sort("cos", asc = false),
+        graft.plans.TopKPerKey.Sort("nn_id")), k)
+      .select("probe_id", "nn_id", "cos", "rank")
 }
