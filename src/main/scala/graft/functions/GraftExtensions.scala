@@ -67,8 +67,13 @@ object GraftFunctions {
     }
 }
 
-/** `spark.sql.extensions` entry point. */
+/** `spark.sql.extensions` entry point: native SQL functions, the
+  * custom top-k strategy, and the window-top-k optimizer rewrite.
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.descriptions.foreach(ext.injectFunction)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKey.TopKStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.WindowTopKRewrite)
+  }
 }
