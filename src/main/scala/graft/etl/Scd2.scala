@@ -53,7 +53,7 @@ object Scd2 {
     // (case-built array + explode). Filtering four separate branches out
     // of `joined` would re-execute the join and re-scan both inputs per
     // branch — 8 scans instead of 2 in the physical plan.
-    val snapCols = snapshot.columns
+    val snapCols = snapshot.columns.toSeq
     val outCols = snapCols ++ Seq("dt_load_to_dw", "dt_last_update")
 
     val openFromSnap = struct(
