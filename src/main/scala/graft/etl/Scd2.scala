@@ -11,12 +11,13 @@ import org.apache.spark.sql.functions._
   * `load_to_dw.py:270-281` — SURVEY B3). We implement the textbook intent:
   * the snapshot is compared against CURRENT versions only.
   *
-  * Spark has no in-place UPDATE, so the merge is a full rewrite of the
-  * dimension: one left join snapshot↔current + three cheap unions. At
-  * 100 TB the dimension should be partitioned by a stable bucket of the
-  * natural key so the single shuffle co-locates both sides; history
-  * (closed) versions are untouched rows that flow through unchanged —
-  * with a date-partitioned dimension only current partitions rewrite.
+  * Spark has no in-place UPDATE: [[merge]] rewrites the dimension as ONE
+  * full-outer join snapshot↔current with per-key case expansion (1-2
+  * output rows per key), history flowing through untouched;
+  * [[mergeInPlace]] is the incremental variant over an
+  * `is_current`-partitioned warehouse where closed history is
+  * append-only and never rescanned. At 100 TB, bucket both sides by the
+  * natural key so the single join co-locates.
   */
 object Scd2 {
 

@@ -86,6 +86,7 @@ object Sources {
       .write.mode("overwrite").parquet(tmp)
     val dest = new Path(path)
     val bak = new Path(path + ".__old__")
+    if (fs.exists(bak)) fs.delete(bak, true) // leftover from a crashed run
     fs.rename(dest, bak)
     fs.rename(new Path(tmp), dest)
     fs.delete(bak, true)
