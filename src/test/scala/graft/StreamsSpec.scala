@@ -72,6 +72,49 @@ class StreamsSpec extends AnyFunSuite {
       batch.exceptAll(streamed).isEmpty)
   }
 
+  test("stateful dedup state survives a stop/restart via checkpointing") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("cp_src").toString
+    val out = java.nio.file.Files.createTempDirectory("cp_out").toString
+    val cp = java.nio.file.Files.createTempDirectory("cp_chk").toString
+
+    def event(id: Long, user: Long, typ: String) =
+      Streams.Event(id, user, typ, 1.0)
+    val schema = Seq(event(0, 0, "x")).toDF().schema
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(src)
+        .as[Streams.Event]
+      val q = Streams.streamingDedupFirst(stream).toDF()
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", cp)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+
+    // batch 1: two users, one duplicate within the batch
+    Seq(event(1, 10, "view"), event(2, 10, "view"), event(3, 20, "buy"))
+      .toDF().write.mode("append").parquet(src)
+    runOnce()
+    val after1 = spark.read.parquet(out)
+    assert(after1.count() === 2) // (10,view) once + (20,buy)
+
+    // batch 2 AFTER restart: a key already seen in batch 1 must still be
+    // suppressed (state restored from the checkpoint), a new key passes
+    Seq(event(4, 10, "view"), event(5, 30, "view"))
+      .toDF().write.mode("append").parquet(src)
+    runOnce()
+    val after2 = spark.read.parquet(out).cache()
+    assert(after2.count() === 3)
+    assert(after2.filter(col("user_id") === 10).count() === 1)
+    assert(after2.filter(col("event_id") === 4).isEmpty,
+      "duplicate of a pre-restart key leaked through - state not restored")
+    assert(after2.filter(col("user_id") === 30).count() === 1)
+  }
+
   test("mapGroupsWithState running totals equal batch aggregation") {
     import spark.implicits._
     val batchEvents = Tables.load(spark, TestSpark.sf0001, "events")
