@@ -42,6 +42,83 @@ object TopKPerKey {
       copy(child = c)
   }
 
+  /** Shared heap pass: per input partition, keep the best k rows per
+    * key; emit per key in ascending rank order, optionally with the
+    * 1-based rank appended.
+    */
+  private def heapTopK(
+      iter: Iterator[InternalRow], kk: Int,
+      keyProj: UnsafeProjection, ord: Ordering[InternalRow],
+      emitRank: Option[UnsafeProjection]): Iterator[InternalRow] = {
+    // max-heap under the rank order: the WORST retained row on top,
+    // evicted when a better row arrives
+    val heaps = new java.util.HashMap[UnsafeRow,
+      java.util.PriorityQueue[InternalRow]]()
+    val revCmp = new java.util.Comparator[InternalRow] {
+      override def compare(a: InternalRow, b: InternalRow): Int =
+        ord.compare(b, a)
+    }
+    iter.foreach { row =>
+      val key = keyProj(row)
+      var pq = heaps.get(key)
+      if (pq == null) {
+        pq = new java.util.PriorityQueue[InternalRow](kk, revCmp)
+        heaps.put(key.copy(), pq)
+      }
+      if (pq.size < kk) pq.add(row.copy())
+      else if (ord.compare(row, pq.peek) < 0) {
+        pq.poll(); pq.add(row.copy())
+      }
+    }
+    val joined = new JoinedRow
+    val entries = heaps.values().iterator()
+    new Iterator[InternalRow] {
+      private var current: Iterator[InternalRow] = Iterator.empty
+      override def hasNext: Boolean = {
+        while (!current.hasNext && entries.hasNext) {
+          val pq = entries.next()
+          val rows = new Array[InternalRow](pq.size)
+          var i = rows.length - 1
+          while (i >= 0) { rows(i) = pq.poll(); i -= 1 } // drain → asc
+          current = emitRank match {
+            case Some(proj) => rows.iterator.zipWithIndex.map {
+              case (r, idx) => proj(joined(r, InternalRow(idx + 1L)))
+            }
+            case None => rows.iterator
+          }
+        }
+        current.hasNext
+      }
+      override def next(): InternalRow = current.next()
+    }
+  }
+
+  /** Map-side combiner: per INPUT partition top-k per key, no
+    * distribution requirement, schema unchanged. The global top-k per
+    * key is a subset of the union of per-partition top-k's, so the
+    * exchange above this node moves at most k·keys-per-partition rows
+    * instead of the full input — the aggregation-combiner pattern
+    * applied to ranking.
+    */
+  final case class TopKPerKeyPartialExec(
+      keys: Seq[Expression], order: Seq[SortOrder], k: Int,
+      child: SparkPlan) extends UnaryExecNode {
+    override def output: Seq[Attribute] = child.output
+
+    override protected def doExecute(): RDD[InternalRow] = {
+      val (kk, childOutput, keyExprs, sortOrder) =
+        (k, child.output, keys, order)
+      child.execute().mapPartitions { iter =>
+        heapTopK(iter, kk,
+          UnsafeProjection.create(keyExprs, childOutput),
+          new LazilyGeneratedOrdering(sortOrder, childOutput), None)
+      }
+    }
+
+    override protected def withNewChildInternal(c: SparkPlan) =
+      copy(child = c)
+  }
+
   final case class TopKPerKeyExec(
       keys: Seq[Expression], order: Seq[SortOrder], k: Int,
       rankAttr: Attribute, child: SparkPlan) extends UnaryExecNode {
@@ -53,54 +130,13 @@ object TopKPerKey {
       ClusteredDistribution(keys) :: Nil
 
     override protected def doExecute(): RDD[InternalRow] = {
-      val kk = k
-      val childOutput = child.output
-      val keyExprs = keys
-      val sortOrder = order
-      val outAttrs = output
+      val (kk, childOutput, keyExprs, sortOrder, outAttrs) =
+        (k, child.output, keys, order, output)
       child.execute().mapPartitions { iter =>
-        val keyProj = UnsafeProjection.create(keyExprs, childOutput)
-        val ord: Ordering[InternalRow] =
-          new LazilyGeneratedOrdering(sortOrder, childOutput)
-        // max-heap under the rank order: the WORST retained row on top,
-        // evicted when a better row arrives
-        val heaps = new java.util.HashMap[UnsafeRow,
-          java.util.PriorityQueue[InternalRow]]()
-        val revCmp = new java.util.Comparator[InternalRow] {
-          override def compare(a: InternalRow, b: InternalRow): Int =
-            ord.compare(b, a)
-        }
-        iter.foreach { row =>
-          val key = keyProj(row)
-          var pq = heaps.get(key)
-          if (pq == null) {
-            pq = new java.util.PriorityQueue[InternalRow](kk, revCmp)
-            heaps.put(key.copy(), pq)
-          }
-          if (pq.size < kk) pq.add(row.copy())
-          else if (ord.compare(row, pq.peek) < 0) {
-            pq.poll(); pq.add(row.copy())
-          }
-        }
-        val toUnsafe = UnsafeProjection.create(outAttrs, outAttrs)
-        val joined = new JoinedRow
-        val entries = heaps.values().iterator()
-        new Iterator[InternalRow] {
-          private var current: Iterator[InternalRow] = Iterator.empty
-          override def hasNext: Boolean = {
-            while (!current.hasNext && entries.hasNext) {
-              val pq = entries.next()
-              val rows = new Array[InternalRow](pq.size)
-              var i = rows.length - 1
-              while (i >= 0) { rows(i) = pq.poll(); i -= 1 } // drain → asc
-              current = rows.iterator.zipWithIndex.map { case (r, idx) =>
-                toUnsafe(joined(r, InternalRow(idx + 1L)))
-              }
-            }
-            current.hasNext
-          }
-          override def next(): InternalRow = current.next()
-        }
+        heapTopK(iter, kk,
+          UnsafeProjection.create(keyExprs, childOutput),
+          new LazilyGeneratedOrdering(sortOrder, childOutput),
+          Some(UnsafeProjection.create(outAttrs, outAttrs)))
       }
     }
 
@@ -111,8 +147,11 @@ object TopKPerKey {
   object TopKStrategy extends SparkStrategy {
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
       case n: TopKPerKeyNode =>
+        // partial (map-side) pass below the exchange EnsureRequirements
+        // will insert to satisfy the final pass's distribution
         TopKPerKeyExec(n.keys, n.order, n.k, n.rankAttr,
-          planLater(n.child)) :: Nil
+          TopKPerKeyPartialExec(n.keys, n.order, n.k,
+            planLater(n.child))) :: Nil
       case _ => Nil
     }
   }

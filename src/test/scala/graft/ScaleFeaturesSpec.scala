@@ -31,6 +31,43 @@ class ScaleFeaturesSpec extends AnyFunSuite {
     assert(joined.count() === expected.count())
   }
 
+  test("SCD2 merge over same-key bucketed tables plans with zero shuffles") {
+    import spark.implicits._
+    import java.sql.Date
+    val d1 = Date.valueOf("2024-01-01")
+    val d2 = Date.valueOf("2024-01-02")
+    val dim0 = Seq(("a", 1, "x"), ("b", 2, "y"))
+      .toDF("natural_key", "price", "brand")
+      .withColumn(
+        "dt_load_to_dw", org.apache.spark.sql.functions.lit(d1))
+      .withColumn("dt_last_update",
+        org.apache.spark.sql.functions.lit(graft.etl.Scd2.Sentinel))
+    val snap = Seq(("a", 5, "x"), ("c", 3, "z"))
+      .toDF("natural_key", "price", "brand")
+    Bucketing.writeBucketed(dim0, "dw_cur_b", "natural_key", 4,
+      Seq("natural_key"))
+    Bucketing.writeBucketed(snap, "snap_b", "natural_key", 4,
+      Seq("natural_key"))
+
+    val prevThreshold =
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val merged = graft.etl.Scd2.merge(
+        spark.table("dw_cur_b"), spark.table("snap_b"),
+        "natural_key", Seq("price", "brand"), d2)
+      assert(Bucketing.isShuffleFree(merged),
+        "bucketed SCD2 merge should join without an exchange:\n" +
+          merged.queryExecution.executedPlan.toString.take(2000))
+      // a closed + a' open + b open + c open
+      assert(merged.count() === 4)
+      assert(merged.filter(col("dt_last_update") ===
+        lit(graft.etl.Scd2.Sentinel)).count() === 3)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+
   test("salted aggregation equals plain aggregation") {
     val ev = Tables.load(spark, TestSpark.sf0001, "events")
     val salted = Skew.saltedAgg(ev, Seq("event_type"), col("event_id"),

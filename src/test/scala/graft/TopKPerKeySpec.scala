@@ -15,7 +15,8 @@ class TopKPerKeySpec extends AnyFunSuite {
   private lazy val orders = Tables.load(spark, TestSpark.sf0001, "orders")
 
   test("matches the window row_number formulation exactly") {
-    val custom = TopKPerKey.topKPerKey(orders,
+    // repartition so the map-side partial pass runs over real splits
+    val custom = TopKPerKey.topKPerKey(orders.repartition(7),
       Seq("o_custkey"),
       Seq(TopKPerKey.Sort("o_totalprice", asc = false),
         TopKPerKey.Sort("o_orderkey")), 3)
@@ -39,9 +40,15 @@ class TopKPerKeySpec extends AnyFunSuite {
         TopKPerKey.Sort("o_orderkey")), 3)
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("TopKPerKey ["))
+    assert(plan.contains("TopKPerKeyPartial"),
+      "map-side combiner pass missing")
     assert(!plan.contains("WindowExec") && !plan.contains("Sort "),
       s"unexpected sort/window in:\n$plan")
     assert("Exchange hashpartitioning".r.findAllIn(plan).length === 1)
+    // the combiner sits BELOW the exchange (map side)
+    val exIdx = plan.indexOf("Exchange hashpartitioning")
+    assert(plan.indexOf("TopKPerKeyPartial") > exIdx,
+      "partial pass must be below the exchange in the plan tree")
   }
 
   test("k larger than group size returns whole groups, ranks dense") {
