@@ -170,9 +170,13 @@ object TopKPerKey {
   def topKPerKey(df: DataFrame, keys: Seq[String], order: Seq[Sort],
                  k: Int): DataFrame = {
     val spark = df.sparkSession
-    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ TopKStrategy
+    // read-check-append on extraStrategies is racy under concurrent
+    // query submission; serialize the registration
+    spark.experimental.synchronized {
+      if (!spark.experimental.extraStrategies.contains(TopKStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ TopKStrategy
+    }
     val plan = ColumnBridge.logicalPlan(df)
     def attr(name: String): Attribute =
       plan.output.find(_.name == name).getOrElse(
