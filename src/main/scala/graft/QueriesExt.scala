@@ -566,6 +566,54 @@ object QueriesExt {
         COUNT(*) AS n_docs, min(doc_id) AS min_doc_id
         FROM documents GROUP BY 1 ORDER BY split""")),
 
+    // ── Approximate quantiles via deterministic hash-sampling ──────────
+    // Exact quantiles need a full sort per group; a hash-based sample is
+    // the scale path — and unlike t-digest/Greenwald-Khanna sketches the
+    // estimate is a pure function of the data, so the oracle verifies it
+    // EXACTLY (same trick as the KMV sketch in q46).
+    QueryDef("q55_sampled_quantiles",
+      (s, dir) => {
+        val sampled = t(s, dir, "orders")
+          .filter(Shingles.baseHash(col("o_orderkey").cast("string"))
+            % 100 < 5) // deterministic ~5% sample
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+        val ranked = sampled
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("n",
+            count(lit(1)).over(Window.partitionBy("o_orderpriority")))
+        val midLo = floor((col("n") + 1) / 2)
+        val midHi = floor((col("n") + 2) / 2)
+        val p90 = ceil(col("n") * 0.9)
+        ranked.groupBy("o_orderpriority").agg(
+          (sum(when(col("rn") === midLo || col("rn") === midHi,
+            col("o_totalprice"))) /
+            (max(midHi) - max(midLo) + lit(1))).as("median_est"),
+          max(when(col("rn") === p90, col("o_totalprice"))).as("p90_est"),
+          count(lit(1)).as("n_sampled"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH sampled AS (
+          SELECT o_orderpriority, o_totalprice, o_orderkey FROM orders
+          WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 7))
+            ::BIGINT % 100 < 5),
+        ranked AS (SELECT o_orderpriority, o_totalprice,
+          row_number() OVER (PARTITION BY o_orderpriority
+            ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn,
+          COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM sampled)
+        SELECT o_orderpriority,
+          SUM(CASE WHEN rn = floor((n + 1) / CAST(2.0 AS DOUBLE))
+            OR rn = floor((n + 2) / CAST(2.0 AS DOUBLE))
+            THEN o_totalprice END)
+            / (max(floor((n + 2) / CAST(2.0 AS DOUBLE)))
+               - max(floor((n + 1) / CAST(2.0 AS DOUBLE))) + 1)
+            AS median_est,
+          max(CASE WHEN rn = ceil(n * CAST(0.9 AS DOUBLE))
+            THEN o_totalprice END) AS p90_est,
+          COUNT(*) AS n_sampled
+        FROM ranked GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     // ── As-of join: purchase ← most recent prior view per user ─────────
     // Spark-first: union-and-carry-forward (sort once per user, no
     // range-join explosion) — the classic distributed as-of shape.
