@@ -664,18 +664,23 @@ object QueriesCore {
           ORDER BY c_acctbal ASC, c_custkey ASC)
         ORDER BY c_custkey""")),
 
-    // ── Array aggregation over nested types (sorted collect_list) ──────
+    // ── Array aggregation over nested types (sorted collect_set) ───────
+    // The array ops (collect_set, sort_array, size, array_contains) stay
+    // internal; the emitted event_types is array_join'd to a string so the
+    // driver's pandas sort/hash comparator can handle it (a raw array
+    // column is unhashable there — CORRECTNESS_r01 q53).
     QueryDef("q53_array_agg",
       (s, dir) => t(s, dir, "events")
         .groupBy("user_id")
-        .agg(sort_array(collect_set(col("event_type"))).as("event_types"))
+        .agg(sort_array(collect_set(col("event_type"))).as("types_arr"))
         .select(col("user_id"),
-          col("event_types"),
-          size(col("event_types")).cast("long").as("n_distinct_types"),
-          array_contains(col("event_types"), "purchase").as("has_purchase"))
+          array_join(col("types_arr"), ",").as("event_types"),
+          size(col("types_arr")).cast("long").as("n_distinct_types"),
+          array_contains(col("types_arr"), "purchase").as("has_purchase"))
         .orderBy("user_id"),
       Some("""SELECT user_id,
-          list_sort(list(DISTINCT event_type)) AS event_types,
+          array_to_string(list_sort(list(DISTINCT event_type)), ',')
+            AS event_types,
           CAST(len(list_sort(list(DISTINCT event_type))) AS BIGINT)
             AS n_distinct_types,
           list_contains(list(DISTINCT event_type), 'purchase')

@@ -35,11 +35,18 @@ object Scd2 {
     val closed  = dim.filter(col("dt_last_update") =!= lit(Sentinel))
     val current = dim.filter(col("dt_last_update") === lit(Sentinel))
 
-    // Change detection via a single order-independent hash of the tracked
-    // columns (null-safe: hash() folds nulls deterministically). Cheaper
-    // than a 10-column OR and one expression regardless of column count.
+    // Change detection via a single hash of the tracked columns. Spark's
+    // hash expressions SKIP null children (the seed passes through
+    // unchanged), so xxhash64(null, "x") == xxhash64("x", null): a value
+    // shifting between adjacent tracked columns across a null swap would
+    // be missed. Interleaving a per-column isNull flag disambiguates —
+    // with equal flag vectors, the sequence of hashed non-null values maps
+    // positionally onto columns, so signature equality implies per-column
+    // null-safe equality. Still one expression regardless of column count,
+    // and cheaper than a 10-column OR.
     def withSig(df: DataFrame) =
-      df.withColumn("__sig", xxhash64(tracked.map(col): _*))
+      df.withColumn("__sig",
+        xxhash64((tracked.map(col) ++ tracked.map(c => col(c).isNull)): _*))
 
     val snap = withSig(snapshot)
     val cur  = withSig(current)

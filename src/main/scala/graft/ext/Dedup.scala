@@ -42,38 +42,70 @@ object Dedup {
         Shingles.bandKeys(col("signature"), numHashes, rowsPerBand))
   }
 
-  /** All (a, b) pairs with a < b from each bucket's sorted id array —
-    * per-row array expression, no join.
+  /** Stream all (a, b) pairs with a < b out of each bucket's sorted id
+    * array via two chained generators: posexplode picks the left element,
+    * a second explode over the tail slice emits the rights one row at a
+    * time. A bucket of size B still costs O(B²) output ROWS (inherent to
+    * pair generation), but peak memory per task is O(B) — the id array —
+    * because Generate streams rows through whole-stage codegen. Round 1
+    * instead materialized all B²/2 pairs as ONE array value in ONE row
+    * (`transform(transform(slice))`), which OOMs a task on a hot bucket
+    * (50k-doc bucket ⇒ 1.25B structs in a single value).
+    *
+    * Input must carry `ids: array`; all other columns are dropped.
     */
-  private def inBucketPairs(ids: Column): Column = {
-    val sorted = sort_array(ids)
-    flatten(transform(sorted, (x, i) =>
-      transform(slice(sorted, i + lit(2), size(sorted) - i - 1),
-        y => struct(x.as("id_a"), y.as("id_b")))))
-  }
+  private def expandPairs(buckets: DataFrame): DataFrame =
+    buckets.select(sort_array(col("ids")).as("ids"))
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "id_a")))
+      .select(col("id_a"),
+        explode(slice(col("ids"), col("i") + lit(2),
+          size(col("ids")) - col("i") - lit(1))).as("id_b"))
+
+  /** Name of the [[org.apache.spark.sql.Dataset.observe]] metric emitted
+    * by the capped candidate generators: `buckets` usable buckets,
+    * `oversized_dropped` buckets over the cap (0 unless the corpus has a
+    * degenerate key). No silent caps: attach a `QueryExecutionListener`
+    * or an `Observation` upstream to alert when `oversized_dropped > 0`.
+    */
+  val BucketMetrics = "graft_dedup_buckets"
+
+  private def observeBuckets(buckets: DataFrame, cap: Int): DataFrame =
+    buckets.observe(BucketMetrics,
+      count(lit(1)).as("buckets"),
+      sum(when(size(col("ids")) > cap, 1L).otherwise(0L))
+        .as("oversized_dropped"))
+      .filter(size(col("ids")) <= cap)
 
   /** MinHash+LSH candidate pairs: docs sharing ≥1 band key.
     *
-    * Shape: explode(band_keys) → groupBy band key (collect ids) → expand
+    * Shape: explode(band_keys) → groupBy band key (collect ids) → stream
     * in-bucket pairs → distinct. One aggregation shuffle + one distinct
     * shuffle, and — unlike the naive exploded self-join — the expensive
     * signature computation runs exactly ONCE per document (a self-join
     * would re-evaluate the md5 pipeline on both plan branches). Buckets of
     * size 1 (the vast majority under any sane band config) are dropped
-    * before pair expansion. LSH bounds bucket sizes for non-degenerate
-    * corpora; a skewed/degenerate band key (e.g. all-empty docs) should be
-    * salted or capped upstream.
+    * before pair expansion.
+    *
+    * Degenerate band keys (e.g. millions of empty/boilerplate docs hash
+    * to one bucket at corpus scale) are bounded by `maxBucket`: oversized
+    * buckets are DROPPED from candidate generation — near-dup recall on
+    * such content should come from [[exactByContent]] upstream, which
+    * handles identical docs in one shuffle — and the drop is observable
+    * via the [[BucketMetrics]] metric, never silent. The collect_list row
+    * for a dropped bucket is O(B) ids (a 50k-doc bucket is ~400 KB), well
+    * under task memory; the quadratic pair stage it used to feed is what
+    * the cap prevents.
     */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         shingleK: Int = 5, numHashes: Int = 16,
-                        rowsPerBand: Int = 4): DataFrame = {
+                        rowsPerBand: Int = 4,
+                        maxBucket: Int = 4096): DataFrame = {
     val sigs = minhashSignatures(docs, idCol, textCol, shingleK, numHashes,
       rowsPerBand)
-    sigs.select(col(idCol), explode(col("band_keys")).as("bk"))
+    val buckets = sigs.select(col(idCol), explode(col("band_keys")).as("bk"))
       .groupBy("bk").agg(collect_list(col(idCol)).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(inBucketPairs(col("ids"))).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
+    expandPairs(observeBuckets(buckets, maxBucket))
       .distinct()
   }
 
@@ -148,24 +180,34 @@ object Dedup {
     * shingle → count shared per pair). Exact because J(a,b) > 0 implies a
     * shared shingle; no cross join anywhere. One shuffle on shingle hash +
     * one on the pair key.
+    *
+    * `maxPosting` bounds the quadratic pair stage on hot shingles
+    * (stopword-ish n-grams at corpus scale): posting lists over the cap
+    * are dropped from the index — their shared-count contribution is
+    * lost, so results become a LOWER bound on Jaccard for pairs touching
+    * a dropped shingle (the standard "stop shingle" trade). The drop is
+    * observable via [[BucketMetrics]], never silent; the default cap is
+    * far above any posting list in a corpus without degenerate
+    * boilerplate, keeping the exact semantics there.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        k: Int, minJaccard: Double): DataFrame = {
+                        k: Int, minJaccard: Double,
+                        maxPosting: Int = 8192): DataFrame = {
     val withSh = docs.select(col(idCol),
       graft.functions.NativeExprs
         .wordShingles(TextStats.tokens(col(textCol)), k, distinct = true)
         .as("sh"))
     val sizes = withSh.select(col(idCol), size(col("sh")).cast("long").as("n"))
-    // Posting lists per shingle, pairs expanded in-bucket: shingles are
+    // Posting lists per shingle, pairs streamed in-bucket: shingles are
     // computed once per doc (a self-joined inverted index would evaluate
     // the shingling on both branches) and singleton postings — the long
     // tail of any corpus — are dropped before the pair stage.
     val inv = withSh.select(col(idCol), explode(col("sh")).as("shingle"))
-    val shared = inv.groupBy("shingle")
+    val postings = inv.groupBy("shingle")
       .agg(collect_list(col(idCol)).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(inBucketPairs(col("ids"))).as("p"))
-      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+    val shared = expandPairs(observeBuckets(postings, maxPosting))
+      .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("shared"))
     shared
       .join(sizes.withColumnRenamed(idCol, "id_a")

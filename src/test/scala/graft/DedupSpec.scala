@@ -84,6 +84,47 @@ class DedupSpec extends AnyFunSuite {
       (9L, 9L), (10L, 9L)))
   }
 
+  test("hot bucket: 1000 identical docs stream all pairs, no giant row") {
+    // Every doc shares every band key → 4 buckets of size 1000. Round 1
+    // materialized each bucket's 499,500 pairs as ONE array value; the
+    // streaming expansion emits them row-by-row, so this completes in
+    // bounded memory with the full pair set intact.
+    val docs = spark.range(1000).select(col("id").as("doc_id"),
+      lit("identical boilerplate text repeated across the corpus").as("text"))
+    val pairs = Dedup.minhashCandidates(docs, "doc_id", "text",
+      shingleK = 3, numHashes = 16, rowsPerBand = 4)
+    assert(pairs.count() === 1000L * 999 / 2)
+  }
+
+  test("oversized buckets are dropped, normal pairs survive, drop is observable") {
+    // 100 identical docs (degenerate bucket) + one true near-dup pair.
+    val degenerate = spark.range(100).select((col("id") + 100).as("doc_id"),
+      lit("identical boilerplate text repeated across the corpus").as("text"))
+    val docs = Seq((1L, docA), (2L, docA2)).toDF("doc_id", "text")
+      .unionByName(degenerate)
+    val pairs = Dedup.minhashCandidates(docs, "doc_id", "text",
+      shingleK = 3, numHashes = 16, rowsPerBand = 4, maxBucket = 10)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)), "capping must not affect normal buckets")
+    assert(!got.exists(_._1 >= 100L), "oversized bucket must emit no pairs")
+    // no silent caps: the drop count is an observed metric on the query
+    val m = pairs.queryExecution.observedMetrics(Dedup.BucketMetrics)
+    assert(m.getAs[Long]("oversized_dropped") === 4L) // all 4 bands hot
+  }
+
+  test("ngram jaccard: posting-list cap drops hot shingles observably") {
+    val degenerate = spark.range(50).select((col("id") + 100).as("doc_id"),
+      lit("spam spam spam spam spam").as("text"))
+    val docs = Seq((1L, docA), (2L, docA2)).toDF("doc_id", "text")
+      .unionByName(degenerate)
+    val out = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      k = 3, minJaccard = 0.0, maxPosting = 10)
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L)), "hot-shingle pairs dropped, normal kept")
+    val m = out.queryExecution.observedMetrics(Dedup.BucketMetrics)
+    assert(m.getAs[Long]("oversized_dropped") >= 1L)
+  }
+
   test("wordShingles: short docs collapse to one whole-doc shingle") {
     val sh = Seq((1L, "two words")).toDF("id", "text")
       .select(Shingles.wordShingles(TextStats.tokens($"text"), 5).as("s"))

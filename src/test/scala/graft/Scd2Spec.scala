@@ -56,6 +56,38 @@ class Scd2Spec extends AnyFunSuite {
     assert(once.exceptAll(dim0).isEmpty && dim0.exceptAll(once).isEmpty)
   }
 
+  test("null shift across tracked columns is detected as a change") {
+    // xxhash64 skips null children, so without null disambiguation
+    // (null,"x") and ("x",null) collide and the change is silently missed.
+    val dim0 = Seq(("a", Option.empty[String], Option("x")))
+      .toDF("natural_key", "material", "shape")
+      .withColumn("dt_load_to_dw", lit(d1))
+      .withColumn("dt_last_update", lit(Scd2.Sentinel))
+    val merged = Scd2.merge(dim0,
+      Seq(("a", Option("x"), Option.empty[String]))
+        .toDF("natural_key", "material", "shape"),
+      "natural_key", Seq("material", "shape"), d2).cache()
+    assert(merged.count() === 2)
+    val open = merged.filter($"dt_last_update" === lit(Scd2.Sentinel)).head()
+    assert(open.getAs[String]("material") === "x")
+    assert(open.getAs[String]("shape") == null)
+    val closed = merged.filter($"dt_last_update" === lit(d2)).head()
+    assert(closed.getAs[String]("material") == null)
+    assert(closed.getAs[String]("shape") === "x")
+  }
+
+  test("identical snapshot with nulls stays a no-op (null-safe equality)") {
+    val dim0 = Seq(("a", Option.empty[String], Option("x")))
+      .toDF("natural_key", "material", "shape")
+      .withColumn("dt_load_to_dw", lit(d1))
+      .withColumn("dt_last_update", lit(Scd2.Sentinel))
+    val once = Scd2.merge(dim0,
+      Seq(("a", Option.empty[String], Option("x")))
+        .toDF("natural_key", "material", "shape"),
+      "natural_key", Seq("material", "shape"), d2)
+    assert(once.exceptAll(dim0).isEmpty && dim0.exceptAll(once).isEmpty)
+  }
+
   test("key absent from snapshot is kept as-is (no spurious close)") {
     val dim0 = init(snap(("a", 1, "x"), ("gone", 7, "z")), d1)
     val merged = Scd2.merge(dim0, snap(("a", 1, "x")),
