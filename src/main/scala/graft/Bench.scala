@@ -26,21 +26,33 @@ object Bench {
     // min of two executions per query: the box runs periodic background
     // jobs and a single sample can catch a load spike (observed 0.3s
     // queries reading 25s once); min-of-N is the standard noise floor
+    // A failed query must surface as an error entry and a non-zero exit,
+    // never as a near-zero "fast" sample — otherwise a broken query makes
+    // the benchmark LOOK faster and the gate still passes.
+    var errors = List.empty[(String, String)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val samples = (1 to 2).map { _ =>
+      val samples = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          errors ::= (name -> Option(e.getMessage).getOrElse(e.getClass.getName))
+          None
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      name -> samples.min
+      name -> samples.minOption
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.collect { case (k, Some(v)) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.flatMap(_._2).sum
+    val errJson = errors.reverse.map { case (k, m) =>
+      "\"" + k + "\":\"" + m.replaceAll("[\"\\\\\n\r\t]", " ").take(200) + "\""
+    }.mkString("{", ",", "}")
+    val errField = if (errors.nonEmpty) s""","errors":$errJson""" else ""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -7,8 +7,12 @@ import scala.xml.XML
   *
   * The reference hardcodes DB and object-store credentials in the
   * committed XML (SURVEY B6). Here secrets resolve from the environment
-  * first (`GRAFT_DB_PASSWORD`, `GRAFT_STORE_KEY`) and the XML value is
-  * only a fallback for local development.
+  * first and the XML value is only a fallback for local development.
+  * Database passwords are keyed per database —
+  * `GRAFT_DB_PASSWORD_<NAME>` (name uppercased, non-alphanumerics →
+  * `_`) — because the reference config carries distinct credentials per
+  * DB; the unsuffixed `GRAFT_DB_PASSWORD` remains a shared fallback.
+  * Object-store key: `GRAFT_STORE_KEY`.
   */
 object ConfigXml {
 
@@ -27,14 +31,17 @@ object ConfigXml {
     val root = XML.loadFile(path)
     val dbs = (root \ "databases" \ "database").map { db =>
       val name = (db \@ "name")
+      val perDbKey =
+        "GRAFT_DB_PASSWORD_" + name.toUpperCase.replaceAll("[^A-Z0-9]", "_")
       name -> DbConfig(
         name = name,
         hostname = (db \ "hostname").text.trim,
         port = (db \ "port").text.trim.toInt,
         database = (db \ "database").text.trim,
         username = (db \ "username").text.trim,
-        password = env.getOrElse("GRAFT_DB_PASSWORD",
-          (db \ "password").text.trim))
+        password = env.get(perDbKey)
+          .orElse(env.get("GRAFT_DB_PASSWORD"))
+          .getOrElse((db \ "password").text.trim))
     }.toMap
     val store = (root \ "backblaze").headOption.map { b =>
       StoreConfig(

@@ -61,52 +61,104 @@ object Dedup {
         explode(slice(col("ids"), col("i") + lit(2),
           size(col("ids")) - col("i") - lit(1))).as("id_b"))
 
-  /** Name of the [[org.apache.spark.sql.Dataset.observe]] metric emitted
-    * by the capped candidate generators: `buckets` usable buckets,
-    * `oversized_dropped` buckets over the cap (0 unless the corpus has a
-    * degenerate key). No silent caps: attach a `QueryExecutionListener`
-    * or an `Observation` upstream to alert when `oversized_dropped > 0`.
+  /** Names of the [[org.apache.spark.sql.Dataset.observe]] metrics
+    * emitted by the capped candidate generators — one name per operator,
+    * because Spark requires observed-metric names to be unique per query
+    * unless the CollectMetrics subtrees are identical, and a plan may
+    * compose both generators (e.g. union minhash and n-gram candidate
+    * sets). Fields: `buckets` = ALL multi-doc buckets seen, INCLUDING the
+    * oversized ones that are then dropped; `oversized_dropped` = buckets
+    * over the cap (0 unless the corpus has a degenerate key). No silent
+    * caps: attach a `QueryExecutionListener` or an `Observation` upstream
+    * to alert when `oversized_dropped > 0`.
     */
-  val BucketMetrics = "graft_dedup_buckets"
+  val MinhashBucketMetrics = "graft_dedup_buckets_minhash"
+  val NgramBucketMetrics = "graft_dedup_buckets_ngram"
 
-  private def observeBuckets(buckets: DataFrame, cap: Int): DataFrame =
-    buckets.observe(BucketMetrics,
+  private def observeBuckets(buckets: DataFrame, arrCol: String, cap: Int,
+                             metric: String): DataFrame =
+    buckets.observe(metric,
       count(lit(1)).as("buckets"),
-      sum(when(size(col("ids")) > cap, 1L).otherwise(0L))
+      sum(when(size(col(arrCol)) > cap, 1L).otherwise(0L))
         .as("oversized_dropped"))
-      .filter(size(col("ids")) <= cap)
+      .filter(size(col(arrCol)) <= cap)
 
   /** MinHash+LSH candidate pairs: docs sharing ≥1 band key.
     *
-    * Shape: explode(band_keys) → groupBy band key (collect ids) → stream
-    * in-bucket pairs → distinct. One aggregation shuffle + one distinct
-    * shuffle, and — unlike the naive exploded self-join — the expensive
-    * signature computation runs exactly ONCE per document (a self-join
-    * would re-evaluate the md5 pipeline on both plan branches). Buckets of
-    * size 1 (the vast majority under any sane band config) are dropped
-    * before pair expansion.
+    * Shape: posexplode(band_keys) → groupBy band key (collect docs) →
+    * stream in-bucket pairs with a MINIMAL-BAND guard → project. ONE
+    * aggregation shuffle and no pair-level shuffle at all: a pair that
+    * collides in several bands is emitted only from its lowest shared
+    * band (each doc carries its band_keys array into the bucket; the
+    * guard checks that no earlier band also collides), so the output is
+    * already distinct. The earlier `distinct()` formulation shuffled
+    * every expanded pair row — O(ΣB²) rows, the dominant shuffle at
+    * corpus scale once buckets approach the cap (4096²/2 ≈ 8.4 M pairs
+    * per hot bucket). The guard costs O(numBands) comparisons per pair,
+    * all plain codegen-able expressions. Unlike the naive exploded
+    * self-join, the expensive signature computation still runs exactly
+    * ONCE per document. Buckets of size 1 (the vast majority under any
+    * sane band config) are dropped before pair expansion.
     *
     * Degenerate band keys (e.g. millions of empty/boilerplate docs hash
     * to one bucket at corpus scale) are bounded by `maxBucket`: oversized
-    * buckets are DROPPED from candidate generation — near-dup recall on
-    * such content should come from [[exactByContent]] upstream, which
-    * handles identical docs in one shuffle — and the drop is observable
-    * via the [[BucketMetrics]] metric, never silent. The collect_list row
-    * for a dropped bucket is O(B) ids (a 50k-doc bucket is ~400 KB), well
-    * under task memory; the quadratic pair stage it used to feed is what
-    * the cap prevents.
+    * buckets are DROPPED from candidate generation, observably via
+    * [[MinhashBucketMetrics]], never silent. Recall notes: (a) byte-
+    * identical docs in a dropped bucket are still collapsed by
+    * [[exactByContent]] upstream, but genuinely NEAR (non-identical)
+    * duplicates whose every shared band is oversized are lost from
+    * candidates — if the metric fires, the recall-preserving fix is to
+    * re-band the oversized content (more bands / narrower rows) or salt
+    * the hot key and verify across salts; (b) under the minimal-band
+    * guard, a pair whose LOWEST shared band sits in a dropped bucket is
+    * suppressed even when a later shared band's bucket is small — such
+    * pairs are near-identical to a >cap-sized cluster in signature
+    * space, so they are part of exactly the degenerate content the cap
+    * targets. The collect_list row for a dropped bucket is O(B) docs,
+    * well under task memory; the quadratic pair stage it used to feed is
+    * what the cap prevents.
     */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         shingleK: Int = 5, numHashes: Int = 16,
                         rowsPerBand: Int = 4,
                         maxBucket: Int = 4096): DataFrame = {
+    val numBands = numHashes / rowsPerBand
     val sigs = minhashSignatures(docs, idCol, textCol, shingleK, numHashes,
       rowsPerBand)
-    val buckets = sigs.select(col(idCol), explode(col("band_keys")).as("bk"))
-      .groupBy("bk").agg(collect_list(col(idCol)).as("ids"))
-      .filter(size(col("ids")) > 1)
-    expandPairs(observeBuckets(buckets, maxBucket))
-      .distinct()
+    // Each bucket member carries its full band_keys array (numBands short
+    // strings) so the minimal-band guard can run locally at expansion.
+    val buckets = sigs
+      .select(col(idCol), col("band_keys"),
+        posexplode(col("band_keys")).as(Seq("band", "bk")))
+      .groupBy("bk")
+      .agg(first(col("band")).as("band"), // constant within a bucket: bk embeds the band index
+        collect_list(struct(col(idCol).as("id"), col("band_keys").as("bks")))
+          .as("docs"))
+      .filter(size(col("docs")) > 1)
+    val capped = observeBuckets(buckets, "docs", maxBucket,
+      MinhashBucketMetrics)
+    // Stream (a, b) with a.id < b.id out of each bucket (sort_array on
+    // structs orders by the leading id field), same O(B) peak memory as
+    // expandPairs.
+    val expanded = capped
+      .select(col("band"), sort_array(col("docs")).as("docs"))
+      .select(col("band"), col("docs"),
+        posexplode(col("docs")).as(Seq("i", "a")))
+      .select(col("band"), col("a"),
+        explode(slice(col("docs"), col("i") + lit(2),
+          size(col("docs")) - col("i") - lit(1))).as("b"))
+    // Emit only from the lowest shared band: a static when-chain over the
+    // (small, plan-time-known) band count — no higher-order functions in
+    // the per-pair hot path.
+    val minimalBand = (1 until numBands).foldLeft(
+      when(col("band") === 0, lit(true))) { (acc, bi) =>
+      acc.when(col("band") === bi,
+        (0 until bi).map(j =>
+          element_at(col("a.bks"), j + 1) =!= element_at(col("b.bks"), j + 1))
+          .reduce(_ && _))
+    }.otherwise(lit(false))
+    expanded.filter(minimalBand)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
   }
 
   /** SimHash fingerprint over token hashes, `bits` dimensions.
@@ -186,8 +238,8 @@ object Dedup {
     * are dropped from the index — their shared-count contribution is
     * lost, so results become a LOWER bound on Jaccard for pairs touching
     * a dropped shingle (the standard "stop shingle" trade). The drop is
-    * observable via [[BucketMetrics]], never silent; the default cap is
-    * far above any posting list in a corpus without degenerate
+    * observable via [[NgramBucketMetrics]], never silent; the default cap
+    * is far above any posting list in a corpus without degenerate
     * boilerplate, keeping the exact semantics there.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
@@ -206,7 +258,8 @@ object Dedup {
     val postings = inv.groupBy("shingle")
       .agg(collect_list(col(idCol)).as("ids"))
       .filter(size(col("ids")) > 1)
-    val shared = expandPairs(observeBuckets(postings, maxPosting))
+    val shared = expandPairs(
+      observeBuckets(postings, "ids", maxPosting, NgramBucketMetrics))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("shared"))
     shared

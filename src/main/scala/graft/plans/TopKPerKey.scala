@@ -169,6 +169,10 @@ object TopKPerKey {
     */
   def topKPerKey(df: DataFrame, keys: Seq[String], order: Seq[Sort],
                  k: Int): DataFrame = {
+    // ClusteredDistribution rejects an empty clustering; a global top-n
+    // belongs to WindowExec / ORDER BY + LIMIT, not this operator.
+    require(keys.nonEmpty,
+      "topKPerKey requires at least one key; use orderBy(...).limit(k) for global top-n")
     val spark = df.sparkSession
     // read-check-append on extraStrategies is racy under concurrent
     // query submission; serialize the registration

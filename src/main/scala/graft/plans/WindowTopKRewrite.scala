@@ -63,7 +63,12 @@ object WindowTopKRewrite extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case f @ Filter(cond, RowNumberWindow(rank, parts, order, child)) =>
+    // parts.nonEmpty: a global top-n (empty PARTITION BY) must stay on
+    // WindowExec — TopKPerKeyExec requires ClusteredDistribution(keys)
+    // and Spark rejects an empty clustering, so rewriting would crash
+    // the planner for a perfectly legal query.
+    case f @ Filter(cond, RowNumberWindow(rank, parts, order, child))
+        if parts.nonEmpty =>
       limitOf(cond, rank) match {
         case Some(k) if k > 0 =>
           rewrite(rank, parts, order, child, k, None)
@@ -71,7 +76,8 @@ object WindowTopKRewrite extends Rule[LogicalPlan] {
       }
     case f @ Filter(cond,
         p @ Project(projList, RowNumberWindow(rank, parts, order, child)))
-        if projList.exists(_.toAttribute.semanticEquals(rank)) &&
+        if parts.nonEmpty &&
+          projList.exists(_.toAttribute.semanticEquals(rank)) &&
           projList.forall(_.isInstanceOf[Attribute]) =>
       limitOf(cond, rank) match {
         case Some(k) if k > 0 =>

@@ -52,4 +52,17 @@ class ConfigXmlSpec extends AnyFunSuite {
     assert(cfg.databases("dw").password === "from-env")
     assert(cfg.store.get.applicationKey === "env-key")
   }
+
+  test("per-database env secret beats the shared fallback") {
+    val cfg = ConfigXml.parse(writeFixture(),
+      env = Map(
+        "GRAFT_DB_PASSWORD_DW" -> "dw-secret",
+        "GRAFT_DB_PASSWORD" -> "shared"))
+    assert(cfg.databases("dw").password === "dw-secret")
+    // dm has no per-db var: shared fallback applies
+    assert(cfg.databases("dm").password === "shared")
+    // no env at all: XML value per database
+    val bare = ConfigXml.parse(writeFixture(), env = Map.empty)
+    assert(bare.databases("dm").password === "other")
+  }
 }

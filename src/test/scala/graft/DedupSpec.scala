@@ -93,7 +93,20 @@ class DedupSpec extends AnyFunSuite {
       lit("identical boilerplate text repeated across the corpus").as("text"))
     val pairs = Dedup.minhashCandidates(docs, "doc_id", "text",
       shingleK = 3, numHashes = 16, rowsPerBand = 4)
+    // identical docs share ALL 4 bands — the minimal-band guard must emit
+    // each pair exactly once (count would be 4× on a duplicate leak)
     assert(pairs.count() === 1000L * 999 / 2)
+  }
+
+  test("minhash and ngram generators compose in one plan (unique metric names)") {
+    // Two different capped generators in one query used to collide on a
+    // shared observed-metric name and fail analysis.
+    val docs = Seq((1L, docA), (2L, docA2)).toDF("doc_id", "text")
+    val u = Dedup.minhashCandidates(docs, "doc_id", "text",
+        shingleK = 3, numHashes = 16, rowsPerBand = 4)
+      .unionByName(Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        k = 3, minJaccard = 0.0).select("id_a", "id_b"))
+    assert(u.count() >= 2)
   }
 
   test("oversized buckets are dropped, normal pairs survive, drop is observable") {
@@ -108,7 +121,7 @@ class DedupSpec extends AnyFunSuite {
     assert(got.contains((1L, 2L)), "capping must not affect normal buckets")
     assert(!got.exists(_._1 >= 100L), "oversized bucket must emit no pairs")
     // no silent caps: the drop count is an observed metric on the query
-    val m = pairs.queryExecution.observedMetrics(Dedup.BucketMetrics)
+    val m = pairs.queryExecution.observedMetrics(Dedup.MinhashBucketMetrics)
     assert(m.getAs[Long]("oversized_dropped") === 4L) // all 4 bands hot
   }
 
@@ -121,7 +134,7 @@ class DedupSpec extends AnyFunSuite {
       k = 3, minJaccard = 0.0, maxPosting = 10)
     val got = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === Set((1L, 2L)), "hot-shingle pairs dropped, normal kept")
-    val m = out.queryExecution.observedMetrics(Dedup.BucketMetrics)
+    val m = out.queryExecution.observedMetrics(Dedup.NgramBucketMetrics)
     assert(m.getAs[Long]("oversized_dropped") >= 1L)
   }
 

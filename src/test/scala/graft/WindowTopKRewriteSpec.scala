@@ -50,4 +50,44 @@ class WindowTopKRewriteSpec extends AnyFunSuite {
           .filterNot(_ == TopKPerKey.TopKStrategy)
     }
   }
+
+  test("global top-n (empty PARTITION BY) is left to WindowExec, not crashed") {
+    def globalTopN() = {
+      val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.load(spark, TestSpark.sf0001, "orders")
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select("o_orderkey", "o_totalprice", "rank")
+    }
+    val reference = globalTopN().collect().toSet
+
+    spark.experimental.extraStrategies =
+      spark.experimental.extraStrategies :+ TopKPerKey.TopKStrategy
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ WindowTopKRewrite
+    try {
+      val result = globalTopN() // must plan AND run without error
+      val plan = result.queryExecution.executedPlan.toString
+      assert(!plan.contains("TopKPerKey ["),
+        s"rule must not fire on empty PARTITION BY:\n$plan")
+      assert(result.collect().toSet === reference)
+      assert(result.count() === 10)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ == WindowTopKRewrite)
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies
+          .filterNot(_ == TopKPerKey.TopKStrategy)
+    }
+  }
+
+  test("topKPerKey rejects an empty key list eagerly") {
+    val df = Tables.load(spark, TestSpark.sf0001, "orders")
+    val e = intercept[IllegalArgumentException] {
+      TopKPerKey.topKPerKey(df, Nil,
+        Seq(TopKPerKey.Sort("o_totalprice", asc = false)), 3)
+    }
+    assert(e.getMessage.contains("at least one key"))
+  }
 }
