@@ -30,7 +30,16 @@ object Bench {
     // never as a near-zero "fast" sample — otherwise a broken query makes
     // the benchmark LOOK faster and the gate still passes.
     var errors = List.empty[(String, String)]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional dev filter: SPARK_GRAFT_BENCH_FILTER=q26,q45 runs only the
+    // queries whose name contains one of the comma-separated substrings.
+    // The driver never sets it, so driver runs always bench the full set.
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      filter.isEmpty || filter.exists(n.contains)
+    }
+    val results = selected.map { case (name, fn) =>
       val samples = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
         try {

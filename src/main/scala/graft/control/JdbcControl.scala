@@ -124,16 +124,26 @@ object JdbcControl {
     * (`load_to_staging.py:543-562`). Over JDBC we read-modify-write the
     * (small) log through [[ControlPlane.upsert]]'s latest-wins window;
     * the table stays the source of truth between engine runs.
+    *
+    * The current rows are MATERIALIZED (collected) before the overwrite:
+    * a lazy plan reading the same JDBC table it is about to overwrite
+    * would see the truncated table at execution time and silently drop
+    * every prior row. Control logs are tiny by contract, so the collect
+    * is a few hundred rows at most.
     */
   def upsertLog(spark: SparkSession, c: Conn,
                 entry: ControlPlane.RunLogEntry,
                 table: String = "file_logs"): DataFrame = {
-    val current =
-      if (tableExists(spark, c, table)) readLog(spark, c, table)
-      else ControlPlane.emptyLog(spark)
-    val updated = ControlPlane.upsert(current, entry)
-    writeLog(updated, c, table)
-    updated
+    import spark.implicits._
+    val current: Seq[ControlPlane.RunLogEntry] =
+      if (tableExists(spark, c, table))
+        readLog(spark, c, table).as[ControlPlane.RunLogEntry]
+          .collect().toSeq
+      else Seq.empty
+    val updated = ControlPlane.upsert(current.toDF(), entry)
+      .as[ControlPlane.RunLogEntry].collect().toSeq
+    writeLog(updated.toDF(), c, table)
+    updated.toDF()
   }
 
   def tableExists(spark: SparkSession, c: Conn, table: String): Boolean =
