@@ -12,9 +12,13 @@ object Params {
   val jaccardMin = 0.5
   val simhashBits = 16
   val annBits = 4
+  val annDims = 64
+  val annSeed = 42L
+  val annTables = 8
   val topK = 5
   val cosineDupMin = 0.95
   val ivfNlist = 8
+  val ivfNprobe = 4
   val sessionGapMinutes = 30
   val kmvK = 64
 }

@@ -83,9 +83,31 @@ object QueriesExt {
   private def dDot(a: String, b: String): String =
     (1 to 64).map(i => s"CAST($a[$i] AS DOUBLE)*CAST($b[$i] AS DOUBLE)")
       .mkString(" + ")
-  private def dBucket(v: String): String =
-    (1 to annBits).map(i =>
-      s"(CASE WHEN $v[$i] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
+  /** Seeded random-hyperplane sign-LSH bucket — the oracle twin of
+    * [[Similarity.signBucket]]: the same driver-side Rademacher weights
+    * are spliced in as an explicit left-associated ± chain, so the
+    * double-precision projection (and thus every bucket bit) is
+    * bit-identical across engines.
+    */
+  private def dBucket(v: String, seed: Long = annSeed): String =
+    (0 until annBits).map { i =>
+      val w = Similarity.hyperplaneSigns(seed, i, annDims)
+      val proj = w.zipWithIndex.map { case (s, j) =>
+        val term = s"CAST($v[${j + 1}] AS DOUBLE)"
+        if (j == 0) { if (s < 0) s"-$term" else term }
+        else { if (s < 0) s" - $term" else s" + $term" }
+      }.mkString
+      s"(CASE WHEN ($proj) >= 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+
+  /** Table-tagged bucket list for multi-table LSH (table t's hyperplanes
+    * seeded `annSeed + t`, tag prefix keeps equal bit-strings of
+    * different tables from colliding).
+    */
+  private def dBucketTables(v: String): String =
+    (0 until annTables)
+      .map(t => s"'$t:' || (${dBucket(v, annSeed + t)})")
+      .mkString("[", ", ", "]")
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -269,7 +291,8 @@ object QueriesExt {
       (s, dir) => {
         val e = tPar(s, dir, "embeddings")
         val v = e.select(col("vec_id"), col("embedding"),
-          Similarity.signBucket(col("embedding"), annBits).as("bucket"))
+          Similarity.signBucket(col("embedding"), annBits, annDims, annSeed)
+            .as("bucket"))
         v.alias("a").join(v.alias("b"),
           col("a.bucket") === col("b.bucket") &&
             col("a.vec_id") < col("b.vec_id"))
@@ -310,34 +333,44 @@ object QueriesExt {
             ORDER BY cos DESC, nn_id ASC) AS rank FROM pairs)
         WHERE rank <= $topK ORDER BY probe_id, rank""")),
 
-    // ── Bucketed ANN top-k (the scale path: equi-join, no cross join) ──
+    // ── Bucketed ANN top-k (the scale path: equi-join, no cross join;
+    //    multi-table sign-LSH for recall amplification) ─────────────────
     QueryDef("q31_ann_bucketed",
       (s, dir) => {
         val e = tPar(s, dir, "embeddings")
         Similarity.bucketedTopK(e, e.filter(col("vec_id") < 20),
-          "vec_id", "embedding", topK, annBits)
+          "vec_id", "embedding", topK, annBits, annDims, annSeed, annTables)
           .orderBy("probe_id", "rank")
       },
-      Some(s"""WITH v AS (SELECT vec_id, embedding,
-          ${dBucket("embedding")} AS bucket FROM embeddings),
+      // The Spark side's minimal-table guard emits each colliding pair
+      // exactly once; DISTINCT over the unnested table join is the same
+      // pair set, so the oracle stays equivalent without replicating the
+      // guard.
+      Some(s"""WITH v AS (SELECT vec_id,
+          unnest(${dBucketTables("embedding")}) AS bk FROM embeddings),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS probe_id, b.vec_id AS nn_id
+          FROM v a JOIN v b ON a.bk = b.bk AND a.vec_id <> b.vec_id
+          WHERE a.vec_id < 20),
         pairs AS (
-          SELECT a.vec_id AS probe_id, b.vec_id AS nn_id,
-            (${dDot("a.embedding", "b.embedding")})
-              / (sqrt(${dDot("a.embedding", "a.embedding")})
-                 * sqrt(${dDot("b.embedding", "b.embedding")})) AS cos
-          FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
-          WHERE a.vec_id < 20)
+          SELECT probe_id, nn_id,
+            (${dDot("pa.embedding", "pb.embedding")})
+              / (sqrt(${dDot("pa.embedding", "pa.embedding")})
+                 * sqrt(${dDot("pb.embedding", "pb.embedding")})) AS cos
+          FROM cand
+          JOIN embeddings pa ON cand.probe_id = pa.vec_id
+          JOIN embeddings pb ON cand.nn_id = pb.vec_id)
         SELECT probe_id, nn_id, cos, rank FROM (
           SELECT *, row_number() OVER (PARTITION BY probe_id
             ORDER BY cos DESC, nn_id ASC) AS rank FROM pairs)
         WHERE rank <= $topK ORDER BY probe_id, rank""")),
 
-    // ── IVF ANN top-k (deterministic coarse quantizer, nprobe=1) ───────
+    // ── IVF ANN top-k (hash-sampled coarse quantizer, multi-probe) ─────
     QueryDef("q37_ann_ivf",
       (s, dir) => {
         val e = tPar(s, dir, "embeddings")
         Similarity.ivfTopK(e, e.filter(col("vec_id") < 20),
-          "vec_id", "embedding", topK, ivfNlist)
+          "vec_id", "embedding", topK, ivfNlist, ivfNprobe)
           .orderBy("probe_id", "rank")
       },
       Some {
@@ -345,23 +378,27 @@ object QueriesExt {
           s"""(${dDot(a, b)}) / (sqrt(${dDot(a, a)}) * sqrt(${dDot(b, b)}))"""
         s"""WITH cents AS (
             SELECT vec_id AS cid, embedding AS cvec FROM embeddings
-            WHERE vec_id < $ivfNlist),
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $ivfNlist),
           scored AS (
             SELECT e.vec_id, cid,
               ${cos("e.embedding", "cvec")} AS ccos
             FROM embeddings e CROSS JOIN cents),
+          ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+              ORDER BY ccos DESC, cid ASC) AS rn FROM scored),
           cell AS (
-            SELECT vec_id, cid AS cell FROM (
-              SELECT *, row_number() OVER (PARTITION BY vec_id
-                ORDER BY ccos DESC, cid ASC) AS rn FROM scored)
-            WHERE rn = 1),
+            SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1),
+          pcell AS (
+            SELECT vec_id, cid AS cell FROM ranked
+            WHERE rn <= $ivfNprobe AND vec_id < 20),
           v AS (SELECT e.vec_id, e.embedding, cell
             FROM embeddings e JOIN cell USING (vec_id)),
+          pv AS (SELECT e.vec_id, e.embedding, cell
+            FROM embeddings e JOIN pcell USING (vec_id)),
           pairs AS (
             SELECT a.vec_id AS probe_id, b.vec_id AS nn_id,
               ${cos("a.embedding", "b.embedding")} AS cos
-            FROM v a JOIN v b ON a.cell = b.cell AND a.vec_id <> b.vec_id
-            WHERE a.vec_id < 20)
+            FROM pv a JOIN v b ON a.cell = b.cell AND a.vec_id <> b.vec_id)
           SELECT probe_id, nn_id, cos, rank FROM (
             SELECT *, row_number() OVER (PARTITION BY probe_id
               ORDER BY cos DESC, nn_id ASC) AS rank FROM pairs)

@@ -43,46 +43,107 @@ object Similarity {
     rankTopK(pairs, k)
   }
 
-  /** Sign-LSH bucket key: the sign bits of the first `bits` dimensions.
-    * (A trivially deterministic stand-in for random-hyperplane LSH; at
-    * scale, replace the selector with seeded pseudo-random hyperplanes —
-    * the plumbing, one short string key per row, is identical.)
+  /** Default LSH seed — any value works; fixed so buckets are stable
+    * across runs (re-bucketing an incrementally-growing corpus must not
+    * move existing rows).
     */
-  def signBucket(vec: Column, bits: Int): Column =
-    concat((0 until bits).map(i =>
-      when(element_at(vec, i + 1) >= 0, lit("1")).otherwise(lit("0"))): _*)
+  val DefaultSeed = 42L
 
-  /** IVF-style cell assignment: each vector goes to its nearest centroid
-    * (max cosine, ties to the lowest centroid id). Centroids are by
-    * construction a SMALL relation (nlist rows) — the assignment is a
-    * broadcast nested loop + one hash aggregation with map-side partial
-    * `max_by`, so the corpus is scanned once and never shuffled wide.
-    * Deterministic "training": centroids are the first `nlist` vectors by
-    * id (a seeded coarse quantizer; swap in k-means centroids without
-    * touching the plumbing).
+  /** ±1 Rademacher weights of hyperplane `bit` (seeded splitmix64).
+    * Driver-side and plan-time only: the weights depend on (seed, bit,
+    * dim), never on data, so they are baked into the plan as literals —
+    * per-row cost is the projection itself, and an external system (the
+    * SQL oracle, a feature store, a retrieval service) can reproduce the
+    * exact buckets from the same (seed, bits, dims) triple.
+    */
+  def hyperplaneSigns(seed: Long, bit: Int, dims: Int): Array[Int] = {
+    var x = seed * 0x9E3779B97F4A7C15L + (bit + 1) * 0xBF58476D1CE4E5B9L
+    Array.fill(dims) {
+      x += 0x9E3779B97F4A7C15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^= (z >>> 31)
+      if (z >= 0L) 1 else -1
+    }
+  }
+
+  /** Sign-LSH bucket key: `bits` random-hyperplane sign bits
+    * (Charikar 2002's SimHash for real vectors — P[bit differs] =
+    * angle/π). Rademacher (±1) hyperplanes rather than Gaussian: the
+    * projection is an add/subtract chain (no multiplies), the LSH
+    * property holds, and the left-associated double-precision sum is
+    * bit-reproducible by any engine that evaluates `±v1 ±v2 …` in order.
+    */
+  def signBucket(vec: Column, bits: Int, dims: Int,
+                 seed: Long = DefaultSeed): Column =
+    concat((0 until bits).map { i =>
+      val w = hyperplaneSigns(seed, i, dims)
+      val proj = (0 until dims).map { j =>
+        val e = element_at(vec, j + 1).cast("double")
+        if (w(j) > 0) e else -e
+      }.reduce(_ + _)
+      when(proj >= 0, lit("1")).otherwise(lit("0"))
+    }: _*)
+
+  /** Deterministic pseudo-random coarse quantizer: the `nlist` corpus
+    * vectors ranked first by `md5(id)` (hash order ≈ uniform sample,
+    * decorrelated from id order — first-`nlist`-by-id would inherit any
+    * id-locality in the data). Plans as TakeOrderedAndProject: each task
+    * keeps `nlist` (id, vec) rows, the driver merges — no global sort of
+    * the corpus. Swap in k-means centroids without touching the plumbing.
+    */
+  def sampleCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                      nlist: Int): DataFrame =
+    corpus.select(col(idCol), col(vecCol))
+      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
+      .limit(nlist)
+
+  /** IVF cell assignment, one row per (vector, probed cell): each vector
+    * scores all `nlist` centroids (broadcast nested loop — the corpus is
+    * scanned once and never shuffled wide) and keeps its `nprobe` nearest
+    * (max cosine, ties to the lowest centroid id).
+    *
+    * nprobe=1 (index build over the full corpus) aggregates with map-side
+    * partial `max_by` — one hash agg, no sort. nprobe>1 (query-side
+    * multi-probe over the small probe set) ranks via the heap top-k
+    * operator.
     */
   def ivfAssign(vectors: DataFrame, centroids: DataFrame, idCol: String,
-                vecCol: String): DataFrame = {
-    val cells = vectors.alias("v")
+                vecCol: String, nprobe: Int = 1): DataFrame = {
+    val scored = vectors.alias("v")
       .crossJoin(broadcast(centroids.select(col(idCol).as("__cid"),
         col(vecCol).as("__cvec"))))
       .withColumn("__cos", cosine(col(s"v.$vecCol"), col("__cvec")))
-      .groupBy(col(s"v.$idCol").as(idCol))
-      .agg(max_by(col("__cid"), struct(col("__cos"), -col("__cid")))
-        .as("cell"))
+    val cells =
+      if (nprobe == 1)
+        scored.groupBy(col(s"v.$idCol").as(idCol))
+          .agg(max_by(col("__cid"), struct(col("__cos"), -col("__cid")))
+            .as("cell"))
+      else
+        graft.plans.TopKPerKey.topKPerKey(
+          scored.select(col(s"v.$idCol").as(idCol), col("__cid"),
+            col("__cos")),
+          Seq(idCol),
+          Seq(graft.plans.TopKPerKey.Sort("__cos", asc = false),
+            graft.plans.TopKPerKey.Sort("__cid")), nprobe)
+          .select(col(idCol), col("__cid").as("cell"))
     vectors.join(cells, idCol)
   }
 
-  /** IVF ANN top-k (nprobe=1): probes search only their own cell.
-    * One equi-join on the cell id replaces the cross join; recall is
-    * bounded by quantizer quality exactly as in a real IVF index.
+  /** IVF ANN top-k: corpus vectors live in their nearest cell; probes
+    * search their `nprobe` nearest cells. Candidate generation is an
+    * equi-join on the cell id — nprobe multiplies candidates (and
+    * recall), never the corpus side of the shuffle. A corpus vector is in
+    * exactly one cell, so multi-probe never produces duplicate pairs.
     */
   def ivfTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
-              vecCol: String, k: Int, nlist: Int): DataFrame = {
-    val centroids = corpus.filter(col(idCol) < nlist)
+              vecCol: String, k: Int, nlist: Int,
+              nprobe: Int = 1): DataFrame = {
+    val centroids = sampleCentroids(corpus, idCol, vecCol, nlist)
     val c = ivfAssign(corpus, centroids, idCol, vecCol)
       .select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"), col("cell"))
-    val p = ivfAssign(probes, centroids, idCol, vecCol)
+    val p = ivfAssign(probes, centroids, idCol, vecCol, nprobe)
       .select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"),
         col("cell"))
     val pairs = p.join(c, Seq("cell"))
@@ -91,18 +152,44 @@ object Similarity {
     rankTopK(pairs, k)
   }
 
-  /** Bucketed ANN top-k: candidates share the probe's sign bucket.
-    * One equi-join shuffle on the bucket key instead of a cross join.
+  /** Bucketed ANN top-k: candidates share the probe's sign bucket in at
+    * least one of `tables` independent hash tables (table t's hyperplanes
+    * come from `seed + t`). One equi-join shuffle on the short
+    * (table, bucket) key instead of a cross join.
+    *
+    * Multi-table is the standard LSH recall amplifier: a true neighbor at
+    * angle θ survives one b-bit table with p = (1−θ/π)^b, but survives
+    * SOME of L tables with 1−(1−p)^L — recall is tuned by L without
+    * touching precision-critical b. A pair colliding in several tables is
+    * emitted only from its lowest shared table (the same minimal-band
+    * guard as [[Dedup.minhashCandidates]]), so the candidate set is
+    * duplicate-free with NO pair-level distinct shuffle; the guard is an
+    * O(L) chain of string compares per pair, all codegen-able.
     */
   def bucketedTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
-                   vecCol: String, k: Int, bits: Int = 4): DataFrame = {
-    val c = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"),
-      signBucket(col(vecCol), bits).as("bucket"))
-    val p = probes.select(col(idCol).as("probe_id"),
-      col(vecCol).as("probe_vec"),
-      signBucket(col(vecCol), bits).as("bucket"))
-    val pairs = p.join(c, Seq("bucket"))
+                   vecCol: String, k: Int, bits: Int, dims: Int,
+                   seed: Long = DefaultSeed, tables: Int = 1): DataFrame = {
+    require(tables >= 1, "tables must be >= 1")
+    def withBuckets(df: DataFrame, pfx: String) =
+      df.select(col(idCol).as(s"${pfx}_id"), col(vecCol).as(s"${pfx}_vec"),
+        array((0 until tables).map(t =>
+          signBucket(col(vecCol), bits, dims, seed + t)): _*)
+          .as(s"${pfx}_bks"))
+        .select(col(s"${pfx}_id"), col(s"${pfx}_vec"), col(s"${pfx}_bks"),
+          posexplode(col(s"${pfx}_bks")).as(Seq("tbl", "bucket")))
+    val c = withBuckets(corpus, "nn")
+    val p = withBuckets(probes, "probe")
+    val minimalTable = (1 until tables).foldLeft(
+      when(col("tbl") === 0, lit(true))) { (acc, t) =>
+      acc.when(col("tbl") === t,
+        (0 until t).map(j =>
+          element_at(col("probe_bks"), j + 1) =!=
+            element_at(col("nn_bks"), j + 1))
+          .reduce(_ && _))
+    }.otherwise(lit(false))
+    val pairs = p.join(c, Seq("tbl", "bucket"))
       .filter(col("probe_id") =!= col("nn_id"))
+      .filter(minimalTable)
       .withColumn("cos", cosine(col("probe_vec"), col("nn_vec")))
     rankTopK(pairs, k)
   }

@@ -37,13 +37,72 @@ class SimilaritySpec extends AnyFunSuite {
 
   test("bucketed ANN finds same-bucket neighbors via equi-join only") {
     val out = Similarity.bucketedTopK(vecs, vecs.filter($"vec_id" === 1),
-      "vec_id", "embedding", k = 5, bits = 3)
+      "vec_id", "embedding", k = 5, bits = 3, dims = 3)
       .collect().map(_.getAs[Long]("nn_id")).toSet
-    // bucket of v1 = "111" (signs of 1,0,0 → ≥0); v4=(−1,0,0) → "011"
-    assert(out === Set(2L, 3L, 5L))
-    val plan = Similarity.bucketedTopK(vecs, vecs, "vec_id", "embedding", 2, 3)
-      .queryExecution.executedPlan.toString
+    // under ANY ±1 hyperplane set: v5=2·v1 and v2 (angle ≈ 6°) project to
+    // v1's side of every plane → same bucket; v4=−v1 flips every non-zero
+    // projection → all bits differ. v3 (orthogonal) is seed-dependent.
+    assert(Set(2L, 5L).subsetOf(out), s"expected 2 and 5 in bucket: $out")
+    assert(!out.contains(4L), s"opposite vector must land elsewhere: $out")
+    val plan = Similarity.bucketedTopK(vecs, vecs, "vec_id", "embedding",
+      2, 3, 3).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"),
       "bucketed path must not fall back to a cross join")
+  }
+
+  test("hyperplaneSigns: deterministic, balanced, bit-distinct") {
+    val a = Similarity.hyperplaneSigns(42L, 0, 64)
+    assert(a.toSeq === Similarity.hyperplaneSigns(42L, 0, 64).toSeq)
+    val b = Similarity.hyperplaneSigns(42L, 1, 64)
+    assert(a.toSeq !== b.toSeq)
+    // Rademacher balance: a wildly skewed plane would make its bit
+    // near-constant over centered data (50±25 of 64 positives is lax)
+    assert(math.abs(a.count(_ > 0) - 32) <= 16)
+    assert(a.forall(s => s == 1 || s == -1))
+  }
+
+  // ── Recall floor vs exact brute force on real testdata ──────────────
+  // The trustworthiness spec the VERDICT asked for: seeded-hyperplane
+  // buckets and multi-probe IVF must actually FIND most true neighbors,
+  // not just run fast. Floors are set well under observed recall so the
+  // spec survives testdata regeneration with a different RNG stream.
+  private lazy val emb =
+    Tables.load(spark, "/root/testdata/sf0.01", "embeddings").cache()
+  private lazy val probes = emb.filter($"vec_id" < 50)
+
+  private def recallOf(approx: org.apache.spark.sql.DataFrame,
+                       k: Int): Double = {
+    val exact = Similarity.bruteForceTopK(emb, probes, "vec_id",
+      "embedding", k)
+      .select($"probe_id", $"nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = approx.select($"probe_id", $"nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    got.intersect(exact).size.toDouble / exact.size
+  }
+
+  test("sign-LSH bucketed ANN recall@10 clears the floor; tables amplify") {
+    // measured on this testdata: 1 table ≈ 0.12, 8 tables ≈ 0.64,
+    // 16 tables ≈ 0.88 — the 1−(1−p^b)^L amplification curve
+    val r1 = recallOf(Similarity.bucketedTopK(emb, probes, "vec_id",
+      "embedding", k = 10, bits = Params.annBits, dims = Params.annDims,
+      seed = Params.annSeed, tables = 1), 10)
+    val rL = recallOf(Similarity.bucketedTopK(emb, probes, "vec_id",
+      "embedding", k = 10, bits = Params.annBits, dims = Params.annDims,
+      seed = Params.annSeed, tables = Params.annTables), 10)
+    info(f"bucketed recall@10: 1 table $r1%.3f, ${Params.annTables} tables $rL%.3f")
+    assert(rL >= r1, f"more tables must not lose neighbors: $rL%.3f < $r1%.3f")
+    assert(rL >= 0.5, f"bucketed recall@10 $rL%.3f below floor 0.5")
+  }
+
+  test("IVF recall@10 clears the floor and multi-probe beats nprobe=1") {
+    val r1 = recallOf(Similarity.ivfTopK(emb, probes, "vec_id", "embedding",
+      k = 10, nlist = Params.ivfNlist, nprobe = 1), 10)
+    val rN = recallOf(Similarity.ivfTopK(emb, probes, "vec_id", "embedding",
+      k = 10, nlist = Params.ivfNlist, nprobe = Params.ivfNprobe), 10)
+    info(f"ivf recall@10: nprobe=1 $r1%.3f, nprobe=${Params.ivfNprobe} $rN%.3f")
+    assert(rN >= r1,
+      f"multi-probe must not lose neighbors: $rN%.3f < $r1%.3f")
+    assert(rN >= 0.5, f"ivf nprobe=${Params.ivfNprobe} recall@10 $rN%.3f below floor 0.5")
   }
 }
