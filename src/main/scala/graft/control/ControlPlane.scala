@@ -146,4 +146,58 @@ object ControlPlane {
     override def alert(subject: String, body: String): Unit =
       sent += (subject -> body)
   }
+
+  /** Alerts to stderr — the driver log is the cluster's default
+    * operator-visible channel.
+    */
+  object ConsoleAlerter extends Alerter {
+    override def alert(subject: String, body: String): Unit =
+      System.err.println(s"[graft-alert] $subject: $body")
+  }
+
+  /** Durable alert transport: appends one JSON line per alert to a file
+    * (any mounted path; on a cluster, a path a log shipper tails). The
+    * reference's transport is Gmail SMTP with an inlined app password
+    * (`extract_file.py:365-394`) — an SMTP implementation is this same
+    * two-method trait wired to the JVM mail API; it is not included
+    * because this container has no mail library and a silent fake SMTP
+    * client would be a dishonest test surface.
+    */
+  final class FileAlerter(path: String) extends Alerter {
+    override def alert(subject: String, body: String): Unit = {
+      def js(s: String): String =
+        "\"" + s.flatMap {
+          case '"'  => "\\\""
+          case '\\' => "\\\\"
+          case '\n' => "\\n"
+          case c if c < ' ' => f"\\u${c.toInt}%04x"
+          case c => c.toString
+        } + "\""
+      val line = s"""{"ts":${System.currentTimeMillis()},""" +
+        s""""subject":${js(subject)},"body":${js(body)}}""" + "\n"
+      val p = java.nio.file.Paths.get(path)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, line,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
+  }
+
+  /** Transport selection from the environment (C5's deploy knob):
+    * `GRAFT_ALERT_TRANSPORT` = `noop` (default) | `console` | `file`
+    * (requires `GRAFT_ALERT_FILE`). Unknown transports fail fast — a
+    * typo'd transport silently dropping failure alerts is the worst
+    * outcome for the one channel that reports failures.
+    */
+  def alerterFromEnv(env: Map[String, String] = sys.env): Alerter =
+    env.getOrElse("GRAFT_ALERT_TRANSPORT", "noop") match {
+      case "noop"    => NoopAlerter
+      case "console" => ConsoleAlerter
+      case "file" => new FileAlerter(env.getOrElse("GRAFT_ALERT_FILE",
+        throw new IllegalArgumentException(
+          "GRAFT_ALERT_TRANSPORT=file requires GRAFT_ALERT_FILE")))
+      case other => throw new IllegalArgumentException(
+        s"unknown GRAFT_ALERT_TRANSPORT '$other' " +
+          "(expected noop|console|file)")
+    }
 }

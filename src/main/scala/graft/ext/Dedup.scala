@@ -200,11 +200,18 @@ object Dedup {
     */
   def dedupClusters(pairs: DataFrame, aCol: String = "id_a",
                     bCol: String = "id_b"): DataFrame = {
+    // localCheckpoint per round, NOT cache: each round's plan references
+    // the previous round's labels several times, so lineage carried
+    // across rounds grows the analyzed plan exponentially — beyond ~6
+    // rounds (graph diameter ~6) the DRIVER dies assembling plan
+    // strings, long before any executor works hard. Checkpointing makes
+    // every round's plan O(1). Edges are static across rounds: a plain
+    // cache is right for them.
     val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
       .distinct().cache()
     var labels = edges.select(col("u").as("id")).distinct()
-      .withColumn("label", col("id")).cache()
+      .withColumn("label", col("id")).localCheckpoint(eager = true)
     var changed = 1L
     while (changed > 0) {
       val nbrMin = edges
@@ -214,17 +221,96 @@ object Dedup {
         .select(col("id"), col("label"),
           least(col("label"), coalesce(col("nlab"), col("label")))
             .as("newlab"))
-        .cache()
+        .localCheckpoint(eager = true)
       changed = updated.filter(col("newlab") =!= col("label")).count()
-      val prev = labels
-      labels = updated.select(col("id"), col("newlab").as("label")).cache()
-      labels.count() // materialize before dropping the parent cache
-      prev.unpersist(); updated.unpersist()
+      labels = updated.select(col("id"), col("newlab").as("label"))
     }
     val out = labels.select(col("id"), col("label").as("cluster"))
-      .localCheckpoint(eager = true) // sever lineage from the caches
-    edges.unpersist(); labels.unpersist()
+      .localCheckpoint(eager = true) // independent of the edges cache
+    edges.unpersist()
     out
+  }
+
+  /** Connected components by alternating SMALL-STAR / LARGE-STAR
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — O(log n) rounds on ANY graph, vs rounds ≈
+    * diameter for [[dedupClusters]]' label propagation. Use this variant
+    * when the pair graph may contain long chains (e.g. transitive
+    * near-dup chains a…z where each hop is a pair but the ends are not);
+    * for shallow LSH graphs (diameter 2-3) plain propagation does fewer
+    * shuffles per round and wins.
+    *
+    * Round shape (both stars): one groupBy(u).min shuffle to find each
+    * node's minimum neighbor, one equi-join to re-point edges, one
+    * distinct. No collect_list anywhere — a hot node's neighborhood is
+    * never materialized as one value, so degree skew cannot OOM a task
+    * (AQE splits the skewed groupBy partitions instead).
+    *
+    * Invariant: edges are kept as (hi, lo) with hi > lo; self-loops drop.
+    * Convergence: when large-star changes nothing, every node points
+    * directly at its component minimum — the edge set IS the labeling.
+    */
+  def dedupClustersStar(pairs: DataFrame, aCol: String = "id_a",
+                        bCol: String = "id_b"): DataFrame = {
+    // canonical undirected edge set: (hi, lo), hi > lo, distinct
+    def canon(e: DataFrame): DataFrame =
+      e.filter(col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .distinct()
+    // both directions of each canonical edge
+    def undirected(e: DataFrame): DataFrame =
+      e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+
+    /** large-star: for each node u, every strictly larger neighbor
+      * re-points to m(u) = min(Γ(u)∪{u}) — exactly the paper's emission
+      * set {(v, m(u)) : v ∈ Γ⁺(u)}, which provably preserves
+      * connectivity and never increases the edge count.
+      */
+    def largeStar(e: DataFrame): DataFrame = {
+      val und = undirected(e)
+      val m = und.groupBy("u")
+        .agg(least(min(col("v")), col("u")).as("m"))
+      canon(und.filter(col("v") > col("u")).join(m, "u")
+        .select(col("v").as("u"), col("m").as("v")))
+    }
+
+    /** small-star: orient each edge toward its larger end u; all of u's
+      * smaller neighbors and u itself re-point to m(u) = min of them.
+      */
+    def smallStar(e: DataFrame): DataFrame = {
+      // canonical (hi=u, lo=v) IS the small orientation: group by hi
+      val m = e.groupBy("u").agg(min(col("v")).as("m"))
+      canon(e.join(m, "u")
+        .select(col("v").as("u"), col("m").as("v")) // smaller neighbors → m
+        .unionByName(e.join(m, "u") // u itself → m
+          .select(col("u"), col("m").as("v"))))
+    }
+
+    // localCheckpoint per round severs lineage — one round references its
+    // predecessor ~12× (und/m/join fan-out), so carrying logical plans
+    // across rounds would grow the ANALYZED plan exponentially and hang
+    // the driver around round 10 even with caching (the cache
+    // short-circuits execution, not analysis).
+    var edges = canon(pairs.select(col(aCol).as("u"), col(bCol).as("v")))
+      .localCheckpoint(eager = true)
+    var edgeCount = edges.count()
+    var converged = edgeCount == 0L
+    while (!converged) {
+      val ls = largeStar(edges).localCheckpoint(eager = true)
+      val next = smallStar(ls).localCheckpoint(eager = true)
+      val nextCount = next.count()
+      // exact set-equality convergence: same size and no new edges
+      converged = nextCount == edgeCount &&
+        next.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      edges = next
+      edgeCount = nextCount
+    }
+    // star graph: every non-root points straight at its component min
+    edges.select(col("u").as("id"), col("v").as("cluster"))
+      .unionByName(edges.select(col("v").as("id"), col("v").as("cluster"))
+        .distinct())
+      .distinct()
   }
 
   /** Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle,

@@ -74,9 +74,30 @@ object Similarity {
     * projection is an add/subtract chain (no multiplies), the LSH
     * property holds, and the left-associated double-precision sum is
     * bit-reproducible by any engine that evaluates `±v1 ±v2 …` in order.
+    *
+    * Evaluated by the native [[graft.functions.NativeExprs.signLshBuckets
+    * SignLshBucketsExpr]] — the column-composed form
+    * ([[signBucketCols]]) is `bits × dims` element_at terms whose
+    * generated Java breaks janino at production widths, dropping the
+    * stage to interpreted mode.
     */
   def signBucket(vec: Column, bits: Int, dims: Int,
                  seed: Long = DefaultSeed): Column =
+    element_at(signBuckets(vec, bits, dims, seed, tables = 1), 1)
+
+  /** All `tables` bucket keys at once (table t seeded `seed + t`) — one
+    * native expression, one pass over the vector.
+    */
+  def signBuckets(vec: Column, bits: Int, dims: Int, seed: Long,
+                  tables: Int): Column =
+    graft.functions.NativeExprs.signLshBuckets(vec, bits, dims, seed, tables)
+
+  /** Column-composed reference implementation of [[signBucket]] (kept as
+    * the bit-identity parity twin for specs; do not use in hot paths —
+    * see [[signBucket]]'s codegen note).
+    */
+  private[graft] def signBucketCols(vec: Column, bits: Int, dims: Int,
+                                    seed: Long = DefaultSeed): Column =
     concat((0 until bits).map { i =>
       val w = hyperplaneSigns(seed, i, dims)
       val proj = (0 until dims).map { j =>
@@ -172,8 +193,7 @@ object Similarity {
     require(tables >= 1, "tables must be >= 1")
     def withBuckets(df: DataFrame, pfx: String) =
       df.select(col(idCol).as(s"${pfx}_id"), col(vecCol).as(s"${pfx}_vec"),
-        array((0 until tables).map(t =>
-          signBucket(col(vecCol), bits, dims, seed + t)): _*)
+        signBuckets(col(vecCol), bits, dims, seed, tables)
           .as(s"${pfx}_bks"))
         .select(col(s"${pfx}_id"), col(s"${pfx}_vec"), col(s"${pfx}_bks"),
           posexplode(col(s"${pfx}_bks")).as(Seq("tbl", "bucket")))

@@ -3,8 +3,9 @@ package graft.functions
 import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
@@ -23,6 +24,14 @@ import graft.ext.Shingles
   * MessageDigest is 10–50× faster and keeps the surrounding stage inside
   * whole-stage codegen. Values are bit-identical to the HOF pipeline and
   * to the generated DuckDB oracle SQL.
+  *
+  * Every expression here implements `doGenCode`, so none splits a
+  * whole-stage-codegen span: [[DotProductExpr]] (the per-pair hot path)
+  * generates its loop inline; the per-row heavyweights (md5 over
+  * shingles, tables×bits×dims projections) generate a single call into
+  * the expression instance via `addReferenceObj` — one virtual call per
+  * row is noise next to the work inside, and the surrounding stage stays
+  * fused.
   */
 object NativeExprs {
 
@@ -48,13 +57,22 @@ object NativeExprs {
     * has none).
     */
   case class MinHashSignatureExpr(child: Expression, k: Int, numHashes: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
 
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "graft_minhash_signature"
 
     private val as = Array.tabulate(numHashes)(Shingles.affineA)
     private val bs = Array.tabulate(numHashes)(Shingles.affineB)
+
+    def evalTokens(toks: ArrayData): ArrayData =
+      nullSafeEval(toks).asInstanceOf[ArrayData]
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("minhashExpr", this,
+        classOf[MinHashSignatureExpr].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.evalTokens($c);")
+    }
 
     override def nullSafeEval(input: Any): Any = {
       val toks = input.asInstanceOf[ArrayData]
@@ -97,20 +115,49 @@ object NativeExprs {
     * precision — the bit-exact twin of
     * `aggregate(zip_with(a, b, (x, y) => x*y), 0.0, _+_)` and of the
     * oracle's explicit left-associated sum.
+    *
+    * Length mismatch is an ERROR (fail-fast `IllegalArgumentException`),
+    * not silent min-length truncation: a truncated dot product is a
+    * plausible-looking wrong similarity, the worst failure mode for a
+    * dedup/ANN pipeline. Unsupported element types (decimal, short, byte,
+    * …) fail at ANALYSIS via `checkInputDataTypes`, not with a runtime
+    * MatchError mid-job.
     */
   case class DotProductExpr(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
 
     override def dataType: DataType = DoubleType
     override def prettyName: String = "graft_dot"
 
-    private def elemType(e: Expression) =
-      e.dataType.asInstanceOf[ArrayType].elementType
+    private def elemType(e: Expression) = e.dataType match {
+      case ArrayType(t, _) => t
+      case t               => t
+    }
+
+    private val supported: Set[DataType] =
+      Set(FloatType, DoubleType, LongType, IntegerType)
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(l, _), ArrayType(r, _))
+            if supported(l) && supported(r) =>
+          TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires two arrays with float/double/long/int " +
+            s"elements, got ${l.sql} and ${r.sql}")
+      }
+
+    private def lenMismatch(n: Int, m: Int): Nothing =
+      throw new IllegalArgumentException(
+        s"graft_dot: vector length mismatch ($n vs $m) — operands must " +
+          "share dimensionality; truncating would silently corrupt " +
+          "similarity scores")
 
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
-      val n = math.min(x.numElements(), y.numElements())
+      val n = x.numElements()
+      if (y.numElements() != n) lenMismatch(n, y.numElements())
       val (lt, rt) = (elemType(left), elemType(right))
       var acc = 0.0
       var i = 0
@@ -133,8 +180,124 @@ object NativeExprs {
       acc
     }
 
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        def get(t: DataType, arr: String): String = t match {
+          case FloatType   => s"(double) $arr.getFloat($i)"
+          case DoubleType  => s"$arr.getDouble($i)"
+          case LongType    => s"(double) $arr.getLong($i)"
+          case IntegerType => s"(double) $arr.getInt($i)"
+        }
+        val err = classOf[IllegalArgumentException].getName
+        s"""
+           |final int $n = $a.numElements();
+           |if ($b.numElements() != $n) {
+           |  throw new $err("graft_dot: vector length mismatch (" + $n +
+           |    " vs " + $b.numElements() + ") - operands must share " +
+           |    "dimensionality");
+           |}
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $acc += ${get(elemType(left), a)} * ${get(elemType(right), b)};
+           |}
+           |${ev.value} = $acc;
+           |""".stripMargin
+      })
+
     override protected def withNewChildrenInternal(
         l: Expression, r: Expression): Expression = copy(left = l, right = r)
+  }
+
+  /** All `tables` sign-LSH bucket keys of a numeric vector in ONE pass:
+    * element t is the `bits`-char bit string of table t, whose hyperplane
+    * i has the ±1 Rademacher weights
+    * `Similarity.hyperplaneSigns(seed + t, i, dims)`. Bit-identical to
+    * the column-composed projection chain
+    * ([[graft.ext.Similarity.signBucketCols]]) and to the DuckDB oracle's
+    * left-associated ± chain — the fold here uses `acc ± v(j)`, and IEEE
+    * 754 guarantees `acc + (-v) ≡ acc - v`.
+    *
+    * Why native: the composed form is `tables × bits × dims` element_at
+    * casts — 2048 terms at the defaults — whose generated Java blows
+    * janino's method limits, kicking the whole stage back to interpreted
+    * mode. Here it is a `dims`-double read followed by add/subtract
+    * chains over a precomputed sign table.
+    */
+  case class SignLshBucketsExpr(child: Expression, bits: Int, dims: Int,
+                                seed: Long, tables: Int)
+      extends UnaryExpression {
+    require(bits >= 1 && dims >= 1 && tables >= 1,
+      "bits, dims and tables must all be >= 1")
+
+    override def dataType: DataType =
+      ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "graft_sign_lsh_buckets"
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float> or array<double>, got ${t.sql}")
+    }
+
+    // row (t*bits + i) = hyperplane i of table t
+    @transient private lazy val signs: Array[Array[Int]] =
+      Array.tabulate(tables * bits) { r =>
+        graft.ext.Similarity.hyperplaneSigns(seed + r / bits, r % bits, dims)
+      }
+
+    @transient private lazy val isFloat =
+      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+    def evalVec(vec: ArrayData): ArrayData = {
+      val n = vec.numElements()
+      if (n != dims) throw new IllegalArgumentException(
+        s"graft_sign_lsh_buckets: vector has $n dims, hyperplanes have " +
+          s"$dims — bucketing a truncated projection would silently " +
+          "degrade recall")
+      val v = new Array[Double](n)
+      var j = 0
+      while (j < n) {
+        v(j) = if (isFloat) vec.getFloat(j).toDouble else vec.getDouble(j)
+        j += 1
+      }
+      val out = new Array[AnyRef](tables)
+      val sb = new java.lang.StringBuilder(bits)
+      var t = 0
+      while (t < tables) {
+        sb.setLength(0)
+        var i = 0
+        while (i < bits) {
+          val w = signs(t * bits + i)
+          var acc = if (w(0) > 0) v(0) else -v(0)
+          var k = 1
+          while (k < dims) {
+            if (w(k) > 0) acc += v(k) else acc -= v(k)
+            k += 1
+          }
+          sb.append(if (acc >= 0) '1' else '0')
+          i += 1
+        }
+        out(t) = UTF8String.fromString(sb.toString)
+        t += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      evalVec(input.asInstanceOf[ArrayData])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("lshExpr", this,
+        classOf[SignLshBucketsExpr].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.evalVec($c);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
   }
 
   /** k-word shingles of a token array as strings, optionally distinct —
@@ -142,11 +305,20 @@ object NativeExprs {
     * for docs with ≤ k tokens).
     */
   case class WordShinglesExpr(child: Expression, k: Int, distinct: Boolean)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
 
     override def dataType: DataType =
       ArrayType(StringType, containsNull = false)
     override def prettyName: String = "graft_word_shingles"
+
+    def evalTokens(toks: ArrayData): ArrayData =
+      nullSafeEval(toks).asInstanceOf[ArrayData]
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("shinglesExpr", this,
+        classOf[WordShinglesExpr].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.evalTokens($c);")
+    }
 
     override def nullSafeEval(input: Any): Any = {
       val toks = input.asInstanceOf[ArrayData]
@@ -202,10 +374,19 @@ object NativeExprs {
     * ([[graft.ext.TextStats.rollingFingerprint]]'s tight-loop twin).
     */
   case class RollingFingerprintExpr(child: Expression, k: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
 
     override def dataType: DataType = StringType
     override def prettyName: String = "graft_rolling_fingerprint"
+
+    def evalTokens(toks: ArrayData): UTF8String =
+      nullSafeEval(toks).asInstanceOf[UTF8String]
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("fingerprintExpr", this,
+        classOf[RollingFingerprintExpr].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.evalTokens($c);")
+    }
 
     override def nullSafeEval(input: Any): Any = {
       val toks = input.asInstanceOf[ArrayData]
@@ -244,10 +425,19 @@ object NativeExprs {
     * [[graft.ext.Dedup.simhash]]'s tight-loop twin.
     */
   case class SimHashExpr(child: Expression, bits: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
 
     override def dataType: DataType = StringType
     override def prettyName: String = "graft_simhash"
+
+    def evalTokens(toks: ArrayData): UTF8String =
+      nullSafeEval(toks).asInstanceOf[UTF8String]
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("simhashExpr", this,
+        classOf[SimHashExpr].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.evalTokens($c);")
+    }
 
     override def nullSafeEval(input: Any): Any = {
       val toks = input.asInstanceOf[ArrayData]
@@ -286,10 +476,19 @@ object NativeExprs {
     */
   case class LangIdExpr(child: Expression,
                         markers: Seq[(String, Seq[String])])
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
 
     override def dataType: DataType = StringType
     override def prettyName: String = "graft_lang_id"
+
+    def evalTokens(toks: ArrayData): UTF8String =
+      nullSafeEval(toks).asInstanceOf[UTF8String]
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("langIdExpr", this,
+        classOf[LangIdExpr].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.evalTokens($c);")
+    }
 
     @transient private lazy val langs = markers.map(_._1).toArray
     @transient private lazy val sets: Array[java.util.HashSet[String]] =
@@ -334,6 +533,12 @@ object NativeExprs {
     ColumnBridge.column(
       DotProductExpr(ColumnBridge.expression(a),
         ColumnBridge.expression(b)))
+
+  def signLshBuckets(vec: Column, bits: Int, dims: Int, seed: Long,
+                     tables: Int): Column =
+    ColumnBridge.column(
+      SignLshBucketsExpr(ColumnBridge.expression(vec), bits, dims, seed,
+        tables))
 
   def wordShingles(tokens: Column, k: Int, distinct: Boolean): Column =
     ColumnBridge.column(

@@ -7,6 +7,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.control.ControlPlane
 import graft.control.ControlPlane._
 import graft.etl.Pipeline
+import graft.sources.Sources
 
 /** E2'/E3' — the reference's per-day staging + warehouse runs
   * (`load_to_staging.py:478-564`, `load_to_dw.py:491-560`) composed from
@@ -27,10 +28,56 @@ object DailyJob {
       log = ControlPlane.emptyLog(spark))
 
   private def logEntry(id: Long, config: FileConfig, day: Date,
-                       status: String, count: Long, nowMs: Long) =
+                       status: String, count: Long, nowMs: Long,
+                       fileSizeKb: Long = 0L) =
     RunLogEntry(id, config.id, s"data_${config.id}_" +
       s"${config.destinationTableStaging}_${day}_${config.source}.csv",
-      day, status, count, 0L, new Timestamp(nowMs))
+      day, status, count, fileSizeKb, new Timestamp(nowMs))
+
+  /** Stage 1 (E1'): landed CSV → lake landing zone. The scrape itself
+    * stays outside the engine (SURVEY §2.1 S1/S2); E1' picks up at the
+    * scraper's CSV exactly where `extract_file.py:443-532` does — guard
+    * (skip if the day is RUNNING/ES), mark RUNNING, validate + count the
+    * rows, upload to the landing location (any Hadoop FS scheme — the B2
+    * bucket upload analogue), then mark ES with row count and size KB;
+    * any failure marks EF and alerts.
+    *
+    * @return (state, Some(landedPath)) on success / skip-already-done,
+    *         (state, None) on guard-skip or failure.
+    */
+  def runExtract(state: State, config: FileConfig, sourceCsv: String,
+                 landingDir: String, day: Date,
+                 alerter: Alerter = NoopAlerter,
+                 nowMs: Long = 0L): (State, Option[String]) = {
+    if (!canExtract(state.log, config.id, day)) {
+      alerter.alert(s"extract skipped ${config.id}/$day",
+        "day already RUNNING or extracted")
+      return (state, None)
+    }
+    val running = upsert(state.log,
+      logEntry(day.toLocalDate.toEpochDay, config, day, Status.Running,
+        0L, nowMs))
+    val spark = state.staging.sparkSession
+    try {
+      val rows = Sources.readCsv(spark, sourceCsv,
+        Pipeline.feedSchema, header = true).count()
+      val landed = s"$landingDir/data_${config.id}_" +
+        s"${config.destinationTableStaging}_${day}_${config.source}.csv"
+      Sources.copyFile(spark, sourceCsv, landed)
+      val (_, sizeKb) = Sources.fileStats(spark, landed)
+      val done = upsert(running,
+        logEntry(day.toLocalDate.toEpochDay, config, day,
+          Status.ExtractSuccess, rows, nowMs + 1,
+          math.round(sizeKb)))
+      (State(state.staging, state.dw, done), Some(landed))
+    } catch {
+      case e: Exception =>
+        alerter.alert(s"extract failed ${config.id}/$day", e.getMessage)
+        (State(state.staging, state.dw, upsert(running,
+          logEntry(day.toLocalDate.toEpochDay, config, day,
+            Status.ExtractFailure, 0L, nowMs + 1))), None)
+    }
+  }
 
   /** Stage 2: landed CSV → staging. Guard: the extract must have
     * succeeded (ES); failures mark EF and alert instead of throwing raw.

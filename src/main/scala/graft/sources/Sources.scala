@@ -110,6 +110,34 @@ object Sources {
       .csv(path)
   }
 
+  /** S4 — single-file upload/copy across Hadoop FileSystems (the B2
+    * `upload_local_file` analogue, `extract_file.py:397-440`): source and
+    * destination resolve their own scheme (`file://`, `s3a://`, `hdfs://`,
+    * …), so landing → object store is this one call on a cluster.
+    *
+    * S3-compatible object-store recipe (B2/R2/minio all speak the S3
+    * API; hadoop-aws must be on the cluster classpath):
+    * {{{
+    * spark.hadoop.fs.s3a.endpoint                 https://<s3-endpoint>
+    * spark.hadoop.fs.s3a.path.style.access        true   # non-AWS stores
+    * spark.hadoop.fs.s3a.aws.credentials.provider
+    *   org.apache.hadoop.fs.s3a.auth.IAMInstanceCredentialsProvider
+    *   # or EnvironmentVariableCredentialsProvider reading
+    *   # AWS_ACCESS_KEY_ID / AWS_SECRET_ACCESS_KEY — never inline keys
+    * }}}
+    * then pass `s3a://bucket/key` paths to any function in this object.
+    */
+  def copyFile(spark: SparkSession, src: String, dest: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val srcFs = FileSystem.get(new java.net.URI(src), conf)
+    val dstFs = FileSystem.get(new java.net.URI(dest), conf)
+    val destPath = new Path(dest)
+    if (destPath.getParent != null) dstFs.mkdirs(destPath.getParent)
+    org.apache.hadoop.fs.FileUtil.copy(
+      srcFs, new Path(src), dstFs, destPath,
+      /* deleteSource = */ false, /* overwrite = */ true, conf)
+  }
+
   /** F8 — file metadata for the run log (size KB, rounded to 2 places
     * like `extract_file.py:225-263`).
     */

@@ -21,6 +21,69 @@ class DailyJobSpec extends AnyFunSuite {
       RunLogEntry(99L, cfg.id, "f.csv", day, Status.ExtractSuccess,
         200, 16, new Timestamp(0L))))
 
+  test("E1'→E2'→E3' end-to-end: RUNNING → ES → LS → LWS from one CSV") {
+    val a = new CollectingAlerter
+    val landing = java.nio.file.Files
+      .createTempDirectory("graft_landing").toString
+    val s0 = DailyJob.initial(spark)
+
+    val (s1, landedOpt) =
+      DailyJob.runExtract(s0, cfg, dailyCsv, landing, day, a)
+    val landed = landedOpt.getOrElse(fail("extract must land the file"))
+    assert(landed.contains(
+      "data_1_matkinh_daily_2024-12-08_kinhmatviettin.vn.csv"))
+    val esRow = s1.log.filter(col("status") === Status.ExtractSuccess)
+    assert(esRow.count() === 1)
+    // raw feed rows (the reference logs the extract's CSV row count;
+    // keyed dedup to 100 happens at staging, not extract)
+    assert(esRow.head.getAs[Long]("count") === 200)
+    assert(esRow.head.getAs[Long]("fileSizeKb") > 0)
+
+    // re-running the same day is guarded off (C3) and alerts
+    val (s1again, none) = DailyJob.runExtract(s1, cfg, dailyCsv, landing,
+      day, a)
+    assert(none.isEmpty)
+    assert(a.sent.exists(_._1.contains("extract skipped")))
+
+    // monotone nowMs across stages, as a real scheduler provides — the
+    // run-log upsert is latest-wins by dtUpdate
+    val s2 = DailyJob.runStaging(s1again, cfg, landed, day, a, nowMs = 10)
+    assert(s2.staging.count() === 100)
+    assert(s2.log.filter(col("status") === Status.LoadedStaging).count() === 1)
+
+    val s3 = DailyJob.runWarehouse(s2, cfg, day, a, nowMs = 20)
+    assert(s3.dw.count() === 100)
+    assert(s3.log.filter(col("status") === Status.LoadedWarehouse).count() === 1)
+    // one row per (config, day): the upsert kept latest-wins through all
+    // four states
+    assert(s3.log.count() === 1)
+  }
+
+  test("extract failure marks EF with alert content; file transport " +
+       "records it durably") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_alerts")
+    val alertFile = s"$tmp/alerts.jsonl"
+    val alerter = alerterFromEnv(Map(
+      "GRAFT_ALERT_TRANSPORT" -> "file", "GRAFT_ALERT_FILE" -> alertFile))
+    val landing = java.nio.file.Files
+      .createTempDirectory("graft_landing").toString
+
+    val (s1, none) = DailyJob.runExtract(DailyJob.initial(spark), cfg,
+      "/nonexistent/feed.csv", landing, day, alerter)
+    assert(none.isEmpty)
+    assert(s1.log.filter(col("status") === Status.ExtractFailure)
+      .count() === 1)
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(alertFile))
+    assert(lines.size === 1)
+    assert(lines.get(0).contains("extract failed 1/2024-12-08"))
+
+    assert(alerterFromEnv(Map.empty) === NoopAlerter)
+    intercept[IllegalArgumentException] {
+      alerterFromEnv(Map("GRAFT_ALERT_TRANSPORT" -> "pigeon"))
+    }
+  }
+
   test("guarded staging + warehouse happy path: ES → LS → LWS") {
     val s0 = seedEs(DailyJob.initial(spark))
     val s1 = DailyJob.runStaging(s0, cfg, dailyCsv, day)

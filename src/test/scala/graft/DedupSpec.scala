@@ -84,6 +84,40 @@ class DedupSpec extends AnyFunSuite {
       (9L, 9L), (10L, 9L)))
   }
 
+  test("dedupClustersStar ≡ dedupClusters; converges fast on a deep path") {
+    // same shallow graph as above
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (9L, 10L))
+      .toDF("id_a", "id_b")
+    val star = Dedup.dedupClustersStar(pairs).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(star.toSeq === Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (9L, 9L), (10L, 9L)))
+
+    // a 400-node PATH (diameter 399): label propagation would need ~400
+    // rounds; star contraction is O(log n) — this completing at all in
+    // test time is the point. Shuffled ids so structure ≠ id order.
+    val n = 400
+    val perm = new scala.util.Random(7).shuffle((0L until n).toVector)
+    val path = (0 until n - 1).map(i => (perm(i), perm(i + 1)))
+      .toDF("id_a", "id_b")
+    val out = Dedup.dedupClustersStar(path).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length === n)
+    assert(out.map(_._2).distinct.toSeq === Seq(0L),
+      "one component labeled by its min id")
+
+    // random graph: star and propagation must agree exactly
+    val rnd = new scala.util.Random(11)
+    val randPairs = Seq.fill(300)((rnd.nextInt(120).toLong,
+      rnd.nextInt(120).toLong))
+      .filter(p => p._1 != p._2).toDF("id_a", "id_b")
+    val a = Dedup.dedupClusters(randPairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val b = Dedup.dedupClustersStar(randPairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("hot bucket: 1000 identical docs stream all pairs, no giant row") {
     // Every doc shares every band key → 4 buckets of size 1000. Round 1
     // materialized each bucket's 499,500 pairs as ONE array value; the

@@ -81,4 +81,49 @@ class NativeExprsSpec extends AnyFunSuite {
       .select(NativeExprs.dot(col("a"), col("b")).as("n")).head()
     assert(withNull.isNullAt(0))
   }
+
+  test("DotProductExpr rejects length mismatch at runtime and bad " +
+       "element types at analysis") {
+    val mismatch = Seq((Array(1.0f, 2.0f), Array(1.0f)))
+      .toDF("a", "b").select(NativeExprs.dot(col("a"), col("b")))
+    val e = intercept[Exception](mismatch.collect())
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => c.isInstanceOf[IllegalArgumentException] &&
+      c.getMessage.contains("length mismatch")), s"got: $e")
+
+    val badType = Seq((Array("x"), Array("y"))).toDF("a", "b")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      badType.select(NativeExprs.dot(col("a"), col("b"))).schema
+    }
+  }
+
+  test("SignLshBucketsExpr ≡ column-composed projection on real " +
+       "embeddings, both codegen and interpreted") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val bits = 4; val dims = 64; val tables = 3
+    val cols = (0 until tables).map(t =>
+      graft.ext.Similarity.signBucketCols(col("embedding"), bits, dims,
+        42L + t).as(s"c$t"))
+    val rows = emb.select(
+      (NativeExprs.signLshBuckets(col("embedding"), bits, dims, 42L,
+        tables).as("native") +: cols): _*).collect()
+    rows.foreach { r =>
+      val native = r.getSeq[String](0)
+      assert(native === (1 to tables).map(r.getString),
+        "native buckets must equal the column-composed chain")
+    }
+    // interpreted path (eval) must agree with the codegen'd path
+    val interp = emb.select(NativeExprs.signLshBuckets(col("embedding"),
+      bits, dims, 42L, tables).as("b"))
+    val conf = "spark.sql.codegen.wholeStage"
+    val prev = spark.conf.get(conf)
+    try {
+      spark.conf.set(conf, "false")
+      val a = interp.collect().map(_.getSeq[String](0).mkString("|"))
+      spark.conf.set(conf, prev)
+      val b = interp.collect().map(_.getSeq[String](0).mkString("|"))
+      assert(a.toSeq === b.toSeq)
+    } finally spark.conf.set(conf, prev)
+  }
 }

@@ -29,6 +29,36 @@ class SourcesSpec extends AnyFunSuite {
     assert(df.exceptAll(back).isEmpty && back.exceptAll(df).isEmpty)
   }
 
+  test("sources resolve per-URI FileSystems: cross-scheme copy, probe " +
+       "and stats on a non-default scheme (S4/S6)") {
+    // Register a second Hadoop FileSystem scheme. Sources.* must resolve
+    // the FS from each path's URI (FileSystem.get(uri, conf)) — code that
+    // grabs the default FS would read file:// and break on s3a:// in
+    // production. An s3a:// path works identically with the recipe in
+    // Sources.copyFile's scaladoc; no live object store exists in this
+    // container, so the spec proves the multi-scheme plumbing instead.
+    spark.sparkContext.hadoopConfiguration.set("fs.graftmem.impl",
+      classOf[GraftMemFileSystem].getName)
+    val dir = java.nio.file.Files.createTempDirectory("graftmem").toString
+    val dest = s"graftmem://$dir/landed/feed.csv"
+
+    assert(!Sources.exists(spark, dest))
+    Sources.copyFile(spark, dailyCsv, dest) // file:// → graftmem://
+    assert(Sources.exists(spark, dest))
+    val (bytes, kb) = Sources.fileStats(spark, dest)
+    assert(bytes > 0 && kb > 0)
+
+    val back = Sources.readCsv(spark, dest, Pipeline.feedSchema)
+    val orig = Sources.readCsv(spark, dailyCsv, Pipeline.feedSchema)
+    assert(back.count() === orig.count())
+
+    val roundtrip = s"graftmem://$dir/roundtrip/out.csv"
+    Sources.writeSingleCsv(back, roundtrip) // single-file write on the scheme
+    assert(Sources.exists(spark, roundtrip))
+    Sources.copyFile(spark, roundtrip, s"$dir/back_local.csv") // → file://
+    assert(Sources.exists(spark, s"$dir/back_local.csv"))
+  }
+
   test("partitioned warehouse write prunes date-filtered scans") {
     val d1 = Date.valueOf("2024-12-08")
     val day1 = Pipeline.ingestDaily(spark, dailyCsv, 1, d1, d1)
