@@ -21,4 +21,8 @@ object Params {
   val ivfNprobe = 4
   val sessionGapMinutes = 30
   val kmvK = 64
+  val packBudget = 512
+  val mixHeadSources: Seq[String] = (0 until 5).map(i => s"src$i")
+  val mixHeadRate = 0.9
+  val mixTailRate = 0.3
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ext.{Dedup, Multimodal, Shingles, Similarity, TextStats}
+import graft.ext.{Curation, Dedup, Multimodal, Shingles, Similarity, TextStats}
 import graft.functions.Parity._
 
 /** Training-data-pipeline operators (dedup family, similarity search,
@@ -650,6 +650,85 @@ object QueriesExt {
             THEN o_totalprice END) AS p90_est,
           COUNT(*) AS n_sampled
         FROM ranked GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ── IVF ANN with a TRAINED coarse quantizer (Lloyd's k-means) ──────
+    // No SQL oracle: iterative k-means is not one-shot-SQL-expressible
+    // and per-dimension double sums are partition-order dependent in the
+    // last ulp, so even a recursive-CTE oracle would hash-drift. The
+    // driver records the rows-only check; result QUALITY is locked by
+    // SimilaritySpec's recall floors (trained ≥ sampled quantizer).
+    QueryDef("q56_ann_ivf_kmeans",
+      (s, dir) => {
+        val e = tPar(s, dir, "embeddings")
+        Similarity.ivfTopK(e, e.filter(col("vec_id") < 20),
+          "vec_id", "embedding", topK, ivfNlist, ivfNprobe,
+          trainIters = 3, dims = annDims)
+          .orderBy("probe_id", "rank")
+      },
+      None),
+
+    // ── Benchmark decontamination: train docs overlapping a bench set ──
+    QueryDef("q57_decontaminate",
+      (s, dir) => {
+        val docs = tPar(s, dir, "documents")
+        Curation.contaminationPairs(
+          docs.filter(col("doc_id") >= 10),
+          docs.filter(col("doc_id") < 10),
+          "doc_id", "text", shingleK)
+          .orderBy("train_id", "bench_id")
+      },
+      Some(s"""WITH sh AS (SELECT doc_id, unnest(list_distinct(
+            ${dShingles(dTok, shingleK)})) AS shingle FROM documents)
+        SELECT a.doc_id AS train_id, b.doc_id AS bench_id,
+          COUNT(*) AS shared_shingles
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc_id >= 10 AND b.doc_id < 10
+        GROUP BY 1, 2 ORDER BY train_id, bench_id""")),
+
+    // ── Sequence packing: fixed token budgets per training context ─────
+    QueryDef("q58_sequence_pack",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("source"), col("doc_id"),
+          size(TextStats.tokens(col("text"))).cast("long").as("n_tokens"))
+        Curation.packSequences(d, "doc_id", "n_tokens", "source",
+          packBudget)
+          .groupBy("source", "pack_id")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("pack_tokens"))
+          .orderBy("source", "pack_id")
+      },
+      Some(s"""WITH d AS (SELECT source, doc_id,
+          CAST(len($dTok) AS BIGINT) AS n_tokens FROM documents),
+        p AS (SELECT source, doc_id, n_tokens,
+          CAST(floor(COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+            ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            / $packBudget) AS BIGINT) AS pack_id
+        FROM d)
+        SELECT source, pack_id, COUNT(*) AS n_docs,
+          CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+        FROM p GROUP BY 1, 2 ORDER BY source, pack_id""")),
+
+    // ── Domain-mixture sampling: per-source deterministic keep rates ───
+    QueryDef("q59_domain_mix",
+      (s, dir) => {
+        val rates = mixHeadSources.map(_ -> mixHeadRate).toMap
+        Curation.sampleMixture(t(s, dir, "documents"), "doc_id", "source",
+          rates, mixTailRate)
+          .groupBy("source")
+          .agg(count(lit(1)).as("kept_docs"), min(col("doc_id")).as("min_kept"))
+          .orderBy("source")
+      },
+      Some {
+        val head = mixHeadSources.map(s => s"'$s'").mkString(", ")
+        s"""SELECT source, COUNT(*) AS kept_docs, min(doc_id) AS min_kept
+        FROM documents
+        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+          % 1000 < CASE WHEN source IN ($head)
+            THEN ${(mixHeadRate * 1000).toInt}
+            ELSE ${(mixTailRate * 1000).toInt} END
+        GROUP BY 1 ORDER BY source"""
+      }),
 
     // ── As-of join: purchase ← most recent prior view per user ─────────
     // Spark-first: union-and-carry-forward (sort once per user, no

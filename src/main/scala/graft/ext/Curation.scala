@@ -1,0 +1,97 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for a training-data pipeline: benchmark
+  * decontamination, sequence packing, and domain-mixture sampling.
+  * All three are deterministic (hash-gated or order-driven, never RNG at
+  * execution time), so a single-threaded SQL oracle reproduces them
+  * exactly — the same design rule as the dedup/sketch family.
+  */
+object Curation {
+
+  /** Benchmark decontamination, step 1: every (train doc, benchmark doc)
+    * pair sharing at least one k-word shingle, with the shared-shingle
+    * count. The standard pre-training hygiene step — training documents
+    * that textually overlap an eval benchmark inflate its score and must
+    * be dropped (or at least audited) before training.
+    *
+    * Scale shape: the BENCHMARK side is small by nature (eval suites are
+    * thousands of documents, the corpus is billions), so its exploded
+    * shingle index is broadcast — the corpus is shingled in its one map
+    * stage and hash-joined locally, no shuffle of the corpus, no
+    * inverted-index caps needed. Shingling is the native
+    * [[graft.functions.NativeExprs.wordShingles]] expression.
+    */
+  def contaminationPairs(train: DataFrame, bench: DataFrame, idCol: String,
+                         textCol: String, k: Int): DataFrame = {
+    def shingled(df: DataFrame, out: String) =
+      df.select(col(idCol).as(out),
+        explode(graft.functions.NativeExprs.wordShingles(
+          TextStats.tokens(col(textCol)), k, distinct = true)).as("shingle"))
+    shingled(train, "train_id")
+      .join(broadcast(shingled(bench, "bench_id")), "shingle")
+      .groupBy("train_id", "bench_id")
+      .agg(count(lit(1)).as("shared_shingles"))
+  }
+
+  /** Benchmark decontamination, step 2: the corpus minus every document
+    * contaminated above a shared-shingle threshold (left anti join on the
+    * pair set).
+    */
+  def decontaminate(train: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, k: Int,
+                    minShared: Long = 1L): DataFrame =
+    train.join(
+      contaminationPairs(train, bench, idCol, textCol, k)
+        .filter(col("shared_shingles") >= minShared)
+        .select(col("train_id").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
+  /** Greedy in-order sequence packing: assign documents to fixed token
+    * budgets (training context windows). Documents are taken in `idCol`
+    * order within each `groupCol` partition; a document joins the
+    * current pack while the pack's PRIOR token total is below `budget`,
+    * so each pack may overflow by at most one document (the standard
+    * streaming-packing approximation — exact bin packing is NP-hard and
+    * order-dependent anyway).
+    *
+    * Pure window arithmetic over integer token counts: one shuffle on
+    * `groupCol`, bit-exact in any engine. At 100 TB `groupCol` should be
+    * a real partition key (source, shard) so no window sees unbounded
+    * rows.
+    */
+  def packSequences(docs: DataFrame, idCol: String, tokenCol: String,
+                    groupCol: String, budget: Int): DataFrame = {
+    val prior = Window.partitionBy(groupCol).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.withColumn("pack_id",
+      floor(coalesce(sum(col(tokenCol)).over(prior), lit(0L)) / budget)
+        .cast("long"))
+  }
+
+  /** Domain-mixture sampling: keep a deterministic per-document hash gate
+    * whose rate depends on the document's domain — the "sample web at
+    * 30%, keep curated sources at 100%" step of assembling a training
+    * mix. Reproducible end-to-end: the kept set is a pure function of
+    * (id, rates), so reruns, incremental loads, and the SQL oracle agree
+    * row-for-row (RNG-based sampling can guarantee none of that).
+    * Map-only, no shuffle.
+    */
+  def sampleMixture(docs: DataFrame, idCol: String, groupCol: String,
+                    rates: Map[String, Double],
+                    defaultRate: Double): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),
+      "rates must be in [0, 1]")
+    // per-mille gate on the portable md5-based hash (same hash as the
+    // q51 train/val split, so gates compose consistently)
+    val rate = rates.foldLeft(lit((defaultRate * 1000).toInt)) {
+      case (acc, (g, r)) =>
+        when(col(groupCol) === g, lit((r * 1000).toInt)).otherwise(acc)
+    }
+    docs.filter(
+      pmod(Shingles.baseHash(col(idCol).cast("string")), lit(1000)) < rate)
+  }
+}

@@ -120,6 +120,50 @@ object Similarity {
       .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
       .limit(nlist)
 
+  /** Distributed Lloyd's k-means over the embedding column — the real
+    * IVF coarse quantizer ([[sampleCentroids]] is the train-free
+    * fallback). Deterministic init (hash-sampled vectors), fixed `iters`
+    * rounds; assignment is by max cosine (spherical k-means, matching
+    * the IVF search metric).
+    *
+    * Scale shape per round: centroids are BROADCAST (nlist × dims
+    * doubles); assignment is the one corpus scan; the centroid update is
+    * a single hash aggregation with map-side partial sums — `dims`
+    * native `sum(element_at(vec, i))` aggregates, so the shuffle carries
+    * nlist × (dims+1) doubles per map task, not vectors. The corpus is
+    * never shuffled. Train on a sample at 100 TB (pass
+    * `corpus.sample(...)`); quantizer quality needs thousands of points
+    * per centroid, not the full corpus.
+    *
+    * Cells that lose all members simply drop (standard Lloyd's; the
+    * quantizer then has < nlist cells). Per-dimension double sums are
+    * partition-order dependent in the last ulp, so centroids are
+    * deterministic in VALUE only up to float rounding — fine for an
+    * index structure, which is why the IVF queries keep the
+    * hash-sampled quantizer as their oracle-exact variant.
+    */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                      nlist: Int, dims: Int, iters: Int = 3): DataFrame = {
+    require(iters >= 1 && nlist >= 1 && dims >= 1)
+    var cents = sampleCentroids(corpus, idCol, vecCol, nlist)
+      .localCheckpoint(eager = true)
+    var round = 0
+    while (round < iters) {
+      val assigned = ivfAssign(corpus, cents, idCol, vecCol)
+      val sums = assigned.groupBy(col("cell"))
+        .agg(count(lit(1)).as("__n"),
+          (0 until dims).map(i =>
+            sum(element_at(col(vecCol), i + 1).cast("double"))
+              .as(s"__s$i")): _*)
+      cents = sums.select(col("cell").as(idCol),
+        array((0 until dims).map(i =>
+          (col(s"__s$i") / col("__n"))): _*).as(vecCol))
+        .localCheckpoint(eager = true) // per-round lineage cut
+      round += 1
+    }
+    cents
+  }
+
   /** IVF cell assignment, one row per (vector, probed cell): each vector
     * scores all `nlist` centroids (broadcast nested loop — the corpus is
     * scanned once and never shuffled wide) and keeps its `nprobe` nearest
@@ -160,8 +204,14 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
               vecCol: String, k: Int, nlist: Int,
-              nprobe: Int = 1): DataFrame = {
-    val centroids = sampleCentroids(corpus, idCol, vecCol, nlist)
+              nprobe: Int = 1, trainIters: Int = 0,
+              dims: Int = 0): DataFrame = {
+    require(trainIters == 0 || dims > 0,
+      "k-means training (trainIters > 0) needs the vector dims")
+    val centroids =
+      if (trainIters > 0)
+        kmeansCentroids(corpus, idCol, vecCol, nlist, dims, trainIters)
+      else sampleCentroids(corpus, idCol, vecCol, nlist)
     val c = ivfAssign(corpus, centroids, idCol, vecCol)
       .select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"), col("cell"))
     val p = ivfAssign(probes, centroids, idCol, vecCol, nprobe)

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.Curation
+
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("contaminationPairs finds shared shingles; decontaminate drops " +
+       "offenders and only offenders") {
+    val bench = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (10L, "intro text then the quick brown fox jumps over the lazy dog"),
+      (11L, "completely unrelated words about spark aggregation plans"),
+      (12L, "the quick brown fox appears but the shingle run is broken up"))
+      .toDF("doc_id", "text")
+    val pairs = Curation.contaminationPairs(train, bench, "doc_id", "text",
+      k = 5).collect()
+    assert(pairs.map(_.getAs[Long]("train_id")).toSet === Set(10L),
+      "only the verbatim-overlap doc shares a 5-gram")
+    assert(pairs.head.getAs[Long]("shared_shingles") === 5)
+    // the 9-token bench doc has 5 distinct 5-shingles, all inside doc 10
+
+    val clean = Curation.decontaminate(train, bench, "doc_id", "text", 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(clean === Set(11L, 12L))
+    // broadcast of the bench side, not the corpus
+    val plan = Curation.contaminationPairs(train, bench, "doc_id", "text", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast in:\n$plan")
+  }
+
+  test("packSequences: in-order greedy packing, ≤ one-doc overflow, " +
+       "bit-exact pack ids") {
+    val docs = Seq(
+      ("a", 1L, 300L), ("a", 2L, 300L), ("a", 3L, 300L), ("a", 4L, 50L),
+      ("b", 5L, 600L), ("b", 6L, 10L))
+      .toDF("source", "doc_id", "n_tokens")
+    val packed = Curation.packSequences(docs, "doc_id", "n_tokens",
+      "source", budget = 512)
+      .select("source", "doc_id", "pack_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    // a: prior sums 0,300,600,900 → packs 0,0,1,1 ; b: 0,600 → 0,1
+    assert(packed.toSeq === Seq(("a", 1L, 0L), ("a", 2L, 0L),
+      ("a", 3L, 1L), ("a", 4L, 1L), ("b", 5L, 0L), ("b", 6L, 1L)))
+  }
+
+  test("sampleMixture: deterministic, rate-keyed by group, composable " +
+       "with itself") {
+    val docs = spark.range(2000).select(col("id").as("doc_id"),
+      when(col("id") % 2 === 0, "head").otherwise("tail").as("source"))
+    val kept = Curation.sampleMixture(docs, "doc_id", "source",
+      Map("head" -> 0.9), defaultRate = 0.2)
+    val counts = kept.groupBy("source").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    // 1000 docs per group; hash gate keeps ≈ rate ± a few percent
+    assert(counts("head") > 850 && counts("head") <= 1000, counts.toString)
+    assert(counts("tail") > 140 && counts("tail") < 260, counts.toString)
+    // deterministic: rerun keeps the exact same rows
+    val a = kept.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = Curation.sampleMixture(docs, "doc_id", "source",
+      Map("head" -> 0.9), defaultRate = 0.2)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a === b)
+    // monotone: tightening the rate keeps a subset, never different rows
+    val tight = Curation.sampleMixture(docs, "doc_id", "source",
+      Map("head" -> 0.5), defaultRate = 0.1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(tight.subsetOf(a.toSet))
+  }
+}

@@ -95,6 +95,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rL >= 0.5, f"bucketed recall@10 $rL%.3f below floor 0.5")
   }
 
+  test("k-means-trained IVF beats the hash-sampled quantizer's recall") {
+    // measured: sampled quantizer nprobe=4 ≈ 0.67, trained iters=3 ≈ 0.78
+    val sampled = recallOf(Similarity.ivfTopK(emb, probes, "vec_id",
+      "embedding", k = 10, nlist = Params.ivfNlist,
+      nprobe = Params.ivfNprobe), 10)
+    val trained = recallOf(Similarity.ivfTopK(emb, probes, "vec_id",
+      "embedding", k = 10, nlist = Params.ivfNlist,
+      nprobe = Params.ivfNprobe, trainIters = 3, dims = Params.annDims), 10)
+    info(f"ivf recall@10: sampled $sampled%.3f, kmeans-trained $trained%.3f")
+    assert(trained >= 0.6, f"trained recall $trained%.3f below floor 0.6")
+    // slack for centroid ulp nondeterminism; training must never be a
+    // material regression over not training
+    assert(trained >= sampled - 0.05,
+      f"training regressed recall: $trained%.3f vs $sampled%.3f")
+  }
+
   test("IVF recall@10 clears the floor and multi-probe beats nprobe=1") {
     val r1 = recallOf(Similarity.ivfTopK(emb, probes, "vec_id", "embedding",
       k = 10, nlist = Params.ivfNlist, nprobe = 1), 10)
