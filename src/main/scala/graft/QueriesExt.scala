@@ -430,6 +430,38 @@ object QueriesExt {
           AS max_byte
         FROM documents ORDER BY media_id""")),
 
+    // ── REAL image decode: PPM roundtrip channel statistics ────────────
+    // Documents' utf-8 bytes are cycled into 16×16 P6 images
+    // (asPpmMediaTable), decoded by the real pure-JVM PPM parser, and the
+    // per-channel means must match the oracle computing the same cycled
+    // statistics straight from the text column. R channel = pixel bytes
+    // 0,3,6,…; byte i of the image plane = text byte (i mod len).
+    QueryDef("q61_ppm_decode",
+      (s, dir) => {
+        val media = Multimodal.asPpmMediaTable(tPar(s, dir, "documents"),
+          "doc_id", "text", 16, 16)
+        Multimodal.decodeFeatures(media).select(
+          col("media_id"), col("byte_len"),
+          element_at(col("feature"), 1).as("width"),
+          element_at(col("feature"), 2).as("height"),
+          element_at(col("feature"), 3).as("mean_r"),
+          element_at(col("feature"), 4).as("mean_g"),
+          element_at(col("feature"), 5).as("mean_b"))
+          .orderBy("media_id")
+      },
+      Some {
+        def mean(channel: Int) =
+          s"""CAST(list_sum(list_transform(range(0, 256),
+             i -> ascii(substr(text,
+               CAST((i*3 + $channel) % strlen(text) AS INT) + 1, 1))))
+             AS DOUBLE) / 256.0"""
+        s"""SELECT doc_id AS media_id,
+          CAST(13 + 768 AS BIGINT) AS byte_len,
+          CAST(16 AS DOUBLE) AS width, CAST(16 AS DOUBLE) AS height,
+          ${mean(0)} AS mean_r, ${mean(1)} AS mean_g, ${mean(2)} AS mean_b
+        FROM documents ORDER BY media_id"""
+      }),
+
     // ── Token counting: whitespace + BPE-ish regex (SURVEY §2.10) ──────
     QueryDef("q43_subword_count",
       (s, dir) => tPar(s, dir, "documents").select(
@@ -729,6 +761,30 @@ object QueriesExt {
             ELSE ${(mixTailRate * 1000).toInt} END
         GROUP BY 1 ORDER BY source"""
       }),
+
+    // ── PII redaction audit: typed placeholders + per-kind counts ──────
+    // The synthetic corpus carries no real PII (counts are legitimately
+    // 0) — the positive-match correctness lives in CurationSpec's inline
+    // fixtures; this query proves the map-only scale shape and the exact
+    // Spark↔RE2 pattern parity on real data.
+    QueryDef("q60_pii_redact",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        d.select((col("doc_id") +: Curation.piiCounts(col("text"))) :+
+          length(Curation.redactPii(col("text"))).as("redacted_len"): _*)
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id,
+          len(regexp_extract_all(text, '${Curation.EmailRe}'))
+            AS n_emails,
+          len(regexp_extract_all(text, '${Curation.PhoneRe}'))
+            AS n_phones,
+          len(regexp_extract_all(text, '${Curation.Ipv4Re}')) AS n_ips,
+          length(regexp_replace(regexp_replace(regexp_replace(text,
+            '${Curation.EmailRe}', '[EMAIL]', 'g'),
+            '${Curation.PhoneRe}', '[PHONE]', 'g'),
+            '${Curation.Ipv4Re}', '[IP]', 'g')) AS redacted_len
+        FROM documents ORDER BY doc_id""")),
 
     // ── As-of join: purchase ← most recent prior view per user ─────────
     // Spark-first: union-and-carry-forward (sort once per user, no

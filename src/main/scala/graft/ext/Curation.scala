@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -71,6 +71,42 @@ object Curation {
       floor(coalesce(sum(col(tokenCol)).over(prior), lit(0L)) / budget)
         .cast("long"))
   }
+
+  // ── PII scrubbing ───────────────────────────────────────────────────
+  // Patterns deliberately restricted to syntax valid AND equivalent in
+  // both Java regex (Spark) and RE2 (DuckDB/Go tooling): character
+  // classes, bounded repeats, ASCII \b. No lookaround — RE2 has none.
+
+  /** RFC-casual email addresses. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** NANP-style phone numbers with -, . or space separators. */
+  val PhoneRe = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+
+  /** Dotted-quad IPv4 (syntactic — 999.0.0.1 matches; redaction wants
+    * recall over precision).
+    */
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Replace emails, phone numbers and IPv4 addresses with typed
+    * placeholder tokens. Order matters: emails first (their local part
+    * could otherwise be chewed up by later rules), then phones, then
+    * IPs (which would also match the separator-digit runs of already-
+    * redacted phones if run first — they are gone by then).
+    * Map-only, codegen'd `regexp_replace` — no shuffle, no UDF.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "[EMAIL]"),
+        PhoneRe, "[PHONE]"),
+      Ipv4Re, "[IP]")
+
+  /** Per-kind PII match counts (audit columns for the redaction step). */
+  def piiCounts(text: Column): Seq[Column] = Seq(
+    size(regexp_extract_all(text, lit(EmailRe), lit(0))).as("n_emails"),
+    size(regexp_extract_all(text, lit(PhoneRe), lit(0))).as("n_phones"),
+    size(regexp_extract_all(text, lit(Ipv4Re), lit(0))).as("n_ips"))
 
   /** Domain-mixture sampling: keep a deterministic per-document hash gate
     * whose rate depends on the document's domain — the "sample web at

@@ -8,14 +8,69 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: media as opaque `binary` payloads with a
   * typed metadata struct, and a batched "decode/feature-extract" stage.
   *
-  * The media codecs themselves are NOT in this container, so the decode
-  * step is a clearly-marked deterministic stub (`stubDecode`) — but the
-  * Spark-side plumbing is real: schema, encoder, partition-batched
-  * `mapPartitions` (the Scala analogue of `mapInPandas` batching), and a
-  * row-count-preserving contract. Swap `stubDecode` for a JNI/ffmpeg call
-  * and nothing else changes.
+  * One format has a fully REAL codec path: binary PPM (P6) — parse,
+  * per-channel statistics, nearest-neighbor resize, re-encode — all pure
+  * JVM ([[ppmDecode]]/[[ppmEncode]]), exercised end-to-end by q61 against
+  * an exact SQL oracle. Formats that need native codecs (JPEG/ffmpeg) are
+  * NOT in this container, so their decode remains a clearly-marked
+  * deterministic stub (`stubDecode`) behind the same plumbing: schema,
+  * encoder, partition-batched `mapPartitions` (the Scala analogue of
+  * `mapInPandas` batching), and a row-count-preserving contract. Swap
+  * `stubDecode` for a JNI/ffmpeg call and nothing else changes.
   */
 object Multimodal {
+
+  // ── Real codec: binary PPM (P6, maxval 255) ─────────────────────────
+
+  /** `P6` magic probe. */
+  def isPpm(payload: Array[Byte]): Boolean =
+    payload != null && payload.length >= 2 &&
+      payload(0) == 'P' && payload(1) == '6'
+
+  /** Encode an RGB byte buffer (row-major, 3 bytes/pixel) as binary PPM. */
+  def ppmEncode(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == 3 * width * height,
+      s"rgb buffer ${rgb.length} != 3*$width*$height")
+    val header = s"P6\n$width $height\n255\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val out = new Array[Byte](header.length + rgb.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(rgb, 0, out, header.length, rgb.length)
+    out
+  }
+
+  /** Parse binary PPM: full header grammar (whitespace runs and `#`
+    * comments between tokens, single whitespace after maxval, maxval ≤
+    * 255). Returns (width, height, rgb) or None for malformed payloads —
+    * a corrupt image must yield a null feature row, never a task crash.
+    */
+  def ppmDecode(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (!isPpm(payload)) return None
+    var i = 2
+    def skipWs(): Unit = {
+      var go = true
+      while (go && i < payload.length) {
+        val c = payload(i)
+        if (c == '#') { while (i < payload.length && payload(i) != '\n') i += 1 }
+        else if (c == ' ' || c == '\t' || c == '\n' || c == '\r') i += 1
+        else go = false
+      }
+    }
+    def readInt(): Int = {
+      skipWs()
+      var v = 0; var any = false
+      while (i < payload.length && payload(i) >= '0' && payload(i) <= '9') {
+        v = v * 10 + (payload(i) - '0'); i += 1; any = true
+      }
+      if (!any) -1 else v
+    }
+    val w = readInt(); val h = readInt(); val maxv = readInt()
+    i += 1 // the single whitespace byte after maxval
+    if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 255) return None
+    val n = 3 * w * h
+    if (i + n > payload.length) return None
+    Some((w, h, java.util.Arrays.copyOfRange(payload, i, i + n)))
+  }
 
   /** Typed media metadata carried alongside the payload. */
   val mediaSchema: StructType = StructType(Seq(
@@ -43,17 +98,46 @@ object Multimodal {
         (length(col(textCol)) % 1080).cast("int").as("height"),
         lit(null).cast("long").as("duration_ms")).as("meta"))
 
+  /** Build a REAL image table: each document's utf-8 bytes cycled into
+    * the RGB plane of a `width`×`height` binary PPM. Deterministic (a
+    * pure function of the text), so the q61 oracle reproduces the decoded
+    * channel statistics exactly from the text column.
+    */
+  def asPpmMediaTable(docs: DataFrame, idCol: String, textCol: String,
+                      width: Int, height: Int): DataFrame = {
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(mediaSchema))
+    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val src = r.getString(1)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val rgb = new Array[Byte](3 * width * height)
+          if (src.nonEmpty) {
+            var i = 0
+            while (i < rgb.length) { rgb(i) = src(i % src.length); i += 1 }
+          }
+          Row(id, "image/ppm", ppmEncode(width, height, rgb),
+            Row("image/x-portable-pixmap", width, height,
+              null.asInstanceOf[java.lang.Long]))
+        }
+      }(enc)
+  }
+
   val featureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("byte_len", LongType, nullable = false),
     StructField("feature", ArrayType(DoubleType), nullable = true)))
 
-  /** STUB decoder: a real implementation would decode the image/audio
-    * payload (e.g. libjpeg/ffmpeg via JNI) and emit model features. The
-    * stub derives a deterministic 4-dim feature from the payload bytes so
-    * the pipeline is testable end-to-end. Batch shape: mapPartitions — one
-    * decoder init per partition, streaming rows through it, exactly how a
-    * heavyweight codec should be amortized on a cluster.
+  /** Decode + feature-extract, batched per partition (one decoder init
+    * per partition, streaming rows through it — how a heavyweight codec
+    * is amortized on a cluster).
+    *
+    * PPM payloads take the REAL path: parse, then feature =
+    * [width, height, meanR, meanG, meanB]. A malformed PPM yields a null
+    * feature (auditable, never a crash). Other payloads fall to the
+    * loudly-stubbed byte-statistics decoder ([[stubDecode]]) — the
+    * codecs for JPEG/audio/video are not in this container.
     */
   def decodeFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
@@ -63,7 +147,22 @@ object Multimodal {
       rows.map { r =>
         val id = r.getLong(0)
         val payload = r.getAs[Array[Byte]](1)
-        Row(id, payload.length.toLong, stubDecode(payload))
+        val feature =
+          if (isPpm(payload)) ppmDecode(payload).map { case (w, h, px) =>
+            val n = w * h
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var p = 0
+            while (p < n) {
+              sr += px(3 * p) & 0xff
+              sg += px(3 * p + 1) & 0xff
+              sb += px(3 * p + 2) & 0xff
+              p += 1
+            }
+            Array(w.toDouble, h.toDouble, sr.toDouble / n,
+              sg.toDouble / n, sb.toDouble / n)
+          }.orNull
+          else stubDecode(payload)
+        Row(id, payload.length.toLong, feature)
       }
     }(enc)
   }
@@ -82,10 +181,34 @@ object Multimodal {
     }
   }
 
+  /** Nearest-neighbor RGB resample — the real scaler behind [[resize]]
+    * for decoded PPM pixels.
+    */
+  def resampleRgb(src: Array[Byte], sw: Int, sh: Int,
+                  dw: Int, dh: Int): Array[Byte] = {
+    val out = new Array[Byte](3 * dw * dh)
+    var y = 0
+    while (y < dh) {
+      val sy = y * sh / dh
+      var x = 0
+      while (x < dw) {
+        val sx = x * sw / dw
+        val s = 3 * (sy * sw + sx)
+        val d = 3 * (y * dw + x)
+        out(d) = src(s); out(d + 1) = src(s + 1); out(d + 2) = src(s + 2)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** "Resize": payload transform + metadata rewrite, batched per
-    * partition. A real implementation swaps [[stubResize]] for an image
-    * scaler (JNI/libvips); schema, row-count contract and batch shape
-    * are the production plumbing.
+    * partition. PPM payloads are REALLY rescaled (decode →
+    * nearest-neighbor [[resampleRgb]] → re-encode); other formats use
+    * the loudly-stubbed byte downsample ([[stubResize]]) until a native
+    * scaler (JNI/libvips) is linked — schema, row-count contract and
+    * batch shape are the production plumbing either way.
     */
   def resize(media: DataFrame, width: Int, height: Int): DataFrame = {
     val enc = ExpressionEncoder(RowEncoder.encoderFor(mediaSchema))
@@ -94,9 +217,21 @@ object Multimodal {
         // scaler initialization would happen HERE, once per partition
         rows.map { r =>
           val payload = r.getAs[Array[Byte]](2)
-          Row(r.getLong(0), r.getString(1), stubResize(payload, width, height),
-            Row("application/octet-stream", width, height,
-              r.getAs[Row](3).getAs[java.lang.Long]("duration_ms")))
+          val real = if (isPpm(payload)) ppmDecode(payload) else None
+          val (outPayload, outMime) = real match {
+            case Some((sw, sh, px)) =>
+              (ppmEncode(width, height,
+                resampleRgb(px, sw, sh, width, height)),
+                "image/x-portable-pixmap")
+            case None =>
+              (stubResize(payload, width, height),
+                "application/octet-stream")
+          }
+          // positional field access: rows deserialized from another
+          // mapPartitions stage carry no schema for by-name lookup
+          Row(r.getLong(0), r.getString(1), outPayload,
+            Row(outMime, width, height,
+              r.getAs[Row](3).getAs[java.lang.Long](3)))
         }
       }(enc)
   }

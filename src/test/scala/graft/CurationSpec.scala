@@ -48,6 +48,33 @@ class CurationSpec extends AnyFunSuite {
       ("a", 3L, 1L), ("a", 4L, 1L), ("b", 5L, 0L), ("b", 6L, 1L)))
   }
 
+  test("redactPii replaces emails/phones/IPs with typed tokens and " +
+       "counts match") {
+    val docs = Seq(
+      (1L, "contact alice.smith+x@example.co.uk or call 415-555-1234 now"),
+      (2L, "server at 10.0.0.1 and 192.168.1.255, mail bob@test.io"),
+      (3L, "no pii here, just 1234 and a.b notation and version 1.2.3"),
+      (4L, "overlap: 415 555 1234 then 999.1.2.3"))
+      .toDF("doc_id", "text")
+    val out = docs.select(Seq(col("doc_id"),
+      Curation.redactPii(col("text")).as("red")) ++
+      Curation.piiCounts(col("text")): _*)
+      .orderBy("doc_id").collect()
+
+    assert(out(0).getAs[String]("red") ===
+      "contact [EMAIL] or call [PHONE] now")
+    assert(out(1).getAs[String]("red") ===
+      "server at [IP] and [IP], mail [EMAIL]")
+    assert(out(2).getAs[String]("red") ===
+      "no pii here, just 1234 and a.b notation and version 1.2.3")
+    assert(out(3).getAs[String]("red") === "overlap: [PHONE] then [IP]")
+    assert(out(0).getAs[Int]("n_emails") === 1)
+    assert(out(0).getAs[Int]("n_phones") === 1)
+    assert(out(1).getAs[Int]("n_ips") === 2)
+    assert(out(2).getAs[Int]("n_emails") +
+      out(2).getAs[Int]("n_phones") + out(2).getAs[Int]("n_ips") === 0)
+  }
+
   test("sampleMixture: deterministic, rate-keyed by group, composable " +
        "with itself") {
     val docs = spark.range(2000).select(col("id").as("doc_id"),

@@ -10,6 +10,7 @@ import graft.ext.Multimodal
   */
 class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
+  import spark.implicits._
 
   private lazy val media = Multimodal.asMediaTable(
     Tables.load(spark, TestSpark.sf0001, "documents"), "doc_id", "text")
@@ -43,6 +44,51 @@ class MultimodalSpec extends AnyFunSuite {
     val grew = out.alias("o").join(media.alias("i"), "media_id")
       .filter(length(col("o.payload")) > length(col("i.payload")))
     assert(grew.isEmpty)
+  }
+
+  test("PPM codec: encode/decode roundtrip, header grammar, malformed " +
+       "safety") {
+    val rgb = Array.tabulate(3 * 4 * 2)(i => (i * 7 % 256).toByte)
+    val enc = Multimodal.ppmEncode(4, 2, rgb)
+    assert(Multimodal.isPpm(enc))
+    val Some((w, h, px)) = Multimodal.ppmDecode(enc)
+    assert(w === 4 && h === 2 && px.toSeq === rgb.toSeq)
+    // comments + extra whitespace in the header are legal PPM
+    val weird = ("P6 # comment\n  4\t2 # again\n255\n")
+      .getBytes("US-ASCII") ++ rgb
+    val Some((w2, h2, px2)) = Multimodal.ppmDecode(weird)
+    assert(w2 === 4 && h2 === 2 && px2.toSeq === rgb.toSeq)
+    // malformed payloads → None, never a throw
+    assert(Multimodal.ppmDecode("P6\n4 2\n255\n".getBytes("US-ASCII"))
+      .isEmpty, "truncated pixel data")
+    assert(Multimodal.ppmDecode("P6\n-1 2\n255\nxx".getBytes("US-ASCII"))
+      .isEmpty, "bad dims")
+    assert(Multimodal.ppmDecode(Array[Byte]('P', '5')).isEmpty,
+      "wrong magic")
+  }
+
+  test("PPM path end-to-end: real decode features and real resize") {
+    val docs = Seq((1L, "abcdef"), (2L, "zz")).toDF("doc_id", "text")
+    val media = Multimodal.asPpmMediaTable(docs, "doc_id", "text", 4, 4)
+    val feats = Multimodal.decodeFeatures(media).orderBy("media_id")
+      .collect()
+    // doc 2: every byte 'z' (122) cycled → all three channel means = 122
+    val f2 = feats(1).getSeq[Double](feats(1).fieldIndex("feature"))
+    assert(f2 === Seq(4.0, 4.0, 122.0, 122.0, 122.0))
+    // doc 1: 48 plane bytes cycle "abcdef" (97..102); R channel = bytes
+    // 0,3,…,45 → cycle [a,d] → mean (97+100)/2
+    val f1 = feats(0).getSeq[Double](feats(0).fieldIndex("feature"))
+    assert(f1 === Seq(4.0, 4.0, (97 + 100) / 2.0, (98 + 101) / 2.0,
+      (99 + 102) / 2.0))
+
+    val shrunk = Multimodal.resize(media, 2, 2).orderBy("media_id").collect()
+    val m = shrunk(1)
+    assert(m.getAs[org.apache.spark.sql.Row]("meta")
+      .getAs[String]("mime") === "image/x-portable-pixmap")
+    val Some((rw, rh, rpx)) =
+      Multimodal.ppmDecode(m.getAs[Array[Byte]]("payload"))
+    assert(rw === 2 && rh === 2 && rpx.length === 12)
+    assert(rpx.forall(_ == 'z'.toByte), "uniform image stays uniform")
   }
 
   test("frameSample: row-expanding, n frames per non-empty payload") {
