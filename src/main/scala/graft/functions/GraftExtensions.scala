@@ -58,7 +58,15 @@ object GraftFunctions {
       new ExpressionInfo(classOf[NativeExprs.RollingFingerprintExpr].getName,
         "graft_rolling_fingerprint"),
       (args: Seq[Expression]) => NativeExprs.RollingFingerprintExpr(args(0),
-        intArg(args(1), "k"))))
+        intArg(args(1), "k"))),
+    (FunctionIdentifier("graft_sign_lsh_buckets"),
+      new ExpressionInfo(classOf[NativeExprs.SignLshBucketsExpr].getName,
+        "graft_sign_lsh_buckets"),
+      // (vec, bits, dims, seed[, tables])
+      (args: Seq[Expression]) => NativeExprs.SignLshBucketsExpr(args(0),
+        intArg(args(1), "bits"), intArg(args(2), "dims"),
+        intArg(args(3), "seed").toLong,
+        if (args.length > 4) intArg(args(4), "tables") else 1)))
 
   /** Register on a live session. */
   def register(spark: SparkSession): Unit =

@@ -32,6 +32,21 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getString(3).matches("[0-9a-f]{32}"))
   }
 
+  test("graft_sign_lsh_buckets from SQL matches the Column API") {
+    val sql = spark.sql(
+      """SELECT graft_sign_lsh_buckets(
+           array(CAST(0.5 AS FLOAT), CAST(-1.0 AS FLOAT),
+                 CAST(2.0 AS FLOAT)), 4, 3, 42, 2) AS bks""")
+      .head().getSeq[String](0)
+    assert(sql.length === 2)
+    assert(sql.forall(b => b.length === 4 && b.forall(c => c == '0' || c == '1')))
+    import spark.implicits._
+    val api = Seq(Tuple1(Array(0.5f, -1.0f, 2.0f))).toDF("v")
+      .select(graft.ext.Similarity.signBuckets($"v", 4, 3, 42L, 2))
+      .head().getSeq[String](0)
+    assert(sql === api)
+  }
+
   test("non-literal size argument is rejected with a clear error") {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_simhash(split('a', ' '), length('xx'))")
