@@ -450,11 +450,17 @@ object QueriesExt {
           .orderBy("media_id")
       },
       Some {
+        // ascii(substr(...)) cycles CHARACTERS, the Spark side cycles
+        // utf-8 BYTES — equivalent only on an ASCII corpus (true of the
+        // generated testdata; a non-ASCII corpus needs a blob-typed
+        // oracle). Empty text → all-zero pixels on the Spark side, hence
+        // the CASE guard instead of a modulo-by-zero NULL.
         def mean(channel: Int) =
-          s"""CAST(list_sum(list_transform(range(0, 256),
+          s"""CASE WHEN strlen(text) = 0 THEN 0.0 ELSE
+             CAST(list_sum(list_transform(range(0, 256),
              i -> ascii(substr(text,
                CAST((i*3 + $channel) % strlen(text) AS INT) + 1, 1))))
-             AS DOUBLE) / 256.0"""
+             AS DOUBLE) / 256.0 END"""
         s"""SELECT doc_id AS media_id,
           CAST(13 + 768 AS BIGINT) AS byte_len,
           CAST(16 AS DOUBLE) AS width, CAST(16 AS DOUBLE) AS height,

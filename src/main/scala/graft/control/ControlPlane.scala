@@ -71,13 +71,22 @@ object ControlPlane {
 
   /** Upsert by (idConfig, time): the reference UPDATEs the day's row in
     * place (D5); with immutable storage we keep latest-wins by dtUpdate.
+    * dtUpdate TIES break by lifecycle progression (RUNNING < ES < LS <
+    * LWS < EF), then id — without the rank, two stages logged in the
+    * same millisecond (or with the default nowMs) leave the surviving
+    * row to partition order, and a rerun's guards go nondeterministic.
     */
   def upsert(log: DataFrame, entry: RunLogEntry): DataFrame = {
     import log.sparkSession.implicits._
     val updated = log.unionByName(Seq(entry).toDF())
+    val rank = when(col("status") === Status.Running, 0)
+      .when(col("status") === Status.ExtractSuccess, 1)
+      .when(col("status") === Status.LoadedStaging, 2)
+      .when(col("status") === Status.LoadedWarehouse, 3)
+      .otherwise(4) // EF: a same-instant failure outranks the success row
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("idConfig", "time")
-      .orderBy(col("dtUpdate").desc, col("id").desc)
+      .orderBy(col("dtUpdate").desc, rank.desc, col("id").desc)
     updated.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }
@@ -94,12 +103,18 @@ object ControlPlane {
   private def dayRows(log: DataFrame, idConfig: Int, day: Date) =
     log.filter(col("idConfig") === idConfig && col("time") === lit(day))
 
-  /** P3 guard (`extract_file.py:332-362`): skip extract if the day is
-    * already RUNNING or extracted.
+  /** P3 guard (`extract_file.py:332-362`): extract only if the day has
+    * not already started or succeeded. With the single-row-per-(config,
+    * day) upsert, "started or succeeded" is ANY non-failure status — the
+    * ES row is REPLACED by LS/LWS as later stages run, so probing only
+    * {RUNNING, ES} would re-arm extraction on a fully-loaded day and
+    * double-ingest it. EF is the one re-extractable state (the retry
+    * path).
     */
   def canExtract(log: DataFrame, idConfig: Int, day: Date): Boolean =
     dayRows(log, idConfig, day)
-      .filter(col("status").isin(Status.Running, Status.ExtractSuccess))
+      .filter(col("status").isin(Status.Running, Status.ExtractSuccess,
+        Status.LoadedStaging, Status.LoadedWarehouse))
       .isEmpty
 
   /** P5 guard, corrected intent of `load_to_staging.py:288-313`. */
@@ -165,7 +180,11 @@ object ControlPlane {
     */
   final class FileAlerter(path: String) extends Alerter {
     override def alert(subject: String, body: String): Unit = {
-      def js(s: String): String =
+      // null-safe: alert() is called from failure handlers with
+      // e.getMessage, which is legally null — an NPE HERE would swallow
+      // both the alert and the EF bookkeeping that follows it
+      def js(raw: String): String = {
+        val s = if (raw == null) "" else raw
         "\"" + s.flatMap {
           case '"'  => "\\\""
           case '\\' => "\\\\"
@@ -173,6 +192,7 @@ object ControlPlane {
           case c if c < ' ' => f"\\u${c.toInt}%04x"
           case c => c.toString
         } + "\""
+      }
       val line = s"""{"ts":${System.currentTimeMillis()},""" +
         s""""subject":${js(subject)},"body":${js(body)}}""" + "\n"
       val p = java.nio.file.Paths.get(path)

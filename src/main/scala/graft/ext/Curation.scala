@@ -50,18 +50,23 @@ object Curation {
         .select(col("train_id").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
 
-  /** Greedy in-order sequence packing: assign documents to fixed token
-    * budgets (training context windows). Documents are taken in `idCol`
-    * order within each `groupCol` partition; a document joins the
-    * current pack while the pack's PRIOR token total is below `budget`,
-    * so each pack may overflow by at most one document (the standard
-    * streaming-packing approximation — exact bin packing is NP-hard and
-    * order-dependent anyway).
+  /** In-order sequence packing by CUMULATIVE QUOTA: documents are taken
+    * in `idCol` order within each `groupCol` partition, and a document
+    * lands in pack `floor(priorTokenSum / budget)` — pack p spans the
+    * quota interval [p·budget, (p+1)·budget). Precise semantics (NOT
+    * first-fit greedy): a document whose tokens straddle a quota
+    * boundary overflows its pack by < its own length, and a document
+    * longer than `budget` consumes several quota slots, so pack ids may
+    * skip and the pack after an oversized document starts underfull.
+    * The trade is deliberate: quota packing is ONE window expression —
+    * parallel, bit-exact in any engine (the q58 oracle reproduces it
+    * verbatim) — while true first-fit greedy needs a sequential
+    * running-reset scan that neither parallelizes nor SQL-expresses.
+    * Waste is bounded by maxDocTokens/budget per boundary; size packs
+    * ≳ 4× the p99 document length and the difference is noise.
     *
-    * Pure window arithmetic over integer token counts: one shuffle on
-    * `groupCol`, bit-exact in any engine. At 100 TB `groupCol` should be
-    * a real partition key (source, shard) so no window sees unbounded
-    * rows.
+    * One shuffle on `groupCol`; at 100 TB `groupCol` should be a real
+    * partition key (source, shard) so no window sees unbounded rows.
     */
   def packSequences(docs: DataFrame, idCol: String, tokenCol: String,
                     groupCol: String, budget: Int): DataFrame = {

@@ -277,14 +277,18 @@ object Dedup {
 
     /** small-star: orient each edge toward its larger end u; all of u's
       * smaller neighbors and u itself re-point to m(u) = min of them.
+      * ONE join — both emissions ((v, m) and (u, m)) explode out of the
+      * same joined row, so the edge set is not shuffled twice per round.
       */
     def smallStar(e: DataFrame): DataFrame = {
       // canonical (hi=u, lo=v) IS the small orientation: group by hi
       val m = e.groupBy("u").agg(min(col("v")).as("m"))
       canon(e.join(m, "u")
-        .select(col("v").as("u"), col("m").as("v")) // smaller neighbors → m
-        .unionByName(e.join(m, "u") // u itself → m
-          .select(col("u"), col("m").as("v"))))
+        .select(explode(array(
+          struct(col("v").as("u"), col("m").as("v")), // smaller nbr → m
+          struct(col("u"), col("m").as("v")))) // u itself → m
+          .as("e"))
+        .select(col("e.u"), col("e.v")))
     }
 
     // localCheckpoint per round severs lineage — one round references its

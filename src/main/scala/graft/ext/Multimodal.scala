@@ -67,9 +67,12 @@ object Multimodal {
     val w = readInt(); val h = readInt(); val maxv = readInt()
     i += 1 // the single whitespace byte after maxval
     if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 255) return None
-    val n = 3 * w * h
-    if (i + n > payload.length) return None
-    Some((w, h, java.util.Arrays.copyOfRange(payload, i, i + n)))
+    // Long arithmetic: 3*w*h overflows Int for adversarial headers
+    // (w=h=10^9), and a negative n would slip past the bounds check into
+    // copyOfRange — a task crash, not the contracted None
+    val n = 3L * w * h
+    if (n > Int.MaxValue || i + n > payload.length) return None
+    Some((w, h, java.util.Arrays.copyOfRange(payload, i, i + n.toInt)))
   }
 
   /** Typed media metadata carried alongside the payload. */

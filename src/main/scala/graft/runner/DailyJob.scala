@@ -72,7 +72,7 @@ object DailyJob {
       (State(state.staging, state.dw, done), Some(landed))
     } catch {
       case e: Exception =>
-        alerter.alert(s"extract failed ${config.id}/$day", e.getMessage)
+        alerter.alert(s"extract failed ${config.id}/$day", Option(e.getMessage).getOrElse(e.toString))
         (State(state.staging, state.dw, upsert(running,
           logEntry(day.toLocalDate.toEpochDay, config, day,
             Status.ExtractFailure, 0L, nowMs + 1))), None)
@@ -103,7 +103,7 @@ object DailyJob {
       State(staged, state.dw, done)
     } catch {
       case e: Exception =>
-        alerter.alert(s"staging failed ${config.id}/$day", e.getMessage)
+        alerter.alert(s"staging failed ${config.id}/$day", Option(e.getMessage).getOrElse(e.toString))
         State(state.staging, state.dw, upsert(running,
           logEntry(day.toLocalDate.toEpochDay, config, day,
             Status.ExtractFailure, 0L, nowMs + 1)))
@@ -130,7 +130,7 @@ object DailyJob {
       State(state.staging, dw, done)
     } catch {
       case e: Exception =>
-        alerter.alert(s"dw failed ${config.id}/$day", e.getMessage)
+        alerter.alert(s"dw failed ${config.id}/$day", Option(e.getMessage).getOrElse(e.toString))
         State(state.staging, state.dw, upsert(state.log,
           logEntry(day.toLocalDate.toEpochDay, config, day,
             Status.ExtractFailure, 0L, nowMs + 2)))

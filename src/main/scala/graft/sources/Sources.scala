@@ -43,7 +43,7 @@ object Sources {
       .option("ignoreTrailingWhiteSpace", "false")
       .csv(tmp)
     val conf = spark.sparkContext.hadoopConfiguration
-    val fs = FileSystem.get(new java.net.URI(tmp), conf)
+    val fs = FileSystem.get(new Path(tmp).toUri, conf)
     val part = fs.globStatus(new Path(tmp, "part-*"))(0).getPath
     val dest = new Path(destFile)
     if (fs.exists(dest)) fs.delete(dest, false)
@@ -54,7 +54,7 @@ object Sources {
   /** S5 — existence probe (B2 `get_file_info_by_name` analogue). */
   def exists(spark: SparkSession, path: String): Boolean = {
     val conf = spark.sparkContext.hadoopConfiguration
-    FileSystem.get(new java.net.URI(path), conf).exists(new Path(path))
+    FileSystem.get(new Path(path).toUri, conf).exists(new Path(path))
   }
 
   /** Warehouse writer: parquet partitioned by load date so daily loads
@@ -78,7 +78,7 @@ object Sources {
     */
   def compact(spark: SparkSession, path: String, targetMb: Int = 128): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val fs = FileSystem.get(new java.net.URI(path), conf)
+    val fs = FileSystem.get(new Path(path).toUri, conf)
     val bytes = fs.getContentSummary(new Path(path)).getLength
     val parts = math.max(1, math.ceil(bytes / (targetMb * 1024.0 * 1024.0)).toInt)
     val tmp = path + ".__compact__"
@@ -129,8 +129,8 @@ object Sources {
     */
   def copyFile(spark: SparkSession, src: String, dest: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val srcFs = FileSystem.get(new java.net.URI(src), conf)
-    val dstFs = FileSystem.get(new java.net.URI(dest), conf)
+    val srcFs = FileSystem.get(new Path(src).toUri, conf)
+    val dstFs = FileSystem.get(new Path(dest).toUri, conf)
     val destPath = new Path(dest)
     if (destPath.getParent != null) dstFs.mkdirs(destPath.getParent)
     org.apache.hadoop.fs.FileUtil.copy(
@@ -143,7 +143,7 @@ object Sources {
     */
   def fileStats(spark: SparkSession, path: String): (Long, Double) = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val fs = FileSystem.get(new java.net.URI(path), conf)
+    val fs = FileSystem.get(new Path(path).toUri, conf)
     val st = fs.getFileStatus(new Path(path))
     (st.getLen, math.round(st.getLen / 1024.0 * 100) / 100.0)
   }

@@ -33,8 +33,8 @@ class CurationSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast in:\n$plan")
   }
 
-  test("packSequences: in-order greedy packing, ≤ one-doc overflow, " +
-       "bit-exact pack ids") {
+  test("packSequences: in-order quota packing, bit-exact pack ids, " +
+       "documented oversized-doc behavior") {
     val docs = Seq(
       ("a", 1L, 300L), ("a", 2L, 300L), ("a", 3L, 300L), ("a", 4L, 50L),
       ("b", 5L, 600L), ("b", 6L, 10L))
@@ -46,6 +46,18 @@ class CurationSpec extends AnyFunSuite {
     // a: prior sums 0,300,600,900 → packs 0,0,1,1 ; b: 0,600 → 0,1
     assert(packed.toSeq === Seq(("a", 1L, 0L), ("a", 2L, 0L),
       ("a", 3L, 1L), ("a", 4L, 1L), ("b", 5L, 0L), ("b", 6L, 1L)))
+
+    // oversized doc: consumes multiple quota slots → pack ids SKIP (the
+    // documented quota-interval contract, distinct from first-fit greedy
+    // which would co-pack doc 13 with doc 12)
+    val over = Seq(("c", 10L, 100L), ("c", 11L, 1000L), ("c", 12L, 500L),
+      ("c", 13L, 100L)).toDF("source", "doc_id", "n_tokens")
+    val op = Curation.packSequences(over, "doc_id", "n_tokens", "source",
+      budget = 512)
+      .select("doc_id", "pack_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    // priors 0,100,1100,1600 → packs 0,0,2,3 (pack 1 skipped)
+    assert(op.toSeq === Seq((10L, 0L), (11L, 0L), (12L, 2L), (13L, 3L)))
   }
 
   test("redactPii replaces emails/phones/IPs with typed tokens and " +

@@ -57,6 +57,24 @@ class DailyJobSpec extends AnyFunSuite {
     // one row per (config, day): the upsert kept latest-wins through all
     // four states
     assert(s3.log.count() === 1)
+
+    // a FULLY LOADED day must still refuse re-extraction: the LWS row
+    // replaced the ES row, and a guard probing only {RUNNING, ES} would
+    // re-arm the pipeline and double-ingest the day
+    val (s4, refused) = DailyJob.runExtract(s3, cfg, dailyCsv, landing,
+      day, a, nowMs = 30)
+    assert(refused.isEmpty)
+    assert(s4.log.filter(col("status") === Status.LoadedWarehouse)
+      .count() === 1, "log must still read LWS")
+
+    // but an EF day IS re-extractable (the retry path)
+    val efDay = Date.valueOf("2024-12-09")
+    val (sEf, none2) = DailyJob.runExtract(s4, cfg, "/nonexistent.csv",
+      landing, efDay, a, nowMs = 40)
+    assert(none2.isEmpty)
+    val (sRetry, retried) = DailyJob.runExtract(sEf, cfg, dailyCsv,
+      landing, efDay, a, nowMs = 50)
+    assert(retried.nonEmpty, "EF day must allow a retry extract")
   }
 
   test("extract failure marks EF with alert content; file transport " +

@@ -32,6 +32,33 @@ class StreamsSpec extends AnyFunSuite {
     assert(batch.count() > 0)
   }
 
+  test("curation operators compose unchanged onto a stream: PII redact " +
+       "+ LSH bucket assignment per micro-batch") {
+    // stateless curation ops are plain column expressions, so the SAME
+    // code path serves batch and streaming — the property that makes the
+    // ingest-time scrub/bucket pipeline one implementation, not two
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, TestSpark.sf0001, "documents")
+    val emb = Tables.load(spark, TestSpark.sf0001, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("docs_stream").toString
+    docs.join(emb, docs("doc_id") === emb("vec_id"))
+      .select("doc_id", "text", "embedding")
+      .write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir).schema).parquet(dir)
+    def curate(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+        length(graft.ext.Curation.redactPii(col("text"))).as("clean_len"),
+        graft.ext.Similarity.signBucket(col("embedding"), 4, 64).as("bucket"))
+    val streamed = Streams.runToMemory(curate(stream), "curate_test",
+      mode = "append")
+    val batch = curate(spark.read.parquet(dir))
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty)
+    assert(batch.count() > 0)
+  }
+
   test("stateful streaming dedup keeps exactly one event per key") {
     import spark.implicits._
     val batchEvents = Tables.load(spark, TestSpark.sf0001, "events")
