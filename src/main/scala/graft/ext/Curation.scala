@@ -113,6 +113,73 @@ object Curation {
     size(regexp_extract_all(text, lit(PhoneRe), lit(0))).as("n_phones"),
     size(regexp_extract_all(text, lit(Ipv4Re), lit(0))).as("n_ips"))
 
+  /** One run's stage-by-stage survivor counts — the audit trail every
+    * curation pipeline must emit (silent row loss is the cardinal sin of
+    * a training-data pipeline).
+    */
+  final case class CurationReport(
+      input: Long, afterQuality: Long, afterExactDedup: Long,
+      afterNearDedup: Long, afterDecontam: Long, afterMix: Long,
+      packs: Long)
+
+  /** The assembled corpus-curation pipeline — raw documents in,
+    * training-ready packed corpus out:
+    *
+    * quality floor → PII redaction → exact dedup (content fingerprint,
+    * keep min id) → near-dup clustering (MinHash LSH candidates →
+    * connected components, keep cluster min) → benchmark decontamination
+    * → domain-mixture sampling → sequence packing.
+    *
+    * Every stage is one of this module's / [[Dedup]]'s deterministic
+    * operators, so the whole pipeline is reproducible end-to-end; the
+    * returned [[CurationReport]] gives the per-stage survivor counts.
+    * Each stage's scale shape is documented on its operator; the
+    * composition adds nothing beyond their sum (no extra shuffles, no
+    * driver materialization except the report counts themselves).
+    */
+  def curateCorpus(docs: DataFrame, bench: DataFrame, idCol: String,
+                   textCol: String, groupCol: String,
+                   minQuality: Double, stopwords: Seq[String],
+                   shingleK: Int, rates: Map[String, Double],
+                   defaultRate: Double, packBudget: Int)
+      : (DataFrame, CurationReport) = {
+    val input = docs.count()
+
+    val quality = docs
+      .filter(TextStats.qualityScore(col(textCol), stopwords) >= minQuality)
+      .withColumn(textCol, redactPii(col(textCol)))
+      .cache()
+    val nQuality = quality.count()
+
+    val exactReps = Dedup.exactByContent(quality, idCol, textCol)
+      .select(col(idCol))
+    val exact = quality.join(exactReps, Seq(idCol), "left_semi").cache()
+    val nExact = exact.count()
+
+    val clusters = Dedup.dedupClusters(
+      Dedup.minhashCandidates(exact, idCol, textCol, shingleK))
+    val dropNearDups = clusters.filter(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    val near = exact.join(dropNearDups, Seq(idCol), "left_anti").cache()
+    val nNear = near.count()
+
+    val clean = decontaminate(near, bench, idCol, textCol, shingleK).cache()
+    val nClean = clean.count()
+
+    val mixed = sampleMixture(clean, idCol, groupCol, rates, defaultRate)
+      .cache()
+    val nMixed = mixed.count()
+
+    val packed = packSequences(
+      mixed.withColumn("__tokens", TextStats.tokenCount(col(textCol))),
+      idCol, "__tokens", groupCol, packBudget)
+    val nPacks = packed.select(groupCol, "pack_id").distinct().count()
+
+    Seq(quality, exact, near, clean, mixed).foreach(_.unpersist())
+    (packed, CurationReport(input, nQuality, nExact, nNear, nClean,
+      nMixed, nPacks))
+  }
+
   /** Domain-mixture sampling: keep a deterministic per-document hash gate
     * whose rate depends on the document's domain — the "sample web at
     * 30%, keep curated sources at 100%" step of assembling a training

@@ -87,6 +87,35 @@ class CurationSpec extends AnyFunSuite {
       out(2).getAs[Int]("n_phones") + out(2).getAs[Int]("n_ips") === 0)
   }
 
+  test("curateCorpus end-to-end: monotone survivor counts, " +
+       "deterministic, packed output") {
+    val docs = Tables.load(spark, TestSpark.sf0001, "documents")
+    val bench = docs.filter(col("doc_id") < 5)
+    val train = docs.filter(col("doc_id") >= 5)
+    def run() = graft.ext.Curation.curateCorpus(train, bench,
+      "doc_id", "text", "source", minQuality = 0.0,
+      stopwords = Seq("the", "a", "of"), shingleK = 5,
+      rates = Map("src0" -> 1.0), defaultRate = 0.8, packBudget = 512)
+
+    val (packed, r) = run()
+    // every stage may only LOSE rows, never invent them
+    assert(r.input >= r.afterQuality)
+    assert(r.afterQuality >= r.afterExactDedup)
+    assert(r.afterExactDedup >= r.afterNearDedup)
+    assert(r.afterNearDedup >= r.afterDecontam)
+    assert(r.afterDecontam >= r.afterMix)
+    assert(r.afterMix > 0 && r.packs > 0)
+    // output carries the pack assignment and survived-row count matches
+    assert(packed.columns.contains("pack_id"))
+    assert(packed.count() === r.afterMix)
+
+    // end-to-end determinism: a rerun yields the identical corpus
+    val (packed2, r2) = run()
+    assert(r === r2)
+    assert(packed.select("doc_id", "pack_id")
+      .exceptAll(packed2.select("doc_id", "pack_id")).isEmpty)
+  }
+
   test("sampleMixture: deterministic, rate-keyed by group, composable " +
        "with itself") {
     val docs = spark.range(2000).select(col("id").as("doc_id"),
