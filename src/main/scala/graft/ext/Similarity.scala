@@ -145,11 +145,14 @@ object Similarity {
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                       nlist: Int, dims: Int, iters: Int = 3): DataFrame = {
     require(iters >= 1 && nlist >= 1 && dims >= 1)
-    var cents = sampleCentroids(corpus, idCol, vecCol, nlist)
+    // the training set is scanned once per Lloyd round — cache it for
+    // the loop (it is the SAMPLE at corpus scale, sized to fit memory)
+    val train = corpus.select(col(idCol), col(vecCol)).cache()
+    var cents = sampleCentroids(train, idCol, vecCol, nlist)
       .localCheckpoint(eager = true)
     var round = 0
     while (round < iters) {
-      val assigned = ivfAssign(corpus, cents, idCol, vecCol)
+      val assigned = ivfAssign(train, cents, idCol, vecCol)
       val sums = assigned.groupBy(col("cell"))
         .agg(count(lit(1)).as("__n"),
           (0 until dims).map(i =>
@@ -161,6 +164,7 @@ object Similarity {
         .localCheckpoint(eager = true) // per-round lineage cut
       round += 1
     }
+    train.unpersist()
     cents
   }
 
