@@ -690,11 +690,11 @@ object QueriesExt {
         FROM ranked GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
     // ── IVF ANN with a TRAINED coarse quantizer (Lloyd's k-means) ──────
-    // No SQL oracle: iterative k-means is not one-shot-SQL-expressible
-    // and per-dimension double sums are partition-order dependent in the
-    // last ulp, so even a recursive-CTE oracle would hash-drift. The
-    // driver records the rows-only check; result QUALITY is locked by
-    // SimilaritySpec's recall floors (trained ≥ sampled quantizer).
+    // Oracle-EXACT despite iterative training: the Spark side sums each
+    // centroid dimension in exact DECIMAL (order-independent), so the
+    // oracle UNROLLS the three Lloyd rounds as CTE layers computing the
+    // identical decimal means — trained centroids, assignments, and the
+    // final multi-probe top-k all hash-match DuckDB bit-for-bit.
     QueryDef("q56_ann_ivf_kmeans",
       (s, dir) => {
         val e = tPar(s, dir, "embeddings")
@@ -703,7 +703,57 @@ object QueriesExt {
           trainIters = 3, dims = annDims)
           .orderBy("probe_id", "rank")
       },
-      None),
+      Some {
+        def cos(a: String, b: String) =
+          s"""(${dDot(a, b)}) / (sqrt(${dDot(a, a)}) * sqrt(${dDot(b, b)}))"""
+        // exact decimal mean of dimension i over a group — the SQL twin
+        // of the Spark side's DECIMAL(38,12) sums (VARCHAR hop: DuckDB's
+        // direct decimal→double cast is off by one ulp)
+        def mean(i: Int) =
+          s"""CAST(CAST(SUM(CAST(CAST(embedding[$i] AS DOUBLE)
+             AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE)"""
+        val meansList = (1 to annDims).map(mean).mkString("[", ", ", "]")
+        // one Lloyd round: assign every vector to its nearest layer-N
+        // centroid (ties to lowest cid), then per-cell decimal means
+        def layer(n: Int): String =
+          s"""s$n AS (
+            SELECT e.vec_id, e.embedding, cid,
+              ${cos("e.embedding", "cvec")} AS ccos
+            FROM embeddings e CROSS JOIN cents${n - 1}),
+          a$n AS (
+            SELECT vec_id, embedding, cid FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id
+                ORDER BY ccos DESC, cid ASC) AS rn FROM s$n)
+            WHERE rn = 1),
+          cents$n AS (
+            SELECT cid, $meansList AS cvec FROM a$n GROUP BY cid)"""
+        s"""WITH cents0 AS (
+            SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $ivfNlist),
+          ${layer(1)}, ${layer(2)}, ${layer(3)},
+          scored AS (
+            SELECT e.vec_id, cid, ${cos("e.embedding", "cvec")} AS ccos
+            FROM embeddings e CROSS JOIN cents3),
+          ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+              ORDER BY ccos DESC, cid ASC) AS rn FROM scored),
+          cell AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1),
+          pcell AS (SELECT vec_id, cid AS cell FROM ranked
+            WHERE rn <= $ivfNprobe AND vec_id < 20),
+          v AS (SELECT e.vec_id, e.embedding, cell
+            FROM embeddings e JOIN cell USING (vec_id)),
+          pv AS (SELECT e.vec_id, e.embedding, cell
+            FROM embeddings e JOIN pcell USING (vec_id)),
+          pairs AS (
+            SELECT a.vec_id AS probe_id, b.vec_id AS nn_id,
+              ${cos("a.embedding", "b.embedding")} AS cos
+            FROM pv a JOIN v b ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+          SELECT probe_id, nn_id, cos, rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY probe_id
+              ORDER BY cos DESC, nn_id ASC) AS rank FROM pairs)
+          WHERE rank <= $topK ORDER BY probe_id, rank"""
+      }),
 
     // ── Benchmark decontamination: train docs overlapping a bench set ──
     QueryDef("q57_decontaminate",

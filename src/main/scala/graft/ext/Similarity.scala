@@ -136,11 +136,12 @@ object Similarity {
     * per centroid, not the full corpus.
     *
     * Cells that lose all members simply drop (standard Lloyd's; the
-    * quantizer then has < nlist cells). Per-dimension double sums are
-    * partition-order dependent in the last ulp, so centroids are
-    * deterministic in VALUE only up to float rounding — fine for an
-    * index structure, which is why the IVF queries keep the
-    * hash-sampled quantizer as their oracle-exact variant.
+    * quantizer then has < nlist cells). Per-dimension sums go through
+    * exact DECIMAL(38,12) (associative, no rounding drift), so the
+    * trained centroids — and every assignment derived from them — are
+    * bit-identical across runs and partitionings, which is what lets
+    * q56 verify a TRAINED index against a SQL oracle with unrolled
+    * Lloyd iterations.
     */
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                       nlist: Int, dims: Int, iters: Int = 3): DataFrame = {
@@ -153,14 +154,21 @@ object Similarity {
     var round = 0
     while (round < iters) {
       val assigned = ivfAssign(train, cents, idCol, vecCol)
+      // exact DECIMAL per-dimension sums (Parity-style): decimal addition
+      // is associative/commutative, so centroids are bit-identical
+      // regardless of partitioning — k-means becomes fully deterministic
+      // and therefore ORACLE-VERIFIABLE (q56); double sums would drift by
+      // partition order in the last ulp and flip boundary assignments
       val sums = assigned.groupBy(col("cell"))
         .agg(count(lit(1)).as("__n"),
           (0 until dims).map(i =>
-            sum(element_at(col(vecCol), i + 1).cast("double"))
+            sum(element_at(col(vecCol), i + 1).cast("double")
+              .cast(org.apache.spark.sql.types.DecimalType(38, 12)))
               .as(s"__s$i")): _*)
       cents = sums.select(col("cell").as(idCol),
         array((0 until dims).map(i =>
-          (col(s"__s$i") / col("__n"))): _*).as(vecCol))
+          (col(s"__s$i").cast("double") /
+            col("__n").cast("double"))): _*).as(vecCol))
         .localCheckpoint(eager = true) // per-round lineage cut
       round += 1
     }

@@ -13,14 +13,8 @@ class QueriesSmokeSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every query has an oracle or is explicitly exempt") {
-    // q56: iterative k-means is not one-shot-SQL-expressible and its
-    // per-dimension double sums are partition-order dependent in the last
-    // ulp; quality is locked by SimilaritySpec recall floors instead, and
-    // the driver records its rows-only check.
-    val exempt = Set("q56_ann_ivf_kmeans")
+  test("every query has an oracle") {
     val noOracle = SparkEntry.allDefs.filter(_.oracle.isEmpty).map(_.name)
-      .filterNot(exempt)
     assert(noOracle.isEmpty,
       s"queries without oracle SQL: ${noOracle.mkString(", ")}")
   }
