@@ -52,11 +52,11 @@ object QueriesExt {
   private val dNorm =
     "trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'), '\\s+', ' ', 'g'))"
 
-  /** Shared CTE text: MinHash signatures → LSH bands → candidate pairs
-    * (the oracle twin of [[Dedup.minhashCandidates]]); yields CTEs named
-    * `sig`, `bands`, `cand`.
+  /** Per-doc LSH band keys for the `documents` rows matching `where` —
+    * the oracle twin of [[Dedup.minhashSignatures]] + band-key explode.
+    * Yields rows (doc_id, bk).
     */
-  private def dMinhashCandCtes: String = {
+  private def dBandsSql(where: String): String = {
     val sh = dShingles(dTok, shingleK)
     val sigExprs = (0 until minhashHashes)
       .map(seed => s"${dMinHashNum("base", seed)} AS mh_$seed")
@@ -66,14 +66,21 @@ object QueriesExt {
       s"'$b:' || md5(array_to_string([${(lo to hi).map(i => s"mh_${i - 1}")
         .mkString(", ")}], ','))"
     }
-    s"""sig AS (SELECT doc_id, ${sigExprs.mkString(", ")}
-        FROM (SELECT doc_id, ${dBaseHash(sh)} AS base FROM documents)),
-      bands AS (SELECT doc_id,
-        unnest([${bandExprs.mkString(", ")}]) AS bk FROM sig),
+    s"""SELECT doc_id, unnest([${bandExprs.mkString(", ")}]) AS bk
+        FROM (SELECT doc_id, ${sigExprs.mkString(", ")}
+          FROM (SELECT doc_id, ${dBaseHash(sh)} AS base
+                FROM documents WHERE $where))"""
+  }
+
+  /** Shared CTE text: MinHash signatures → LSH bands → candidate pairs
+    * (the oracle twin of [[Dedup.minhashCandidates]]); yields CTEs named
+    * `bands`, `cand`.
+    */
+  private def dMinhashCandCtes: String =
+    s"""bands AS (${dBandsSql("TRUE")}),
       cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM bands a JOIN bands b USING (bk)
         WHERE a.doc_id < b.doc_id)"""
-  }
   private def dsumSql(x: String) =
     s"CAST(CAST(SUM(CAST(($x) AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)"
 
@@ -873,6 +880,88 @@ object QueriesExt {
         ASOF LEFT JOIN
           (SELECT * FROM events WHERE event_type = 'view') v
           ON p.user_id = v.user_id AND p.ts >= v.ts
-        ORDER BY p.event_id"""))
+        ORDER BY p.event_id""")),
+
+    // ── Range/interval join: bucketized rewrite of the theta join ──────
+    // Shipments falling inside 7-day windows anchored at a deterministic
+    // subset of orders. RangeJoin turns `pt >= lo AND pt < hi` (which
+    // Spark would plan as a BroadcastNestedLoopJoin) into an equi-join on
+    // a coarse time bucket + residual filter — one shuffle, linear work.
+    QueryDef("q62_range_join",
+      (s, dir) => {
+        val windows = t(s, dir, "orders")
+          .filter(Shingles.baseHash(col("o_orderkey").cast("string"))
+            % 50 === 0)
+          // parquet NTZ timestamps → epoch seconds; session tz is UTC so
+          // the cast is the identity mapping DuckDB's epoch() applies
+          .select(col("o_orderkey").as("window_id"),
+            unix_seconds(col("o_orderdate").cast("timestamp")).as("lo"))
+          .withColumn("hi", col("lo") + lit(7L * 86400))
+        val pts = t(s, dir, "lineitem")
+          .withColumn("pt", unix_seconds(col("l_shipdate").cast("timestamp")))
+        graft.ext.RangeJoin
+          .pointInInterval(pts, windows, "pt", "lo", "hi", 2L * 86400)
+          .groupBy("window_id")
+          .agg(count(lit(1)).as("n_shipments"),
+            dsum(col("l_quantity")).as("total_qty"))
+          .orderBy("window_id")
+      },
+      Some(s"""WITH w AS (SELECT o_orderkey AS window_id,
+          CAST(epoch(o_orderdate) AS BIGINT) AS lo,
+          CAST(epoch(o_orderdate) AS BIGINT) + 604800 AS hi
+        FROM orders
+        WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 7))
+          ::BIGINT % 50 = 0)
+        SELECT window_id, COUNT(*) AS n_shipments,
+          ${dsumSql("l_quantity")} AS total_qty
+        FROM w JOIN lineitem
+          ON CAST(epoch(l_shipdate) AS BIGINT) >= lo
+         AND CAST(epoch(l_shipdate) AS BIGINT) < hi
+        GROUP BY window_id ORDER BY window_id""")),
+
+    // ── Incremental dedup: admit a new crawl batch against the corpus ──
+    // Membership anti-joins on short keys (fingerprint, band key) — no
+    // pair enumeration; the continuous-ingestion shape of corpus growth.
+    QueryDef("q63_incremental_dedup",
+      (s, dir) => {
+        val docs = tPar(s, dir, "documents")
+        val isNew =
+          Shingles.baseHash(col("doc_id").cast("string")) % 5 === 0
+        Dedup.incrementalNew(docs.filter(isNew), docs.filter(!isNew),
+          "doc_id", "text", shingleK, minhashHashes, minhashBandRows)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val gate =
+          "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 5"
+        s"""WITH ex AS (
+            SELECT doc_id, source, n_chars FROM documents
+            WHERE $gate = 0 AND md5($dNorm) NOT IN (
+              SELECT md5($dNorm) FROM documents WHERE $gate <> 0)),
+          cbk AS (SELECT DISTINCT bk FROM (${dBandsSql(s"$gate <> 0")})),
+          hit AS (SELECT DISTINCT doc_id
+            FROM (${dBandsSql(s"$gate = 0")})
+            WHERE bk IN (SELECT bk FROM cbk))
+          SELECT doc_id, source, n_chars FROM ex
+          WHERE doc_id NOT IN (SELECT doc_id FROM hit)
+          ORDER BY doc_id"""
+      }),
+
+    // ── Gopher-style repetition quality stats ──────────────────────────
+    QueryDef("q64_repetition_stats",
+      (s, dir) => Curation.repetitionStats(
+        tPar(s, dir, "documents"), "doc_id", "text", 2)
+        .orderBy("doc_id"),
+      Some(s"""WITH g AS (SELECT doc_id,
+            unnest(${dShingles(dTok, 2)}) AS g FROM documents),
+          pc AS (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY 1, 2)
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+          CAST(COUNT(*) AS BIGINT) AS distinct_grams,
+          CAST(MAX(c) AS BIGINT) AS top_count,
+          CAST(SUM(c) - COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+            AS dup_frac,
+          CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_frac
+        FROM pc GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

@@ -82,6 +82,39 @@ object Curation {
   // both Java regex (Spark) and RE2 (DuckDB/Go tooling): character
   // classes, bounded repeats, ASCII \b. No lookaround — RE2 has none.
 
+  /** Per-document n-gram REPETITION statistics — the Gopher-style quality
+    * rules ("Scaling Language Models", Rae et al. 2021, §A1.1) that catch
+    * boilerplate and degenerate generation: a high duplicate-n-gram
+    * fraction or a single n-gram dominating the document flags it for
+    * removal before training.
+    *
+    * Output per doc: total k-grams, distinct k-grams, the top k-gram's
+    * count, `dup_frac` = (total − distinct) / total and `top_frac` =
+    * top / total. Shape: explode k-grams → count per (doc, gram) → fold
+    * per doc — two shuffles, both with map-side partial aggregation, both
+    * keyed fine-grained (doc_id × gram, then doc_id), so the plan
+    * scale-partitions trivially; no per-doc gram map is ever materialized
+    * as one value (a 1 GB pathological doc becomes many small counter
+    * rows, not one giant hash map).
+    */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int): DataFrame = {
+    val grams = docs.select(col(idCol),
+      explode(Shingles.wordShingles(TextStats.tokens(col(textCol)), k))
+        .as("__g"))
+    val perGram = grams.groupBy(col(idCol), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+    perGram.groupBy(col(idCol)).agg(
+      sum(col("__c")).as("n_grams"),
+      count(lit(1)).as("distinct_grams"),
+      max(col("__c")).as("top_count"))
+      .withColumn("dup_frac",
+        (col("n_grams") - col("distinct_grams")).cast("double") /
+          col("n_grams").cast("double"))
+      .withColumn("top_frac",
+        col("top_count").cast("double") / col("n_grams").cast("double"))
+  }
+
   /** RFC-casual email addresses. */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 

@@ -161,6 +161,46 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
   }
 
+  /** Incremental dedup: admit only the rows of a NEW batch that duplicate
+    * nothing in the existing CORPUS — the shape of a continuously-growing
+    * training set, where each crawl snapshot is deduped against everything
+    * already ingested rather than re-clustering the whole corpus.
+    *
+    * Two gates, both equi-anti-joins on short keys (no pair expansion at
+    * all, unlike [[minhashCandidates]] — membership tests, not pair
+    * enumeration):
+    *   1. EXACT: content fingerprint of the batch row appears in the
+    *      corpus fingerprint set;
+    *   2. NEAR: ANY of the row's MinHash LSH band keys appears in the
+    *      corpus band-key set (a batch doc near-identical to an existing
+    *      doc shares ≥1 band with high probability).
+    *
+    * At 100 TB the corpus-side key sets are precomputed artifacts (a
+    * fingerprint table + a band-key table maintained incrementally as
+    * batches are admitted); here they are derived inline. Both joins
+    * shuffle on the key — each is one short-key exchange of the BATCH
+    * (small) against a distinct-key set of the corpus; with the key
+    * tables bucketed by key the exchange disappears entirely.
+    */
+  def incrementalNew(newBatch: DataFrame, corpus: DataFrame,
+                     idCol: String, textCol: String,
+                     shingleK: Int = 5, numHashes: Int = 16,
+                     rowsPerBand: Int = 4): DataFrame = {
+    val fp = TextStats.contentFingerprint(col(textCol))
+    val corpusFps = corpus.select(fp.as("__fp")).distinct()
+    val exactSurvivors = newBatch.withColumn("__fp", fp)
+      .join(corpusFps, Seq("__fp"), "left_anti").drop("__fp")
+    def bands(d: DataFrame): DataFrame =
+      minhashSignatures(d, idCol, textCol, shingleK, numHashes, rowsPerBand)
+        .select(col(idCol), explode(col("band_keys")).as("bk"))
+    val corpusBands = bands(corpus).select("bk").distinct()
+    // a doc survives only if NONE of its bands collide: semi-join the
+    // exploded batch bands to find colliding ids, then anti-join those
+    val collided = bands(exactSurvivors).join(corpusBands, Seq("bk"))
+      .select(idCol).distinct()
+    exactSurvivors.join(collided, Seq(idCol), "left_anti")
+  }
+
   /** SimHash fingerprint over token hashes, `bits` dimensions.
     * Each token votes per bit using one hex nibble of its portable hash
     * (nibble ≥ 8 → +1, else −1); fingerprint bit = sign of the vote sum.

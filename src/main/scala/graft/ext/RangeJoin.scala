@@ -1,0 +1,60 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Range/interval join — a join class the reference never needs (its SQL
+  * is all equi-joins, SURVEY §2.3 "Not present in the reference") but any
+  * analytics engine must offer: match each POINT row to every half-open
+  * INTERVAL `[lo, hi)` containing it.
+  *
+  * Spark plans a raw `p >= lo AND p < hi` theta join as
+  * BroadcastNestedLoopJoin — O(|points| × |intervals|) comparisons, which
+  * is fine for a handful of intervals but fatal when both sides scale
+  * (100 TB of events × millions of windows). The scale shape here is the
+  * classic BUCKETIZATION rewrite:
+  *
+  *   1. each point maps to ONE coarse bucket `floor(p / w)`;
+  *   2. each interval replicates to EVERY bucket it overlaps
+  *      (`floor(lo/w) .. floor((hi-1)/w)` — at most `len/w + 1` rows);
+  *   3. equi-join on the bucket key, then re-check the exact predicate.
+  *
+  * Because a point lives in exactly one bucket, every matching
+  * (point, interval) pair meets in exactly one joined row — no DISTINCT
+  * pass is needed afterwards. Cost: one shuffle on the bucket key (vs no
+  * shuffle but quadratic work for the nested loop), interval-side blowup
+  * bounded by `len/w + 1`. Pick `w` near the TYPICAL interval length:
+  * replication stays O(1) per interval while each bucket only sees
+  * intervals that could plausibly match. Bucket-key skew follows point
+  * skew and is AQE-splittable (the key is synthetic and fine-grained).
+  */
+object RangeJoin {
+
+  /** Floor division of a (possibly negative) long column by a positive
+    * width. Double division is exact here: both operands are integers far
+    * below 2^53 and IEEE division is correctly rounded, so an integral
+    * quotient comes out exactly integral.
+    */
+  private def fdiv(c: Column, w: Long): Column =
+    floor(c.cast("double") / lit(w.toDouble)).cast("long")
+
+  /** Join `points` to every interval of `intervals` whose `[lo, hi)`
+    * range contains the point. Output columns: all point columns + all
+    * interval columns (callers project). `pointCol`, `loCol`, `hiCol`
+    * must be integral (epoch seconds, ids, …); empty intervals
+    * (`hi <= lo`) match nothing and are dropped up front.
+    */
+  def pointInInterval(points: DataFrame, intervals: DataFrame,
+                      pointCol: String, loCol: String, hiCol: String,
+                      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val pts = points.withColumn("__bucket", fdiv(col(pointCol), bucketWidth))
+    val ivs = intervals
+      .filter(col(hiCol) > col(loCol))
+      .withColumn("__bucket",
+        explode(sequence(fdiv(col(loCol), bucketWidth),
+          fdiv(col(hiCol) - lit(1L), bucketWidth))))
+    pts.join(ivs, Seq("__bucket")).drop("__bucket")
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+  }
+}

@@ -139,4 +139,20 @@ class CurationSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(tight.subsetOf(a.toSet))
   }
+
+  test("repetitionStats: known duplicate-2gram and top-2gram fractions") {
+    val docs = Seq(
+      (1L, "a b a b a b"),   // 2-grams: ab,ba,ab,ba,ab → n=5, d=2, top=3
+      (2L, "v w x y z"),     // all distinct → n=4, d=4, top=1
+      (3L, "solo"))          // short doc → one whole-doc gram
+      .toDF("doc_id", "text")
+    val got = Curation.repetitionStats(docs, "doc_id", "text", k = 2)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(got(0) === ((1L, 5L, 2L, 3L, 3.0 / 5.0, 3.0 / 5.0)))
+    assert(got(1) === ((2L, 4L, 4L, 1L, 0.0, 0.25)))
+    assert(got(2) === ((3L, 1L, 1L, 1L, 0.0, 1.0)))
+  }
 }

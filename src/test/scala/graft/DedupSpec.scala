@@ -178,4 +178,28 @@ class DedupSpec extends AnyFunSuite {
       .head().getSeq[String](0)
     assert(sh === Seq("two words"))
   }
+
+  test("incremental dedup: exact dup, near dup, and fresh docs gate correctly") {
+    val corpusDocs = Seq((1L, docA), (2L, docB)).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "The quick brown fox jumps over the lazy dog today."), // ≡ 1
+      (11L, docA2),                                   // near-dup of 1
+      (12L, "entirely novel musings on distributed query planning"))
+      .toDF("doc_id", "text")
+    val survivors = Dedup.incrementalNew(batch, corpusDocs,
+      "doc_id", "text", shingleK = 3, numHashes = 16, rowsPerBand = 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!survivors.contains(10L), "exact duplicate must be dropped")
+    assert(!survivors.contains(11L), "near-duplicate must share a band and drop")
+    assert(survivors === Set(12L), "novel content must survive")
+  }
+
+  test("incremental dedup: empty corpus admits the whole batch") {
+    val batch = Seq((1L, docA), (2L, docB)).toDF("doc_id", "text")
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val survivors = Dedup.incrementalNew(batch, empty, "doc_id", "text",
+      shingleK = 3, numHashes = 16, rowsPerBand = 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors === Set(1L, 2L))
+  }
 }

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.RangeJoin
+
+/** Bucketized point-in-interval join: exact match set vs a brute-force
+  * theta join, boundary semantics, duplicate-free output across bucket
+  * widths, and the plan shape (equi-join, not a nested loop).
+  */
+class RangeJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def points = Seq(0L, 5L, 10L, 15L, 99L, 100L, 101L, 250L)
+    .toDF("pt").withColumn("pid", col("pt"))
+  private def intervals = Seq(
+    (1L, 0L, 10L),     // [0,10): catches 0,5
+    (2L, 10L, 11L),    // [10,11): catches 10
+    (3L, 5L, 200L),    // wide: catches 5..101
+    (4L, 100L, 100L),  // empty
+    (5L, 240L, 260L))  // catches 250
+    .toDF("iid", "lo", "hi")
+
+  private def bruteForce: Set[(Long, Long)] =
+    points.crossJoin(intervals)
+      .filter(col("pt") >= col("lo") && col("pt") < col("hi"))
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+
+  test("matches brute-force theta join across bucket widths") {
+    for (w <- Seq(1L, 3L, 7L, 64L, 1000L)) {
+      val got = RangeJoin.pointInInterval(points, intervals,
+        "pt", "lo", "hi", w)
+        .select("pid", "iid").as[(Long, Long)].collect()
+      assert(got.length === got.toSet.size, s"duplicate pairs at w=$w")
+      assert(got.toSet === bruteForce, s"wrong match set at w=$w")
+    }
+  }
+
+  test("half-open boundaries: lo inclusive, hi exclusive, empty dropped") {
+    val got = RangeJoin.pointInInterval(points, intervals,
+      "pt", "lo", "hi", 10L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(got.contains((0L, 1L)), "lo must be inclusive")
+    assert(!got.contains((10L, 1L)), "hi must be exclusive")
+    assert(!got.exists(_._2 == 4L), "empty interval must match nothing")
+  }
+
+  test("negative domains floor-divide correctly") {
+    val p = Seq(-25L, -20L, -1L, 0L).toDF("pt")
+    val iv = Seq((1L, -21L, 0L)).toDF("iid", "lo", "hi")
+    val got = RangeJoin.pointInInterval(p, iv, "pt", "lo", "hi", 10L)
+      .select("pt").as[Long].collect().toSet
+    assert(got === Set(-20L, -1L))
+  }
+
+  test("plans as an equi-join on the bucket key, not a nested loop") {
+    val plan = RangeJoin.pointInInterval(points, intervals,
+      "pt", "lo", "hi", 10L).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"range join must not be a nested loop:\n$plan")
+  }
+}
