@@ -23,12 +23,15 @@ object Bench {
     // warm the JVM/codegen paths once so per-query numbers measure the
     // engine, not first-use classloading
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
-    // min of two executions per query: the box runs periodic background
+    // min of three executions per query: the box runs periodic background
     // jobs and a single sample can catch a load spike (observed 0.3s
-    // queries reading 25s once); min-of-N is the standard noise floor
+    // queries reading 25s once, and min-of-2 still inflated untouched
+    // queries 4-8x in one round); min-of-N is the standard noise floor.
     // A failed query must surface as an error entry and a non-zero exit,
     // never as a near-zero "fast" sample — otherwise a broken query makes
     // the benchmark LOOK faster and the gate still passes.
+    val samplesPerQuery =
+      sys.env.get("SPARK_GRAFT_BENCH_SAMPLES").map(_.toInt).getOrElse(3)
     var errors = List.empty[(String, String)]
     // Optional dev filter: SPARK_GRAFT_BENCH_FILTER=q26,q45 runs only the
     // queries whose name contains one of the comma-separated substrings.
@@ -39,8 +42,16 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       filter.isEmpty || filter.exists(n.contains)
     }
+    // 1-minute load average before/after: a polluted run (another process
+    // hogging the box mid-bench) is then self-identifying from the JSON
+    // alone instead of needing round-over-round forensics.
+    def loadavg(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val loadBefore = loadavg()
     val results = selected.map { case (name, fn) =>
-      val samples = (1 to 2).flatMap { _ =>
+      val samples = (1 to samplesPerQuery).flatMap { _ =>
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -60,7 +71,8 @@ object Bench {
       "\"" + k + "\":\"" + m.replaceAll("[\"\\\\\n\r\t]", " ").take(200) + "\""
     }.mkString("{", ",", "}")
     val errField = if (errors.nonEmpty) s""","errors":$errJson""" else ""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField,"sf":"$sfDir"}""")
+    val loadAfter = loadavg()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField,"samples":$samplesPerQuery,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

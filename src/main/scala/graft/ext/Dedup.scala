@@ -89,8 +89,9 @@ object Dedup {
     * stream in-bucket pairs with a MINIMAL-BAND guard → project. ONE
     * aggregation shuffle and no pair-level shuffle at all: a pair that
     * collides in several bands is emitted only from its lowest shared
-    * band (each doc carries its band_keys array into the bucket; the
-    * guard checks that no earlier band also collides), so the output is
+    * band (each doc carries xxhash64 fingerprints of its PREFIX bands —
+    * compact longs, all the guard reads — into the bucket; the guard
+    * checks that no earlier band also collides), so the output is
     * already distinct. The earlier `distinct()` formulation shuffled
     * every expanded pair row — O(ΣB²) rows, the dominant shuffle at
     * corpus scale once buckets approach the cap (4096²/2 ≈ 8.4 M pairs
@@ -125,14 +126,23 @@ object Dedup {
     val numBands = numHashes / rowsPerBand
     val sigs = minhashSignatures(docs, idCol, textCol, shingleK, numHashes,
       rowsPerBand)
-    // Each bucket member carries its full band_keys array (numBands short
-    // strings) so the minimal-band guard can run locally at expansion.
+    // Each bucket member carries compact fingerprints of exactly the bands
+    // the minimal-band guard reads: the row exploded for band i needs only
+    // bands < i, as xxhash64 longs (8 bytes each), not the full md5-string
+    // band_keys array (numBands × ~35-char strings — carrying that through
+    // collect_list multiplied the aggregation-shuffle payload ~5× and made
+    // every per-pair guard compare a string compare). A 64-bit fingerprint
+    // collision falsely suppresses a pair with p ≈ numBands·2⁻⁶⁴ per pair —
+    // negligible against LSH's own false-negative rate.
     val buckets = sigs
-      .select(col(idCol), col("band_keys"),
+      .withColumn("bkh", transform(col("band_keys"), k => xxhash64(k)))
+      .select(col(idCol), col("bkh"),
         posexplode(col("band_keys")).as(Seq("band", "bk")))
+      .select(col(idCol), col("band"), col("bk"),
+        slice(col("bkh"), lit(1), col("band")).as("pfx"))
       .groupBy("bk")
       .agg(first(col("band")).as("band"), // constant within a bucket: bk embeds the band index
-        collect_list(struct(col(idCol).as("id"), col("band_keys").as("bks")))
+        collect_list(struct(col(idCol).as("id"), col("pfx")))
           .as("docs"))
       .filter(size(col("docs")) > 1)
     val capped = observeBuckets(buckets, "docs", maxBucket,
@@ -154,7 +164,7 @@ object Dedup {
       when(col("band") === 0, lit(true))) { (acc, bi) =>
       acc.when(col("band") === bi,
         (0 until bi).map(j =>
-          element_at(col("a.bks"), j + 1) =!= element_at(col("b.bks"), j + 1))
+          element_at(col("a.pfx"), j + 1) =!= element_at(col("b.pfx"), j + 1))
           .reduce(_ && _))
     }.otherwise(lit(false))
     expanded.filter(minimalBand)

@@ -126,8 +126,10 @@ object Similarity {
     * rounds; assignment is by max cosine (spherical k-means, matching
     * the IVF search metric).
     *
-    * Scale shape per round: centroids are BROADCAST (nlist × dims
-    * doubles); assignment is the one corpus scan; the centroid update is
+    * Scale shape per round: centroids ride to executors as a plan
+    * constant (nlist × dims doubles, broadcast-equivalent); assignment is
+    * a map-only corpus scan (inline argmax, no shuffle, no join-back —
+    * see [[ivfAssign]]); the centroid update is
     * a single hash aggregation with map-side partial sums — `dims`
     * native `sum(element_at(vec, i))` aggregates, so the shuffle carries
     * nlist × (dims+1) doubles per map task, not vectors. The corpus is
@@ -176,36 +178,49 @@ object Similarity {
     cents
   }
 
+  /** Driver-side centroid snapshot for inline assignment: (ids, vectors
+    * as doubles). A quantizer is SMALL by construction (nlist rows —
+    * thousands of points per cell is what makes it a quantizer), so
+    * collecting it is the same cost class as the `broadcast()` the old
+    * join-based assignment already paid; float→double widening is exact,
+    * so values are unchanged. Requires an integral id column.
+    */
+  private def collectCentroids(centroids: DataFrame, idCol: String,
+                               vecCol: String): (Array[Long], Array[Array[Double]]) = {
+    val rows = centroids.select(col(idCol).cast("long"),
+      col(vecCol).cast("array<double>")).collect()
+    (rows.map(_.getLong(0)), rows.map(_.getSeq[Double](1).toArray))
+  }
+
   /** IVF cell assignment, one row per (vector, probed cell): each vector
-    * scores all `nlist` centroids (broadcast nested loop — the corpus is
-    * scanned once and never shuffled wide) and keeps its `nprobe` nearest
-    * (max cosine, ties to the lowest centroid id).
+    * keeps its `nprobe` nearest centroids (max cosine, ties to the lowest
+    * centroid id).
     *
-    * nprobe=1 (index build over the full corpus) aggregates with map-side
-    * partial `max_by` — one hash agg, no sort. nprobe>1 (query-side
-    * multi-probe over the small probe set) ranks via the heap top-k
-    * operator.
+    * Assignment is a pure per-row function of (vec, centroids), so it is
+    * computed INLINE by [[graft.functions.NativeExprs.ivfCells]] over the
+    * driver-collected centroid array — one codegen'd map stage, zero
+    * shuffles. The previous formulation (crossJoin broadcast centroids →
+    * groupBy max_by / top-k → join back on the id) paid an avoidable
+    * corpus-wide aggregation shuffle plus a sort-merge join-back; at
+    * corpus scale that was the dominant cost of every index build and
+    * every Lloyd round. nprobe>1 (query-side multi-probe) explodes the
+    * per-row cell array — still map-only, and only over the small probe
+    * side.
     */
   def ivfAssign(vectors: DataFrame, centroids: DataFrame, idCol: String,
                 vecCol: String, nprobe: Int = 1): DataFrame = {
-    val scored = vectors.alias("v")
-      .crossJoin(broadcast(centroids.select(col(idCol).as("__cid"),
-        col(vecCol).as("__cvec"))))
-      .withColumn("__cos", cosine(col(s"v.$vecCol"), col("__cvec")))
-    val cells =
-      if (nprobe == 1)
-        scored.groupBy(col(s"v.$idCol").as(idCol))
-          .agg(max_by(col("__cid"), struct(col("__cos"), -col("__cid")))
-            .as("cell"))
-      else
-        graft.plans.TopKPerKey.topKPerKey(
-          scored.select(col(s"v.$idCol").as(idCol), col("__cid"),
-            col("__cos")),
-          Seq(idCol),
-          Seq(graft.plans.TopKPerKey.Sort("__cos", asc = false),
-            graft.plans.TopKPerKey.Sort("__cid")), nprobe)
-          .select(col(idCol), col("__cid").as("cell"))
-    vectors.join(cells, idCol)
+    val (ids, vecs) = collectCentroids(centroids, idCol, vecCol)
+    assignInline(vectors, vecCol, ids, vecs, nprobe)
+  }
+
+  private def assignInline(vectors: DataFrame, vecCol: String,
+                           centIds: Array[Long],
+                           centVecs: Array[Array[Double]],
+                           nprobe: Int): DataFrame = {
+    val cells = graft.functions.NativeExprs
+      .ivfCells(col(vecCol), centIds, centVecs, nprobe)
+    if (nprobe == 1) vectors.withColumn("cell", cells)
+    else vectors.withColumn("cell", explode(cells))
   }
 
   /** IVF ANN top-k: corpus vectors live in their nearest cell; probes
@@ -224,9 +239,11 @@ object Similarity {
       if (trainIters > 0)
         kmeansCentroids(corpus, idCol, vecCol, nlist, dims, trainIters)
       else sampleCentroids(corpus, idCol, vecCol, nlist)
-    val c = ivfAssign(corpus, centroids, idCol, vecCol)
+    // one driver-side snapshot serves both assignment sides
+    val (cids, cvecs) = collectCentroids(centroids, idCol, vecCol)
+    val c = assignInline(corpus, vecCol, cids, cvecs, nprobe = 1)
       .select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"), col("cell"))
-    val p = ivfAssign(probes, centroids, idCol, vecCol, nprobe)
+    val p = assignInline(probes, vecCol, cids, cvecs, nprobe)
       .select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"),
         col("cell"))
     val pairs = p.join(c, Seq("cell"))

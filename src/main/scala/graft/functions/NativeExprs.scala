@@ -468,6 +468,144 @@ object NativeExprs {
       copy(child = c)
   }
 
+  /** The `nprobe` nearest centroid ids for a vector — max cosine, ties to
+    * the LOWEST centroid id — as a pure per-row expression over
+    * driver-collected centroids (an `addReferenceObj` constant, shipped
+    * with the task closure exactly like a broadcast variable).
+    *
+    * This replaces the former assignment plan — crossJoin(broadcast
+    * centroids) → groupBy(id).max_by → join back to the vectors — whose
+    * join-back was a corpus-wide shuffle + sort-merge join at scale. The
+    * assignment is a pure function of (vec, centroids), so no aggregation
+    * is needed at all: one codegen'd call per row, corpus never shuffled.
+    *
+    * Bit-exactness: cosine is computed exactly as
+    * `dot(v,c) / (sqrt(dot(v,v)) * sqrt(dot(c,c)))` with the same
+    * sequential index-order folds as [[DotProductExpr]], and comparisons
+    * use `java.lang.Double.compare`, which orders NaN above +Inf — the
+    * same total order Spark's `max_by` struct comparison uses — so cells
+    * are identical to the former aggregation formulation and to the SQL
+    * oracle. Centroid norms are precomputed once per task from the same
+    * fold, so per-row cost is one dot product per centroid.
+    *
+    * `nprobe == 1` evaluates as a scalar LONG (the common index-build
+    * path: no array allocation per row); `nprobe > 1` as array<long>
+    * ordered by (cosine desc, id asc), truncated to the centroid count.
+    */
+  case class IvfCellsExpr(child: Expression, centIds: Array[Long],
+                          centVecs: Array[Array[Double]], nprobe: Int)
+      extends UnaryExpression {
+    require(centIds.nonEmpty && centIds.length == centVecs.length,
+      "graft_ivf_cells needs a non-empty centroid set with one id per vector")
+    require(centVecs.forall(_.length == centVecs(0).length),
+      "graft_ivf_cells centroids must share dimensionality")
+    require(nprobe >= 1, "nprobe must be >= 1")
+
+    override def dataType: DataType =
+      if (nprobe == 1) LongType else ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_ivf_cells"
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float> or array<double>, got ${t.sql}")
+    }
+
+    @transient private lazy val isFloat =
+      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    @transient private lazy val dims = centVecs(0).length
+    @transient private lazy val centNorms: Array[Double] = centVecs.map { c =>
+      var acc = 0.0
+      var i = 0
+      while (i < c.length) { acc += c(i) * c(i); i += 1 }
+      math.sqrt(acc)
+    }
+
+    // strict ordering: (cosine desc, id asc); Double.compare for Spark's
+    // NaN-highest total order
+    private def better(cos: Double, id: Long, thanCos: Double,
+                       thanId: Long): Boolean = {
+      val c = java.lang.Double.compare(cos, thanCos)
+      c > 0 || (c == 0 && id < thanId)
+    }
+
+    /** top-`nprobe` (id, cos) by insertion into a sorted buffer — nlist is
+      * small (a quantizer, not the corpus) and nprobe smaller still.
+      * Returns the filled prefix length.
+      */
+    private def topCells(vec: ArrayData, outIds: Array[Long],
+                         outCos: Array[Double]): Int = {
+      val n = vec.numElements()
+      if (n != dims) throw new IllegalArgumentException(
+        s"graft_ivf_cells: vector has $n dims, centroids have $dims — " +
+          "assigning a truncated projection would silently corrupt cells")
+      val v = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        v(i) = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+        i += 1
+      }
+      var vn = 0.0
+      i = 0
+      while (i < n) { vn += v(i) * v(i); i += 1 }
+      val vNorm = math.sqrt(vn)
+      var filled = 0
+      var c = 0
+      while (c < centIds.length) {
+        val cv = centVecs(c)
+        var acc = 0.0
+        i = 0
+        while (i < dims) { acc += v(i) * cv(i); i += 1 }
+        val cos = acc / (vNorm * centNorms(c))
+        val id = centIds(c)
+        var pos = filled
+        while (pos > 0 && better(cos, id, outCos(pos - 1), outIds(pos - 1)))
+          pos -= 1
+        if (pos < nprobe) {
+          var j = math.min(filled, nprobe - 1)
+          while (j > pos) {
+            outCos(j) = outCos(j - 1); outIds(j) = outIds(j - 1); j -= 1
+          }
+          outCos(pos) = cos
+          outIds(pos) = id
+          if (filled < nprobe) filled += 1
+        }
+        c += 1
+      }
+      filled
+    }
+
+    def evalCell(vec: ArrayData): Long = {
+      val ids = new Array[Long](1)
+      val cos = new Array[Double](1)
+      topCells(vec, ids, cos)
+      ids(0)
+    }
+
+    def evalCells(vec: ArrayData): ArrayData = {
+      val ids = new Array[Long](nprobe)
+      val cos = new Array[Double](nprobe)
+      val filled = topCells(vec, ids, cos)
+      new GenericArrayData(if (filled == nprobe) ids else ids.take(filled))
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val vec = input.asInstanceOf[ArrayData]
+      if (nprobe == 1) evalCell(vec) else evalCells(vec)
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("ivfCellsExpr", this,
+        classOf[IvfCellsExpr].getName)
+      val call = if (nprobe == 1) "evalCell" else "evalCells"
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.$call($c);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** Marker-token language ID over lowercased tokens: count hits per
     * language, argmax with declaration-order tie-break —
     * [[graft.ext.TextStats.langId]]'s tight-loop twin (one pass over the
@@ -551,6 +689,11 @@ object NativeExprs {
   def simhash(tokens: Column, bits: Int): Column =
     ColumnBridge.column(
       SimHashExpr(ColumnBridge.expression(tokens), bits))
+
+  def ivfCells(vec: Column, centIds: Array[Long],
+               centVecs: Array[Array[Double]], nprobe: Int): Column =
+    ColumnBridge.column(
+      IvfCellsExpr(ColumnBridge.expression(vec), centIds, centVecs, nprobe))
 
   def langId(lowerTokens: Column,
              markers: Seq[(String, Seq[String])]): Column =
