@@ -142,30 +142,41 @@ object Multimodal {
     * loudly-stubbed byte-statistics decoder ([[stubDecode]]) — the
     * codecs for JPEG/audio/video are not in this container.
     */
+  /** Channel-stats feature of decoded RGB pixels:
+    * [width, height, meanR, meanG, meanB].
+    */
+  private def ppmStats(w: Int, h: Int, px: Array[Byte]): Array[Double] = {
+    val n = w * h
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var p = 0
+    while (p < n) {
+      sr += px(3 * p) & 0xff
+      sg += px(3 * p + 1) & 0xff
+      sb += px(3 * p + 2) & 0xff
+      p += 1
+    }
+    Array(w.toDouble, h.toDouble, sr.toDouble / n,
+      sg.toDouble / n, sb.toDouble / n)
+  }
+
+  /** The per-payload feature contract shared by [[decodeFeatures]] and
+    * [[resizeWithFeatures]]: real stats for a decodable PPM, null for a
+    * malformed one (auditable, never a crash), byte-statistics stub
+    * otherwise.
+    */
+  private def featureOf(payload: Array[Byte]): Array[Double] =
+    if (isPpm(payload))
+      ppmDecode(payload).map { case (w, h, px) => ppmStats(w, h, px) }.orNull
+    else stubDecode(payload)
+
   def decodeFeatures(media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
     val enc = ExpressionEncoder(RowEncoder.encoderFor(featureSchema))
     media.select("media_id", "payload").mapPartitions { rows =>
       // decoder/codec initialization would happen HERE, once per partition
       rows.map { r =>
         val id = r.getLong(0)
         val payload = r.getAs[Array[Byte]](1)
-        val feature =
-          if (isPpm(payload)) ppmDecode(payload).map { case (w, h, px) =>
-            val n = w * h
-            var sr = 0L; var sg = 0L; var sb = 0L
-            var p = 0
-            while (p < n) {
-              sr += px(3 * p) & 0xff
-              sg += px(3 * p + 1) & 0xff
-              sb += px(3 * p + 2) & 0xff
-              p += 1
-            }
-            Array(w.toDouble, h.toDouble, sr.toDouble / n,
-              sg.toDouble / n, sb.toDouble / n)
-          }.orNull
-          else stubDecode(payload)
-        Row(id, payload.length.toLong, feature)
+        Row(id, payload.length.toLong, featureOf(payload))
       }
     }(enc)
   }
@@ -235,6 +246,46 @@ object Multimodal {
           Row(r.getLong(0), r.getString(1), outPayload,
             Row(outMime, width, height,
               r.getAs[Row](3).getAs[java.lang.Long](3)))
+        }
+      }(enc)
+  }
+
+  /** Fused resize + feature-extract: ONE decode per row serves both the
+    * rescaled payload and its channel statistics. Composing
+    * [[resize]] → [[decodeFeatures]] as separate stages costs two full
+    * codec passes per row (resize re-encodes, decodeFeatures re-parses
+    * the new payload) — for a heavyweight codec the decode IS the cost,
+    * so the fused form halves it. Bit-identical to the composition: the
+    * feature is computed from the resampled pixels exactly as
+    * [[decodeFeatures]] computes it from the re-encoded payload (same
+    * bytes either way; PPM encode/decode is lossless), and non-PPM
+    * payloads take the same stub pair. Output = [[mediaSchema]] fields of
+    * the resized media plus `byte_len`/`feature` of the result.
+    */
+  def resizeWithFeatures(media: DataFrame, width: Int, height: Int): DataFrame = {
+    val schema = StructType(mediaSchema.fields ++ Seq(
+      StructField("byte_len", LongType, nullable = false),
+      StructField("feature", ArrayType(DoubleType), nullable = true)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(schema))
+    media.select("media_id", "media_type", "payload", "meta")
+      .mapPartitions { rows =>
+        // codec/scaler initialization would happen HERE, once per partition
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]](2)
+          val decoded = if (isPpm(payload)) ppmDecode(payload) else None
+          val (outPayload, outMime, feature) = decoded match {
+            case Some((sw, sh, px)) =>
+              val rgb = resampleRgb(px, sw, sh, width, height)
+              (ppmEncode(width, height, rgb), "image/x-portable-pixmap",
+                ppmStats(width, height, rgb))
+            case None =>
+              val sp = stubResize(payload, width, height)
+              (sp, "application/octet-stream", featureOf(sp))
+          }
+          Row(r.getLong(0), r.getString(1), outPayload,
+            Row(outMime, width, height,
+              r.getAs[Row](3).getAs[java.lang.Long](3)),
+            outPayload.length.toLong, feature)
         }
       }(enc)
   }

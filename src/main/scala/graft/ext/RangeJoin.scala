@@ -57,4 +57,37 @@ object RangeJoin {
     pts.join(ivs, Seq("__bucket")).drop("__bucket")
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
   }
+
+  /** [[pointInInterval]] with the bucket width DERIVED from the data: the
+    * median interval length via one tiny aggregate over the interval side
+    * (`approx_percentile` — bounded memory, one pass, merge-safe at any
+    * scale). The median is the robust center under skewed interval mixes:
+    * a mean would let a few huge windows (a "whole-year" interval among
+    * millions of minutes) inflate `w` until every bucket sees every short
+    * interval, while the median keeps replication ≈ O(1) per TYPICAL
+    * interval and outliers pay their own `len/w` replication — bounded,
+    * and only for the rows that are genuinely wide.
+    *
+    * Width only shapes the PLAN (replication vs bucket fan-in), never the
+    * match set — any positive width yields identical results — so the
+    * approximation is free of correctness risk; pass an explicit width
+    * via the main overload when the workload is known better.
+    */
+  def pointInInterval(points: DataFrame, intervals: DataFrame,
+                      pointCol: String, loCol: String,
+                      hiCol: String): DataFrame =
+    pointInInterval(points, intervals, pointCol, loCol, hiCol,
+      autoBucketWidth(intervals, loCol, hiCol))
+
+  /** Median interval length, floored to ≥ 1; empty/degenerate interval
+    * sets fall back to width 1 (nothing to replicate anyway).
+    */
+  def autoBucketWidth(intervals: DataFrame, loCol: String,
+                      hiCol: String): Long = {
+    val row = intervals.filter(col(hiCol) > col(loCol))
+      .agg(approx_percentile((col(hiCol) - col(loCol)).cast("long"),
+        lit(0.5), lit(10000)).as("med"))
+      .head()
+    if (row.isNullAt(0)) 1L else math.max(1L, row.getLong(0))
+  }
 }

@@ -91,6 +91,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rpx.forall(_ == 'z'.toByte), "uniform image stays uniform")
   }
 
+  test("resizeWithFeatures ≡ resize → decodeFeatures, with one decode") {
+    // PPM media (real path) AND stub media (non-PPM path) through both
+    // formulations: the fused operator must be bit-identical to the
+    // two-stage composition on payload, metadata, and feature.
+    val docs = Seq((1L, "abcdef"), (2L, "zz"), (3L, "")).toDF("doc_id", "text")
+    for (m <- Seq(Multimodal.asPpmMediaTable(docs, "doc_id", "text", 4, 4),
+                  media.limit(50))) {
+      val fused = Multimodal.resizeWithFeatures(m, 2, 2)
+        .orderBy("media_id").collect()
+      val resized = Multimodal.resize(m, 2, 2)
+      val composed = resized
+        .join(Multimodal.decodeFeatures(resized), "media_id")
+        .select("media_id", "media_type", "payload", "meta", "byte_len",
+          "feature")
+        .orderBy("media_id").collect()
+      assert(fused.length === composed.length)
+      fused.zip(composed).foreach { case (f, c) =>
+        assert(f.getLong(0) === c.getLong(0))
+        assert(f.getString(1) === c.getString(1))
+        assert(f.getAs[Array[Byte]](2).toSeq === c.getAs[Array[Byte]](2).toSeq)
+        assert(f.get(3) === c.get(3))
+        assert(f.getLong(4) === c.getLong(4))
+        assert(Option(f.getSeq[Double](5)) === Option(c.getSeq[Double](5)))
+      }
+    }
+  }
+
   test("frameSample: row-expanding, n frames per non-empty payload") {
     val frames = Multimodal.frameSample(media, 4)
     assert(frames.schema.fieldNames.toSeq ===

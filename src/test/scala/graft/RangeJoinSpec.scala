@@ -54,6 +54,26 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(got === Set(-20L, -1L))
   }
 
+  test("auto width: median length, robust to skewed interval mixes") {
+    // 99 one-minute windows + 1 whole-year window: the mean (~5256) would
+    // replicate nothing and melt one bucket; the median stays at the
+    // typical length.
+    val skewed = ((1 to 99).map(i => (i.toLong, i * 100L, i * 100L + 60L)) :+
+      (100L, 0L, 31536000L)).toDF("iid", "lo", "hi")
+    val w = RangeJoin.autoBucketWidth(skewed, "lo", "hi")
+    assert(w === 60L, s"median of 99×60s + 1×1y must be 60, got $w")
+    // degenerate interval sets fall back to width 1
+    val empty = Seq.empty[(Long, Long, Long)].toDF("iid", "lo", "hi")
+    assert(RangeJoin.autoBucketWidth(empty, "lo", "hi") === 1L)
+    assert(RangeJoin.autoBucketWidth(
+      Seq((1L, 5L, 5L)).toDF("iid", "lo", "hi"), "lo", "hi") === 1L)
+    // and the auto-width overload returns the exact match set
+    val got = RangeJoin.pointInInterval(points, intervals, "pt", "lo", "hi")
+      .select("pid", "iid").as[(Long, Long)].collect()
+    assert(got.length === got.toSet.size)
+    assert(got.toSet === bruteForce)
+  }
+
   test("plans as an equi-join on the bucket key, not a nested loop") {
     val plan = RangeJoin.pointInInterval(points, intervals,
       "pt", "lo", "hi", 10L).queryExecution.executedPlan.toString

@@ -70,9 +70,11 @@ class SimilaritySpec extends AnyFunSuite {
     Tables.load(spark, "/root/testdata/sf0.01", "embeddings").cache()
   private lazy val probes = emb.filter($"vec_id" < 50)
 
-  private def recallOf(approx: org.apache.spark.sql.DataFrame,
-                       k: Int): Double = {
-    val exact = Similarity.bruteForceTopK(emb, probes, "vec_id",
+  private def recallAgainst(corpus: org.apache.spark.sql.DataFrame,
+                            probeSet: org.apache.spark.sql.DataFrame,
+                            approx: org.apache.spark.sql.DataFrame,
+                            k: Int): Double = {
+    val exact = Similarity.bruteForceTopK(corpus, probeSet, "vec_id",
       "embedding", k)
       .select($"probe_id", $"nn_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -80,6 +82,9 @@ class SimilaritySpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     got.intersect(exact).size.toDouble / exact.size
   }
+
+  private def recallOf(approx: org.apache.spark.sql.DataFrame,
+                       k: Int): Double = recallAgainst(emb, probes, approx, k)
 
   test("sign-LSH bucketed ANN recall@10 clears the floor; tables amplify") {
     // measured on this testdata: 1 table ≈ 0.12, 8 tables ≈ 0.64,
@@ -109,6 +114,36 @@ class SimilaritySpec extends AnyFunSuite {
     // material regression over not training
     assert(trained >= sampled - 0.05,
       f"training regressed recall: $trained%.3f vs $sampled%.3f")
+  }
+
+  test("recall floors hold at sf0.1 where cell sizes are realistic") {
+    // The sf0.01 floors guard the algorithms; this guards the QUANTIZER
+    // at 4× the vectors per cell/bucket (2000 vectors) — a degenerate
+    // quantizer (most mass in one cell, rest empty) would pass small-
+    // fixture floors yet collapse recall exactly here. Same q31/q37/q56
+    // configurations as the bench queries.
+    val emb1 = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+      .cache()
+    val probes1 = emb1.filter($"vec_id" < 50)
+    val bucketed = recallAgainst(emb1, probes1,
+      Similarity.bucketedTopK(emb1, probes1, "vec_id", "embedding", k = 10,
+        bits = Params.annBits, dims = Params.annDims, seed = Params.annSeed,
+        tables = Params.annTables), 10)
+    val sampled = recallAgainst(emb1, probes1,
+      Similarity.ivfTopK(emb1, probes1, "vec_id", "embedding", k = 10,
+        nlist = Params.ivfNlist, nprobe = Params.ivfNprobe), 10)
+    val trained = recallAgainst(emb1, probes1,
+      Similarity.ivfTopK(emb1, probes1, "vec_id", "embedding", k = 10,
+        nlist = Params.ivfNlist, nprobe = Params.ivfNprobe, trainIters = 3,
+        dims = Params.annDims), 10)
+    info(f"sf0.1 recall@10: bucketed $bucketed%.3f, ivf-sampled " +
+      f"$sampled%.3f, ivf-trained $trained%.3f")
+    assert(bucketed >= 0.5, f"sf0.1 bucketed recall $bucketed%.3f < 0.5")
+    assert(sampled >= 0.5, f"sf0.1 sampled-IVF recall $sampled%.3f < 0.5")
+    assert(trained >= 0.6, f"sf0.1 trained-IVF recall $trained%.3f < 0.6")
+    assert(trained >= sampled - 0.05,
+      f"training regressed recall at sf0.1: $trained%.3f vs $sampled%.3f")
+    emb1.unpersist()
   }
 
   test("IVF recall@10 clears the floor and multi-probe beats nprobe=1") {
