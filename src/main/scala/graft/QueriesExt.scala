@@ -1,9 +1,13 @@
 package graft
 
+import java.sql.Date
+
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.etl.Scd2
 import graft.ext.{Curation, Dedup, Multimodal, Shingles, Similarity, TextStats}
 import graft.functions.Parity._
+import graft.mart.Mart
 
 /** Training-data-pipeline operators (dedup family, similarity search,
   * text analysis, multimodal plumbing, as-of join, JSON, percentiles).
@@ -962,6 +966,78 @@ object QueriesExt {
           CAST(SUM(c) - COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
             AS dup_frac,
           CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_frac
-        FROM pc GROUP BY doc_id ORDER BY doc_id"""))
+        FROM pc GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ── P4' mart build: SCD2 dw → star schema → snapshot report ────────
+    // The reference's missing load_to_dm.py stage, exercised end-to-end:
+    // two product snapshots (big parts get a restock on day 20) SCD2-merge
+    // into a dw, Mart.build derives dim_product (hash surrogate keys) +
+    // dim_date + the periodic-snapshot fact (calendar × validity range
+    // join), and the output is the classic mart consumer — the fact
+    // joined back to its dimension. A wrong surrogate key on either side
+    // drops rows from the star join and fails the row-count gate.
+    QueryDef("q65_mart_star",
+      (s, dir) => {
+        val base = t(s, dir, "part").select(
+          concat_ws("|", col("p_name"), col("p_partkey")).as("natural_key"),
+          col("p_name").as("product_name"),
+          col("p_brand").as("brand"),
+          col("p_type").as("material"),
+          col("p_size").cast("long").as("dimension"),
+          floor(col("p_retailprice")).cast("long").as("price"),
+          (col("p_partkey") % 100).cast("long").as("quantity_available"))
+        val attrs = Seq("product_name", "brand", "material", "dimension")
+        val d0 = base
+          .withColumn("dt_load_to_dw", lit(Date.valueOf("2020-01-05")))
+          .withColumn("dt_last_update", lit(Scd2.Sentinel))
+        val restocked = base
+          .withColumn("price", when(col("dimension") > 25,
+            col("price") + 100).otherwise(col("price")))
+          .withColumn("quantity_available", when(col("dimension") > 25,
+            col("quantity_available") - 5)
+            .otherwise(col("quantity_available")))
+        val dw = Scd2.merge(d0, restocked, "natural_key",
+          attrs ++ Seq("price", "quantity_available"),
+          Date.valueOf("2020-01-20"))
+        val star = Mart.build(s, dw, attrs,
+          Seq("price", "quantity_available"),
+          Date.valueOf("2020-01-01"), Date.valueOf("2020-01-31"))
+        star.fact
+          .join(star.dimProduct.select("product_sk", "brand"), "product_sk")
+          .select("full_date", "date_sk", "product_sk", "natural_key",
+            "brand", "price", "quantity_available")
+          .orderBy("full_date", "natural_key")
+      },
+      // date_sk: DateDim ids are row_number over the contiguous daily
+      // calendar from 2005-01-01, so id = days-since + 1 exactly.
+      // product_sk: the same 60-bit md5-prefix surrogate as
+      // Mart.surrogateKey.
+      Some("""WITH base AS (
+          SELECT p_name || '|' || CAST(p_partkey AS VARCHAR) AS natural_key,
+            p_name AS product_name, p_brand AS brand, p_type AS material,
+            CAST(p_size AS BIGINT) AS dimension,
+            CAST(floor(p_retailprice) AS BIGINT) AS price,
+            p_partkey % 100 AS quantity_available
+          FROM part),
+        v1 AS (SELECT *, DATE '2020-01-05' AS valid_from,
+            CASE WHEN dimension > 25 THEN DATE '2020-01-20'
+                 ELSE DATE '9999-12-31' END AS valid_to
+          FROM base),
+        v2 AS (SELECT natural_key, product_name, brand, material, dimension,
+            price + 100 AS price, quantity_available - 5 AS quantity_available,
+            DATE '2020-01-20' AS valid_from, DATE '9999-12-31' AS valid_to
+          FROM base WHERE dimension > 25),
+        dw AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2),
+        dates AS (SELECT CAST(unnest(generate_series(DATE '2020-01-01',
+            DATE '2020-01-31', INTERVAL 1 DAY)) AS DATE) AS full_date)
+        SELECT full_date,
+          CAST(date_diff('day', DATE '2005-01-01', full_date) + 1 AS BIGINT)
+            AS date_sk,
+          CAST(('0x' || substr(md5(natural_key || '|' ||
+            CAST(valid_from AS VARCHAR)), 1, 15)) AS BIGINT) AS product_sk,
+          natural_key, brand, price, quantity_available
+        FROM dates JOIN dw
+          ON full_date >= valid_from AND full_date < valid_to
+        ORDER BY full_date, natural_key"""))
   )
 }

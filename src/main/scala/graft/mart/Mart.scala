@@ -1,0 +1,133 @@
+package graft.mart
+
+import java.sql.Date
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dim.DateDim
+import graft.etl.Scd2
+import graft.ext.RangeJoin
+
+/** P4' — the mart layer the reference ARCHITECTS but never shipped: its
+  * diagram and doc name a `load_to_dm.py` stage ("(S6) load_to_dm.py",
+  * architecture.drawio page 1; docx §1 P4 "load dữ liệu vào dm") feeding
+  * dim/fact tables for PowerBI, but the script is absent from the repo —
+  * SURVEY §0 and §7 (M5) call for its semantics to be DESIGNED from the
+  * `dw` it would consume. This module is that design: a star schema over
+  * the SCD2 warehouse.
+  *
+  *  - [[dimProduct]]   — SCD2-keyed product dimension (one row per
+  *                       version, deterministic surrogate key);
+  *  - `dim_date`       — [[graft.dim.DateDim.generate]] (§2.8), already a
+  *                       conformed dimension; [[dimDate]] aliases its id
+  *                       to the star's `date_sk`;
+  *  - [[factInventorySnapshot]] — periodic-snapshot fact: the
+  *                       price/quantity each product HAD on each calendar
+  *                       date, derived by joining the calendar against
+  *                       the versions' validity intervals.
+  *
+  * Scale shape: the dimension build is MAP-ONLY (the surrogate key is a
+  * hash, not a sequence — a row_number over the full dimension would
+  * funnel 100 TB of history through one sorted partition). The fact build
+  * is the bucketized range join ([[graft.ext.RangeJoin]]): the calendar
+  * side is tiny (thousands of days), versions replicate only across the
+  * buckets their CAPPED validity overlaps, and the join is an equi-join
+  * on the bucket key — never a nested loop against the warehouse.
+  */
+object Mart {
+
+  /** Deterministic surrogate key for a dimension version: the first 60
+    * bits of `md5(natural_key | version_start)` as a BIGINT.
+    *
+    * Hash, not sequence, for two scale reasons: (a) map-only — no global
+    * row_number sort, no driver-side counter; (b) STABLE across full
+    * rewrites and incremental merges (SURVEY §7 M3's "deterministic
+    * surrogate keys across rewrites") — re-building the dimension never
+    * re-keys facts already written. 60 bits keep the value positive in a
+    * signed 64-bit column; collision odds across 10^9 versions are
+    * ~2.5e-17 per pair (birthday bound ≈ 4e-4 for the full set), and any
+    * external engine reproduces the key from the md5 hex prefix.
+    */
+  def surrogateKey(naturalKey: Column, versionStart: Column): Column =
+    conv(substring(md5(concat_ws("|", naturalKey.cast("string"),
+      versionStart.cast("string"))), 1, 15), 16, 10).cast("long")
+
+  /** SCD2-keyed product dimension from the warehouse: one row per
+    * version, surrogate-keyed, with the validity window renamed to the
+    * mart convention (`valid_from`/`valid_to` half-open, `is_current`).
+    * Map-only: project + hash.
+    */
+  def dimProduct(dw: DataFrame, attrCols: Seq[String]): DataFrame =
+    dw.select(
+      (surrogateKey(col("natural_key"), col("dt_load_to_dw"))
+        .as("product_sk") +:
+        col("natural_key") +:
+        attrCols.map(col) :+
+        col("dt_load_to_dw").as("valid_from") :+
+        col("dt_last_update").as("valid_to") :+
+        (col("dt_last_update") === lit(Scd2.Sentinel)).as("is_current")): _*)
+
+  /** The conformed calendar dimension with the star's key name. */
+  def dimDate(spark: SparkSession): DataFrame =
+    DateDim.generate(spark).withColumnRenamed("id", "date_sk")
+
+  /** Periodic-snapshot fact: for every date of `dates` (a calendar slice
+    * carrying a DATE column `dateCol`), the measure values of the product
+    * version valid on that date — i.e. what a nightly
+    * "inventory-as-of-today" append would have produced, reconstructed
+    * from SCD2 validity intervals.
+    *
+    * Join shape: [[graft.ext.RangeJoin.pointInInterval]] over epoch-day
+    * ints. Open versions (sentinel `valid_to`) are CAPPED to the
+    * calendar's max date + 1 before bucketization — an uncapped sentinel
+    * interval would replicate each open version across ~8000 years of
+    * buckets. The cap reads one scalar off the (tiny) calendar side;
+    * match semantics are unchanged because no calendar point lies beyond
+    * it. Bucket width defaults to the median capped validity length
+    * ([[graft.ext.RangeJoin.autoBucketWidth]]).
+    *
+    * Output: `dates` columns + `product_sk`, `natural_key`, measures.
+    */
+  def factInventorySnapshot(dw: DataFrame, dates: DataFrame,
+                            dateCol: String, measures: Seq[String],
+                            bucketWidth: Option[Long] = None): DataFrame = {
+    val maxDay = dates.agg(max(unix_date(col(dateCol)))).head() match {
+      case r if r.isNullAt(0) => 0L // empty calendar: fact is empty anyway
+      case r => r.getInt(0).toLong
+    }
+    val pts = dates.withColumn("__day", unix_date(col(dateCol)).cast("long"))
+    val ivs = dw.select(
+      (surrogateKey(col("natural_key"), col("dt_load_to_dw"))
+        .as("product_sk") +:
+        col("natural_key") +:
+        measures.map(col) :+
+        unix_date(col("dt_load_to_dw")).cast("long").as("__lo") :+
+        least(unix_date(col("dt_last_update")).cast("long"),
+          lit(maxDay + 1L)).as("__hi")): _*)
+    val w = bucketWidth.getOrElse(
+      RangeJoin.autoBucketWidth(ivs, "__lo", "__hi"))
+    RangeJoin.pointInInterval(pts, ivs, "__day", "__lo", "__hi", w)
+      .drop("__day", "__lo", "__hi")
+  }
+
+  final case class Star(dimProduct: DataFrame, dimDate: DataFrame,
+                        fact: DataFrame)
+
+  /** One-call P4' build, composed from `dw` the way
+    * [[graft.runner.DailyJob]] composes E1'–E3': the product dimension,
+    * the calendar dimension, and the snapshot fact for the calendar slice
+    * `[from, until]`.
+    */
+  def build(spark: SparkSession, dw: DataFrame, attrCols: Seq[String],
+            measures: Seq[String], from: Date, until: Date): Star = {
+    val dd = dimDate(spark)
+    val slice = dd.filter(col("full_date") >= lit(from) &&
+      col("full_date") <= lit(until))
+      .select("date_sk", "full_date")
+    Star(
+      dimProduct(dw, attrCols),
+      dd,
+      factInventorySnapshot(dw, slice, "full_date", measures))
+  }
+}
