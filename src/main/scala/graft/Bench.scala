@@ -30,8 +30,17 @@ object Bench {
     // A failed query must surface as an error entry and a non-zero exit,
     // never as a near-zero "fast" sample — otherwise a broken query makes
     // the benchmark LOOK faster and the gate still passes.
-    val samplesPerQuery =
-      sys.env.get("SPARK_GRAFT_BENCH_SAMPLES").map(_.toInt).getOrElse(3)
+    // Malformed values fail fast with the env var named — an uncaught
+    // NumberFormatException before any query runs is a confusing way to
+    // learn you typed "3x".
+    val samplesPerQuery = sys.env.get("SPARK_GRAFT_BENCH_SAMPLES") match {
+      case None => 3
+      case Some(raw) => scala.util.Try(raw.trim.toInt).toOption match {
+        case Some(n) if n >= 1 => n
+        case _ => sys.error(
+          s"SPARK_GRAFT_BENCH_SAMPLES must be an integer >= 1, got '$raw'")
+      }
+    }
     var errors = List.empty[(String, String)]
     // Optional dev filter: SPARK_GRAFT_BENCH_FILTER=q26,q45 runs only the
     // queries whose name contains one of the comma-separated substrings.
@@ -50,20 +59,33 @@ object Bench {
         .split("\\s+")(0).toDouble
       catch { case _: Throwable => -1.0 }
     val loadBefore = loadavg()
-    val results = selected.map { case (name, fn) =>
-      val samples = (1 to samplesPerQuery).flatMap { _ =>
+    // INTERLEAVED rounds, not back-to-back samples: run the full query
+    // list once, then again, then again, taking the per-query min across
+    // rounds. Three consecutive samples of one query all fit inside a
+    // multi-minute host spike (observed: one spike poisoned every sample
+    // of two queries, +15s of phantom time); with whole-list rounds a
+    // spike inflates at most one round's sample per query while the other
+    // rounds stay clean. Per-round loadavg makes a poisoned round
+    // self-identifying from the JSON alone.
+    val sampled = scala.collection.mutable.Map.empty[String, Double]
+    val roundLoads = (1 to samplesPerQuery).map { _ =>
+      selected.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some((System.nanoTime() - t0) / 1e9)
+          val sec = (System.nanoTime() - t0) / 1e9
+          sampled.updateWith(name) {
+            case Some(prev) => Some(math.min(prev, sec))
+            case None => Some(sec)
+          }
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           errors ::= (name -> Option(e.getMessage).getOrElse(e.getClass.getName))
-          None
         }
       }
-      name -> samples.minOption
+      loadavg()
     }
+    val results = selected.map { case (name, _) => name -> sampled.get(name) }
     val qs = results.collect { case (k, Some(v)) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
@@ -72,7 +94,8 @@ object Bench {
     }.mkString("{", ",", "}")
     val errField = if (errors.nonEmpty) s""","errors":$errJson""" else ""
     val loadAfter = loadavg()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField,"samples":$samplesPerQuery,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"sf":"$sfDir"}""")
+    val roundLoadJson = roundLoads.mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField,"samples":$samplesPerQuery,"loadavg_before":$loadBefore,"loadavg_rounds":$roundLoadJson,"loadavg_after":$loadAfter,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

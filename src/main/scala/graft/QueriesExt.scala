@@ -120,6 +120,62 @@ object QueriesExt {
       .map(t => s"'$t:' || (${dBucket(v, annSeed + t)})")
       .mkString("[", ", ", "]")
 
+  /** Shared star build for the mart queries (q65–q67): two product
+    * snapshots (big parts get a restock on day 20) SCD2-merge into a dw,
+    * then [[Mart.build]] derives dim_product + dim_date + the
+    * periodic-snapshot fact over the calendar window `[from, until]`.
+    */
+  private def martStar(s: org.apache.spark.sql.SparkSession, dir: String,
+                       from: Date = Date.valueOf("2020-01-01"),
+                       until: Date = Date.valueOf("2020-01-31")): Mart.Star = {
+    val base = t(s, dir, "part").select(
+      concat_ws("|", col("p_name"), col("p_partkey")).as("natural_key"),
+      col("p_name").as("product_name"),
+      col("p_brand").as("brand"),
+      col("p_type").as("material"),
+      col("p_size").cast("long").as("dimension"),
+      floor(col("p_retailprice")).cast("long").as("price"),
+      (col("p_partkey") % 100).cast("long").as("quantity_available"))
+    val attrs = Seq("product_name", "brand", "material", "dimension")
+    val d0 = base
+      .withColumn("dt_load_to_dw", lit(Date.valueOf("2020-01-05")))
+      .withColumn("dt_last_update", lit(Scd2.Sentinel))
+    val restocked = base
+      .withColumn("price", when(col("dimension") > 25,
+        col("price") + 100).otherwise(col("price")))
+      .withColumn("quantity_available", when(col("dimension") > 25,
+        col("quantity_available") - 5)
+        .otherwise(col("quantity_available")))
+    val dw = Scd2.merge(d0, restocked, "natural_key",
+      attrs ++ Seq("price", "quantity_available"),
+      Date.valueOf("2020-01-20"))
+    Mart.build(s, dw, attrs, Seq("price", "quantity_available"), from, until)
+  }
+
+  /** The q65–q67 oracle's shared warehouse CTEs: the DuckDB twin of
+    * [[martStar]]'s SCD2 merge (v1 = day-5 load with big parts closed on
+    * day 20, v2 = the restocked versions), ending with a `dw` relation of
+    * `natural_key, product_name, brand, material, dimension, price,
+    * quantity_available, valid_from, valid_to`.
+    */
+  private def dMartDw: String =
+    """base AS (
+        SELECT p_name || '|' || CAST(p_partkey AS VARCHAR) AS natural_key,
+          p_name AS product_name, p_brand AS brand, p_type AS material,
+          CAST(p_size AS BIGINT) AS dimension,
+          CAST(floor(p_retailprice) AS BIGINT) AS price,
+          p_partkey % 100 AS quantity_available
+        FROM part),
+      v1 AS (SELECT *, DATE '2020-01-05' AS valid_from,
+          CASE WHEN dimension > 25 THEN DATE '2020-01-20'
+               ELSE DATE '9999-12-31' END AS valid_to
+        FROM base),
+      v2 AS (SELECT natural_key, product_name, brand, material, dimension,
+          price + 100 AS price, quantity_available - 5 AS quantity_available,
+          DATE '2020-01-20' AS valid_from, DATE '9999-12-31' AS valid_to
+        FROM base WHERE dimension > 25),
+      dw AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── Text analysis: token counts + quality components ───────────────
@@ -978,30 +1034,7 @@ object QueriesExt {
     // drops rows from the star join and fails the row-count gate.
     QueryDef("q65_mart_star",
       (s, dir) => {
-        val base = t(s, dir, "part").select(
-          concat_ws("|", col("p_name"), col("p_partkey")).as("natural_key"),
-          col("p_name").as("product_name"),
-          col("p_brand").as("brand"),
-          col("p_type").as("material"),
-          col("p_size").cast("long").as("dimension"),
-          floor(col("p_retailprice")).cast("long").as("price"),
-          (col("p_partkey") % 100).cast("long").as("quantity_available"))
-        val attrs = Seq("product_name", "brand", "material", "dimension")
-        val d0 = base
-          .withColumn("dt_load_to_dw", lit(Date.valueOf("2020-01-05")))
-          .withColumn("dt_last_update", lit(Scd2.Sentinel))
-        val restocked = base
-          .withColumn("price", when(col("dimension") > 25,
-            col("price") + 100).otherwise(col("price")))
-          .withColumn("quantity_available", when(col("dimension") > 25,
-            col("quantity_available") - 5)
-            .otherwise(col("quantity_available")))
-        val dw = Scd2.merge(d0, restocked, "natural_key",
-          attrs ++ Seq("price", "quantity_available"),
-          Date.valueOf("2020-01-20"))
-        val star = Mart.build(s, dw, attrs,
-          Seq("price", "quantity_available"),
-          Date.valueOf("2020-01-01"), Date.valueOf("2020-01-31"))
+        val star = martStar(s, dir)
         star.fact
           .join(star.dimProduct.select("product_sk", "brand"), "product_sk")
           .select("full_date", "date_sk", "product_sk", "natural_key",
@@ -1012,22 +1045,7 @@ object QueriesExt {
       // calendar from 2005-01-01, so id = days-since + 1 exactly.
       // product_sk: the same 60-bit md5-prefix surrogate as
       // Mart.surrogateKey.
-      Some("""WITH base AS (
-          SELECT p_name || '|' || CAST(p_partkey AS VARCHAR) AS natural_key,
-            p_name AS product_name, p_brand AS brand, p_type AS material,
-            CAST(p_size AS BIGINT) AS dimension,
-            CAST(floor(p_retailprice) AS BIGINT) AS price,
-            p_partkey % 100 AS quantity_available
-          FROM part),
-        v1 AS (SELECT *, DATE '2020-01-05' AS valid_from,
-            CASE WHEN dimension > 25 THEN DATE '2020-01-20'
-                 ELSE DATE '9999-12-31' END AS valid_to
-          FROM base),
-        v2 AS (SELECT natural_key, product_name, brand, material, dimension,
-            price + 100 AS price, quantity_available - 5 AS quantity_available,
-            DATE '2020-01-20' AS valid_from, DATE '9999-12-31' AS valid_to
-          FROM base WHERE dimension > 25),
-        dw AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2),
+      Some(s"""WITH $dMartDw,
         dates AS (SELECT CAST(unnest(generate_series(DATE '2020-01-01',
             DATE '2020-01-31', INTERVAL 1 DAY)) AS DATE) AS full_date)
         SELECT full_date,
@@ -1038,6 +1056,54 @@ object QueriesExt {
           natural_key, brand, price, quantity_available
         FROM dates JOIN dw
           ON full_date >= valid_from AND full_date < valid_to
-        ORDER BY full_date, natural_key"""))
+        ORDER BY full_date, natural_key""")),
+
+    // ── P4' report layer: brand × month rollup over the snapshot fact ──
+    // The docx's P4 exists to feed PowerBI reports (docx §1); this is the
+    // classic periodic-snapshot report — monthly totals per brand with
+    // rollup subtotal rows — reading ONLY the star (fact + dims, no
+    // reach-back into the warehouse). Two-month window so the restock on
+    // Jan 20 splits visibly across months.
+    QueryDef("q66_mart_report_rollup",
+      (s, dir) => {
+        val star = martStar(s, dir, until = Date.valueOf("2020-02-28"))
+        Mart.reportBrandMonth(star)
+          .orderBy(col("brand").asc_nulls_first,
+            col("year_month").asc_nulls_first)
+      },
+      Some(s"""WITH $dMartDw,
+        dates AS (SELECT CAST(unnest(generate_series(DATE '2020-01-01',
+            DATE '2020-02-28', INTERVAL 1 DAY)) AS DATE) AS full_date),
+        fact AS (SELECT brand, strftime(full_date, '%Y-%m') AS year_month,
+            price, quantity_available
+          FROM dates JOIN dw
+            ON full_date >= valid_from AND full_date < valid_to)
+        SELECT brand, year_month, COUNT(*) AS snapshot_rows,
+          CAST(SUM(price) AS BIGINT) AS total_price,
+          CAST(SUM(quantity_available) AS BIGINT)
+            AS total_quantity_available
+        FROM fact GROUP BY ROLLUP (brand, year_month)
+        ORDER BY brand ASC NULLS FIRST, year_month ASC NULLS FIRST""")),
+
+    // ── P4' report layer: current-inventory cube ────────────────────────
+    // The star's latest snapshot date (a 1-row broadcast, no driver
+    // action), cubed over (brand, material) — every subtotal combination
+    // a dashboard would slice by.
+    QueryDef("q67_mart_report_cube",
+      (s, dir) => {
+        val star = martStar(s, dir)
+        Mart.reportCurrentInventory(star, Seq("brand", "material"))
+          .orderBy(col("brand").asc_nulls_first,
+            col("material").asc_nulls_first)
+      },
+      Some(s"""WITH $dMartDw,
+        cur AS (SELECT brand, material, quantity_available FROM dw
+          WHERE DATE '2020-01-31' >= valid_from
+            AND DATE '2020-01-31' < valid_to)
+        SELECT brand, material, COUNT(*) AS n_products,
+          CAST(SUM(quantity_available) AS BIGINT)
+            AS total_quantity_available
+        FROM cur GROUP BY CUBE (brand, material)
+        ORDER BY brand ASC NULLS FIRST, material ASC NULLS FIRST"""))
   )
 }

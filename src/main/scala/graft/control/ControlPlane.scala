@@ -24,17 +24,24 @@ object ControlPlane {
 
   /** Run-log status domain (docx §3):
     * RUNNING → ES (extract succeeded) → LS (staging loaded) → LWS
-    * (warehouse loaded); EF = failure from any state.
+    * (warehouse loaded) → LDM (mart loaded); EF = failure from any state.
+    *
+    * LDM is OUR extension: the reference schedules a P4 mart stage (S6,
+    * architecture.drawio page 1) but never shipped `load_to_dm.py`, so
+    * its status domain stops at LWS. The designed P4' stage
+    * ([[graft.runner.DailyJob]] + [[graft.mart.Mart]]) follows the same
+    * lifecycle convention as the shipped stages.
     */
   object Status {
     val Running = "RUNNING"
     val ExtractSuccess = "ES"
     val LoadedStaging = "LS"
     val LoadedWarehouse = "LWS"
+    val LoadedMart = "LDM"
     val ExtractFailure = "EF"
     val all: Set[String] =
       Set(Running, ExtractSuccess, LoadedStaging, LoadedWarehouse,
-        ExtractFailure)
+        LoadedMart, ExtractFailure)
   }
 
   /** Legal transitions of the run-log state machine
@@ -49,9 +56,12 @@ object ControlPlane {
       Running -> LoadedStaging,
       LoadedStaging -> Running, // dw re-marks RUNNING while loading
       Running -> LoadedWarehouse,
+      LoadedWarehouse -> Running, // mart re-marks RUNNING while loading
+      Running -> LoadedMart,
       Running -> ExtractFailure,
       ExtractSuccess -> ExtractFailure,
-      LoadedStaging -> ExtractFailure)
+      LoadedStaging -> ExtractFailure,
+      LoadedWarehouse -> ExtractFailure)
   }
 
   def transition(from: String, to: String): Either[String, String] =
@@ -83,7 +93,8 @@ object ControlPlane {
       .when(col("status") === Status.ExtractSuccess, 1)
       .when(col("status") === Status.LoadedStaging, 2)
       .when(col("status") === Status.LoadedWarehouse, 3)
-      .otherwise(4) // EF: a same-instant failure outranks the success row
+      .when(col("status") === Status.LoadedMart, 4)
+      .otherwise(5) // EF: a same-instant failure outranks the success row
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("idConfig", "time")
       .orderBy(col("dtUpdate").desc, rank.desc, col("id").desc)
@@ -114,7 +125,7 @@ object ControlPlane {
   def canExtract(log: DataFrame, idConfig: Int, day: Date): Boolean =
     dayRows(log, idConfig, day)
       .filter(col("status").isin(Status.Running, Status.ExtractSuccess,
-        Status.LoadedStaging, Status.LoadedWarehouse))
+        Status.LoadedStaging, Status.LoadedWarehouse, Status.LoadedMart))
       .isEmpty
 
   /** P5 guard, corrected intent of `load_to_staging.py:288-313`. */
@@ -126,6 +137,13 @@ object ControlPlane {
   def readyForDw(log: DataFrame, idConfig: Int, day: Date): Boolean =
     !dayRows(log, idConfig, day)
       .filter(col("status") === Status.LoadedStaging).isEmpty
+
+  /** P4' guard — same existence-probe shape as the shipped stages: the
+    * mart builds only from a day whose warehouse load succeeded (LWS).
+    */
+  def readyForMart(log: DataFrame, idConfig: Int, day: Date): Boolean =
+    !dayRows(log, idConfig, day)
+      .filter(col("status") === Status.LoadedWarehouse).isEmpty
 
   // ── Retry (C4) ─────────────────────────────────────────────────────
 

@@ -72,6 +72,12 @@ object RangeJoin {
     * match set — any positive width yields identical results — so the
     * approximation is free of correctness risk; pass an explicit width
     * via the main overload when the workload is known better.
+    *
+    * NOTE: this overload runs an EAGER Spark action (the width aggregate)
+    * at call time, and the `intervals` lineage is then evaluated a second
+    * time by the join itself. When `intervals` is an expensive uncached
+    * computation, either `.persist()` it first or compute a width once
+    * and call the explicit-width overload.
     */
   def pointInInterval(points: DataFrame, intervals: DataFrame,
                       pointCol: String, loCol: String,

@@ -187,8 +187,21 @@ object Similarity {
     */
   private def collectCentroids(centroids: DataFrame, idCol: String,
                                vecCol: String): (Array[Long], Array[Array[Double]]) = {
+    // enforce the integral-id contract loudly: a string id would CAST to
+    // null and Row.getLong would silently unbox null to 0L, collapsing
+    // every such centroid onto cell 0 — wrong answers, no error
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    val idType = centroids.schema(idCol).dataType
+    require(Set[org.apache.spark.sql.types.DataType](
+      ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"collectCentroids: id column '$idCol' must be integral, got " +
+        s"${idType.sql} — non-numeric ids would cast to null and " +
+        "silently collapse onto cell 0")
     val rows = centroids.select(col(idCol).cast("long"),
       col(vecCol).cast("array<double>")).collect()
+    rows.zipWithIndex.foreach { case (r, i) =>
+      require(!r.isNullAt(0), s"collectCentroids: null id at centroid row $i")
+    }
     (rows.map(_.getLong(0)), rows.map(_.getSeq[Double](1).toArray))
   }
 

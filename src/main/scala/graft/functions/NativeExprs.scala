@@ -491,9 +491,18 @@ object NativeExprs {
     * `nprobe == 1` evaluates as a scalar LONG (the common index-build
     * path: no array allocation per row); `nprobe > 1` as array<long>
     * ordered by (cosine desc, id asc), truncated to the centroid count.
+    *
+    * Centroids are `IndexedSeq`s, not raw arrays: case-class equality on
+    * arrays is by REFERENCE, which would make two structurally identical
+    * assignments never `semanticEquals` and defeat canonicalization /
+    * common-subexpression elimination. The hot loop still runs over
+    * flat arrays (transient per-task copies below). The matrix ships in
+    * the expression tree via `addReferenceObj` — the same per-task cost
+    * class as a broadcast for a quantizer-sized (nlist × dims) constant.
     */
-  case class IvfCellsExpr(child: Expression, centIds: Array[Long],
-                          centVecs: Array[Array[Double]], nprobe: Int)
+  case class IvfCellsExpr(child: Expression, centIds: IndexedSeq[Long],
+                          centVecs: IndexedSeq[IndexedSeq[Double]],
+                          nprobe: Int)
       extends UnaryExpression {
     require(centIds.nonEmpty && centIds.length == centVecs.length,
       "graft_ivf_cells needs a non-empty centroid set with one id per vector")
@@ -515,7 +524,12 @@ object NativeExprs {
     @transient private lazy val isFloat =
       child.dataType.asInstanceOf[ArrayType].elementType == FloatType
     @transient private lazy val dims = centVecs(0).length
-    @transient private lazy val centNorms: Array[Double] = centVecs.map { c =>
+    // flat-array copies for the per-row loop (Seq apply() in the hot
+    // path would box/indirect); built once per task on first use
+    @transient private lazy val cIds: Array[Long] = centIds.toArray
+    @transient private lazy val cVecs: Array[Array[Double]] =
+      centVecs.map(_.toArray).toArray
+    @transient private lazy val centNorms: Array[Double] = cVecs.map { c =>
       var acc = 0.0
       var i = 0
       while (i < c.length) { acc += c(i) * c(i); i += 1 }
@@ -552,13 +566,13 @@ object NativeExprs {
       val vNorm = math.sqrt(vn)
       var filled = 0
       var c = 0
-      while (c < centIds.length) {
-        val cv = centVecs(c)
+      while (c < cIds.length) {
+        val cv = cVecs(c)
         var acc = 0.0
         i = 0
         while (i < dims) { acc += v(i) * cv(i); i += 1 }
         val cos = acc / (vNorm * centNorms(c))
-        val id = centIds(c)
+        val id = cIds(c)
         var pos = filled
         while (pos > 0 && better(cos, id, outCos(pos - 1), outIds(pos - 1)))
           pos -= 1
@@ -693,7 +707,9 @@ object NativeExprs {
   def ivfCells(vec: Column, centIds: Array[Long],
                centVecs: Array[Array[Double]], nprobe: Int): Column =
     ColumnBridge.column(
-      IvfCellsExpr(ColumnBridge.expression(vec), centIds, centVecs, nprobe))
+      IvfCellsExpr(ColumnBridge.expression(vec),
+        centIds.toIndexedSeq,
+        centVecs.map(_.toIndexedSeq).toIndexedSeq, nprobe))
 
   def langId(lowerTokens: Column,
              markers: Seq[(String, Seq[String])]): Column =

@@ -111,23 +111,90 @@ object Mart {
       .drop("__day", "__lo", "__hi")
   }
 
+  // ── Report layer (the docx's P4 exists to feed PowerBI reports,
+  //    docx §1) — report queries read ONLY the star: fact + conformed
+  //    dimensions, no reach-back into the warehouse. ────────────────────
+
+  /** Brand × month rollup of the periodic-snapshot fact: per (brand,
+    * year-month) totals with rollup subtotal rows (per-brand and grand
+    * total). Scale shape: two broadcastable dimension joins (dims are
+    * small by star-schema construction) + ONE aggregation shuffle; the
+    * rollup's extra grouping sets ride the same shuffle via partial
+    * aggregation.
+    */
+  def reportBrandMonth(star: Star, brandCol: String = "brand",
+                       measures: Seq[String] =
+                         Seq("price", "quantity_available")): DataFrame = {
+    // year_month is projected INSIDE the dimDate side, and the grouping
+    // columns are instance-qualified: the fact embeds a slice of the same
+    // calendar plan as dimDate, so by-name refs after the join trip
+    // Spark's ambiguous-self-join detection.
+    val dd = star.dimDate.select(col("date_sk"),
+      concat_ws("-", col("year"),
+        lpad(col("month").cast("string"), 2, "0")).as("year_month"))
+    val joined = star.fact
+      .join(star.dimProduct.select(col("product_sk"), col(brandCol)),
+        "product_sk")
+      .join(dd, "date_sk")
+    joined.rollup(joined(brandCol), joined("year_month"))
+      .agg(count(lit(1)).as("snapshot_rows"),
+        measures.map(m => sum(joined(m)).as(s"total_$m")): _*)
+  }
+
+  /** Current-inventory cube: the star's LATEST snapshot date, cubed over
+    * the given dimension attributes. The "latest date" scalar is a
+    * 1-row aggregate joined back via broadcast — no driver-side action,
+    * the whole report stays one lazy plan.
+    */
+  def reportCurrentInventory(star: Star, dims: Seq[String],
+                             measures: Seq[String] =
+                               Seq("quantity_available")): DataFrame = {
+    val lastDay = star.fact.agg(max(col("date_sk")).as("date_sk"))
+    star.fact
+      .join(broadcast(lastDay), "date_sk")
+      .join(star.dimProduct.select((col("product_sk") +:
+        dims.map(col)): _*), "product_sk")
+      .cube(dims.map(col): _*)
+      .agg(count(lit(1)).as("n_products"),
+        measures.map(m => sum(col(m)).as(s"total_$m")): _*)
+  }
+
+  /** The built star. `unpersist()` releases the warehouse snapshot
+    * [[build]] pinned — call it once every star member has been consumed
+    * (written out / benched); before that, unpersisting would re-derive
+    * the SCD2 merge on the next member's action.
+    */
   final case class Star(dimProduct: DataFrame, dimDate: DataFrame,
-                        fact: DataFrame)
+                        fact: DataFrame,
+                        private val pinned: Option[DataFrame] = None) {
+    def unpersist(): Unit = pinned.foreach(_.unpersist())
+  }
 
   /** One-call P4' build, composed from `dw` the way
     * [[graft.runner.DailyJob]] composes E1'–E3': the product dimension,
     * the calendar dimension, and the snapshot fact for the calendar slice
     * `[from, until]`.
+    *
+    * The merged `dw` lineage is consumed by BOTH star members (dimension
+    * project + fact range join) plus the fact's width aggregate, so
+    * `build` pins it with `.persist(MEMORY_AND_DISK)` for the star's
+    * lifetime — without the pin an in-one-job composition executes the
+    * upstream SCD2 merge once per consumer (observed: 4 source scans in
+    * the q65 plan). In production P4 the dw is a MATERIALIZED warehouse
+    * table and the pin costs one cheap cache of an already-cheap scan.
+    * Call [[Star.unpersist]] when done with the star.
     */
   def build(spark: SparkSession, dw: DataFrame, attrCols: Seq[String],
             measures: Seq[String], from: Date, until: Date): Star = {
+    val dwP = dw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dd = dimDate(spark)
     val slice = dd.filter(col("full_date") >= lit(from) &&
       col("full_date") <= lit(until))
       .select("date_sk", "full_date")
     Star(
-      dimProduct(dw, attrCols),
+      dimProduct(dwP, attrCols),
       dd,
-      factInventorySnapshot(dw, slice, "full_date", measures))
+      factInventorySnapshot(dwP, slice, "full_date", measures),
+      pinned = Some(dwP))
   }
 }

@@ -136,4 +136,54 @@ object DailyJob {
             Status.ExtractFailure, 0L, nowMs + 2)))
     }
   }
+
+  /** Stage 4 (P4'): SCD2 warehouse → star-schema mart — the stage the
+    * reference SCHEDULES as S6 ("load_to_dm.py", architecture.drawio
+    * page 1; docx §2.2's per-stage schedule) but never shipped. Guard:
+    * the warehouse load must have succeeded (LWS); success marks LDM
+    * with the fact row count; failure marks EF and alerts, same
+    * state-machine convention as E1'–E3'.
+    *
+    * The star's snapshot window is `[from, until]`; `attrCols` /
+    * `measures` split the warehouse payload into dimension attributes vs
+    * fact measures (see [[graft.mart.Mart.build]]).
+    *
+    * @return (state, Some(star)) on success, (state, None) on guard-skip
+    *         or failure. The star's pinned warehouse snapshot is released
+    *         via `star.unpersist()` once its members are consumed.
+    */
+  def runMart(state: State, config: FileConfig, day: Date,
+              attrCols: Seq[String], measures: Seq[String],
+              from: Date, until: Date,
+              alerter: Alerter = NoopAlerter,
+              nowMs: Long = 0L): (State, Option[graft.mart.Mart.Star]) = {
+    if (!readyForMart(state.log, config.id, day)) {
+      alerter.alert(s"mart skipped ${config.id}/$day",
+        "no LWS row - warehouse has not loaded")
+      return (state, None)
+    }
+    val running = upsert(state.log,
+      logEntry(day.toLocalDate.toEpochDay, config, day, Status.Running,
+        0L, nowMs))
+    try {
+      val spark = state.dw.sparkSession
+      val star = graft.mart.Mart.build(spark, state.dw, attrCols,
+        measures, from, until)
+      // count forces the build (and the pinned dw materialization): a
+      // broken star must fail HERE, on the RUNNING row, not later in the
+      // consumer with LDM already marked
+      val factRows = star.fact.count()
+      val done = upsert(running,
+        logEntry(day.toLocalDate.toEpochDay, config, day,
+          Status.LoadedMart, factRows, nowMs + 3))
+      (State(state.staging, state.dw, done), Some(star))
+    } catch {
+      case e: Exception =>
+        alerter.alert(s"mart failed ${config.id}/$day",
+          Option(e.getMessage).getOrElse(e.toString))
+        (State(state.staging, state.dw, upsert(running,
+          logEntry(day.toLocalDate.toEpochDay, config, day,
+            Status.ExtractFailure, 0L, nowMs + 3))), None)
+    }
+  }
 }

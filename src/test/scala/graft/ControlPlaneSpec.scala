@@ -14,14 +14,18 @@ class ControlPlaneSpec extends AnyFunSuite {
     RunLogEntry(id, 1, "data_1.csv", day, status, 200, 16,
       new Timestamp(ts))
 
-  test("state machine: legal path RUNNING→ES→RUNNING→LS→RUNNING→LWS") {
+  test("state machine: legal path RUNNING→ES→RUNNING→LS→RUNNING→LWS" +
+       "→RUNNING→LDM") {
     import Status._
     val path = Seq(Running -> ExtractSuccess, ExtractSuccess -> Running,
       Running -> LoadedStaging, LoadedStaging -> Running,
-      Running -> LoadedWarehouse)
+      Running -> LoadedWarehouse, LoadedWarehouse -> Running,
+      Running -> LoadedMart)
     path.foreach { case (a, b) => assert(transition(a, b).isRight) }
     assert(transition(ExtractSuccess, LoadedWarehouse).isLeft)
-    assert(transition(LoadedWarehouse, Running).isLeft)
+    // LDM is terminal: the mart is the last scheduled stage of the day
+    assert(transition(LoadedMart, Running).isLeft)
+    assert(transition(LoadedMart, ExtractFailure).isLeft)
     assert(transition(Running, "NOPE").isLeft)
   }
 
@@ -40,9 +44,19 @@ class ControlPlaneSpec extends AnyFunSuite {
 
     val logLs = upsert(logEs, entry(3, Status.LoadedStaging, 3))
     assert(readyForDw(logLs, 1, day))
+    assert(!readyForMart(logLs, 1, day), "mart needs LWS, not LS")
     // other config/day unaffected
     assert(canExtract(logLs, 2, day))
     assert(canExtract(logLs, 1, Date.valueOf("2024-12-09")))
+
+    val logLws = upsert(logLs, entry(4, Status.LoadedWarehouse, 4))
+    assert(readyForMart(logLws, 1, day))
+    assert(!canExtract(logLws, 1, day), "LWS day must not re-extract")
+
+    val logLdm = upsert(logLws, entry(5, Status.LoadedMart, 5))
+    assert(!canExtract(logLdm, 1, day), "LDM day must not re-extract")
+    assert(!readyForMart(logLdm, 1, day),
+      "LDM replaced the LWS row - the mart does not rebuild")
   }
 
   test("upsert keeps latest status per (config, day)") {
