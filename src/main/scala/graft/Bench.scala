@@ -41,7 +41,11 @@ object Bench {
           s"SPARK_GRAFT_BENCH_SAMPLES must be an integer >= 1, got '$raw'")
       }
     }
-    var errors = List.empty[(String, String)]
+    // first failure per query name — with interleaved rounds a query that
+    // fails every round would otherwise append one entry per round,
+    // producing duplicate keys in the errors JSON object (most parsers
+    // silently keep one arbitrary value)
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // Optional dev filter: SPARK_GRAFT_BENCH_FILTER=q26,q45 runs only the
     // queries whose name contains one of the comma-separated substrings.
     // The driver never sets it, so driver runs always bench the full set.
@@ -58,6 +62,20 @@ object Bench {
       try scala.io.Source.fromFile("/proc/loadavg").mkString
         .split("\\s+")(0).toDouble
       catch { case _: Throwable => -1.0 }
+    // Quiet-host gate: min-of-3 only suppresses noise if at least one
+    // round runs on a quiet box; round-6's numbers were poisoned because
+    // all sampling started under loadavg ~8. Wait (bounded) for the
+    // 1-minute loadavg to drop below the threshold before sampling;
+    // proceed anyway after the timeout — the per-round loadavg fields
+    // still make a loud host self-identifying from the JSON.
+    val maxLoad = sys.env.get("SPARK_GRAFT_BENCH_MAX_LOAD")
+      .flatMap(v => scala.util.Try(v.trim.toDouble).toOption)
+      .getOrElse(4.0)
+    val gateDeadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
+    while (loadavg() > maxLoad && System.nanoTime() < gateDeadline) {
+      System.err.println(s"[bench] loadavg ${loadavg()} > $maxLoad, waiting for a quiet host")
+      Thread.sleep(10000)
+    }
     val loadBefore = loadavg()
     // INTERLEAVED rounds, not back-to-back samples: run the full query
     // list once, then again, then again, taking the per-query min across
@@ -80,7 +98,8 @@ object Bench {
           }
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          errors ::= (name -> Option(e.getMessage).getOrElse(e.getClass.getName))
+          errors.getOrElseUpdate(name,
+            Option(e.getMessage).getOrElse(e.getClass.getName))
         }
       }
       loadavg()
@@ -89,7 +108,7 @@ object Bench {
     val qs = results.collect { case (k, Some(v)) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
-    val errJson = errors.reverse.map { case (k, m) =>
+    val errJson = errors.map { case (k, m) =>
       "\"" + k + "\":\"" + m.replaceAll("[\"\\\\\n\r\t]", " ").take(200) + "\""
     }.mkString("{", ",", "}")
     val errField = if (errors.nonEmpty) s""","errors":$errJson""" else ""

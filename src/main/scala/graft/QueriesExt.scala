@@ -2,6 +2,7 @@ package graft
 
 import java.sql.Date
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.etl.Scd2
@@ -120,6 +121,19 @@ object QueriesExt {
       .map(t => s"'$t:' || (${dBucket(v, annSeed + t)})")
       .mkString("[", ", ", "]")
 
+  /** One persisted SCD2 warehouse per (session, dir), shared by every
+    * mart-query star build. The query lambdas return LAZY frames (the
+    * driver acts on them later), so a per-invocation pin could never be
+    * released at the right time — and re-pinning the identical plan each
+    * of 3 bench rounds × 3 queries only emitted "already cached"
+    * warnings. One shared pin per session honors [[Mart.build]]'s
+    * contract (callers passing a pre-persisted dw use `pin = false`); the
+    * dw is a projection of `part` (~200k rows at sf0.1), so the single
+    * session-lifetime cache entry is cheap by construction.
+    */
+  private val martDwCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
+
   /** Shared star build for the mart queries (q65–q67): two product
     * snapshots (big parts get a restock on day 20) SCD2-merge into a dw,
     * then [[Mart.build]] derives dim_product + dim_date + the
@@ -128,6 +142,20 @@ object QueriesExt {
   private def martStar(s: org.apache.spark.sql.SparkSession, dir: String,
                        from: Date = Date.valueOf("2020-01-01"),
                        until: Date = Date.valueOf("2020-01-31")): Mart.Star = {
+    val dw = martDwCache.getOrElseUpdate((s, dir), martDw(s, dir).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    Mart.build(s, dw, martAttrs, Seq("price", "quantity_available"),
+      from, until, pin = false)
+  }
+
+  private val martAttrs =
+    Seq("product_name", "brand", "material", "dimension")
+
+  /** The mart queries' SCD2 warehouse: day-5 part snapshot merged with a
+    * day-20 restock of the big parts.
+    */
+  private def martDw(s: org.apache.spark.sql.SparkSession,
+                     dir: String): DataFrame = {
     val base = t(s, dir, "part").select(
       concat_ws("|", col("p_name"), col("p_partkey")).as("natural_key"),
       col("p_name").as("product_name"),
@@ -136,7 +164,6 @@ object QueriesExt {
       col("p_size").cast("long").as("dimension"),
       floor(col("p_retailprice")).cast("long").as("price"),
       (col("p_partkey") % 100).cast("long").as("quantity_available"))
-    val attrs = Seq("product_name", "brand", "material", "dimension")
     val d0 = base
       .withColumn("dt_load_to_dw", lit(Date.valueOf("2020-01-05")))
       .withColumn("dt_last_update", lit(Scd2.Sentinel))
@@ -146,10 +173,9 @@ object QueriesExt {
       .withColumn("quantity_available", when(col("dimension") > 25,
         col("quantity_available") - 5)
         .otherwise(col("quantity_available")))
-    val dw = Scd2.merge(d0, restocked, "natural_key",
-      attrs ++ Seq("price", "quantity_available"),
+    Scd2.merge(d0, restocked, "natural_key",
+      martAttrs ++ Seq("price", "quantity_available"),
       Date.valueOf("2020-01-20"))
-    Mart.build(s, dw, attrs, Seq("price", "quantity_available"), from, until)
   }
 
   /** The q65–q67 oracle's shared warehouse CTEs: the DuckDB twin of

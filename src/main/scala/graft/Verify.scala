@@ -15,11 +15,26 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A query that throws must stay VISIBLE: write an _ERROR sentinel in
+    // its output slot (so the driver's compare reports `err` for the row
+    // instead of silently omitting it — round 6 shipped "66/66 green" on
+    // a 67-query surface that way) and exit non-zero at the end, matching
+    // Bench's contract.
+    var failed = List.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed ::= name
+        val slot = Paths.get(s"$outDir/$name")
+        try {
+          if (!Files.exists(slot)) Files.createDirectories(slot)
+          Files.writeString(slot.resolve("_ERROR"),
+            s"$name: ${Option(e.getMessage).getOrElse(e.getClass.getName)}\n")
+        } catch { case se: Throwable =>
+          System.err.println(s"[verify] $name sentinel write failed: $se")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -38,5 +53,10 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(
+        s"[verify] ${failed.size} queries failed: ${failed.reverse.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

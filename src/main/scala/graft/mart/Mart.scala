@@ -117,29 +117,30 @@ object Mart {
 
   /** Brand × month rollup of the periodic-snapshot fact: per (brand,
     * year-month) totals with rollup subtotal rows (per-brand and grand
-    * total). Scale shape: two broadcastable dimension joins (dims are
+    * total). Scale shape: ONE broadcastable dimension join (dims are
     * small by star-schema construction) + ONE aggregation shuffle; the
     * rollup's extra grouping sets ride the same shuffle via partial
     * aggregation.
+    *
+    * `year_month` is derived map-side from the fact's own `dateCol` — the
+    * snapshot fact carries the calendar date it was built from
+    * ([[factInventorySnapshot]] keeps the `dates` columns), so re-joining
+    * `dim_date` for a month attribute would be both a wasted join and a
+    * self-join of the calendar plan the fact already embeds (Spark's
+    * ambiguous-self-join detection rejects it — the dataset-id metadata
+    * collides even under instance-qualified refs).
     */
   def reportBrandMonth(star: Star, brandCol: String = "brand",
                        measures: Seq[String] =
-                         Seq("price", "quantity_available")): DataFrame = {
-    // year_month is projected INSIDE the dimDate side, and the grouping
-    // columns are instance-qualified: the fact embeds a slice of the same
-    // calendar plan as dimDate, so by-name refs after the join trip
-    // Spark's ambiguous-self-join detection.
-    val dd = star.dimDate.select(col("date_sk"),
-      concat_ws("-", col("year"),
-        lpad(col("month").cast("string"), 2, "0")).as("year_month"))
-    val joined = star.fact
+                         Seq("price", "quantity_available"),
+                       dateCol: String = "full_date"): DataFrame =
+    star.fact
       .join(star.dimProduct.select(col("product_sk"), col(brandCol)),
         "product_sk")
-      .join(dd, "date_sk")
-    joined.rollup(joined(brandCol), joined("year_month"))
+      .withColumn("year_month", date_format(col(dateCol), "yyyy-MM"))
+      .rollup(col(brandCol), col("year_month"))
       .agg(count(lit(1)).as("snapshot_rows"),
-        measures.map(m => sum(joined(m)).as(s"total_$m")): _*)
-  }
+        measures.map(m => sum(col(m)).as(s"total_$m")): _*)
 
   /** Current-inventory cube: the star's LATEST snapshot date, cubed over
     * the given dimension attributes. The "latest date" scalar is a
@@ -183,10 +184,19 @@ object Mart {
     * the q65 plan). In production P4 the dw is a MATERIALIZED warehouse
     * table and the pin costs one cheap cache of an already-cheap scan.
     * Call [[Star.unpersist]] when done with the star.
+    *
+    * `pin = false` skips the persist (and leaves [[Star.unpersist]] a
+    * no-op) for callers that pass an ALREADY-persisted shared dw — e.g. a
+    * query surface building many stars over one warehouse snapshot, where
+    * per-build re-pinning would only emit "already cached" warnings and
+    * re-register the same cache entry.
     */
   def build(spark: SparkSession, dw: DataFrame, attrCols: Seq[String],
-            measures: Seq[String], from: Date, until: Date): Star = {
-    val dwP = dw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            measures: Seq[String], from: Date, until: Date,
+            pin: Boolean = true): Star = {
+    val dwP = if (pin)
+      dw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else dw
     val dd = dimDate(spark)
     val slice = dd.filter(col("full_date") >= lit(from) &&
       col("full_date") <= lit(until))
@@ -195,6 +205,6 @@ object Mart {
       dimProduct(dwP, attrCols),
       dd,
       factInventorySnapshot(dwP, slice, "full_date", measures),
-      pinned = Some(dwP))
+      pinned = if (pin) Some(dwP) else None)
   }
 }
