@@ -561,6 +561,41 @@ object QueriesExt {
         FROM documents ORDER BY media_id"""
       }),
 
+    // ── REAL image decode #2: PNG roundtrip channel statistics ─────────
+    // Same cycled-pixel construction as q61, but encoded as 8-bit
+    // truecolor PNG (zlib IDAT, per-row scanline filter = doc_id mod 5 so
+    // all five unfilter paths are oracle-exercised) and decoded by the
+    // pure-JVM PNG codec. byte_len is NOT projected: deflate output size
+    // is codec-internal, not SQL-reproducible — the decoded dimensions
+    // and channel means are the lossless roundtrip contract.
+    QueryDef("q68_png_decode",
+      (s, dir) => {
+        val media = Multimodal.asPngMediaTable(tPar(s, dir, "documents"),
+          "doc_id", "text", 16, 16)
+        Multimodal.decodeFeatures(media).select(
+          col("media_id"),
+          element_at(col("feature"), 1).as("width"),
+          element_at(col("feature"), 2).as("height"),
+          element_at(col("feature"), 3).as("mean_r"),
+          element_at(col("feature"), 4).as("mean_g"),
+          element_at(col("feature"), 5).as("mean_b"))
+          .orderBy("media_id")
+      },
+      Some {
+        // identical pixel plane to q61's (the formats differ, the decoded
+        // bytes must not) — see q61's ASCII-corpus caveat
+        def mean(channel: Int) =
+          s"""CASE WHEN strlen(text) = 0 THEN 0.0 ELSE
+             CAST(list_sum(list_transform(range(0, 256),
+             i -> ascii(substr(text,
+               CAST((i*3 + $channel) % strlen(text) AS INT) + 1, 1))))
+             AS DOUBLE) / 256.0 END"""
+        s"""SELECT doc_id AS media_id,
+          CAST(16 AS DOUBLE) AS width, CAST(16 AS DOUBLE) AS height,
+          ${mean(0)} AS mean_r, ${mean(1)} AS mean_g, ${mean(2)} AS mean_b
+        FROM documents ORDER BY media_id"""
+      }),
+
     // ── Token counting: whitespace + BPE-ish regex (SURVEY §2.10) ──────
     QueryDef("q43_subword_count",
       (s, dir) => tPar(s, dir, "documents").select(

@@ -8,15 +8,17 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: media as opaque `binary` payloads with a
   * typed metadata struct, and a batched "decode/feature-extract" stage.
   *
-  * One format has a fully REAL codec path: binary PPM (P6) — parse,
-  * per-channel statistics, nearest-neighbor resize, re-encode — all pure
-  * JVM ([[ppmDecode]]/[[ppmEncode]]), exercised end-to-end by q61 against
-  * an exact SQL oracle. Formats that need native codecs (JPEG/ffmpeg) are
-  * NOT in this container, so their decode remains a clearly-marked
-  * deterministic stub (`stubDecode`) behind the same plumbing: schema,
-  * encoder, partition-batched `mapPartitions` (the Scala analogue of
-  * `mapInPandas` batching), and a row-count-preserving contract. Swap
-  * `stubDecode` for a JNI/ffmpeg call and nothing else changes.
+  * TWO formats have fully REAL codec paths — parse, per-channel
+  * statistics, nearest-neighbor resize, re-encode, all pure JVM:
+  * binary PPM (P6, [[ppmDecode]]/[[ppmEncode]], exercised end-to-end by
+  * q61) and PNG (8-bit grey/RGB/RGBA via `java.util.zip`,
+  * [[graft.ext.Png]], exercised by q68) — each against an exact SQL
+  * oracle. Formats that need native codecs (JPEG/ffmpeg) are NOT in this
+  * container, so their decode remains a clearly-marked deterministic stub
+  * (`stubDecode`) behind the same plumbing: schema, encoder,
+  * partition-batched `mapPartitions` (the Scala analogue of `mapInPandas`
+  * batching), and a row-count-preserving contract. Swap `stubDecode` for
+  * a JNI/ffmpeg call and nothing else changes.
   */
 object Multimodal {
 
@@ -127,6 +129,37 @@ object Multimodal {
       }(enc)
   }
 
+  /** Build a REAL PNG image table: each document's utf-8 bytes cycled
+    * into the RGB plane of a `width`×`height` 8-bit truecolor PNG.
+    * Pixels are the same deterministic function of the text as
+    * [[asPpmMediaTable]]'s, so the q68 oracle reuses q61's channel-mean
+    * arithmetic; the scanline filter varies per row (`media_id mod 5`),
+    * so one oracle-gated query exercises ALL five unfilter paths of
+    * [[Png.decode]].
+    */
+  def asPngMediaTable(docs: DataFrame, idCol: String, textCol: String,
+                      width: Int, height: Int): DataFrame = {
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(mediaSchema))
+    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val src = r.getString(1)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val rgb = new Array[Byte](3 * width * height)
+          if (src.nonEmpty) {
+            var i = 0
+            while (i < rgb.length) { rgb(i) = src(i % src.length); i += 1 }
+          }
+          Row(id, "image/png",
+            Png.encode(width, height, rgb, colorType = 2,
+              filter = (math.floorMod(id, 5L)).toInt),
+            Row("image/png", width, height,
+              null.asInstanceOf[java.lang.Long]))
+        }
+      }(enc)
+  }
+
   val featureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("byte_len", LongType, nullable = false),
@@ -159,14 +192,23 @@ object Multimodal {
       sg.toDouble / n, sb.toDouble / n)
   }
 
+  /** Real-codec dispatch: PPM and PNG payloads decode to (w, h, rgb);
+    * anything else (including a malformed member of either format, which
+    * the codecs signal as None) has no real decode here.
+    */
+  private def realDecode(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    if (isPpm(payload)) ppmDecode(payload)
+    else if (Png.isPng(payload)) Png.decode(payload)
+    else None
+
   /** The per-payload feature contract shared by [[decodeFeatures]] and
-    * [[resizeWithFeatures]]: real stats for a decodable PPM, null for a
-    * malformed one (auditable, never a crash), byte-statistics stub
+    * [[resizeWithFeatures]]: real stats for a decodable PPM/PNG, null for
+    * a malformed one (auditable, never a crash), byte-statistics stub
     * otherwise.
     */
   private def featureOf(payload: Array[Byte]): Array[Double] =
-    if (isPpm(payload))
-      ppmDecode(payload).map { case (w, h, px) => ppmStats(w, h, px) }.orNull
+    if (isPpm(payload) || Png.isPng(payload))
+      realDecode(payload).map { case (w, h, px) => ppmStats(w, h, px) }.orNull
     else stubDecode(payload)
 
   def decodeFeatures(media: DataFrame): DataFrame = {
@@ -217,12 +259,21 @@ object Multimodal {
     out
   }
 
+  /** Re-encode resampled pixels in the SAME format the payload arrived
+    * in: a resize stage must not silently convert a media lake's PNGs to
+    * PPM (downstream consumers dispatch on format).
+    */
+  private def reencode(payload: Array[Byte], w: Int, h: Int,
+                       rgb: Array[Byte]): (Array[Byte], String) =
+    if (Png.isPng(payload)) (Png.encode(w, h, rgb), "image/png")
+    else (ppmEncode(w, h, rgb), "image/x-portable-pixmap")
+
   /** "Resize": payload transform + metadata rewrite, batched per
-    * partition. PPM payloads are REALLY rescaled (decode →
-    * nearest-neighbor [[resampleRgb]] → re-encode); other formats use
-    * the loudly-stubbed byte downsample ([[stubResize]]) until a native
-    * scaler (JNI/libvips) is linked — schema, row-count contract and
-    * batch shape are the production plumbing either way.
+    * partition. PPM and PNG payloads are REALLY rescaled (decode →
+    * nearest-neighbor [[resampleRgb]] → re-encode in the same format);
+    * other formats use the loudly-stubbed byte downsample ([[stubResize]])
+    * until a native scaler (JNI/libvips) is linked — schema, row-count
+    * contract and batch shape are the production plumbing either way.
     */
   def resize(media: DataFrame, width: Int, height: Int): DataFrame = {
     val enc = ExpressionEncoder(RowEncoder.encoderFor(mediaSchema))
@@ -231,12 +282,10 @@ object Multimodal {
         // scaler initialization would happen HERE, once per partition
         rows.map { r =>
           val payload = r.getAs[Array[Byte]](2)
-          val real = if (isPpm(payload)) ppmDecode(payload) else None
-          val (outPayload, outMime) = real match {
+          val (outPayload, outMime) = realDecode(payload) match {
             case Some((sw, sh, px)) =>
-              (ppmEncode(width, height,
-                resampleRgb(px, sw, sh, width, height)),
-                "image/x-portable-pixmap")
+              reencode(payload, width, height,
+                resampleRgb(px, sw, sh, width, height))
             case None =>
               (stubResize(payload, width, height),
                 "application/octet-stream")
@@ -272,12 +321,11 @@ object Multimodal {
         // codec/scaler initialization would happen HERE, once per partition
         rows.map { r =>
           val payload = r.getAs[Array[Byte]](2)
-          val decoded = if (isPpm(payload)) ppmDecode(payload) else None
-          val (outPayload, outMime, feature) = decoded match {
+          val (outPayload, outMime, feature) = realDecode(payload) match {
             case Some((sw, sh, px)) =>
               val rgb = resampleRgb(px, sw, sh, width, height)
-              (ppmEncode(width, height, rgb), "image/x-portable-pixmap",
-                ppmStats(width, height, rgb))
+              val (encoded, mime) = reencode(payload, width, height, rgb)
+              (encoded, mime, ppmStats(width, height, rgb))
             case None =>
               val sp = stubResize(payload, width, height)
               (sp, "application/octet-stream", featureOf(sp))

@@ -165,27 +165,26 @@ object DailyJob {
     val running = upsert(state.log,
       logEntry(day.toLocalDate.toEpochDay, config, day, Status.Running,
         0L, nowMs))
-    // captured OUTSIDE the try: Mart.build pins state.dw before the
-    // forcing count can throw, so the failure path must be able to
-    // release the pin — otherwise every failed mart run leaves another
-    // warehouse snapshot cached for the rest of the session
-    var star: Option[graft.mart.Mart.Star] = None
     try {
       val spark = state.dw.sparkSession
-      val built = graft.mart.Mart.build(spark, state.dw, attrCols,
+      val star = graft.mart.Mart.build(spark, state.dw, attrCols,
         measures, from, until)
-      star = Some(built)
       // count forces the build (and the pinned dw materialization): a
       // broken star must fail HERE, on the RUNNING row, not later in the
       // consumer with LDM already marked
-      val factRows = built.fact.count()
+      val factRows = star.fact.count()
       val done = upsert(running,
         logEntry(day.toLocalDate.toEpochDay, config, day,
           Status.LoadedMart, factRows, nowMs + 3))
-      (State(state.staging, state.dw, done), Some(built))
+      (State(state.staging, state.dw, done), Some(star))
     } catch {
       case e: Exception =>
-        star.foreach(_.unpersist())
+        // Mart.build pins state.dw (persist returns the same instance)
+        // and can throw after pinning — either in build itself or at the
+        // forcing count — so release the pin on THE WAREHOUSE FRAME, not
+        // a star we may never have received; otherwise every failed mart
+        // run leaves another snapshot cached for the rest of the session
+        state.dw.unpersist()
         alerter.alert(s"mart failed ${config.id}/$day",
           Option(e.getMessage).getOrElse(e.toString))
         (State(state.staging, state.dw, upsert(running,

@@ -77,6 +77,63 @@ class DailyJobSpec extends AnyFunSuite {
     assert(retried.nonEmpty, "EF day must allow a retry extract")
   }
 
+  test("full E1'→P4' chain: LWS gates the mart; success marks LDM, " +
+       "failure marks EF and releases the pinned warehouse") {
+    val a = new CollectingAlerter
+    val landing = java.nio.file.Files
+      .createTempDirectory("graft_landing").toString
+    val from = Date.valueOf("2024-12-01")
+    val until = Date.valueOf("2024-12-08")
+    val attrs = Seq("product_name", "brand", "material")
+    val measures = Seq("price", "quantity_available")
+
+    // mart before the warehouse has loaded: guard-skip, no RUNNING row
+    val s0 = DailyJob.initial(spark)
+    val (sSkip, noStar) = DailyJob.runMart(s0, cfg, day, attrs, measures,
+      from, until, a)
+    assert(noStar.isEmpty)
+    assert(sSkip.log.isEmpty, "guard-skip must not write a RUNNING row")
+    assert(a.sent.exists(_._1.contains("mart skipped")))
+
+    // the real chain: extract → staging → warehouse → mart
+    val (s1, landed) = DailyJob.runExtract(s0, cfg, dailyCsv, landing, day, a)
+    val s2 = DailyJob.runStaging(s1, cfg, landed.get, day, a, nowMs = 10)
+    val s3 = DailyJob.runWarehouse(s2, cfg, day, a, nowMs = 20)
+    val (s4, star) = DailyJob.runMart(s3, cfg, day, attrs, measures,
+      from, until, a, nowMs = 30)
+    assert(star.nonEmpty, "mart must build after LWS")
+    val ldm = s4.log.filter(col("status") === Status.LoadedMart)
+    assert(ldm.count() === 1)
+    // versions become valid on the Dec-8 load day, so exactly one day of
+    // the [Dec 1, Dec 8] window overlaps: 100 products × 1 snapshot date
+    assert(ldm.head.getAs[Long]("count") === 100)
+    assert(star.get.fact.count() === 100)
+    star.get.unpersist()
+
+    // mart-stage failure AFTER LWS: a bad attribute column makes
+    // Mart.build throw — the LWS→RUNNING→EF transition must land, the
+    // alert must fire, and the warehouse pin taken before the throw must
+    // be released (not accumulate across failed runs)
+    val efDay = day // same day: LDM blocks re-runs, so rebuild from LWS
+    val sLws = s3 // state with LWS, no mart yet
+    val (sFail, noStar2) = DailyJob.runMart(sLws, cfg, efDay,
+      Seq("no_such_column"), measures, from, until, a, nowMs = 40)
+    assert(noStar2.isEmpty)
+    assert(sFail.log.filter(col("status") === Status.ExtractFailure)
+      .count() === 1)
+    assert(a.sent.exists(_._1.contains("mart failed")))
+    assert(sFail.dw.storageLevel ===
+      org.apache.spark.storage.StorageLevel.NONE,
+      "failed mart run must release the pinned warehouse snapshot")
+
+    // an LDM day refuses another mart run (idempotence guard)
+    val (sAgain, noStar3) = DailyJob.runMart(s4, cfg, day, attrs, measures,
+      from, until, a, nowMs = 50)
+    assert(noStar3.isEmpty)
+    assert(sAgain.log.filter(col("status") === Status.LoadedMart)
+      .count() === 1, "LDM row must survive the refused re-run")
+  }
+
   test("extract failure marks EF with alert content; file transport " +
        "records it durably") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_alerts")

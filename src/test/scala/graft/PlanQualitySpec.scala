@@ -48,4 +48,42 @@ class PlanQualitySpec extends AnyFunSuite {
     val p = plan("q01_pricing_summary")
     assert(p.contains("partial_sum"), "expected partial aggregation")
   }
+
+  test("q62 range join is a bucketized equi-join, never a nested loop") {
+    val p = plan("q62_range_join")
+    assert(!p.contains("CartesianProduct"), "range join fell back to cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "range join fell back to a nested loop")
+  }
+
+  test("mart star + reports: no cartesian, dimension joins broadcast") {
+    Seq("q65_mart_star", "q66_mart_report_rollup",
+      "q67_mart_report_cube").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cross join")
+      assert("BroadcastHashJoin".r.findAllIn(p).nonEmpty,
+        s"$q dimension join is not broadcast")
+    }
+  }
+
+  test("q66 rollup: no dim_date re-join, grouping sets ride one shuffle") {
+    val p = plan("q66_mart_report_rollup")
+    // year_month is derived map-side from the fact's own date column; a
+    // calendar re-join here was the round-6 ambiguous-self-join defect.
+    // Exactly 2 broadcast joins: the fact build's bucketized range join
+    // (tiny calendar side) + the product-dimension join — a dim_date
+    // re-join would add a third.
+    assert("BroadcastHashJoin".r.findAllIn(p).length === 2,
+      "expected only the range-join + product-dimension joins")
+    assert(p.contains("Expand"), "rollup should expand grouping sets")
+    assert(p.contains("partial_sum"),
+      "rollup totals need a map-side partial phase")
+  }
+
+  test("q68 PNG decode is map-only after the parallelize repartition") {
+    val p = plan("q68_png_decode")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
+      "decode path should not shuffle by key")
+  }
 }
