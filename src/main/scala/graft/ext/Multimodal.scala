@@ -8,17 +8,19 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: media as opaque `binary` payloads with a
   * typed metadata struct, and a batched "decode/feature-extract" stage.
   *
-  * TWO formats have fully REAL codec paths — parse, per-channel
-  * statistics, nearest-neighbor resize, re-encode, all pure JVM:
+  * THREE formats have fully REAL codec paths — parse, per-channel
+  * statistics, nearest-neighbor resize, re-encode, all JVM-only:
   * binary PPM (P6, [[ppmDecode]]/[[ppmEncode]], exercised end-to-end by
-  * q61) and PNG (8-bit grey/RGB/RGBA via `java.util.zip`,
-  * [[graft.ext.Png]], exercised by q68) — each against an exact SQL
-  * oracle. Formats that need native codecs (JPEG/ffmpeg) are NOT in this
-  * container, so their decode remains a clearly-marked deterministic stub
-  * (`stubDecode`) behind the same plumbing: schema, encoder,
-  * partition-batched `mapPartitions` (the Scala analogue of `mapInPandas`
-  * batching), and a row-count-preserving contract. Swap `stubDecode` for
-  * a JNI/ffmpeg call and nothing else changes.
+  * q61), PNG (8-bit grey/RGB/RGBA via `java.util.zip`,
+  * [[graft.ext.Png]], exercised by q68), and JPEG (the JDK's bundled
+  * `javax.imageio` baseline codec, exercised by q69 — lossy, so its
+  * oracle checks a tolerance bound rather than exact means). Formats
+  * that need codecs outside the JDK (video/audio via ffmpeg) remain a
+  * clearly-marked deterministic stub (`stubDecode`) behind the same
+  * plumbing: schema, encoder, partition-batched `mapPartitions` (the
+  * Scala analogue of `mapInPandas` batching), and a row-count-preserving
+  * contract. Swap `stubDecode` for a JNI/ffmpeg call and nothing else
+  * changes.
   */
 object Multimodal {
 
@@ -109,7 +111,21 @@ object Multimodal {
     * channel statistics exactly from the text column.
     */
   def asPpmMediaTable(docs: DataFrame, idCol: String, textCol: String,
-                      width: Int, height: Int): DataFrame = {
+                      width: Int, height: Int): DataFrame =
+    cycledMediaTable(docs, idCol, textCol, width, height,
+      "image/ppm", "image/x-portable-pixmap",
+      (w, h, rgb, _) => ppmEncode(w, h, rgb))
+
+  /** Shared builder for the deterministic image tables: each document's
+    * utf-8 bytes cycled into the RGB plane, then encoded by `encode`
+    * (which also receives the row id, letting a format vary per-row
+    * parameters like the PNG scanline filter).
+    */
+  private def cycledMediaTable(docs: DataFrame, idCol: String,
+                               textCol: String, width: Int, height: Int,
+                               mediaType: String, mime: String,
+                               encode: (Int, Int, Array[Byte], Long) => Array[Byte])
+  : DataFrame = {
     val enc = ExpressionEncoder(RowEncoder.encoderFor(mediaSchema))
     docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
       .mapPartitions { rows =>
@@ -122,9 +138,8 @@ object Multimodal {
             var i = 0
             while (i < rgb.length) { rgb(i) = src(i % src.length); i += 1 }
           }
-          Row(id, "image/ppm", ppmEncode(width, height, rgb),
-            Row("image/x-portable-pixmap", width, height,
-              null.asInstanceOf[java.lang.Long]))
+          Row(id, mediaType, encode(width, height, rgb, id),
+            Row(mime, width, height, null.asInstanceOf[java.lang.Long]))
         }
       }(enc)
   }
@@ -138,27 +153,21 @@ object Multimodal {
     * [[Png.decode]].
     */
   def asPngMediaTable(docs: DataFrame, idCol: String, textCol: String,
-                      width: Int, height: Int): DataFrame = {
-    val enc = ExpressionEncoder(RowEncoder.encoderFor(mediaSchema))
-    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
-      .mapPartitions { rows =>
-        rows.map { r =>
-          val id = r.getLong(0)
-          val src = r.getString(1)
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          val rgb = new Array[Byte](3 * width * height)
-          if (src.nonEmpty) {
-            var i = 0
-            while (i < rgb.length) { rgb(i) = src(i % src.length); i += 1 }
-          }
-          Row(id, "image/png",
-            Png.encode(width, height, rgb, colorType = 2,
-              filter = (math.floorMod(id, 5L)).toInt),
-            Row("image/png", width, height,
-              null.asInstanceOf[java.lang.Long]))
-        }
-      }(enc)
-  }
+                      width: Int, height: Int): DataFrame =
+    cycledMediaTable(docs, idCol, textCol, width, height,
+      "image/png", "image/png",
+      (w, h, rgb, id) => Png.encode(w, h, rgb, colorType = 2,
+        filter = math.floorMod(id, 5L).toInt))
+
+  /** Build a REAL JPEG image table: same deterministic pixel plane as
+    * [[asPpmMediaTable]], encoded by the JDK's baseline JPEG writer.
+    * Decoded pixels are NOT bit-equal to the source (lossy), but channel
+    * means survive within a small tolerance — q69's contract.
+    */
+  def asJpegMediaTable(docs: DataFrame, idCol: String, textCol: String,
+                       width: Int, height: Int): DataFrame =
+    cycledMediaTable(docs, idCol, textCol, width, height,
+      "image/jpeg", "image/jpeg", (w, h, rgb, _) => jpegEncode(w, h, rgb))
 
   val featureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -192,22 +201,84 @@ object Multimodal {
       sg.toDouble / n, sb.toDouble / n)
   }
 
-  /** Real-codec dispatch: PPM and PNG payloads decode to (w, h, rgb);
-    * anything else (including a malformed member of either format, which
-    * the codecs signal as None) has no real decode here.
+  // ── Real codec: JPEG via the JDK's bundled ImageIO plugin ───────────
+  // javax.imageio ships a pure-Java baseline JPEG reader/writer in every
+  // standard JDK — no native library needed — so JPEG gets a REAL decode
+  // path after all. Lossy: roundtrips are near-exact in channel means
+  // (quantization error averages out) but not bit-exact, so the
+  // oracle-gated query (q69) checks a tolerance bound computed against
+  // the exact source statistics rather than raw means.
+
+  /** SOI marker probe (`FF D8 FF`). */
+  def isJpeg(payload: Array[Byte]): Boolean =
+    payload != null && payload.length >= 3 &&
+      (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8 &&
+      (payload(2) & 0xff) == 0xff
+
+  /** Encode an RGB buffer as baseline JPEG (ImageIO defaults). */
+  def jpegEncode(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == 3 * width * height,
+      s"rgb buffer ${rgb.length} != 3*$width*$height")
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var p = 0
+    while (p < width * height) {
+      img.setRGB(p % width, p / width,
+        ((rgb(3 * p) & 0xff) << 16) | ((rgb(3 * p + 1) & 0xff) << 8) |
+          (rgb(3 * p + 2) & 0xff))
+      p += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** Decode a JPEG to (width, height, RGB bytes); None for malformed
+    * payloads (ImageIO returns null or throws on corrupt streams).
+    */
+  def jpegDecode(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        if (w <= 0 || h <= 0 || 3L * w * h > Int.MaxValue) None
+        else {
+          val rgb = new Array[Byte](3 * w * h)
+          var p = 0
+          while (p < w * h) {
+            val v = img.getRGB(p % w, p / w)
+            rgb(3 * p) = ((v >> 16) & 0xff).toByte
+            rgb(3 * p + 1) = ((v >> 8) & 0xff).toByte
+            rgb(3 * p + 2) = (v & 0xff).toByte
+            p += 1
+          }
+          Some((w, h, rgb))
+        }
+      }
+    } catch { case _: Throwable => None }
+
+  /** Real-codec dispatch: PPM, PNG and JPEG payloads decode to
+    * (w, h, rgb); anything else (including a malformed member of these
+    * formats, which the codecs signal as None) has no real decode here.
     */
   private def realDecode(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] =
     if (isPpm(payload)) ppmDecode(payload)
     else if (Png.isPng(payload)) Png.decode(payload)
+    else if (isJpeg(payload)) jpegDecode(payload)
     else None
 
+  private def hasRealCodec(payload: Array[Byte]): Boolean =
+    isPpm(payload) || Png.isPng(payload) || isJpeg(payload)
+
   /** The per-payload feature contract shared by [[decodeFeatures]] and
-    * [[resizeWithFeatures]]: real stats for a decodable PPM/PNG, null for
-    * a malformed one (auditable, never a crash), byte-statistics stub
-    * otherwise.
+    * [[resizeWithFeatures]]: real stats for a decodable PPM/PNG/JPEG,
+    * null for a malformed one (auditable, never a crash), byte-statistics
+    * stub otherwise.
     */
   private def featureOf(payload: Array[Byte]): Array[Double] =
-    if (isPpm(payload) || Png.isPng(payload))
+    if (hasRealCodec(payload))
       realDecode(payload).map { case (w, h, px) => ppmStats(w, h, px) }.orNull
     else stubDecode(payload)
 
@@ -266,6 +337,7 @@ object Multimodal {
   private def reencode(payload: Array[Byte], w: Int, h: Int,
                        rgb: Array[Byte]): (Array[Byte], String) =
     if (Png.isPng(payload)) (Png.encode(w, h, rgb), "image/png")
+    else if (isJpeg(payload)) (jpegEncode(w, h, rgb), "image/jpeg")
     else (ppmEncode(w, h, rgb), "image/x-portable-pixmap")
 
   /** "Resize": payload transform + metadata rewrite, batched per
@@ -304,12 +376,15 @@ object Multimodal {
     * [[resize]] → [[decodeFeatures]] as separate stages costs two full
     * codec passes per row (resize re-encodes, decodeFeatures re-parses
     * the new payload) — for a heavyweight codec the decode IS the cost,
-    * so the fused form halves it. Bit-identical to the composition: the
-    * feature is computed from the resampled pixels exactly as
-    * [[decodeFeatures]] computes it from the re-encoded payload (same
-    * bytes either way; PPM encode/decode is lossless), and non-PPM
-    * payloads take the same stub pair. Output = [[mediaSchema]] fields of
-    * the resized media plus `byte_len`/`feature` of the result.
+    * so the fused form halves it. For the lossless formats (PPM, PNG)
+    * this is bit-identical to the composition: the feature is computed
+    * from the resampled pixels exactly as [[decodeFeatures]] computes it
+    * from the re-encoded payload (same bytes either way). For JPEG the
+    * fused feature reflects the PRE-encode pixels — free of the second
+    * lossy generation the composition would measure — which is the more
+    * faithful statistic. Stub-format payloads take the same stub pair.
+    * Output = [[mediaSchema]] fields of the resized media plus
+    * `byte_len`/`feature` of the result.
     */
   def resizeWithFeatures(media: DataFrame, width: Int, height: Int): DataFrame = {
     val schema = StructType(mediaSchema.fields ++ Seq(
