@@ -5,8 +5,9 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.ext.Multimodal
 
 /** Multimodal plumbing: schema/row-count contracts of the batched
-  * decode / resize / frame-sample stages (codecs are stubs — the Spark
-  * side is the product).
+  * decode / resize / frame-sample stages, plus the real codec paths
+  * (PPM here, PNG in PngSpec, JPEG via the JDK's ImageIO below);
+  * non-image formats stay loud stubs behind the same plumbing.
   */
 class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -115,6 +116,53 @@ class MultimodalSpec extends AnyFunSuite {
         assert(f.getLong(4) === c.getLong(4))
         assert(Option(f.getSeq[Double](5)) === Option(c.getSeq[Double](5)))
       }
+    }
+  }
+
+  test("JPEG codec: roundtrip within tolerance, probe, malformed safety") {
+    // smooth gradient (JPEG-friendly): per-pixel error stays small
+    val rgb = Array.tabulate(3 * 16 * 16) { i =>
+      val p = i / 3
+      (((p % 16) * 8 + (p / 16) * 8) & 0xff).toByte
+    }
+    val enc = Multimodal.jpegEncode(16, 16, rgb)
+    assert(Multimodal.isJpeg(enc))
+    assert(!Multimodal.isPpm(enc) && !graft.ext.Png.isPng(enc))
+    val Some((w, h, back)) = Multimodal.jpegDecode(enc)
+    assert(w === 16 && h === 16 && back.length === rgb.length)
+    // lossy, but channel means survive: bound mean |err| per channel
+    for (c <- 0 until 3) {
+      val exp = rgb.indices.collect { case i if i % 3 == c => rgb(i) & 0xff }
+      val got = back.indices.collect { case i if i % 3 == c => back(i) & 0xff }
+      val meanErr = math.abs(exp.sum.toDouble / exp.length -
+        got.sum.toDouble / got.length)
+      assert(meanErr <= 4.0, s"channel $c mean err $meanErr")
+    }
+    // malformed payloads → None, never a throw
+    assert(Multimodal.jpegDecode(enc.take(20)).isEmpty, "truncated stream")
+    assert(Multimodal.jpegDecode(
+      Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0x00, 0x01))
+      .isEmpty, "garbage after SOI")
+    assert(!Multimodal.isJpeg(Array[Byte](0x50, 0x36)), "wrong magic")
+  }
+
+  test("JPEG path end-to-end: decode features within tolerance, resize " +
+       "re-encodes as JPEG") {
+    val docs = Seq((1L, "abcdef"), (2L, "zz")).toDF("doc_id", "text")
+    val jm = Multimodal.asJpegMediaTable(docs, "doc_id", "text", 16, 16)
+    val feats = Multimodal.decodeFeatures(jm).orderBy("media_id").collect()
+    // doc 2: uniform 'z' plane — even lossy JPEG holds a flat image near
+    // exactly (DC-only blocks); channel means within the q69 bound
+    val f2 = feats(1).getSeq[Double](feats(1).fieldIndex("feature"))
+    assert(f2(0) === 16.0 && f2(1) === 16.0)
+    for (c <- 2 to 4)
+      assert(math.abs(f2(c) - 122.0) <= 4.0, s"uniform mean ch$c ${f2(c)}")
+    // resize keeps the arriving format: mime + magic stay JPEG
+    val shrunk = Multimodal.resize(jm, 8, 8).orderBy("media_id").collect()
+    shrunk.foreach { r =>
+      assert(r.getAs[org.apache.spark.sql.Row]("meta")
+        .getAs[String]("mime") === "image/jpeg")
+      assert(Multimodal.isJpeg(r.getAs[Array[Byte]]("payload")))
     }
   }
 

@@ -86,4 +86,11 @@ class PlanQualitySpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
       "decode path should not shuffle by key")
   }
+
+  test("q69 JPEG tolerance join: equi-join on media_id, no cartesian") {
+    val p = plan("q69_jpeg_decode")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "decoded-vs-expected compare must be an equi-join")
+  }
 }
