@@ -1113,6 +1113,32 @@ object QueriesExt {
           ORDER BY doc_id"""
       }),
 
+    // ── Bloom-gated exact incremental dedup ────────────────────────────
+    // Same batch/corpus split as q63 but exact-fingerprint membership
+    // only, pre-gated by a corpus Bloom filter (Spark's native
+    // BloomFilterAggregate / BloomFilterMightContain): ~99% of
+    // genuinely-new docs take a map-only path and never shuffle. Bloom
+    // filters have no false negatives, so the result is bit-equal to the
+    // plain anti-join the oracle runs — fpp only sizes the residual join.
+    QueryDef("q70_bloom_dedup",
+      (s, dir) => {
+        val docs = tPar(s, dir, "documents")
+        val isNew =
+          Shingles.baseHash(col("doc_id").cast("string")) % 5 === 0
+        Dedup.bloomNewDocs(docs.filter(isNew), docs.filter(!isNew),
+          "text", expectedItems = 100000L, fpp = 0.01)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val gate =
+          "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 5"
+        s"""SELECT doc_id, source, n_chars FROM documents
+          WHERE $gate = 0 AND md5($dNorm) NOT IN (
+            SELECT md5($dNorm) FROM documents WHERE $gate <> 0)
+          ORDER BY doc_id"""
+      }),
+
     // ── Gopher-style repetition quality stats ──────────────────────────
     QueryDef("q64_repetition_stats",
       (s, dir) => Curation.repetitionStats(

@@ -211,6 +211,66 @@ object Dedup {
     exactSurvivors.join(collided, Seq(idCol), "left_anti")
   }
 
+  /** Bloom-accelerated EXACT incremental dedup: admit only batch docs
+    * whose content fingerprint is absent from the corpus, using a Bloom
+    * filter of the corpus keys to keep almost all genuinely-new docs off
+    * the anti-join shuffle entirely.
+    *
+    * Three stages, same answer as a plain fingerprint anti-join (Bloom
+    * filters have NO false negatives, so correctness never depends on
+    * `fpp`):
+    *  1. ONE aggregation pass over the corpus builds the filter with
+    *     Spark's own `BloomFilterAggregate` (the expression behind
+    *     runtime row-level filtering): map-side partial filters, OR-merge
+    *     at the reducer, one `numBits/8`-byte blob to the driver.
+    *  2. Batch rows failing `BloomFilterMightContain` are DEFINITELY new
+    *     — a map-only filter, no shuffle. At fpp=1% that is ~99% of the
+    *     genuinely-new rows.
+    *  3. Only the residual (true duplicates + fpp false positives)
+    *     anti-joins the corpus fingerprint set — the shuffle input
+    *     shrinks from |batch| to |dups| + fpp·|new|.
+    *
+    * Like [[RangeJoin]]'s width probe, step 1 is an EAGER action at
+    * definition time (the filter bytes become a plan literal, shipped to
+    * tasks with the task binary exactly like a broadcast value). At
+    * 100 TB the corpus side is the precomputed fingerprint table, the
+    * filter is built once per admission cycle, and `expectedItems` is
+    * sized to the corpus key count — beyond the default conf caps
+    * (4M items / 8 MiB), raise
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems`/`maxNumBits`
+    * (a 10⁹-key corpus at 1% is ~1.2 GiB, at which point shard the
+    * filter by key range or accept a higher fpp — still exact output,
+    * just a larger residual join).
+    */
+  def bloomNewDocs(newBatch: DataFrame, corpus: DataFrame,
+                   textCol: String, expectedItems: Long = 1000000L,
+                   fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
+
+    require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0,1): $fpp")
+    val fp = TextStats.contentFingerprint(col(textCol))
+    val key = xxhash64(fp) // BloomFilterAggregate/MightContain take int64
+    // standard sizing: m = -n·ln(p)/ln(2)²
+    val numBits = math.ceil(
+      -expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    val bloomAgg = ColumnBridge.column(new BloomFilterAggregate(
+      ColumnBridge.expression(key),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+    val bytes = corpus.select(bloomAgg).head.getAs[Array[Byte]](0)
+    if (bytes == null) return newBatch // empty corpus: everything is new
+    val might = ColumnBridge.column(new BloomFilterMightContain(
+      Literal(bytes, BinaryType), ColumnBridge.expression(key)))
+    val definitelyNew = newBatch.filter(!might)
+    val residualNew = newBatch.filter(might)
+      .withColumn("__fp", fp)
+      .join(corpus.select(fp.as("__fp")).distinct(), Seq("__fp"), "left_anti")
+      .drop("__fp")
+    definitelyNew.unionByName(residualNew)
+  }
+
   /** SimHash fingerprint over token hashes, `bits` dimensions.
     * Each token votes per bit using one hex nibble of its portable hash
     * (nibble ≥ 8 → +1, else −1); fingerprint bit = sign of the vote sum.

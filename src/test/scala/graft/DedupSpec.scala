@@ -202,4 +202,42 @@ class DedupSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(survivors === Set(1L, 2L))
   }
+
+  test("bloomNewDocs ≡ plain fingerprint anti-join, any fpp") {
+    val docs = Tables.load(spark, TestSpark.sf0001, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val gate = Shingles.baseHash(col("doc_id").cast("string")) % 3 === 0
+    val batch = docs.filter(gate)
+    val corpusDocs = docs.filter(!gate)
+    val fp = TextStats.contentFingerprint(col("text"))
+    val expected = batch.withColumn("__fp", fp)
+      .join(corpusDocs.select(fp.as("__fp")).distinct(), Seq("__fp"),
+        "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    // a sloppy filter (high fpp) must not change the ANSWER, only how
+    // much of the batch rides the residual join
+    for (fpp <- Seq(0.01, 0.5)) {
+      val got = Dedup.bloomNewDocs(batch, corpusDocs, "text",
+        expectedItems = 10000L, fpp = fpp)
+        .select("doc_id").as[Long].collect().toSet
+      assert(got === expected, s"fpp=$fpp")
+    }
+  }
+
+  test("bloomNewDocs: exact dup dropped, near-dup kept, empty corpus " +
+       "admits all") {
+    val corpusDocs = Seq((1L, docA), (2L, docB)).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "The quick brown fox jumps over the lazy dog today."), // ≡ 1
+      (11L, docA2), // near-dup: DIFFERENT fingerprint, exact dedup keeps it
+      (12L, "entirely novel musings on distributed query planning"))
+      .toDF("doc_id", "text")
+    val survivors = Dedup.bloomNewDocs(batch, corpusDocs, "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors === Set(11L, 12L))
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val all = Dedup.bloomNewDocs(batch, empty, "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(all === Set(10L, 11L, 12L))
+  }
 }
