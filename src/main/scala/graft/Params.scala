@@ -25,4 +25,6 @@ object Params {
   val mixHeadSources: Seq[String] = (0 until 5).map(i => s"src$i")
   val mixHeadRate = 0.9
   val mixTailRate = 0.3
+  /** Conjunctive keyword-search query terms (q71). */
+  val searchTerms: Seq[String] = Seq("hash", "scan", "merge")
 }

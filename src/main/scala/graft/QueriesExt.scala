@@ -771,6 +771,36 @@ object QueriesExt {
           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         ORDER BY order_date""")),
 
+    // ── Time-interval RANGE window frame (vs q47's ROWS frame) ────────
+    // Trailing 1-hour per-user totals: the frame is VALUE-based (all
+    // events within [t−1h, t] microseconds), not row-count-based — the
+    // shape behind rate limiting, rolling spend caps, trailing activity
+    // features. RANGE frames include ties as peers, so the result is
+    // deterministic under any partition order; sums ride decimal and
+    // cast to double at the edge (Parity discipline).
+    QueryDef("q72_range_frame",
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts_us"))
+          .rangeBetween(-3600L * 1000000L, 0L)
+        t(s, dir, "events")
+          .withColumn("ts_us", unix_micros(col("ts")))
+          .select(col("event_id"), col("user_id"),
+            count(lit(1)).over(w).as("n_1h"),
+            sum(col("value").cast(DecimalType(30, 8))).over(w)
+              .cast("double").as("sum_1h"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+          COUNT(*) OVER w AS n_1h,
+          CAST(CAST(SUM(CAST(value AS DECIMAL(30,8))) OVER w AS VARCHAR)
+            AS DOUBLE) AS sum_1h
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        ORDER BY event_id""")),
+
     // ── Typed Aggregator (UDAF surface; bit-compatible with dsum) ──────
     QueryDef("q49_typed_agg",
       (s, dir) => t(s, dir, "orders")
@@ -1137,6 +1167,43 @@ object QueriesExt {
           WHERE $gate = 0 AND md5($dNorm) NOT IN (
             SELECT md5($dNorm) FROM documents WHERE $gate <> 0)
           ORDER BY doc_id"""
+      }),
+
+    // ── Keyword search: conjunctive term query, TF-ranked ──────────────
+    // The inverted-index query shape: explode tokens, keep only the query
+    // terms (a literal IN filter inside the generate's codegen stage —
+    // the posting-list selection), then ONE groupBy(doc) shuffle whose
+    // payload is just (doc_id, term hits). AND semantics via
+    // count(distinct term) = |terms|; ranking by total term frequency is
+    // exact integer arithmetic (no BM25 log() floats that would defeat a
+    // cross-engine hash compare). At 100 TB the exploded postings are a
+    // precomputed term-bucketed index table and this query becomes a
+    // short-key lookup join into it; the inline derivation here is the
+    // same plan minus the reuse.
+    QueryDef("q71_keyword_search",
+      (s, dir) => {
+        val terms = Params.searchTerms
+        tPar(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            explode(TextStats.tokens(col("text"))).as("tok"))
+          .filter(col("tok").isin(terms: _*))
+          .groupBy("doc_id", "source")
+          .agg(countDistinct(col("tok")).as("n_terms"),
+            count(lit(1)).as("tf"))
+          .filter(col("n_terms") === terms.size)
+          .select(col("doc_id"), col("source"), col("tf"))
+          .orderBy(desc("tf"), col("doc_id"))
+      },
+      Some {
+        val inList = Params.searchTerms.map(t => s"'$t'").mkString(", ")
+        s"""WITH t AS (SELECT doc_id, source, unnest($dTok) AS tok
+            FROM documents),
+          m AS (SELECT doc_id, source,
+              COUNT(DISTINCT tok) AS n_terms, COUNT(*) AS tf
+            FROM t WHERE tok IN ($inList) GROUP BY 1, 2)
+          SELECT doc_id, source, CAST(tf AS BIGINT) AS tf FROM m
+          WHERE n_terms = ${Params.searchTerms.size}
+          ORDER BY tf DESC, doc_id"""
       }),
 
     // ── Gopher-style repetition quality stats ──────────────────────────

@@ -98,6 +98,26 @@ object Streams {
       }
   }
 
+  /** Streaming exact dedup with BOUNDED state — the at-scale form of
+    * [[streamingDedupFirst]]. `flatMapGroupsWithState` with NoTimeout
+    * keeps one state entry per key FOREVER: on an unbounded ingest
+    * stream that state store only grows. When duplicates can only
+    * arrive within a bounded delay of the original (the usual
+    * at-least-once-source contract), `dropDuplicatesWithinWatermark`
+    * gives the same answer with state eviction: a key's entry is freed
+    * once the watermark passes its event time, so state is bounded by
+    * (arrival rate × watermark), not by stream lifetime. On a batch
+    * frame the same call degrades to plain `dropDuplicates` keep-one
+    * semantics (watermarks are a no-op in batch).
+    */
+  def dedupBoundedState(events: DataFrame, keys: Seq[String],
+                        eventTimeCol: String = "ts",
+                        watermark: String = "2 hours"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark(eventTimeCol, watermark)
+        .dropDuplicatesWithinWatermark(keys)
+    else events.dropDuplicates(keys)
+
   /** Streaming running aggregate per user — `mapGroupsWithState`
     * keeping (count, sum) state and emitting the updated totals each
     * micro-batch (C2-style latest-state tracking, streaming twin of

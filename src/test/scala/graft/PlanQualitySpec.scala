@@ -93,4 +93,23 @@ class PlanQualitySpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"),
       "decoded-vs-expected compare must be an equi-join")
   }
+
+  test("q70 bloom dedup: might_contain gates map-side, residual join " +
+       "is the only join") {
+    val p = plan("q70_bloom_dedup")
+    assert(p.contains("might_contain"),
+      "bloom gate must appear as a native filter expression")
+    assert(!p.contains("CartesianProduct"))
+    // one anti-join for the residual; the definitely-new leg is join-free
+    assert("LeftAnti".r.findAllIn(p).length === 1,
+      "expected exactly one residual anti-join")
+  }
+
+  test("q71 keyword search: postings filtered before the doc aggregate") {
+    val p = plan("q71_keyword_search")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "conjunctive search must be a filter+aggregate, not a join")
+    assert(p.contains("partial_count"),
+      "term hits need a map-side partial aggregate")
+  }
 }

@@ -78,6 +78,32 @@ class StreamsSpec extends AnyFunSuite {
       .filter(col("count") > 1).isEmpty)
   }
 
+  test("bounded-state dedup: one row per key, dupes within watermark " +
+       "suppressed") {
+    val batchEvents = Tables.load(spark, TestSpark.sf0001, "events")
+      .select("event_id", "user_id", "event_type", "value", "ts")
+    val dir = java.nio.file.Files.createTempDirectory("events_wmdedup")
+      .toString
+    batchEvents.write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(batchEvents.schema).parquet(dir)
+    // watermark far wider than the fixture's time span: every duplicate
+    // arrives "within watermark", so streaming ≡ batch keep-one
+    val out = Streams.runToMemory(
+      Streams.dedupBoundedState(stream, Seq("user_id", "event_type"),
+        watermark = "1000 hours"),
+      "wm_dedup_test", "append")
+
+    val expectedKeys = batchEvents
+      .select("user_id", "event_type").distinct().count()
+    assert(out.count() === expectedKeys)
+    assert(out.groupBy("user_id", "event_type").count()
+      .filter(col("count") > 1).isEmpty)
+    // batch twin: same keep-one cardinality through the same entry point
+    assert(Streams.dedupBoundedState(batchEvents,
+      Seq("user_id", "event_type")).count() === expectedKeys)
+  }
+
   test("stream-stream interval join equals the batch range join") {
     val events = Tables.load(spark, TestSpark.sf0001, "events")
     val views = events.filter(col("event_type") === "view")
