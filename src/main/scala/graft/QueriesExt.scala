@@ -740,6 +740,42 @@ object QueriesExt {
                / CAST(max(h) AS DOUBLE) END AS distinct_estimate
         FROM top""")),
 
+    // ── Per-group KMV sketches on the custom top-k physical operator ───
+    // Grouped distinct-user estimates per event type; the k-smallest-hash
+    // selection runs on plans.TopKPerKey (heap per key, map-side
+    // combining — at most k rows per group leave each map task), the
+    // sketch-maintenance shape at corpus scale. Deterministic md5 hash
+    // family ⇒ the oracle reproduces every estimate bit-for-bit.
+    QueryDef("q73_kmv_by_group",
+      (s, dir) => graft.ext.Sketches.kmvDistinctByGroup(
+        t(s, dir, "events"), "event_type", col("user_id"), kmvK)
+        .orderBy("event_type"),
+      Some(s"""WITH h AS (SELECT DISTINCT event_type,
+          ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 7))::BIGINT AS h
+          FROM events),
+        r AS (SELECT event_type, h,
+          row_number() OVER (PARTITION BY event_type ORDER BY h ASC) AS rn
+          FROM h)
+        SELECT event_type, COUNT(*) AS k_actual, max(h) AS kth_hash,
+          CASE WHEN COUNT(*) < $kmvK THEN CAST(COUNT(*) AS DOUBLE)
+          ELSE CAST(COUNT(*) - 1 AS DOUBLE) * CAST(268435456.0 AS DOUBLE)
+               / CAST(max(h) AS DOUBLE) END AS distinct_estimate
+        FROM r WHERE rn <= $kmvK GROUP BY event_type
+        ORDER BY event_type""")),
+
+    // ── Two-phase salted aggregation (skew mitigation, exact result) ───
+    // The salt spreads a hot key over `salts` reducers in phase 1;
+    // decimal partials make the two-phase sum bit-equal to the plain
+    // single-shuffle GROUP BY the oracle runs — skew mitigation must
+    // never change the answer.
+    QueryDef("q74_salted_agg",
+      (s, dir) => graft.ext.Skew.saltedAgg(t(s, dir, "events"),
+        Seq("event_type"), col("event_id"), col("value"), salts = 8)
+        .orderBy("event_type"),
+      Some(s"""SELECT event_type, COUNT(*) AS n,
+        ${dsumSql("value")} AS total
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // ── 7-day moving average (window frame ROWS BETWEEN) ───────────────
     QueryDef("q47_moving_avg",
       (s, dir) => {

@@ -26,13 +26,17 @@ object Skew {
     */
   def saltedAgg(df: DataFrame, key: Seq[String], saltSource: Column,
                 valueCol: Column, salts: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    // decimal partials: two-phase summation is bit-equal to the
+    // single-shuffle groupBy (decimal addition is associative, double
+    // addition is not) — Parity discipline across the salt split
     val salted = df.withColumn("__salt", pmod(hash(saltSource), lit(salts)))
     val partial = salted
       .groupBy((key.map(col) :+ col("__salt")): _*)
       .agg(count(lit(1)).as("__cnt"),
-        sum(valueCol.cast("double")).as("__sum"))
+        sum(valueCol.cast(DecimalType(30, 8))).as("__sum"))
     partial.groupBy(key.map(col): _*)
       .agg(sum(col("__cnt")).as("n"),
-        sum(col("__sum")).as("total"))
+        sum(col("__sum")).cast("double").as("total"))
   }
 }

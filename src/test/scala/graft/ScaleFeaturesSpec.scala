@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.ext.Skew
+import graft.ext.{Sketches, Skew}
 import graft.sources.Bucketing
 
 /** Scale features: bucketed co-located joins (no exchange in the plan)
@@ -79,5 +79,25 @@ class ScaleFeaturesSpec extends AnyFunSuite {
         abs(col("s.total") - col("p.total")) > 1e-6)
     assert(diff.isEmpty)
     assert(salted.count() === plain.count())
+  }
+
+  test("per-group KMV: exact below k, tight estimate above, planned on " +
+       "the custom top-k operator") {
+    import spark.implicits._
+    // 3 groups: 20, 200, 1000 distinct values (k = 64 splits them)
+    val rows = Seq(("a", 20), ("b", 200), ("c", 1000)).flatMap {
+      case (g, n) => (0 until n).map(v => (g, s"$g-$v"))
+    }
+    val df = rows.toDF("grp", "v")
+    val out = Sketches.kmvDistinctByGroup(df, "grp", col("v"), 64)
+    assert(out.queryExecution.executedPlan.toString.contains("TopKPerKey"),
+      "k-minima selection must plan on the custom heap operator")
+    val got = out.collect().map(r =>
+      r.getAs[String]("grp") ->
+        (r.getAs[Long]("k_actual"), r.getAs[Double]("distinct_estimate")))
+      .toMap
+    assert(got("a") === ((20L, 20.0)), "below k the sketch is exact")
+    assert(got("b")._1 === 64L && math.abs(got("b")._2 - 200) / 200.0 < 0.35)
+    assert(got("c")._1 === 64L && math.abs(got("c")._2 - 1000) / 1000.0 < 0.35)
   }
 }
