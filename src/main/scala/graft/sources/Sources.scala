@@ -110,6 +110,23 @@ object Sources {
       .csv(path)
   }
 
+  /** JSON-lines ingest with the same malformed-row policy surface as
+    * [[readCsvWithPolicy]] — the event-feed twin of the CSV leg (one
+    * JSON object per line, schema enforced, PERMISSIVE nulls bad fields
+    * and captures the raw line, DROPMALFORMED skips, FAILFAST throws).
+    * Schema-on-read keeps the scan prunable: only projected fields are
+    * parsed, so a 2-column query over wide JSON events stays cheap.
+    */
+  def readJsonWithPolicy(spark: SparkSession, path: String,
+                         schema: StructType, mode: String): DataFrame = {
+    val withCorrupt = if (mode == "PERMISSIVE")
+      schema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    else schema
+    spark.read.schema(withCorrupt)
+      .option("mode", mode)
+      .json(path)
+  }
+
   /** S4 — single-file upload/copy across Hadoop FileSystems (the B2
     * `upload_local_file` analogue, `extract_file.py:397-440`): source and
     * destination resolve their own scheme (`file://`, `s3a://`, `hdfs://`,

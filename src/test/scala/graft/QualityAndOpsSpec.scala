@@ -78,4 +78,35 @@ class QualityAndOpsSpec extends AnyFunSuite {
       Sources.readCsvWithPolicy(spark, f, schema, "FAILFAST").collect()
     }
   }
+
+  test("malformed JSON lines: PERMISSIVE captures, DROPMALFORMED drops, " +
+       "FAILFAST throws") {
+    val dir = java.nio.file.Files.createTempDirectory("badjson").toString
+    val f = s"$dir/feed.jsonl"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(f),
+      """{"sku":"A","qty":1}
+        |{"sku":"B","qty":"notanumber"}
+        |{"sku":"C","qty":3}
+        |not json at all
+        |""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("sku",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("qty",
+        org.apache.spark.sql.types.IntegerType)))
+
+    val permissive = Sources.readJsonWithPolicy(spark, f, schema,
+      "PERMISSIVE").cache()
+    assert(permissive.count() === 4)
+    assert(permissive.filter(col("_corrupt_record").isNotNull).count() === 2)
+    assert(permissive.filter(col("qty").isNotNull).count() === 2)
+
+    val dropped = Sources.readJsonWithPolicy(spark, f, schema,
+      "DROPMALFORMED")
+    assert(dropped.collect().length === 2)
+
+    intercept[Exception] {
+      Sources.readJsonWithPolicy(spark, f, schema, "FAILFAST").collect()
+    }
+  }
 }
