@@ -215,19 +215,29 @@ object Multimodal {
       (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8 &&
       (payload(2) & 0xff) == 0xff
 
+  // ImageIO defaults every read/write through a DISK-backed stream cache
+  // (a temp file per call) — pure overhead for in-memory byte payloads
+  // and a seek/IO hazard in executor tasks. Flip once per JVM.
+  private lazy val imageIoNoDiskCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   /** Encode an RGB buffer as baseline JPEG (ImageIO defaults). */
   def jpegEncode(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
     require(rgb.length == 3 * width * height,
       s"rgb buffer ${rgb.length} != 3*$width*$height")
+    imageIoNoDiskCache
     val img = new java.awt.image.BufferedImage(width, height,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // one bulk setRGB: per-pixel setRGB pays a colorspace-dispatch call
+    // per pixel — a real cost at corpus row counts
+    val packed = new Array[Int](width * height)
     var p = 0
-    while (p < width * height) {
-      img.setRGB(p % width, p / width,
-        ((rgb(3 * p) & 0xff) << 16) | ((rgb(3 * p + 1) & 0xff) << 8) |
-          (rgb(3 * p + 2) & 0xff))
+    while (p < packed.length) {
+      packed(p) = ((rgb(3 * p) & 0xff) << 16) |
+        ((rgb(3 * p + 1) & 0xff) << 8) | (rgb(3 * p + 2) & 0xff)
       p += 1
     }
+    img.setRGB(0, 0, width, height, packed, 0, width)
     val bos = new java.io.ByteArrayOutputStream
     javax.imageio.ImageIO.write(img, "jpg", bos)
     bos.toByteArray
@@ -238,6 +248,7 @@ object Multimodal {
     */
   def jpegDecode(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] =
     try {
+      imageIoNoDiskCache
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(payload))
       if (img == null) None
@@ -245,10 +256,12 @@ object Multimodal {
         val w = img.getWidth; val h = img.getHeight
         if (w <= 0 || h <= 0 || 3L * w * h > Int.MaxValue) None
         else {
+          // one bulk getRGB (single colorspace pass), then unpack
+          val packed = img.getRGB(0, 0, w, h, null, 0, w)
           val rgb = new Array[Byte](3 * w * h)
           var p = 0
-          while (p < w * h) {
-            val v = img.getRGB(p % w, p / w)
+          while (p < packed.length) {
+            val v = packed(p)
             rgb(3 * p) = ((v >> 16) & 0xff).toByte
             rgb(3 * p + 1) = ((v >> 8) & 0xff).toByte
             rgb(3 * p + 2) = (v & 0xff).toByte
