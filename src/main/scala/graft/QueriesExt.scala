@@ -640,6 +640,35 @@ object QueriesExt {
         CAST(16 AS DOUBLE) AS height, true AS means_within_tol
         FROM documents ORDER BY media_id""")),
 
+    // ── REAL audio decode: WAV (RIFF/PCM16) channel statistics ─────────
+    // The audio leg of the multimodal contract goes real: each doc's
+    // bytes become 256 mono PCM16 samples ((byte−128)·256), encoded as
+    // canonical WAV, decoded by the pure-JVM chunk-walking parser, and
+    // the per-channel mean is integer-exact until one final division —
+    // same oracle discipline as q61/q68. Lossless, so exact hash match.
+    QueryDef("q75_wav_decode",
+      (s, dir) => {
+        val media = Multimodal.asWavMediaTable(tPar(s, dir, "documents"),
+          "doc_id", "text", 256, 16000)
+        Multimodal.decodeFeatures(media).select(
+          col("media_id"),
+          element_at(col("feature"), 1).as("channels"),
+          element_at(col("feature"), 2).as("sample_rate"),
+          element_at(col("feature"), 3).as("frames"),
+          element_at(col("feature"), 4).as("mean_amp"))
+          .orderBy("media_id")
+      },
+      // ASCII corpus: chars == utf-8 bytes (q61's caveat)
+      Some("""SELECT doc_id AS media_id, CAST(1 AS DOUBLE) AS channels,
+          CAST(16000 AS DOUBLE) AS sample_rate,
+          CAST(256 AS DOUBLE) AS frames,
+          CASE WHEN strlen(text) = 0 THEN 0.0 ELSE
+            CAST(list_sum(list_transform(range(0, 256),
+              i -> (ascii(substr(text,
+                CAST(i % strlen(text) AS INT) + 1, 1)) - 128) * 256))
+            AS DOUBLE) / 256.0 END AS mean_amp
+        FROM documents ORDER BY media_id""")),
+
     // ── Token counting: whitespace + BPE-ish regex (SURVEY §2.10) ──────
     QueryDef("q43_subword_count",
       (s, dir) => tPar(s, dir, "documents").select(

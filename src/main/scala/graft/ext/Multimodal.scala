@@ -8,19 +8,20 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: media as opaque `binary` payloads with a
   * typed metadata struct, and a batched "decode/feature-extract" stage.
   *
-  * THREE formats have fully REAL codec paths — parse, per-channel
-  * statistics, nearest-neighbor resize, re-encode, all JVM-only:
+  * FOUR formats have fully REAL codec paths — parse, per-channel
+  * statistics, nearest-neighbor resample, re-encode, all JVM-only:
   * binary PPM (P6, [[ppmDecode]]/[[ppmEncode]], exercised end-to-end by
   * q61), PNG (8-bit grey/RGB/RGBA via `java.util.zip`,
-  * [[graft.ext.Png]], exercised by q68), and JPEG (the JDK's bundled
+  * [[graft.ext.Png]], exercised by q68), JPEG (the JDK's bundled
   * `javax.imageio` baseline codec, exercised by q69 — lossy, so its
-  * oracle checks a tolerance bound rather than exact means). Formats
-  * that need codecs outside the JDK (video/audio via ffmpeg) remain a
-  * clearly-marked deterministic stub (`stubDecode`) behind the same
-  * plumbing: schema, encoder, partition-batched `mapPartitions` (the
-  * Scala analogue of `mapInPandas` batching), and a row-count-preserving
-  * contract. Swap `stubDecode` for a JNI/ffmpeg call and nothing else
-  * changes.
+  * oracle checks a tolerance bound rather than exact means), and WAV
+  * audio (RIFF/PCM16, [[graft.ext.Wav]], exercised by q75). Formats
+  * that need codecs outside the JDK (compressed audio/video via ffmpeg)
+  * remain a clearly-marked deterministic stub (`stubDecode`) behind the
+  * same plumbing: schema, encoder, partition-batched `mapPartitions`
+  * (the Scala analogue of `mapInPandas` batching), and a
+  * row-count-preserving contract. Swap `stubDecode` for a JNI/ffmpeg
+  * call and nothing else changes.
   */
 object Multimodal {
 
@@ -169,6 +170,63 @@ object Multimodal {
     cycledMediaTable(docs, idCol, textCol, width, height,
       "image/jpeg", "image/jpeg", (w, h, rgb, _) => jpegEncode(w, h, rgb))
 
+  /** Build a REAL audio table: each document's utf-8 bytes cycled into
+    * `frames` mono PCM16 samples (`(byte − 128) · 256`, spanning the
+    * int16 range) and encoded as canonical WAV. Deterministic, so the
+    * q75 oracle reproduces the decoded per-channel means exactly from
+    * the text column.
+    */
+  def asWavMediaTable(docs: DataFrame, idCol: String, textCol: String,
+                      frames: Int, sampleRate: Int): DataFrame = {
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(mediaSchema))
+    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val src = r.getString(1)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val samples = new Array[Short](frames)
+          if (src.nonEmpty) {
+            var i = 0
+            while (i < frames) {
+              samples(i) = (((src(i % src.length) & 0xff) - 128) * 256).toShort
+              i += 1
+            }
+          }
+          Row(id, "audio/wav",
+            Wav.encode(Wav.Clip(1, sampleRate, samples)),
+            Row("audio/x-wav", null.asInstanceOf[java.lang.Integer],
+              null.asInstanceOf[java.lang.Integer],
+              java.lang.Long.valueOf(frames.toLong * 1000L / sampleRate)))
+        }
+      }(enc)
+  }
+
+  /** Audio resample stage (the audio twin of [[resize]]): WAV payloads
+    * are REALLY resampled ([[Wav.resample]], zero-order hold) and
+    * re-encoded; non-audio payloads pass through untouched. Row-count
+    * preserving, batched per partition.
+    */
+  def resampleAudio(media: DataFrame, outRate: Int): DataFrame = {
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(mediaSchema))
+    media.select("media_id", "media_type", "payload", "meta")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]](2)
+          Wav.decode(payload) match {
+            case Some(clip) =>
+              val out = Wav.resample(clip, outRate)
+              Row(r.getLong(0), r.getString(1), Wav.encode(out),
+                Row("audio/x-wav", null, null,
+                  java.lang.Long.valueOf(
+                    out.frames.toLong * 1000L / outRate)))
+            case None =>
+              Row(r.getLong(0), r.getString(1), payload, r.get(3))
+          }
+        }
+      }(enc)
+  }
+
   val featureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("byte_len", LongType, nullable = false),
@@ -286,12 +344,14 @@ object Multimodal {
     isPpm(payload) || Png.isPng(payload) || isJpeg(payload)
 
   /** The per-payload feature contract shared by [[decodeFeatures]] and
-    * [[resizeWithFeatures]]: real stats for a decodable PPM/PNG/JPEG,
-    * null for a malformed one (auditable, never a crash), byte-statistics
-    * stub otherwise.
+    * [[resizeWithFeatures]]: real stats for a decodable PPM/PNG/JPEG
+    * (channel means) or WAV (per-channel sample means via [[Wav.stats]]),
+    * null for a malformed member of a real-codec format (auditable,
+    * never a crash), byte-statistics stub otherwise.
     */
   private def featureOf(payload: Array[Byte]): Array[Double] =
-    if (hasRealCodec(payload))
+    if (Wav.isWav(payload)) Wav.decode(payload).map(Wav.stats).orNull
+    else if (hasRealCodec(payload))
       realDecode(payload).map { case (w, h, px) => ppmStats(w, h, px) }.orNull
     else stubDecode(payload)
 
