@@ -118,6 +118,41 @@ object Streams {
         .dropDuplicatesWithinWatermark(keys)
     else events.dropDuplicates(keys)
 
+  /** Continuous SCD2: a stream of snapshot rows folds into the
+    * `is_current`-partitioned warehouse via `foreachBatch` — the
+    * reference's Task-Scheduler-driven daily `load_to_dw` becomes a
+    * standing query; each micro-batch replays the same incremental merge
+    * ([[graft.etl.Scd2.mergeInPlace]]) the batch pipeline uses, one
+    * merge per load date in date order (a batch can straddle a date
+    * boundary). First-ever date bootstraps the layout. The per-batch
+    * date list is scalar driver traffic; all row work stays in the
+    * merge's one join. Restart safety comes from the checkpoint (a
+    * replayed batch re-runs merges whose effects are already present —
+    * idempotent for unchanged snapshots; exactly-once under crash
+    * between the merge's two writes needs a transactional format, same
+    * caveat as `mergeInPlace` itself).
+    */
+  def streamingScd2(snapshots: DataFrame, path: String, key: String,
+                    tracked: Seq[String], dateCol: String,
+                    checkpoint: String)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    snapshots.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val dates = batch.select(col(dateCol)).distinct().collect()
+          .map(_.getDate(0)).sortBy(_.getTime)
+        dates.foreach { d =>
+          val snap = batch
+            .filter(col(dateCol) === lit(d)).drop(dateCol)
+          if (!graft.sources.Sources.exists(spark, path))
+            graft.etl.Scd2.initPartitioned(snap, path, d)
+          else
+            graft.etl.Scd2.mergeInPlace(spark, path, snap, key, tracked, d)
+        }
+      }
+      .start()
+
   /** Streaming running aggregate per user — `mapGroupsWithState`
     * keeping (count, sum) state and emitting the updated totals each
     * micro-batch (C2-style latest-state tracking, streaming twin of

@@ -168,6 +168,63 @@ class StreamsSpec extends AnyFunSuite {
     assert(after2.filter(col("user_id") === 30).count() === 1)
   }
 
+  test("streaming SCD2: snapshot stream folds into the warehouse like " +
+       "the batch pipeline") {
+    import spark.implicits._
+    import java.sql.Date
+    val src = java.nio.file.Files.createTempDirectory("scd2_src").toString
+    val wh = java.nio.file.Files.createTempDirectory("scd2_wh").toString +
+      "/dw"
+    val cp = java.nio.file.Files.createTempDirectory("scd2_cp").toString
+
+    def snap(rows: (String, Double, String)*) = rows.toDF(
+      "natural_key", "price", "load_date_s")
+      .withColumn("load_date", col("load_date_s").cast("date"))
+      .drop("load_date_s")
+
+    // day 1: A, B
+    val d1 = snap(("A", 1.0, "2024-01-01"), ("B", 2.0, "2024-01-01"))
+    d1.write.mode("append").parquet(src)
+    val stream = spark.readStream.schema(
+      spark.read.parquet(src).schema).parquet(src)
+    val q = Streams.streamingScd2(stream, wh, "natural_key",
+      Seq("price"), "load_date", cp)
+    q.processAllAvailable()
+    assert(spark.read.parquet(wh).count() === 2)
+
+    // day 2: A changes, C appears (B unchanged)
+    snap(("A", 9.0, "2024-01-02"), ("B", 2.0, "2024-01-02"),
+      ("C", 3.0, "2024-01-02")).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    val dw = spark.read.parquet(wh).cache()
+    // closed A(day1) + open A(day2) + open B + open C
+    assert(dw.count() === 4)
+    val openA = dw.filter(col("natural_key") === "A" &&
+      col("is_current") === true).collect()
+    assert(openA.length === 1 && openA(0).getAs[Double]("price") === 9.0)
+    val closedA = dw.filter(col("natural_key") === "A" &&
+      col("is_current") === false).collect()
+    assert(closedA.length === 1 &&
+      closedA(0).getAs[Double]("price") === 1.0 &&
+      closedA(0).getAs[Date]("dt_last_update") ===
+        Date.valueOf("2024-01-02"))
+    assert(dw.filter(col("is_current") === true).count() === 3)
+    // matches the batch formulation on the same two days
+    val batchDim = graft.etl.Scd2.merge(
+      d1.drop("load_date")
+        .withColumn("dt_load_to_dw", lit(Date.valueOf("2024-01-01")))
+        .withColumn("dt_last_update", lit(graft.etl.Scd2.Sentinel)),
+      snap(("A", 9.0, "2024-01-02"), ("B", 2.0, "2024-01-02"),
+        ("C", 3.0, "2024-01-02")).drop("load_date"),
+      "natural_key", Seq("price"), Date.valueOf("2024-01-02"))
+    val streamed = dw.drop("is_current")
+      .select(batchDim.columns.map(col).toSeq: _*)
+    assert(streamed.exceptAll(batchDim).isEmpty &&
+      batchDim.exceptAll(streamed).isEmpty)
+  }
+
   test("mapGroupsWithState running totals equal batch aggregation") {
     import spark.implicits._
     val batchEvents = Tables.load(spark, TestSpark.sf0001, "events")
