@@ -1271,6 +1271,25 @@ object QueriesExt {
           ORDER BY tf DESC, doc_id"""
       }),
 
+    // ── Corpus vocabulary: global token frequencies, top-N ─────────────
+    // The tokenizer-training precursor (BPE seed vocabulary): one
+    // groupBy(token) with map-side partials over the exploded corpus,
+    // then a global top-N that plans as TakeOrderedAndProject (per-
+    // partition heaps, no full sort) — at 100 TB the only full-corpus
+    // pass is the count aggregation, and only N rows ever reach the
+    // driver side of the limit. Ties break on the token for a total
+    // order.
+    QueryDef("q76_vocab_topn",
+      (s, dir) => tPar(s, dir, "documents")
+        .select(explode(TextStats.tokens(col("text"))).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("freq"))
+        .orderBy(desc("freq"), col("token"))
+        .limit(20),
+      Some(s"""WITH t AS (SELECT unnest($dTok) AS token FROM documents)
+        SELECT token, COUNT(*) AS freq FROM t GROUP BY token
+        ORDER BY freq DESC, token LIMIT 20""")),
+
     // ── Gopher-style repetition quality stats ──────────────────────────
     QueryDef("q64_repetition_stats",
       (s, dir) => Curation.repetitionStats(

@@ -105,6 +105,14 @@ class PlanQualitySpec extends AnyFunSuite {
       "expected exactly one residual anti-join")
   }
 
+  test("q76 vocab top-N plans as TakeOrdered, never a full global sort") {
+    val p = plan("q76_vocab_topn")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-N must ride per-partition heaps")
+    assert(p.contains("partial_count"),
+      "token counts need a map-side partial phase")
+  }
+
   test("q71 keyword search: postings filtered before the doc aggregate") {
     val p = plan("q71_keyword_search")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
