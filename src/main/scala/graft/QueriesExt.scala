@@ -1271,6 +1271,75 @@ object QueriesExt {
           ORDER BY tf DESC, doc_id"""
       }),
 
+    // ── Embedding pooling: per-label centroids (mean-pool) ─────────────
+    // The centroid computation under IVF training / cluster analysis as
+    // a user-facing operator: posexplode the vectors once, ONE
+    // groupBy(label, dim) with map-side partials (shuffle payload is
+    // (label, dim, partial-sum) — never a vector), decimal sums so the
+    // per-dimension means are partition-order independent and
+    // oracle-exact. At 100 TB this is the only all-corpus pass a
+    // centroid build needs.
+    QueryDef("q77_embed_centroids",
+      (s, dir) => tPar(s, dir, "embeddings")
+        .select(col("label"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("label", "dim")
+        .agg((dsum(col("v")) / count(lit(1))).as("mean_v"),
+          count(lit(1)).as("n_vecs"))
+        .orderBy("label", "dim"),
+      Some(s"""WITH e AS (SELECT label,
+            generate_subscripts(embedding, 1) - 1 AS dim,
+            unnest(embedding) AS v
+          FROM embeddings)
+        SELECT label, CAST(dim AS INT) AS dim,
+          ${dsumSql("CAST(v AS DOUBLE)")} / COUNT(*) AS mean_v,
+          COUNT(*) AS n_vecs
+        FROM e GROUP BY label, dim ORDER BY label, dim""")),
+
+    // ── Statistical outliers: per-group z-scores, exact two-pass ───────
+    // Data-quality shape: per event type, mean/variance from decimal
+    // sums (order-independent), then |z| > 2 flags per row. Every
+    // arithmetic step after the decimal sums is IEEE-correctly-rounded
+    // (division, sqrt) and written identically on both sides, so even
+    // the outlier COUNTS hash-match the oracle. Two window passes over
+    // one partition-by — no join, no second scan.
+    QueryDef("q78_zscore_outliers",
+      (s, dir) => {
+        val w = Window.partitionBy("event_type")
+        val ev = t(s, dir, "events")
+          .withColumn("sv", sum(col("value")
+            .cast(org.apache.spark.sql.types.DecimalType(30, 8))).over(w)
+            .cast("double"))
+          .withColumn("svv", sum((col("value") * col("value"))
+            .cast(org.apache.spark.sql.types.DecimalType(30, 8))).over(w)
+            .cast("double"))
+          .withColumn("n", count(lit(1)).over(w))
+          .withColumn("mean_v", col("sv") / col("n"))
+          .withColumn("var_v", greatest(
+            col("svv") / col("n") - (col("sv") / col("n")) *
+              (col("sv") / col("n")), lit(0.0)))
+        ev.groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            max(col("mean_v")).as("mean_v"),
+            count(when(abs((col("value") - col("mean_v")) /
+              sqrt(col("var_v"))) > 2.0, 1)).as("n_outliers"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH s AS (SELECT event_type, value,
+          CAST(CAST(SUM(CAST(value AS DECIMAL(30,8))) OVER w
+            AS VARCHAR) AS DOUBLE) AS sv,
+          CAST(CAST(SUM(CAST((value * value) AS DECIMAL(30,8))) OVER w
+            AS VARCHAR) AS DOUBLE) AS svv,
+          COUNT(*) OVER w AS n
+        FROM events WINDOW w AS (PARTITION BY event_type)),
+        z AS (SELECT event_type, value, sv / n AS mean_v,
+          greatest(svv / n - (sv / n) * (sv / n), 0.0) AS var_v
+        FROM s)
+        SELECT event_type, COUNT(*) AS n_events, MAX(mean_v) AS mean_v,
+          COUNT(CASE WHEN abs((value - mean_v) / sqrt(var_v)) > 2.0
+            THEN 1 END) AS n_outliers
+        FROM z GROUP BY event_type ORDER BY event_type""")),
+
     // ── Corpus vocabulary: global token frequencies, top-N ─────────────
     // The tokenizer-training precursor (BPE seed vocabulary): one
     // groupBy(token) with map-side partials over the exploded corpus,
