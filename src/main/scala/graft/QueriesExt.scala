@@ -1340,6 +1340,32 @@ object QueriesExt {
             THEN 1 END) AS n_outliers
         FROM z GROUP BY event_type ORDER BY event_type""")),
 
+    // ── REAL audio frame sampling: windowed energy over WAV clips ──────
+    // The frame-sample stage goes real for audio: 64-sample windows,
+    // hop 64, one row per window with its EXACT int64 sum-of-squares
+    // energy — reproducible in SQL from the same text-derived samples
+    // as q75, so the whole row set hash-matches.
+    QueryDef("q79_audio_frames",
+      (s, dir) => {
+        val media = Multimodal.asWavMediaTable(tPar(s, dir, "documents"),
+          "doc_id", "text", 256, 16000)
+        Multimodal.audioFrames(media, frameLen = 64, hop = 64)
+          .orderBy("media_id", "frame_no")
+      },
+      Some {
+        val samp = "CAST((ascii(substr(text, CAST(i % strlen(text) AS INT)" +
+          " + 1, 1)) - 128) * 256 AS BIGINT)"
+        s"""WITH f AS (SELECT doc_id, text,
+            unnest(range(0, 4)) AS frame_no FROM documents)
+          SELECT doc_id AS media_id, CAST(frame_no AS INT) AS frame_no,
+            CAST(64 AS INT) AS n_samples,
+            CASE WHEN strlen(text) = 0 THEN CAST(0 AS BIGINT) ELSE
+              CAST(list_sum(list_transform(
+                range(frame_no * 64, frame_no * 64 + 64),
+                i -> $samp * $samp)) AS BIGINT) END AS energy
+          FROM f ORDER BY media_id, frame_no"""
+      }),
+
     // ── Corpus vocabulary: global token frequencies, top-N ─────────────
     // The tokenizer-training precursor (BPE seed vocabulary): one
     // groupBy(token) with map-side partials over the exploded corpus,

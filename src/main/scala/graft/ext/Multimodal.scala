@@ -500,6 +500,49 @@ object Multimodal {
     }
   }
 
+  val audioFrameSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_no", IntegerType, nullable = false),
+    StructField("n_samples", IntegerType, nullable = false),
+    StructField("energy", LongType, nullable = false)))
+
+  /** REAL frame sampling for audio: windows of `frameLen` frames every
+    * `hop` frames over decoded WAV payloads, one row per window with its
+    * exact sum-of-squares energy (int64 — the spectrogram-precursor
+    * statistic; 64 samples × 32768² fits comfortably). Multichannel
+    * windows cover all interleaved samples of the frame span. Non-WAV
+    * or malformed payloads emit no frames — same auditable-skip
+    * contract as the decoders. Row-expanding like a video keyframe
+    * sampler; work is one map stage over the payloads.
+    */
+  def audioFrames(media: DataFrame, frameLen: Int, hop: Int): DataFrame = {
+    require(frameLen > 0 && hop > 0, s"frameLen $frameLen hop $hop")
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(audioFrameSchema))
+    media.select("media_id", "payload").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        Wav.decode(r.getAs[Array[Byte]](1)) match {
+          case Some(clip) =>
+            val ch = clip.channels
+            Iterator.from(0)
+              .takeWhile(f => f.toLong * hop + frameLen <= clip.frames)
+              .map { f =>
+                var e = 0L
+                var i = f * hop * ch
+                val end = (f * hop + frameLen) * ch
+                while (i < end) {
+                  val s = clip.samples(i).toLong
+                  e += s * s
+                  i += 1
+                }
+                Row(id, f, frameLen * ch, e)
+              }
+          case None => Iterator.empty
+        }
+      }
+    }(enc)
+  }
+
   val frameSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("frame_no", IntegerType, nullable = false),

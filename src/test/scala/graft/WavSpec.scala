@@ -73,6 +73,27 @@ class WavSpec extends AnyFunSuite {
       c.samples.toSeq.zipWithIndex.collect { case (v, i) if i % 2 == 0 => v })
   }
 
+  test("audioFrames: exact windowed energy, hop/len geometry, non-WAV " +
+       "skipped") {
+    val docs = Seq((1L, "abcd")).toDF("doc_id", "text")
+    val media = Multimodal.asWavMediaTable(docs, "doc_id", "text",
+      frames = 8, sampleRate = 8000)
+    // samples: bytes 97,98,99,100 cycled → (b−128)·256
+    val s = "abcdabcd".map(c => ((c - 128) * 256).toLong)
+    // frameLen 4, hop 2 → windows at 0,2,4 (window at 6 would overrun)
+    val frames = Multimodal.audioFrames(media, frameLen = 4, hop = 2)
+      .orderBy("frame_no").collect()
+    assert(frames.length === 3)
+    frames.zipWithIndex.foreach { case (r, f) =>
+      val exp = (f * 2 until f * 2 + 4).map(i => s(i) * s(i)).sum
+      assert(r.getInt(1) === f && r.getInt(2) === 4 &&
+        r.getLong(3) === exp)
+    }
+    // a non-WAV payload contributes no frames
+    val mixed = Multimodal.asMediaTable(docs, "doc_id", "text")
+    assert(Multimodal.audioFrames(mixed, 4, 2).isEmpty)
+  }
+
   test("Spark path: decodeFeatures real stats; resampleAudio re-encodes " +
        "at the target rate") {
     val docs = Seq((1L, "abcd"), (2L, "")).toDF("doc_id", "text")
