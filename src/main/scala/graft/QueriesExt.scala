@@ -1366,6 +1366,46 @@ object QueriesExt {
           FROM f ORDER BY media_id, frame_no"""
       }),
 
+    // ── Funnel / conversion analysis: first view → first purchase ──────
+    // The classic event-warehouse question: for every user who viewed,
+    // the first view, the first purchase AT OR AFTER it, and the lag —
+    // two filtered aggregations and one equi-join, all shuffling on
+    // user_id (AQE coalesces the tiny post-filter sides), integer
+    // microsecond arithmetic end to end.
+    QueryDef("q80_funnel",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val firstView = ev.filter(col("event_type") === "view")
+          .groupBy("user_id")
+          .agg(min(unix_micros(col("ts"))).as("first_view_us"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
+        firstView.join(purchases, Seq("user_id"), "left")
+          .groupBy("user_id")
+          .agg(min(col("first_view_us")).as("first_view_us"),
+            min(when(col("p_us") >= col("first_view_us"), col("p_us")))
+              .as("first_purchase_us"))
+          .select(col("user_id"), col("first_view_us"),
+            col("first_purchase_us"),
+            col("first_purchase_us").isNotNull.as("converted"),
+            (col("first_purchase_us") - col("first_view_us")).as("lag_us"))
+          .orderBy("user_id")
+      },
+      Some("""WITH v AS (SELECT user_id,
+            MIN(epoch_us(ts)) AS first_view_us
+          FROM events WHERE event_type = 'view' GROUP BY user_id),
+        p AS (SELECT user_id, epoch_us(ts) AS p_us
+          FROM events WHERE event_type = 'purchase'),
+        j AS (SELECT v.user_id, MIN(v.first_view_us) AS first_view_us,
+            MIN(CASE WHEN p.p_us >= v.first_view_us THEN p.p_us END)
+              AS first_purchase_us
+          FROM v LEFT JOIN p ON v.user_id = p.user_id
+          GROUP BY v.user_id)
+        SELECT user_id, first_view_us, first_purchase_us,
+          first_purchase_us IS NOT NULL AS converted,
+          first_purchase_us - first_view_us AS lag_us
+        FROM j ORDER BY user_id""")),
+
     // ── Corpus vocabulary: global token frequencies, top-N ─────────────
     // The tokenizer-training precursor (BPE seed vocabulary): one
     // groupBy(token) with map-side partials over the exploded corpus,
