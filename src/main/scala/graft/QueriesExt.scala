@@ -1366,6 +1366,34 @@ object QueriesExt {
           FROM f ORDER BY media_id, frame_no"""
       }),
 
+    // ── Cross-source overlap matrix (dedup analytics) ──────────────────
+    // How much does each source pair share, content-wise? Distinct
+    // (source, fingerprint) pairs self-join on the fingerprint — an
+    // equi-join on a short key whose input is already deduplicated, so
+    // the join input is bounded by distinct content, not corpus rows.
+    // The upper triangle incl. the diagonal (a ≤ b) keeps the matrix
+    // canonical; diagonal entries are each source's distinct content
+    // count. The shape behind contamination dashboards and
+    // source-weighting decisions.
+    QueryDef("q81_source_overlap",
+      (s, dir) => {
+        val fp = TextStats.contentFingerprint(col("text"))
+        val sf = tPar(s, dir, "documents")
+          .select(col("source"), fp.as("fp")).distinct()
+        sf.toDF("src_a", "fp")
+          .join(sf.toDF("src_b", "fp"), Seq("fp"))
+          .filter(col("src_a") <= col("src_b"))
+          .groupBy("src_a", "src_b")
+          .agg(count(lit(1)).as("shared_docs"))
+          .orderBy("src_a", "src_b")
+      },
+      Some(s"""WITH sf AS (SELECT DISTINCT source, md5($dNorm) AS fp
+          FROM documents)
+        SELECT a.source AS src_a, b.source AS src_b,
+          COUNT(*) AS shared_docs
+        FROM sf a JOIN sf b ON a.fp = b.fp AND a.source <= b.source
+        GROUP BY 1, 2 ORDER BY src_a, src_b""")),
+
     // ── Funnel / conversion analysis: first view → first purchase ──────
     // The classic event-warehouse question: for every user who viewed,
     // the first view, the first purchase AT OR AFTER it, and the lag —

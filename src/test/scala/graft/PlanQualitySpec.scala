@@ -105,6 +105,20 @@ class PlanQualitySpec extends AnyFunSuite {
       "expected exactly one residual anti-join")
   }
 
+  test("q77 centroids shuffle partial sums, never vectors") {
+    val p = plan("q77_embed_centroids")
+    assert(p.contains("partial_sum"),
+      "per-dim means need map-side partial aggregation")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+  }
+
+  test("q80 funnel: filtered aggregates join on user_id, no cartesian") {
+    val p = plan("q80_funnel")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("PushedFilters"),
+      "event_type filters should reach the scan")
+  }
+
   test("q76 vocab top-N plans as TakeOrdered, never a full global sort") {
     val p = plan("q76_vocab_topn")
     assert(p.contains("TakeOrderedAndProject"),
