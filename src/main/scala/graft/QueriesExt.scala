@@ -1366,6 +1366,32 @@ object QueriesExt {
           FROM f ORDER BY media_id, frame_no"""
       }),
 
+    // ── Corpus length profile: fixed-width histogram ───────────────────
+    // The first chart anyone draws over a new corpus: document length
+    // distribution. Bucketing is integer floor-division (map-side), one
+    // aggregation shuffle keyed by bucket; exact token totals ride the
+    // same pass so the histogram and the per-bucket token mass come from
+    // ONE scan.
+    QueryDef("q82_length_histogram",
+      (s, dir) => tPar(s, dir, "documents")
+        .select((col("n_chars").cast("long") / 50).cast("long")
+          .as("bucket"),
+          TextStats.tokenCount(col("text")).as("n_tokens"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"))
+        .select((col("bucket") * 50).as("chars_lo"),
+          (col("bucket") * 50 + 49).as("chars_hi"),
+          col("n_docs"), col("total_tokens"))
+        .orderBy("chars_lo"),
+      Some(s"""WITH b AS (SELECT CAST(n_chars AS BIGINT) // 50 AS bucket,
+            CAST(len($dTok) AS BIGINT) AS n_tokens
+          FROM documents)
+        SELECT bucket * 50 AS chars_lo, bucket * 50 + 49 AS chars_hi,
+          COUNT(*) AS n_docs,
+          CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        FROM b GROUP BY bucket ORDER BY chars_lo""")),
+
     // ── Cross-source overlap matrix (dedup analytics) ──────────────────
     // How much does each source pair share, content-wise? Distinct
     // (source, fingerprint) pairs self-join on the fingerprint — an

@@ -168,6 +168,27 @@ class StreamsSpec extends AnyFunSuite {
     assert(after2.filter(col("user_id") === 30).count() === 1)
   }
 
+  test("stream-static anti-join: arriving docs dedup against a static " +
+       "corpus per micro-batch") {
+    import spark.implicits._
+    val corpus = Seq((100L, "the quick brown fox"), (101L, "old doc"))
+      .toDF("doc_id", "text")
+    val fp = graft.ext.TextStats.contentFingerprint(col("text"))
+    val corpusFps = corpus.select(fp.as("__fp")).distinct()
+
+    val dir = java.nio.file.Files.createTempDirectory("ss_dedup").toString
+    Seq((1L, "the quick brown fox"), (2L, "fresh content"))
+      .toDF("doc_id", "text").write.mode("append").parquet(dir)
+    val stream = spark.readStream
+      .schema(corpus.schema).parquet(dir)
+      .withColumn("__fp", fp)
+      .join(corpusFps, Seq("__fp"), "left_anti") // static side broadcast
+      .drop("__fp")
+    val out = Streams.runToMemory(stream, "ss_dedup_test", "append")
+    assert(out.select("doc_id").as[Long].collect().toSet === Set(2L),
+      "doc duplicating static corpus content must be dropped")
+  }
+
   test("streaming SCD2: snapshot stream folds into the warehouse like " +
        "the batch pipeline") {
     import spark.implicits._
