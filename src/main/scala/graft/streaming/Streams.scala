@@ -140,7 +140,10 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val dates = batch.select(col(dateCol)).distinct().collect()
+        // null load dates are malformed upstream rows, not a crash: skip
+        // them (same auditable-skip posture as the ingest policies)
+        val dates = batch.select(col(dateCol))
+          .filter(col(dateCol).isNotNull).distinct().collect()
           .map(_.getDate(0)).sortBy(_.getTime)
         dates.foreach { d =>
           val snap = batch
