@@ -1366,6 +1366,31 @@ object QueriesExt {
           FROM f ORDER BY media_id, frame_no"""
       }),
 
+    // ── BPE merge-pair statistics: top adjacent token pairs ────────────
+    // The second half of tokenizer training: after the seed vocabulary
+    // (q76), BPE repeatedly merges the most frequent ADJACENT pair —
+    // this is that counting pass, corpus-wide. Pairs are 2-gram shingles
+    // (one generate stage, no join), one count shuffle with map-side
+    // partials, TakeOrdered top-N. Single-token docs contribute no
+    // pairs.
+    QueryDef("q83_bpe_pairs",
+      (s, dir) => {
+        val toks = TextStats.tokens(col("text"))
+        tPar(s, dir, "documents")
+          .select(explode(when(size(toks) >= 2,
+            graft.ext.Shingles.wordShingles(toks, 2))
+            .otherwise(array())).as("pair"))
+          .groupBy("pair")
+          .agg(count(lit(1)).as("freq"))
+          .orderBy(desc("freq"), col("pair"))
+          .limit(25)
+      },
+      Some(s"""WITH p AS (SELECT unnest(CASE WHEN len($dTok) >= 2
+            THEN ${dShingles(dTok, 2)} ELSE [] END) AS pair
+          FROM documents)
+        SELECT pair, COUNT(*) AS freq FROM p GROUP BY pair
+        ORDER BY freq DESC, pair LIMIT 25""")),
+
     // ── Corpus length profile: fixed-width histogram ───────────────────
     // The first chart anyone draws over a new corpus: document length
     // distribution. Bucketing is integer floor-division (map-side), one
