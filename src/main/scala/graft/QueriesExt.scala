@@ -1445,6 +1445,61 @@ object QueriesExt {
         FROM sf a JOIN sf b ON a.fp = b.fp AND a.source <= b.source
         GROUP BY 1, 2 ORDER BY src_a, src_b""")),
 
+    // ── Temporal densification: hourly grid + LOCF gap fill ────────────
+    // Feature-store resampling: each user's sparse events become a dense
+    // hourly series between their first and last activity, holes filled
+    // with the last observation carried forward. The grid is a map-side
+    // `sequence`+explode (no join to a calendar), the within-hour winner
+    // is deterministic (latest ts, event_id tie-break), and the fill is
+    // one `last(ignoreNulls)` window per user — a single shuffle keyed
+    // by user_id carries grid and observations together.
+    QueryDef("q84_gap_fill",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .withColumn("hour_us",
+            floor(unix_micros(col("ts")) / 3600000000L).cast("long")
+              * 3600000000L)
+        val w = Window.partitionBy("user_id", "hour_us")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        val hourly = ev.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("hour_us"), col("value"))
+        val grid = ev.groupBy("user_id")
+          .agg(min(col("hour_us")).as("lo"), max(col("hour_us")).as("hi"))
+          .select(col("user_id"),
+            explode(sequence(col("lo"), col("hi"),
+              lit(3600000000L))).as("hour_us"))
+        val filled = grid.join(hourly, Seq("user_id", "hour_us"), "left")
+          .withColumn("value_filled",
+            last(col("value"), ignoreNulls = true).over(
+              Window.partitionBy("user_id").orderBy("hour_us")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        filled.select(col("user_id"), col("hour_us"),
+          col("value").isNotNull.as("observed"), col("value_filled"))
+          .orderBy("user_id", "hour_us")
+      },
+      Some("""WITH ev AS (SELECT user_id, event_id, ts, value,
+            (epoch_us(ts) // 3600000000) * 3600000000 AS hour_us
+          FROM events),
+        hourly AS (SELECT user_id, hour_us, value FROM (
+            SELECT user_id, hour_us, value,
+              row_number() OVER (PARTITION BY user_id, hour_us
+                ORDER BY ts DESC, event_id DESC) AS rn
+            FROM ev) WHERE rn = 1),
+        grid AS (SELECT user_id,
+            unnest(range(lo, hi + 1, 3600000000)) AS hour_us
+          FROM (SELECT user_id, MIN(hour_us) AS lo, MAX(hour_us) AS hi
+            FROM ev GROUP BY user_id)),
+        j AS (SELECT g.user_id, g.hour_us, h.value,
+            last_value(h.value IGNORE NULLS) OVER (
+              PARTITION BY g.user_id ORDER BY g.hour_us
+              ROWS UNBOUNDED PRECEDING) AS value_filled
+          FROM grid g LEFT JOIN hourly h
+            ON g.user_id = h.user_id AND g.hour_us = h.hour_us)
+        SELECT user_id, hour_us, value IS NOT NULL AS observed,
+          value_filled
+        FROM j ORDER BY user_id, hour_us""")),
+
     // ── Funnel / conversion analysis: first view → first purchase ──────
     // The classic event-warehouse question: for every user who viewed,
     // the first view, the first purchase AT OR AFTER it, and the lag —
