@@ -1298,7 +1298,9 @@ object QueriesExt {
 
     // ── Statistical outliers: per-group z-scores, exact two-pass ───────
     // Data-quality shape: per event type, mean/variance from decimal
-    // sums (order-independent), then |z| > 2 flags per row. Every
+    // sums (order-independent), then |z| > 2 flags per row; zero-variance
+    // groups are guarded identically on both sides (var_v > 0) because
+    // Spark and DuckDB order NaN differently in comparisons. Every
     // arithmetic step after the decimal sums is IEEE-correctly-rounded
     // (division, sqrt) and written identically on both sides, so even
     // the outlier COUNTS hash-match the oracle. Two window passes over
@@ -1321,8 +1323,9 @@ object QueriesExt {
         ev.groupBy("event_type")
           .agg(count(lit(1)).as("n_events"),
             max(col("mean_v")).as("mean_v"),
-            count(when(abs((col("value") - col("mean_v")) /
-              sqrt(col("var_v"))) > 2.0, 1)).as("n_outliers"))
+            count(when(col("var_v") > 0.0 &&
+              abs((col("value") - col("mean_v")) /
+                sqrt(col("var_v"))) > 2.0, 1)).as("n_outliers"))
           .orderBy("event_type")
       },
       Some(s"""WITH s AS (SELECT event_type, value,
@@ -1336,7 +1339,8 @@ object QueriesExt {
           greatest(svv / n - (sv / n) * (sv / n), 0.0) AS var_v
         FROM s)
         SELECT event_type, COUNT(*) AS n_events, MAX(mean_v) AS mean_v,
-          COUNT(CASE WHEN abs((value - mean_v) / sqrt(var_v)) > 2.0
+          COUNT(CASE WHEN var_v > 0.0
+              AND abs((value - mean_v) / sqrt(var_v)) > 2.0
             THEN 1 END) AS n_outliers
         FROM z GROUP BY event_type ORDER BY event_type""")),
 

@@ -89,8 +89,12 @@ object Wav {
     // negative/oversized sizes fall out via the bounds checks
     while (off + 8 <= payload.length && (dataOff < 0 || channels < 0)) {
       val id = new String(payload, off, 4, "US-ASCII")
-      val len = leInt(payload, off + 4)
-      if (len < 0 || off + 8 + len > payload.length) return None
+      // RIFF sizes are unsigned 32-bit; do the bounds math in Long so a
+      // crafted length near Int.MaxValue cannot wrap `off + 8 + len`
+      // negative and slip past the truncation guard
+      val lenL = leInt(payload, off + 4).toLong & 0xffffffffL
+      if (off.toLong + 8 + lenL > payload.length) return None
+      val len = lenL.toInt // ≤ payload.length after the guard
       id match {
         case "fmt " =>
           if (len < 16) return None
@@ -144,6 +148,8 @@ object Wav {
     */
   def resample(clip: Clip, outRate: Int): Clip = {
     require(outRate > 0, s"outRate $outRate")
+    require(clip.sampleRate > 0, s"sampleRate ${clip.sampleRate}")
+    require(clip.channels > 0, s"channels ${clip.channels}")
     val inFrames = clip.frames
     val outFrames = (inFrames.toLong * outRate / clip.sampleRate).toInt
     val out = new Array[Short](outFrames * clip.channels)

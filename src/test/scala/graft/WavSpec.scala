@@ -53,6 +53,16 @@ class WavSpec extends AnyFunSuite {
     assert(Wav.decode("RIFFxxxxWAVE".getBytes).isEmpty, "no chunks")
     assert(Wav.decode(Array[Byte](1, 2, 3)).isEmpty, "garbage")
     assert(!Wav.isWav("P6\n1 1\n255\n".getBytes))
+    // chunk length near Int.MaxValue: `off + 8 + len` must not wrap
+    // negative and slip past the truncation guard (Long bounds math)
+    val overflow = good.clone()
+    overflow(40) = 0xf0.toByte; overflow(41) = 0xff.toByte
+    overflow(42) = 0xff.toByte; overflow(43) = 0x7f.toByte // data len 0x7ffffff0
+    assert(Wav.decode(overflow).isEmpty, "overflowing chunk length")
+    val unsigned = good.clone()
+    unsigned(40) = 0xff.toByte; unsigned(41) = 0xff.toByte
+    unsigned(42) = 0xff.toByte; unsigned(43) = 0xff.toByte // len 0xffffffff
+    assert(Wav.decode(unsigned).isEmpty, "unsigned-max chunk length")
   }
 
   test("stats: integer-exact per-channel means") {
