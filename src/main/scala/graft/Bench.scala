@@ -114,7 +114,22 @@ object Bench {
     val errField = if (errors.nonEmpty) s""","errors":$errJson""" else ""
     val loadAfter = loadavg()
     val roundLoadJson = roundLoads.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField,"samples":$samplesPerQuery,"loadavg_before":$loadBefore,"loadavg_rounds":$roundLoadJson,"loadavg_after":$loadAfter,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField,"samples":$samplesPerQuery,"loadavg_before":$loadBefore,"loadavg_rounds":$roundLoadJson,"loadavg_after":$loadAfter,"sf":"$sfDir"}"""
+    println(line)
+    // Also persist the line to a file: the round-7 artifact lost q01–q24
+    // because the driver only captured the tail of stdout. The file is the
+    // durable copy; stdout stays for the driver's existing pipeline.
+    try {
+      val sfName = new java.io.File(sfDir).getName
+      val outDir = new java.io.File("target")
+      outDir.mkdirs()
+      val f = new java.io.File(outDir, s"bench_$sfName.json")
+      val w = new java.io.PrintWriter(f, "UTF-8")
+      try w.println(line) finally w.close()
+      System.err.println(s"[bench] wrote ${f.getPath}")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] artifact write failed: ${e.getMessage}")
+    }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
