@@ -119,18 +119,17 @@ object Streams {
     else events.dropDuplicates(keys)
 
   /** Continuous SCD2: a stream of snapshot rows folds into the
-    * `is_current`-partitioned warehouse via `foreachBatch` — the
-    * reference's Task-Scheduler-driven daily `load_to_dw` becomes a
-    * standing query; each micro-batch replays the same incremental merge
+    * manifest-committed warehouse via `foreachBatch` — the reference's
+    * Task-Scheduler-driven daily `load_to_dw` becomes a standing query;
+    * each micro-batch replays the same incremental merge
     * ([[graft.etl.Scd2.mergeInPlace]]) the batch pipeline uses, one
     * merge per load date in date order (a batch can straddle a date
-    * boundary). First-ever date bootstraps the layout. The per-batch
+    * boundary); the first-ever date bootstraps the table. The per-batch
     * date list is scalar driver traffic; all row work stays in the
-    * merge's one join. Restart safety comes from the checkpoint (a
-    * replayed batch re-runs merges whose effects are already present —
-    * idempotent for unchanged snapshots; exactly-once under crash
-    * between the merge's two writes needs a transactional format, same
-    * caveat as `mergeInPlace` itself).
+    * merge's one join. Restart safety: the checkpoint replays at-least-
+    * once, and each replayed merge commits atomically and converges
+    * (re-merging an already-applied snapshot closes nothing), so a
+    * crash anywhere — including mid-merge — never duplicates history.
     */
   def streamingScd2(snapshots: DataFrame, path: String, key: String,
                     tracked: Seq[String], dateCol: String,
@@ -146,12 +145,9 @@ object Streams {
           .filter(col(dateCol).isNotNull).distinct().collect()
           .map(_.getDate(0)).sortBy(_.getTime)
         dates.foreach { d =>
-          val snap = batch
-            .filter(col(dateCol) === lit(d)).drop(dateCol)
-          if (!graft.sources.Sources.exists(spark, path))
-            graft.etl.Scd2.initPartitioned(snap, path, d)
-          else
-            graft.etl.Scd2.mergeInPlace(spark, path, snap, key, tracked, d)
+          graft.etl.Scd2.mergeInPlace(spark, path,
+            batch.filter(col(dateCol) === lit(d)).drop(dateCol),
+            key, tracked, d)
         }
       }
       .start()

@@ -96,42 +96,86 @@ class Scd2Spec extends AnyFunSuite {
     assert(gone.getAs[Date]("dt_last_update") === Scd2.Sentinel)
   }
 
-  test("mergeInPlace: history append-only, only current partition rewrites") {
+  test("mergeInPlace: history append-only, merges read only the open set") {
     val path = java.nio.file.Files.createTempDirectory("dw_scd2").toString
     Scd2.initPartitioned(snap(("a", 1, "x"), ("b", 2, "y")), path, d1)
 
     Scd2.mergeInPlace(spark, path, snap(("a", 5, "x"), ("c", 3, "z")),
       "natural_key", tracked, d2)
-    val afterDay2 = spark.read.parquet(path)
+    val afterDay2 = Scd2.readWarehouse(spark, path)
     assert(afterDay2.count() === 4) // a(closed), a'(open), b(open), c(open)
-    val closedFiles1 = new java.io.File(s"$path/is_current=false")
-      .listFiles().count(_.getName.endsWith(".parquet"))
+    val hist1 = Scd2.currentState(spark, path).get.histDirs
 
     Scd2.mergeInPlace(spark, path, snap(("a", 6, "x"), ("c", 3, "z")),
       "natural_key", tracked, d3)
-    val dw = spark.read.parquet(path).cache()
+    val dw = Scd2.readWarehouse(spark, path).cache()
     assert(dw.count() === 5)
-    // closed history from day 2 survived (append-only partition)
+    // closed history from day 2 survived (history dirs only accumulate)
     assert(dw.filter($"natural_key" === "a" && $"dt_last_update" === lit(d2))
       .head().getAs[Int]("price") === 1)
     val a = dw.filter($"natural_key" === "a").orderBy("dt_load_to_dw")
       .collect()
     assert(a.map(_.getAs[Int]("price")).toSeq === Seq(1, 5, 6))
-    // one open version per key; open rows all in is_current=true
+    // one open version per key; open rows all carry is_current=true
     val opens = dw.filter($"is_current" === true)
     assert(opens.count() === 3)
     assert(opens.filter($"dt_last_update" =!= lit(Scd2.Sentinel)).isEmpty)
-    // history partition only gained files, was never rewritten smaller
-    val closedFiles2 = new java.io.File(s"$path/is_current=false")
-      .listFiles().count(_.getName.endsWith(".parquet"))
-    assert(closedFiles2 >= closedFiles1)
+    val st = Scd2.currentState(spark, path).get
+    assert(st.version === 3 && hist1.forall(st.histDirs.contains))
 
-    // current-partition read prunes: only is_current=true files scanned
-    dw.unpersist() // else the plan matches the cached relation above
-    val plan = spark.read.parquet(path)
-      .filter($"is_current" === true)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters: [isnotnull(is_current"))
+    // the merge's scan is pruned by construction: readCurrent touches
+    // ONLY the committed cur directory, never history
+    val pruned = Scd2.readCurrent(spark, path)
+    assert(pruned.inputFiles.nonEmpty &&
+      pruned.inputFiles.forall(_.contains("/data/cur_")))
+  }
+
+  test("mergeInPlace: injected crash leaves the table unchanged; retry " +
+       "converges with no duplicate history") {
+    import graft.etl.Failpoints
+    val path = java.nio.file.Files.createTempDirectory("dw_crash").toString
+    Scd2.initPartitioned(snap(("a", 1, "x"), ("b", 2, "y")), path, d1)
+    val day2 = snap(("a", 5, "x"), ("c", 3, "z"))
+
+    // crash between the history write and the open-set write
+    Failpoints.arm("scd2.between-writes")
+    try intercept[IllegalStateException] {
+      Scd2.mergeInPlace(spark, path, day2, "natural_key", tracked, d2)
+    } finally Failpoints.disarm("scd2.between-writes")
+    // readers still see day-1 exactly: no partial merge is visible
+    val dw1 = Scd2.readWarehouse(spark, path).cache()
+    assert(dw1.count() === 2)
+    assert(dw1.filter($"is_current" === false).isEmpty)
+    assert(Scd2.currentState(spark, path).get.version === 1)
+
+    // crash after BOTH staged writes, before the manifest commit
+    Failpoints.arm("scd2.before-commit")
+    try intercept[IllegalStateException] {
+      Scd2.mergeInPlace(spark, path, day2, "natural_key", tracked, d2)
+    } finally Failpoints.disarm("scd2.before-commit")
+    assert(Scd2.readWarehouse(spark, path).count() === 2)
+
+    // the crashes orphaned staging dirs; vacuum reclaims them and
+    // leaves the committed data intact
+    val removed = Scd2.vacuum(spark, path)
+    assert(removed.nonEmpty)
+    assert(Scd2.readWarehouse(spark, path).count() === 2)
+
+    // retry of the same merge commits once and converges
+    Scd2.mergeInPlace(spark, path, day2, "natural_key", tracked, d2)
+    val dw2 = Scd2.readWarehouse(spark, path).cache()
+    assert(dw2.count() === 4)
+    val opens = dw2.filter($"dt_last_update" === lit(Scd2.Sentinel))
+      .groupBy("natural_key").count()
+    assert(opens.filter($"count" =!= 1).isEmpty && opens.count() === 3)
+    // exactly one closed version of 'a' — the crashed attempts left none
+    assert(dw2.filter($"natural_key" === "a" &&
+      $"dt_last_update" =!= lit(Scd2.Sentinel)).count() === 1)
+
+    // re-running the identical merge is a no-op on the table contents
+    Scd2.mergeInPlace(spark, path, day2, "natural_key", tracked, d2)
+    val dw3 = Scd2.readWarehouse(spark, path)
+    assert(dw3.exceptAll(dw2).isEmpty && dw2.exceptAll(dw3).isEmpty)
   }
 
   test("invariant holds across multi-day history: one open version per key") {

@@ -211,7 +211,7 @@ class StreamsSpec extends AnyFunSuite {
     val q = Streams.streamingScd2(stream, wh, "natural_key",
       Seq("price"), "load_date", cp)
     q.processAllAvailable()
-    assert(spark.read.parquet(wh).count() === 2)
+    assert(graft.etl.Scd2.readWarehouse(spark, wh).count() === 2)
 
     // day 2: A changes, C appears (B unchanged)
     snap(("A", 9.0, "2024-01-02"), ("B", 2.0, "2024-01-02"),
@@ -219,7 +219,7 @@ class StreamsSpec extends AnyFunSuite {
     q.processAllAvailable()
     q.stop()
 
-    val dw = spark.read.parquet(wh).cache()
+    val dw = graft.etl.Scd2.readWarehouse(spark, wh).cache()
     // closed A(day1) + open A(day2) + open B + open C
     assert(dw.count() === 4)
     val openA = dw.filter(col("natural_key") === "A" &&
