@@ -171,6 +171,35 @@ object Mart {
     def unpersist(): Unit = pinned.foreach(_.unpersist())
   }
 
+  /** Materialize a built star as BUCKETED tables co-located on
+    * `product_sk` — the physical P4' layout (the reference's dm would be
+    * Postgres tables; ours are bucketed parquet). `dim_product` and the
+    * fact are both written with `bucketBy(buckets, product_sk)` and
+    * sorted within buckets, after a `repartition(buckets, product_sk)`
+    * that lands exactly ONE file per bucket (repartition and bucketing
+    * share the murmur3-mod hash), so every later fact⋈dim_product join —
+    * the join EVERY report repeats — plans as a zero-exchange, zero-sort
+    * sort-merge join. `dim_date` stays logical: it is broadcast-sized by
+    * construction.
+    *
+    * At 100 TB this is the load-once/read-many trade: the two shuffles
+    * move from every report to the nightly mart load, and report cost
+    * stops scaling with the star's width. Returns a Star reading from
+    * the materialized tables.
+    */
+  def materializeStar(spark: SparkSession, star: Star, prefix: String,
+                      buckets: Int = 8): Star = {
+    import graft.sources.Bucketing
+    Bucketing.writeBucketed(
+      star.dimProduct.repartition(buckets, col("product_sk")),
+      s"${prefix}_dim_product", "product_sk", buckets, Seq("product_sk"))
+    Bucketing.writeBucketed(
+      star.fact.repartition(buckets, col("product_sk")),
+      s"${prefix}_fact", "product_sk", buckets, Seq("product_sk"))
+    Star(spark.table(s"${prefix}_dim_product"), star.dimDate,
+      spark.table(s"${prefix}_fact"))
+  }
+
   /** One-call P4' build, composed from `dw` the way
     * [[graft.runner.DailyJob]] composes E1'–E3': the product dimension,
     * the calendar dimension, and the snapshot fact for the calendar slice

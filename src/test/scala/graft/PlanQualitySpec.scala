@@ -70,14 +70,32 @@ class PlanQualitySpec extends AnyFunSuite {
     val p = plan("q66_mart_report_rollup")
     // year_month is derived map-side from the fact's own date column; a
     // calendar re-join here was the round-6 ambiguous-self-join defect.
-    // Exactly 2 broadcast joins: the fact build's bucketized range join
-    // (tiny calendar side) + the product-dimension join — a dim_date
-    // re-join would add a third.
-    assert("BroadcastHashJoin".r.findAllIn(p).length === 2,
-      "expected only the range-join + product-dimension joins")
+    // The fact is a MATERIALIZED bucketed table (its range join ran at
+    // mart-load time), so the report holds exactly ONE join: the
+    // product dimension — a dim_date re-join would add a second.
+    assert("Join".r.findAllIn(p).length === 1,
+      "expected only the product-dimension join")
     assert(p.contains("Expand"), "rollup should expand grouping sets")
     assert(p.contains("partial_sum"),
       "rollup totals need a map-side partial phase")
+  }
+
+  test("materialized mart star: the product_sk join is zero-exchange " +
+       "over the bucketed tables, even when too big to broadcast") {
+    // At 100 TB the dimension no longer broadcasts; the bucketed layout
+    // must keep the star join shuffle-free. Force the non-broadcast plan
+    // and assert no hash exchange appears anywhere in q65 (its only
+    // exchange is the final orderBy's range partitioning).
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("q65_mart_star")
+      assert(p.contains("SortMergeJoin"),
+        "without broadcast the star join should be sort-merge")
+      assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
+        "bucketed fact⋈dim_product must not shuffle")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("q68 PNG decode is map-only after the parallelize repartition") {
