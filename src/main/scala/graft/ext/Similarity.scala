@@ -49,6 +49,14 @@ object Similarity {
     */
   val DefaultSeed = 42L
 
+  /** 2^53 — the element scale that makes k-means sums exact: multiplying
+    * a double by it is a pure exponent shift (never rounds), and any
+    * float of magnitude ≥ 2^-29 becomes an integer (float ulp ≥ 2^-53
+    * there), so the DECIMAL(38,0) cast in [[kmeansCentroids]] is
+    * lossless. Shared with the generated oracle SQL.
+    */
+  val UlpScale: Double = 9007199254740992.0
+
   /** ±1 Rademacher weights of hyperplane `bit` (seeded splitmix64).
     * Driver-side and plan-time only: the weights depend on (seed, bit,
     * dim), never on data, so they are baked into the plan as literals —
@@ -138,12 +146,17 @@ object Similarity {
     * per centroid, not the full corpus.
     *
     * Cells that lose all members simply drop (standard Lloyd's; the
-    * quantizer then has < nlist cells). Per-dimension sums go through
-    * exact DECIMAL(38,12) (associative, no rounding drift), so the
-    * trained centroids — and every assignment derived from them — are
-    * bit-identical across runs and partitionings, which is what lets
-    * q56 verify a TRAINED index against a SQL oracle with unrolled
-    * Lloyd iterations.
+    * quantizer then has < nlist cells). Per-dimension sums are EXACT:
+    * each element is scaled by 2^53 — exact in binary (a power-of-two
+    * shift), and integral for any float of magnitude ≥ 2^-29, i.e. any
+    * realistic embedding component — then summed as DECIMAL(38,0) with
+    * NO rounding anywhere (a fractional-digit decimal like (38,12)
+    * would round-to-scale at the cast, and Spark rounds HALF_UP where
+    * DuckDB rounds HALF_EVEN — an engine-visible drift PQ's ADC scores
+    * exposed). The trained centroids — and every score or assignment
+    * derived from them — are therefore bit-identical across runs,
+    * partitionings, and engines, which is what lets q56/q85 verify a
+    * TRAINED index against a SQL oracle with unrolled Lloyd iterations.
     */
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                       nlist: Int, dims: Int, iters: Int = 3): DataFrame = {
@@ -156,20 +169,23 @@ object Similarity {
     var round = 0
     while (round < iters) {
       val assigned = ivfAssign(train, cents, idCol, vecCol)
-      // exact DECIMAL per-dimension sums (Parity-style): decimal addition
-      // is associative/commutative, so centroids are bit-identical
-      // regardless of partitioning — k-means becomes fully deterministic
-      // and therefore ORACLE-VERIFIABLE (q56); double sums would drift by
-      // partition order in the last ulp and flip boundary assignments
+      // exact per-dimension sums (Parity-style): elements scale by 2^53
+      // (exact; integral for |v| >= 2^-29) into DECIMAL(38,0) — decimal
+      // addition is associative/commutative AND the cast never rounds,
+      // so centroids are bit-identical regardless of partitioning and
+      // across engines — k-means becomes fully deterministic and
+      // therefore ORACLE-VERIFIABLE (q56, q85); double sums would drift
+      // by partition order in the last ulp and flip boundary assignments
       val sums = assigned.groupBy(col("cell"))
         .agg(count(lit(1)).as("__n"),
           (0 until dims).map(i =>
-            sum(element_at(col(vecCol), i + 1).cast("double")
-              .cast(org.apache.spark.sql.types.DecimalType(38, 12)))
+            sum((element_at(col(vecCol), i + 1).cast("double") *
+              lit(UlpScale))
+              .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
               .as(s"__s$i")): _*)
       cents = sums.select(col("cell").as(idCol),
         array((0 until dims).map(i =>
-          (col(s"__s$i").cast("double") /
+          (col(s"__s$i").cast("double") / lit(UlpScale) /
             col("__n").cast("double"))): _*).as(vecCol))
         .localCheckpoint(eager = true) // per-round lineage cut
       round += 1
@@ -263,6 +279,160 @@ object Similarity {
       .filter(col("probe_id") =!= col("nn_id"))
       .withColumn("cos", cosine(col("probe_vec"), col("nn_vec")))
     rankTopK(pairs, k)
+  }
+
+  /** All `subspaces` PQ codebooks trained together — ONE corpus scan and
+    * ONE aggregation shuffle per Lloyd round, regardless of subspace
+    * count (training them as independent [[kmeansCentroids]] runs would
+    * pay `subspaces ×` the scans and job overhead for identical
+    * results). Same decimal-exact arithmetic as [[kmeansCentroids]]:
+    * cosine assignment with ties to the lowest id, 2^53-scaled
+    * DECIMAL(38,0) sums, bit-reproducible across engines.
+    *
+    * Per round: a map-only projection computes every subspace's cell
+    * (inline codegen'd [[graft.functions.NativeExprs.ivfCells]]) and
+    * explodes to one (subspace, cell, subvector) row per subspace — the
+    * single shuffle then carries `subspaces × codebookSize × (subDims+1)`
+    * partial sums per map task, never vectors. Returns per-subspace
+    * (ids, centroid) arrays, driver-side (quantizer-sized by
+    * construction).
+    */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                  dims: Int, subspaces: Int, codebookSize: Int,
+                  iters: Int): IndexedSeq[(Array[Long], Array[Array[Double]])] = {
+    require(subspaces >= 1 && dims % subspaces == 0,
+      s"dims $dims must split evenly into $subspaces subspaces")
+    val subDims = dims / subspaces
+    // init: ONE hash-ordered sample of full vectors; subspace m's seed
+    // codebook is its slice of the same rows (the oracle mirrors this)
+    val sample = sampleCentroids(corpus, idCol, vecCol, codebookSize)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect()
+    var books: IndexedSeq[(Array[Long], Array[Array[Double]])] =
+      (0 until subspaces).map { m =>
+        (sample.map(_.getLong(0)),
+          sample.map(_.getSeq[Double](1)
+            .slice(m * subDims, (m + 1) * subDims).toArray))
+      }
+    val train =
+      if (iters > 1) corpus.select(col(idCol), col(vecCol)).cache()
+      else corpus
+    var round = 0
+    while (round < iters) {
+      val perSub = array((0 until subspaces).map { m =>
+        val sub = slice(col(vecCol), m * subDims + 1, subDims)
+        struct(
+          graft.functions.NativeExprs
+            .ivfCells(sub, books(m)._1, books(m)._2, 1)
+            .as("cell"),
+          sub.as("sv"))
+      }: _*)
+      val sums = train.select(posexplode(perSub).as(Seq("m", "s")))
+        .select(col("m"), col("s.cell").as("cell"), col("s.sv").as("sv"))
+        .groupBy("m", "cell")
+        .agg(count(lit(1)).as("__n"),
+          (0 until subDims).map(i =>
+            sum((element_at(col("sv"), i + 1).cast("double") *
+              lit(UlpScale))
+              .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+              .as(s"__s$i")): _*)
+      val rows = sums.select(col("m"), col("cell"),
+        array((0 until subDims).map(i =>
+          (col(s"__s$i").cast("double") / lit(UlpScale) /
+            col("__n").cast("double"))): _*).as("cvec"))
+        .collect()
+      books = (0 until subspaces).map { m =>
+        val rs = rows.filter(_.getInt(0) == m).sortBy(_.getLong(1))
+        (rs.map(_.getLong(1)), rs.map(_.getSeq[Double](2).toArray))
+      }
+      round += 1
+    }
+    if (iters > 1) train.unpersist()
+    books
+  }
+
+  /** Product-quantization ANN top-k (Jégou et al. 2011's PQ/ADC scoring,
+    * spherical flavor): the missing index class between sign-LSH and IVF
+    * for 100 TB embedding stores — the CORPUS is reduced to `subspaces`
+    * small integer codes per vector (64 floats → 4 longs here), and
+    * queries never touch the original corpus vectors.
+    *
+    *  - **Train**: one codebook per subspace — the same decimal-exact
+    *    distributed Lloyd's as [[kmeansCentroids]], run over the vector
+    *    SLICE, so codebooks (and everything derived) are bit-reproducible
+    *    and oracle-verifiable like q56.
+    *  - **Encode**: each corpus vector's subspace code is its nearest
+    *    codebook centroid (max cosine, ties to the lowest id) — an inline
+    *    codegen'd [[graft.functions.NativeExprs.ivfCells]] per subspace,
+    *    map-only, zero shuffles.
+    *  - **Score (ADC)**: each probe precomputes its distance table — a
+    *    `code → dot(probe_sub, centroid)` map per subspace, built from
+    *    plan-literal centroid values — and a candidate's score is the sum
+    *    of `subspaces` table lookups. Probes broadcast (never the
+    *    corpus); the corpus-side scan reads codes, not vectors: the scan
+    *    is `subspaces` longs per row instead of `dims` floats — PQ's
+    *    memory-bandwidth win.
+    *
+    * Approximate by design (scores are asymmetric dot products against
+    * quantized corpus vectors); recall floor vs [[bruteForceTopK]] is
+    * locked in SimilaritySpec.
+    */
+  def pqTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+             vecCol: String, k: Int, dims: Int, subspaces: Int,
+             codebookSize: Int, trainIters: Int = 2): DataFrame = {
+    require(subspaces >= 1 && dims % subspaces == 0,
+      s"dims $dims must split evenly into $subspaces subspaces")
+    val subDims = dims / subspaces
+    def subVec(src: Column, m: Int): Column =
+      slice(src, m * subDims + 1, subDims)
+    // per-subspace codebooks, trained in one aggregation per round and
+    // already driver-side (quantizer-sized, broadcast cost class)
+    val books = pqCodebooks(corpus, idCol, vecCol, dims, subspaces,
+      codebookSize, trainIters)
+    val codes = corpus.select(col(idCol).as("nn_id"),
+      array((0 until subspaces).map { m =>
+        graft.functions.NativeExprs.ivfCells(
+          subVec(col(vecCol), m), books(m)._1, books(m)._2, nprobe = 1)
+      }: _*).as("codes"))
+    // ADC tables: one native expression computes every (subspace, code)
+    // partial dot in a tight left-associated loop — bit-reproducible by
+    // a SQL oracle evaluating the same chain, and O(codebook) codes
+    // without the literal-expression blowup that breaks janino
+    val adc = graft.functions.NativeExprs.pqAdc(col(vecCol),
+      books.map(_._1), books.map(_._2))
+    // squared-norm tables: ||reconstruction||² = Σ_m ||centroid_m||²
+    // (the subspaces are an orthogonal decomposition, so this is exact
+    // for the quantized vector) — scoring by the RAW dot would let
+    // corpus norm variance corrupt the cosine ranking the exact
+    // baseline uses; normalizing by the reconstructed norm keeps the
+    // score a pure table lookup
+    val norms = array((0 until subspaces).map { m =>
+      val (ids, vecs) = books(m)
+      map(ids.toSeq.zip(vecs.toSeq).flatMap { case (cid, c) =>
+        var acc = 0.0
+        var i = 0
+        while (i < c.length) { acc += c(i) * c(i); i += 1 }
+        Seq(lit(cid), lit(acc))
+      }: _*)
+    }: _*)
+    val pnorm = sqrt((0 until dims).map(i =>
+      element_at(col(vecCol), i + 1).cast("double") *
+        element_at(col(vecCol), i + 1).cast("double")).reduce(_ + _))
+    val p = probes.select(col(idCol).as("probe_id"), adc.as("adc"),
+      norms.as("nsq"), pnorm.as("pnorm"))
+    def lookup(tables: String): Column = (0 until subspaces).map(m =>
+      element_at(element_at(col(tables), m + 1),
+        element_at(col("codes"), m + 1))).reduce(_ + _)
+    val pairs = p.hint("broadcast").crossJoin(codes)
+      .filter(col("probe_id") =!= col("nn_id"))
+      .withColumn("score",
+        lookup("adc") / (col("pnorm") * sqrt(lookup("nsq"))))
+    graft.plans.TopKPerKey.topKPerKey(
+      pairs.select("probe_id", "nn_id", "score"),
+      Seq("probe_id"),
+      Seq(graft.plans.TopKPerKey.Sort("score", asc = false),
+        graft.plans.TopKPerKey.Sort("nn_id")), k)
+      .select("probe_id", "nn_id", "score", "rank")
   }
 
   /** Bucketed ANN top-k: candidates share the probe's sign bucket in at

@@ -620,6 +620,91 @@ object NativeExprs {
       copy(child = c)
   }
 
+  /** Per-probe PQ/ADC distance tables: for subspace m, a map
+    * `code → dot(vec[m·subDims+1 .. (m+1)·subDims], centroid)` over every
+    * codebook centroid — `subspaces` maps built in one tight loop per
+    * row. Partial dots are left-associated double sums (bit-reproducible
+    * by the oracle's explicit `a*b + a*b + …` chains). A literal
+    * `map(...)` expression tree with subspaces × codebookSize × subDims
+    * product terms generates pathological Java at production codebook
+    * sizes; this stays one reference-object call.
+    */
+  case class PqAdcExpr(child: Expression,
+                       centIds: IndexedSeq[IndexedSeq[Long]],
+                       centVecs: IndexedSeq[IndexedSeq[IndexedSeq[Double]]])
+      extends UnaryExpression {
+    require(centIds.nonEmpty && centIds.length == centVecs.length,
+      "graft_pq_adc needs one codebook per subspace")
+    require(centVecs.forall(b => b.nonEmpty &&
+      b.forall(_.length == centVecs(0)(0).length)),
+      "graft_pq_adc codebooks must share subspace dimensionality")
+
+    override def dataType: DataType = ArrayType(
+      MapType(LongType, DoubleType, valueContainsNull = false),
+      containsNull = false)
+    override def prettyName: String = "graft_pq_adc"
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float> or array<double>, got ${t.sql}")
+    }
+
+    @transient private lazy val isFloat =
+      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    @transient private lazy val subDims = centVecs(0)(0).length
+    @transient private lazy val dims = centVecs.length * subDims
+    @transient private lazy val cIds: Array[Array[Long]] =
+      centIds.map(_.toArray).toArray
+    @transient private lazy val cVecs: Array[Array[Array[Double]]] =
+      centVecs.map(_.map(_.toArray).toArray).toArray
+
+    def evalTables(vec: ArrayData): ArrayData = {
+      val n = vec.numElements()
+      if (n != dims) throw new IllegalArgumentException(
+        s"graft_pq_adc: vector has $n dims, codebooks cover $dims")
+      val v = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        v(i) = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+        i += 1
+      }
+      val maps = new Array[AnyRef](cIds.length)
+      var m = 0
+      while (m < cIds.length) {
+        val off = m * subDims
+        val book = cVecs(m)
+        val vals = new Array[Double](book.length)
+        var c = 0
+        while (c < book.length) {
+          val cv = book(c)
+          var acc = 0.0
+          var j = 0
+          while (j < subDims) { acc += v(off + j) * cv(j); j += 1 }
+          vals(c) = acc
+          c += 1
+        }
+        maps(m) = new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+          new GenericArrayData(cIds(m)), new GenericArrayData(vals))
+        m += 1
+      }
+      new GenericArrayData(maps)
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      evalTables(input.asInstanceOf[ArrayData])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("pqAdcExpr", this,
+        classOf[PqAdcExpr].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.evalTables($c);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** Marker-token language ID over lowercased tokens: count hits per
     * language, argmax with declaration-order tie-break —
     * [[graft.ext.TextStats.langId]]'s tight-loop twin (one pass over the
@@ -710,6 +795,13 @@ object NativeExprs {
       IvfCellsExpr(ColumnBridge.expression(vec),
         centIds.toIndexedSeq,
         centVecs.map(_.toIndexedSeq).toIndexedSeq, nprobe))
+
+  def pqAdc(vec: Column, centIds: Seq[Array[Long]],
+            centVecs: Seq[Array[Array[Double]]]): Column =
+    ColumnBridge.column(
+      PqAdcExpr(ColumnBridge.expression(vec),
+        centIds.map(_.toIndexedSeq).toIndexedSeq,
+        centVecs.map(_.map(_.toIndexedSeq).toIndexedSeq).toIndexedSeq))
 
   def langId(lowerTokens: Column,
              markers: Seq[(String, Seq[String])]): Column =

@@ -116,6 +116,21 @@ class SimilaritySpec extends AnyFunSuite {
       f"training regressed recall: $trained%.3f vs $sampled%.3f")
   }
 
+  test("PQ/ADC recall@10 clears the floor; UlpScale domain holds") {
+    // the exact-sum scheme needs |v| >= 2^-29 for scaled floats to be
+    // integral (Similarity.UlpScale); guard the assumption on the data
+    val m = emb.select(explode($"embedding").as("v"))
+      .filter($"v" =!= 0.0f)
+      .agg(min(abs($"v"))).head().getFloat(0)
+    assert(m >= math.pow(2, -29).toFloat,
+      f"embedding magnitude $m%.3e below 2^-29: scaled sums would round")
+    val pq = recallOf(Similarity.pqTopK(emb, probes, "vec_id", "embedding",
+      k = 10, dims = Params.annDims, subspaces = Params.pqSubspaces,
+      codebookSize = Params.pqCodebook, trainIters = Params.pqIters), 10)
+    info(f"pq recall@10: $pq%.3f")
+    assert(pq >= 0.3, f"pq recall@10 $pq%.3f below floor 0.3")
+  }
+
   test("recall floors hold at sf0.1 where cell sizes are realistic") {
     // The sf0.01 floors guard the algorithms; this guards the QUANTIZER
     // at 4× the vectors per cell/bucket (2000 vectors) — a degenerate
