@@ -79,6 +79,99 @@ object Streams {
   final case class Event(event_id: Long, user_id: Long, event_type: String,
                          value: Double)
 
+  /** Gap-based sessionization — the streaming twin of q41, on Spark's
+    * NATIVE session windows (state merged and evicted by the watermark;
+    * RocksDB-backed on a cluster) rather than a hand-rolled stateful
+    * operator. Works identically on batch frames.
+    *
+    * Boundary parity: the batch formulation starts a new session when
+    * `diff > gap` (an exactly-gap-long silence KEEPS the session);
+    * `session_window` is half-open (`diff == gap` would split), so the
+    * gap is widened by 1 µs — merge iff `diff < gap + 1µs` ⟺
+    * `diff <= gap` on microsecond timestamps. `session_end_ts` is the
+    * max EVENT time (the batch convention), not the window end (which
+    * includes the gap padding).
+    */
+  def sessionize(events: DataFrame,
+                 gapMinutes: Int = graft.Params.sessionGapMinutes,
+                 watermark: String = "2 hours"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", watermark)
+              else events
+    val gapUs = gapMinutes * 60L * 1000000L + 1L
+    src.groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapUs microseconds"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start_ts"),
+        max(col("ts")).as("session_end_ts"))
+      .select(col("user_id"), col("n_events"),
+        col("session_start_ts"), col("session_end_ts"))
+  }
+
+  /** Typed input/state/output rows for [[streamingFunnel]]. */
+  final case class FunnelEvent(user_id: Long, event_type: String,
+                               ts_us: Long)
+  final case class FunnelState(firstViewUs: Long, bestPurchaseUs: Long,
+                               pending: List[Long], nSeen: Long)
+  final case class FunnelRow(user_id: Long, first_view_us: Long,
+                             first_purchase_us: Option[Long],
+                             converted: Boolean, lag_us: Option[Long],
+                             n_seen: Long)
+
+  /** Funnel / conversion analysis as a standing query — the streaming
+    * twin of q80: per user, the first view, the first purchase AT OR
+    * AFTER it, and the lag, refined every micro-batch (Update output;
+    * `n_seen` increases monotonically, so "latest row per user" is
+    * well-defined downstream).
+    *
+    * EXACT batch parity under arbitrary event order, with provably
+    * prunable state: the final first-view V* only ever decreases as late
+    * views arrive, so a purchase can still become the answer only if it
+    * beats the current best AND sits below the current first view —
+    * everything else is dropped the moment it is seen or superseded.
+    * State per user is (V, best, pending purchases in (V*, V)): bounded
+    * by the purchases that PRECEDE a user's first view, which a real
+    * funnel stream keeps near zero.
+    */
+  def streamingFunnel(events: Dataset[FunnelEvent]): Dataset[FunnelRow] = {
+    import events.sparkSession.implicits._
+    val None_ = Long.MaxValue
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state) =>
+          var st = state.getOption
+            .getOrElse(FunnelState(None_, None_, Nil, 0L))
+          rows.foreach { e =>
+            st = st.copy(nSeen = st.nSeen + 1)
+            e.event_type match {
+              case "view" if e.ts_us < st.firstViewUs =>
+                // first view moved earlier: purchases in [new, old) become
+                // eligible; the rest stay pending
+                val (eligible, still) = st.pending.partition(_ >= e.ts_us)
+                val best = (st.bestPurchaseUs :: eligible).min
+                st = st.copy(firstViewUs = e.ts_us, bestPurchaseUs = best,
+                  pending = still.filter(_ < best))
+              case "purchase" =>
+                if (e.ts_us >= st.firstViewUs) {
+                  val best = math.min(st.bestPurchaseUs, e.ts_us)
+                  st = st.copy(bestPurchaseUs = best,
+                    pending = st.pending.filter(_ < best))
+                } else if (e.ts_us < st.bestPurchaseUs)
+                  st = st.copy(pending = e.ts_us :: st.pending)
+              case _ => // other event types don't enter the funnel
+            }
+          }
+          state.update(st)
+          if (st.firstViewUs == None_) Iterator.empty // no view yet
+          else {
+            val p = if (st.bestPurchaseUs == None_) None
+                    else Some(st.bestPurchaseUs)
+            Iterator(FunnelRow(uid, st.firstViewUs, p, p.isDefined,
+              p.map(_ - st.firstViewUs), st.nSeen))
+          }
+      }
+  }
+
   /** Streaming exact dedup: keep the FIRST event per (user, event_type)
     * across the whole stream — custom keyed state via
     * `flatMapGroupsWithState` (SURVEY §2.10; the streaming twin of A1 /

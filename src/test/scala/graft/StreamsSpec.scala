@@ -59,6 +59,92 @@ class StreamsSpec extends AnyFunSuite {
     assert(batch.count() > 0)
   }
 
+  test("session_window sessionize equals the batch gap formulation " +
+       "(q41), batch and streaming") {
+    import spark.implicits._
+    val ev = Tables.load(spark, TestSpark.sf0001, "events")
+      .select("event_id", "user_id", "ts")
+    // q41's windows-and-running-sum formulation as ground truth
+    val q41 = SparkEntry.queries("q41_sessions")(spark, TestSpark.sf0001)
+      .select(col("user_id"), col("n_events"),
+        col("session_start"), col("session_end"))
+    def normalized(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("user_id"), col("n_events"),
+      date_format(col("session_start_ts"), "yyyy-MM-dd HH:mm:ss")
+        .as("session_start"),
+      date_format(col("session_end_ts"), "yyyy-MM-dd HH:mm:ss")
+        .as("session_end"))
+    val batch = normalized(Streams.sessionize(ev))
+    assert(batch.exceptAll(q41).isEmpty && q41.exceptAll(batch).isEmpty)
+
+    // streaming: two chronological file drops + a far-future sentinel
+    // event to push the watermark past every real session (append mode
+    // only emits CLOSED sessions)
+    val dir = java.nio.file.Files.createTempDirectory("events_sess").toString
+    val cut = ev.agg(expr("percentile_approx(unix_micros(ts), 0.5)"))
+      .head().getLong(0)
+    // one file per drop: multi-file drops are picked up in arbitrary
+    // order, and an out-of-order file behind an advanced watermark
+    // would drop events the batch side keeps
+    ev.filter(unix_micros(col("ts")) <= cut)
+      .coalesce(1).write.mode("append").parquet(dir)
+    ev.filter(unix_micros(col("ts")) > cut)
+      .coalesce(1).write.mode("append").parquet(dir)
+    ev.limit(1).select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
+      (col("ts") + expr("INTERVAL 10000 HOURS")).as("ts"))
+      .coalesce(1).write.mode("append").parquet(dir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val streamed = normalized(
+      Streams.runToMemory(Streams.sessionize(stream), "sess_test",
+        mode = "append"))
+      .filter(col("user_id") >= 0)
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty)
+    assert(batch.count() > 0)
+  }
+
+  test("streaming funnel converges to the batch q80 answer across " +
+       "micro-batches") {
+    import spark.implicits._
+    val ev = Tables.load(spark, TestSpark.sf0001, "events")
+    val batch = SparkEntry.queries("q80_funnel")(spark, TestSpark.sf0001)
+      .select("user_id", "first_view_us", "first_purchase_us",
+        "converted", "lag_us")
+
+    val typed = ev.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("ts_us"))
+    val dir = java.nio.file.Files.createTempDirectory("events_funnel")
+      .toString
+    // REVERSE-chronological drops: the second batch carries EARLIER
+    // events, exercising the late-view promotion path (pending purchases
+    // become the answer retroactively)
+    val cut = typed.agg(expr("percentile_approx(ts_us, 0.5)"))
+      .head().getLong(0)
+    typed.filter(col("ts_us") > cut)
+      .coalesce(1).write.mode("append").parquet(dir)
+    typed.filter(col("ts_us") <= cut)
+      .coalesce(1).write.mode("append").parquet(dir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .as[Streams.FunnelEvent]
+    val updates = Streams.runToMemory(
+      Streams.streamingFunnel(stream).toDF(), "funnel_test",
+      mode = "update")
+    // n_seen increases monotonically → latest refinement per user
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("n_seen").desc)
+    val latest = updates.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "first_view_us", "first_purchase_us",
+        "converted", "lag_us")
+    assert(latest.exceptAll(batch).isEmpty &&
+      batch.exceptAll(latest).isEmpty)
+    assert(batch.count() > 0)
+  }
+
   test("stateful streaming dedup keeps exactly one event per key") {
     import spark.implicits._
     val batchEvents = Tables.load(spark, TestSpark.sf0001, "events")
