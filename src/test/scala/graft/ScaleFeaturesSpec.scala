@@ -5,11 +5,31 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.ext.{Sketches, Skew}
 import graft.sources.Bucketing
 
-/** Scale features: bucketed co-located joins (no exchange in the plan)
-  * and salted aggregation (same results, bounded reducers).
+/** Scale features: bucketed co-located joins (no exchange in the plan),
+  * salted aggregation (same results, bounded reducers), and scan-pruning
+  * proofs — the plan must READ only what the query needs, asserted on the
+  * scan node's own file/partition listing rather than trusted from docs.
   */
 class ScaleFeaturesSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
+
+  /** All parquet file-source scans in a physical plan, descending into
+    * AQE wrapper nodes (which are leaves to `collect`).
+    */
+  private def fileScans(plan: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    plan.collect { case f: FileSourceScanExec => f } ++
+      plan.collect { case a: AdaptiveSparkPlanExec => a }
+        .flatMap(a => fileScans(a.executedPlan))
+  }
+
+  private def parquetFilesUnder(dir: java.nio.file.Path): Long = {
+    val s = java.nio.file.Files.walk(dir)
+    try s.filter(p => p.toString.endsWith(".parquet")).count()
+    finally s.close()
+  }
 
   test("joining two tables bucketed on the key needs no shuffle") {
     val orders = Tables.load(spark, TestSpark.sf0001, "orders")
@@ -66,6 +86,76 @@ class ScaleFeaturesSpec extends AnyFunSuite {
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
     }
+  }
+
+  test("incremental SCD2 merge scans ONLY the committed open set — " +
+       "file pruning asserted on the scan node, not assumed") {
+    import spark.implicits._
+    import java.sql.Date
+    import graft.etl.Scd2
+    val path = java.nio.file.Files.createTempDirectory("dw_prune").toString
+    val tracked = Seq("price", "brand")
+    def snap(rows: (String, Int, String)*) =
+      rows.toDF("natural_key", "price", "brand")
+    Scd2.mergeInPlace(spark, path, snap(("a", 1, "x"), ("b", 2, "y")),
+      "natural_key", tracked, Date.valueOf("2024-01-01"))
+    Scd2.mergeInPlace(spark, path,
+      snap(("a", 5, "x"), ("b", 2, "y"), ("c", 3, "z")),
+      "natural_key", tracked, Date.valueOf("2024-01-02"))
+    Scd2.mergeInPlace(spark, path,
+      snap(("a", 5, "x"), ("b", 9, "y"), ("c", 3, "z")),
+      "natural_key", tracked, Date.valueOf("2024-01-03"))
+
+    val st = Scd2.currentState(spark, path).get
+    val dataDir = java.nio.file.Paths.get(path, "data")
+    val allFiles = parquetFilesUnder(dataDir)
+    val curFiles = parquetFilesUnder(dataDir.resolve(st.curDir.get))
+    // pruning must be MEANINGFUL: history + superseded open sets hold
+    // real parquet the merge-side scan is expected to skip
+    assert(st.histDirs.nonEmpty && allFiles > curFiles,
+      s"fixture too small to prove pruning: $allFiles total / $curFiles cur")
+
+    // the merge's only table-data read (mergeInPlace scans readCurrent)
+    val cur = Scd2.readCurrent(spark, path)
+    val scans = fileScans(cur.queryExecution.executedPlan)
+    assert(scans.size === 1, "open-set read must be a single parquet scan")
+    assert(scans.head.selectedPartitions.totalNumberOfFiles === curFiles,
+      "merge-side scan must list exactly the committed open set's files")
+  }
+
+  test("date-partitioned star fact: a one-day slice reads exactly one " +
+       "partition (the q65 slice at 100x scale)") {
+    import spark.implicits._
+    import java.sql.Date
+    import graft.etl.Scd2
+    import graft.mart.Mart
+    val attrs = Seq("product_name", "brand")
+    val measures = Seq("price", "quantity_available")
+    val d0 = Seq(("A", "prod a", "b1", 10L, 5L), ("B", "prod b", "b2", 20L, 7L))
+      .toDF("natural_key" +: attrs ++: measures: _*)
+      .withColumn("dt_load_to_dw", lit(Date.valueOf("2021-03-01")))
+      .withColumn("dt_last_update", lit(Scd2.Sentinel))
+    val snap2 = Seq(("A", "prod a", "b1", 99L, 5L), ("B", "prod b", "b2", 20L, 7L))
+      .toDF("natural_key" +: attrs ++: measures: _*)
+    val dw = Scd2.merge(d0, snap2, "natural_key", attrs ++ measures,
+      Date.valueOf("2021-03-10"))
+    val star = Mart.build(spark, dw, attrs, measures,
+      Date.valueOf("2021-03-01"), Date.valueOf("2021-03-15"))
+
+    val dir = java.nio.file.Files.createTempDirectory("fact_bydate").toString
+    star.fact.write.partitionBy("date_sk").mode("overwrite").parquet(dir)
+    val lastDay = spark.read.parquet(dir).agg(max("date_sk")).head().get(0)
+
+    val slice = spark.read.parquet(dir).filter(col("date_sk") === lit(lastDay))
+    val scan = fileScans(slice.queryExecution.executedPlan).head
+    assert(scan.selectedPartitions.partitionCount === 1,
+      "a one-day predicate must prune the scan to one partition:\n" +
+        scan.toString.take(1500))
+    val full = fileScans(
+      spark.read.parquet(dir).queryExecution.executedPlan).head
+    assert(full.selectedPartitions.partitionCount === 15,
+      "unfiltered fixture spans 15 day-partitions")
+    assert(slice.count() === 2, "one row per product on the sliced day")
   }
 
   test("salted aggregation equals plain aggregation") {
