@@ -832,6 +832,31 @@ object QueriesExt {
         ${dsumSql("value")} AS total
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // ── Skew-mitigated JOIN (q74's join-side sibling) ──────────────────
+    // events ⋈ per-type stats on event_type — 5 distinct keys over the
+    // whole fact is the worst-case join skew (every key is hot). The
+    // salted join spreads each type over 8 reduce tasks; the dim rides
+    // the shuffle ×8 (5×8 rows — nothing). Exact: same matched pairs as
+    // the plain join, proven against the oracle row-by-row. avg rides
+    // the decimal-sum/count Parity discipline so the > comparison is
+    // bit-identical.
+    QueryDef("q86_skew_join",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val dim = ev.groupBy("event_type").agg(davg(col("value")).as("avg_v"))
+        graft.ext.Skew.saltedJoin(ev, dim, "event_type",
+            col("event_id"), salts = 8)
+          .select(col("event_id"), col("event_type"),
+            (col("value") > col("avg_v")).as("above_avg"))
+          .orderBy("event_id")
+      },
+      Some(s"""WITH d AS (SELECT event_type,
+          ${dsumSql("value")} / COUNT(value) AS avg_v
+        FROM events GROUP BY event_type)
+        SELECT e.event_id, e.event_type, e.value > d.avg_v AS above_avg
+        FROM events e JOIN d ON e.event_type = d.event_type
+        ORDER BY e.event_id""")),
+
     // ── 7-day moving average (window frame ROWS BETWEEN) ───────────────
     QueryDef("q47_moving_avg",
       (s, dir) => {

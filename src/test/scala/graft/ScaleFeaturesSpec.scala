@@ -171,6 +171,53 @@ class ScaleFeaturesSpec extends AnyFunSuite {
     assert(salted.count() === plain.count())
   }
 
+  test("salted join equals the plain join and shuffles on (key, salt) — " +
+       "no single-partition straggler on a hot key") {
+    val ev = Tables.load(spark, TestSpark.sf0001, "events")
+    val dim = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("type_n"), avg("value").as("type_avg"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val salted = Skew.saltedJoin(ev, dim, "event_type",
+        col("event_id"), salts = 8)
+      val plain = ev.join(dim, "event_type")
+      assert(salted.exceptAll(plain).isEmpty &&
+        plain.exceptAll(salted).isEmpty)
+      // the big side's exchange must carry the salt: the hot key's rows
+      // land on 8 reducers, not 1
+      val planStr = salted.queryExecution.executedPlan.toString
+      assert(planStr.contains("__salt"),
+        s"salted join must partition on the salt:\n${planStr.take(2000)}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
+  test("hot-key split join equals the plain join; the hot path is a " +
+       "broadcast join") {
+    val ev = Tables.load(spark, TestSpark.sf0001, "events")
+    val dim = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("type_n"))
+    // the genuinely hottest key, derived from data — not a guess
+    val hot = ev.groupBy("event_type").count()
+      .orderBy(col("count").desc).head().getString(0)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val split = Skew.hotKeySplitJoin(ev, dim, "event_type", Seq(hot))
+      val plain = ev.join(dim, "event_type")
+      assert(split.exceptAll(plain).isEmpty && plain.exceptAll(split).isEmpty)
+      // even with auto-broadcast off, the hot branch is an explicit
+      // broadcast: the hot key never rides a shuffle
+      assert(split.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+        "hot branch must plan as a broadcast join")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
   test("per-group KMV: exact below k, tight estimate above, planned on " +
        "the custom top-k operator") {
     import spark.implicits._
