@@ -667,6 +667,70 @@ object QueriesExt {
         CAST(16 AS DOUBLE) AS height, true AS means_within_tol
         FROM documents ORDER BY media_id""")),
 
+    // ── REAL image decode #4: GIF (palette-indexed, lossless here) ─────
+    // GIF can't hold arbitrary truecolor losslessly, so the table is
+    // built GRAYSCALE under an explicit (i,i,i) palette — the encode
+    // stores palette + indices verbatim and the decode is bit-exact:
+    // r = g = b = src[(3·p) mod len], i.e. q61's channel-0 cycling. All
+    // three decoded means are therefore the SAME exact SQL expression.
+    QueryDef("q87_gif_decode",
+      (s, dir) => {
+        val media = Multimodal.asGifMediaTable(tPar(s, dir, "documents"),
+          "doc_id", "text", 16, 16)
+        Multimodal.decodeFeatures(media).select(
+          col("media_id"),
+          element_at(col("feature"), 1).as("width"),
+          element_at(col("feature"), 2).as("height"),
+          element_at(col("feature"), 3).as("mean_r"),
+          element_at(col("feature"), 4).as("mean_g"),
+          element_at(col("feature"), 5).as("mean_b"))
+          .orderBy("media_id")
+      },
+      Some {
+        // q61's caveat: ascii() cycles characters ≡ utf-8 bytes on the
+        // ASCII testdata corpus
+        val gray =
+          s"""CASE WHEN strlen(text) = 0 THEN 0.0 ELSE
+             CAST(list_sum(list_transform(range(0, 256),
+             i -> ascii(substr(text,
+               CAST((i*3) % strlen(text) AS INT) + 1, 1))))
+             AS DOUBLE) / 256.0 END"""
+        s"""SELECT doc_id AS media_id,
+          CAST(16 AS DOUBLE) AS width, CAST(16 AS DOUBLE) AS height,
+          $gray AS mean_r, $gray AS mean_g, $gray AS mean_b
+        FROM documents ORDER BY media_id"""
+      }),
+
+    // ── REAL image decode #5: BMP (uncompressed 24-bit, lossless) ──────
+    // The q61/q68 cycled RGB plane through the JDK's BMP writer
+    // (BI_RGB): bit-exact roundtrip, so q61's exact channel-mean oracle
+    // carries over verbatim (minus byte_len, which is header-dependent).
+    QueryDef("q88_bmp_decode",
+      (s, dir) => {
+        val media = Multimodal.asBmpMediaTable(tPar(s, dir, "documents"),
+          "doc_id", "text", 16, 16)
+        Multimodal.decodeFeatures(media).select(
+          col("media_id"),
+          element_at(col("feature"), 1).as("width"),
+          element_at(col("feature"), 2).as("height"),
+          element_at(col("feature"), 3).as("mean_r"),
+          element_at(col("feature"), 4).as("mean_g"),
+          element_at(col("feature"), 5).as("mean_b"))
+          .orderBy("media_id")
+      },
+      Some {
+        def mean(channel: Int) =
+          s"""CASE WHEN strlen(text) = 0 THEN 0.0 ELSE
+             CAST(list_sum(list_transform(range(0, 256),
+             i -> ascii(substr(text,
+               CAST((i*3 + $channel) % strlen(text) AS INT) + 1, 1))))
+             AS DOUBLE) / 256.0 END"""
+        s"""SELECT doc_id AS media_id,
+          CAST(16 AS DOUBLE) AS width, CAST(16 AS DOUBLE) AS height,
+          ${mean(0)} AS mean_r, ${mean(1)} AS mean_g, ${mean(2)} AS mean_b
+        FROM documents ORDER BY media_id"""
+      }),
+
     // ── REAL audio decode: WAV (RIFF/PCM16) channel statistics ─────────
     // The audio leg of the multimodal contract goes real: each doc's
     // bytes become 256 mono PCM16 samples ((byte−128)·256), encoded as

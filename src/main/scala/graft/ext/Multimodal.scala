@@ -8,13 +8,15 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: media as opaque `binary` payloads with a
   * typed metadata struct, and a batched "decode/feature-extract" stage.
   *
-  * FOUR formats have fully REAL codec paths — parse, per-channel
+  * SIX formats have fully REAL codec paths — parse, per-channel
   * statistics, nearest-neighbor resample, re-encode, all JVM-only:
   * binary PPM (P6, [[ppmDecode]]/[[ppmEncode]], exercised end-to-end by
   * q61), PNG (8-bit grey/RGB/RGBA via `java.util.zip`,
   * [[graft.ext.Png]], exercised by q68), JPEG (the JDK's bundled
   * `javax.imageio` baseline codec, exercised by q69 — lossy, so its
-  * oracle checks a tolerance bound rather than exact means), and WAV
+  * oracle checks a tolerance bound rather than exact means), GIF
+  * (lossless under an explicit gray palette, q87), BMP (uncompressed
+  * 24-bit, q88), and WAV
   * audio (RIFF/PCM16, [[graft.ext.Wav]], exercised by q75). Formats
   * that need codecs outside the JDK (compressed audio/video via ffmpeg)
   * remain a clearly-marked deterministic stub (`stubDecode`) behind the
@@ -170,6 +172,34 @@ object Multimodal {
     cycledMediaTable(docs, idCol, textCol, width, height,
       "image/jpeg", "image/jpeg", (w, h, rgb, _) => jpegEncode(w, h, rgb))
 
+  /** Build a REAL GIF image table. GIF is palette-indexed, so arbitrary
+    * truecolor data would force a lossy quantization; instead the pixel
+    * plane is GRAYSCALE (level = the R channel of the shared cycled
+    * plane, i.e. `src[(3·p) mod len]`) under an explicit 256-entry
+    * (i,i,i) palette — the encode is then LOSSLESS (palette + indices
+    * verbatim) and the decoded channel means are SQL-exact, q87's
+    * contract.
+    */
+  def asGifMediaTable(docs: DataFrame, idCol: String, textCol: String,
+                      width: Int, height: Int): DataFrame =
+    cycledMediaTable(docs, idCol, textCol, width, height,
+      "image/gif", "image/gif", (w, h, rgb, _) => {
+        val gray = new Array[Byte](w * h)
+        var p = 0
+        while (p < gray.length) { gray(p) = rgb(3 * p); p += 1 }
+        gifEncode(w, h, gray)
+      })
+
+  /** Build a REAL BMP image table: the q61/q68 cycled RGB plane encoded
+    * as uncompressed 24-bit BMP (the JDK writer's BI_RGB default) —
+    * lossless, so the q68 exact-channel-mean oracle carries over
+    * unchanged (q88).
+    */
+  def asBmpMediaTable(docs: DataFrame, idCol: String, textCol: String,
+                      width: Int, height: Int): DataFrame =
+    cycledMediaTable(docs, idCol, textCol, width, height,
+      "image/bmp", "image/bmp", (w, h, rgb, _) => bmpEncode(w, h, rgb))
+
   /** Build a REAL audio table: each document's utf-8 bytes cycled into
     * `frames` mono PCM16 samples (`(byte − 128) · 256`, spanning the
     * int16 range) and encoded as canonical WAV. Deterministic, so the
@@ -301,8 +331,61 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** Decode a JPEG to (width, height, RGB bytes); None for malformed
-    * payloads (ImageIO returns null or throws on corrupt streams).
+  /** GIF87a/GIF89a magic probe. */
+  def isGif(payload: Array[Byte]): Boolean =
+    payload != null && payload.length >= 6 &&
+      payload(0) == 'G' && payload(1) == 'I' && payload(2) == 'F' &&
+      payload(3) == '8' &&
+      (payload(4) == '7' || payload(4) == '9') && payload(5) == 'a'
+
+  /** BM magic probe (Windows bitmap). */
+  def isBmp(payload: Array[Byte]): Boolean =
+    payload != null && payload.length >= 2 &&
+      payload(0) == 'B' && payload(1) == 'M'
+
+  /** Encode an 8-bit grayscale buffer as GIF under an explicit (i,i,i)
+    * palette — lossless by construction (256 palette entries cover every
+    * level; the writer stores palette + indices verbatim). A truecolor
+    * source would instead be quantized by the JDK writer — callers with
+    * RGB data should use PNG/BMP.
+    */
+  def gifEncode(width: Int, height: Int, gray: Array[Byte]): Array[Byte] = {
+    require(gray.length == width * height,
+      s"gray buffer ${gray.length} != $width*$height")
+    imageIoNoDiskCache
+    val ramp = Array.tabulate(256)(_.toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+    img.getRaster.setDataElements(0, 0, width, height, gray)
+    val bos = new java.io.ByteArrayOutputStream
+    javax.imageio.ImageIO.write(img, "gif", bos)
+    bos.toByteArray
+  }
+
+  /** Encode an RGB buffer as uncompressed 24-bit BMP (lossless). */
+  def bmpEncode(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == 3 * width * height,
+      s"rgb buffer ${rgb.length} != 3*$width*$height")
+    imageIoNoDiskCache
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val packed = new Array[Int](width * height)
+    var p = 0
+    while (p < packed.length) {
+      packed(p) = ((rgb(3 * p) & 0xff) << 16) |
+        ((rgb(3 * p + 1) & 0xff) << 8) | (rgb(3 * p + 2) & 0xff)
+      p += 1
+    }
+    img.setRGB(0, 0, width, height, packed, 0, width)
+    val bos = new java.io.ByteArrayOutputStream
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    bos.toByteArray
+  }
+
+  /** Decode any ImageIO-sniffable payload (JPEG/GIF/BMP here) to
+    * (width, height, RGB bytes); None for malformed payloads (ImageIO
+    * returns null or throws on corrupt streams).
     */
   def jpegDecode(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] =
     try {
@@ -337,11 +420,13 @@ object Multimodal {
   private def realDecode(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] =
     if (isPpm(payload)) ppmDecode(payload)
     else if (Png.isPng(payload)) Png.decode(payload)
-    else if (isJpeg(payload)) jpegDecode(payload)
+    else if (isJpeg(payload) || isGif(payload) || isBmp(payload))
+      jpegDecode(payload) // ImageIO sniffs the actual format
     else None
 
   private def hasRealCodec(payload: Array[Byte]): Boolean =
-    isPpm(payload) || Png.isPng(payload) || isJpeg(payload)
+    isPpm(payload) || Png.isPng(payload) || isJpeg(payload) ||
+      isGif(payload) || isBmp(payload)
 
   /** The per-payload feature contract shared by [[decodeFeatures]] and
     * [[resizeWithFeatures]]: real stats for a decodable PPM/PNG/JPEG

@@ -146,6 +146,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!Multimodal.isJpeg(Array[Byte](0x50, 0x36)), "wrong magic")
   }
 
+  test("GIF codec: gray-palette roundtrip is BIT-exact, probe, " +
+       "malformed safety") {
+    val gray = Array.tabulate(16 * 16)(i => ((i * 7) & 0xff).toByte)
+    val enc = Multimodal.gifEncode(16, 16, gray)
+    assert(Multimodal.isGif(enc))
+    assert(!Multimodal.isJpeg(enc) && !Multimodal.isBmp(enc))
+    val Some((w, h, back)) = Multimodal.jpegDecode(enc)
+    assert(w === 16 && h === 16)
+    // every decoded pixel is (g, g, g) for the exact source level
+    for (p <- gray.indices; c <- 0 until 3)
+      assert(back(3 * p + c) === gray(p), s"pixel $p channel $c")
+    assert(Multimodal.jpegDecode(enc.take(12)).isEmpty, "truncated stream")
+    assert(!Multimodal.isGif("GIF9".getBytes), "wrong magic")
+  }
+
+  test("BMP codec: 24-bit roundtrip is BIT-exact, probe, malformed " +
+       "safety") {
+    val rgb = Array.tabulate(3 * 16 * 16)(i => ((i * 13) & 0xff).toByte)
+    val enc = Multimodal.bmpEncode(16, 16, rgb)
+    assert(Multimodal.isBmp(enc))
+    assert(!Multimodal.isGif(enc) && !Multimodal.isPpm(enc))
+    val Some((w, h, back)) = Multimodal.jpegDecode(enc)
+    assert(w === 16 && h === 16)
+    assert(back.toSeq === rgb.toSeq, "BMP roundtrip must be lossless")
+    assert(Multimodal.jpegDecode(enc.take(10)).isEmpty, "truncated stream")
+    assert(!Multimodal.isBmp(Array[Byte]('B', 'A')), "wrong magic")
+  }
+
   test("JPEG path end-to-end: decode features within tolerance, resize " +
        "re-encodes as JPEG") {
     val docs = Seq((1L, "abcdef"), (2L, "zz")).toDF("doc_id", "text")
