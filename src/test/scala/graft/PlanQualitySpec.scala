@@ -152,4 +152,21 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("partial_count"),
       "term hits need a map-side partial aggregate")
   }
+
+  test("q86 salted join: equi-join on (key, salt), no cartesian") {
+    val p = plan("q86_skew_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "salted join must stay an equi-join")
+    assert(p.contains("__salt"), "join keys must carry the salt")
+  }
+
+  test("q87/q88 image decodes are map-only after the parallelize " +
+       "repartition (one shuffle, no join on the decode path)") {
+    Seq("q87_gif_decode", "q88_bmp_decode").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        s"$q decode path must not join")
+    }
+  }
 }
