@@ -36,4 +36,23 @@ object Params {
   val mixTailRate = 0.3
   /** Conjunctive keyword-search query terms (q71). */
   val searchTerms: Seq[String] = Seq("hash", "scan", "merge")
+  /** BM25 ranking (q89): classic k1/b. The oracle-gated scorer uses the
+    * RATIONAL odds idf (N − df + ½)/(df + ½) — ln(odds) is the textbook
+    * idf and ln is monotone, so per-term ordering is identical, while
+    * the rational form keeps every operation correctly-rounded IEEE
+    * (+,·,/ only) and therefore bit-identical across engines; ln/exp
+    * carry no such guarantee.
+    */
+  val bm25K1 = 1.2
+  val bm25B = 0.75
+  val bm25TopN = 50
+  /** Stratified sampling (q90): exact docs kept per source stratum. */
+  val stratumK = 10
+  /** Decay scoring (q91): anchor date; per-day base-2 decay — scaling by
+    * 2^(−k) only shifts the FP exponent, so it is EXACT. */
+  val decayAnchor = "2024-02-01"
+  /** RRF hybrid fusion (q92): leg depth, dampening k, fused top-N. */
+  val rrfK = 60
+  val rrfDepth = 100
+  val rrfTopN = 50
 }

@@ -731,6 +731,237 @@ object QueriesExt {
         FROM documents ORDER BY media_id"""
       }),
 
+    // ── BM25 ranked retrieval (q71's TF ranking, upgraded) ─────────────
+    // Disjunctive BM25 over the search terms: postings (doc, term, tf)
+    // from one tokenize pass, df per term and corpus stats broadcast
+    // (3 rows + 1 row — never a big-side shuffle), the per-term score a
+    // pure arithmetic expression, per-doc sum on decimal (Parity). The
+    // idf is the rational odds form (see Params.bm25K1 doc): identical
+    // per-term ORDERING to ln-idf BM25, and bit-exact across engines
+    // because it stays inside correctly-rounded IEEE ops. Scale shape:
+    // inverted-index postings + two tiny broadcasts; no all-pairs, no
+    // global sort (TakeOrdered for the top-N).
+    QueryDef("q89_bm25",
+      (s, dir) => {
+        val k1 = lit(bm25K1); val b = lit(bm25B)
+        val toks = tPar(s, dir, "documents")
+          .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
+        val dl = toks.select(col("doc_id"),
+          size(col("toks")).cast("long").as("dl"))
+        val stats = dl.agg(count(lit(1)).as("n_docs"),
+            sum(col("dl")).as("total_dl"))
+          .select(col("n_docs"),
+            (col("total_dl").cast("double") / col("n_docs")).as("avgdl"))
+        val tf = toks.select(col("doc_id"), explode(col("toks")).as("tok"))
+          .filter(col("tok").isin(searchTerms: _*))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val dfs = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        tf.join(broadcast(dfs), "tok")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(stats))
+          .withColumn("tscore",
+            ((col("n_docs").cast("double") - col("df").cast("double") +
+              lit(0.5)) / (col("df").cast("double") + lit(0.5))) *
+            ((col("tf").cast("double") * (k1 + lit(1.0))) /
+              (col("tf").cast("double") + k1 * (lit(1.0) - b +
+                b * (col("dl").cast("double") / col("avgdl"))))))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_terms"), dsum(col("tscore")).as("score"))
+          .orderBy(desc("score"), col("doc_id")).limit(bm25TopN)
+      },
+      Some {
+        val inList = searchTerms.map(t => s"'$t'").mkString(", ")
+        s"""WITH toks AS (SELECT doc_id, $dTok AS toks FROM documents),
+          dl AS (SELECT doc_id, len(toks) AS dl FROM toks),
+          stats AS (SELECT COUNT(*) AS n_docs,
+            CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+          tf AS (SELECT doc_id, tok, COUNT(*) AS tf
+            FROM (SELECT doc_id, unnest(toks) AS tok FROM toks)
+            WHERE tok IN ($inList) GROUP BY 1, 2),
+          dfs AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+          term AS (SELECT t.doc_id,
+              ((CAST(s.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5)
+                / (CAST(f.df AS DOUBLE) + 0.5)) *
+              ((CAST(t.tf AS DOUBLE) * ($bm25K1 + 1.0)) /
+                (CAST(t.tf AS DOUBLE) + $bm25K1 * ((1.0 - $bm25B) +
+                  $bm25B * (CAST(d.dl AS DOUBLE) / s.avgdl)))) AS tscore
+            FROM tf t JOIN dfs f USING (tok) JOIN dl d USING (doc_id)
+            CROSS JOIN stats s)
+        SELECT doc_id, COUNT(*) AS n_terms, ${dsumSql("tscore")} AS score
+        FROM term GROUP BY doc_id
+        ORDER BY score DESC, doc_id LIMIT $bm25TopN"""
+      }),
+
+    // ── Stratified sampling: exact k per stratum on the top-k operator ─
+    // Uniform-without-replacement k docs per source: a deterministic
+    // md5 priority (retry-safe, re-runs pick the SAME sample) and the
+    // custom heap-based per-key top-k physical operator — no per-group
+    // sort at 100 TB, state is k rows per stratum. The Bernoulli twin
+    // (rate-based, q59) can't promise exact strata sizes; this does.
+    QueryDef("q90_stratified_sample",
+      (s, dir) => {
+        val pri = tPar(s, dir, "documents").select(col("source"),
+          col("doc_id"),
+          Shingles.baseHash(concat(lit("q90|"),
+            col("doc_id").cast("string"))).as("pri"))
+        graft.plans.TopKPerKey.topKPerKey(pri, Seq("source"),
+          Seq(graft.plans.TopKPerKey.Sort("pri"),
+            graft.plans.TopKPerKey.Sort("doc_id")), stratumK)
+          .select("source", "doc_id", "pri", "rank")
+          .orderBy("source", "rank")
+      },
+      Some(s"""WITH p AS (SELECT source, doc_id,
+          ('0x' || substr(md5('q90|' || CAST(doc_id AS VARCHAR)), 1, 7))
+            ::BIGINT AS pri
+        FROM documents)
+        SELECT source, doc_id, pri, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY source
+            ORDER BY pri ASC, doc_id ASC) AS rank FROM p)
+        WHERE rank <= $stratumK ORDER BY source, rank""")),
+
+    // ── Recency-decayed engagement score (training-feature staple) ─────
+    // Per user: Σ value · 2^(−age_days). Base-2 daily decay multiplies
+    // by an exact power of two (exponent shift only), so each term is
+    // the correctly-rounded product both engines agree on. The decimal-
+    // sum trick is deliberately NOT used here: power-of-2 terms have
+    // TERMINATING decimal expansions that land exactly on rounding-tie
+    // boundaries, where Spark's decimal cast (HALF_UP) and DuckDB's
+    // (half-even) disagree — measured 3e-8 drift. Instead each term is
+    // floor-quantized to 1e-8 (floor has no tie cases) and summed as
+    // exact longs. One scan, one map-side-partial agg; no window/join.
+    QueryDef("q91_decay_score",
+      (s, dir) => t(s, dir, "events")
+        .withColumn("age", datediff(lit(java.sql.Date.valueOf(decayAnchor)),
+          col("ts").cast("date")).cast("double"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          (sum(floor((col("value") * pow(lit(2.0), -col("age"))) *
+            lit(1.0e8))).cast("double") / lit(1.0e8)).as("decay_score"))
+        .orderBy("user_id"),
+      Some(s"""SELECT user_id, COUNT(*) AS n_events,
+        CAST(SUM(CAST(floor((value * pow(2.0,
+            -CAST(date_diff('day', CAST(ts AS DATE),
+              DATE '$decayAnchor') AS DOUBLE))) * 100000000.0)
+          AS BIGINT)) AS DOUBLE) / 100000000.0 AS decay_score
+        FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // ── Hybrid retrieval: reciprocal-rank fusion (RAG-curation shape) ──
+    // Fuse the keyword leg (q71's conjunctive TF ranking) with the
+    // vector leg (q30's exact cosine ranking, ids aligned doc_id ≡
+    // vec_id) by RRF: Σ 1/(k + rank) over the legs a doc appears in.
+    // Ranks are integers and 1/(k+r) is one correctly-rounded division,
+    // the two-leg sum is one fixed-order addition — bit-exact parity
+    // without any decimal detour. Depth-limited legs (top-100 each)
+    // keep the fusion a join of two tiny rankings at any corpus scale.
+    QueryDef("q92_rrf_fusion",
+      (s, dir) => {
+        val kw = tPar(s, dir, "documents")
+          .select(col("doc_id"), explode(TextStats.tokens(col("text")))
+            .as("tok"))
+          .filter(col("tok").isin(searchTerms: _*))
+          .groupBy("doc_id")
+          .agg(countDistinct(col("tok")).as("n_terms"),
+            count(lit(1)).as("tf"))
+          .filter(col("n_terms") === searchTerms.size)
+          .orderBy(desc("tf"), col("doc_id")).limit(rrfDepth)
+          .withColumn("kw_rank", row_number().over(
+            Window.orderBy(desc("tf"), col("doc_id"))).cast("long"))
+          .select(col("doc_id").as("id"), col("kw_rank"))
+        val vec = Similarity.bruteForceTopK(tPar(s, dir, "embeddings"),
+            t(s, dir, "embeddings").filter(col("vec_id") === 0),
+            "vec_id", "embedding", rrfDepth)
+          .select(col("nn_id").as("id"), col("rank").as("vec_rank"))
+        val kR = lit(rrfK.toDouble)
+        kw.join(vec, Seq("id"), "full_outer")
+          .select(col("id"),
+            (coalesce(lit(1.0) / (kR + col("kw_rank").cast("double")),
+              lit(0.0)) +
+             coalesce(lit(1.0) / (kR + col("vec_rank").cast("double")),
+               lit(0.0))).as("rrf"),
+            col("kw_rank"), col("vec_rank"))
+          .orderBy(desc("rrf"), col("id")).limit(rrfTopN)
+      },
+      Some {
+        val inList = searchTerms.map(t => s"'$t'").mkString(", ")
+        s"""WITH kwm AS (SELECT doc_id, COUNT(DISTINCT tok) AS n_terms,
+            COUNT(*) AS tf
+          FROM (SELECT doc_id, unnest($dTok) AS tok FROM documents)
+          WHERE tok IN ($inList) GROUP BY doc_id),
+        kw AS (SELECT id, kw_rank FROM (
+            SELECT doc_id AS id, CAST(row_number() OVER (
+              ORDER BY tf DESC, doc_id) AS BIGINT) AS kw_rank
+            FROM kwm WHERE n_terms = ${searchTerms.size})
+          WHERE kw_rank <= $rrfDepth),
+        pairs AS (SELECT b.vec_id AS id,
+            (${dDot("a.embedding", "b.embedding")})
+              / (sqrt(${dDot("a.embedding", "a.embedding")})
+                 * sqrt(${dDot("b.embedding", "b.embedding")})) AS cos
+          FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+          WHERE a.vec_id = 0),
+        vec AS (SELECT id, vec_rank FROM (
+            SELECT id, row_number() OVER (ORDER BY cos DESC, id ASC)
+              AS vec_rank FROM pairs)
+          WHERE vec_rank <= $rrfDepth)
+        SELECT COALESCE(kw.id, vec.id) AS id,
+          (COALESCE(CAST(1.0 AS DOUBLE)
+              / ($rrfK.0 + CAST(kw_rank AS DOUBLE)), 0.0) +
+           COALESCE(CAST(1.0 AS DOUBLE)
+              / ($rrfK.0 + CAST(vec_rank AS DOUBLE)), 0.0)) AS rrf,
+          kw_rank, vec_rank
+        FROM kw FULL OUTER JOIN vec ON kw.id = vec.id
+        ORDER BY rrf DESC, id LIMIT $rrfTopN"""
+      }),
+
+    // ── Embedding-space QC: label-centroid similarity matrix ───────────
+    // Pairwise cosine between per-label mean-pool centroids (drift /
+    // class-collapse monitoring). The pair enumeration is an EQUI-join
+    // on the dimension index — never a cartesian — and every sum rides
+    // decimal (q77's discipline), so the 64-term dots are
+    // order-independent; sqrt/division happen once at the edge.
+    QueryDef("q93_centroid_similarity",
+      (s, dir) => {
+        val dims = tPar(s, dir, "embeddings")
+          .select(col("label"), posexplode(col("embedding"))
+            .as(Seq("dim", "v")))
+          .groupBy("label", "dim")
+          .agg((dsum(col("v")) / count(lit(1))).as("mean_v"))
+        val dots = dims.select(col("label").as("label_a"), col("dim"),
+            col("mean_v").as("va"))
+          .join(dims.select(col("label").as("label_b"), col("dim"),
+            col("mean_v").as("vb")), Seq("dim"))
+          .filter(col("label_a") < col("label_b"))
+          .groupBy("label_a", "label_b")
+          .agg(dsum(col("va") * col("vb")).as("dot"))
+        val norms = dims.groupBy("label")
+          .agg(dsum(col("mean_v") * col("mean_v")).as("nrm"))
+        dots
+          .join(norms.select(col("label").as("label_a"),
+            col("nrm").as("na")), "label_a")
+          .join(norms.select(col("label").as("label_b"),
+            col("nrm").as("nb")), "label_b")
+          .select(col("label_a"), col("label_b"),
+            (col("dot") / (sqrt(col("na")) * sqrt(col("nb")))).as("cos"))
+          .orderBy("label_a", "label_b")
+      },
+      Some(s"""WITH e AS (SELECT label,
+            generate_subscripts(embedding, 1) - 1 AS dim,
+            unnest(embedding) AS v
+          FROM embeddings),
+        c AS (SELECT label, dim,
+            ${dsumSql("CAST(v AS DOUBLE)")} / COUNT(*) AS mean_v
+          FROM e GROUP BY label, dim),
+        d AS (SELECT a.label AS label_a, b.label AS label_b,
+            ${dsumSql("a.mean_v * b.mean_v")} AS dot
+          FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+          GROUP BY 1, 2),
+        n AS (SELECT label, ${dsumSql("mean_v * mean_v")} AS nrm
+          FROM c GROUP BY label)
+        SELECT label_a, label_b,
+          dot / (sqrt(na.nrm) * sqrt(nb.nrm)) AS cos
+        FROM d JOIN n na ON d.label_a = na.label
+        JOIN n nb ON d.label_b = nb.label
+        ORDER BY label_a, label_b""")),
+
     // ── REAL audio decode: WAV (RIFF/PCM16) channel statistics ─────────
     // The audio leg of the multimodal contract goes real: each doc's
     // bytes become 256 mono PCM16 samples ((byte−128)·256), encoded as

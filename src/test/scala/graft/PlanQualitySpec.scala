@@ -153,6 +153,29 @@ class PlanQualitySpec extends AnyFunSuite {
       "term hits need a map-side partial aggregate")
   }
 
+  test("q89 BM25: df/stats broadcast, postings never cartesian, " +
+       "top-N planned as TakeOrdered") {
+    val p = plan("q89_bm25")
+    assert(!p.contains("CartesianProduct"), "BM25 must not cross join")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      "term df / corpus stats must broadcast")
+    assert(p.contains("TakeOrdered"),
+      "depth-limited ranking must avoid a global sort")
+  }
+
+  test("q90 stratified sample plans on the custom per-key top-k heap") {
+    assert(plan("q90_stratified_sample").contains("TopKPerKey"),
+      "per-stratum selection must use the heap operator, not a window sort")
+  }
+
+  test("q93 centroid similarity enumerates pairs via the dim equi-join") {
+    val p = plan("q93_centroid_similarity")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "pair enumeration must stay an equi-join on dim")
+  }
+
   test("q86 salted join: equi-join on (key, salt), no cartesian") {
     val p = plan("q86_skew_join")
     assert(!p.contains("CartesianProduct") &&
