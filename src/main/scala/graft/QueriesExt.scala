@@ -96,6 +96,22 @@ object QueriesExt {
     (1 to n).map(i => s"CAST($a[$i] AS DOUBLE)*CAST($b[$i] AS DOUBLE)")
       .mkString(" + ")
   private def dDot(a: String, b: String): String = dDotN(a, b, annDims)
+
+  /** Morton/z-order bit interleave of two `bits`-bit values (q96): x's
+    * bit i lands at 2i, y's at 2i+1. Pure long arithmetic — exact and
+    * engine-portable. The SQL twin below emits the same expression. */
+  private def zInterleave(x: org.apache.spark.sql.Column,
+                          y: org.apache.spark.sql.Column,
+                          bits: Int): org.apache.spark.sql.Column =
+    (0 until bits).flatMap { i =>
+      Seq(shiftright(x, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)),
+        shiftright(y, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
+    }.reduce(_ + _)
+  private def dZInterleave(x: String, y: String, bits: Int): String =
+    (0 until bits).flatMap { i =>
+      Seq(s"(($x >> $i) & 1) * ${1L << (2 * i)}",
+        s"(($y >> $i) & 1) * ${1L << (2 * i + 1)}")
+    }.mkString(" + ")
   /** Seeded random-hyperplane sign-LSH bucket — the oracle twin of
     * [[Similarity.signBucket]]: the same driver-side Rademacher weights
     * are spliced in as an explicit left-associated ± chain, so the
@@ -961,6 +977,165 @@ object QueriesExt {
         FROM d JOIN n na ON d.label_a = na.label
         JOIN n nb ON d.label_b = nb.label
         ORDER BY label_a, label_b""")),
+
+    // ── Unpivot / melt (wide → long reshape) ───────────────────────────
+    // The inverse of q39's pivot: three measure columns melt into
+    // (measure, val) rows via the native Dataset.unpivot — map-side
+    // row expansion, no shuffle beyond the output ordering.
+    QueryDef("q94_unpivot",
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_orderkey") <= 2000)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("double"),
+          col("l_extendedprice").cast("double"),
+          col("l_discount").cast("double"))
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount")),
+          "measure", "val")
+        .orderBy("l_orderkey", "l_linenumber", "measure"),
+      Some("""SELECT l_orderkey, l_linenumber, m AS measure, v AS val
+        FROM (
+          SELECT l_orderkey, l_linenumber, 'l_quantity' AS m,
+            CAST(l_quantity AS DOUBLE) AS v FROM lineitem
+          UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+            CAST(l_extendedprice AS DOUBLE) FROM lineitem
+          UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount',
+            CAST(l_discount AS DOUBLE) FROM lineitem)
+        WHERE l_orderkey <= 2000
+        ORDER BY l_orderkey, l_linenumber, measure""")),
+
+    // ── KMV join-cardinality estimation (the CBO primitive) ────────────
+    // Sketch both key domains with k minimum hashes, estimate D_A, D_B,
+    // D_∪ (the k smallest of the union), D_∩ (Jaccard from shared
+    // sketch members), and the equi-join size under the uniform-
+    // frequency model. Each side costs one scan + a k-row TakeOrdered;
+    // the estimator is a pure function of the md5 family, so every
+    // number — including the final join-size estimate — is oracle-exact.
+    QueryDef("q95_join_cardinality",
+      (s, dir) => graft.ext.Sketches.kmvJoinCardinality(
+        t(s, dir, "events"), col("user_id"),
+        t(s, dir, "customer"), col("c_custkey"), kmvK),
+      Some {
+        def est(kc: String, kth: String) =
+          s"""CASE WHEN $kc < $kmvK THEN CAST($kc AS DOUBLE)
+             ELSE CAST($kc - 1 AS DOUBLE) * CAST(268435456.0 AS DOUBLE)
+               / CAST($kth AS DOUBLE) END"""
+        def hcte(src: String, key: String) =
+          s"""SELECT DISTINCT ('0x' || substr(md5(CAST($key AS VARCHAR)),
+             1, 7))::BIGINT AS h FROM $src"""
+        s"""WITH ka AS (SELECT h, 1 AS in_a FROM (${hcte("events", "user_id")})
+            ORDER BY h LIMIT $kmvK),
+          kb AS (SELECT h, 1 AS in_b FROM (${hcte("customer", "c_custkey")})
+            ORDER BY h LIMIT $kmvK),
+          sa AS (SELECT COUNT(*) AS kc, MAX(h) AS kth FROM ka),
+          sb AS (SELECT COUNT(*) AS kc, MAX(h) AS kth FROM kb),
+          na AS (SELECT COUNT(*) AS n_a FROM events),
+          nb AS (SELECT COUNT(*) AS n_b FROM customer),
+          u AS (SELECT COALESCE(ka.h, kb.h) AS h,
+              COALESCE(in_a, 0) AS in_a, COALESCE(in_b, 0) AS in_b
+            FROM ka FULL OUTER JOIN kb ON ka.h = kb.h
+            ORDER BY h LIMIT $kmvK),
+          uu AS (SELECT COUNT(*) AS ku, MAX(h) AS kth_u,
+            CAST(SUM(in_a * in_b) AS BIGINT) AS n_both FROM u)
+        SELECT n_a, n_b, n_both,
+          ${est("sa.kc", "sa.kth")} AS d_a,
+          ${est("sb.kc", "sb.kth")} AS d_b,
+          ${est("uu.ku", "uu.kth_u")} AS d_union,
+          (CAST(n_both AS DOUBLE) / CAST(ku AS DOUBLE))
+            * (${est("uu.ku", "uu.kth_u")}) AS d_intersect,
+          ((CAST(n_a AS DOUBLE) / (${est("sa.kc", "sa.kth")}))
+            * (CAST(n_b AS DOUBLE) / (${est("sb.kc", "sb.kth")})))
+            * ((CAST(n_both AS DOUBLE) / CAST(ku AS DOUBLE))
+              * (${est("uu.ku", "uu.kth_u")})) AS join_size_est
+        FROM uu CROSS JOIN sa CROSS JOIN sb CROSS JOIN na CROSS JOIN nb"""
+      }),
+
+    // ── Z-order zone maps (multi-dimensional data skipping) ────────────
+    // OPTIMIZE ZORDER, materialized: Morton-interleave (custkey,
+    // order-day) into a z-value, cut the z-sorted table into 64
+    // equal-size "files" (ntile), and emit each file's ZONE MAP —
+    // min/max of z and of BOTH source dimensions — the stats file
+    // skipping reads. Z-sorting gives every file a tight box in both
+    // dimensions at once, so a 2-d box predicate prunes on min/max
+    // alone (a single-column sort leaves the second dimension's
+    // min/max spanning the full domain — proven quantitatively in
+    // ScaleFeaturesSpec). Pure long arithmetic — oracle-exact. At
+    // 100 TB the ntile becomes repartitionByRange(z) (sampled
+    // boundaries); the zone-map math is identical.
+    QueryDef("q96_zorder_zonemap",
+      (s, dir) => {
+        // raw dimensions carry UNEQUAL bit widths (1.5k keys vs 2.4k
+        // days starting at epoch-day ~9k) — interleaving them directly
+        // degenerates to a sort on whichever dimension owns the high
+        // bits. Normalize both to a common 10-bit range first (what
+        // production z-ordering does), relationally so the oracle can
+        // reproduce it: min/max from one tiny agg, integer `div`.
+        val o = t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_custkey").cast("long").as("x"),
+          unix_date(to_date(col("o_orderdate"))).cast("long").as("y"))
+        val stats = o.agg(
+          min("x").as("xmin"), (max("x") - min("x") + 1L).as("xspan"),
+          min("y").as("ymin"), (max("y") - min("y") + 1L).as("yspan"))
+        val n = o.crossJoin(broadcast(stats))
+          .withColumn("xn", expr("((x - xmin) * 1024) div xspan"))
+          .withColumn("yn", expr("((y - ymin) * 1024) div yspan"))
+          .withColumn("z", zInterleave(col("xn"), col("yn"), 10))
+          .withColumn("file_id", ntile(64).over(
+            Window.orderBy(col("z"), col("o_orderkey"))).cast("long"))
+        n.groupBy("file_id").agg(
+            count(lit(1)).as("n_rows"),
+            min("z").as("min_z"), max("z").as("max_z"),
+            min("x").as("min_custkey"), max("x").as("max_custkey"),
+            min("y").as("min_day"), max("y").as("max_day"))
+          .orderBy("file_id")
+      },
+      Some(s"""WITH o AS (SELECT o_orderkey,
+          CAST(o_custkey AS BIGINT) AS x,
+          CAST(date_diff('day', DATE '1970-01-01',
+            CAST(o_orderdate AS DATE)) AS BIGINT) AS y
+        FROM orders),
+        s AS (SELECT MIN(x) AS xmin, MAX(x) - MIN(x) + 1 AS xspan,
+          MIN(y) AS ymin, MAX(y) - MIN(y) + 1 AS yspan FROM o),
+        nrm AS (SELECT o_orderkey, x, y,
+          ((x - xmin) * 1024) // xspan AS xn,
+          ((y - ymin) * 1024) // yspan AS yn
+          FROM o CROSS JOIN s),
+        z AS (SELECT o_orderkey, x, y,
+          ${dZInterleave("xn", "yn", 10)} AS z FROM nrm),
+        f AS (SELECT x, y, z, CAST(ntile(64) OVER (
+          ORDER BY z, o_orderkey) AS BIGINT) AS file_id FROM z)
+        SELECT file_id, COUNT(*) AS n_rows,
+          MIN(z) AS min_z, MAX(z) AS max_z,
+          MIN(x) AS min_custkey, MAX(x) AS max_custkey,
+          MIN(y) AS min_day, MAX(y) AS max_day
+        FROM f GROUP BY 1 ORDER BY file_id""")),
+
+    // ── Incremental aggregate maintenance (materialized-view fold) ─────
+    // The input arrives as three day-range batches; each is reduced to
+    // mergeable partials (count + exact decimal sum) and folded into
+    // state. Decimal associativity makes ANY batching bit-identical to
+    // the full recompute — which is precisely what the oracle is: one
+    // plain GROUP BY over the whole table. The state fold shuffles
+    // per-batch partials (5 rows), never history.
+    QueryDef("q97_incremental_agg",
+      (s, dir) => {
+        import graft.etl.IncrementalAgg
+        val ev = t(s, dir, "events")
+        val day = dayofmonth(col("ts"))
+        val batches = Seq(ev.filter(day <= 10),
+          ev.filter(day > 10 && day <= 20), ev.filter(day > 20))
+        val state = batches
+          .map(b => IncrementalAgg.partial(b, Seq("event_type"),
+            col("value")))
+          .reduce((a, b) => IncrementalAgg.merge(a, b, Seq("event_type")))
+        IncrementalAgg.finish(state, Seq("event_type"))
+          .orderBy("event_type")
+      },
+      Some(s"""SELECT event_type, COUNT(*) AS n,
+          ${dsumSql("value")} AS total,
+          ${dsumSql("value")} / COUNT(*) AS avg_value
+        FROM events GROUP BY event_type ORDER BY event_type""")),
 
     // ── REAL audio decode: WAV (RIFF/PCM16) channel statistics ─────────
     // The audio leg of the multimodal contract goes real: each doc's

@@ -65,4 +65,49 @@ object Sketches {
       .select(col(groupCol), col("k_actual"), col("kth_hash"),
         estimateCol(k))
   }
+
+  /** KMV join-cardinality estimation — the cost-based-optimizer
+    * primitive: from two k-minimum-values sketches, estimate the key
+    * domains, their union/intersection (the k smallest of K_A ∪ K_B is
+    * the union's KMV; the members present in both sketches estimate the
+    * Jaccard), and the equi-join output size
+    * |A|/D_A · |B|/D_B · D_∩ (uniform-frequency model). Each side is
+    * one scan + a k-row TakeOrdered — the sketch-collection cost a
+    * planner can afford at 100 TB — and the estimator is a pure
+    * function of the md5 hash family, so the oracle reproduces every
+    * number bit-for-bit (integer arithmetic until the final divisions).
+    */
+  def kmvJoinCardinality(a: DataFrame, keyA: Column, b: DataFrame,
+                         keyB: Column, k: Int): DataFrame = {
+    def kMin(df: DataFrame, key: Column, flag: String) = df
+      .select(Shingles.baseHash(key.cast("string")).as("h")).distinct()
+      .orderBy(col("h")).limit(k).withColumn(flag, lit(1))
+    def sideStats(km: DataFrame, n: DataFrame, suffix: String) = km
+      .agg(count(lit(1)).as("k_actual"), max(col("h")).as("kth_hash"))
+      .select(estimateCol(k)).crossJoin(n)
+      .select(col("distinct_estimate").as(s"d_$suffix"),
+        col("n").as(s"n_$suffix"))
+    val kA = kMin(a, keyA, "in_a")
+    val kB = kMin(b, keyB, "in_b")
+    val statsA = sideStats(kA, a.agg(count(lit(1)).as("n")), "a")
+    val statsB = sideStats(kB, b.agg(count(lit(1)).as("n")), "b")
+    val u = kA.join(kB, Seq("h"), "full_outer")
+      .select(col("h"), coalesce(col("in_a"), lit(0)).as("in_a"),
+        coalesce(col("in_b"), lit(0)).as("in_b"))
+      .orderBy(col("h")).limit(k)
+    u.agg(count(lit(1)).as("k_actual"), max(col("h")).as("kth_hash"),
+        sum(col("in_a") * col("in_b")).as("n_both"))
+      .select(col("k_actual"), col("kth_hash"), col("n_both"),
+        estimateCol(k))
+      .withColumnRenamed("distinct_estimate", "d_union")
+      .crossJoin(statsA).crossJoin(statsB)
+      .select(col("n_a"), col("n_b"), col("n_both"), col("d_a"),
+        col("d_b"), col("d_union"),
+        ((col("n_both").cast("double") / col("k_actual").cast("double")) *
+          col("d_union")).as("d_intersect"),
+        (((col("n_a").cast("double") / col("d_a")) *
+          (col("n_b").cast("double") / col("d_b"))) *
+          ((col("n_both").cast("double") / col("k_actual").cast("double")) *
+            col("d_union"))).as("join_size_est"))
+  }
 }

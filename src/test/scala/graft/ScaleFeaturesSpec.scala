@@ -158,6 +158,57 @@ class ScaleFeaturesSpec extends AnyFunSuite {
     assert(slice.count() === 2, "one row per product on the sliced day")
   }
 
+  test("z-order layout: 2-d box predicates touch fewer files than a " +
+       "single-column sort (zone-map pruning, q96's claim)") {
+    val nFiles = 32
+    val raw = Tables.load(spark, TestSpark.sf0001, "orders")
+      .withColumn("x", col("o_custkey").cast("long"))
+      .withColumn("y", unix_date(to_date(col("o_orderdate"))).cast("long"))
+    // normalize both dims to 10 bits (q96's arithmetic) so neither
+    // dimension owns the interleave's high bits
+    val st = raw.agg(min("x"), max("x"), min("y"), max("y")).head()
+    val (xm, xs) = (st.getLong(0), st.getLong(1) - st.getLong(0) + 1)
+    val (ym, ysn) = (st.getLong(2), st.getLong(3) - st.getLong(2) + 1)
+    val o = raw
+      .withColumn("xn", expr(s"((x - $xm) * 1024) div $xs"))
+      .withColumn("yn", expr(s"((y - $ym) * 1024) div $ysn"))
+    val z = (0 until 10).map(i =>
+      (shiftright(col("xn"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))) +
+        (shiftright(col("yn"), i).bitwiseAND(lit(1L)) *
+          lit(1L << (2 * i + 1)))).reduce(_ + _)
+    def zoneBoxes(order: org.apache.spark.sql.Column) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(order, col("o_orderkey"))
+      o.withColumn("f", ntile(nFiles).over(w)).groupBy("f")
+        .agg(min("x").as("x0"), max("x").as("x1"),
+          min("y").as("y0"), max("y").as("y1"))
+        .collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    }
+    val zZones = zoneBoxes(z)
+    val linZones = zoneBoxes(col("x"))
+    // predicate workload: a 4x4 grid of ~25%-of-domain boxes
+    def boxes(lo: Long, hi: Long) = {
+      val span = hi - lo + 1
+      (0 until 4).map(i => (lo + i * span / 4, lo + i * span / 4 + span / 4))
+    }
+    val workload = for (bx <- boxes(xm, xm + xs - 1);
+                        by <- boxes(ym, ym + ysn - 1))
+      yield (bx, by)
+    def touched(zones: Array[(Long, Long, Long, Long)]) = workload.map {
+      case ((bx0, bx1), (by0, by1)) => zones.count { case (x0, x1, y0, y1) =>
+        x0 <= bx1 && x1 >= bx0 && y0 <= by1 && y1 >= by0
+      }
+    }.sum
+    val zT = touched(zZones); val linT = touched(linZones)
+    // the custkey-only sort leaves y spanning the whole domain in every
+    // file: all 2-d boxes touch ~every file. Z-order must do strictly
+    // better across the workload.
+    assert(zT < linT, s"z-order touched $zT files vs linear $linT")
+    assert(zT.toDouble / linT <= 0.6,
+      s"expected >=40% pruning win, got z=$zT lin=$linT")
+  }
+
   test("salted aggregation equals plain aggregation") {
     val ev = Tables.load(spark, TestSpark.sf0001, "events")
     val salted = Skew.saltedAgg(ev, Seq("event_type"), col("event_id"),
