@@ -1111,6 +1111,105 @@ object QueriesExt {
           MIN(y) AS min_day, MAX(y) AS max_day
         FROM f GROUP BY 1 ORDER BY file_id""")),
 
+    // ── Token co-occurrence + lift (corpus association mining) ─────────
+    // Which vocabulary terms co-occur in documents beyond chance? Doc-
+    // level distinct tokens joined against the top-50 vocabulary
+    // (BROADCAST — bounds per-doc pairs at C(50,2) regardless of corpus
+    // size), pair counts from an equi-join on doc_id, and lift =
+    // (c_ab·N)/(c_a·c_b) — the log-free association score: a ratio of
+    // exact integers in fixed-order IEEE arithmetic, so it is bit-exact
+    // where PMI's logarithm would not be. The vocabulary cap is the
+    // scale contract: without it doc-level all-pairs is quadratic.
+    QueryDef("q98_token_lift",
+      (s, dir) => {
+        val docs = tPar(s, dir, "documents")
+        val docTok = docs.select(col("doc_id"),
+          explode(TextStats.tokens(col("text"))).as("token")).distinct()
+        val vocab = docTok.groupBy("token").agg(count(lit(1)).as("c"))
+          .orderBy(desc("c"), col("token")).limit(50)
+        val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+        val vt = docTok.join(broadcast(vocab), "token")
+        vt.select(col("doc_id"), col("token").as("ta"), col("c").as("ca"))
+          .join(vt.select(col("doc_id"), col("token").as("tb"),
+            col("c").as("cb")), Seq("doc_id"))
+          .filter(col("ta") < col("tb"))
+          .groupBy("ta", "tb", "ca", "cb")
+          .agg(count(lit(1)).as("c_ab"))
+          .crossJoin(broadcast(nDocs))
+          .select(col("ta"), col("tb"), col("c_ab"),
+            ((col("c_ab").cast("double") * col("n_docs").cast("double")) /
+              (col("ca").cast("double") * col("cb").cast("double")))
+              .as("lift"))
+          .orderBy(desc("c_ab"), col("ta"), col("tb")).limit(25)
+      },
+      Some(s"""WITH dt AS (SELECT DISTINCT doc_id, tok AS token
+          FROM (SELECT doc_id, unnest($dTok) AS tok FROM documents)),
+        v AS (SELECT token, COUNT(*) AS c FROM dt GROUP BY 1
+          ORDER BY c DESC, token LIMIT 50),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        vt AS (SELECT dt.doc_id, dt.token, v.c FROM dt JOIN v USING (token)),
+        p AS (SELECT a.token AS ta, b.token AS tb, a.c AS ca, b.c AS cb,
+            COUNT(*) AS c_ab
+          FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.token < b.token
+          GROUP BY 1, 2, 3, 4)
+        SELECT ta, tb, c_ab,
+          (CAST(c_ab AS DOUBLE) * CAST(n_docs AS DOUBLE))
+            / (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE)) AS lift
+        FROM p CROSS JOIN n
+        ORDER BY c_ab DESC, ta, tb LIMIT 25""")),
+
+    // ── Time travel: AS-OF read of the versioned dimension ─────────────
+    // Reconstruct the dimension EXACTLY as it stood on a historic date
+    // from SCD2 validity intervals: dt_load_to_dw ≤ d < dt_last_update
+    // (the sentinel keeps open rows). Composes q15's merge output — the
+    // Spark side reuses the q15 QueryDef, the oracle wraps q15's SQL in
+    // a CTE — so the time-travel read is verified against the SAME
+    // lineage the merge gate uses. Interval predicates on the stored
+    // dates: a partition-pruned scan at warehouse scale, no join.
+    QueryDef("q99_asof_dim",
+      (s, dir) => {
+        val dim = QueriesCore.defs.find(_.name == "q15_scd2").get
+          .fn(s, dir)
+        val asOf = lit(Date.valueOf("2020-01-01"))
+        dim.filter(col("dt_load_to_dw") <= asOf &&
+            asOf < col("dt_last_update"))
+          .select("custkey", "n_orders", "max_price")
+          .orderBy("custkey")
+      },
+      Some {
+        val q15Sql = QueriesCore.defs.find(_.name == "q15_scd2").get
+          .oracle.get
+        s"""WITH dim AS ($q15Sql)
+        SELECT custkey, n_orders, max_price FROM dim
+        WHERE dt_load_to_dw <= DATE '2020-01-01'
+          AND DATE '2020-01-01' < dt_last_update
+        ORDER BY custkey"""
+      }),
+
+    // ── Equal-frequency binning (feature discretization) ───────────────
+    // 10 quantile bins of order value per priority class with per-bin
+    // zone stats — the categorical-feature builder. ntile over a
+    // per-group window (each group sorts independently — parallel by
+    // key); deterministic via the orderkey tiebreak.
+    QueryDef("q100_ntile_binning",
+      (s, dir) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        t(s, dir, "orders")
+          .withColumn("bin", ntile(10).over(w).cast("long"))
+          .groupBy("o_orderpriority", "bin")
+          .agg(count(lit(1)).as("n"), min("o_totalprice").as("lo"),
+            max("o_totalprice").as("hi"))
+          .orderBy("o_orderpriority", "bin")
+      },
+      Some("""SELECT o_orderpriority, bin, COUNT(*) AS n,
+          MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+        FROM (SELECT o_orderpriority, o_totalprice,
+          CAST(ntile(10) OVER (PARTITION BY o_orderpriority
+            ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS bin
+          FROM orders)
+        GROUP BY 1, 2 ORDER BY o_orderpriority, bin""")),
+
     // ── Incremental aggregate maintenance (materialized-view fold) ─────
     // The input arrives as three day-range batches; each is reduced to
     // mergeable partials (count + exact decimal sum) and folded into
