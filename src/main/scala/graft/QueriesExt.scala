@@ -758,33 +758,8 @@ object QueriesExt {
     // inverted-index postings + two tiny broadcasts; no all-pairs, no
     // global sort (TakeOrdered for the top-N).
     QueryDef("q89_bm25",
-      (s, dir) => {
-        val k1 = lit(bm25K1); val b = lit(bm25B)
-        val toks = tPar(s, dir, "documents")
-          .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
-        val dl = toks.select(col("doc_id"),
-          size(col("toks")).cast("long").as("dl"))
-        val stats = dl.agg(count(lit(1)).as("n_docs"),
-            sum(col("dl")).as("total_dl"))
-          .select(col("n_docs"),
-            (col("total_dl").cast("double") / col("n_docs")).as("avgdl"))
-        val tf = toks.select(col("doc_id"), explode(col("toks")).as("tok"))
-          .filter(col("tok").isin(searchTerms: _*))
-          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-        val dfs = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-        tf.join(broadcast(dfs), "tok")
-          .join(dl, "doc_id")
-          .crossJoin(broadcast(stats))
-          .withColumn("tscore",
-            ((col("n_docs").cast("double") - col("df").cast("double") +
-              lit(0.5)) / (col("df").cast("double") + lit(0.5))) *
-            ((col("tf").cast("double") * (k1 + lit(1.0))) /
-              (col("tf").cast("double") + k1 * (lit(1.0) - b +
-                b * (col("dl").cast("double") / col("avgdl"))))))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_terms"), dsum(col("tscore")).as("score"))
-          .orderBy(desc("score"), col("doc_id")).limit(bm25TopN)
-      },
+      (s, dir) => graft.ext.Search.bm25(tPar(s, dir, "documents"),
+        "doc_id", "text", searchTerms, bm25K1, bm25B, bm25TopN),
       Some {
         val inList = searchTerms.map(t => s"'$t'").mkString(", ")
         s"""WITH toks AS (SELECT doc_id, $dTok AS toks FROM documents),
