@@ -97,16 +97,8 @@ object QueriesExt {
       .mkString(" + ")
   private def dDot(a: String, b: String): String = dDotN(a, b, annDims)
 
-  /** Morton/z-order bit interleave of two `bits`-bit values (q96): x's
-    * bit i lands at 2i, y's at 2i+1. Pure long arithmetic — exact and
-    * engine-portable. The SQL twin below emits the same expression. */
-  private def zInterleave(x: org.apache.spark.sql.Column,
-                          y: org.apache.spark.sql.Column,
-                          bits: Int): org.apache.spark.sql.Column =
-    (0 until bits).flatMap { i =>
-      Seq(shiftright(x, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)),
-        shiftright(y, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
-    }.reduce(_ + _)
+  /** SQL twin of [[graft.functions.NativeExprs.ZInterleaveExpr]] (q96):
+    * x's bit i lands at 2i, y's at 2i+1, pure integer arithmetic. */
   private def dZInterleave(x: String, y: String, bits: Int): String =
     (0 until bits).flatMap { i =>
       Seq(s"(($x >> $i) & 1) * ${1L << (2 * i)}",
@@ -1055,7 +1047,8 @@ object QueriesExt {
         val n = o.crossJoin(broadcast(stats))
           .withColumn("xn", expr("((x - xmin) * 1024) div xspan"))
           .withColumn("yn", expr("((y - ymin) * 1024) div yspan"))
-          .withColumn("z", zInterleave(col("xn"), col("yn"), 10))
+          .withColumn("z",
+            graft.functions.NativeExprs.zValue(col("xn"), col("yn"), 10))
           .withColumn("file_id", ntile(64).over(
             Window.orderBy(col("z"), col("o_orderkey"))).cast("long"))
         n.groupBy("file_id").agg(

@@ -8,7 +8,8 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /** SQL surface for the native expressions: `graft_dot`,
   * `graft_minhash_signature`, `graft_word_shingles`, `graft_simhash`,
-  * `graft_rolling_fingerprint`.
+  * `graft_rolling_fingerprint`, `graft_sign_lsh_buckets`,
+  * `graft_zvalue`.
   *
   * Install on new sessions via
   * `spark.sql.extensions=graft.functions.GraftExtensions` (the canonical
@@ -66,7 +67,12 @@ object GraftFunctions {
       (args: Seq[Expression]) => NativeExprs.SignLshBucketsExpr(args(0),
         intArg(args(1), "bits"), intArg(args(2), "dims"),
         intArg(args(3), "seed").toLong,
-        if (args.length > 4) intArg(args(4), "tables") else 1)))
+        if (args.length > 4) intArg(args(4), "tables") else 1)),
+    (FunctionIdentifier("graft_zvalue"),
+      new ExpressionInfo(classOf[NativeExprs.ZInterleaveExpr].getName,
+        "graft_zvalue"),
+      (args: Seq[Expression]) => NativeExprs.ZInterleaveExpr(args(0),
+        args(1), intArg(args(2), "bits"))))
 
   /** Register on a live session. */
   def register(spark: SparkSession): Unit =

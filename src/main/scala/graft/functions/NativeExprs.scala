@@ -761,7 +761,67 @@ object NativeExprs {
       copy(child = c)
   }
 
+  /** Morton/z-order interleave of two long values' low `bits` bits: x's
+    * bit i lands at position 2i, y's at 2i+1 (q96's clustering key).
+    * Pure integer arithmetic; the codegen emits the loop inline, so the
+    * surrounding stage stays fused with zero per-row calls.
+    */
+  case class ZInterleaveExpr(left: Expression, right: Expression, bits: Int)
+      extends BinaryExpression {
+
+    require(bits >= 1 && bits <= 32, s"bits $bits outside [1, 32]")
+
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_zvalue"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (LongType | IntegerType, LongType | IntegerType) =>
+          TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires two integral values, got ${l.sql} and ${r.sql}")
+      }
+
+    private def asLong(e: Expression, v: Any): Long = e.dataType match {
+      case IntegerType => v.asInstanceOf[Int].toLong
+      case _           => v.asInstanceOf[Long]
+    }
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = asLong(left, a); val y = asLong(right, b)
+      var z = 0L
+      var i = 0
+      while (i < bits) {
+        z |= (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+        i += 1
+      }
+      z
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (xc, yc) => {
+        val z = ctx.freshName("z")
+        val i = ctx.freshName("i")
+        s"""
+        long $z = 0L;
+        for (int $i = 0; $i < $bits; $i++) {
+          $z |= ((((long) $xc >> $i) & 1L) << (2 * $i))
+              | ((((long) $yc >> $i) & 1L) << (2 * $i + 1));
+        }
+        ${ev.value} = $z;
+        """
+      })
+
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(left = l, right = r)
+  }
+
   // ── Column wrappers ─────────────────────────────────────────────────
+  def zValue(x: Column, y: Column, bits: Int): Column =
+    ColumnBridge.column(
+      ZInterleaveExpr(ColumnBridge.expression(x),
+        ColumnBridge.expression(y), bits))
+
   def minHashSignature(tokens: Column, k: Int, numHashes: Int): Column =
     ColumnBridge.column(
       MinHashSignatureExpr(ColumnBridge.expression(tokens), k, numHashes))

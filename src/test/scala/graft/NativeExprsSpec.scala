@@ -126,4 +126,33 @@ class NativeExprsSpec extends AnyFunSuite {
       assert(a.toSeq === b.toSeq)
     } finally spark.conf.set(conf, prev)
   }
+
+  test("ZInterleaveExpr ≡ reference bit math, codegen ≡ interpreted, " +
+       "and reachable from SQL as graft_zvalue") {
+    import spark.implicits._
+    def ref(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L)((z, i) =>
+        z | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1)))
+    val pairs = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1023L, 0L), (0L, 1023L),
+      (513L, 770L), (65535L, 65535L), (12345L, 54321L))
+    val df = pairs.toDF("x", "y")
+    val got = df.select(NativeExprs.zValue(col("x"), col("y"), 16).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === pairs.map { case (x, y) => ref(x, y, 16) })
+
+    val conf = "spark.sql.codegen.wholeStage"
+    val prev = spark.conf.get(conf)
+    try {
+      spark.conf.set(conf, "false")
+      val interp = df.select(NativeExprs.zValue(col("x"), col("y"), 16))
+        .collect().map(_.getLong(0)).toSeq
+      assert(interp === got)
+    } finally spark.conf.set(conf, prev)
+
+    graft.functions.GraftFunctions.register(spark)
+    df.createOrReplaceTempView("zpairs")
+    val sql = spark.sql("SELECT graft_zvalue(x, y, 16) AS z FROM zpairs")
+      .collect().map(_.getLong(0)).toSeq
+    assert(sql === got)
+  }
 }
