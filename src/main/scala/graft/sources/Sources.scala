@@ -127,6 +127,19 @@ object Sources {
       .json(path)
   }
 
+  /** Columnar interchange beyond parquet: ORC read/write (Spark
+    * bundles the ORC datasource; predicate pushdown, column pruning and
+    * vectorized reads work exactly as for parquet — SourcesSpec locks
+    * the pushdown). Schema enforced on read so a drifted file fails
+    * loudly instead of inferring a different shape.
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String,
+              schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
   /** S4 — single-file upload/copy across Hadoop FileSystems (the B2
     * `upload_local_file` analogue, `extract_file.py:397-440`): source and
     * destination resolve their own scheme (`file://`, `s3a://`, `hdfs://`,

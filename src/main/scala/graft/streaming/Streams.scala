@@ -245,6 +245,38 @@ object Streams {
       }
       .start()
 
+  /** Continuously-maintained materialized aggregate — the streaming
+    * twin of q97: every micro-batch is reduced to mergeable partials
+    * (count + exact decimal sum) and folded into the state parquet via
+    * [[graft.etl.IncrementalAgg.merge]]. Decimal associativity makes
+    * the maintained state bit-identical to a full recompute REGARDLESS
+    * of how the stream was micro-batched — the property StreamsSpec
+    * pins. The fold shuffles each batch's partials (|keys| rows), never
+    * the accumulated history.
+    */
+  def streamingAggMaintenance(events: DataFrame, path: String,
+                              keys: Seq[String], valueCol: String,
+                              checkpoint: String)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        import graft.etl.IncrementalAgg
+        val delta = IncrementalAgg.partial(batch, keys, col(valueCol))
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val merged =
+          if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+            IncrementalAgg.merge(spark.read.parquet(path), delta, keys)
+          else delta
+        // state is small (one row per key); localCheckpoint breaks the
+        // read-then-overwrite cycle on the same path
+        merged.localCheckpoint(true).write
+          .mode("overwrite").parquet(path)
+      }
+      .start()
+
   /** Streaming running aggregate per user — `mapGroupsWithState`
     * keeping (count, sum) state and emitting the updated totals each
     * micro-batch (C2-style latest-state tracking, streaming twin of

@@ -29,6 +29,25 @@ class SourcesSpec extends AnyFunSuite {
     assert(df.exceptAll(back).isEmpty && back.exceptAll(df).isEmpty)
   }
 
+  test("ORC roundtrip is exact and the scan carries pushed filters + " +
+       "a pruned schema") {
+    val orders = Tables.load(spark, TestSpark.sf0001, "orders")
+    val dir = java.nio.file.Files.createTempDirectory("orc_rt").toString + "/o"
+    Sources.writeOrc(orders, dir)
+    val back = Sources.readOrc(spark, dir, orders.schema)
+    assert(back.count() === orders.count())
+    assert(orders.exceptAll(back).isEmpty && back.exceptAll(orders).isEmpty)
+    // pushdown + pruning reach the ORC scan exactly as for parquet
+    val q = back.filter(col("o_custkey") === 42)
+      .select("o_orderkey", "o_totalprice")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("o_custkey"),
+      s"expected pushed filter at the ORC scan:\n${plan.take(1200)}")
+    val readSchema = "ReadSchema: [^\n]+".r.findFirstIn(plan).get
+    assert(!readSchema.contains("o_comment"),
+      s"ORC scan reads more columns than projected: $readSchema")
+  }
+
   test("sources resolve per-URI FileSystems: cross-scheme copy, probe " +
        "and stats on a non-default scheme (S4/S6)") {
     // Register a second Hadoop FileSystem scheme. Sources.* must resolve

@@ -145,6 +145,41 @@ class StreamsSpec extends AnyFunSuite {
     assert(batch.count() > 0)
   }
 
+  test("streaming aggregate maintenance: the maintained state equals " +
+       "the batch fold AND the full recompute, bit-exact") {
+    import spark.implicits._
+    import graft.etl.IncrementalAgg
+    val ev = Tables.load(spark, TestSpark.sf0001, "events")
+      .select("event_type", "value")
+    val srcDir = java.nio.file.Files.createTempDirectory("agg_src").toString
+    val stateDir =
+      java.nio.file.Files.createTempDirectory("agg_state").toString + "/state"
+    val cp = java.nio.file.Files.createTempDirectory("agg_cp").toString
+    // three arbitrary micro-batches (one file per drop)
+    ev.filter(abs(hash(col("value"))) % 3 === 0).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    ev.filter(abs(hash(col("value"))) % 3 === 1).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    ev.filter(abs(hash(col("value"))) % 3 === 2).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val q = Streams.streamingAggMaintenance(stream, stateDir,
+      Seq("event_type"), "value", cp)
+    q.processAllAvailable(); q.stop()
+
+    val maintained = IncrementalAgg.finish(
+      spark.read.parquet(stateDir), Seq("event_type"))
+      .orderBy("event_type").collect().toSeq
+    val recompute = IncrementalAgg.finish(
+      IncrementalAgg.partial(ev, Seq("event_type"), col("value")),
+      Seq("event_type")).orderBy("event_type").collect().toSeq
+    assert(maintained === recompute,
+      "stream-maintained state must equal the full recompute bit-exactly")
+    assert(maintained.nonEmpty)
+  }
+
   test("stateful streaming dedup keeps exactly one event per key") {
     import spark.implicits._
     val batchEvents = Tables.load(spark, TestSpark.sf0001, "events")
