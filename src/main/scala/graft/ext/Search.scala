@@ -36,15 +36,19 @@ object Search {
         sum(col("dl")).as("total_dl"))
       .select(col("n_docs"),
         (col("total_dl").cast("double") / col("n_docs")).as("avgdl"))
-    val tf = toks.select(col("doc_id"), explode(col("toks")).as("tok"))
+    // dl rides the explode so postings don't need a join back to a
+    // second tokenize pass: one scan builds (doc, tok, dl), the per-doc
+    // length being constant within the group
+    val tf = toks.select(col("doc_id"),
+        size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("tok"))
       .filter(col("tok").isin(terms: _*))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
     val dfs = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val odds = (col("n_docs").cast("double") - col("df").cast("double") +
       lit(0.5)) / (col("df").cast("double") + lit(0.5))
     val idf = if (lnIdf) log(lit(1.0) + odds) else odds
     tf.join(broadcast(dfs), "tok")
-      .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("tscore",
         idf * ((col("tf").cast("double") * (k1 + lit(1.0))) /
