@@ -55,4 +55,16 @@ object Params {
   val rrfK = 60
   val rrfDepth = 100
   val rrfTopN = 50
+  /** Token-window chunking (q101): chunk length and stride in tokens
+    * (stride < length ⇒ overlapping context windows, the RAG shape). */
+  val chunkLen = 64
+  val chunkStride = 48
+  /** Duplicated-span detection (q103): span width in tokens. Real
+    * pipelines use ~50 (Lee et al. 2022); 8 keeps the tiny synthetic
+    * vocabulary from marking literally every span duplicated. */
+  val spanK = 8
+  /** Blocked fuzzy join (q105): compared prefix length (chars) and the
+    * max accepted edit distance. */
+  val fuzzyPrefix = 40
+  val fuzzyMaxDist = 30
 }

@@ -2343,6 +2343,121 @@ object QueriesExt {
             SELECT *, row_number() OVER (PARTITION BY probe_id
               ORDER BY score DESC, nn_id ASC) AS rank FROM scored)
           WHERE rank <= $topK ORDER BY probe_id, rank"""
-      })
+      }),
+
+    // ── Token-window chunking (RAG / context-window prep) ──────────────
+    // Sliding windows of `chunkLen` tokens every `chunkStride` tokens.
+    // Starts are generated MAP-SIDE per row (`sequence` + `explode`) —
+    // no join, no shuffle, embarrassingly parallel at any corpus size;
+    // the output is ~n/stride rows per doc. Token counts are integers,
+    // so the gate is hash-exact.
+    QueryDef("q101_chunking",
+      (s, dir) => Curation.chunkTokens(tPar(s, dir, "documents"),
+          "doc_id", "text", chunkLen, chunkStride)
+        .orderBy("doc_id", "chunk_id"),
+      Some(s"""SELECT doc_id,
+          CAST((g - 1) // $chunkStride AS BIGINT) AS chunk_id,
+          CAST(g AS BIGINT) AS chunk_start,
+          array_to_string(tok[g:least(g + ${chunkLen - 1}, n)], ' ')
+            AS chunk_text,
+          CAST(least(g + ${chunkLen - 1}, n) - g + 1 AS BIGINT)
+            AS n_chunk_tokens
+        FROM (SELECT doc_id, tok, len(tok) AS n,
+            unnest(range(1, len(tok) + 1, $chunkStride)) AS g
+          FROM (SELECT doc_id, $dTok AS tok FROM documents)
+          WHERE len(tok) > 0)
+        ORDER BY doc_id, chunk_id""")),
+
+    // ── Text canonicalization (codegen'd NFC + casefold + ws collapse) ─
+    // One native expression instead of four chained string ops: the scan
+    // stage stays inside whole-stage codegen and each string is walked
+    // once. ASCII corpus ⇒ the DuckDB twin is bit-exact (Javadoc on
+    // NormalizeTextExpr spells out the contract).
+    QueryDef("q102_normalize_text",
+      (s, dir) => tPar(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.NativeExprs.normalizeText(col("text"))
+            .as("norm_text"))
+        .select(col("doc_id"), col("norm_text"),
+          length(col("norm_text")).cast("long").as("norm_len"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, norm_text,
+          CAST(length(norm_text) AS BIGINT) AS norm_len
+        FROM (SELECT doc_id,
+            trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))
+              AS norm_text
+          FROM documents)
+        ORDER BY doc_id""")),
+
+    // ── Duplicated-span statistics (exact substring dedup, Lee et al.) ─
+    // Fraction of each doc's k-token spans that also occur in ANOTHER
+    // document. Shape: explode spans → groupBy(span) countDistinct(doc)
+    // → join back on span → per-doc fold. Two shuffles on the span key,
+    // both partial-aggregated map-side; never all-pairs, so the plan is
+    // the one you would run at 100 TB (the span table is the big side
+    // and stays distributed — no broadcast, no collect).
+    QueryDef("q103_span_dedup",
+      (s, dir) => Dedup.duplicatedSpanStats(tPar(s, dir, "documents"),
+          "doc_id", "text", spanK)
+        .orderBy("doc_id"),
+      Some {
+        val sh = dShingles(dTok, spanK)
+        s"""WITH spans AS (
+            SELECT doc_id, unnest($sh) AS sh FROM documents),
+          nd AS (SELECT sh, COUNT(DISTINCT doc_id) AS ndocs
+            FROM spans GROUP BY sh)
+          SELECT s.doc_id, COUNT(*) AS n_spans,
+            CAST(COALESCE(SUM(CASE WHEN nd.ndocs > 1 THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS n_dup_spans,
+            CAST(SUM(CASE WHEN nd.ndocs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+              / CAST(COUNT(*) AS DOUBLE) AS dup_frac
+          FROM spans s JOIN nd USING (sh)
+          GROUP BY s.doc_id ORDER BY doc_id"""
+      }),
+
+    // ── Per-domain share cap (corpus-mix budget enforcement) ───────────
+    // Within each source, keep the longest documents while the running
+    // token total stays within half the source's token mass. The cap
+    // test is `2·cum ≤ total` — pure integer arithmetic, no doubles
+    // anywhere, so the survivor set is bit-determined. One window
+    // shuffle on source; composes with q59's probabilistic mixer as the
+    // deterministic budget-enforcement twin.
+    QueryDef("q104_share_cap",
+      (s, dir) => Curation.shareCap(tPar(s, dir, "documents"),
+          "doc_id", "source", "text", capNum = 1, capDen = 2)
+        .orderBy("source", "doc_id"),
+      Some(s"""SELECT doc_id, source, n_tokens,
+          CAST(cum_tokens AS BIGINT) AS cum_tokens
+        FROM (SELECT doc_id, source, n_tokens,
+            SUM(n_tokens) OVER (PARTITION BY source
+              ORDER BY n_tokens DESC, doc_id
+              ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+            SUM(n_tokens) OVER (PARTITION BY source) AS tot_tokens
+          FROM (SELECT doc_id, source,
+              CAST(len($dTok) AS BIGINT) AS n_tokens FROM documents))
+        WHERE cum_tokens * 2 <= tot_tokens
+        ORDER BY source, doc_id""")),
+
+    // ── Blocked fuzzy self-join (entity resolution / near-match) ───────
+    // Candidate pairs only WITHIN (source, lang) blocks — the classic
+    // blocking step that turns an O(n²) fuzzy join into per-block
+    // quadratic work bounded by the largest block; at scale the block
+    // key becomes the shuffle key and no executor ever sees the cross
+    // product. Edit distance on a fixed 40-char prefix (both engines
+    // implement classic Levenshtein), integer-exact gate.
+    QueryDef("q105_fuzzy_join",
+      (s, dir) => Dedup.fuzzyBlockedPairs(t(s, dir, "documents"),
+          "doc_id", Seq("source", "lang"), "text", fuzzyPrefix,
+          fuzzyMaxDist)
+        .orderBy("doc_a", "doc_b"),
+      Some(s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          CAST(levenshtein(substr(a.text, 1, $fuzzyPrefix),
+            substr(b.text, 1, $fuzzyPrefix)) AS BIGINT) AS dist
+        FROM documents a JOIN documents b
+          ON a.source = b.source AND a.lang = b.lang
+          AND a.doc_id < b.doc_id
+        WHERE levenshtein(substr(a.text, 1, $fuzzyPrefix),
+          substr(b.text, 1, $fuzzyPrefix)) <= $fuzzyMaxDist
+        ORDER BY doc_a, doc_b""")),
   )
 }

@@ -77,6 +77,67 @@ object Curation {
         .cast("long"))
   }
 
+  /** Token-window chunking: sliding windows of `len` tokens every
+    * `stride` tokens (stride < len ⇒ overlapping context windows, the
+    * RAG / long-context-prep shape). Output per chunk: `chunk_id` (dense
+    * per doc), `chunk_start` (1-based token offset), `chunk_text`,
+    * `n_chunk_tokens`.
+    *
+    * Window starts are generated MAP-SIDE per row (`sequence` +
+    * `explode`) — no join, no shuffle, embarrassingly parallel at any
+    * corpus size; output is ~n/stride rows per doc. Docs with zero
+    * tokens yield zero chunks (never a null/empty chunk row).
+    */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+                  len: Int, stride: Int): DataFrame = {
+    require(len >= 1, s"len $len")
+    require(stride >= 1, s"stride $stride")
+    docs
+      .select(col(idCol), TextStats.tokens(col(textCol)).as("tok"))
+      .withColumn("n", size(col("tok")))
+      .filter(col("n") > 0)
+      .select(col(idCol), col("tok"),
+        explode(sequence(lit(1), col("n"), lit(stride))).as("chunk_start"))
+      .select(col(idCol),
+        ((col("chunk_start") - 1) / stride).cast("long").as("chunk_id"),
+        col("chunk_start").cast("long").as("chunk_start"),
+        array_join(slice(col("tok"), col("chunk_start"), lit(len)), " ")
+          .as("chunk_text"),
+        size(slice(col("tok"), col("chunk_start"), lit(len)))
+          .cast("long").as("n_chunk_tokens"))
+  }
+
+  /** Per-domain corpus-share budget enforcement: within each `sourceCol`
+    * group, keep the LONGEST documents while the running token total
+    * stays within `capNum/capDen` of the group's token mass (greedy by
+    * `n_tokens` desc, `idCol` asc). The deterministic budget-capping
+    * twin of [[sampleMixture]]'s probabilistic mixer: mixture rebalancing
+    * states "no domain exceeds X% of the training mix" as an exact
+    * integer predicate `capDen·cum ≤ capNum·total` — no doubles, so the
+    * survivor set is bit-determined on any engine.
+    *
+    * One window shuffle on `sourceCol`. At 100 TB a running sum over an
+    * ordered window is a single pass per group; groups are domains
+    * (thousands), not rows, so no window sees unbounded skew unless one
+    * domain IS the corpus — which is exactly what the cap then cuts.
+    */
+  def shareCap(docs: DataFrame, idCol: String, sourceCol: String,
+               textCol: String, capNum: Int, capDen: Int): DataFrame = {
+    require(capNum >= 1 && capDen >= capNum,
+      s"cap $capNum/$capDen outside (0, 1]")
+    val wOrd = Window.partitionBy(sourceCol)
+      .orderBy(col("n_tokens").desc, col(idCol))
+    val wAll = Window.partitionBy(sourceCol)
+    docs
+      .select(col(idCol), col(sourceCol),
+        TextStats.tokenCount(col(textCol)).as("n_tokens"))
+      .withColumn("cum_tokens", sum("n_tokens").over(wOrd))
+      .withColumn("tot_tokens", sum("n_tokens").over(wAll))
+      .filter(col("cum_tokens") * capDen <= col("tot_tokens") * capNum)
+      .select(col(idCol), col(sourceCol), col("n_tokens"),
+        col("cum_tokens"))
+  }
+
   // ── PII scrubbing ───────────────────────────────────────────────────
   // Patterns deliberately restricted to syntax valid AND equivalent in
   // both Java regex (Spark) and RE2 (DuckDB/Go tooling): character

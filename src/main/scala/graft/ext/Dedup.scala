@@ -473,4 +473,62 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** Duplicated-span statistics — the exact-substring-dedup measurement
+    * of "Deduplicating Training Data Makes Language Models Better" (Lee
+    * et al. 2022): for each document, the fraction of its k-token spans
+    * that also occur in ANOTHER document. Output per doc: `n_spans`,
+    * `n_dup_spans`, `dup_frac`.
+    *
+    * Shape: explode spans → groupBy(span) countDistinct(doc) → join back
+    * on span → per-doc fold. Two shuffles on the span key, both
+    * partial-aggregated map-side; never all-pairs — the span table is
+    * the big side and stays distributed (no broadcast, no collect), so
+    * the plan is the one you would run at 100 TB. Lee et al. build a
+    * suffix array for arbitrary-length matches; fixed-k spans give the
+    * same containment signal as a pure relational pipeline.
+    */
+  def duplicatedSpanStats(docs: DataFrame, idCol: String, textCol: String,
+                          k: Int): DataFrame = {
+    val spans = docs.select(col(idCol),
+      explode(graft.functions.NativeExprs.wordShingles(
+        TextStats.tokens(col(textCol)), k, distinct = false)).as("sh"))
+    val ndocs = spans.groupBy("sh")
+      .agg(countDistinct(idCol).as("ndocs"))
+    spans.join(ndocs, "sh")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+      .withColumn("dup_frac",
+        col("n_dup_spans").cast("double") / col("n_spans").cast("double"))
+  }
+
+  /** Blocked fuzzy self-join (entity resolution / near-match pairs):
+    * candidate pairs only WITHIN equal `blockCols` blocks, scored by
+    * Levenshtein edit distance over a fixed `prefixLen`-char prefix,
+    * kept when ≤ `maxDist`. Output: `doc_a`, `doc_b` (ids, a < b),
+    * `dist`.
+    *
+    * Blocking is the classic step that turns an O(n²) fuzzy join into
+    * per-block quadratic work bounded by the largest block: the block
+    * key becomes the shuffle key and no executor ever sees the cross
+    * product. The prefix cap bounds the DP cost per comparison
+    * (len²·pairs is the real budget at scale, not the shuffle).
+    */
+  def fuzzyBlockedPairs(docs: DataFrame, idCol: String,
+                        blockCols: Seq[String], textCol: String,
+                        prefixLen: Int, maxDist: Int): DataFrame = {
+    require(blockCols.nonEmpty,
+      "fuzzyBlockedPairs without block columns is the all-pairs cross " +
+        "product — refuse loudly rather than run it by accident")
+    val d = docs.select((col(idCol) +: blockCols.map(col)) :+
+      substring(col(textCol), 1, prefixLen).as("pfx"): _*)
+    val cond = blockCols
+      .map(c => col(s"a.$c") === col(s"b.$c"))
+      .reduce(_ && _) && (col(s"a.$idCol") < col(s"b.$idCol"))
+    d.as("a").join(d.as("b"), cond)
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
+        levenshtein(col("a.pfx"), col("b.pfx")).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
 }

@@ -9,7 +9,7 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
 /** SQL surface for the native expressions: `graft_dot`,
   * `graft_minhash_signature`, `graft_word_shingles`, `graft_simhash`,
   * `graft_rolling_fingerprint`, `graft_sign_lsh_buckets`,
-  * `graft_zvalue`.
+  * `graft_zvalue`, `graft_normalize_text`.
   *
   * Install on new sessions via
   * `spark.sql.extensions=graft.functions.GraftExtensions` (the canonical
@@ -72,7 +72,11 @@ object GraftFunctions {
       new ExpressionInfo(classOf[NativeExprs.ZInterleaveExpr].getName,
         "graft_zvalue"),
       (args: Seq[Expression]) => NativeExprs.ZInterleaveExpr(args(0),
-        args(1), intArg(args(2), "bits"))))
+        args(1), intArg(args(2), "bits"))),
+    (FunctionIdentifier("graft_normalize_text"),
+      new ExpressionInfo(classOf[NativeExprs.NormalizeTextExpr].getName,
+        "graft_normalize_text"),
+      (args: Seq[Expression]) => NativeExprs.NormalizeTextExpr(args(0))))
 
   /** Register on a live session. */
   def register(spark: SparkSession): Unit =

@@ -816,7 +816,76 @@ object NativeExprs {
         l: Expression, r: Expression): Expression = copy(left = l, right = r)
   }
 
+  /** Text canonicalization in one pass: Unicode NFC, lower-case
+    * (root locale), collapse ASCII-whitespace runs to one space, trim.
+    * The pre-tokenization normalize step of every text pipeline
+    * (reference cleans field text per-row in
+    * `transform_data.py` before load; here it is one codegen'd
+    * expression instead of four chained string ops, so the scan stage
+    * stays fused and the string is traversed once).
+    *
+    * Cross-engine contract: on ASCII input this equals DuckDB's
+    * `trim(regexp_replace(lower(nfc_normalize(s)), '\s+', ' ', 'g'))`
+    * exactly (Java's `\s` and RE2's `\s` are both the ASCII class, and
+    * ASCII lower-casing agrees). Non-ASCII case/normalization edge cases
+    * (locale-free full case mapping vs utf8proc) are pinned by
+    * single-engine specs instead.
+    */
+  case class NormalizeTextExpr(child: Expression)
+      extends UnaryExpression {
+
+    override def dataType: DataType = StringType
+    override def prettyName: String = "graft_normalize_text"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case StringType => TypeCheckResult.TypeCheckSuccess
+        case t => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a string, got ${t.sql}")
+      }
+
+    def evalString(s: UTF8String): UTF8String =
+      nullSafeEval(s).asInstanceOf[UTF8String]
+
+    override def nullSafeEval(input: Any): Any = {
+      val raw = input.asInstanceOf[UTF8String].toString
+      val nfc =
+        if (java.text.Normalizer.isNormalized(raw,
+            java.text.Normalizer.Form.NFC)) raw
+        else java.text.Normalizer.normalize(raw,
+          java.text.Normalizer.Form.NFC)
+      val lower = nfc.toLowerCase(java.util.Locale.ROOT)
+      val sb = new java.lang.StringBuilder(lower.length)
+      var i = 0
+      var pendingSpace = false
+      while (i < lower.length) {
+        val c = lower.charAt(i)
+        val ws = c == ' ' || c == '\t' || c == '\n' || c == '\u000B' ||
+          c == '\f' || c == '\r'
+        if (ws) { if (sb.length > 0) pendingSpace = true }
+        else {
+          if (pendingSpace) { sb.append(' '); pendingSpace = false }
+          sb.append(c)
+        }
+        i += 1
+      }
+      UTF8String.fromString(sb.toString)
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("normExpr", this,
+        classOf[NormalizeTextExpr].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.evalString($c);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   // ── Column wrappers ─────────────────────────────────────────────────
+  def normalizeText(s: Column): Column =
+    ColumnBridge.column(NormalizeTextExpr(ColumnBridge.expression(s)))
+
   def zValue(x: Column, y: Column, bits: Int): Column =
     ColumnBridge.column(
       ZInterleaveExpr(ColumnBridge.expression(x),

@@ -155,4 +155,68 @@ class CurationSpec extends AnyFunSuite {
     assert(got(1) === ((2L, 4L, 4L, 1L, 0.0, 0.25)))
     assert(got(2) === ((3L, 1L, 1L, 1L, 0.0, 1.0)))
   }
+
+  test("chunkTokens: window arithmetic, overlap, tail chunk, and " +
+       "lossless reconstruction from stride-aligned pieces") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 toks
+      (2L, "a b c"),                                  // shorter than len
+      (3L, ""),                                       // no tokens → no rows
+      (4L, "solo"))
+      .toDF("doc_id", "text")
+    val out = Curation.chunkTokens(docs, "doc_id", "text",
+      len = 4, stride = 3)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4)))
+
+    // doc 1: starts 1,4,7,10 → 4 chunks, last is the 1-token tail
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.map(_._3).toSeq === Seq(1L, 4L, 7L, 10L))
+    assert(d1.map(_._5).toSeq === Seq(4L, 4L, 4L, 1L))
+    assert(d1.head._4 === "w1 w2 w3 w4")
+    assert(d1(1)._4 === "w4 w5 w6 w7", "stride 3 < len 4 ⇒ 1-token overlap")
+    // reconstruction: first (stride) tokens of every chunk + the tail
+    // of the last = the original token stream
+    val rebuilt = d1.init.flatMap(_._4.split(" ").take(3)) ++
+      d1.last._4.split(" ")
+    assert(rebuilt.toSeq === (1 to 10).map(i => s"w$i"))
+
+    assert(out.filter(_._1 == 2L).map(c => (c._3, c._4)).toSeq ===
+      Seq((1L, "a b c")))
+    assert(!out.exists(_._1 == 3L), "empty doc yields no chunk rows")
+    assert(out.filter(_._1 == 4L).map(_._4).toSeq === Seq("solo"))
+    // chunk ids are dense from 0 in every doc
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).toSeq === rows.indices.map(_.toLong))
+    }
+  }
+
+  test("shareCap: greedy-by-length survivors, integer cap exact, " +
+       "per-source independence") {
+    // source A: lengths 5,3,2,1 (total 11, cap 1/2 → budget 5.5):
+    //   cum 5 ✓, 8 ✗ ⇒ only the length-5 doc survives
+    // source B: lengths 4,4 (total 8, cap 1/2 → budget 4):
+    //   cum 4 ✓, 8 ✗ ⇒ exactly one survives (boundary is inclusive)
+    def words(n: Int) = (1 to n).map(_ => "w").mkString(" ")
+    val docs = Seq(
+      (1L, "A", words(5)), (2L, "A", words(3)), (3L, "A", words(2)),
+      (4L, "A", words(1)),
+      (10L, "B", words(4)), (11L, "B", words(4)))
+      .toDF("doc_id", "source", "text")
+    val kept = Curation.shareCap(docs, "doc_id", "source", "text",
+      capNum = 1, capDen = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    assert(kept.toSet === Set((1L, "A", 5L), (10L, "B", 4L)),
+      "ties break by id asc; boundary 2·cum = total is kept")
+
+    // cap 1/1 keeps everything
+    val all = Curation.shareCap(docs, "doc_id", "source", "text", 1, 1)
+      .count()
+    assert(all === 6L)
+
+    intercept[IllegalArgumentException] {
+      Curation.shareCap(docs, "doc_id", "source", "text", 3, 2)
+    }
+  }
 }

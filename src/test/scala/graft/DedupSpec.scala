@@ -240,4 +240,59 @@ class DedupSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(all === Set(10L, 11L, 12L))
   }
+
+  test("duplicatedSpanStats: verbatim copies score 1.0, unique docs 0.0, " +
+       "partial overlap counts exactly the shared spans") {
+    val docs = Seq(
+      (1L, "a b c d e f"),          // copied verbatim as doc 2
+      (2L, "a b c d e f"),
+      (3L, "q r s t u v w"),        // entirely unique
+      (4L, "x y a b c d z"))        // shares exactly span "a b c d" w/ 1,2
+      .toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpanStats(docs, "doc_id", "text", k = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // 6 tokens, k=4 → 3 spans each for docs 1/2; all shared
+    assert(out(1L) === ((3L, 3L, 1.0)))
+    assert(out(2L) === ((3L, 3L, 1.0)))
+    assert(out(3L) === ((4L, 0L, 0.0)))
+    // doc 4: spans xyab/yabc/abcd/bcdz — only "a b c d" appears elsewhere
+    assert(out(4L) === ((4L, 1L, 0.25)))
+  }
+
+  test("duplicatedSpanStats: short docs (≤ k tokens) collapse to one " +
+       "whole-doc span") {
+    val docs = Seq((1L, "tiny doc"), (2L, "tiny doc"), (3L, "other one"))
+      .toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpanStats(docs, "doc_id", "text", k = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out(1L) === ((1L, 1L)) && out(2L) === ((1L, 1L)))
+    assert(out(3L) === ((1L, 0L)))
+  }
+
+  test("fuzzyBlockedPairs: no cross-block pairs, exact distances, " +
+       "threshold inclusive, a<b canonical order") {
+    val docs = Seq(
+      (1L, "s1", "en", "kitten sat on the mat"),
+      (2L, "s1", "en", "sitten sat on the mat"),   // dist 1 from doc 1
+      (3L, "s1", "de", "kitten sat on the mat"),   // other block: no pair
+      (4L, "s2", "en", "kitten sat on the mat"),   // other block: no pair
+      (5L, "s1", "en", "totally different words"))
+      .toDF("doc_id", "source", "lang", "text")
+    val out = Dedup.fuzzyBlockedPairs(docs, "doc_id",
+      Seq("source", "lang"), "text", prefixLen = 40, maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1L, 2L, 1L)))
+
+    // raising the threshold admits in-block pairs only, never 3 or 4
+    val wide = Dedup.fuzzyBlockedPairs(docs, "doc_id",
+      Seq("source", "lang"), "text", prefixLen = 40, maxDist = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wide === Set((1L, 2L), (1L, 5L), (2L, 5L)))
+
+    intercept[IllegalArgumentException] {
+      Dedup.fuzzyBlockedPairs(docs, "doc_id", Seq.empty, "text", 40, 1)
+    }
+  }
 }

@@ -155,4 +155,54 @@ class NativeExprsSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq
     assert(sql === got)
   }
+
+  test("NormalizeTextExpr: NFC + casefold + whitespace collapse; " +
+      "codegen ≡ interpreted; SQL surface") {
+    val cases = Seq(
+      // (input, expected) — expected = reference chain in plain Java
+      "  Hello\t\tWorld  "        -> "hello world",
+      "A\nB\rC\u000BD\fE"         -> "a b c d e",
+      ""                          -> "",
+      " \t\n "                    -> "",
+      "already normal"            -> "already normal",
+      // e + COMBINING ACUTE (U+0301) must compose to é (NFC)
+      "Café"           -> "café",
+      "ÉCOLE Straße"              -> "école straße",
+      "xin CHÀO  thế giới"        -> "xin chào thế giới")
+    val df = cases.map(_._1).toDF("text")
+    val got = df.select(NativeExprs.normalizeText(col("text")).as("n"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got === cases.map(_._2))
+
+    // reference semantics: the four-step chain the expression fuses
+    val ref = cases.map { case (in, _) =>
+      java.text.Normalizer
+        .normalize(in, java.text.Normalizer.Form.NFC)
+        .toLowerCase(java.util.Locale.ROOT)
+        .replaceAll("[ \\t\\n\\u000B\\f\\r]+", " ").trim
+    }
+    assert(got === ref)
+
+    val conf = "spark.sql.codegen.wholeStage"
+    val prev = spark.conf.get(conf)
+    try {
+      spark.conf.set(conf, "false")
+      val interp = df.select(NativeExprs.normalizeText(col("text")))
+        .collect().map(_.getString(0)).toSeq
+      assert(interp === got)
+    } finally spark.conf.set(conf, prev)
+
+    graft.functions.GraftFunctions.register(spark)
+    df.createOrReplaceTempView("normdocs")
+    val sql = spark
+      .sql("SELECT graft_normalize_text(text) AS n FROM normdocs")
+      .collect().map(_.getString(0)).toSeq
+    assert(sql === got)
+
+    // null in → null out
+    val nulls = Seq[Option[String]](None, Some("X")).toDF("text")
+    val nOut = nulls.select(NativeExprs.normalizeText(col("text")))
+      .collect()
+    assert(nOut(0).isNullAt(0) && nOut(1).getString(0) == "x")
+  }
 }

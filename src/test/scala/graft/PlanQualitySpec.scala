@@ -192,4 +192,35 @@ class PlanQualitySpec extends AnyFunSuite {
         s"$q decode path must not join")
     }
   }
+
+  test("q101 chunking generates windows map-side: no join anywhere") {
+    val p = plan("q101_chunking")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      "chunk starts must come from explode(sequence), not a join")
+    assert(p.contains("Generate"), "expected the explode generator")
+  }
+
+  test("q102 normalize runs the native expression inside codegen") {
+    val p = plan("q102_normalize_text")
+    assert(p.contains("graft_normalize_text"),
+      "expected the native expression, not a chain of string ops")
+    assert(!p.contains("Join"))
+  }
+
+  test("q103 span dedup joins on the span key only — no broadcast of " +
+       "the span table, no cartesian") {
+    val p = plan("q103_span_dedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("hashpartitioning(sh"),
+      "the span key must be the shuffle key")
+  }
+
+  test("q105 fuzzy join is an equi-join on the block key, never a " +
+       "nested loop; the id inequality rides as a join residual") {
+    val p = plan("q105_fuzzy_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "blocked fuzzy join must hash/sort-merge on (source, lang)")
+  }
 }
