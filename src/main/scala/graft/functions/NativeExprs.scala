@@ -798,15 +798,29 @@ object NativeExprs {
       z
     }
 
+    // NOTE: the cast is hoisted into locals and each shift operand is a
+    // bare variable. Janino mis-parses a parenthesized expression that
+    // begins with a cast when a shift follows (`((long) x >> i) << j` →
+    // "not a type") and Spark then silently falls back to interpreted
+    // eval for the whole stage — the spec force-compiles this codegen to
+    // keep that regression loud.
     override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (xc, yc) => {
         val z = ctx.freshName("z")
         val i = ctx.freshName("i")
+        val xl = ctx.freshName("xl")
+        val yl = ctx.freshName("yl")
+        val xb = ctx.freshName("xb")
+        val yb = ctx.freshName("yb")
         s"""
         long $z = 0L;
+        long $xl = (long) $xc;
+        long $yl = (long) $yc;
         for (int $i = 0; $i < $bits; $i++) {
-          $z |= ((((long) $xc >> $i) & 1L) << (2 * $i))
-              | ((((long) $yc >> $i) & 1L) << (2 * $i + 1));
+          long $xb = ($xl >> $i) & 1L;
+          long $yb = ($yl >> $i) & 1L;
+          $z |= $xb << (2 * $i);
+          $z |= $yb << (2 * $i + 1);
         }
         ${ev.value} = $z;
         """

@@ -154,6 +154,22 @@ class NativeExprsSpec extends AnyFunSuite {
     val sql = spark.sql("SELECT graft_zvalue(x, y, 16) AS z FROM zpairs")
       .collect().map(_.getLong(0)).toSeq
     assert(sql === got)
+
+    // Force-compile the generated code. Spark swallows janino compile
+    // errors and falls back to interpreted eval, so the wholeStage
+    // toggle above cannot distinguish "codegen works" from "codegen
+    // broken but fallback correct" — this call throws on a janino error.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.types.LongType
+    val bound = NativeExprs.ZInterleaveExpr(
+      BoundReference(0, LongType, nullable = false),
+      BoundReference(1, LongType, nullable = false), 16)
+    val proj = GenerateUnsafeProjection.generate(Seq(bound))
+    pairs.foreach { case (x, y) =>
+      assert(proj(InternalRow(x, y)).getLong(0) === ref(x, y, 16))
+    }
   }
 
   test("NormalizeTextExpr: NFC + casefold + whitespace collapse; " +
