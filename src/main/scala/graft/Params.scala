@@ -67,4 +67,23 @@ object Params {
     * max accepted edit distance. */
   val fuzzyPrefix = 40
   val fuzzyMaxDist = 30
+  /** Prefix-filtered set-similarity join (q106): Jaccard threshold as a
+    * RATIONAL tNum/tDen (= [[jaccardMin]], so q106 states q28's exact
+    * contract under the prefix-filtered plan) — required overlaps and
+    * prefix lengths stay integer-exact and the keep predicate
+    * `shared·tDen ≥ tNum·(na + nb − shared)` never touches floating
+    * point. */
+  val ppjTNum = 1
+  val ppjTDen = 2
+  /** Robust outliers (q107): MAD multiplier (|v − med| > k·MAD). */
+  val madK = 3
+  /** TextRank (q108): vocabulary cap, damping as a rational, iteration
+    * count, and the fixed-point scale (ranks held in integer units of
+    * 10^-8 — floor division is bit-exact on every engine; decimal
+    * HALF_UP vs half-even rounding ties are not). */
+  val trVocab = 40
+  val trDampNum = 17
+  val trDampDen = 20
+  val trIters = 3
+  val trScale = 100000000L
 }

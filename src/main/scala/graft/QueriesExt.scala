@@ -2459,5 +2459,135 @@ object QueriesExt {
         WHERE levenshtein(substr(a.text, 1, $fuzzyPrefix),
           substr(b.text, 1, $fuzzyPrefix)) <= $fuzzyMaxDist
         ORDER BY doc_a, doc_b""")),
+
+    // ── Prefix-filtered exact set-similarity join (PPJoin family) ──────
+    // q28's exact contract (shingle-set Jaccard ≥ ½, all qualifying
+    // pairs) under the Bayardo et al. WWW'07 plan: each doc joins only
+    // on its first n−ceil(t·n)+1 shingles in global df order, so the
+    // corpus's most common shingle — the hot key that melts q28's
+    // every-shingle index at 100 TB — is never a join key. The oracle
+    // states the SEMANTICS (all pairs, exact threshold); the prefix
+    // filter is provably lossless and the gate proves it on real data.
+    // Rational threshold ⇒ all size/overlap tests are integer-exact;
+    // the only double is the reported jaccard (one division).
+    QueryDef("q106_ppjoin",
+      (s, dir) => Dedup.prefixFilterJaccardPairs(
+          tPar(s, dir, "documents"), "doc_id", "text", shingleK,
+          ppjTNum, ppjTDen)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH sh AS (SELECT doc_id, unnest(list_distinct(
+            ${dShingles(dTok, shingleK)})) AS tok FROM documents),
+          sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+          p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              COUNT(*) AS shared
+            FROM sh a JOIN sh b USING (tok)
+            WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        SELECT id_a, id_b, CAST(shared AS DOUBLE)
+            / CAST(x.n + y.n - shared AS DOUBLE) AS jaccard
+        FROM p JOIN sz x ON p.id_a = x.doc_id
+          JOIN sz y ON p.id_b = y.doc_id
+        WHERE shared * $ppjTDen >= $ppjTNum * (x.n + y.n - shared)
+        ORDER BY id_a, id_b""")),
+
+    // ── Robust outliers: median / MAD, rank-exact on both engines ──────
+    // The robust twin of q78's z-scores: median and median-absolute-
+    // deviation flag outliers without the mean's sensitivity to the very
+    // outliers being hunted. Medians are DISCRETE (the value at rank
+    // ⌈n/2⌉ in sort order) — an actual data value, zero interpolation
+    // arithmetic — so both engines agree bit-for-bit by construction;
+    // |v−med| and k·MAD are single correctly-rounded IEEE ops. Shape:
+    // two rank windows per event_type + two broadcast joins of 5-row
+    // aggregates; the events table is scanned, never self-joined.
+    QueryDef("q107_mad_outliers",
+      (s, dir) => {
+        val ev = t(s, dir, "events").select("event_type", "value")
+        val wAll = Window.partitionBy("event_type")
+        def discMedian(df: DataFrame, c: String, as: String) = df
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("event_type").orderBy(c)))
+          .withColumn("nn", count(lit(1)).over(wAll))
+          .filter(col("rn") === expr("(nn + 1) div 2"))
+          .select(col("event_type"), col(c).as(as))
+        val med = discMedian(ev, "value", "med")
+        val ad = ev.join(broadcast(med), "event_type")
+          .withColumn("ad", abs(col("value") - col("med")))
+        val mad = discMedian(ad.select(col("event_type"), col("ad")),
+          "ad", "mad")
+        ad.join(broadcast(mad), "event_type")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            max("med").as("med"), max("mad").as("mad"),
+            count(when(col("mad") > 0.0 &&
+              col("ad") > lit(madK) * col("mad"), 1)).as("n_outliers"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH e AS (SELECT event_type, value FROM events),
+          r1 AS (SELECT event_type, value,
+            row_number() OVER (PARTITION BY event_type ORDER BY value)
+              AS rn,
+            COUNT(*) OVER (PARTITION BY event_type) AS nn FROM e),
+          med AS (SELECT event_type, value AS med FROM r1
+            WHERE rn = (nn + 1) // 2),
+          ad AS (SELECT e.event_type, abs(e.value - med.med) AS ad,
+            med.med FROM e JOIN med USING (event_type)),
+          r2 AS (SELECT event_type, ad,
+            row_number() OVER (PARTITION BY event_type ORDER BY ad) AS rn,
+            COUNT(*) OVER (PARTITION BY event_type) AS nn FROM ad),
+          mad AS (SELECT event_type, ad AS mad FROM r2
+            WHERE rn = (nn + 1) // 2)
+        SELECT ad.event_type, COUNT(*) AS n_events, MAX(ad.med) AS med,
+          MAX(mad.mad) AS mad,
+          COUNT(CASE WHEN mad.mad > 0.0 AND ad.ad > $madK * mad.mad
+            THEN 1 END) AS n_outliers
+        FROM ad JOIN mad USING (event_type)
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ── TextRank keywords: fixed-point PageRank on co-occurrence ───────
+    // Graph centrality joins the engine (complementing q45's connected
+    // components): weighted PageRank over the vocab-capped token
+    // co-occurrence graph — the TextRank keyword extractor. Every rank
+    // update is integer multiply + floor division (units of 1e-8), so
+    // three iterations land bit-identically on both engines; the oracle
+    // unrolls the same three steps as CTEs with `//`. See
+    // Search.textRank for the damping/teleport integer forms.
+    QueryDef("q108_textrank",
+      (s, dir) => graft.ext.Search.textRank(tPar(s, dir, "documents"),
+        "doc_id", "text", trVocab, trDampNum, trDampDen, trIters, trScale),
+      Some {
+        val tele = s"(${trDampDen - trDampNum} * $trScale) " +
+          s"// (${trDampDen} * n_nodes)"
+        // DuckDB SUM(BIGINT) widens to HUGEINT → CAST back so the gate
+        // compares integers to integers
+        def step(prev: String) =
+          s"""SELECT v.token,
+              CAST($tele + ($trDampNum * COALESCE(q.s, 0))
+                // $trDampDen AS BIGINT) AS r
+            FROM v CROSS JOIN n LEFT JOIN
+              (SELECT e.dst, CAST(SUM((p.r * e.c) // w.w) AS BIGINT) AS s
+               FROM e JOIN $prev p ON e.src = p.token
+                 JOIN w ON e.src = w.src
+               GROUP BY e.dst) q ON v.token = q.dst"""
+        s"""WITH dt AS (SELECT DISTINCT doc_id, tok AS token
+            FROM (SELECT doc_id, unnest($dTok) AS tok FROM documents)),
+          v AS (SELECT token FROM (SELECT token, COUNT(*) AS df FROM dt
+            GROUP BY 1 ORDER BY df DESC, token LIMIT $trVocab)),
+          vt AS (SELECT dt.doc_id, dt.token FROM dt JOIN v USING (token)),
+          h AS (SELECT a.token AS src, b.token AS dst, COUNT(*) AS c
+            FROM vt a JOIN vt b
+              ON a.doc_id = b.doc_id AND a.token < b.token
+            GROUP BY 1, 2),
+          e AS (SELECT src, dst, c FROM h
+            UNION ALL SELECT dst, src, c FROM h),
+          w AS (SELECT src, SUM(c) AS w FROM e GROUP BY 1),
+          n AS (SELECT COUNT(*) AS n_nodes FROM v),
+          r0 AS (SELECT token, CAST($trScale // n_nodes AS BIGINT) AS r
+            FROM v CROSS JOIN n),
+          r1 AS (${step("r0")}),
+          r2 AS (${step("r1")}),
+          r3 AS (${step("r2")})
+        SELECT token, CAST(r AS BIGINT) AS rank_units,
+          CAST(r AS DOUBLE) / $trScale AS rank
+        FROM r3 ORDER BY rank_units DESC, token"""
+      }),
   )
 }

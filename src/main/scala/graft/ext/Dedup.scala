@@ -531,4 +531,75 @@ object Dedup {
         levenshtein(col("a.pfx"), col("b.pfx")).cast("long").as("dist"))
       .filter(col("dist") <= maxDist)
   }
+
+  /** Prefix-filtered exact set-similarity join (the PPJoin-family
+    * candidate strategy of Bayardo et al., "Scaling Up All Pairs
+    * Similarity Search", WWW'07): all document pairs whose k-shingle-set
+    * Jaccard is ≥ `tNum/tDen` — the SAME contract as
+    * [[ngramJaccardPairs]], under a plan that generates candidates only
+    * where the documents' RARE-SHINGLE PREFIXES intersect, not where any
+    * shingle matches.
+    *
+    * Each doc's distinct shingles are ranked by global document
+    * frequency ascending (ties by shingle); a doc of size n keeps only
+    * its first `n − ceil(t·n) + 1` shingles as join keys. Pigeonhole: a
+    * pair with Jaccard ≥ t has overlap ≥ ceil(t·n) on each side, and the
+    * smallest shared shingle (in the global order) provably lands inside
+    * BOTH prefixes — so the equi-join on prefix shingles loses nothing,
+    * while joining on frequent shingles (the hot key at scale: every doc
+    * shares the corpus's most common n-gram) never happens. A rational
+    * threshold keeps every overlap / prefix / keep computation in
+    * integer arithmetic: the in-prefix test is `tNum·n ≤ tDen·(n−rk+1)`,
+    * keep iff `shared·tDen ≥ tNum·(na + nb − shared)`.
+    *
+    * Shape at 100 TB: df aggregation + rank window + prefix self-join +
+    * verify join — every stage keyed on shingle or doc id, no all-pairs,
+    * and the size filter `t·na ≤ nb ∧ t·nb ≤ na` prunes candidates
+    * before verification.
+    */
+  def prefixFilterJaccardPairs(docs: DataFrame, idCol: String,
+                               textCol: String, shingleK: Int, tNum: Int,
+                               tDen: Int): DataFrame = {
+    require(tNum >= 1 && tNum <= tDen,
+      s"threshold $tNum/$tDen outside (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val sh = docs
+      .select(col(idCol),
+        explode(graft.functions.NativeExprs.wordShingles(
+          TextStats.tokens(col(textCol)), shingleK, distinct = true))
+          .as("tok"))
+    val sz = sh.groupBy(idCol).agg(count(lit(1)).as("n"))
+    val dfreq = sh.groupBy("tok").agg(count(lit(1)).as("df"))
+    // in-prefix test: rk ≤ n − ceil(t·n) + 1  ⟺  t·n ≤ n − rk + 1
+    // ⟺  tNum·n ≤ tDen·(n − rk + 1) — no division anywhere
+    val ranked = sh.join(dfreq, "tok")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(idCol).orderBy(col("df"), col("tok"))))
+      .join(sz, idCol)
+      .filter(lit(tNum) * col("n") <=
+        lit(tDen) * (col("n") - col("rk") + 1))
+      .select(col(idCol), col("tok"), col("n"))
+    val cand = ranked.as("a").join(ranked.as("b"),
+        col("a.tok") === col("b.tok") &&
+          col(s"a.$idCol") < col(s"b.$idCol") &&
+          // size filter: J ≥ t ⇒ min(na,nb) ≥ t·max(na,nb)
+          lit(tNum) * col("a.n") <= lit(tDen) * col("b.n") &&
+          lit(tNum) * col("b.n") <= lit(tDen) * col("a.n"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    val shared = cand
+      .join(sh.as("x"), col("id_a") === col(s"x.$idCol"))
+      .join(sh.as("y"), col("id_b") === col(s"y.$idCol") &&
+        col("x.tok") === col("y.tok"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+    shared
+      .join(sz.as("sa"), col("id_a") === col(s"sa.$idCol"))
+      .join(sz.as("sb"), col("id_b") === col(s"sb.$idCol"))
+      .filter(col("shared") * tDen >=
+        lit(tNum) * (col("sa.n") + col("sb.n") - col("shared")))
+      .select(col("id_a"), col("id_b"),
+        (col("shared").cast("double") /
+          (col("sa.n") + col("sb.n") - col("shared")).cast("double"))
+          .as("jaccard"))
+  }
 }

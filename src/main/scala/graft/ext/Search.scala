@@ -58,4 +58,74 @@ object Search {
       .agg(count(lit(1)).as("n_terms"), Parity.dsum(col("tscore")).as("score"))
       .orderBy(desc("score"), col("doc_id")).limit(topN)
   }
+
+  /** TextRank keyword scoring (Mihalcea & Tarau, EMNLP 2004): weighted
+    * PageRank over the token co-occurrence graph, restricted to the top
+    * `vocab` tokens by document frequency. Edge (u, v) carries the
+    * number of documents containing both tokens; rank flows along edges
+    * proportionally to co-occurrence weight, with rational damping
+    * `dampNum/dampDen`.
+    *
+    * Determinism contract: ranks are FIXED-POINT integers (units of
+    * 1/scale); every update is integer multiply + floor division —
+    * per-edge `(r·c) div W(u)`, damping `(dampNum·Σ) div dampDen`,
+    * teleport `((dampDen−dampNum)·scale) div (dampDen·N)` — so
+    * iteration k's rank vector is bit-identical on any engine. Floats
+    * would need pow/ln-free care; decimals hit HALF_UP-vs-half-even
+    * rounding ties; integer floor has neither failure mode. The < 1/scale
+    * mass floored away per term is the standard fixed-point trade.
+    *
+    * Scale shape: the vocab cap makes nodes/edges broadcast-small by
+    * construction while the corpus passes (tokenize, df count, postings
+    * join) stay distributed; each iteration is one broadcast join + one
+    * groupBy over the bounded edge table, so iterations never reshuffle
+    * the corpus. Nothing is collected to the driver.
+    */
+  def textRank(docs: DataFrame, idCol: String, textCol: String,
+               vocab: Int, dampNum: Int, dampDen: Int, iters: Int,
+               scale: Long): DataFrame = {
+    require(dampNum >= 0 && dampNum <= dampDen, s"damping $dampNum/$dampDen")
+    require(iters >= 1, s"iters $iters")
+    val dt = docs.select(col(idCol).as("doc_id"),
+      explode(TextStats.tokens(col(textCol))).as("token")).distinct()
+    // vocab is bounded by construction (`limit vocab`): localCheckpoint
+    // cuts its corpus lineage so nothing downstream re-derives it —
+    // without this, every unrolled iteration would re-tokenize the
+    // corpus (the q45 label-propagation lesson; measured: 56 scans and
+    // 113 shuffles in the 3-iteration plan vs 2 corpus passes after).
+    val v = dt.groupBy("token").agg(count(lit(1)).as("df"))
+      .orderBy(desc("df"), col("token")).limit(vocab)
+      .select("token").localCheckpoint()
+    val vt = dt.join(broadcast(v), "token")
+    val half = vt.select(col("doc_id"), col("token").as("src"))
+      .join(vt.select(col("doc_id"), col("token").as("dst")), Seq("doc_id"))
+      .filter(col("src") < col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("c"))
+    val edges = half.union(
+      half.select(col("dst").as("src"), col("src").as("dst"), col("c")))
+    // edge table is ≤ vocab² rows — checkpoint it too: this is the LAST
+    // corpus pass; the rank loop below never touches the input again
+    val ew = edges.join(edges.groupBy("src").agg(sum("c").as("w")), "src")
+      .localCheckpoint()
+    val vN = v.crossJoin(broadcast(v.agg(count(lit(1)).as("n_nodes"))))
+      .localCheckpoint()
+    var r = vN.select(col("token"), expr(s"${scale}L div n_nodes").as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = ew
+        .join(broadcast(r.withColumnRenamed("token", "src")), "src")
+        .select(col("dst"), expr("(r * c) div w").as("contrib"))
+        .groupBy("dst").agg(sum("contrib").as("s"))
+      r = vN
+        .join(broadcast(contrib.withColumnRenamed("dst", "token")),
+          Seq("token"), "left")
+        .select(col("token"),
+          (expr(s"(${dampDen - dampNum}L * ${scale}L) div " +
+             s"(${dampDen}L * n_nodes)") +
+           expr(s"(${dampNum}L * coalesce(s, 0L)) div ${dampDen}L"))
+            .as("r"))
+    }
+    r.select(col("token"), col("r").as("rank_units"),
+      (col("r").cast("double") / lit(scale.toDouble)).as("rank"))
+      .orderBy(desc("rank_units"), col("token"))
+  }
 }

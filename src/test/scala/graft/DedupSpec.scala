@@ -295,4 +295,39 @@ class DedupSpec extends AnyFunSuite {
       Dedup.fuzzyBlockedPairs(docs, "doc_id", Seq.empty, "text", 40, 1)
     }
   }
+
+  test("prefixFilterJaccardPairs ≡ ngramJaccardPairs on adversarial " +
+       "docs — the prefix filter is lossless, incl. the exact t=1/2 " +
+       "boundary, identical docs, whole-doc shingles, and empty docs") {
+    val docs = Seq(
+      (1L, "p q r s"),   // shingles(k=2): {p q, q r, r s}
+      (2L, "p q r t"),   // shares 2 of 4 distinct → jaccard exactly 1/2
+      (3L, "p q x y"),   // shares only {p q} → 1/5, filtered out
+      (4L, "p q r s"),   // verbatim copy of 1 → 1.0
+      (5L, "zz ww"),     // ≤ k tokens → one whole-doc shingle, unique
+      (6L, ""), (7L, "")) // empty docs → single empty shingle → pair
+      .toDF("doc_id", "text")
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(p => (p._1, p._2)).toSeq
+    val pref = norm(Dedup.prefixFilterJaccardPairs(docs, "doc_id", "text",
+      shingleK = 2, tNum = 1, tDen = 2))
+    val full = norm(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 2, 0.5))
+    assert(pref === full, "prefix-filtered result must equal all-pairs")
+    assert(pref === Seq((1L, 2L, 0.5), (1L, 4L, 1.0), (2L, 4L, 0.5),
+      (6L, 7L, 1.0)))
+  }
+
+  test("prefixFilterJaccardPairs ≡ ngramJaccardPairs on the real corpus") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e12))).sortBy(p => (p._1, p._2)).toSeq
+    val pref = key(Dedup.prefixFilterJaccardPairs(docs, "doc_id", "text",
+      Params.shingleK, Params.ppjTNum, Params.ppjTDen))
+    val full = key(Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      Params.shingleK, Params.jaccardMin))
+    assert(pref === full)
+    assert(pref.nonEmpty, "corpus must exercise the join")
+  }
 }

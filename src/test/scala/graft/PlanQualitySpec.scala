@@ -223,4 +223,28 @@ class PlanQualitySpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"),
       "blocked fuzzy join must hash/sort-merge on (source, lang)")
   }
+
+  test("q106 ppjoin: every join is keyed (shingle or doc id) — no " +
+       "cartesian, no nested loop anywhere in the prefix-filtered plan") {
+    val p = plan("q106_ppjoin")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "prefix filter exists to avoid unkeyed joins; the plan must show it")
+  }
+
+  test("q107 MAD: the 5-row median/MAD tables broadcast back onto " +
+       "events; the events table is never self-joined") {
+    val p = plan("q107_mad_outliers")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      "med and mad must join back as broadcasts")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q108 textrank: rank iterations join the bounded edge table by " +
+       "broadcast; the corpus is never cartesian-joined") {
+    val p = plan("q108_textrank")
+    assert(!p.contains("CartesianProduct"))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3,
+      "vocab gate + per-iteration rank joins must broadcast")
+  }
 }

@@ -41,4 +41,33 @@ class RetrievalSpec extends AnyFunSuite {
       "BM25 scores must be positive for matching docs")
     assert(out.count() > 0)
   }
+
+  test("textRank: hub outranks leaves, an isolated node holds exactly " +
+       "the teleport mass, total mass is bounded by the scale, and the " +
+       "fixed-point ranks are bit-deterministic across materializations") {
+    val spark2 = spark
+    import spark2.implicits._
+    // hub co-occurs with every leaf; leaves only with the hub; iso is in
+    // the vocabulary but shares no document with any other token
+    val docs = Seq((1L, "hub leaf1"), (2L, "hub leaf2"), (3L, "hub leaf3"),
+      (4L, "iso")).toDF("doc_id", "text")
+    def run() = Search.textRank(docs, "doc_id", "text", vocab = 10,
+      dampNum = 17, dampDen = 20, iters = 3, scale = 100000000L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val ranks = run().toMap
+    assert(ranks.size === 5)
+    // dangling node: no in-edges, so every iteration lands on the bare
+    // teleport term (3 · 1e8) div (20 · 5)
+    assert(ranks("iso") === 3000000L)
+    assert(ranks("hub") > ranks("leaf1"))
+    assert(ranks("leaf1") === ranks("leaf2"),
+      "symmetric leaves must tie exactly")
+    assert(ranks("leaf1") === ranks("leaf3"))
+    assert(ranks("leaf1") > ranks("iso"),
+      "connected nodes accumulate above the teleport floor")
+    val total = ranks.values.sum
+    assert(total <= 100000000L, "fixed-point floor can only LOSE mass")
+    assert(total > 50000000L)
+    assert(run().toMap === ranks, "integer ranks must be bit-stable")
+  }
 }
