@@ -86,4 +86,14 @@ object Params {
   val trDampDen = 20
   val trIters = 3
   val trScale = 100000000L
+  /** Video frame-sampling (q109): mono Y4M frame geometry, frame count,
+    * and sampling stride (keep frames 0, n, 2n, …). */
+  val vidW = 16
+  val vidH = 16
+  val vidFrames = 6
+  val vidEvery = 2
+  /** BFS hop distances (q110): relaxation iterations over the same
+    * [[trVocab]]-capped co-occurrence graph as TextRank; nodes farther
+    * than this many hops report null (unreached). */
+  val bfsIters = 3
 }

@@ -2589,5 +2589,119 @@ object QueriesExt {
           CAST(r AS DOUBLE) / $trScale AS rank
         FROM r3 ORDER BY rank_units DESC, token"""
       }),
+
+    // ── Video frame sampling: REAL Y4M container, exact luma oracle ────
+    // The video leg of the multimodal suite: documents → mono YUV4MPEG2
+    // streams (frame f's pixel i = text byte (f·w·h+i) mod len — the
+    // image tables' cycling with a per-frame offset), then the
+    // frame-sample stage keeps every vidEvery-th frame and features it.
+    // Deterministic payloads ⇒ the oracle reproduces each SAMPLED
+    // frame's mean luma straight from the text (integer sum, one exact
+    // division by the power-of-two plane size). Same ASCII-corpus
+    // caveat as q61/q68.
+    QueryDef("q109_video_frames",
+      (s, dir) => {
+        val media = Multimodal.asY4mMediaTable(tPar(s, dir, "documents"),
+          "doc_id", "text", vidW, vidH, vidFrames)
+        Multimodal.sampleFrames(media, vidEvery)
+          .orderBy("media_id", "frame_idx")
+      },
+      Some {
+        val plane = vidW * vidH
+        val sampled = (0 until vidFrames by vidEvery)
+          .mkString("[", ", ", "]")
+        s"""SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx,
+          CAST($vidW AS INT) AS width, CAST($vidH AS INT) AS height,
+          CASE WHEN strlen(text) = 0 THEN 0.0 ELSE
+            CAST(list_sum(list_transform(range(0, $plane),
+              i -> ascii(substr(text,
+                CAST((f * $plane + i) % strlen(text) AS INT) + 1, 1))))
+            AS DOUBLE) / $plane.0 END AS mean_y
+        FROM documents CROSS JOIN (SELECT unnest($sampled) AS f)
+        ORDER BY media_id, frame_idx"""
+      }),
+
+    // ── BFS hop distances on the co-occurrence graph ───────────────────
+    // Third graph primitive (components q45, centrality q108, now
+    // single-source distances): integer min-plus relaxation from the
+    // highest-df token, unrolled bfsIters times — exact hops within the
+    // horizon, null beyond. Pure integer arithmetic; the oracle unrolls
+    // the same steps with a 999999 sentinel for +∞.
+    QueryDef("q110_bfs_hops",
+      (s, dir) => graft.ext.Search.bfsHops(tPar(s, dir, "documents"),
+        "doc_id", "text", trVocab, bfsIters),
+      Some {
+        def step(prev: String) =
+          s"""SELECT p.token,
+              LEAST(p.d, COALESCE(q.m + 1, 999999)) AS d
+            FROM $prev p LEFT JOIN
+              (SELECT e.dst, MIN(p2.d) AS m FROM e
+               JOIN $prev p2 ON e.src = p2.token GROUP BY e.dst) q
+              ON p.token = q.dst"""
+        s"""WITH dt AS (SELECT DISTINCT doc_id, tok AS token
+            FROM (SELECT doc_id, unnest($dTok) AS tok FROM documents)),
+          v AS (SELECT token, df FROM (SELECT token, COUNT(*) AS df
+            FROM dt GROUP BY 1 ORDER BY df DESC, token LIMIT $trVocab)),
+          vt AS (SELECT dt.doc_id, dt.token FROM dt JOIN v USING (token)),
+          h AS (SELECT a.token AS src, b.token AS dst FROM vt a JOIN vt b
+            ON a.doc_id = b.doc_id AND a.token < b.token GROUP BY 1, 2),
+          e AS (SELECT src, dst FROM h
+            UNION ALL SELECT dst, src FROM h),
+          s AS (SELECT token FROM v ORDER BY df DESC, token LIMIT 1),
+          d0 AS (SELECT v.token, CAST(CASE WHEN v.token = s.token
+              THEN 0 ELSE 999999 END AS BIGINT) AS d
+            FROM v CROSS JOIN s),
+          d1 AS (${step("d0")}),
+          d2 AS (${step("d1")}),
+          d3 AS (${step("d2")})
+        SELECT token, CAST(CASE WHEN d < 999999 THEN d END AS BIGINT)
+            AS hops
+        FROM d3 ORDER BY hops NULLS LAST, token"""
+      }),
+
+    // ── Markov transition model on event sequences ─────────────────────
+    // Sequence modeling over the event log: per-user next-event
+    // transitions (lead over a total order — microsecond timestamp,
+    // event_id tiebreak) rolled into a src→dst count matrix with
+    // row-normalized probabilities. Counts are exact integers; each
+    // probability is ONE correctly-rounded IEEE division of two exact
+    // integers, so both engines agree bit-for-bit. One window shuffle
+    // on user_id + one tiny aggregation — the row-total join is a
+    // broadcast of ≤ |event_type| rows.
+    QueryDef("q111_markov_transitions",
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("user_id"),
+          unix_micros(col("ts")).as("us"), col("event_id"),
+          col("event_type"))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("us"), col("event_id"))
+        // the transition matrix is ≤ |event_type|² rows by construction:
+        // checkpoint it so the totals pass and the normalize join reuse
+        // it instead of re-running the corpus window
+        val tr = ev.withColumn("next_type", lead("event_type", 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("src_type"),
+            col("next_type").as("dst_type"))
+          .agg(count(lit(1)).as("n"))
+          .localCheckpoint()
+        val tot = tr.groupBy("src_type").agg(sum("n").as("row_total"))
+        tr.join(broadcast(tot), "src_type")
+          .select(col("src_type"), col("dst_type"), col("n"),
+            (col("n").cast("double") / col("row_total").cast("double"))
+              .as("p"))
+          .orderBy("src_type", "dst_type")
+      },
+      Some("""WITH o AS (SELECT user_id, event_type,
+            epoch_us(ts) AS us, event_id FROM events),
+          tr AS (SELECT event_type AS src_type,
+            lead(event_type) OVER (PARTITION BY user_id
+              ORDER BY us, event_id) AS dst_type FROM o),
+          c AS (SELECT src_type, dst_type, COUNT(*) AS n FROM tr
+            WHERE dst_type IS NOT NULL GROUP BY 1, 2),
+          s AS (SELECT src_type, CAST(SUM(n) AS BIGINT) AS row_total
+            FROM c GROUP BY 1)
+        SELECT c.src_type, c.dst_type, CAST(c.n AS BIGINT) AS n,
+          CAST(c.n AS DOUBLE) / CAST(s.row_total AS DOUBLE) AS p
+        FROM c JOIN s USING (src_type) ORDER BY 1, 2""")),
   )
 }

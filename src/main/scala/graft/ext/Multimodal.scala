@@ -257,6 +257,74 @@ object Multimodal {
       }(enc)
   }
 
+  /** Build a REAL video table: each document's utf-8 bytes cycled into
+    * `nFrames` mono `width`×`height` luma planes — frame f's pixel i is
+    * byte `(f·w·h + i) mod len`, i.e. the SAME cycling as the image
+    * tables but with a per-frame offset — encoded as a YUV4MPEG2 (Y4M)
+    * stream ([[graft.ext.Y4m]], Cmono, 25 fps). Deterministic, so the
+    * q109 oracle reproduces each sampled frame's mean luma exactly from
+    * the text column.
+    */
+  def asY4mMediaTable(docs: DataFrame, idCol: String, textCol: String,
+                      width: Int, height: Int, nFrames: Int): DataFrame = {
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(mediaSchema))
+    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val src = r.getString(1)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val plane = width * height
+          val frames = Vector.tabulate(nFrames) { f =>
+            val y = new Array[Byte](plane)
+            if (src.nonEmpty) {
+              var i = 0
+              while (i < plane) {
+                y(i) = src((f * plane + i) % src.length); i += 1
+              }
+            }
+            y
+          }
+          val v = Y4m.Video(width, height, 25, 1, frames)
+          Row(id, "video/y4m", Y4m.encode(v),
+            Row("video/x-yuv4mpeg", width, height,
+              java.lang.Long.valueOf(v.durationMs)))
+        }
+      }(enc)
+  }
+
+  private val frameSampleSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("mean_y", DoubleType, nullable = false)))
+
+  /** Frame-sampling + per-frame featurization stage (the video leg of
+    * the decode/resize/frame-sample brief): decode each Y4M payload,
+    * keep frames 0, n, 2n, … ([[Y4m.sampleEveryN]]), and emit one row
+    * per KEPT frame with its mean luma (integer sum, one exact
+    * division). Malformed/non-video payloads contribute zero rows —
+    * auditable via an anti-join against the input, never a crash.
+    * Partition-batched like every codec stage here; at scale the
+    * decoder amortizes per partition and rows fan out ≤ nFrames/n per
+    * video.
+    */
+  def sampleFrames(media: DataFrame, everyN: Int): DataFrame = {
+    require(everyN >= 1, s"sample stride $everyN")
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(frameSampleSchema))
+    media.select("media_id", "payload")
+      .flatMap { r =>
+        val id = r.getLong(0)
+        Y4m.decode(r.getAs[Array[Byte]](1)).toSeq.flatMap { v =>
+          v.frames.zipWithIndex.collect {
+            case (f, i) if i % everyN == 0 =>
+              Row(id, i, v.width, v.height, Y4m.meanLuma(f))
+          }
+        }
+      }(enc)
+  }
+
   val featureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("byte_len", LongType, nullable = false),

@@ -81,30 +81,45 @@ object Search {
     * groupBy over the bounded edge table, so iterations never reshuffle
     * the corpus. Nothing is collected to the driver.
     */
-  def textRank(docs: DataFrame, idCol: String, textCol: String,
-               vocab: Int, dampNum: Int, dampDen: Int, iters: Int,
-               scale: Long): DataFrame = {
-    require(dampNum >= 0 && dampNum <= dampDen, s"damping $dampNum/$dampDen")
-    require(iters >= 1, s"iters $iters")
+  /** Vocab-capped token co-occurrence graph shared by [[textRank]] and
+    * [[bfsHops]]: the top-`vocab` tokens by document frequency (ties by
+    * token) and the undirected weighted edge list between them (edge
+    * weight = number of documents containing both endpoints, emitted in
+    * both directions). Both returns are `localCheckpoint`ed: they are
+    * bounded by construction (≤ vocab and ≤ vocab² rows), and cutting
+    * the corpus lineage here means the iterative loops built on top
+    * never re-tokenize the corpus (the q45 label-propagation lesson;
+    * measured on q108: 56 scans and 113 shuffles in the 3-iteration
+    * plan vs 2 corpus passes after).
+    */
+  private[ext] def cooccurGraph(docs: DataFrame, idCol: String,
+                                textCol: String, vocab: Int)
+  : (DataFrame, DataFrame) = {
     val dt = docs.select(col(idCol).as("doc_id"),
       explode(TextStats.tokens(col(textCol))).as("token")).distinct()
-    // vocab is bounded by construction (`limit vocab`): localCheckpoint
-    // cuts its corpus lineage so nothing downstream re-derives it —
-    // without this, every unrolled iteration would re-tokenize the
-    // corpus (the q45 label-propagation lesson; measured: 56 scans and
-    // 113 shuffles in the 3-iteration plan vs 2 corpus passes after).
     val v = dt.groupBy("token").agg(count(lit(1)).as("df"))
       .orderBy(desc("df"), col("token")).limit(vocab)
-      .select("token").localCheckpoint()
-    val vt = dt.join(broadcast(v), "token")
+      .localCheckpoint()
+    val vt = dt.join(broadcast(v.select("token")), "token")
     val half = vt.select(col("doc_id"), col("token").as("src"))
       .join(vt.select(col("doc_id"), col("token").as("dst")), Seq("doc_id"))
       .filter(col("src") < col("dst"))
       .groupBy("src", "dst").agg(count(lit(1)).as("c"))
     val edges = half.union(
       half.select(col("dst").as("src"), col("src").as("dst"), col("c")))
-    // edge table is ≤ vocab² rows — checkpoint it too: this is the LAST
-    // corpus pass; the rank loop below never touches the input again
+      .localCheckpoint()
+    (v, edges)
+  }
+
+  def textRank(docs: DataFrame, idCol: String, textCol: String,
+               vocab: Int, dampNum: Int, dampDen: Int, iters: Int,
+               scale: Long): DataFrame = {
+    require(dampNum >= 0 && dampNum <= dampDen, s"damping $dampNum/$dampDen")
+    require(iters >= 1, s"iters $iters")
+    val (vFull, edges) = cooccurGraph(docs, idCol, textCol, vocab)
+    val v = vFull.select("token")
+    // edge table is ≤ vocab² rows — checkpoint the weighted form too:
+    // the rank loop below then runs on one flat table
     val ew = edges.join(edges.groupBy("src").agg(sum("c").as("w")), "src")
       .localCheckpoint()
     val vN = v.crossJoin(broadcast(v.agg(count(lit(1)).as("n_nodes"))))
@@ -127,5 +142,50 @@ object Search {
     r.select(col("token"), col("r").as("rank_units"),
       (col("r").cast("double") / lit(scale.toDouble)).as("rank"))
       .orderBy(desc("rank_units"), col("token"))
+  }
+
+  /** Sentinel for "unreached" in [[bfsHops]]'s integer relaxation. */
+  private[ext] val BfsInf = 999999L
+
+  /** Breadth-first hop distances over the vocab-capped token
+    * co-occurrence graph ([[cooccurGraph]]), from the single
+    * highest-df token (ties by token order). Iterative min-plus
+    * relaxation — `d_k(v) = min(d_{k-1}(v), min over edges (u,v) of
+    * d_{k-1}(u) + 1)` — unrolled `iters` times, so the result is the
+    * exact hop distance for every node within `iters` hops and null
+    * (unreached) beyond. Pure integer arithmetic: bit-identical on any
+    * engine, no float anywhere.
+    *
+    * Completes the graph suite: connected components (q45), PageRank
+    * centrality (q108), and now single-source distances — the three
+    * primitives a corpus-graph pipeline (co-citation, link dedup,
+    * crawl-frontier scoring) leans on.
+    *
+    * Scale shape: identical to [[textRank]] — the corpus is touched
+    * exactly twice (df count + postings join) and each relaxation is a
+    * broadcast join + groupBy over the checkpointed ≤ vocab² edge
+    * table; nothing collects to the driver.
+    */
+  def bfsHops(docs: DataFrame, idCol: String, textCol: String,
+              vocab: Int, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters $iters")
+    val (v, edges) = cooccurGraph(docs, idCol, textCol, vocab)
+    val source = v.orderBy(desc("df"), col("token")).limit(1)
+      .select(col("token"), lit(0L).as("d0"))
+    var d = v.select("token")
+      .join(broadcast(source), Seq("token"), "left")
+      .select(col("token"), coalesce(col("d0"), lit(BfsInf)).as("d"))
+    for (_ <- 1 to iters) {
+      val relax = edges
+        .join(broadcast(d.select(col("token").as("src"), col("d").as("ds"))),
+          "src")
+        .groupBy("dst").agg(min(col("ds")).as("m"))
+      d = d.join(broadcast(relax.withColumnRenamed("dst", "token")),
+          Seq("token"), "left")
+        .select(col("token"),
+          least(col("d"), coalesce(col("m") + 1L, lit(BfsInf))).as("d"))
+    }
+    d.select(col("token"), when(col("d") < BfsInf, col("d")).as("hops"))
+      .orderBy(col("hops").asc_nulls_last, col("token"))
   }
 }

@@ -247,4 +247,29 @@ class PlanQualitySpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 3,
       "vocab gate + per-iteration rank joins must broadcast")
   }
+
+  test("q109 video frames: one corpus scan through a narrow codec " +
+       "pipeline — no join, no aggregation shuffle") {
+    val p = plan("q109_video_frames")
+    assert(!p.contains("Join"), "frame sampling is per-row, joins mean " +
+      "the pipeline lost its narrow shape")
+    assert("Scan parquet".r.findAllIn(p).length <= 1)
+  }
+
+  test("q110 bfs: relaxations are broadcast joins over the checkpointed " +
+       "edge table; the corpus is never cartesian-joined") {
+    val p = plan("q110_bfs_hops")
+    assert(!p.contains("CartesianProduct"))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3,
+      "source seed + per-iteration relax joins must broadcast")
+    assert("Scan parquet".r.findAllIn(p).length === 0,
+      "checkpoints must cut the corpus out of the iteration plan")
+  }
+
+  test("q111 markov: one window shuffle; the row-total join broadcasts") {
+    val p = plan("q111_markov_transitions")
+    assert(p.contains("BroadcastHashJoin"),
+      "the ≤|event_type|-row totals must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
 }

@@ -70,4 +70,24 @@ class RetrievalSpec extends AnyFunSuite {
     assert(total > 50000000L)
     assert(run().toMap === ranks, "integer ranks must be bit-stable")
   }
+
+  test("bfsHops: exact hop distances on a path graph, null beyond the " +
+       "horizon, and an isolated node never reached") {
+    val spark2 = spark
+    import spark2.implicits._
+    // chain a–b–c–d–e (each doc links two successive tokens) plus iso;
+    // 'a' is in the most documents so it is the deterministic source
+    val docs = Seq((1L, "a b"), (2L, "b c"), (3L, "c d"), (4L, "d e"),
+      (5L, "a x"), (6L, "a y"), (7L, "iso")).toDF("doc_id", "text")
+    val hops = Search.bfsHops(docs, "doc_id", "text",
+      vocab = 10, iters = 3)
+      .collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(hops("a") === 0L, "source is the highest-df token")
+    assert(hops("b") === 1L && hops("x") === 1L && hops("y") === 1L)
+    assert(hops("c") === 2L)
+    assert(hops("d") === 3L)
+    assert(hops("e") === -1L, "4 hops away — beyond the 3-iter horizon")
+    assert(hops("iso") === -1L, "isolated node is never relaxed")
+  }
 }
