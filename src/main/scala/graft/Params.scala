@@ -96,4 +96,9 @@ object Params {
     * [[trVocab]]-capped co-occurrence graph as TextRank; nodes farther
     * than this many hops report null (unreached). */
   val bfsIters = 3
+  /** Count-min sketch (q113): hash rows × counters per row, and how
+    * many exact top tokens to probe against the sketch. */
+  val cmsDepth = 4
+  val cmsWidth = 64
+  val cmsTopN = 10
 }

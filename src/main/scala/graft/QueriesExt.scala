@@ -2703,5 +2703,135 @@ object QueriesExt {
         SELECT c.src_type, c.dst_type, CAST(c.n AS BIGINT) AS n,
           CAST(c.n AS DOUBLE) / CAST(s.row_total AS DOUBLE) AS p
         FROM c JOIN s USING (src_type) ORDER BY 1, 2""")),
+
+    // ── Group-wise OLS regression: exact-sum closed form ───────────────
+    // Per-event-type least squares of value on seconds since the
+    // group's first event — the trend operator the robust (q107) and
+    // z-score (q78) outlier queries lean toward. Parity discipline,
+    // one step STRICTER than q78's: quantizing a double PRODUCT
+    // (x·value ~ 1e10) at 1e-8 is engine-defined noise because the
+    // grid sits below the double's own ulp at that magnitude (this
+    // failed the sf0.1 gate). So the INPUTS are quantized instead —
+    // x is an exact integer (seconds since group start), value at
+    // DECIMAL(18,6), both far above their ulp so the cast is
+    // unambiguous and tie-free (k+5e-7 is not dyadic) — and every
+    // product is formed IN decimal arithmetic: exact on both engines,
+    // summed exactly, THEN cast to double. slope/intercept/r² are the
+    // same explicit IEEE expression on both engines; degenerate
+    // denominators (constant x or y) guarded to null identically.
+    QueryDef("q112_groupwise_ols",
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val w = Window.partitionBy("event_type")
+        val ev = t(s, dir, "events")
+          .select(col("event_type"), col("value"),
+            expr("unix_micros(ts) div 1000000").as("xs"))
+          .withColumn("xl", col("xs") - min(col("xs")).over(w))
+          .withColumn("xq", col("xl").cast(DecimalType(12, 0)))
+          .withColumn("vq", col("value").cast(DecimalType(18, 6)))
+          .withColumn("n", count(lit(1)).over(w).cast("double"))
+          .withColumn("sx", sum(col("xq")).over(w).cast("double"))
+          .withColumn("sy", sum(col("vq")).over(w).cast("double"))
+          .withColumn("sxx", sum((col("xl") * col("xl"))
+            .cast(DecimalType(38, 0))).over(w).cast("double"))
+          .withColumn("sxy", sum(col("xq") * col("vq")).over(w)
+            .cast("double"))
+          .withColumn("syy", sum(col("vq") * col("vq")).over(w)
+            .cast("double"))
+        val g = ev.groupBy("event_type").agg(
+          max("n").as("n"), max("sx").as("sx"), max("sy").as("sy"),
+          max("sxx").as("sxx"), max("sxy").as("sxy"),
+          max("syy").as("syy"))
+        val den1 = col("n") * col("sxx") - col("sx") * col("sx")
+        val num1 = col("n") * col("sxy") - col("sx") * col("sy")
+        val den2 = col("n") * col("syy") - col("sy") * col("sy")
+        g.select(col("event_type"), col("n").cast("long").as("n_events"),
+            when(den1 > 0.0, num1 / den1).as("slope"),
+            when(den1 > 0.0,
+              (col("sy") - (num1 / den1) * col("sx")) / col("n"))
+              .as("intercept"),
+            when(den1 > 0.0 && den2 > 0.0,
+              (num1 * num1) / (den1 * den2)).as("r2"))
+          .orderBy("event_type")
+      },
+      Some {
+        def dsum(e: String) =
+          s"CAST(CAST(SUM($e) OVER w AS VARCHAR) AS DOUBLE)"
+        s"""WITH b AS (SELECT event_type, value,
+            epoch_us(ts) // 1000000 AS xs FROM events),
+          c AS (SELECT event_type,
+            xs - MIN(xs) OVER w AS xl,
+            CAST(value AS DECIMAL(18,6)) AS vq
+          FROM b WINDOW w AS (PARTITION BY event_type)),
+          st AS (SELECT event_type,
+            CAST(COUNT(*) OVER w AS DOUBLE) AS n,
+            ${dsum("CAST(xl AS DECIMAL(12,0))")} AS sx,
+            ${dsum("vq")} AS sy,
+            ${dsum("CAST(xl * xl AS DECIMAL(38,0))")} AS sxx,
+            ${dsum("CAST(xl AS DECIMAL(12,0)) * vq")} AS sxy,
+            ${dsum("vq * vq")} AS syy
+          FROM c WINDOW w AS (PARTITION BY event_type)),
+          g AS (SELECT event_type, MAX(n) AS n, MAX(sx) AS sx,
+            MAX(sy) AS sy, MAX(sxx) AS sxx, MAX(sxy) AS sxy,
+            MAX(syy) AS syy
+          FROM st GROUP BY 1)
+        SELECT event_type, CAST(n AS BIGINT) AS n_events,
+          CASE WHEN (n * sxx - sx * sx) > 0.0
+            THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope,
+          CASE WHEN (n * sxx - sx * sx) > 0.0
+            THEN (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+              / n END AS intercept,
+          CASE WHEN (n * sxx - sx * sx) > 0.0
+              AND (n * syy - sy * sy) > 0.0
+            THEN ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+              / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END AS r2
+        FROM g ORDER BY event_type"""
+      }),
+
+    // ── Count-min sketch: bounded-size heavy-hitter summary ────────────
+    // The frequency twin of KMV (q46/q95): a depth×width counter grid
+    // over ALL token occurrences — the sketch is ≤ cmsDepth·cmsWidth
+    // rows no matter the corpus size, so it broadcasts where exact
+    // per-token counts cannot. Probing the exact top-cmsTopN tokens
+    // exposes the one-sided error contract in the output itself
+    // (cms_est ≥ exact_n always; overcount = collision mass). md5
+    // bucket family ⇒ the oracle rebuilds the identical grid.
+    QueryDef("q113_countmin",
+      (s, dir) => {
+        val toks = tPar(s, dir, "documents")
+          .select(explode(TextStats.tokens(col("text"))).as("token"))
+        val cms = graft.ext.Sketches.countMin(toks, col("token"),
+          cmsDepth, cmsWidth).localCheckpoint()
+        val top = toks.groupBy("token").agg(count(lit(1)).as("exact_n"))
+          .orderBy(desc("exact_n"), col("token")).limit(cmsTopN)
+          .localCheckpoint()
+        graft.ext.Sketches.countMinEstimate(cms, top, "token",
+          cmsDepth, cmsWidth)
+          .withColumnRenamed("v", "token")
+          .join(broadcast(top), "token")
+          .select(col("token"), col("exact_n"), col("cms_est"),
+            (col("cms_est") - col("exact_n")).as("overcount"))
+          .orderBy(desc("exact_n"), col("token"))
+      },
+      Some(s"""WITH tk AS (SELECT unnest($dTok) AS token FROM documents),
+          grid AS (SELECT j, ('0x' || substr(md5(j::VARCHAR || '|' ||
+              token), 1, 7))::BIGINT % $cmsWidth AS bucket,
+            COUNT(*) AS c
+          FROM tk CROSS JOIN (SELECT unnest(range(0, $cmsDepth)) AS j)
+          GROUP BY 1, 2),
+          top AS (SELECT token, COUNT(*) AS exact_n FROM tk
+            GROUP BY 1 ORDER BY exact_n DESC, token LIMIT $cmsTopN),
+          est AS (SELECT t.token,
+            CAST(MIN(COALESCE(g.c, 0)) AS BIGINT) AS cms_est
+          FROM top t CROSS JOIN (SELECT unnest(range(0, $cmsDepth)) AS j)
+            r LEFT JOIN grid g ON g.j = r.j AND g.bucket =
+              ('0x' || substr(md5(r.j::VARCHAR || '|' || t.token), 1, 7))
+                ::BIGINT % $cmsWidth
+          GROUP BY 1)
+        SELECT top.token, CAST(top.exact_n AS BIGINT) AS exact_n,
+          est.cms_est, est.cms_est - CAST(top.exact_n AS BIGINT)
+            AS overcount
+        FROM top JOIN est USING (token)
+        ORDER BY exact_n DESC, token""")),
   )
 }

@@ -110,4 +110,50 @@ object Sketches {
           ((col("n_both").cast("double") / col("k_actual").cast("double")) *
             col("d_union"))).as("join_size_est"))
   }
+
+  /** Per-row count-min bucket: row j's hash of value `v` is the shared
+    * 28-bit md5 base hash ([[Shingles.baseHash]]) of `"j|v"` mod
+    * `width` — the same portable seed-prefix family as MinHash, so the
+    * oracle reproduces every bucket exactly.
+    */
+  private def cmsBucket(j: Column, v: Column, width: Int): Column =
+    Shingles.baseHash(concat(j.cast("string"), lit("|"), v)) % width
+
+  /** Count-min sketch (Cormode & Muthukrishnan, J. Algorithms 2005):
+    * `depth` hash rows × `width` counters; each occurrence of a value
+    * increments one counter per row. Returns the sketch as a
+    * `(j, bucket, c)` table — `depth·width` rows at most, regardless of
+    * input size: the heavy-hitter summary that fits in one broadcast
+    * where the exact per-value counts do not.
+    *
+    * One shuffle of `depth × |input|` pre-aggregated rows (map-side
+    * combine reduces to ≤ depth·width per partition first — the groupBy
+    * key space IS the sketch size, so the shuffle is bounded).
+    * Deterministic: integer counters, md5 bucket placement.
+    */
+  def countMin(df: DataFrame, valueCol: Column, depth: Int,
+               width: Int): DataFrame = {
+    require(depth >= 1 && width >= 1, s"cms ${depth}x$width")
+    df.select(valueCol.cast("string").as("v"))
+      .select(col("v"),
+        explode(array((0 until depth).map(lit(_)): _*)).as("j"))
+      .groupBy(col("j"), cmsBucket(col("j"), col("v"), width).as("bucket"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Point-query the sketch: estimate(v) = min over rows j of
+    * counter(j, bucket_j(v)) — never under the true count, over only on
+    * collisions. The sketch side is ≤ depth·width rows, so the lookup
+    * join broadcasts.
+    */
+  def countMinEstimate(cms: DataFrame, probes: DataFrame,
+                       probeCol: String, depth: Int,
+                       width: Int): DataFrame =
+    probes.select(col(probeCol).cast("string").as("v"))
+      .select(col("v"),
+        explode(array((0 until depth).map(lit(_)): _*)).as("j"))
+      .withColumn("bucket", cmsBucket(col("j"), col("v"), width))
+      .join(broadcast(cms), Seq("j", "bucket"), "left")
+      .groupBy("v")
+      .agg(min(coalesce(col("c"), lit(0L))).as("cms_est"))
 }

@@ -272,4 +272,22 @@ class PlanQualitySpec extends AnyFunSuite {
       "the ≤|event_type|-row totals must broadcast")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
+
+  test("q112 OLS: pure window + same-key regroup — no join anywhere") {
+    val p = plan("q112_groupwise_ols")
+    assert(!p.contains("Join"), "the sufficient statistics are window " +
+      "aggregates; a join means the shape regressed")
+    assert("Scan parquet".r.findAllIn(p).length <= 1)
+  }
+
+  test("q113 count-min: the sketch and probe tables are checkpointed " +
+       "and the lookup joins broadcast — no sort-merge on a ≤d·w table") {
+    val p = plan("q113_countmin")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      "sketch lookup + exact-count attach must both broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    assert("Scan parquet".r.findAllIn(p).length === 0,
+      "both bounded inputs are checkpointed; the probe plan must not " +
+      "re-scan the corpus")
+  }
 }

@@ -288,4 +288,33 @@ class ScaleFeaturesSpec extends AnyFunSuite {
     assert(got("b")._1 === 64L && math.abs(got("b")._2 - 200) / 200.0 < 0.35)
     assert(got("c")._1 === 64L && math.abs(got("c")._2 - 1000) / 1000.0 < 0.35)
   }
+
+  test("count-min sketch: bounded grid, one-sided error (est ≥ exact " +
+       "for EVERY value), exact when width swallows the domain, and the " +
+       "probe join broadcasts") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = Seq("a" -> 500, "b" -> 100, "c" -> 20, "d" -> 3, "e" -> 1)
+      .flatMap { case (v, n) => Seq.fill(n)(v) }
+    val df = rows.toDF("v")
+    val cms = Sketches.countMin(df, col("v"), depth = 4, width = 64)
+    assert(cms.count() <= 4L * 64L, "sketch size is bounded by d×w")
+    val probes = df.distinct()
+    val est = Sketches.countMinEstimate(cms, probes, "v", 4, 64)
+    assert(est.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"), "sketch lookup must broadcast")
+    val got = est.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    exact.foreach { case (v, n) =>
+      assert(got(v) >= n, s"$v: CMS may never undercount")
+    }
+    // 5 values into 4 independent 64-bucket rows: the min over rows is
+    // collision-free here, so the sketch is exact on this domain
+    assert(got === exact)
+    // unseen value estimates 0 (all four rows hit empty buckets) unless
+    // it collides everywhere — with 5 values in 64 buckets it does not
+    val unseen = Sketches.countMinEstimate(cms,
+      Seq("zzz").toDF("v"), "v", 4, 64).collect().head.getLong(1)
+    assert(unseen === 0L)
+  }
 }
