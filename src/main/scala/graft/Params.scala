@@ -101,4 +101,6 @@ object Params {
   val cmsDepth = 4
   val cmsWidth = 64
   val cmsTopN = 10
+  /** Priority sampling (q114): sample size. */
+  val psK = 50
 }

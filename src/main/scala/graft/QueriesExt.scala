@@ -2833,5 +2833,26 @@ object QueriesExt {
             AS overcount
         FROM top JOIN est USING (token)
         ORDER BY exact_n DESC, token""")),
+
+    // ── Priority sampling: weighted sample without replacement ─────────
+    // The weighted complement of q90's stratified gate: documents drawn
+    // WITHOUT replacement with probability increasing in n_chars
+    // (Duffield-Lund-Thorup priorities w/u on the portable md5 hash).
+    // Pure function of the ids — reruns and the oracle agree
+    // row-for-row. Priority arithmetic is exact-int × exact-int with
+    // one correctly-rounded division, so the ranking is bit-identical;
+    // ties break by doc_id. Plans as TakeOrderedAndProject: heaps per
+    // partition, k rows to the driver, no full sort.
+    QueryDef("q114_priority_sample",
+      (s, dir) => Curation.prioritySample(tPar(s, dir, "documents"),
+        "doc_id", "n_chars", psK),
+      Some(s"""WITH s AS (SELECT doc_id, n_chars,
+            ('0x' || substr(md5('ps|' || doc_id::VARCHAR), 1, 7))::BIGINT
+              AS h
+          FROM documents WHERE n_chars > 0)
+        SELECT doc_id, n_chars AS weight,
+          (CAST(n_chars AS DOUBLE) * 268435456.0) / CAST(h + 1 AS DOUBLE)
+            AS priority
+        FROM s ORDER BY priority DESC, doc_id LIMIT $psK""")),
   )
 }

@@ -296,4 +296,35 @@ object Curation {
     docs.filter(
       pmod(Shingles.baseHash(col(idCol).cast("string")), lit(1000)) < rate)
   }
+
+  /** Weighted sample without replacement — priority sampling (Duffield,
+    * Lund & Thorup, "Priority sampling for estimation of arbitrary
+    * subset sums", JACM 2007): item i draws u_i uniform on (0,1] and
+    * gets priority w_i/u_i; the k highest-priority items form the
+    * sample. Here u_i = (h_i+1)/2^28 on the portable 28-bit md5 hash of
+    * the id — so like [[sampleMixture]] the sample is a pure function
+    * of the ids: reruns, incremental loads, and the oracle agree
+    * row-for-row, which no RNG-based sampler can promise.
+    *
+    * Determinism of the priority itself: w·2^28 is an exact double for
+    * w < 2^25, (h+1) is an exact integer, and the one division is
+    * correctly rounded — bit-identical on every IEEE engine. Ties break
+    * by id.
+    *
+    * Scale shape: map + global top-k — Spark plans the limit as
+    * TakeOrderedAndProject (per-partition heaps, driver merges k rows),
+    * never a full sort.
+    */
+  def prioritySample(docs: DataFrame, idCol: String, weightCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 1, s"sample size $k")
+    docs.filter(col(weightCol) > 0)
+      .withColumn("h",
+        Shingles.baseHash(concat(lit("ps|"), col(idCol).cast("string"))))
+      .select(col(idCol), col(weightCol).as("weight"),
+        ((col(weightCol).cast("double") * lit(268435456.0)) /
+          (col("h") + 1).cast("double")).as("priority"))
+      .orderBy(desc("priority"), col(idCol))
+      .limit(k)
+  }
 }

@@ -93,5 +93,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftFunctions.descriptions.foreach(ext.injectFunction)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKey.TopKStrategy)
     ext.injectOptimizerRule(_ => graft.plans.WindowTopKRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.JoinEliminate)
   }
 }

@@ -219,4 +219,28 @@ class CurationSpec extends AnyFunSuite {
       Curation.shareCap(docs, "doc_id", "source", "text", 3, 2)
     }
   }
+
+  test("prioritySample: deterministic, ≤ k, positive weights only, " +
+       "scale-invariant in the weights, and planned as a top-k — " +
+       "never a global sort") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = (1L to 200L).map(i => (i, (i % 7) * 10))
+      .toDF("doc_id", "w") // ids 7, 14, … carry weight 0 → excluded
+    val s1 = Curation.prioritySample(docs, "doc_id", "w", 20)
+    assert(s1.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"),
+      "global top-k must plan as per-partition heaps, not a full sort")
+    val ids1 = s1.collect().map(_.getLong(0)).toSeq
+    assert(ids1.size === 20)
+    assert(ids1.forall(_ % 7 != 0), "zero-weight rows can never sample")
+    assert(ids1 === Curation.prioritySample(docs, "doc_id", "w", 20)
+      .collect().map(_.getLong(0)).toSeq, "pure function of the ids")
+    // priorities scale uniformly with the weights, so the SELECTED SET
+    // is invariant under w → c·w (the DLT estimator's key property)
+    val doubled = docs.withColumn("w", col("w") * 2)
+    val ids2 = Curation.prioritySample(doubled, "doc_id", "w", 20)
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids2 === ids1)
+  }
 }

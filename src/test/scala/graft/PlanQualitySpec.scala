@@ -290,4 +290,13 @@ class PlanQualitySpec extends AnyFunSuite {
       "both bounded inputs are checkpointed; the probe plan must not " +
       "re-scan the corpus")
   }
+
+  test("q114 priority sample: TakeOrderedAndProject, one scan, no " +
+       "shuffle-and-sort of the corpus") {
+    val p = plan("q114_priority_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      "weighted top-k must use per-partition heaps")
+    assert(!p.contains("Join"))
+    assert("Scan parquet".r.findAllIn(p).length === 1)
+  }
 }
