@@ -103,4 +103,7 @@ object Params {
   val cmsTopN = 10
   /** Priority sampling (q114): sample size. */
   val psK = 50
+  /** Phrase search (q115): the two-token phrase (adjacent, in order). */
+  val phraseA = "order"
+  val phraseB = "fast"
 }

@@ -2854,5 +2854,29 @@ object QueriesExt {
           (CAST(n_chars AS DOUBLE) * 268435456.0) / CAST(h + 1 AS DOUBLE)
             AS priority
         FROM s ORDER BY priority DESC, doc_id LIMIT $psK""")),
+
+    // ── Positional phrase search ───────────────────────────────────────
+    // Token ADJACENCY, not bag-of-words (q71/q89's model): the phrase
+    // "phraseA phraseB" found via the positional-postings merge — keep
+    // the two terms' postings, lead over (doc, pos), hit iff the next
+    // retained posting is the right token at exactly pos+1. One corpus
+    // pass; the window shuffle carries df(t1)+df(t2) postings, not the
+    // corpus. All-integer output.
+    QueryDef("q115_phrase_search",
+      (s, dir) => graft.ext.Search.phraseSearch(
+        tPar(s, dir, "documents"), "doc_id", "text", phraseA, phraseB),
+      Some(s"""WITH tk AS (SELECT doc_id,
+            unnest($dTok) AS token,
+            CAST(generate_subscripts($dTok, 1) AS BIGINT) AS pos
+          FROM documents),
+          f AS (SELECT doc_id, token, pos,
+            lead(token) OVER w AS ntok, lead(pos) OVER w AS npos
+          FROM tk WHERE token IN ('$phraseA', '$phraseB')
+          WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+        SELECT doc_id, COUNT(*) AS n_hits, MIN(pos) AS first_pos
+        FROM f
+        WHERE token = '$phraseA' AND ntok = '$phraseB'
+          AND npos = pos + 1
+        GROUP BY doc_id ORDER BY doc_id""")),
   )
 }

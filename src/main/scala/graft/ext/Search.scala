@@ -188,4 +188,40 @@ object Search {
     d.select(col("token"), when(col("d") < BfsInf, col("d")).as("hops"))
       .orderBy(col("hops").asc_nulls_last, col("token"))
   }
+
+  /** Positional phrase search: documents containing `t1` immediately
+    * followed by `t2`, with hit counts and the first match position
+    * (1-based). The positional-inverted-index query: where [[bm25]] and
+    * keyword search treat documents as bags, this one needs token
+    * ADJACENCY.
+    *
+    * Single corpus pass: tokenize with positions, keep only the two
+    * query terms, and test adjacency with `lead` over (doc, pos) — if
+    * the next RETAINED posting sits at pos+1 with the right token, the
+    * corpus had the phrase (any dropped token in between breaks the
+    * +1). Handles t1 = t2 ("order order") and overlapping runs
+    * correctly: each phrase start is its own posting pair.
+    *
+    * Scale shape: the filter lands before the one shuffle (window by
+    * doc id over the two terms' postings only — df(t1)+df(t2) rows,
+    * not the corpus); at 100 TB this is the classic positional-postings
+    * merge, distributed by document.
+    */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+                   t1: String, t2: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("doc_id"),
+      posexplode(TextStats.tokens(col(textCol))).as(Seq("pos0", "token")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+        col("token"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    toks.filter(col("token").isin(t1, t2))
+      .withColumn("ntok", lead("token", 1).over(w))
+      .withColumn("npos", lead("pos", 1).over(w))
+      .filter(col("token") === t1 && col("ntok") === t2 &&
+        col("npos") === col("pos") + 1)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"), min("pos").as("first_pos"))
+      .orderBy("doc_id")
+  }
 }

@@ -291,6 +291,21 @@ class PlanQualitySpec extends AnyFunSuite {
       "re-scan the corpus")
   }
 
+  test("q115 phrase search: the term filter lands BELOW the window " +
+       "shuffle (postings merge, not a corpus sort) and there is no " +
+       "join at all") {
+    val p = plan("q115_phrase_search")
+    assert(!p.contains("Join"),
+      "adjacency via lead — a positions self-join would shuffle " +
+      "the corpus twice")
+    assert("Scan parquet".r.findAllIn(p).length === 1)
+    val shuffleIdx = p.indexOf("Exchange")
+    val filterIdx = p.lastIndexOf("isin") max p.lastIndexOf("IN (")
+    assert(shuffleIdx >= 0 && filterIdx > shuffleIdx,
+      "the two-term filter must appear below (after, in explain " +
+      "order) the window exchange")
+  }
+
   test("q114 priority sample: TakeOrderedAndProject, one scan, no " +
        "shuffle-and-sort of the corpus") {
     val p = plan("q114_priority_sample")

@@ -90,4 +90,24 @@ class RetrievalSpec extends AnyFunSuite {
     assert(hops("e") === -1L, "4 hops away — beyond the 3-iter horizon")
     assert(hops("iso") === -1L, "isolated node is never relaxed")
   }
+
+  test("phraseSearch: true adjacency only (intermediate tokens break " +
+       "the phrase), order matters, repeated-token phrases and " +
+       "overlapping runs count correctly, positions are 1-based") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(
+      (1L, "a b c a b"),     // two hits at pos 1 and 4
+      (2L, "a x b"),         // adjacent in the FILTERED set, not corpus
+      (3L, "b a"),           // wrong order
+      (4L, "a a b"),         // hit at pos 2 (not 1)
+      (5L, "c c c")).toDF("doc_id", "text")
+    val ab = Search.phraseSearch(docs, "doc_id", "text", "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(ab.toSeq === Seq((1L, 2L, 1L), (4L, 1L, 2L)))
+    // t1 = t2: "c c c" has runs at pos 1-2 and 2-3 — both count
+    val cc = Search.phraseSearch(docs, "doc_id", "text", "c", "c")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(cc.toSeq === Seq((5L, 2L, 1L)))
+  }
 }
