@@ -25,19 +25,37 @@ object Tables {
     if (name == "events") loadEvents(spark, sfDir) else
       spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read it as nanos-since-epoch longs and convert to a
-    * microsecond TimestampType column (the testdata has no sub-µs
-    * components, verified against the generator output — so this is
-    * lossless and matches how DuckDB reads the same file).
+  /** The generator has shipped `events.ts` under several parquet
+    * encodings over time — TIMESTAMP(NANOS) (readable only as
+    * nanos-since-epoch longs under `nanosAsLong`), TIMESTAMP(MICROS)
+    * with isAdjustedToUTC=false (arrives as TIMESTAMP_NTZ), and plain
+    * UTC TIMESTAMP. Dispatch on the schema actually read rather than
+    * hard-coding one encoding, and normalize to a session-tz
+    * TimestampType column in every case — downstream `unix_micros(ts)`
+    * callers reject NTZ, and the oracle (DuckDB) sees identical instants
+    * because the session timezone is pinned to UTC.
     */
   private def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    // Harmless for micros/UTC files; required to read legacy NANOS files.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // Integral `div`, not `/`: nanos-since-epoch (~1.7e18) exceeds a
-    // double's 53-bit mantissa, so float division drifts the low µs.
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // Legacy nanos-as-long. Integral `div`, not `/`: nanos-since-epoch
+        // (~1.7e18) exceeds a double's 53-bit mantissa, so float division
+        // would drift the low µs.
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        // Value-preserving under the UTC session timezone.
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType =>
+        raw
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts: unsupported parquet type $other — expected " +
+            "LONG (legacy nanos), TIMESTAMP_NTZ (micros), or TIMESTAMP")
+    }
   }
 }

@@ -556,6 +556,15 @@ object Dedup {
     * verify join — every stage keyed on shingle or doc id, no all-pairs,
     * and the size filter `t·na ≤ nb ∧ t·nb ≤ na` prunes candidates
     * before verification.
+    *
+    * The shingle table feeds five consumers (sizes, document
+    * frequencies, the ranked prefixes, and both sides of the verify
+    * join), and the ranked prefix table feeds both sides of the
+    * candidate self-join — so both are materialized once
+    * (`localCheckpoint`) instead of re-tokenizing the corpus per
+    * consumer. At cluster scale the equivalent move is a staged write
+    * of the shingle table; the plan shape (one tokenize pass, then
+    * joins over the materialized table) is the same.
     */
   def prefixFilterJaccardPairs(docs: DataFrame, idCol: String,
                                textCol: String, shingleK: Int, tNum: Int,
@@ -568,7 +577,8 @@ object Dedup {
         explode(graft.functions.NativeExprs.wordShingles(
           TextStats.tokens(col(textCol)), shingleK, distinct = true))
           .as("tok"))
-    val sz = sh.groupBy(idCol).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val sz = sh.groupBy(idCol).agg(count(lit(1)).as("n")).localCheckpoint()
     val dfreq = sh.groupBy("tok").agg(count(lit(1)).as("df"))
     // in-prefix test: rk ≤ n − ceil(t·n) + 1  ⟺  t·n ≤ n − rk + 1
     // ⟺  tNum·n ≤ tDen·(n − rk + 1) — no division anywhere
@@ -579,6 +589,7 @@ object Dedup {
       .filter(lit(tNum) * col("n") <=
         lit(tDen) * (col("n") - col("rk") + 1))
       .select(col(idCol), col("tok"), col("n"))
+      .localCheckpoint()
     val cand = ranked.as("a").join(ranked.as("b"),
         col("a.tok") === col("b.tok") &&
           col(s"a.$idCol") < col(s"b.$idCol") &&
