@@ -30,6 +30,8 @@ object Params {
   val pqIters = 1
   val sessionGapMinutes = 30
   val kmvK = 64
+  /** Mergeable quantile sketch (q116): bottom-k sample size per key. */
+  val quantileK = 256
   val packBudget = 512
   val mixHeadSources: Seq[String] = (0 until 5).map(i => s"src$i")
   val mixHeadRate = 0.9

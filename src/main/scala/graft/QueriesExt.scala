@@ -2878,5 +2878,50 @@ object QueriesExt {
         WHERE token = '$phraseA' AND ntok = '$phraseB'
           AND npos = pos + 1
         GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ── Mergeable quantile sketch (bottom-k-by-hash sample) ────────────
+    // The third sketch leg next to KMV (q46, distinct) and count-min
+    // (q113, frequency): per-type value quantiles via the k smallest
+    // md5-hash rows per key. The k-minima of a union is a pure function
+    // of the underlying set, so — like q97's decimal partials — ANY
+    // batching folds to bit-identical state, which the oracle verifies
+    // as one single-pass SQL over the whole table. Fed as three
+    // day-range batches through partial→merge to exercise the
+    // IncrementalAgg-style maintenance path.
+    QueryDef("q116_quantile_sketch",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val day = dayofmonth(col("ts"))
+        val batches = Seq(ev.filter(day <= 10),
+          ev.filter(day > 10 && day <= 20), ev.filter(day > 20))
+        val state = batches
+          .map(b => graft.ext.Sketches.quantilePartial(b, Seq("event_type"),
+            col("value"), col("event_id"), quantileK))
+          .reduce((a, b) =>
+            graft.ext.Sketches.quantileMerge(a, b, Seq("event_type"), quantileK))
+        graft.ext.Sketches.quantileFinish(state, Seq("event_type"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH h AS (SELECT event_type, CAST(value AS DOUBLE) AS v,
+            ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 7))::BIGINT
+              AS h
+          FROM events),
+        tot AS (SELECT event_type, COUNT(*) AS n FROM h
+          GROUP BY event_type),
+        samp AS (SELECT event_type, v FROM (
+            SELECT event_type, v, row_number() OVER (
+              PARTITION BY event_type ORDER BY h, v) AS rh
+            FROM h) WHERE rh <= $quantileK),
+        ranked AS (SELECT event_type, v, row_number() OVER (
+              PARTITION BY event_type ORDER BY v) AS rn,
+            COUNT(*) OVER (PARTITION BY event_type) AS m
+          FROM samp)
+        SELECT r.event_type, MAX(t.n) AS n, MAX(m) AS n_sampled,
+          (MAX(CASE WHEN rn = floor((m + 1) / 2.0) THEN v END)
+           + MAX(CASE WHEN rn = floor((m + 2) / 2.0) THEN v END)) / 2
+            AS median_est,
+          MAX(CASE WHEN rn = ceil(m * 0.9) THEN v END) AS p90_est
+        FROM ranked r JOIN tot t USING (event_type)
+        GROUP BY r.event_type ORDER BY r.event_type""")),
   )
 }

@@ -156,4 +156,82 @@ object Sketches {
       .join(broadcast(cms), Seq("j", "bucket"), "left")
       .groupBy("v")
       .agg(min(coalesce(col("c"), lit(0L))).as("cms_est"))
+
+  // ── Mergeable quantile sketch (bottom-k-by-hash sample) ──────────────
+  //
+  // The third sketch leg next to KMV (distinct) and count-min
+  // (frequency): per-key quantile summaries for length/score
+  // distribution monitoring at 100 TB. KLL / t-digest compactions are
+  // batching-DEPENDENT (((A⊎B)⊎C ≠ A⊎(B⊎C) bit-for-bit), so instead the
+  // summary is a bottom-k sample in the portable md5 hash order (Cohen &
+  // Kaplan's bottom-k sampling): keep the k (hash, value) pairs with the
+  // smallest hashes per key. The k-smallest of a union is a pure
+  // function of the underlying SET — merge is associative, commutative,
+  // and bit-stable under ANY batching, exactly the
+  // [[graft.etl.IncrementalAgg]] contract — and since the hash order is
+  // a uniform permutation of the rows, the sample is uniform and rank
+  // estimates carry the usual O(1/√k) error. Deterministic end to end,
+  // so a SQL oracle replays every number exactly.
+
+  /** One batch → per-key partials: exact row count `n` plus the bottom-k
+    * `(h, v)` sample `qs_sample` (sorted ascending by `(h, v)`).
+    *
+    * The k-smallest selection runs on the heap-based
+    * [[graft.plans.TopKPerKey]] operator — O(n log k) per partition,
+    * map-side combined, so the exchange carries ≤ k rows per key per map
+    * task, never a key's full value list. `hashSrc` must identify rows
+    * uniquely (an event/doc id): the 28-bit hash then gives a uniform
+    * row permutation; `(h, v)` tie-break keeps collisions deterministic.
+    */
+  def quantilePartial(df: DataFrame, keys: Seq[String], valueCol: Column,
+                      hashSrc: Column, k: Int): DataFrame = {
+    require(k >= 2, s"quantile sketch k=$k")
+    val hashed = df.select(keys.map(col) :+
+      Shingles.baseHash(hashSrc.cast("string")).as("h") :+
+      valueCol.cast("double").as("v"): _*)
+    val counts = hashed.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+    val sample = graft.plans.TopKPerKey.topKPerKey(hashed, keys,
+        Seq(graft.plans.TopKPerKey.Sort("h"),
+          graft.plans.TopKPerKey.Sort("v")), k)
+      .groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(struct(col("h"), col("v"))))
+        .as("qs_sample"))
+    counts.join(sample, keys)
+  }
+
+  /** Fold partials (same schema) — the bottom-k of the concatenated
+    * samples IS the bottom-k of the union, so state never grows past k
+    * entries per key and the fold shuffles ≤ 2 sketch rows per key.
+    *
+    * Batches must PARTITION the input (the q97 contract — `n` sums, so
+    * re-feeding a row would double-count it); under that contract any
+    * batching and any fold tree produce bit-identical state, because the
+    * k-minima of a disjoint union is associative and commutative.
+    */
+  def quantileMerge(state: DataFrame, delta: DataFrame, keys: Seq[String],
+                    k: Int): DataFrame =
+    state.unionByName(delta)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("n")).as("n"),
+        slice(sort_array(flatten(collect_list(col("qs_sample")))),
+          1, k).as("qs_sample"))
+
+  /** Read-time view: median / p90 rank estimates over the value-sorted
+    * sample (q55's integer rank discipline — midLo/midHi average for the
+    * median, ceil(0.9·m) for p90 — so the oracle reproduces the doubles
+    * bit-for-bit).
+    */
+  def quantileFinish(state: DataFrame, keys: Seq[String]): DataFrame = {
+    val vals = array_sort(transform(col("qs_sample"), x => x.getField("v")))
+    val m = size(vals).cast("long")
+    val midLo = floor((m + lit(1)) / lit(2)).cast("int")
+    val midHi = floor((m + lit(2)) / lit(2)).cast("int")
+    val p90 = ceil(m * lit(0.9)).cast("int")
+    state.select(keys.map(col) ++ Seq(
+      col("n"), m.as("n_sampled"),
+      ((element_at(vals, midLo) + element_at(vals, midHi)) / 2)
+        .as("median_est"),
+      element_at(vals, p90).as("p90_est")): _*)
+  }
 }
