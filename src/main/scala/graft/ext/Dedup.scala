@@ -513,7 +513,18 @@ object Dedup {
     * per-block quadratic work bounded by the largest block: the block
     * key becomes the shuffle key and no executor ever sees the cross
     * product. The prefix cap bounds the DP cost per comparison
-    * (len²·pairs is the real budget at scale, not the shuffle).
+    * (len²·pairs is the real budget at scale, not the shuffle) — which
+    * is exactly why the probe side is explicitly repartitioned on the
+    * block key with the session's shuffle width: the DP cost per row is
+    * orders of magnitude above the scan cost, so task granularity must
+    * follow BLOCKS, not file splits (a compact parquet input can arrive
+    * as one split and serialize the entire quadratic verify on one
+    * task; at sf0.1 that was a 4× wall-time difference). The width is
+    * pinned rather than left to AQE, because AQE sizes partitions by
+    * bytes and would coalesce the small projection right back.
+    *
+    * Run [[fuzzyBlockAudit]] first when block skew is a risk: the
+    * largest block bounds the slowest task.
     */
   def fuzzyBlockedPairs(docs: DataFrame, idCol: String,
                         blockCols: Seq[String], textCol: String,
@@ -521,8 +532,11 @@ object Dedup {
     require(blockCols.nonEmpty,
       "fuzzyBlockedPairs without block columns is the all-pairs cross " +
         "product — refuse loudly rather than run it by accident")
+    val width = docs.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
     val d = docs.select((col(idCol) +: blockCols.map(col)) :+
       substring(col(textCol), 1, prefixLen).as("pfx"): _*)
+      .repartition(width, blockCols.map(col): _*)
     val cond = blockCols
       .map(c => col(s"a.$c") === col(s"b.$c"))
       .reduce(_ && _) && (col(s"a.$idCol") < col(s"b.$idCol"))
@@ -531,6 +545,20 @@ object Dedup {
         levenshtein(col("a.pfx"), col("b.pfx")).cast("long").as("dist"))
       .filter(col("dist") <= maxDist)
   }
+
+  /** Block-size audit for [[fuzzyBlockedPairs]], largest blocks first:
+    * per-block row count and the implied candidate-pair count
+    * n·(n−1)/2. The largest block bounds the slowest task of the
+    * quadratic verify, so at scale this is the pre-flight check — a
+    * degenerate block key (one (source, lang) holding half the corpus)
+    * shows up here as one row, not as a straggler an hour into the run.
+    */
+  def fuzzyBlockAudit(docs: DataFrame, blockCols: Seq[String]): DataFrame =
+    docs.groupBy(blockCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_pairs", expr("n * (n - 1) div 2"))
+      .orderBy(desc("n_pairs"),
+        blockCols.map(col).head)
 
   /** Prefix-filtered exact set-similarity join (the PPJoin-family
     * candidate strategy of Bayardo et al., "Scaling Up All Pairs
@@ -572,7 +600,16 @@ object Dedup {
     require(tNum >= 1 && tNum <= tDen,
       s"threshold $tNum/$tDen outside (0, 1]")
     import org.apache.spark.sql.expressions.Window
-    val sh = docs
+    // Tokenize-and-shingle is CPU-bound, so its parallelism must not be
+    // capped by file splits (a compact single-row-group parquet arrives
+    // as one split and would serialize the pass on one task — q105's
+    // lesson). Widen only when the source is narrower than the session's
+    // shuffle width; at real scale the splits already exceed it.
+    val width = docs.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val src = if (docs.rdd.getNumPartitions < width)
+      docs.repartition(width) else docs
+    val sh = src
       .select(col(idCol),
         explode(graft.functions.NativeExprs.wordShingles(
           TextStats.tokens(col(textCol)), shingleK, distinct = true))
@@ -582,20 +619,34 @@ object Dedup {
     val dfreq = sh.groupBy("tok").agg(count(lit(1)).as("df"))
     // in-prefix test: rk ≤ n − ceil(t·n) + 1  ⟺  t·n ≤ n − rk + 1
     // ⟺  tNum·n ≤ tDen·(n − rk + 1) — no division anywhere
+    // n via a count window over the SAME partitioning as the rank — one
+    // exchange serves both, where a join against the size table would
+    // add a doc-keyed shuffle of the full shingle table.
     val ranked = sh.join(dfreq, "tok")
       .withColumn("rk", row_number().over(
         Window.partitionBy(idCol).orderBy(col("df"), col("tok"))))
-      .join(sz, idCol)
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(idCol)))
       .filter(lit(tNum) * col("n") <=
         lit(tDen) * (col("n") - col("rk") + 1))
-      .select(col(idCol), col("tok"), col("n"))
+      .select(col(idCol), col("tok"), col("n"), col("rk"))
       .localCheckpoint()
+    // PPJoin's POSITIONAL filter on top of the prefix filter: at the
+    // pair's first shared token (rank rk_a in a, rk_b in b under the
+    // same global (df, tok) order), no earlier token is shared, so
+    // overlap ≤ 1 + min(n_a − rk_a, n_b − rk_b); J ≥ t needs
+    // shared·(tDen+tNum) ≥ tNum·(n_a+n_b). Lossless for the same reason
+    // the prefix filter is — a qualifying pair's first-shared-token
+    // collision always passes — and at sf0.1 it drops ~60% of
+    // candidates before the verify join, the most expensive stage.
     val cand = ranked.as("a").join(ranked.as("b"),
         col("a.tok") === col("b.tok") &&
           col(s"a.$idCol") < col(s"b.$idCol") &&
           // size filter: J ≥ t ⇒ min(na,nb) ≥ t·max(na,nb)
           lit(tNum) * col("a.n") <= lit(tDen) * col("b.n") &&
-          lit(tNum) * col("b.n") <= lit(tDen) * col("a.n"))
+          lit(tNum) * col("b.n") <= lit(tDen) * col("a.n") &&
+          (least(col("a.n") - col("a.rk"), col("b.n") - col("b.rk")) +
+            lit(1)) * lit(tDen + tNum) >=
+            lit(tNum) * (col("a.n") + col("b.n")))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
     val shared = cand

@@ -296,6 +296,29 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzzyBlockAudit: per-block pair counts, largest first, and the " +
+       "join's probe side is block-repartitioned to shuffle width") {
+    val docs = Seq(
+      (1L, "s1", "en", "a"), (2L, "s1", "en", "b"), (3L, "s1", "en", "c"),
+      (4L, "s1", "de", "d"), (5L, "s1", "de", "e"),
+      (6L, "s2", "en", "f"))
+      .toDF("doc_id", "source", "lang", "text")
+    val audit = Dedup.fuzzyBlockAudit(docs, Seq("source", "lang"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    assert(audit.toSeq === Seq(("s1", "en", 3L, 3L), ("s1", "de", 2L, 1L),
+      ("s2", "en", 1L, 0L)))
+
+    // The quadratic verify must be parallelized by BLOCK, not by file
+    // split — a compact parquet input arrives as one split and would
+    // otherwise serialize the whole DP on one task.
+    val plan = Dedup.fuzzyBlockedPairs(docs, "doc_id",
+      Seq("source", "lang"), "text", 40, 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(source"),
+      s"expected an explicit block-key repartition in:\n$plan")
+  }
+
   test("prefixFilterJaccardPairs ≡ ngramJaccardPairs on adversarial " +
        "docs — the prefix filter is lossless, incl. the exact t=1/2 " +
        "boundary, identical docs, whole-doc shingles, and empty docs") {
