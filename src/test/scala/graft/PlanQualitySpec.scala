@@ -314,4 +314,70 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("Join"))
     assert("Scan parquet".r.findAllIn(p).length === 1)
   }
+
+  test("JoinEliminate on the BUCKETED mart: a BI-generated star query " +
+       "drops every unconsumed dim join; inner joins are declined") {
+    // BI generators emit every dim join unconditionally and rely on the
+    // engine to drop the unused ones — prove the rule does it on the
+    // real materialized star (bucketed parquet tables), not just a
+    // synthetic fixture.
+    import java.sql.Date
+    import org.apache.spark.sql.functions._
+    import graft.etl.Scd2
+    import graft.mart.Mart
+    import graft.plans.JoinEliminate
+    val spark2 = spark
+    import spark2.implicits._
+
+    val attrs = Seq("product_name", "brand")
+    val dw = Seq(
+      ("A", "prod a", "b1", 10L, 5L), ("B", "prod b", "b2", 20L, 7L))
+      .toDF("natural_key", "product_name", "brand", "price",
+        "quantity_available")
+      .withColumn("dt_load_to_dw", lit(Date.valueOf("2021-03-01")))
+      .withColumn("dt_last_update", lit(Scd2.Sentinel))
+    val star = Mart.materializeStar(spark,
+      Mart.build(spark, dw, attrs, Seq("price", "quantity_available"),
+        Date.valueOf("2021-03-01"), Date.valueOf("2021-03-05")),
+      "mart_joinelim")
+
+    // the generated shape: fact LEFT JOIN every dim, selection varies
+    def biQuery(cols: Seq[String]) = star.fact
+      .join(star.dimProduct, star.fact("product_sk") ===
+        star.dimProduct("product_sk"), "left_outer")
+      .join(star.dimDate, star.fact("date_sk") ===
+        star.dimDate("date_sk"), "left_outer")
+      .select(cols.map(col): _*)
+
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ JoinEliminate
+    spark.conf.set(JoinEliminate.ConfKey, "product_sk,date_sk")
+    try {
+      val factOnly = biQuery(Seq("price", "quantity_available"))
+      assert(!factOnly.queryExecution.optimizedPlan.toString
+        .contains("Join"),
+        "both unconsumed dim joins must be eliminated")
+      // result equivalence against the no-rule plan
+      val expected = star.fact.select("price", "quantity_available")
+        .collect().map(_.toSeq).toSet
+      assert(factOnly.collect().map(_.toSeq).toSet === expected)
+
+      val oneDim = biQuery(Seq("brand", "price"))
+      assert("Join".r.findAllIn(
+        oneDim.queryExecution.optimizedPlan.toString).length === 1,
+        "a consumed dim survives; the unconsumed one is dropped")
+
+      val inner = star.fact
+        .join(star.dimProduct, star.fact("product_sk") ===
+          star.dimProduct("product_sk"))
+        .select(star.fact("price"))
+      assert(inner.queryExecution.optimizedPlan.toString.contains("Join"),
+        "inner joins filter unmatched rows — never eliminated")
+    } finally {
+      spark.conf.unset(JoinEliminate.ConfKey)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ == JoinEliminate)
+    }
+  }
 }
