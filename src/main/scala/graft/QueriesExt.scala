@@ -2923,5 +2923,78 @@ object QueriesExt {
           MAX(CASE WHEN rn = ceil(m * 0.9) THEN v END) AS p90_est
         FROM ranked r JOIN tot t USING (event_type)
         GROUP BY r.event_type ORDER BY r.event_type""")),
+
+    // ── Cohort retention matrix ────────────────────────────────────────
+    // The product-analytics staple q80's funnel doesn't cover: users
+    // bucketed by their FIRST activity week, then distinct-counted at
+    // each later week — the (cohort, age) retention triangle. Weeks are
+    // integer indexes (µs div 7·86400·10⁶), so both engines bucket
+    // identically with no calendar/timezone semantics in play. Scale
+    // shape: the first-activity min rides a user-partitioned window
+    // (one shuffle, map-side combinable), the matrix is one partial-agg
+    // shuffle keyed by (cohort, age) — history is never re-scanned per
+    // cohort, and no join against a first-seen table is needed.
+    QueryDef("q117_cohort_retention",
+      (s, dir) => {
+        val wk = t(s, dir, "events")
+          .select(col("user_id"),
+            expr("unix_micros(ts) div 604800000000").as("wk"))
+        val c = wk.withColumn("cohort",
+          min(col("wk")).over(Window.partitionBy("user_id")))
+        c.groupBy(col("cohort").as("cohort_week"),
+            (col("wk") - col("cohort")).as("age_weeks"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy("cohort_week", "age_weeks")
+      },
+      Some("""WITH w AS (SELECT user_id,
+            epoch_us(ts) // 604800000000 AS wk FROM events),
+          c AS (SELECT user_id, wk,
+            min(wk) OVER (PARTITION BY user_id) AS cohort FROM w)
+        SELECT cohort AS cohort_week, wk - cohort AS age_weeks,
+          COUNT(DISTINCT user_id) AS n_users
+        FROM c GROUP BY 1, 2 ORDER BY cohort_week, age_weeks""")),
+
+    // ── Triangle census / global clustering coefficient ────────────────
+    // Suri-Vassilvitskii degree-ordered triangle counting on the q108
+    // co-occurrence graph: each triangle counted once at its lowest
+    // (degree, token) vertex, so the out-neighbor-pair fanout is capped
+    // near √|E| even at a hub token. Integer counts + one IEEE division.
+    QueryDef("q118_triangle_count",
+      (s, dir) => graft.ext.Search.triangleStats(
+        tPar(s, dir, "documents"), "doc_id", "text", trVocab),
+      Some(s"""WITH dt AS (SELECT DISTINCT doc_id, tok AS token
+            FROM (SELECT doc_id, unnest($dTok) AS tok FROM documents)),
+          v AS (SELECT token FROM (SELECT token, COUNT(*) AS df FROM dt
+            GROUP BY 1 ORDER BY df DESC, token LIMIT $trVocab)),
+          vt AS (SELECT dt.doc_id, dt.token FROM dt JOIN v USING (token)),
+          half AS (SELECT a.token AS src, b.token AS dst
+            FROM vt a JOIN vt b
+              ON a.doc_id = b.doc_id AND a.token < b.token
+            GROUP BY 1, 2),
+          deg AS (SELECT t, COUNT(*) AS deg FROM
+            (SELECT src AS t FROM half UNION ALL SELECT dst FROM half)
+            GROUP BY 1),
+          orient AS (SELECT
+              CASE WHEN ds.deg < dd.deg
+                OR (ds.deg = dd.deg AND h.src < h.dst)
+                THEN h.src ELSE h.dst END AS u,
+              CASE WHEN ds.deg < dd.deg
+                OR (ds.deg = dd.deg AND h.src < h.dst)
+                THEN h.dst ELSE h.src END AS v
+            FROM half h JOIN deg ds ON h.src = ds.t
+              JOIN deg dd ON h.dst = dd.t),
+          tri AS (SELECT COUNT(*) AS n_triangles
+            FROM orient e1 JOIN orient e2
+              ON e1.u = e2.u AND e1.v < e2.v
+            JOIN half c ON c.src = LEAST(e1.v, e2.v)
+              AND c.dst = GREATEST(e1.v, e2.v)),
+          wed AS (SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT)
+            AS n_wedges FROM deg)
+        SELECT (SELECT COUNT(*) FROM v) AS n_nodes,
+          (SELECT COUNT(*) FROM half) AS n_edges,
+          n_wedges, n_triangles,
+          CAST(n_triangles * 3 AS DOUBLE) / CAST(n_wedges AS DOUBLE)
+            AS global_clustering
+        FROM wed CROSS JOIN tri""")),
   )
 }

@@ -189,6 +189,66 @@ object Search {
       .orderBy(col("hops").asc_nulls_last, col("token"))
   }
 
+  /** Triangle census of the vocab-capped co-occurrence graph
+    * ([[cooccurGraph]]): node/edge/wedge/triangle counts and the global
+    * clustering coefficient 3·triangles / wedges — the cohesion
+    * diagnostic that separates hub-and-spoke vocabularies from clique-y
+    * ones, completing the graph suite (components q45, PageRank q108,
+    * BFS q110).
+    *
+    * The degree-ordered node-iterator of Suri & Vassilvitskii (WWW'11):
+    * each undirected edge is oriented from its lower to its higher
+    * endpoint under the total order (degree, token), and a triangle is
+    * counted at its unique lowest vertex — the join that enumerates
+    * out-neighbor pairs fans out quadratically only in the OUT-degree,
+    * which the orientation caps near √|E| even when a hub token touches
+    * everything. Pure integer counts plus one final IEEE division, so
+    * the oracle replays it exactly.
+    *
+    * Scale shape: one corpus pass to build the graph (shared
+    * [[cooccurGraph]] checkpoint), then every join runs on the
+    * ≤ vocab²-bounded edge/degree tables — broadcast-sized by
+    * construction, nothing quadratic in the corpus.
+    */
+  def triangleStats(docs: DataFrame, idCol: String, textCol: String,
+                    vocab: Int): DataFrame = {
+    val (v, edges) = cooccurGraph(docs, idCol, textCol, vocab)
+    // canonical token-ordered undirected edges (one row per edge)
+    val half = edges.filter(col("src") < col("dst")).select("src", "dst")
+      .localCheckpoint()
+    val deg = half.select(col("src").as("t"))
+      .union(half.select(col("dst").as("t")))
+      .groupBy("t").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val lowFirst = (col("ds") < col("dd")) ||
+      (col("ds") === col("dd") && col("src") < col("dst"))
+    val oriented = half
+      .join(broadcast(deg.select(col("t").as("src"), col("deg").as("ds"))),
+        "src")
+      .join(broadcast(deg.select(col("t").as("dst"), col("deg").as("dd"))),
+        "dst")
+      .select(when(lowFirst, col("src")).otherwise(col("dst")).as("u"),
+        when(lowFirst, col("dst")).otherwise(col("src")).as("v"))
+      .localCheckpoint()
+    val triangles = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .join(half.as("c"),
+        col("c.src") === least(col("e1.v"), col("e2.v")) &&
+          col("c.dst") === greatest(col("e1.v"), col("e2.v")))
+      .agg(count(lit(1)).as("n_triangles"))
+    val wedges = deg.agg(
+      sum(expr("deg * (deg - 1) div 2")).cast("long").as("n_wedges"))
+    v.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(half.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(wedges)
+      .crossJoin(triangles)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        ((col("n_triangles") * 3).cast("double") /
+          col("n_wedges").cast("double")).as("global_clustering"))
+  }
+
   /** Positional phrase search: documents containing `t1` immediately
     * followed by `t2`, with hit counts and the first match position
     * (1-based). The positional-inverted-index query: where [[bm25]] and

@@ -277,6 +277,42 @@ object Streams {
       }
       .start()
 
+  /** Continuously-maintained quantile sketch — the streaming twin of
+    * q116 and the distribution-monitoring leg of
+    * [[streamingAggMaintenance]]: each micro-batch is reduced to
+    * bottom-k-by-hash partials ([[graft.ext.Sketches.quantilePartial]])
+    * and folded into the state parquet. Because the k-minima of a
+    * disjoint union is a pure set function, the maintained state is
+    * bit-identical to a full recompute regardless of how the stream was
+    * micro-batched — so a 100 TB pipeline can watch per-key
+    * median/p90 drift (length, quality score, value) without ever
+    * re-scanning history. The fold shuffles each batch's ≤ k-row-per-key
+    * partials, never the accumulated state's history.
+    */
+  def streamingQuantileMaintenance(events: DataFrame, path: String,
+                                   keys: Seq[String], valueCol: String,
+                                   idCol: String, k: Int,
+                                   checkpoint: String)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        import graft.ext.Sketches
+        val delta = Sketches.quantilePartial(batch, keys, col(valueCol),
+          col(idCol), k)
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val merged =
+          if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+            Sketches.quantileMerge(spark.read.parquet(path), delta,
+              keys, k)
+          else delta
+        merged.localCheckpoint(true).write
+          .mode("overwrite").parquet(path)
+      }
+      .start()
+
   /** Streaming running aggregate per user — `mapGroupsWithState`
     * keeping (count, sum) state and emitting the updated totals each
     * micro-batch (C2-style latest-state tracking, streaming twin of

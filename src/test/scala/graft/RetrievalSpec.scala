@@ -110,4 +110,22 @@ class RetrievalSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(cc.toSeq === Seq((5L, 2L, 1L)))
   }
+
+  test("triangleStats: exact census on a hand-countable graph — one " +
+       "triangle, hub wedges, isolated node in the vocab but not the " +
+       "degree table") {
+    val spark2 = spark
+    import spark2.implicits._
+    // edges pq, pr, qr (triangle) + ps (pendant); iso has no edges
+    val docs = Seq((1L, "p q r"), (2L, "p q"), (3L, "p s"), (4L, "iso"))
+      .toDF("doc_id", "text")
+    val row = Search.triangleStats(docs, "doc_id", "text", vocab = 10)
+      .head()
+    assert(row.getLong(0) === 5L, "nodes: p q r s iso")
+    assert(row.getLong(1) === 4L, "edges: pq pr qr ps")
+    // wedges: p C(3,2)=3, q C(2,2)=1, r 1, s 0 → 5
+    assert(row.getLong(2) === 5L)
+    assert(row.getLong(3) === 1L, "exactly the p-q-r triangle")
+    assert(row.getDouble(4) === 0.6, "3·1/5")
+  }
 }

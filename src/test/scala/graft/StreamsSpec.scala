@@ -180,6 +180,40 @@ class StreamsSpec extends AnyFunSuite {
     assert(maintained.nonEmpty)
   }
 
+  test("streaming quantile-sketch maintenance: maintained state equals " +
+       "the one-shot sketch over the whole input, bit-exact") {
+    import graft.ext.Sketches
+    val k = 32
+    val ev = Tables.load(spark, TestSpark.sf0001, "events")
+      .select("event_id", "event_type", "value")
+    val srcDir = java.nio.file.Files.createTempDirectory("qs_src").toString
+    val stateDir =
+      java.nio.file.Files.createTempDirectory("qs_state").toString + "/state"
+    val cp = java.nio.file.Files.createTempDirectory("qs_cp").toString
+    // three arbitrary micro-batches (one file per drop)
+    (0 until 3).foreach { i =>
+      ev.filter(abs(hash(col("event_id"))) % 3 === i).coalesce(1)
+        .write.mode("append").parquet(srcDir)
+    }
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val q = Streams.streamingQuantileMaintenance(stream, stateDir,
+      Seq("event_type"), "value", "event_id", k, cp)
+    q.processAllAvailable(); q.stop()
+
+    val maintained = Sketches.quantileFinish(
+      spark.read.parquet(stateDir), Seq("event_type"))
+      .orderBy("event_type").collect().toSeq
+    val recompute = Sketches.quantileFinish(
+      Sketches.quantilePartial(ev, Seq("event_type"), col("value"),
+        col("event_id"), k), Seq("event_type"))
+      .orderBy("event_type").collect().toSeq
+    assert(maintained === recompute,
+      "stream-maintained sketch must equal the one-shot sketch bit-exactly")
+    assert(maintained.nonEmpty)
+  }
+
   test("stateful streaming dedup keeps exactly one event per key") {
     import spark.implicits._
     val batchEvents = Tables.load(spark, TestSpark.sf0001, "events")
