@@ -230,10 +230,13 @@ object Search {
       .select(when(lowFirst, col("src")).otherwise(col("dst")).as("u"),
         when(lowFirst, col("dst")).otherwise(col("src")).as("v"))
       .localCheckpoint()
+    // both sides are ≤ vocab²-bounded — broadcast them so the census
+    // never sort-merges (checkpointed frames lose the size stats the
+    // planner would need to choose this itself)
     val triangles = oriented.as("e1")
-      .join(oriented.as("e2"),
+      .join(broadcast(oriented.as("e2")),
         col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
-      .join(half.as("c"),
+      .join(broadcast(half.as("c")),
         col("c.src") === least(col("e1.v"), col("e2.v")) &&
           col("c.dst") === greatest(col("e1.v"), col("e2.v")))
       .agg(count(lit(1)).as("n_triangles"))
