@@ -32,6 +32,9 @@ object Params {
   val kmvK = 64
   /** Mergeable quantile sketch (q116): bottom-k sample size per key. */
   val quantileK = 256
+  /** Containment near-dup pairs (q119): |sub ∩ sup| / |sub| ≥ 4/5. */
+  val containNum = 4
+  val containDen = 5
   val packBudget = 512
   val mixHeadSources: Seq[String] = (0 until 5).map(i => s"src$i")
   val mixHeadRate = 0.9

@@ -2996,5 +2996,32 @@ object QueriesExt {
           CAST(n_triangles * 3 AS DOUBLE) / CAST(n_wedges AS DOUBLE)
             AS global_clustering
         FROM wed CROSS JOIN tri""")),
+
+    // ── Containment near-dup pairs (asymmetric sub-document dedup) ─────
+    // Jaccard (q28/q106) misses a short doc wholly quoted inside a long
+    // one; containment |sub ∩ sup| / |sub| ≈ 1 catches exactly that.
+    // Same one-pass inverted-index shape as q28; each unordered pair
+    // tested in both directions by an integer gate — the direction
+    // split is a projection, not a shuffle.
+    QueryDef("q119_containment_pairs",
+      (s, dir) => Dedup.containmentPairs(tPar(s, dir, "documents"),
+        "doc_id", "text", shingleK, containNum, containDen)
+        .orderBy("id_sub", "id_sup"),
+      Some(s"""WITH sh AS (SELECT doc_id, unnest(list_distinct(
+            ${dShingles(dTok, shingleK)})) AS shingle FROM documents),
+        sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+          FROM sh a JOIN sh b USING (shingle)
+          WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        d AS (
+          SELECT id_a AS id_sub, id_b AS id_sup, shared, x.n AS n_sub
+          FROM p JOIN sz x ON p.id_a = x.doc_id
+          UNION ALL
+          SELECT id_b, id_a, shared, y.n
+          FROM p JOIN sz y ON p.id_b = y.doc_id)
+        SELECT id_sub, id_sup, CAST(shared AS BIGINT) AS shared,
+          CAST(shared AS DOUBLE) / CAST(n_sub AS DOUBLE) AS containment
+        FROM d WHERE shared * $containDen >= $containNum * n_sub
+        ORDER BY id_sub, id_sup""")),
   )
 }

@@ -74,6 +74,7 @@ object Dedup {
     */
   val MinhashBucketMetrics = "graft_dedup_buckets_minhash"
   val NgramBucketMetrics = "graft_dedup_buckets_ngram"
+  val ContainmentBucketMetrics = "graft_dedup_buckets_containment"
 
   private def observeBuckets(buckets: DataFrame, arrCol: String, cap: Int,
                              metric: String): DataFrame =
@@ -472,6 +473,55 @@ object Dedup {
           (col("n_a") + col("n_b") - col("shared")).cast("double"))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Containment near-dup pairs — the ASYMMETRIC complement of
+    * [[ngramJaccardPairs]]: C(sub, sup) = |sub ∩ sup| / |sub| over
+    * k-shingle sets, kept when ≥ `cNum/cDen`. Jaccard misses exactly the
+    * case this catches: a short document wholly quoted inside a long one
+    * (boilerplate, mirrored excerpts, prompt-template expansion) has
+    * tiny Jaccard but containment ≈ 1 — the sub-document duplication a
+    * training corpus needs scrubbed even when the documents are not
+    * near-identical as wholes.
+    *
+    * Shape: the same inverted-index pipeline as [[ngramJaccardPairs]]
+    * (one shingling pass, posting lists with the hot-shingle cap and
+    * its observable-drop metric, pairs streamed in-bucket), then each
+    * unordered pair is tested in BOTH directions against its own
+    * integer gate `shared·cDen ≥ cNum·n_sub` — no extra shuffle for the
+    * direction split, it is a projection of the shared-count table.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int, cNum: Int, cDen: Int,
+                       maxPosting: Int = 8192): DataFrame = {
+    require(cNum >= 1 && cNum <= cDen, s"containment $cNum/$cDen")
+    val withSh = docs.select(col(idCol),
+      graft.functions.NativeExprs
+        .wordShingles(TextStats.tokens(col(textCol)), k, distinct = true)
+        .as("sh"))
+    val sizes = withSh.select(col(idCol), size(col("sh")).cast("long").as("n"))
+    val inv = withSh.select(col(idCol), explode(col("sh")).as("shingle"))
+    val postings = inv.groupBy("shingle")
+      .agg(collect_list(col(idCol)).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val shared = expandPairs(
+      observeBuckets(postings, "ids", maxPosting, ContainmentBucketMetrics))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    val sized = shared
+      .join(sizes.withColumnRenamed(idCol, "id_a")
+        .withColumnRenamed("n", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed(idCol, "id_b")
+        .withColumnRenamed("n", "n_b"), "id_b")
+    val fwd = sized.select(col("id_a").as("id_sub"),
+      col("id_b").as("id_sup"), col("shared"), col("n_a").as("n_sub"))
+    val rev = sized.select(col("id_b").as("id_sub"),
+      col("id_a").as("id_sup"), col("shared"), col("n_b").as("n_sub"))
+    fwd.unionByName(rev)
+      .filter(col("shared") * cDen >= lit(cNum) * col("n_sub"))
+      .select(col("id_sub"), col("id_sup"), col("shared"),
+        (col("shared").cast("double") / col("n_sub").cast("double"))
+          .as("containment"))
   }
 
   /** Duplicated-span statistics — the exact-substring-dedup measurement

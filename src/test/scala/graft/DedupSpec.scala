@@ -296,6 +296,38 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("containmentPairs: a quoted excerpt scores ~1 despite tiny " +
+       "Jaccard; directions are independent; near-identical docs pass " +
+       "both ways") {
+    val spark2 = spark
+    import spark2.implicits._
+    val quote = "alpha beta gamma delta epsilon"
+    val docs = Seq(
+      (1L, quote), // 3 shingles, all inside doc 2
+      (2L, s"intro words here $quote and a very long tail of filler " +
+        "tokens that keeps the jaccard far below any threshold"),
+      (3L, "totally unrelated content with nothing shared at all"),
+      (4L, quote + " x"), // superset of doc 1 by one token
+      (5L, quote + " x")) // identical to doc 4
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs, "doc_id", "text", k = 3,
+      cNum = 4, cDen = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    val pairs = out.map(t => (t._1, t._2)).toSet
+    assert(pairs.contains((1L, 2L)), "excerpt contained in the long doc")
+    assert(!pairs.contains((2L, 1L)), "the long doc is NOT in the excerpt")
+    assert(pairs.contains((4L, 5L)) && pairs.contains((5L, 4L)),
+      "identical docs contain each other")
+    assert(pairs.contains((1L, 4L)), "subset by one trailing shingle")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(out.filter(t => t._1 == 1L && t._2 == 2L).head._3 === 1.0)
+    // sanity: the same corpus under the symmetric gate has no (1,2) pair
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((1L, 2L)),
+      "jaccard at the same strictness misses the quoted excerpt")
+  }
+
   test("fuzzyBlockAudit: per-block pair counts, largest first, and the " +
        "join's probe side is block-repartitioned to shuffle width") {
     val docs = Seq(
