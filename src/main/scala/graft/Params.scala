@@ -35,6 +35,8 @@ object Params {
   /** Containment near-dup pairs (q119): |sub ∩ sup| / |sub| ≥ 4/5. */
   val containNum = 4
   val containDen = 5
+  /** User-path analysis (q120): journey length (first K events). */
+  val pathK = 5
   val packBudget = 512
   val mixHeadSources: Seq[String] = (0 until 5).map(i => s"src$i")
   val mixHeadRate = 0.9

@@ -3023,5 +3023,38 @@ object QueriesExt {
           CAST(shared AS DOUBLE) / CAST(n_sub AS DOUBLE) AS containment
         FROM d WHERE shared * $containDen >= $containNum * n_sub
         ORDER BY id_sub, id_sup""")),
+
+    // ── Top user journeys (ordered event-path analysis) ────────────────
+    // The path complement of q111's one-step Markov transitions: each
+    // user's first pathK events in (ts, event_id) order joined into a
+    // journey string, counted across users. Path cardinality is bounded
+    // by |event_types|^pathK, so the final aggregate is small no matter
+    // the corpus. One user-partitioned window shuffle (row_number and
+    // the per-user fold share it); the ordered concat is a sort_array
+    // over an rn-keyed struct — deterministic, no order-dependent
+    // collect_list contract.
+    QueryDef("q120_user_paths",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            row_number().over(w).as("rn"))
+          .filter(col("rn") <= pathK)
+          .groupBy("user_id")
+          .agg(array_join(transform(
+            array_sort(collect_list(struct(col("rn"), col("event_type")))),
+            x => x.getField("event_type")), ">").as("path"))
+          .groupBy("path").agg(count(lit(1)).as("n_users"))
+          .orderBy(desc("n_users"), col("path"))
+      },
+      Some(s"""WITH r AS (SELECT user_id, event_type, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events),
+        p AS (SELECT user_id,
+            string_agg(event_type, '>' ORDER BY rn) AS path
+          FROM r WHERE rn <= $pathK GROUP BY user_id)
+        SELECT path, COUNT(*) AS n_users FROM p
+        GROUP BY path ORDER BY n_users DESC, path""")),
   )
 }
