@@ -513,11 +513,17 @@ object Dedup {
         .withColumnRenamed("n", "n_a"), "id_a")
       .join(sizes.withColumnRenamed(idCol, "id_b")
         .withColumnRenamed("n", "n_b"), "id_b")
-    val fwd = sized.select(col("id_a").as("id_sub"),
-      col("id_b").as("id_sup"), col("shared"), col("n_a").as("n_sub"))
-    val rev = sized.select(col("id_b").as("id_sub"),
-      col("id_a").as("id_sup"), col("shared"), col("n_b").as("n_sub"))
-    fwd.unionByName(rev)
+    // both directions from ONE pass over the shared-count table: a
+    // union of two projections would re-derive the whole inverted-index
+    // pipeline per branch (observed: 2× scans/shuffles in the plan);
+    // exploding a 2-element struct array is the same rows, one subtree
+    sized.select(explode(array(
+        struct(col("id_a").as("id_sub"), col("id_b").as("id_sup"),
+          col("shared"), col("n_a").as("n_sub")),
+        struct(col("id_b").as("id_sub"), col("id_a").as("id_sup"),
+          col("shared"), col("n_b").as("n_sub")))).as("d"))
+      .select(col("d.id_sub").as("id_sub"), col("d.id_sup").as("id_sup"),
+        col("d.shared").as("shared"), col("d.n_sub").as("n_sub"))
       .filter(col("shared") * cDen >= lit(cNum) * col("n_sub"))
       .select(col("id_sub"), col("id_sup"), col("shared"),
         (col("shared").cast("double") / col("n_sub").cast("double"))
