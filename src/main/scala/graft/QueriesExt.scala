@@ -3056,5 +3056,70 @@ object QueriesExt {
           FROM r WHERE rn <= $pathK GROUP BY user_id)
         SELECT path, COUNT(*) AS n_users FROM p
         GROUP BY path ORDER BY n_users DESC, path""")),
+
+    // ── SCD2 snapshot diff (what changed between two AS-OF dates) ──────
+    // The audit twin of q99's time travel: keys added / removed /
+    // attribute-changed between two as-of reads of the versioned
+    // dimension. ONE pass over the version table — per key, validity
+    // windows are disjoint, so a conditional max picks each date's
+    // single valid version and the diff is a projection of one
+    // aggregation; two filtered as-of reads full-outer-joined would
+    // derive the SCD2 merge twice and shuffle twice.
+    QueryDef("q121_snapshot_diff",
+      (s, dir) => {
+        val dim = QueriesCore.defs.find(_.name == "q15_scd2").get
+          .fn(s, dir)
+        def at(d: String, c: String) = max(when(
+          col("dt_load_to_dw") <= lit(Date.valueOf(d)) &&
+            lit(Date.valueOf(d)) < col("dt_last_update"), col(c)))
+        dim.groupBy("custkey").agg(
+            at("2020-01-01", "n_orders").as("old_n_orders"),
+            at("2020-01-01", "max_price").as("old_max_price"),
+            at("2020-01-02", "n_orders").as("new_n_orders"),
+            at("2020-01-02", "max_price").as("new_max_price"))
+          .withColumn("status",
+            when(col("old_n_orders").isNull, "added")
+              .when(col("new_n_orders").isNull, "removed")
+              .when(col("old_n_orders") =!= col("new_n_orders") ||
+                col("old_max_price") =!= col("new_max_price"), "changed")
+              .otherwise("unchanged"))
+          .filter(col("status") =!= "unchanged")
+          .select("custkey", "status", "old_n_orders", "new_n_orders",
+            "old_max_price", "new_max_price")
+          .orderBy("custkey")
+      },
+      Some {
+        val q15Sql = QueriesCore.defs.find(_.name == "q15_scd2").get
+          .oracle.get
+        s"""WITH dim AS ($q15Sql),
+          d AS (SELECT custkey,
+            MAX(CASE WHEN dt_load_to_dw <= DATE '2020-01-01'
+              AND DATE '2020-01-01' < dt_last_update
+              THEN n_orders END) AS old_n_orders,
+            MAX(CASE WHEN dt_load_to_dw <= DATE '2020-01-01'
+              AND DATE '2020-01-01' < dt_last_update
+              THEN max_price END) AS old_max_price,
+            MAX(CASE WHEN dt_load_to_dw <= DATE '2020-01-02'
+              AND DATE '2020-01-02' < dt_last_update
+              THEN n_orders END) AS new_n_orders,
+            MAX(CASE WHEN dt_load_to_dw <= DATE '2020-01-02'
+              AND DATE '2020-01-02' < dt_last_update
+              THEN max_price END) AS new_max_price
+          FROM dim GROUP BY custkey)
+        SELECT custkey,
+          CASE WHEN old_n_orders IS NULL THEN 'added'
+            WHEN new_n_orders IS NULL THEN 'removed'
+            WHEN old_n_orders <> new_n_orders
+              OR old_max_price <> new_max_price THEN 'changed'
+            ELSE 'unchanged' END AS status,
+          old_n_orders, new_n_orders, old_max_price, new_max_price
+        FROM d
+        WHERE CASE WHEN old_n_orders IS NULL THEN 'added'
+            WHEN new_n_orders IS NULL THEN 'removed'
+            WHEN old_n_orders <> new_n_orders
+              OR old_max_price <> new_max_price THEN 'changed'
+            ELSE 'unchanged' END <> 'unchanged'
+        ORDER BY custkey"""
+      }),
   )
 }
