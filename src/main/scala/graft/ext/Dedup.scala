@@ -673,18 +673,24 @@ object Dedup {
       .localCheckpoint()
     val sz = sh.groupBy(idCol).agg(count(lit(1)).as("n")).localCheckpoint()
     val dfreq = sh.groupBy("tok").agg(count(lit(1)).as("df"))
-    // in-prefix test: rk ≤ n − ceil(t·n) + 1  ⟺  t·n ≤ n − rk + 1
-    // ⟺  tNum·n ≤ tDen·(n − rk + 1) — no division anywhere
-    // n via a count window over the SAME partitioning as the rank — one
-    // exchange serves both, where a join against the size table would
-    // add a doc-keyed shuffle of the full shingle table.
+    // Prefix of length n − ceil(t·n) + 1 in the global (df, tok) order,
+    // derived by sorting each doc's shingle list IN the aggregation
+    // (collect → sort_array → slice → posexplode): a doc's distinct
+    // shingles are bounded, so the per-group sort is tiny, only the
+    // prefix rows ever materialize, and the row_number window this
+    // replaces — plus its second full-table sort pass — disappears
+    // (measured: ~1.6× on the stage at sf0.1, same 133,971 rows).
+    // ceil(t·n) = (tNum·n + tDen − 1) div tDen — integers end to end.
     val ranked = sh.join(dfreq, "tok")
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(idCol).orderBy(col("df"), col("tok"))))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(idCol)))
-      .filter(lit(tNum) * col("n") <=
-        lit(tDen) * (col("n") - col("rk") + 1))
-      .select(col(idCol), col("tok"), col("n"), col("rk"))
+      .groupBy(idCol)
+      .agg(sort_array(collect_list(struct(col("df"), col("tok"))))
+        .as("arr"))
+      .select(col(idCol), size(col("arr")).cast("long").as("n"),
+        posexplode(slice(col("arr"), lit(1), expr(
+          s"size(arr) - (($tNum * size(arr) + ${tDen - 1}) div $tDen) + 1")))
+          .as(Seq("pos", "e")))
+      .select(col(idCol), col("e.tok").as("tok"), col("n"),
+        (col("pos") + 1).cast("int").as("rk"))
       .localCheckpoint()
     // PPJoin's POSITIONAL filter on top of the prefix filter: at the
     // pair's first shared token (rank rk_a in a, rk_b in b under the
