@@ -3121,5 +3121,72 @@ object QueriesExt {
             ELSE 'unchanged' END <> 'unchanged'
         ORDER BY custkey"""
       }),
+
+    // ── A/B comparison: group-wise Welch t statistic ───────────────────
+    // The experiment-analysis primitive: users split into two cohorts by
+    // the portable md5 hash (q52's deterministic-split trick), then per
+    // event type the two cohorts' value means are compared by Welch's
+    // unequal-variance t. Sufficient sums (n, Σv, Σv²) in exact
+    // DECIMAL — q112's quantization discipline — then one fixed
+    // sequence of correctly-rounded IEEE ops (two divisions, sqrt), so
+    // the oracle reproduces every double bit-for-bit. ONE partial-agg
+    // shuffle; no window, no join.
+    QueryDef("q122_ab_welch",
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val ev = t(s, dir, "events")
+          .select(col("event_type"),
+            col("value").cast(DecimalType(18, 6)).as("vq"),
+            (Shingles.baseHash(col("user_id").cast("string")) % 2)
+              .as("grp"))
+        def side(g: Int, e: org.apache.spark.sql.Column) =
+          sum(when(col("grp") === g, e))
+        val agg = ev.groupBy("event_type").agg(
+          side(0, lit(1L)).cast("double").as("na"),
+          side(1, lit(1L)).cast("double").as("nb"),
+          side(0, col("vq")).cast("double").as("sa"),
+          side(1, col("vq")).cast("double").as("sb"),
+          side(0, col("vq") * col("vq")).cast("double").as("qa"),
+          side(1, col("vq") * col("vq")).cast("double").as("qb"))
+        val ma = col("sa") / col("na")
+        val mb = col("sb") / col("nb")
+        val va = (col("qa") - col("sa") * col("sa") / col("na")) /
+          (col("na") - 1.0)
+        val vb = (col("qb") - col("sb") * col("sb") / col("nb")) /
+          (col("nb") - 1.0)
+        val se2 = va / col("na") + vb / col("nb")
+        agg.select(col("event_type"),
+            col("na").cast("long").as("n_a"),
+            col("nb").cast("long").as("n_b"),
+            ma.as("mean_a"), mb.as("mean_b"),
+            when(col("na") > 1.0 && col("nb") > 1.0 && se2 > 0.0,
+              (ma - mb) / sqrt(se2)).as("t_stat"))
+          .orderBy("event_type")
+      },
+      Some {
+        def dsum(e: String, g: Int) =
+          s"CAST(CAST(SUM($e) FILTER (grp = $g) AS VARCHAR) AS DOUBLE)"
+        s"""WITH b AS (SELECT event_type,
+            CAST(value AS DECIMAL(18,6)) AS vq,
+            ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 7))::BIGINT
+              % 2 AS grp
+          FROM events),
+        g AS (SELECT event_type,
+            CAST(COUNT(*) FILTER (grp = 0) AS DOUBLE) AS na,
+            CAST(COUNT(*) FILTER (grp = 1) AS DOUBLE) AS nb,
+            ${dsum("vq", 0)} AS sa, ${dsum("vq", 1)} AS sb,
+            ${dsum("vq * vq", 0)} AS qa, ${dsum("vq * vq", 1)} AS qb
+          FROM b GROUP BY 1)
+        SELECT event_type, CAST(na AS BIGINT) AS n_a,
+          CAST(nb AS BIGINT) AS n_b,
+          sa / na AS mean_a, sb / nb AS mean_b,
+          CASE WHEN na > 1.0 AND nb > 1.0 AND
+              ((qa - sa * sa / na) / (na - 1.0)) / na
+                + ((qb - sb * sb / nb) / (nb - 1.0)) / nb > 0.0
+            THEN (sa / na - sb / nb) /
+              sqrt(((qa - sa * sa / na) / (na - 1.0)) / na
+                + ((qb - sb * sb / nb) / (nb - 1.0)) / nb) END AS t_stat
+        FROM g ORDER BY event_type"""
+      }),
   )
 }
