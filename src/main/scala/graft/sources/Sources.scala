@@ -140,6 +140,28 @@ object Sources {
               schema: StructType): DataFrame =
     spark.read.schema(schema).orc(path)
 
+  /** XML ingest with the same malformed-row policy surface as the
+    * CSV/JSON legs (Spark 4 ships the XML data source natively —
+    * `rowTag` selects the repeating element, schema enforced,
+    * PERMISSIVE nulls bad fields and captures the raw record,
+    * DROPMALFORMED skips, FAILFAST throws). The reference keeps its
+    * CONFIG in XML (`config.xml`, parsed by [[graft.control.ConfigXml]]);
+    * this is the DATA-plane leg for feeds that arrive the same way.
+    */
+  def readXmlWithPolicy(spark: SparkSession, path: String, rowTag: String,
+                        schema: StructType, mode: String): DataFrame = {
+    val withCorrupt = if (mode == "PERMISSIVE")
+      schema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    else schema
+    spark.read.schema(withCorrupt)
+      .option("rowTag", rowTag)
+      .option("mode", mode)
+      .xml(path)
+  }
+
+  def writeXml(df: DataFrame, path: String, rowTag: String): Unit =
+    df.write.mode("overwrite").option("rowTag", rowTag).xml(path)
+
   /** S4 — single-file upload/copy across Hadoop FileSystems (the B2
     * `upload_local_file` analogue, `extract_file.py:397-440`): source and
     * destination resolve their own scheme (`file://`, `s3a://`, `hdfs://`,

@@ -109,4 +109,49 @@ class QualityAndOpsSpec extends AnyFunSuite {
       Sources.readJsonWithPolicy(spark, f, schema, "FAILFAST").collect()
     }
   }
+
+  test("XML feed: round trip, rowTag selection, and the same malformed " +
+       "policy surface as CSV/JSON") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("xmlsrc").toString
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("sku",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("qty",
+        org.apache.spark.sql.types.IntegerType)))
+
+    // round trip via the native Spark 4 XML source
+    val out = Seq(("A", 1), ("B", 2)).toDF("sku", "qty")
+    Sources.writeXml(out, s"$dir/rt", "item")
+    val back = Sources.readXmlWithPolicy(spark, s"$dir/rt", "item",
+      schema, "DROPMALFORMED")
+    assert(back.orderBy("sku").collect().map(r =>
+      (r.getString(0), r.getInt(1))).toSeq === Seq(("A", 1), ("B", 2)))
+
+    // hand-written feed with one malformed record
+    val f = s"$dir/feed.xml"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(f),
+      """<items>
+        |<item><sku>A</sku><qty>1</qty></item>
+        |<item><sku>B</sku><qty>notanumber</qty></item>
+        |<item><sku>C</sku><qty>3</qty></item>
+        |</items>
+        |""".stripMargin)
+    val permissive = Sources.readXmlWithPolicy(spark, f, "item", schema,
+      "PERMISSIVE").cache()
+    assert(permissive.count() === 3)
+    assert(permissive.filter(col("_corrupt_record").isNotNull).count() === 1)
+    assert(permissive.filter(col("qty").isNotNull).count() === 2)
+
+    val dropped = Sources.readXmlWithPolicy(spark, f, "item", schema,
+      "DROPMALFORMED")
+    assert(dropped.collect().length === 2)
+
+    intercept[Exception] {
+      Sources.readXmlWithPolicy(spark, f, "item", schema, "FAILFAST")
+        .collect()
+    }
+  }
 }
