@@ -37,6 +37,10 @@ object Params {
   val containDen = 5
   /** User-path analysis (q120): journey length (first K events). */
   val pathK = 5
+  /** Event de-bounce (q123): same-key duplicate-suppression gap. */
+  val debounceSec = 300
+  /** OOV-rate monitor (q124): corpus vocabulary size. */
+  val oovVocab = 500
   val packBudget = 512
   val mixHeadSources: Seq[String] = (0 until 5).map(i => s"src$i")
   val mixHeadRate = 0.9

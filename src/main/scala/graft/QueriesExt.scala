@@ -3188,5 +3188,77 @@ object QueriesExt {
                 + ((qb - sb * sb / nb) / (nb - 1.0)) / nb) END AS t_stat
         FROM g ORDER BY event_type"""
       }),
+
+    // ── Event de-bounce (gap-based duplicate suppression) ──────────────
+    // The batch twin of the streaming bounded-state dedup: an event is
+    // noise when the SAME (user, type) fired within debounceSec of the
+    // previous raw event — one lag over the per-key window, pure
+    // integer microsecond arithmetic, no self-join. Gap-based (vs
+    // anchored-to-last-kept) keeps the operator one window pass and
+    // identical on any engine. Output: per-type kept/dropped audit.
+    QueryDef("q123_event_debounce",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id", "event_type")
+          .orderBy(col("ts"), col("event_id"))
+        t(s, dir, "events")
+          .withColumn("us", unix_micros(col("ts")))
+          .withColumn("prev_us", lag(col("us"), 1).over(w))
+          .withColumn("keep", col("prev_us").isNull ||
+            col("us") - col("prev_us") > lit(debounceSec * 1000000L))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+            sum(when(!col("keep"), 1L).otherwise(0L)).as("n_dropped"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH l AS (SELECT event_type,
+            epoch_us(ts) AS us,
+            lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+              ORDER BY ts, event_id) AS prev_us
+          FROM events)
+        SELECT event_type, COUNT(*) AS n_events,
+          CAST(SUM(CASE WHEN prev_us IS NULL
+            OR us - prev_us > ${debounceSec}000000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+          CAST(SUM(CASE WHEN prev_us IS NOT NULL
+            AND us - prev_us <= ${debounceSec}000000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dropped
+        FROM l GROUP BY event_type ORDER BY event_type""")),
+
+    // ── OOV-rate drift monitor (per-source vocabulary coverage) ────────
+    // Per source: what fraction of token occurrences fall outside the
+    // corpus's top-oovVocab vocabulary — the cheap canary for a source
+    // whose distribution drifted from the corpus (new language, new
+    // boilerplate, encoding rot). Vocabulary by total occurrences (ties
+    // by token) broadcasts; the corpus is touched twice (vocab count +
+    // coverage pass), integer counts, one exact division.
+    QueryDef("q124_oov_rate",
+      (s, dir) => {
+        val toks = tPar(s, dir, "documents")
+          .select(col("source"),
+            explode(TextStats.tokens(col("text"))).as("token"))
+        val vocab = toks.groupBy("token").agg(count(lit(1)).as("c"))
+          .orderBy(desc("c"), col("token")).limit(oovVocab)
+          .select(col("token"), lit(1).as("in_vocab"))
+        toks.join(broadcast(vocab), Seq("token"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("in_vocab").isNull, 1L).otherwise(0L))
+              .as("n_oov"))
+          .withColumn("oov_rate",
+            col("n_oov").cast("double") / col("n_tokens").cast("double"))
+          .orderBy("source")
+      },
+      Some(s"""WITH toks AS (SELECT source, unnest($dTok) AS token
+            FROM documents),
+          v AS (SELECT token FROM (SELECT token, COUNT(*) AS c FROM toks
+            GROUP BY 1 ORDER BY c DESC, token LIMIT $oovVocab))
+        SELECT source, COUNT(*) AS n_tokens,
+          CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_oov,
+          CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+        FROM toks LEFT JOIN v ON toks.token = v.token
+        GROUP BY source ORDER BY source""")),
   )
 }
