@@ -204,6 +204,46 @@ class ScaleFeaturesSpec extends AnyFunSuite {
     }
   }
 
+  test("runtime bloom-filter join pruning: a selective dim filter " +
+       "row-filters the fact side of a shuffle join before the " +
+       "exchange — the non-partitioned complement of DPP") {
+    import spark.implicits._
+    val factDir =
+      java.nio.file.Files.createTempDirectory("fact_bloom").toString
+    val dimDir =
+      java.nio.file.Files.createTempDirectory("dim_bloom").toString
+    // NOT partitioned by the key: DPP cannot help here, only the
+    // runtime row filter can.
+    (1 to 5000).map(i => (i.toLong, (i % 100).toLong)).toDF("m", "fk")
+      .write.mode("overwrite").parquet(factDir)
+    (0 until 100).map(k => (k.toLong, s"name-$k")).toDF("k", "name")
+      .write.mode("overwrite").parquet(dimDir)
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force shuffle join
+      // the fixture is tiny; drop the size heuristics that gate the
+      // rewrite on real clusters
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" ->
+        "10GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val dim = spark.read.parquet(dimDir)
+      val fact = spark.read.parquet(factDir)
+      val q = fact.join(dim.filter(col("name").isin("name-3", "name-7")),
+        fact("fk") === dim("k"))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"expected a runtime bloom filter on the fact side in:\n$plan")
+      assert(q.count() === 100L, "2 of 100 keys x 50 rows each")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("z-order layout: 2-d box predicates touch fewer files than a " +
        "single-column sort (zone-map pruning, q96's claim)") {
     val nFiles = 32
