@@ -3260,5 +3260,60 @@ object QueriesExt {
             AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS oov_rate
         FROM toks LEFT JOIN v ON toks.token = v.token
         GROUP BY source ORDER BY source""")),
+
+    // ── Histogram drift: per-source total-variation distance ───────────
+    // The distribution-shift companion of q124's OOV canary, with NO
+    // transcendental in sight (PSI/KL need ln — engine-dependent bits):
+    // TV(source, corpus) = ½·Σ_bins |c_i/N_s − d_i/N| over a fixed
+    // 10-bin doc-length histogram. Cross-multiplying keeps every
+    // numerator an exact integer — Σ|c_i·N − d_i·N_s| — so the sum is
+    // order-independent and ONE final division produces the double.
+    // Zero-count bins included via a generated (source × bin) grid
+    // (tiny), corpus histogram broadcast.
+    QueryDef("q125_histogram_drift",
+      (s, dir) => {
+        val d = tPar(s, dir, "documents")
+          .select(col("source"),
+            least(expr("n_chars div 200"), lit(9L)).as("bin"))
+        val sb = d.groupBy("source", "bin").agg(count(lit(1)).as("c"))
+        val cb = d.groupBy("bin").agg(count(lit(1)).as("d"))
+        val ns = d.groupBy("source").agg(count(lit(1)).as("n_src"))
+        val grid = ns.select(col("source"), col("n_src"),
+          explode(sequence(lit(0L), lit(9L))).as("bin"))
+        grid
+          .join(sb, Seq("source", "bin"), "left")
+          .join(broadcast(cb), Seq("bin"), "left")
+          .crossJoin(broadcast(d.agg(count(lit(1)).as("n_tot"))))
+          .withColumn("num", abs(coalesce(col("c"), lit(0L)) * col("n_tot")
+            - coalesce(col("d"), lit(0L)) * col("n_src")))
+          .groupBy("source")
+          .agg(max(col("n_src")).as("n_docs"),
+            sum(col("num")).as("tv_num"),
+            max(col("n_tot")).as("n_tot"))
+          .select(col("source"), col("n_docs"),
+            (col("tv_num").cast("double") /
+              (lit(2.0) * col("n_docs").cast("double") *
+                col("n_tot").cast("double"))).as("tv_dist"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (SELECT source,
+            LEAST(n_chars // 200, 9) AS bin FROM documents),
+          sb AS (SELECT source, bin, COUNT(*) AS c FROM d GROUP BY 1, 2),
+          cb AS (SELECT bin, COUNT(*) AS dc FROM d GROUP BY 1),
+          ns AS (SELECT source, COUNT(*) AS n_src FROM d GROUP BY 1),
+          nt AS (SELECT COUNT(*) AS n_tot FROM d),
+          grid AS (SELECT ns.source, ns.n_src, g.bin
+            FROM ns CROSS JOIN (SELECT unnest(generate_series(0, 9))
+              AS bin) g)
+        SELECT grid.source, MAX(grid.n_src) AS n_docs,
+          CAST(CAST(SUM(ABS(COALESCE(sb.c, 0) * nt.n_tot
+              - COALESCE(cb.dc, 0) * grid.n_src)) AS BIGINT) AS DOUBLE)
+            / (2.0 * CAST(MAX(grid.n_src) AS DOUBLE)
+              * CAST(MAX(nt.n_tot) AS DOUBLE)) AS tv_dist
+        FROM grid
+        LEFT JOIN sb ON grid.source = sb.source AND grid.bin = sb.bin
+        LEFT JOIN cb ON grid.bin = cb.bin
+        CROSS JOIN nt
+        GROUP BY grid.source ORDER BY grid.source""")),
   )
 }
