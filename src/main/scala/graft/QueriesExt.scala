@@ -3315,5 +3315,43 @@ object QueriesExt {
         LEFT JOIN cb ON grid.bin = cb.bin
         CROSS JOIN nt
         GROUP BY grid.source ORDER BY grid.source""")),
+
+    // ── Interval-overlap join: concurrent activity bursts ──────────────
+    // The interval–interval sibling of q62's point-in-interval join:
+    // per (event_type, day) activity bursts [first, last+1) µs, then
+    // the cross-type concurrency matrix — how many daily bursts of A
+    // overlapped a burst of B. Both sides replicate to hour buckets and
+    // each pair is emitted exactly once, in the bucket holding the
+    // overlap's START — a map-side predicate, so no DISTINCT shuffle
+    // over the pair set (the q62 bucketization, extended to two
+    // replicated sides).
+    QueryDef("q126_burst_overlap",
+      (s, dir) => {
+        val b = t(s, dir, "events")
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(min(expr("unix_micros(ts)")).as("lo"),
+            (max(expr("unix_micros(ts)")) + 1L).as("hi"))
+        val l = b.select(col("event_type").as("type_a"),
+          col("lo").as("lo_a"), col("hi").as("hi_a"))
+        val r = b.select(col("event_type").as("type_b"),
+          col("lo").as("lo_b"), col("hi").as("hi_b"))
+        graft.ext.RangeJoin.intervalOverlap(l, r,
+            "lo_a", "hi_a", "lo_b", "hi_b", 3600000000L)
+          .filter(col("type_a") < col("type_b"))
+          .groupBy("type_a", "type_b")
+          .agg(count(lit(1)).as("n_overlaps"))
+          .orderBy("type_a", "type_b")
+      },
+      Some("""WITH b AS (SELECT event_type,
+            epoch_us(ts) // 86400000000 AS day,
+            MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) + 1 AS hi
+          FROM events GROUP BY 1, 2)
+        SELECT a.event_type AS type_a, c.event_type AS type_b,
+          COUNT(*) AS n_overlaps
+        FROM b a JOIN b c
+          ON a.event_type < c.event_type
+          AND a.lo < c.hi AND c.lo < a.hi
+        GROUP BY 1, 2 ORDER BY type_a, type_b""")),
   )
 }

@@ -96,4 +96,41 @@ object RangeJoin {
       .head()
     if (row.isNullAt(0)) 1L else math.max(1L, row.getLong(0))
   }
+
+  /** Interval–interval OVERLAP join: every pair (left, right) whose
+    * half-open ranges intersect (`a.lo < b.hi ∧ b.lo < a.hi`). The
+    * missing sibling of [[pointInInterval]] — concurrent sessions,
+    * conflicting bookings, SCD2 validity clashes.
+    *
+    * Same bucketization as the point join, with one twist: BOTH sides
+    * replicate, so an overlapping pair can meet in several buckets. A
+    * DISTINCT would shuffle the whole pair set again; instead each pair
+    * is EMITTED exactly once, in the bucket that contains the overlap's
+    * start `max(a.lo, b.lo)` — a map-side predicate on values already
+    * in the row, so the output needs no dedup pass at all. Replication
+    * stays `len/w + 1` per interval per side; the join is an equi-join
+    * on the synthetic bucket key (shuffle, AQE-splittable skew).
+    *
+    * Output: all left columns + all right columns (callers project and
+    * may add their own `id_l < id_r` guard for self-joins).
+    */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+                      loL: String, hiL: String, loR: String, hiR: String,
+                      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val l = left.filter(col(hiL) > col(loL))
+      .withColumn("__bucket",
+        explode(sequence(fdiv(col(loL), bucketWidth),
+          fdiv(col(hiL) - lit(1L), bucketWidth))))
+    val r = right.filter(col(hiR) > col(loR))
+      .withColumn("__bucket",
+        explode(sequence(fdiv(col(loR), bucketWidth),
+          fdiv(col(hiR) - lit(1L), bucketWidth))))
+    l.join(r, Seq("__bucket"))
+      .filter(col(loL) < col(hiR) && col(loR) < col(hiL))
+      // emit exactly once: only the bucket holding the overlap start
+      .filter(fdiv(greatest(col(loL), col(loR)), bucketWidth) ===
+        col("__bucket"))
+      .drop("__bucket")
+  }
 }

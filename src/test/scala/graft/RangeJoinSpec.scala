@@ -80,4 +80,33 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       s"range join must not be a nested loop:\n$plan")
   }
+
+  test("intervalOverlap: matches brute force across widths, exactly " +
+       "once per pair, half-open boundaries, negative domains") {
+    val left = Seq(
+      (1L, 0L, 10L), (2L, 5L, 6L), (3L, -25L, -3L), (4L, 100L, 200L),
+      (5L, 7L, 7L)) // empty: overlaps nothing
+      .toDF("lid", "lo_l", "hi_l")
+    val right = Seq(
+      (10L, 9L, 12L),   // overlaps 1 only ([9,10) ∩ [0,10) ≠ ∅)
+      (11L, 10L, 20L),  // touches 1 at the boundary: NO overlap
+      (12L, -5L, 1L),   // overlaps 3 and 1
+      (13L, 150L, 151L),// inside 4
+      (14L, 5L, 6L))    // equals 2, inside 1
+      .toDF("rid", "lo_r", "hi_r")
+    val brute = left.crossJoin(right)
+      .filter(col("lo_l") < col("hi_r") && col("lo_r") < col("hi_l") &&
+        col("hi_l") > col("lo_l") && col("hi_r") > col("lo_r"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(brute === Set((1L, 10L), (1L, 12L), (1L, 14L), (3L, 12L),
+      (4L, 13L), (2L, 14L)))
+    for (w <- Seq(1L, 4L, 16L, 1000L)) {
+      val got = RangeJoin.intervalOverlap(left, right,
+        "lo_l", "hi_l", "lo_r", "hi_r", w)
+        .select("lid", "rid").as[(Long, Long)].collect()
+      assert(got.length === got.toSet.size,
+        s"pair emitted more than once at w=$w")
+      assert(got.toSet === brute, s"wrong overlap set at w=$w")
+    }
+  }
 }
