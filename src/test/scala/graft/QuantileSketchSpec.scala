@@ -69,6 +69,32 @@ class QuantileSketchSpec extends AnyFunSuite {
       state(Sketches.quantileMerge(b, a, keys, k)))
   }
 
+  test("estimates land inside the exact p40-p60 / p85-p95 rank bands " +
+       "on real data (k=256 ⇒ ~6% rank error)") {
+    val ev = Tables.load(spark, TestSpark.sf0001, "events")
+    val est = Sketches.quantileFinish(
+      Sketches.quantilePartial(ev, Seq("event_type"), col("value"),
+        col("event_id"), 256), Seq("event_type"))
+      .select("event_type", "median_est", "p90_est")
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1),
+        r.getDouble(2)))).toMap
+    val bands = ev.groupBy("event_type").agg(
+      expr("percentile(value, 0.40)").as("p40"),
+      expr("percentile(value, 0.60)").as("p60"),
+      expr("percentile(value, 0.85)").as("p85"),
+      expr("percentile(value, 0.95)").as("p95"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(est.nonEmpty)
+    est.foreach { case (k2, (med, p90)) =>
+      val (p40, p60, p85, p95) = bands(k2)
+      assert(med >= p40 && med <= p60,
+        s"$k2: median_est $med outside exact [$p40, $p60]")
+      assert(p90 >= p85 && p90 <= p95,
+        s"$k2: p90_est $p90 outside exact [$p85, $p95]")
+    }
+  }
+
   test("finish computes rank estimates over the value-sorted sample") {
     // k larger than the group: the sample IS the group, so the median
     // and p90 are the exact order statistics.
