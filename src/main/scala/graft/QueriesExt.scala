@@ -3353,5 +3353,77 @@ object QueriesExt {
           ON a.event_type < c.event_type
           AND a.lo < c.hi AND c.lo < a.hi
         GROUP BY 1, 2 ORDER BY type_a, type_b""")),
+
+    // ── Sliding-window distinct users via KMV sketch merge ─────────────
+    // The daily-sketch-table pattern a 100 TB warehouse uses for
+    // rolling distinct counts: per (type, day) keep the k smallest
+    // distinct user hashes (TopKPerKey — ≤ k rows per group leave any
+    // map task), then every 7-day window folds just the sketch rows —
+    // raw history is never re-scanned per window. Sound because the
+    // union of per-day k-minima contains the window's k-minima (any
+    // hash in the window's bottom-k is in its own day's bottom-k), the
+    // same merge property q116 leans on. The oracle computes each
+    // window's bottom-k directly from raw rows — if the merge lost
+    // anything, the hashes (and the estimate) would differ.
+    QueryDef("q127_sliding_distinct",
+      (s, dir) => {
+        val k = kmvK
+        val hashed = t(s, dir, "events")
+          .select(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("day"),
+            Shingles.baseHash(col("user_id").cast("string")).as("h"))
+          .distinct()
+        val daily = graft.plans.TopKPerKey.topKPerKey(hashed,
+            Seq("event_type", "day"),
+            Seq(graft.plans.TopKPerKey.Sort("h")), k)
+          .groupBy("event_type", "day")
+          .agg(sort_array(collect_list(col("h"))).as("sk"))
+        val merged = daily
+          .select(col("event_type"),
+            explode(sequence(col("day"), col("day") + 6))
+              .as("window_end"), col("sk"))
+          .groupBy("event_type", "window_end")
+          .agg(count(lit(1)).as("n_days"),
+            slice(array_distinct(sort_array(flatten(
+              collect_list(col("sk"))))), 1, k).as("mg"))
+        merged.select(col("event_type"), col("window_end"),
+            col("n_days"),
+            size(col("mg")).cast("long").as("k_actual"),
+            element_at(col("mg"), size(col("mg"))).as("kth_hash"))
+          .withColumn("distinct_estimate",
+            when(col("k_actual") < k, col("k_actual").cast("double"))
+              .otherwise((col("k_actual") - 1).cast("double") *
+                268435456.0 / col("kth_hash").cast("double")))
+          .orderBy("event_type", "window_end")
+      },
+      Some(s"""WITH h AS (SELECT DISTINCT event_type,
+            epoch_us(ts) // 86400000000 AS day,
+            ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 7))::BIGINT
+              AS h
+          FROM events),
+        w AS (SELECT DISTINCT event_type, day + g.i AS window_end, h
+          FROM h CROSS JOIN
+            (SELECT unnest(generate_series(0, 6)) AS i) g),
+        nd AS (SELECT event_type, day + g.i AS window_end,
+            COUNT(*) AS n_days
+          FROM (SELECT DISTINCT event_type, day FROM h) d
+          CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS i) g
+          GROUP BY 1, 2),
+        r AS (SELECT event_type, window_end, h, row_number() OVER (
+            PARTITION BY event_type, window_end ORDER BY h) AS rn
+          FROM w),
+        topk AS (SELECT event_type, window_end,
+            COUNT(*) AS k_actual, MAX(h) AS kth_hash
+          FROM r WHERE rn <= $kmvK GROUP BY 1, 2)
+        SELECT t.event_type, t.window_end, nd.n_days,
+          t.k_actual, t.kth_hash,
+          CASE WHEN t.k_actual < $kmvK
+            THEN CAST(t.k_actual AS DOUBLE)
+            ELSE CAST(t.k_actual - 1 AS DOUBLE) * 268435456.0
+              / CAST(t.kth_hash AS DOUBLE) END AS distinct_estimate
+        FROM topk t JOIN nd
+          ON t.event_type = nd.event_type
+          AND t.window_end = nd.window_end
+        ORDER BY t.event_type, t.window_end""")),
   )
 }
