@@ -3425,5 +3425,30 @@ object QueriesExt {
           ON t.event_type = nd.event_type
           AND t.window_end = nd.window_end
         ORDER BY t.event_type, t.window_end""")),
+
+    // ── Rank-based winsorize gate (tail trim before training) ──────────
+    // Keep each source's docs whose length rank lies in [5%, 95%] —
+    // truncation-style winsorizing as an exact integer predicate on the
+    // per-stratum rank (rk·20 in [1·n, 19·n]), so no engine pair can
+    // disagree on percentile interpolation. One rank window per
+    // stratum; the audit is a groupBy over the kept rows.
+    QueryDef("q128_winsorize",
+      (s, dir) => Curation.winsorizeByRank(tPar(s, dir, "documents"),
+          Seq("source"), "n_chars", "doc_id", 1, 19, 20)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+          min(col("n_chars")).as("len_lo"),
+          max(col("n_chars")).as("len_hi"))
+        .orderBy("source"),
+      Some("""WITH r AS (SELECT source, n_chars,
+            row_number() OVER (PARTITION BY source
+              ORDER BY n_chars, doc_id) AS rk,
+            COUNT(*) OVER (PARTITION BY source) AS n
+          FROM documents)
+        SELECT source, COUNT(*) AS n_kept,
+          MIN(n_chars) AS len_lo, MAX(n_chars) AS len_hi
+        FROM r
+        WHERE rk * 20 >= 1 * n AND rk * 20 <= 19 * n
+        GROUP BY source ORDER BY source""")),
   )
 }

@@ -327,4 +327,34 @@ object Curation {
       .orderBy(desc("priority"), col(idCol))
       .limit(k)
   }
+
+  /** Rank-based winsorize gate: keep the rows whose `metricCol` rank
+    * (per `groupCols` stratum, ties broken by `idCol`) lies in
+    * `[ceil(pLoNum/pDen·n), floor(pHiNum/pDen·n)]` — the tail-trim
+    * every curation pipeline applies before training (truncation-style
+    * winsorizing: the tails are DROPPED, not clamped). Rank-based, not
+    * value-interpolated: the cut is an exact integer predicate, so
+    * every engine keeps byte-identical rows — no percentile
+    * interpolation semantics to disagree on.
+    *
+    * One rank window per stratum (strata sort independently — parallel
+    * by group key); the count rides the same exchange.
+    */
+  def winsorizeByRank(docs: DataFrame, groupCols: Seq[String],
+                      metricCol: String, idCol: String,
+                      pLoNum: Int, pHiNum: Int, pDen: Int): DataFrame = {
+    require(0 <= pLoNum && pLoNum < pHiNum && pHiNum <= pDen,
+      s"winsorize bounds $pLoNum/$pDen..$pHiNum/$pDen")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(metricCol), col(idCol))
+    val cnt = Window.partitionBy(groupCols.map(col): _*)
+    docs
+      .withColumn("__rk", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(cnt))
+      // rk ≥ ceil(lo·n) ⟺ rk·pDen ≥ lo·n; rk ≤ floor(hi·n) ⟺ rk·pDen ≤ hi·n
+      .filter(col("__rk") * pDen >= lit(pLoNum) * col("__n") &&
+        col("__rk") * pDen <= lit(pHiNum) * col("__n"))
+      .drop("__rk", "__n")
+  }
 }
