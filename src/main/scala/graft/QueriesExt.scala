@@ -3450,5 +3450,60 @@ object QueriesExt {
         FROM r
         WHERE rk * 20 >= 1 * n AND rk * 20 <= 19 * n
         GROUP BY source ORDER BY source""")),
+
+    // ── Lag-1 autocorrelation of daily event volume ────────────────────
+    // Time-series health per type: Pearson r between each day's event
+    // count and the previous day's — the volume-stability canary (a
+    // feed that spikes/flatlines shows r collapsing). Counts are exact
+    // integers; the (prev, cur) pairs ride one lag window over the tiny
+    // per-day table; sufficient sums stay integral (counts ≤ ~1e6 ⇒
+    // products ≤ 1e12, sums exact in BIGINT), and r is one fixed IEEE
+    // expression over them — q112's discipline with no decimals needed.
+    QueryDef("q129_volume_autocorr",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy("event_type").orderBy(col("day"))
+        val pairs = daily
+          .withColumn("prev", lag(col("c"), 1).over(w))
+          .filter(col("prev").isNotNull)
+        val g = pairs.groupBy("event_type").agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(col("prev")).cast("double").as("sx"),
+          sum(col("c")).cast("double").as("sy"),
+          sum(col("prev") * col("prev")).cast("double").as("sxx"),
+          sum(col("prev") * col("c")).cast("double").as("sxy"),
+          sum(col("c") * col("c")).cast("double").as("syy"))
+        val den1 = col("n") * col("sxx") - col("sx") * col("sx")
+        val den2 = col("n") * col("syy") - col("sy") * col("sy")
+        g.select(col("event_type"), col("n").cast("long").as("n_pairs"),
+            when(den1 > 0.0 && den2 > 0.0,
+              (col("n") * col("sxy") - col("sx") * col("sy")) /
+                sqrt(den1 * den2)).as("autocorr"))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (SELECT event_type,
+            epoch_us(ts) // 86400000000 AS day, COUNT(*) AS c
+          FROM events GROUP BY 1, 2),
+        p AS (SELECT event_type, c,
+            lag(c) OVER (PARTITION BY event_type ORDER BY day) AS prev
+          FROM daily),
+        g AS (SELECT event_type,
+            CAST(COUNT(*) AS DOUBLE) AS n,
+            CAST(SUM(prev) AS DOUBLE) AS sx,
+            CAST(SUM(c) AS DOUBLE) AS sy,
+            CAST(SUM(prev * prev) AS DOUBLE) AS sxx,
+            CAST(SUM(prev * c) AS DOUBLE) AS sxy,
+            CAST(SUM(c * c) AS DOUBLE) AS syy
+          FROM p WHERE prev IS NOT NULL GROUP BY 1)
+        SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+          CASE WHEN (n * sxx - sx * sx) > 0.0
+              AND (n * syy - sy * sy) > 0.0
+            THEN (n * sxy - sx * sy)
+              / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) END
+            AS autocorr
+        FROM g ORDER BY event_type""")),
   )
 }
