@@ -3505,5 +3505,35 @@ object QueriesExt {
               / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) END
             AS autocorr
         FROM g ORDER BY event_type""")),
+
+    // ── Duplicate-cluster size histogram (dedup audit) ─────────────────
+    // The number a curation run reports: how big are the near-dup
+    // families? q45's connected components over the minhash candidate
+    // graph, folded twice — cluster → size, size → cluster count. The
+    // histogram is bounded by the largest family, so the output stays
+    // tiny at any corpus scale; everything rides the same capped
+    // candidate generation as q45.
+    QueryDef("q130_cluster_histogram",
+      (s, dir) => {
+        val pairs = Dedup.minhashCandidates(tPar(s, dir, "documents"),
+          "doc_id", "text", shingleK, minhashHashes, minhashBandRows)
+        Dedup.dedupClusters(pairs)
+          .groupBy("cluster").agg(count(lit(1)).as("family_size"))
+          .groupBy("family_size").agg(count(lit(1)).as("n_families"))
+          .orderBy("family_size")
+      },
+      Some(s"""WITH RECURSIVE $dMinhashCandCtes,
+        edges AS (SELECT id_a AS u, id_b AS v FROM cand
+                  UNION SELECT id_b, id_a FROM cand),
+        nodes AS (SELECT DISTINCT u AS id FROM edges),
+        reach(id, r) AS (
+          SELECT id, id FROM nodes
+          UNION
+          SELECT rr.id, e.v FROM reach rr JOIN edges e ON rr.r = e.u),
+        cl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+        fam AS (SELECT cluster, COUNT(*) AS family_size
+          FROM cl GROUP BY 1)
+        SELECT family_size, COUNT(*) AS n_families
+        FROM fam GROUP BY family_size ORDER BY family_size""")),
   )
 }
