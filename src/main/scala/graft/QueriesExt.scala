@@ -3535,5 +3535,41 @@ object QueriesExt {
           FROM cl GROUP BY 1)
         SELECT family_size, COUNT(*) AS n_families
         FROM fam GROUP BY family_size ORDER BY family_size""")),
+
+    // ── Embedding-quality audit: per-label norm distribution ───────────
+    // The broken-embedding canary a vector pipeline runs before
+    // indexing: per label, the count, the ‖v‖² range, the decimal-exact
+    // mean ‖v‖², and how many vectors are degenerate (zero norm —
+    // failed encodes). ‖v‖² is the same left-associated sequential fold
+    // as the ANN dot products (bit-exact twin in the oracle); the
+    // cross-row mean rides the Parity decimal sum. Map + one
+    // partial-agg shuffle.
+    QueryDef("q131_embedding_audit",
+      (s, dir) => {
+        val e = tPar(s, dir, "embeddings")
+          .withColumn("norm2",
+            Similarity.dot(col("embedding"), col("embedding")))
+        e.groupBy("label").agg(
+            count(lit(1)).as("n_vecs"),
+            sum(when(col("norm2") <= 0.0, 1L).otherwise(0L))
+              .as("n_degenerate"),
+            min(col("norm2")).as("min_norm2"),
+            max(col("norm2")).as("max_norm2"),
+            graft.functions.Parity.dsum(col("norm2")).as("total"))
+          .select(col("label"), col("n_vecs"), col("n_degenerate"),
+            col("min_norm2"), col("max_norm2"),
+            (col("total") / col("n_vecs").cast("double"))
+              .as("mean_norm2"))
+          .orderBy("label")
+      },
+      Some(s"""WITH n AS (SELECT label,
+            (${dDot("embedding", "embedding")}) AS norm2
+          FROM embeddings)
+        SELECT label, COUNT(*) AS n_vecs,
+          CAST(SUM(CASE WHEN norm2 <= 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_degenerate,
+          MIN(norm2) AS min_norm2, MAX(norm2) AS max_norm2,
+          ${dsumSql("norm2")} / CAST(COUNT(*) AS DOUBLE) AS mean_norm2
+        FROM n GROUP BY label ORDER BY label""")),
   )
 }
