@@ -3571,5 +3571,28 @@ object QueriesExt {
           MIN(norm2) AS min_norm2, MAX(norm2) AS max_norm2,
           ${dsumSql("norm2")} / CAST(COUNT(*) AS DOUBLE) AS mean_norm2
         FROM n GROUP BY label ORDER BY label""")),
+
+    // ── Table statistics collection (the ANALYZE / CBO primitive) ──────
+    // Per-column profile of lineitem's measures in ONE scan: row/null
+    // counts, exact NDV (swap for HLL/KMV at 100 TB — same shape),
+    // min/max, decimal-exact mean. The per-column rows explode from an
+    // in-row struct array, so output is |cols| rows at any table size.
+    QueryDef("q132_table_stats",
+      (s, dir) => graft.ext.Stats.numericColumnStats(
+          t(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("column"),
+      Some {
+        def one(c: String) =
+          s"""SELECT '$c' AS "column", COUNT(*) AS n,
+            COUNT(*) - COUNT($c) AS n_null,
+            COUNT(DISTINCT $c) AS ndv,
+            CAST(MIN($c) AS DOUBLE) AS min_v,
+            CAST(MAX($c) AS DOUBLE) AS max_v,
+            ${dsumSql(c)} / CAST(COUNT($c) AS DOUBLE) AS mean_v
+          FROM lineitem"""
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+          .map(one).mkString("", " UNION ALL ", " ORDER BY \"column\"")
+      }),
   )
 }
