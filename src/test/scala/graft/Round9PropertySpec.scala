@@ -1,0 +1,94 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ext.{Curation, Dedup, RangeJoin}
+
+/** ScalaCheck properties for the round-9 primitives:
+  *  - intervalOverlap ≡ brute-force theta join on random interval sets
+  *    at random bucket widths, with every pair emitted exactly once;
+  *  - winsorizeByRank keeps a fraction within the requested band and
+  *    never keeps a row outside the stratum's trimmed value range;
+  *  - containmentPairs scores a doc wholly contained in another at
+  *    exactly 1.0, in the sub→sup direction.
+  */
+class Round9PropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def check(prop: Prop, n: Int = 20): Unit = {
+    val r = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(n), prop)
+    assert(r.passed, r.status.toString)
+  }
+
+  test("intervalOverlap ≡ brute force on random intervals and widths") {
+    val genIv = for {
+      lo <- Gen.choose(-50L, 50L)
+      len <- Gen.choose(0L, 40L) // len 0 ⇒ empty, must match nothing
+    } yield (lo, lo + len)
+    val genCase = for {
+      l <- Gen.listOfN(12, genIv)
+      r <- Gen.listOfN(12, genIv)
+      w <- Gen.oneOf(1L, 2L, 7L, 33L, 500L)
+    } yield (l, r, w)
+    check(Prop.forAll(genCase) { case (lIv, rIv, w) =>
+      val left = lIv.zipWithIndex.map { case ((lo, hi), i) =>
+        (i.toLong, lo, hi) }.toDF("lid", "lo_l", "hi_l")
+      val right = rIv.zipWithIndex.map { case ((lo, hi), i) =>
+        (i.toLong, lo, hi) }.toDF("rid", "lo_r", "hi_r")
+      val brute = (for {
+        ((llo, lhi), li) <- lIv.zipWithIndex
+        ((rlo, rhi), ri) <- rIv.zipWithIndex
+        if lhi > llo && rhi > rlo && llo < rhi && rlo < lhi
+      } yield (li.toLong, ri.toLong)).toSet
+      val got = RangeJoin.intervalOverlap(left, right,
+          "lo_l", "hi_l", "lo_r", "hi_r", w)
+        .select("lid", "rid").as[(Long, Long)].collect()
+      got.length == got.toSet.size && got.toSet == brute
+    }, n = 15)
+  }
+
+  test("winsorizeByRank: kept count matches the exact rank band and " +
+       "kept values sit inside the stratum's surviving range") {
+    val genDocs = Gen.listOfN(60, for {
+      g <- Gen.oneOf("a", "b")
+      v <- Gen.choose(0L, 1000L)
+    } yield (g, v))
+    check(Prop.forAll(genDocs) { rows =>
+      val df = rows.zipWithIndex.map { case ((g, v), i) =>
+        (i.toLong, g, v) }.toDF("id", "g", "v")
+      val kept = Curation.winsorizeByRank(df, Seq("g"), "v", "id",
+        1, 19, 20).select("g", "v").as[(String, Long)].collect()
+      rows.groupBy(_._1).forall { case (g, grp) =>
+        val n = grp.size
+        val lo = math.ceil(n / 20.0).toInt
+        val hi = math.floor(19.0 * n / 20.0).toInt
+        val keptG = kept.filter(_._1 == g).map(_._2).sorted.toSeq
+        val expected = grp.map(_._2).sorted.slice(lo - 1, hi).toSeq
+        // rank ties break by id, but VALUES kept are determined by the
+        // sorted band regardless of tie order
+        keptG == expected
+      }
+    }, n = 15)
+  }
+
+  test("containmentPairs: a doc whose shingles all appear in another " +
+       "scores exactly 1.0 sub→sup") {
+    val words = Gen.listOfN(12, Gen.oneOf(
+      "alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"))
+    check(Prop.forAll(words, Gen.choose(4, 10)) { (ws, cut) =>
+      val sup = ws.mkString(" ")
+      val sub = ws.take(math.max(4, math.min(cut, ws.size))).mkString(" ")
+      val docs = Seq((1L, sub), (2L, sup)).toDF("doc_id", "text")
+      val out = Dedup.containmentPairs(docs, "doc_id", "text",
+          k = 3, cNum = 1, cDen = 1)
+        .filter(col("id_sub") === 1L && col("id_sup") === 2L)
+        .select("containment").as[Double].collect()
+      // sub's shingle set is a subset of sup's (prefix of the same
+      // token stream), so containment must be exactly 1.0
+      out.toSeq == Seq(1.0)
+    }, n = 15)
+  }
+}
