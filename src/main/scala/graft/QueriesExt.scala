@@ -3594,5 +3594,52 @@ object QueriesExt {
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
           .map(one).mkString("", " UNION ALL ", " ORDER BY \"column\"")
       }),
+
+    // ── Ratio-to-report: contribution analysis over the star ───────────
+    // The BI staple the report suite lacked: each nation's share of its
+    // region's revenue and of the grand total — one aggregation, then
+    // two window sums OVER THE AGGREGATE (|nations| rows), so the
+    // shares cost nothing at any fact size. Numerators/denominators are
+    // the q03 decimal-exact revenue doubles; each share is one IEEE
+    // division.
+    QueryDef("q133_ratio_to_report",
+      (s, dir) => {
+        val revenue = col("l_extendedprice") * (lit(1) - col("l_discount"))
+        val base = t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, dir, "region")),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(dsum(revenue).as("revenue"))
+        // window totals re-enter the decimal domain: a double SUM OVER
+        // is partition-order-dependent, the decimal one is not
+        val dec = col("revenue")
+          .cast(org.apache.spark.sql.types.DecimalType(30, 8))
+        base
+          .withColumn("region_share", col("revenue") /
+            sum(dec).over(Window.partitionBy("r_name")).cast("double"))
+          .withColumn("total_share", col("revenue") /
+            sum(dec).over(Window.partitionBy()).cast("double"))
+          .orderBy("r_name", "n_name")
+      },
+      Some(s"""WITH base AS (SELECT r_name, n_name,
+            ${dsumSql("l_extendedprice*(1-l_discount)")} AS revenue
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY r_name, n_name)
+        SELECT r_name, n_name, revenue,
+          revenue / CAST(CAST(SUM(CAST(revenue AS DECIMAL(30,8)))
+            OVER (PARTITION BY r_name) AS VARCHAR) AS DOUBLE)
+            AS region_share,
+          revenue / CAST(CAST(SUM(CAST(revenue AS DECIMAL(30,8)))
+            OVER () AS VARCHAR) AS DOUBLE) AS total_share
+        FROM base ORDER BY r_name, n_name""")),
   )
 }
