@@ -32,6 +32,8 @@ object Params {
   val kmvK = 64
   /** Mergeable quantile sketch (q116): bottom-k sample size per key. */
   val quantileK = 256
+  /** Sorted-neighborhood dedup (q134): neighbors compared per row. */
+  val snmWindow = 3
   /** Containment near-dup pairs (q119): |sub ∩ sup| / |sub| ≥ 4/5. */
   val containNum = 4
   val containDen = 5

@@ -3641,5 +3641,73 @@ object QueriesExt {
           revenue / CAST(CAST(SUM(CAST(revenue AS DECIMAL(30,8)))
             OVER () AS VARCHAR) AS DOUBLE) AS total_share
         FROM base ORDER BY r_name, n_name""")),
+
+    // ── Sorted-neighborhood dedup (sort-based candidate generation) ────
+    // Hernández-Stolfo SNM: the third blocking strategy next to q105's
+    // attribute blocks and q106's prefix filter — candidates come from
+    // sort adjacency (O(n·w)), needing no frequency statistics. Blocked
+    // by the sort key's first character so each block sorts in its own
+    // partition (a bare Window.orderBy would serialize the corpus).
+    QueryDef("q134_sorted_neighborhood",
+      (s, dir) => Dedup.sortedNeighborhoodPairs(tPar(s, dir, "documents"),
+        "doc_id", "text", snmWindow, jaccardMin)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH b AS (SELECT doc_id, list_distinct($dTok) AS toks,
+            $dNorm AS sk FROM documents),
+          r AS (SELECT doc_id, toks, sk, substr(sk, 1, 1) AS blk,
+            row_number() OVER (PARTITION BY substr(sk, 1, 1)
+              ORDER BY sk, doc_id) AS rn FROM b),
+          p AS (SELECT least(a.doc_id, c.doc_id) AS id_a,
+              greatest(a.doc_id, c.doc_id) AS id_b,
+              len(list_intersect(a.toks, c.toks)) AS shared,
+              len(a.toks) + len(c.toks)
+                - len(list_intersect(a.toks, c.toks)) AS un
+            FROM r a JOIN r c ON a.blk = c.blk
+              AND c.rn BETWEEN a.rn + 1 AND a.rn + $snmWindow)
+        SELECT id_a, id_b,
+          CAST(shared AS DOUBLE) / CAST(un AS DOUBLE) AS jaccard
+        FROM p
+        WHERE CAST(shared AS DOUBLE) / CAST(un AS DOUBLE) >= $jaccardMin
+        ORDER BY id_a, id_b""")),
+
+    // ── Lexical diversity profile (rational-arithmetic, no entropy) ────
+    QueryDef("q135_lexical_diversity",
+      (s, dir) => TextStats.lexicalDiversity(
+        tPar(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(s"""WITH g AS (SELECT doc_id, unnest($dTok) AS tok
+            FROM documents),
+          pc AS (SELECT doc_id, tok, COUNT(*) AS c FROM g GROUP BY 1, 2)
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+          CAST(COUNT(*) AS BIGINT) AS n_types,
+          CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS ttr,
+          CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE) AS hapax_frac,
+          CAST(SUM(c * c) AS DOUBLE)
+            / CAST(SUM(c) * SUM(c) AS DOUBLE) AS simpson
+        FROM pc GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ── Bigram predictability: count-based LM quality scoring ──────────
+    // The CCNet-style perplexity-filter stand-in, kept rational (each
+    // conditional probability quantized to 1e-8 before the per-doc sum)
+    // so both engines agree bit-for-bit.
+    QueryDef("q136_bigram_lm",
+      (s, dir) => TextStats.bigramPredictability(
+        tPar(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(s"""WITH g AS (SELECT doc_id,
+            unnest(${dShingles(dTok, 2)}) AS bg FROM documents),
+          c2 AS (SELECT bg, COUNT(*) AS c2 FROM g GROUP BY bg),
+          c1 AS (SELECT split_part(bg, ' ', 1) AS w1, COUNT(*) AS c1
+            FROM g GROUP BY 1),
+          s AS (SELECT doc_id,
+            floor(CAST(x.c2 AS DOUBLE) / CAST(y.c1 AS DOUBLE)
+              * 100000000.0) AS q
+          FROM g JOIN c2 x USING (bg)
+            JOIN c1 y ON split_part(g.bg, ' ', 1) = y.w1)
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+          CAST(SUM(q) AS DOUBLE) / 100000000.0 / COUNT(*)
+            AS predictability
+        FROM s GROUP BY doc_id ORDER BY doc_id""")),
   )
 }

@@ -726,4 +726,56 @@ object Dedup {
           (col("sa.n") + col("sb.n") - col("shared")).cast("double"))
           .as("jaccard"))
   }
+
+  /** Sorted-neighborhood dedup (Hernández & Stolfo, SIGMOD '95): sort
+    * the corpus on a content-derived key so near-identical rows land
+    * adjacent, then compare each row only against its next `window`
+    * neighbors — candidate volume is O(n·w), independent of how hot any
+    * single token or shingle is. The classic complement to blocking
+    * (q105) and prefix-filtering (q106): it needs no frequency
+    * statistics at all, just a sort.
+    *
+    * Spark-native shape: a GLOBAL sort would serialize into one
+    * partition under a `Window.orderBy`, so the sort key's leading
+    * character doubles as the partition key — each block range-sorts
+    * independently (one shuffle keyed by block, then a per-block
+    * window). Pairs that straddle a block boundary are missed, which is
+    * the textbook multi-pass SNM tradeoff (run again with a rotated key
+    * to recover them); since the sort key's own prefix defines the
+    * block, a boundary-straddling pair here differs in its FIRST
+    * character and was never going to sort adjacent anyway.
+    *
+    * Neighbor generation is `lead(id, i)` over the per-block window —
+    * one window pass, no self-join on rank arithmetic. Verification is
+    * exact distinct-token Jaccard on the candidate pairs only.
+    */
+  def sortedNeighborhoodPairs(docs: DataFrame, idCol: String,
+                              textCol: String, window: Int,
+                              minJaccard: Double): DataFrame = {
+    require(window >= 1, s"window $window must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(idCol).as("id"),
+      array_distinct(TextStats.tokens(col(textCol))).as("toks"),
+      TextStats.normalized(col(textCol)).as("sk"))
+      .withColumn("blk", substring(col("sk"), 1, 1))
+    val w = Window.partitionBy("blk").orderBy(col("sk"), col("id"))
+    val pairs = base
+      .withColumn("nbrs",
+        array((1 to window).map(i => lead(col("id"), i).over(w)): _*))
+      .select(col("id").as("src"), explode(col("nbrs")).as("dst"))
+      .filter(col("dst").isNotNull)
+      .select(least(col("src"), col("dst")).as("id_a"),
+        greatest(col("src"), col("dst")).as("id_b"))
+    val sz = base.select(col("id"), col("toks"))
+    // toks are distinct, so |a ∪ b| = |a| + |b| − |a ∩ b| without a
+    // second set operation.
+    pairs
+      .join(sz.select(col("id").as("id_a"), col("toks").as("ta")), "id_a")
+      .join(sz.select(col("id").as("id_b"), col("toks").as("tb")), "id_b")
+      .withColumn("shared", size(array_intersect(col("ta"), col("tb"))))
+      .withColumn("jaccard", col("shared").cast("double") /
+        (size(col("ta")) + size(col("tb")) - col("shared")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
 }

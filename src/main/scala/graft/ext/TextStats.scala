@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline, all expressed as
@@ -120,4 +120,76 @@ object TextStats {
     */
   def rollingFingerprintHof(text: Column, k: Int = 5): Column =
     array_min(Shingles.shingleHashes(tokens(text), k, seed = 0))
+
+  /** Per-document lexical-diversity profile: token count, type count,
+    * type/token ratio, hapax fraction, and the Simpson concentration
+    * Σc²/n² (1/Simpson is the "effective vocabulary size"). The
+    * corpus-curation cousin of the n-gram repetition stats: repeated-
+    * boilerplate and template-generated docs show low TTR and high
+    * concentration long before an n-gram signal fires.
+    *
+    * All five outputs are ratios of exact integer aggregates (no
+    * transcendentals — Shannon entropy would drag in cross-engine libm
+    * drift, Simpson is the rational-arithmetic diversity index), so the
+    * result is bit-reproducible and oracle-checkable.
+    *
+    * Scale shape: one explode + two partial-aggregable groupBys, both
+    * keyed by doc id — embarrassingly parallel, no corpus-wide state.
+    */
+  def lexicalDiversity(docs: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val perTok = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    perTok.groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum(col("c") * col("c")).as("c2"))
+      .select(col(idCol),
+        col("n_tokens"), col("n_types"),
+        (col("n_types").cast("double") / col("n_tokens").cast("double"))
+          .as("ttr"),
+        (col("n_hapax").cast("double") / col("n_types").cast("double"))
+          .as("hapax_frac"),
+        (col("c2").cast("double") /
+          (col("n_tokens") * col("n_tokens")).cast("double")).as("simpson"))
+  }
+
+  /** Count-based bigram predictability per document — the rational-
+    * arithmetic stand-in for LM perplexity scoring (CCNet-style corpus
+    * quality filtering): score(d) = avg over d's bigrams of the corpus
+    * conditional probability c(w₁w₂)/c(w₁·). Natural text scores in a
+    * mid band; boilerplate scores near 1 (every bigram is corpus-
+    * frequent), gibberish near 0. Each term is quantized to 1e-8 on
+    * both engines (floor to a long) so the per-doc sum is an exact
+    * integer — order-independent under any partitioning.
+    *
+    * Scale shape: the corpus pass that builds the bigram/context count
+    * tables is two partial-aggregable groupBys; scoring is two equi-
+    * joins keyed by bigram/context (the inverted-index shape — never a
+    * per-doc scan of the model), then one groupBy doc. At 100 TB the
+    * count tables are themselves distributed, so nothing is collected
+    * or broadcast.
+    */
+  def bigramPredictability(docs: DataFrame, idCol: String,
+                           textCol: String): DataFrame = {
+    val grams = docs.select(col(idCol),
+      explode(Shingles.wordShingles(tokens(col(textCol)), 2)).as("bg"))
+    val c2 = grams.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val c1 = grams
+      .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(count(lit(1)).as("c1"))
+    grams
+      .join(c2, "bg")
+      .join(c1, substring_index(col("bg"), " ", 1) === col("w1"))
+      .select(col(idCol),
+        floor(col("c2").cast("double") / col("c1").cast("double") *
+          lit(1.0e8)).as("q"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("q")).cast("double") / lit(1.0e8) / count(lit(1)))
+          .as("predictability"))
+  }
 }
