@@ -57,6 +57,29 @@ object QueriesExt {
   private val dNorm =
     "trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'), '\\s+', ' ', 'g'))"
 
+  /** DuckDB twins of [[TextStats.stopwordRatio]]/[[TextStats.qualityScore]]
+    * (shared by q21 and the q137 survivor ranking).
+    */
+  private lazy val dStopRatioExpr: String = {
+    val stopList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""CASE WHEN len($dTokLower) > 0 THEN
+       CAST(len(list_filter($dTokLower, t -> list_contains($stopList, t)))
+         AS DOUBLE) / CAST(len($dTokLower) AS DOUBLE)
+       ELSE 0.0::DOUBLE END"""
+  }
+  private lazy val dQualityExpr: String = {
+    val punct =
+      s"""CASE WHEN length(text) > 0 THEN
+         CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+           AS DOUBLE) / CAST(length(text) AS DOUBLE)
+         ELSE 0.0::DOUBLE END"""
+    val lenScore =
+      "least(CAST(length(text) AS DOUBLE) / CAST(500.0 AS DOUBLE), CAST(1.0 AS DOUBLE))"
+    s"""$lenScore * CAST(0.5 AS DOUBLE)
+       + least(($dStopRatioExpr) * CAST(5.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.3 AS DOUBLE)
+       + (CAST(1.0 AS DOUBLE) - least(($punct) * CAST(10.0 AS DOUBLE), CAST(1.0 AS DOUBLE))) * CAST(0.2 AS DOUBLE)"""
+  }
+
   /** Per-doc LSH band keys for the `documents` rows matching `where` —
     * the oracle twin of [[Dedup.minhashSignatures]] + band-key explode.
     * Yields rows (doc_id, bk).
@@ -268,28 +291,9 @@ object QueriesExt {
         TextStats.stopwordRatio(col("text"), stopwords).as("stopword_ratio"),
         TextStats.qualityScore(col("text"), stopwords).as("quality"))
         .orderBy("doc_id"),
-      Some {
-        val stopList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
-        val tkl = dTokLower
-        val stopRatio =
-          s"""CASE WHEN len($tkl) > 0 THEN
-             CAST(len(list_filter($tkl, t -> list_contains($stopList, t)))
-               AS DOUBLE) / CAST(len($tkl) AS DOUBLE)
-             ELSE 0.0::DOUBLE END"""
-        val punct =
-          s"""CASE WHEN length(text) > 0 THEN
-             CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
-               AS DOUBLE) / CAST(length(text) AS DOUBLE)
-             ELSE 0.0::DOUBLE END"""
-        val lenScore =
-          "least(CAST(length(text) AS DOUBLE) / CAST(500.0 AS DOUBLE), CAST(1.0 AS DOUBLE))"
-        s"""SELECT doc_id, lang, $stopRatio AS stopword_ratio,
-          $lenScore * CAST(0.5 AS DOUBLE)
-            + least(($stopRatio) * CAST(5.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.3 AS DOUBLE)
-            + (CAST(1.0 AS DOUBLE) - least(($punct) * CAST(10.0 AS DOUBLE), CAST(1.0 AS DOUBLE))) * CAST(0.2 AS DOUBLE)
-            AS quality
-          FROM documents ORDER BY doc_id"""
-      }),
+      Some(s"""SELECT doc_id, lang, $dStopRatioExpr AS stopword_ratio,
+          $dQualityExpr AS quality
+          FROM documents ORDER BY doc_id""")),
 
     // ── Language ID (marker-token argmax, declaration-order ties) ──────
     QueryDef("q22_lang_id",
@@ -3709,5 +3713,148 @@ object QueriesExt {
           CAST(SUM(q) AS DOUBLE) / 100000000.0 / COUNT(*)
             AS predictability
         FROM s GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ── Dup-cluster survivorship: canonical doc per near-dup family ────
+    // Completes the dedup story (detect → cluster → SELECT): per q45
+    // connected component, keep the highest-quality member (q21's score,
+    // doc_id tie-break) and count what gets discarded. The ranking is a
+    // window over cluster id — families are small by construction (the
+    // capped candidate generation bounds them), so the window never sees
+    // a corpus-sized partition.
+    QueryDef("q137_cluster_survivor",
+      (s, dir) => {
+        val docs = tPar(s, dir, "documents")
+        val pairs = Dedup.minhashCandidates(docs,
+          "doc_id", "text", shingleK, minhashHashes, minhashBandRows)
+        val cl = Dedup.dedupClusters(pairs)
+          .select(col("id").as("doc_id"), col("cluster"))
+        val quality = docs.select(col("doc_id"),
+          TextStats.qualityScore(col("text"), stopwords).as("quality"))
+        val w = Window.partitionBy("cluster")
+          .orderBy(col("quality").desc, col("doc_id").asc)
+        cl.join(quality, "doc_id")
+          .withColumn("rn", row_number().over(w))
+          .groupBy("cluster")
+          .agg(count(lit(1)).as("family_size"),
+            max(when(col("rn") === 1, col("doc_id"))).as("survivor_doc_id"),
+            max(when(col("rn") === 1, col("quality"))).as("survivor_quality"),
+            (count(lit(1)) - 1).as("n_discarded"))
+          .orderBy("cluster")
+      },
+      Some(s"""WITH RECURSIVE $dMinhashCandCtes,
+        edges AS (SELECT id_a AS u, id_b AS v FROM cand
+                  UNION SELECT id_b, id_a FROM cand),
+        nodes AS (SELECT DISTINCT u AS id FROM edges),
+        reach(id, r) AS (
+          SELECT id, id FROM nodes
+          UNION
+          SELECT rr.id, e.v FROM reach rr JOIN edges e ON rr.r = e.u),
+        cl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+        q AS (SELECT doc_id, $dQualityExpr AS quality FROM documents),
+        rk AS (SELECT cl.cluster, cl.id AS doc_id, q.quality,
+            row_number() OVER (PARTITION BY cl.cluster
+              ORDER BY q.quality DESC, cl.id) AS rn
+          FROM cl JOIN q ON cl.id = q.doc_id)
+        SELECT cluster, COUNT(*) AS family_size,
+          MAX(CASE WHEN rn = 1 THEN doc_id END) AS survivor_doc_id,
+          MAX(CASE WHEN rn = 1 THEN quality END) AS survivor_quality,
+          COUNT(*) - 1 AS n_discarded
+        FROM rk GROUP BY cluster ORDER BY cluster""")),
+
+    // ── Seasonal anomaly detection: same-weekday volume baseline ───────
+    // The pipeline-monitoring staple over q129's daily series: each
+    // day's event count against the mean/std of ITS weekday (epoch-day
+    // mod 7 — no calendar semantics, so both engines bucket
+    // identically), flagged at 2σ. Daily counts are exact longs, so
+    // mean and variance come from exact integer sums — the only IEEE
+    // ops are the final divisions and the sqrt, identical per-row on
+    // both engines. Two partial-agg shuffles (day, then weekday: 7
+    // rows) and a broadcast-back join.
+    QueryDef("q138_seasonal_anomaly",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .select(expr("unix_micros(ts) div 86400000000").as("d"))
+          .groupBy("d").agg(count(lit(1)).as("cnt"))
+          .withColumn("dow", col("d") % 7)
+        val stats = daily.groupBy("dow")
+          .agg(count(lit(1)).as("n_days"), sum(col("cnt")).as("s"),
+            sum(col("cnt") * col("cnt")).as("ss"))
+        daily.join(broadcast(stats), "dow")
+          .withColumn("mean_cnt",
+            col("s").cast("double") / col("n_days"))
+          .withColumn("var_cnt", when(col("n_days") > 1,
+            (col("ss").cast("double") - col("s").cast("double") * col("s")
+              / col("n_days")) / (col("n_days") - 1)))
+          .select(col("d"), col("dow"), col("cnt"), col("mean_cnt"),
+            (abs(col("cnt") - col("mean_cnt")) >
+              lit(2.0) * sqrt(col("var_cnt"))).cast("long").as("is_anomaly"))
+          .orderBy("d")
+      },
+      Some("""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS d,
+            COUNT(*) AS cnt FROM events GROUP BY 1),
+          dw AS (SELECT d, cnt, d % 7 AS dow FROM daily),
+          st AS (SELECT dow, COUNT(*) AS n_days, SUM(cnt) AS s,
+            SUM(cnt * cnt) AS ss FROM dw GROUP BY dow)
+        SELECT d, dow, cnt,
+          CAST(s AS DOUBLE) / n_days AS mean_cnt,
+          CAST(abs(cnt - CAST(s AS DOUBLE) / n_days) >
+            2.0 * sqrt(CASE WHEN n_days > 1 THEN
+              (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n_days)
+                / (n_days - 1) END) AS BIGINT) AS is_anomaly
+        FROM dw JOIN st USING (dow) ORDER BY d""")),
+
+    // ── Leakage-safe grouped train/val split ───────────────────────────
+    // q51 splits ROWS by hash; for supervised data that leaks — two
+    // events of one user must not straddle train/val. The group key
+    // (user) is hashed instead, so every row of a group lands in the
+    // same fold deterministically, with no shuffle beyond the audit
+    // aggregation itself.
+    QueryDef("q139_grouped_split",
+      (s, dir) => t(s, dir, "events")
+        .withColumn("fold",
+          Shingles.baseHash(col("user_id").cast("string")) % 5)
+        .groupBy("fold")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("fold"),
+      Some("""SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 7))
+            ::BIGINT % 5 AS fold,
+          COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+        FROM events GROUP BY 1 ORDER BY fold""")),
+
+    // ── Last-touch attribution over the event stream ───────────────────
+    // Which marketing touch (click/view) most recently preceded each
+    // purchase? One user-partitioned window with an IGNORE NULLS
+    // last_value over the preceding frame — no self-join, no as-of join
+    // against a touches table, history scanned once. Purchases with no
+    // prior touch attribute to 'none'.
+    QueryDef("q140_attribution",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        t(s, dir, "events")
+          .withColumn("last_touch",
+            last(when(col("event_type").isin("click", "view"),
+              col("event_type")), ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .groupBy(coalesce(col("last_touch"), lit("none")).as("channel"))
+          .agg(count(lit(1)).as("n_purchases"),
+            graft.functions.Parity.dsum(col("value")).as("revenue"))
+          .orderBy("channel")
+      },
+      Some(s"""WITH t AS (SELECT event_type, value,
+            last_value(CASE WHEN event_type IN ('click', 'view')
+                THEN event_type END IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS last_touch
+          FROM events)
+        SELECT COALESCE(last_touch, 'none') AS channel,
+          COUNT(*) AS n_purchases,
+          CAST(CAST(SUM(CAST(value AS DECIMAL(30,8))) AS VARCHAR)
+            AS DOUBLE) AS revenue
+        FROM t WHERE event_type = 'purchase'
+        GROUP BY 1 ORDER BY channel""")),
   )
 }
