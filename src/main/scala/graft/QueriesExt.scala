@@ -3856,5 +3856,20 @@ object QueriesExt {
             AS DOUBLE) AS revenue
         FROM t WHERE event_type = 'purchase'
         GROUP BY 1 ORDER BY channel""")),
+
+    // ── EXACT median without a global sort (histogram refinement) ──────
+    // The third leg of the quantile family: q55/q116 are one-pass
+    // approximations, q34 is the sort-based exact path — this is exact
+    // AND sort-free: O(log) bucket-count passes narrow a per-group
+    // window around the median ranks, then only the tiny surviving
+    // windows are ranked. tail=32 forces several refinement rounds at
+    // test scale, so the loop itself is exercised, not just the finish.
+    QueryDef("q141_exact_median",
+      (s, dir) => graft.ext.Stats.exactMedianByGroup(
+        t(s, dir, "events"), "user_id", "value",
+        buckets = 64, tail = 32)
+        .orderBy("user_id"),
+      Some("""SELECT user_id, COUNT(value) AS n, median(value) AS median
+        FROM events GROUP BY user_id ORDER BY user_id""")),
   )
 }

@@ -91,4 +91,36 @@ class Round9PropertySpec extends AnyFunSuite {
       out.toSeq == Seq(1.0)
     }, n = 15)
   }
+
+  test("exactMedianByGroup ≡ sort-based median on random data") {
+    // Covers: odd/even counts, heavy ties, constant groups, negative
+    // values, and tail sizes that force multiple refinement rounds.
+    val genGroup = for {
+      sz <- Gen.choose(1, 60)
+      // draw from a SMALL value set so ties and all-constant groups occur
+      vs <- Gen.listOfN(sz, Gen.oneOf(Gen.choose(-5, 5).map(_.toDouble),
+        Gen.choose(-1000000, 1000000).map(_ / 997.0)))
+    } yield vs
+    val genCase = for {
+      gs <- Gen.listOfN(5, genGroup)
+      tail <- Gen.oneOf(1L, 2L, 8L, 1000L)
+      buckets <- Gen.oneOf(2, 3, 16)
+    } yield (gs, tail, buckets)
+    check(Prop.forAll(genCase) { case (gs, tail, buckets) =>
+      val rows = gs.zipWithIndex.flatMap { case (vs, g) =>
+        vs.map(v => (s"g$g", v)) }
+      val df = rows.toDF("k", "v")
+      val got = graft.ext.Stats
+        .exactMedianByGroup(df, "k", "v", buckets = buckets, tail = tail)
+        .collect().map(r => (r.getString(0),
+          (r.getLong(1), r.getDouble(2)))).toMap
+      val want = gs.zipWithIndex.map { case (vs, g) =>
+        val s = vs.sorted
+        val n = s.length
+        val med = (s((n - 1) / 2) + s(n / 2)) / 2.0
+        (s"g$g", (n.toLong, med))
+      }.toMap
+      got == want
+    }, n = 25)
+  }
 }
