@@ -3871,5 +3871,127 @@ object QueriesExt {
         .orderBy("user_id"),
       Some("""SELECT user_id, COUNT(value) AS n, median(value) AS median
         FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // ── Linear-interpolation gap fill (the step up from q84's LOCF) ────
+    // Missing hours get the straight line between the bracketing
+    // observations — prev + (next − prev)·(t − tp)/(tn − tp), written
+    // identically on both engines so the IEEE ops agree bit-for-bit.
+    // Edges fall back to LOCF/BOCF. Same scale shape as q84: per-user
+    // grid explode, one left join, two ignore-nulls windows over the
+    // user partition — history scanned once, no self-join per gap.
+    QueryDef("q142_linear_interp",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .withColumn("hour_us",
+            floor(unix_micros(col("ts")) / 3600000000L).cast("long")
+              * 3600000000L)
+        val w = Window.partitionBy("user_id", "hour_us")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        val hourly = ev.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("hour_us"), col("value"))
+        val grid = ev.groupBy("user_id")
+          .agg(min(col("hour_us")).as("lo"), max(col("hour_us")).as("hi"))
+          .select(col("user_id"),
+            explode(sequence(col("lo"), col("hi"),
+              lit(3600000000L))).as("hour_us"))
+        val wPrev = Window.partitionBy("user_id").orderBy("hour_us")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wNext = Window.partitionBy("user_id").orderBy("hour_us")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val obsHour = when(col("value").isNotNull, col("hour_us"))
+        val filled = grid.join(hourly, Seq("user_id", "hour_us"), "left")
+          .withColumn("pv", last(col("value"), ignoreNulls = true).over(wPrev))
+          .withColumn("ph", last(obsHour, ignoreNulls = true).over(wPrev))
+          .withColumn("nv", first(col("value"), ignoreNulls = true).over(wNext))
+          .withColumn("nh", first(obsHour, ignoreNulls = true).over(wNext))
+        filled.select(col("user_id"), col("hour_us"),
+          col("value").isNotNull.cast("long").as("observed"),
+          when(col("value").isNotNull, col("value"))
+            .when(col("pv").isNull, col("nv"))
+            .when(col("nv").isNull, col("pv"))
+            .otherwise(col("pv") + (col("nv") - col("pv")) *
+              ((col("hour_us") - col("ph")).cast("double") /
+                (col("nh") - col("ph")).cast("double")))
+            .as("value_interp"))
+          .orderBy("user_id", "hour_us")
+      },
+      Some("""WITH ev AS (SELECT user_id, event_id, ts, value,
+            (epoch_us(ts) // 3600000000) * 3600000000 AS hour_us
+          FROM events),
+        hourly AS (SELECT user_id, hour_us, value FROM (
+            SELECT user_id, hour_us, value,
+              row_number() OVER (PARTITION BY user_id, hour_us
+                ORDER BY ts DESC, event_id DESC) AS rn
+            FROM ev) WHERE rn = 1),
+        grid AS (SELECT user_id,
+            unnest(range(lo, hi + 1, 3600000000)) AS hour_us
+          FROM (SELECT user_id, MIN(hour_us) AS lo, MAX(hour_us) AS hi
+            FROM ev GROUP BY user_id)),
+        j AS (SELECT g.user_id, g.hour_us, h.value,
+            last_value(h.value IGNORE NULLS) OVER (
+              PARTITION BY g.user_id ORDER BY g.hour_us
+              ROWS UNBOUNDED PRECEDING) AS pv,
+            last_value(CASE WHEN h.value IS NOT NULL THEN g.hour_us END
+              IGNORE NULLS) OVER (
+              PARTITION BY g.user_id ORDER BY g.hour_us
+              ROWS UNBOUNDED PRECEDING) AS ph,
+            first_value(h.value IGNORE NULLS) OVER (
+              PARTITION BY g.user_id ORDER BY g.hour_us
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+            first_value(CASE WHEN h.value IS NOT NULL THEN g.hour_us END
+              IGNORE NULLS) OVER (
+              PARTITION BY g.user_id ORDER BY g.hour_us
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+          FROM grid g LEFT JOIN hourly h
+            ON g.user_id = h.user_id AND g.hour_us = h.hour_us)
+        SELECT user_id, hour_us,
+          CAST(value IS NOT NULL AS BIGINT) AS observed,
+          CASE WHEN value IS NOT NULL THEN value
+            WHEN pv IS NULL THEN nv
+            WHEN nv IS NULL THEN pv
+            ELSE pv + (nv - pv) * (CAST(hour_us - ph AS DOUBLE)
+              / CAST(nh - ph AS DOUBLE)) END AS value_interp
+        FROM j ORDER BY user_id, hour_us""")),
+
+    // ── Per-doc keyword extraction: top-3 distinctive tokens ───────────
+    // tf·idf with the RATIONAL idf N/df (monotone in the log form, so
+    // the top-k is identical, and the score stays correctly-rounded
+    // IEEE on both engines — same trick as q89's BM25). The labeling /
+    // topic-tagging primitive: which tokens best characterize each doc
+    // against the corpus. Scale: tf and df are partial-agg shuffles on
+    // (doc, token) / token, the corpus size is a broadcast scalar, and
+    // the top-3 window partitions by doc — no corpus-wide sort.
+    QueryDef("q143_tfidf_keywords",
+      (s, dir) => {
+        val docs = tPar(s, dir, "documents")
+        val tf = docs.select(col("doc_id"),
+          explode(TextStats.tokens(col("text"))).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        val total = docs.agg(count(lit(1)).as("n_docs"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("tok").asc)
+        tf.join(dfreq, "tok").crossJoin(broadcast(total))
+          .withColumn("score",
+            col("tf").cast("double") * col("n_docs") / col("df"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 3)
+          .select(col("doc_id"), col("rank"), col("tok"), col("score"))
+          .orderBy("doc_id", "rank")
+      },
+      Some(s"""WITH tf AS (SELECT doc_id, tok, COUNT(*) AS tf
+            FROM (SELECT doc_id, unnest($dTok) AS tok FROM documents)
+            GROUP BY 1, 2),
+          dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+          n AS (SELECT COUNT(*) AS n_docs FROM documents),
+          sc AS (SELECT doc_id, tok,
+            CAST(tf AS DOUBLE) * n_docs / df AS score
+            FROM tf JOIN dfreq USING (tok) CROSS JOIN n),
+          rk AS (SELECT doc_id, tok, score,
+            row_number() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, tok) AS rank FROM sc)
+        SELECT doc_id, rank, tok, score FROM rk
+        WHERE rank <= 3 ORDER BY doc_id, rank""")),
   )
 }
