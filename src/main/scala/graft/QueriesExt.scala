@@ -3993,5 +3993,28 @@ object QueriesExt {
               ORDER BY score DESC, tok) AS rank FROM sc)
         SELECT doc_id, rank, tok, score FROM rk
         WHERE rank <= 3 ORDER BY doc_id, rank""")),
+
+    // ── Exact p10/p50/p90 bands, sort-free (q141's engine, general) ────
+    // The per-(group, percentile) refinement: each percentile tracks its
+    // own shrinking window, all percentiles share each round's single
+    // scan, and the finish interpolates with quantile_cont semantics
+    // (h = (n−1)·p, lower·(1−frac) + upper·frac) — float-op-identical
+    // to the oracle.
+    QueryDef("q144_exact_percentiles",
+      (s, dir) => graft.ext.Stats.exactQuantilesByGroup(
+        t(s, dir, "events"), "event_type", "value", Seq(0.1, 0.5, 0.9),
+        buckets = 64, tail = 64)
+        .orderBy("event_type", "p"),
+      Some("""WITH q AS (SELECT event_type, COUNT(value) AS n,
+            quantile_cont(value, 0.1) AS p10,
+            quantile_cont(value, 0.5) AS p50,
+            quantile_cont(value, 0.9) AS p90
+          FROM events GROUP BY event_type)
+        SELECT event_type, x.p, n,
+          CASE x.p WHEN 0.1::DOUBLE THEN p10
+                   WHEN 0.5::DOUBLE THEN p50 ELSE p90 END AS quantile
+        FROM q CROSS JOIN (VALUES (0.1::DOUBLE), (0.5::DOUBLE),
+          (0.9::DOUBLE)) x(p)
+        ORDER BY event_type, p""")),
   )
 }

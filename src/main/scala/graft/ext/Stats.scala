@@ -53,101 +53,134 @@ object Stats {
       col("s.mean_v").as("mean_v"))
   }
 
+
   /** EXACT per-group median in O(log) aggregation passes — no global
-    * sort. The sampled-quantile sketches (q55/q116) trade exactness for
-    * one pass; this is the other end of the design space: iterative
-    * histogram refinement (the classic selection-by-bucketing algorithm,
-    * cf. Blum et al. selection and Münz/Carle histogram median) keeps
-    * narrowing a per-group value window [lo, hi] known to contain the
-    * median rank(s) until few enough rows remain to rank directly.
-    *
-    * Per round: ONE partial-aggregable shuffle computes, per group, the
-    * count below the window (exact rank re-anchoring — immune to float
-    * boundary drift, which is also why the window is widened by a
-    * relative epsilon after every narrowing) and a `buckets`-bin
-    * histogram inside it. The driver walks the histogram (groups ×
-    * buckets counts — bounded, like the ANN centroid collects) and
-    * shrinks each window geometrically. The finish is a per-group
-    * row_number over only the surviving windows (each ≤ `tail` rows, so
-    * the "sort" is trivially small), then DuckDB's median semantics:
-    * (lower + upper) / 2 on the two middle order statistics.
-    *
-    * At 100 TB: each round is a full-scan aggregation (the input should
-    * be a cached/materialized projection of (group, value) — the method
-    * persists it), rounds are ~log_B(n) ≈ 3-4 for B=256, and driver
-    * state is groups × buckets longs. The same skeleton generalizes to
-    * any percentile set.
+    * sort; the ps = {0.5} case of [[exactQuantilesByGroup]] finished
+    * with DuckDB's `median` semantics ((lower + upper) / 2 on the two
+    * middle order statistics, which differs from the `quantile_cont`
+    * lerp by an ulp).
     */
   def exactMedianByGroup(df: DataFrame, groupCol: String, valueCol: String,
                          buckets: Int = 256, tail: Long = 4096,
                          maxRounds: Int = 64,
-                         maxGroups: Int = 100000): DataFrame = {
+                         maxGroups: Int = 100000): DataFrame =
+    refineQuantiles(df, groupCol, valueCol, Seq(0.5), buckets, tail,
+      maxRounds, maxGroups, medianFinish = true)
+      .select(col(groupCol), col("n"), col("quantile").as("median"))
+
+  /** EXACT per-group percentiles for an arbitrary percentile set — no
+    * global sort. The sampled-quantile sketches (q55/q116) trade
+    * exactness for one pass; this is the other end of the design space:
+    * iterative histogram refinement (the classic selection-by-bucketing
+    * algorithm) narrows, per (group, percentile), a value window
+    * [lo, hi] known to contain that percentile's bracketing ranks until
+    * few enough rows remain to rank directly.
+    *
+    * Per round: ONE partial-aggregable shuffle computes, per active
+    * (group, percentile) task, the count below the window (exact rank
+    * re-anchoring — immune to float boundary drift, which is also why
+    * every narrowed bound is widened by a couple of ulps) and a
+    * `buckets`-bin histogram inside it. The driver walks each histogram
+    * (tasks × buckets longs — bounded like the ANN centroid collects)
+    * and shrinks the window geometrically. The finish ranks only the
+    * surviving windows (≤ `tail` rows each) and interpolates with
+    * `quantile_cont` semantics: h = (n−1)·p, lower·(1−frac) +
+    * upper·frac — every float op written identically to the oracle.
+    *
+    * At 100 TB: each round is a full scan of the cached (group, value)
+    * projection joined to a broadcast task table (|ps| rows per group),
+    * rounds are ~log_B(n) ≈ 3-4 for B=256, and nothing driver-side
+    * grows with data volume — only with groups × percentiles.
+    */
+  def exactQuantilesByGroup(df: DataFrame, groupCol: String,
+                            valueCol: String, ps: Seq[Double],
+                            buckets: Int = 256, tail: Long = 4096,
+                            maxRounds: Int = 64,
+                            maxGroups: Int = 100000): DataFrame =
+    refineQuantiles(df, groupCol, valueCol, ps, buckets, tail,
+      maxRounds, maxGroups, medianFinish = false)
+
+  private case class QWin(lo: Double, hi: Double, k1: Long, k2: Long,
+                          frac: Double, n: Long, done: Boolean)
+
+  private def refineQuantiles(df: DataFrame, groupCol: String,
+                              valueCol: String, ps: Seq[Double],
+                              buckets: Int, tail: Long, maxRounds: Int,
+                              maxGroups: Int,
+                              medianFinish: Boolean): DataFrame = {
     require(buckets >= 2 && tail >= 1 && maxRounds >= 1)
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"percentiles $ps must be within [0, 1]")
     import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType,
+      StructField, StructType}
+    import org.apache.spark.sql.Row
     import org.apache.spark.storage.StorageLevel
 
+    val spark = df.sparkSession
     val vals = df
       .select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"))
       .filter(col("v").isNotNull && !isnan(col("v")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val gField = vals.schema("g")
 
-    // Per-group target ranks (0-indexed): k1 = (n-1)/2, k2 = n/2 for
-    // even n (the two middle order statistics), k1 = k2 for odd n.
-    case class Win(lo: Double, hi: Double, k1: Long, k2: Long,
-                   n: Long, done: Boolean)
     val meta = vals.groupBy("g")
       .agg(count(lit(1)).as("n"), min("v").as("lo"), max("v").as("hi"))
       .collect()
-    require(meta.length <= maxGroups,
-      s"exactMedianByGroup: ${meta.length} groups exceeds maxGroups=" +
-        s"$maxGroups — driver histogram state would be unbounded")
-    var wins: Map[Any, Win] = meta.map { r =>
-      val n = r.getLong(r.fieldIndex("n"))
-      r.get(r.fieldIndex("g")) -> Win(
-        r.getDouble(r.fieldIndex("lo")), r.getDouble(r.fieldIndex("hi")),
-        (n - 1) / 2, n / 2, n, done = false)
-    }.toMap
+    require(meta.length.toLong * ps.length <= maxGroups,
+      s"refineQuantiles: ${meta.length} groups × ${ps.length} percentiles" +
+        s" exceeds maxGroups=$maxGroups — driver state would be unbounded")
 
-    // Widen a bound by a few ulps so float rounding in the bucket
-    // arithmetic can never push the true order statistic outside the
-    // window; the count-below re-anchor keeps ranks exact regardless.
+    // Bracketing ranks per task, 0-indexed, quantile_cont-style:
+    // h = (n−1)·p in DOUBLE (the oracle's own float math), k1 = ⌊h⌋,
+    // k2 = k1 + 1 iff h is fractional.
+    var wins: Map[(Any, Int), QWin] = (for {
+      r <- meta
+      (p, pi) <- ps.zipWithIndex
+    } yield {
+      val n = r.getLong(r.fieldIndex("n"))
+      val h = (n - 1).toDouble * p
+      val k1 = math.floor(h).toLong
+      val frac = h - math.floor(h)
+      val k2 = if (frac > 0.0) k1 + 1 else k1
+      (r.get(r.fieldIndex("g")), pi) -> QWin(
+        r.getDouble(r.fieldIndex("lo")), r.getDouble(r.fieldIndex("hi")),
+        k1, k2, frac, n, done = false)
+    }).toMap
+
     def widenDown(x: Double) =
       if (x.isInfinite) x else Math.nextDown(Math.nextDown(x))
     def widenUp(x: Double) =
       if (x.isInfinite) x else Math.nextUp(Math.nextUp(x))
 
-    val spark = df.sparkSession
     var round = 0
     while (round < maxRounds && wins.values.exists(!_.done)) {
       round += 1
       val active = wins.filter(!_._2.done)
       val lk = spark.createDataFrame(
-        spark.sparkContext.parallelize(active.toSeq.map { case (g, w) =>
-          org.apache.spark.sql.Row(g, w.lo, w.hi)
+        spark.sparkContext.parallelize(active.toSeq.map {
+          case ((g, pi), w) => Row(g, pi, w.lo, w.hi)
         }, 1),
-        org.apache.spark.sql.types.StructType(Seq(
-          vals.schema("g").copy(name = "g"),
-          org.apache.spark.sql.types.StructField("__lo",
-            org.apache.spark.sql.types.DoubleType),
-          org.apache.spark.sql.types.StructField("__hi",
-            org.apache.spark.sql.types.DoubleType))))
+        StructType(Seq(gField.copy(name = "g"),
+          StructField("__pi", IntegerType, nullable = false),
+          StructField("__lo", DoubleType), StructField("__hi", DoubleType))))
       val width = col("__hi") - col("__lo")
       val bIdx = least(greatest(
         floor((col("v") - col("__lo")) / width * buckets), lit(0))
         .cast("int"), lit(buckets - 1))
       val hist = vals.join(broadcast(lk), "g")
-        .select(col("g"),
+        .select(col("g"), col("__pi"),
           when(col("v") < col("__lo"), lit(-1))
             .when(col("v") > col("__hi"), lit(buckets))
             .otherwise(when(width > 0.0, bIdx).otherwise(lit(0)))
             .as("b"))
-        .groupBy("g", "b").agg(count(lit(1)).as("c"))
+        .groupBy("g", "__pi", "b").agg(count(lit(1)).as("c"))
         .collect()
-      val byGroup = hist.groupBy(_.get(0))
-      wins = wins.map { case (g, w) =>
-        if (w.done) g -> w
+      val byTask = hist.groupBy(r => (r.get(0), r.getInt(1)))
+      wins = wins.map { case (key, w) =>
+        if (w.done) key -> w
         else {
-          val rows = byGroup.getOrElse(g, Array.empty)
+          val rows = byTask.getOrElse(key, Array.empty)
           val cnt = Array.fill(buckets)(0L)
           var below = 0L
           rows.foreach { r =>
@@ -155,7 +188,6 @@ object Stats {
             val c = r.getLong(r.fieldIndex("c"))
             if (b < 0) below += c else if (b < buckets) cnt(b) += c
           }
-          // locate the buckets holding ranks k1 and k2
           def bucketOf(k: Long): Int = {
             var acc = below; var i = 0
             while (i < buckets && acc + cnt(i) <= k) { acc += cnt(i); i += 1 }
@@ -168,61 +200,61 @@ object Stats {
           val nHi = widenUp(w.lo + oldWidth * (b2 + 1) / buckets)
           val lo2 = math.max(w.lo, nLo); val hi2 = math.min(w.hi, nHi)
           val progressed = (hi2 - lo2) < oldWidth
-          g -> w.copy(lo = lo2, hi = hi2,
+          key -> w.copy(lo = lo2, hi = hi2,
             done = inWin <= tail || !progressed || lo2 == hi2)
         }
       }
     }
 
-    // A window collapsed to one value IS the median — answer those on
+    // A window collapsed to one value IS the answer — short-circuit on
     // the driver (also avoids re-scanning an all-constant group's full
     // tie range in the finish).
     val (degenerate, remaining) = wins.partition { case (_, w) => w.lo == w.hi }
+    val outSchema = StructType(Seq(gField.copy(name = groupCol),
+      StructField("p", DoubleType, nullable = false),
+      StructField("n", LongType, nullable = false),
+      StructField("quantile", DoubleType)))
     val degDF = spark.createDataFrame(
-      spark.sparkContext.parallelize(degenerate.toSeq.map { case (g, w) =>
-        org.apache.spark.sql.Row(g, w.n, w.lo)
-      }, 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        vals.schema("g").copy(name = groupCol),
-        org.apache.spark.sql.types.StructField("n",
-          org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("median",
-          org.apache.spark.sql.types.DoubleType))))
+      spark.sparkContext.parallelize(degenerate.toSeq.map {
+        case ((g, pi), w) => Row(g, ps(pi), w.n, w.lo)
+      }, 1), outSchema)
 
-    // Finish: exact ranks inside each final window. `below` is
+    // Finish: exact ranks inside each surviving window; `below` is
     // recomputed in the same pass, so the global rank is exact.
     val fin = spark.createDataFrame(
-      spark.sparkContext.parallelize(remaining.toSeq.map { case (g, w) =>
-        org.apache.spark.sql.Row(g, w.lo, w.hi, w.k1, w.k2, w.n)
+      spark.sparkContext.parallelize(remaining.toSeq.map {
+        case ((g, pi), w) => Row(g, pi, ps(pi), w.lo, w.hi, w.k1, w.k2,
+          w.frac, w.n)
       }, 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        vals.schema("g").copy(name = "g"),
-        org.apache.spark.sql.types.StructField("__lo",
-          org.apache.spark.sql.types.DoubleType),
-        org.apache.spark.sql.types.StructField("__hi",
-          org.apache.spark.sql.types.DoubleType),
-        org.apache.spark.sql.types.StructField("__k1",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("__k2",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("__n",
-          org.apache.spark.sql.types.LongType))))
+      StructType(Seq(gField.copy(name = "g"),
+        StructField("__pi", IntegerType, nullable = false),
+        StructField("__p", DoubleType, nullable = false),
+        StructField("__lo", DoubleType), StructField("__hi", DoubleType),
+        StructField("__k1", LongType, nullable = false),
+        StructField("__k2", LongType, nullable = false),
+        StructField("__frac", DoubleType, nullable = false),
+        StructField("__n", LongType, nullable = false))))
     val joined = vals.join(broadcast(fin), "g")
     val below = joined.filter(col("v") < col("__lo"))
-      .groupBy("g").agg(count(lit(1)).as("__below"))
-    val wnd = Window.partitionBy("g").orderBy("v")
-    val out = joined.filter(col("v") >= col("__lo") && col("v") <= col("__hi"))
-      .join(below, Seq("g"), "left")
+      .groupBy("g", "__pi").agg(count(lit(1)).as("__below"))
+    val wnd = Window.partitionBy("g", "__pi").orderBy("v")
+    val finish =
+      if (medianFinish) (min(col("v")) + max(col("v"))) / lit(2.0)
+      else min(col("v")) * (lit(1.0) - max(col("__frac"))) +
+        max(col("v")) * max(col("__frac"))
+    val out = joined
+      .filter(col("v") >= col("__lo") && col("v") <= col("__hi"))
+      .join(below, Seq("g", "__pi"), "left")
       .withColumn("__rk",
         row_number().over(wnd) - 1 + coalesce(col("__below"), lit(0L)))
       .filter(col("__rk") === col("__k1") || col("__rk") === col("__k2"))
-      .groupBy("g")
-      .agg(max(col("__n")).as("n"),
-        ((min(col("v")) + max(col("v"))) / lit(2.0)).as("median"))
-      .select(col("g").as(groupCol), col("n"), col("median"))
+      .groupBy("g", "__pi")
+      .agg(max(col("__p")).as("p"), max(col("__n")).as("n"),
+        finish.as("quantile"))
+      .select(col("g").as(groupCol), col("p"), col("n"), col("quantile"))
       .union(degDF)
-    // Materialize (output is |groups| rows) before dropping the cache
-    // the refinement rounds were feeding on.
+    // Materialize (output is |groups|·|ps| rows) before dropping the
+    // cache the refinement rounds were feeding on.
     val materialized = out.localCheckpoint(true)
     vals.unpersist()
     materialized

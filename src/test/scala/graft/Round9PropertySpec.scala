@@ -123,4 +123,36 @@ class Round9PropertySpec extends AnyFunSuite {
       got == want
     }, n = 25)
   }
+
+  test("exactQuantilesByGroup ≡ local quantile_cont on random data") {
+    val genGroup = for {
+      sz <- Gen.choose(1, 60)
+      vs <- Gen.listOfN(sz, Gen.oneOf(Gen.choose(-5, 5).map(_.toDouble),
+        Gen.choose(-1000000, 1000000).map(_ / 997.0)))
+    } yield vs
+    val genCase = for {
+      gs <- Gen.listOfN(4, genGroup)
+      tail <- Gen.oneOf(1L, 4L, 1000L)
+      p <- Gen.oneOf(0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0)
+    } yield (gs, tail, p)
+    check(Prop.forAll(genCase) { case (gs, tail, p) =>
+      val rows = gs.zipWithIndex.flatMap { case (vs, g) =>
+        vs.map(v => (s"g$g", v)) }
+      val df = rows.toDF("k", "v")
+      val got = graft.ext.Stats
+        .exactQuantilesByGroup(df, "k", "v", Seq(p),
+          buckets = 8, tail = tail)
+        .collect().map(r => (r.getString(0), r.getDouble(3))).toMap
+      val want = gs.zipWithIndex.map { case (vs, g) =>
+        val s = vs.sorted
+        val h = (s.length - 1).toDouble * p
+        val k1 = math.floor(h).toInt
+        val frac = h - math.floor(h)
+        val lo = s(k1)
+        val hi = if (frac > 0.0) s(k1 + 1) else s(k1)
+        (s"g$g", lo * (1.0 - frac) + hi * frac)
+      }.toMap
+      got == want
+    }, n = 30)
+  }
 }
