@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Date
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.etl.Scd2
@@ -4016,5 +4016,73 @@ object QueriesExt {
         FROM q CROSS JOIN (VALUES (0.1::DOUBLE), (0.5::DOUBLE),
           (0.9::DOUBLE)) x(p)
         ORDER BY event_type, p""")),
+
+    // ── Right-to-be-forgotten purge cascade (audit counts) ─────────────
+    // Erasure requests (a deterministic ~1% of customers) cascade
+    // through the star: customer rows, their orders, their orders'
+    // LINEITEMS (two-hop — the key never appears on the leaf table, it
+    // arrives via a semi-join chain), plus the events of the same ids.
+    // Each leg is a LEFT SEMI join against the broadcast-small request
+    // set — the scale-safe purge plan: no fact-fact join, no collect;
+    // the write side is the existing anti-join machinery (q04).
+    QueryDef("q145_purge_cascade",
+      (s, dir) => {
+        val del = t(s, dir, "customer")
+          .filter(Shingles.baseHash(col("c_custkey").cast("string"))
+            % 97 === 0)
+          .select(col("c_custkey").as("k"))
+        def audit(name: String, df: DataFrame, key: Column) = {
+          val hit = df.join(broadcast(del), key === col("k"), "left_semi")
+          df.agg(count(lit(1)).as("n_before"))
+            .crossJoin(hit.agg(count(lit(1)).as("n_deleted")))
+            .select(lit(name).as("table_name"), col("n_before"),
+              col("n_deleted"),
+              (col("n_before") - col("n_deleted")).as("n_after"))
+        }
+        val delOrders = t(s, dir, "orders")
+          .join(broadcast(del), col("o_custkey") === col("k"), "left_semi")
+        val liHit = t(s, dir, "lineitem").join(
+          broadcast(delOrders.select(col("o_orderkey").as("k"))),
+          col("l_orderkey") === col("k"), "left_semi")
+        audit("customer", t(s, dir, "customer"), col("c_custkey"))
+          .union(audit("orders", t(s, dir, "orders"), col("o_custkey")))
+          .union(t(s, dir, "lineitem").agg(count(lit(1)).as("n_before"))
+            .crossJoin(liHit.agg(count(lit(1)).as("n_deleted")))
+            .select(lit("lineitem").as("table_name"), col("n_before"),
+              col("n_deleted"),
+              (col("n_before") - col("n_deleted")).as("n_after")))
+          .union(audit("events", t(s, dir, "events"), col("user_id")))
+          .orderBy("table_name")
+      },
+      Some("""WITH del AS (SELECT c_custkey AS k FROM customer
+            WHERE ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 7))
+              ::BIGINT % 97 = 0),
+          delo AS (SELECT o_orderkey FROM orders
+            WHERE o_custkey IN (SELECT k FROM del))
+        SELECT 'customer' AS table_name, (SELECT COUNT(*) FROM customer)
+            AS n_before,
+          (SELECT COUNT(*) FROM customer WHERE c_custkey IN
+            (SELECT k FROM del)) AS n_deleted,
+          (SELECT COUNT(*) FROM customer) - (SELECT COUNT(*) FROM customer
+            WHERE c_custkey IN (SELECT k FROM del)) AS n_after
+        UNION ALL
+        SELECT 'orders', (SELECT COUNT(*) FROM orders),
+          (SELECT COUNT(*) FROM orders WHERE o_custkey IN
+            (SELECT k FROM del)),
+          (SELECT COUNT(*) FROM orders) - (SELECT COUNT(*) FROM orders
+            WHERE o_custkey IN (SELECT k FROM del))
+        UNION ALL
+        SELECT 'lineitem', (SELECT COUNT(*) FROM lineitem),
+          (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IN
+            (SELECT o_orderkey FROM delo)),
+          (SELECT COUNT(*) FROM lineitem) - (SELECT COUNT(*) FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM delo))
+        UNION ALL
+        SELECT 'events', (SELECT COUNT(*) FROM events),
+          (SELECT COUNT(*) FROM events WHERE user_id IN
+            (SELECT k FROM del)),
+          (SELECT COUNT(*) FROM events) - (SELECT COUNT(*) FROM events
+            WHERE user_id IN (SELECT k FROM del))
+        ORDER BY table_name""")),
   )
 }

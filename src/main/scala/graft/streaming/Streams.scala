@@ -75,6 +75,38 @@ object Streams {
         col("value"))
   }
 
+  /** LEFT OUTER stream-stream join: every purchase emits exactly once —
+    * matched to its lookback views when they exist, with NULL view
+    * columns otherwise. The unmatched rows can only be emitted once the
+    * watermark has passed the purchase's join window (the state store
+    * must prove no matching view can still arrive), so in streaming
+    * mode they trail the matched rows by up to `watermark`; on batch
+    * frames Catalyst plans a plain left-outer range join with identical
+    * semantics. This is the attribution-completeness twin of
+    * [[viewToPurchase]]: the inner join silently drops un-attributed
+    * purchases, this one audits them.
+    */
+  def viewToPurchaseOuter(views: DataFrame, purchases: DataFrame,
+                          lookback: String = "1 hour",
+                          watermark: String = "2 hours"): DataFrame = {
+    val v0 = views.select(col("user_id").as("v_user"),
+      col("event_id").as("view_event_id"), col("ts").as("view_ts"))
+    val p0 = purchases.select(col("user_id").as("p_user"),
+      col("event_id").as("purchase_event_id"), col("ts").as("purchase_ts"),
+      col("value"))
+    val v = if (v0.isStreaming) v0.withWatermark("view_ts", watermark) else v0
+    val p = if (p0.isStreaming) p0.withWatermark("purchase_ts", watermark)
+            else p0
+    p.join(v,
+      col("p_user") === col("v_user") &&
+        col("view_ts") <= col("purchase_ts") &&
+        col("view_ts") >= col("purchase_ts") - expr(s"INTERVAL $lookback"),
+      "left_outer")
+      .select(col("purchase_event_id"), col("p_user").as("user_id"),
+        col("view_event_id"), col("purchase_ts"), col("view_ts"),
+        col("value"))
+  }
+
   /** Typed event row for stateful operators. */
   final case class Event(event_id: Long, user_id: Long, event_type: String,
                          value: Double)

@@ -280,6 +280,49 @@ class StreamsSpec extends AnyFunSuite {
       batch.exceptAll(streamed).isEmpty)
   }
 
+  test("left-outer stream-stream join emits unmatched purchases after " +
+    "the watermark passes") {
+    val events = Tables.load(spark, TestSpark.sf0001, "events")
+    val views = events.filter(col("event_type") === "view")
+    val purchases = events.filter(col("event_type") === "purchase")
+
+    val batch = Streams.viewToPurchaseOuter(views, purchases)
+    val inner = Streams.viewToPurchase(views, purchases)
+    val unmatched = batch.filter(col("view_event_id").isNull)
+    // outer = inner ∪ null-extended, and every purchase appears
+    assert(batch.count() === inner.count() + unmatched.count())
+    assert(batch.select("purchase_event_id").distinct().count() ===
+      purchases.count())
+    assert(unmatched.count() > 0) // the fixture has un-attributed buys
+
+    val vDir = java.nio.file.Files.createTempDirectory("sso_views").toString
+    val pDir = java.nio.file.Files.createTempDirectory("sso_purch").toString
+    views.write.mode("overwrite").parquet(vDir)
+    purchases.write.mode("overwrite").parquet(pDir)
+    val vs = spark.readStream.schema(views.schema).parquet(vDir)
+    val ps = spark.readStream.schema(purchases.schema).parquet(pDir)
+    val q = Streams.viewToPurchaseOuter(vs, ps, watermark = "1 minute")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sso_join_test").start()
+    q.processAllAvailable()
+    // The final windows' unmatched rows need the GLOBAL watermark (the
+    // min across both inputs) to move past them: append one far-future
+    // row (different user) to EACH side and re-trigger.
+    val maxTs = events.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    def sentinel(src: org.apache.spark.sql.DataFrame) = src.limit(1)
+      .withColumn("ts", lit(new java.sql.Timestamp(
+        maxTs.getTime + 1000L * 3600 * 24)))
+      .withColumn("user_id", lit(-1L))
+    sentinel(views).write.mode("append").parquet(vDir)
+    sentinel(purchases).write.mode("append").parquet(pDir)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sso_join_test")
+      .filter(col("user_id") =!= -1L)
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty)
+  }
+
   test("stateful dedup state survives a stop/restart via checkpointing") {
     import spark.implicits._
     val src = java.nio.file.Files.createTempDirectory("cp_src").toString
