@@ -4084,5 +4084,80 @@ object QueriesExt {
           (SELECT COUNT(*) FROM events) - (SELECT COUNT(*) FROM events
             WHERE user_id IN (SELECT k FROM del))
         ORDER BY table_name""")),
+
+    // ── HyperLogLog distinct (md5 family ⇒ oracle-replayable) ──────────
+    // Per-type distinct ACTIVE (user, day) pairs — the DAU-cardinality
+    // sketch — next to the exact NDV. 64 registers per group survive
+    // the partial agg, every float summand is a power of two (exact,
+    // order-independent sum), raw Flajolet estimate with no bias
+    // correction so both engines agree bit-for-bit. Raw HLL is the
+    // large-range regime (honest above ~2.5·m distinct; ~1600 here);
+    // tiny cardinalities belong to the KMV sketch, which is exact below
+    // its k.
+    QueryDef("q146_hll_distinct",
+      (s, dir) => {
+        val pairs = t(s, dir, "events").select(col("event_type"),
+          concat(col("user_id").cast("string"), lit("|"),
+            expr("unix_micros(ts) div 86400000000").cast("string"))
+            .as("pair"))
+        val est = graft.ext.Sketches.hllDistinct(
+          pairs, Seq("event_type"), col("pair"))
+        val exact = pairs.groupBy("event_type")
+          .agg(countDistinct(col("pair")).as("n_exact"))
+        exact.join(est, "event_type").orderBy("event_type")
+      },
+      Some("""WITH p AS (SELECT event_type,
+            CAST(user_id AS VARCHAR) || '|' ||
+              CAST(epoch_us(ts) // 86400000000 AS VARCHAR) AS pair
+          FROM events),
+        h AS (SELECT event_type,
+            ('0x' || substr(md5(pair), 1, 12))::BIGINT AS h FROM p),
+        r AS (SELECT event_type, h // 4398046511104 AS bucket,
+            h % 4398046511104 AS rest FROM h),
+        reg AS (SELECT event_type, bucket,
+            MAX(CASE WHEN rest = 0 THEN 43
+                ELSE 43 - len(bin(rest)) END) AS m
+          FROM r GROUP BY 1, 2),
+        est AS (SELECT event_type,
+            (64 - COUNT(*)) * 1.0 + SUM(pow(2.0, -m)) AS denom
+          FROM reg GROUP BY event_type),
+        ex AS (SELECT event_type, COUNT(DISTINCT pair) AS n_exact
+          FROM p GROUP BY event_type)
+        SELECT event_type, n_exact, 0.709 * 64.0 * 64.0 / denom AS hll_est
+        FROM ex JOIN est USING (event_type) ORDER BY event_type""")),
+
+    // ── Incremental JOIN-view maintenance (delta rules) ────────────────
+    // V = orders ⋈ lineitem kept up to date across three insert batches
+    // (both sides split by independent hash gates, so batches pair
+    // orders with lineitems that arrived EARLIER and LATER — all three
+    // delta terms fire). The final view must equal the plain join over
+    // the full inputs, row for row — the q97-style "incremental ≡ full
+    // recompute" contract, now for joins.
+    QueryDef("q147_incremental_join",
+      (s, dir) => {
+        import graft.etl.IncrementalJoin
+        val ord = t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderpriority")
+        val li = t(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity")
+        def gateO(i: Int) = ord.filter(
+          Shingles.baseHash(col("o_orderkey").cast("string")) % 3 === i)
+        def gateL(i: Int) = li.filter(
+          Shingles.baseHash(concat(col("l_orderkey").cast("string"),
+            lit("#"), col("l_linenumber").cast("string"))) % 3 === i)
+        val st = (0 until 3).foldLeft(
+          IncrementalJoin.init(ord, li, "o_orderkey", "l_orderkey")) {
+          (acc, i) => IncrementalJoin.step(acc, gateO(i), gateL(i),
+            "o_orderkey", "l_orderkey")
+        }
+        st.view
+          .select(col("o_orderkey"), col("l_linenumber"), col("o_custkey"),
+            col("o_orderpriority"), col("l_quantity"))
+          .orderBy("o_orderkey", "l_linenumber")
+      },
+      Some("""SELECT o_orderkey, l_linenumber, o_custkey, o_orderpriority,
+          l_quantity
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ORDER BY o_orderkey, l_linenumber""")),
   )
 }

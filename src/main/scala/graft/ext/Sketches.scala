@@ -234,4 +234,42 @@ object Sketches {
         .as("median_est"),
       element_at(vals, p90).as("p90_est")): _*)
   }
+
+  /** HyperLogLog over the portable md5 hash family — the third distinct
+    * sketch next to KMV (q46/q73) and exact NDV (q132), and unlike
+    * library HLLs (whose registers differ per implementation) this one
+    * is a pure function of the data, so the oracle replays it EXACTLY:
+    * 48 hash bits split 6/42 into bucket/rest, register = max rank
+    * (leading-zero count + 1) per bucket, raw Flajolet estimate
+    * α₆₄·m²/Σ2^(−Mⱼ) with absent buckets contributing 2⁰. Every
+    * summand is a power of two spanning ≤ 49 mantissa bits, so the
+    * float sum is EXACT and order-independent under any partitioning —
+    * no decimal detour needed. No small/large-range bias correction:
+    * raw-estimate determinism is the point; the accuracy contract is
+    * locked against exact NDV in the spec.
+    *
+    * Scale: registers are one partial-aggregable groupBy on
+    * (group, bucket) — 64 rows per group survive; the estimate folds
+    * those. Mergeable by construction (max of maxes).
+    */
+  def hllDistinct(df: DataFrame, groupCols: Seq[String],
+                  key: Column): DataFrame = {
+    val m = 64
+    val split = 4398046511104L // 2^42: 6 bucket bits / 42 rank bits
+    val gs = groupCols.map(col)
+    val reg = df
+      .select(gs :+ conv(substring(md5(key), 1, 12), 16, 10)
+        .cast("long").as("__h"): _*)
+      .withColumn("__bucket", expr(s"__h div ${split}L"))
+      .withColumn("__rest", col("__h") % split)
+      .withColumn("__rank", when(col("__rest") === 0, 43)
+        .otherwise(lit(43) - length(bin(col("__rest")))))
+      .groupBy(gs :+ col("__bucket"): _*)
+      .agg(max(col("__rank")).as("__m"))
+    reg.groupBy(gs: _*)
+      .agg((((lit(m) - count(lit(1))) * lit(1.0)) +
+        sum(pow(lit(2.0), -col("__m")))).as("__denom"))
+      .select(gs :+ (lit(0.709) * lit(64.0) * lit(64.0) / col("__denom"))
+        .as("hll_est"): _*)
+  }
 }

@@ -155,4 +155,48 @@ class Round9PropertySpec extends AnyFunSuite {
       got == want
     }, n = 30)
   }
+
+  test("hllDistinct lands within the m=64 error regime on known " +
+    "cardinalities") {
+    // deterministic keys; true NDV ∈ {500, 2000, 8000} per group —
+    // all safely above the raw-estimate floor of ~2.5·m = 160
+    val rows = Seq(("a", 500), ("b", 2000), ("c", 8000)).flatMap {
+      case (g, n) => (0 until n).flatMap(i => Seq((g, s"k$i"), (g, s"k$i")))
+    }
+    val df = rows.toDF("g", "k")
+    val est = graft.ext.Sketches.hllDistinct(df, Seq("g"), col("k"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    for ((g, n) <- Seq(("a", 500.0), ("b", 2000.0), ("c", 8000.0))) {
+      val rel = math.abs(est(g) - n) / n
+      assert(rel < 0.35, s"group $g: est=${est(g)} exact=$n relerr=$rel")
+    }
+  }
+
+  test("IncrementalJoin ≡ direct join under any batching") {
+    import graft.etl.IncrementalJoin
+    val genCase = for {
+      na <- Gen.choose(0, 25)
+      nb <- Gen.choose(0, 25)
+      as <- Gen.listOfN(na, Gen.zip(Gen.choose(0, 6), Gen.choose(0, 99)))
+      bs <- Gen.listOfN(nb, Gen.zip(Gen.choose(0, 6), Gen.choose(0, 99)))
+      splitA <- Gen.listOfN(na, Gen.choose(0, 2)) // batch id per row
+      splitB <- Gen.listOfN(nb, Gen.choose(0, 2))
+    } yield (as, bs, splitA, splitB)
+    check(Prop.forAll(genCase) { case (as, bs, splitA, splitB) =>
+      val a = as.zipWithIndex.map { case ((k, x), i) => (k, x, i) }
+        .toDF("ka", "x", "ia")
+      val b = bs.zipWithIndex.map { case ((k, y), i) => (k, y, i) }
+        .toDF("kb", "y", "ib")
+      val st = (0 until 3).foldLeft(
+        IncrementalJoin.init(a, b, "ka", "kb")) { (acc, batch) =>
+        val dA = a.filter(col("ia").isin(
+          splitA.zipWithIndex.filter(_._1 == batch).map(_._2.toLong): _*))
+        val dB = b.filter(col("ib").isin(
+          splitB.zipWithIndex.filter(_._1 == batch).map(_._2.toLong): _*))
+        IncrementalJoin.step(acc, dA, dB, "ka", "kb")
+      }
+      val direct = a.join(b, col("ka") === col("kb"))
+      st.view.exceptAll(direct).isEmpty && direct.exceptAll(st.view).isEmpty
+    }, n = 15)
+  }
 }
