@@ -4159,5 +4159,95 @@ object QueriesExt {
           l_quantity
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         ORDER BY o_orderkey, l_linenumber""")),
+
+    // ── Time-weighted average (TWAP) per user ──────────────────────────
+    // Each observation holds until the next one, so its weight is the
+    // inter-event gap in µs — one lead() window, no self-join. The
+    // per-row value·Δt product is a single deterministic IEEE multiply;
+    // the cross-row sum rides the decimal Parity discipline, so the
+    // result is partition-order-independent. Same-timestamp ties get
+    // Δt = 0 and cannot contribute, so the tie-break order is moot.
+    QueryDef("q148_twap",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("us"), col("event_id"))
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("us"), col("value"))
+          .withColumn("dt", lead(col("us"), 1).over(w) - col("us"))
+          .filter(col("dt").isNotNull)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_segments"),
+            sum(col("dt")).as("total_us"),
+            // per-row FLOOR quantization (1e-2 of a value·µs unit)
+            // instead of a decimal cast: the cast's half-up/half-even
+            // tie rounding differs across engines, floor of an
+            // identical double cannot. The scale keeps v·Δt·100 around
+            // 1e15 — far from the long overflow a 1e6 scale would risk
+            // on month-long gaps.
+            ((sum(floor(col("value") * col("dt") * lit(100.0))
+              .cast(org.apache.spark.sql.types.DecimalType(30, 0)))
+              .cast("double") / lit(100.0)) /
+              sum(col("dt")).cast("double")).as("twap"))
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+            value FROM events),
+          seg AS (SELECT user_id, value,
+            lead(us) OVER (PARTITION BY user_id
+              ORDER BY us, event_id) - us AS dt FROM e)
+        SELECT user_id, COUNT(*) AS n_segments,
+          CAST(SUM(dt) AS BIGINT) AS total_us,
+          (CAST(CAST(SUM(CAST(floor(value * dt * 100.0)
+              AS DECIMAL(30,0))) AS VARCHAR) AS DOUBLE) / 100.0)
+            / CAST(SUM(dt) AS DOUBLE) AS twap
+        FROM seg WHERE dt IS NOT NULL
+        GROUP BY user_id ORDER BY user_id""")),
+
+    // ── Strict 3-step ordered funnel: view → click → purchase ──────────
+    // Each step's clock starts at the PREVIOUS step's completion (q80
+    // only tracks two steps): t₂ is the first click at-or-after the
+    // first view, t₃ the first purchase at-or-after t₂. Two sequential
+    // min-aggregation joins on user_id — no per-step window over
+    // history, no triple self-join.
+    QueryDef("q149_funnel3",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        def typed(tp: String, as: String) =
+          ev.filter(col("event_type") === tp)
+            .select(col("user_id"), unix_micros(col("ts")).as(as))
+        val t1 = typed("view", "us1").groupBy("user_id")
+          .agg(min(col("us1")).as("t1"))
+        val t2 = t1.join(typed("click", "us2"), Seq("user_id"), "left")
+          .groupBy("user_id")
+          .agg(min(col("t1")).as("t1"),
+            min(when(col("us2") >= col("t1"), col("us2"))).as("t2"))
+        val t3 = t2.join(typed("purchase", "us3"), Seq("user_id"), "left")
+          .groupBy("user_id")
+          .agg(min(col("t1")).as("t1"), min(col("t2")).as("t2"),
+            min(when(col("us3") >= col("t2"), col("us3"))).as("t3"))
+        t3.select(col("user_id"), col("t1"), col("t2"), col("t3"),
+          (lit(1) + col("t2").isNotNull.cast("int") +
+            col("t3").isNotNull.cast("int")).as("reached"))
+          .orderBy("user_id")
+      },
+      Some("""WITH t1 AS (SELECT user_id, MIN(epoch_us(ts)) AS t1
+            FROM events WHERE event_type = 'view' GROUP BY user_id),
+          c AS (SELECT user_id, epoch_us(ts) AS us2 FROM events
+            WHERE event_type = 'click'),
+          t2 AS (SELECT t1.user_id, MIN(t1.t1) AS t1,
+              MIN(CASE WHEN c.us2 >= t1.t1 THEN c.us2 END) AS t2
+            FROM t1 LEFT JOIN c ON t1.user_id = c.user_id
+            GROUP BY t1.user_id),
+          p AS (SELECT user_id, epoch_us(ts) AS us3 FROM events
+            WHERE event_type = 'purchase'),
+          t3 AS (SELECT t2.user_id, MIN(t2.t1) AS t1, MIN(t2.t2) AS t2,
+              MIN(CASE WHEN p.us3 >= t2.t2 THEN p.us3 END) AS t3
+            FROM t2 LEFT JOIN p ON t2.user_id = p.user_id
+            GROUP BY t2.user_id)
+        SELECT user_id, t1, t2, t3,
+          1 + CAST(t2 IS NOT NULL AS INT) + CAST(t3 IS NOT NULL AS INT)
+            AS reached
+        FROM t3 ORDER BY user_id""")),
   )
 }
