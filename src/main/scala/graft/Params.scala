@@ -34,6 +34,8 @@ object Params {
   val quantileK = 256
   /** Sorted-neighborhood dedup (q134): neighbors compared per row. */
   val snmWindow = 3
+  /** Perceptual-hash image pairs (q150): max Hamming distance kept. */
+  val ahashMaxHamming = 8
   /** Containment near-dup pairs (q119): |sub ∩ sup| / |sub| ≥ 4/5. */
   val containNum = 4
   val containDen = 5

@@ -4249,5 +4249,55 @@ object QueriesExt {
           1 + CAST(t2 IS NOT NULL AS INT) + CAST(t3 IS NOT NULL AS INT)
             AS reached
         FROM t3 ORDER BY user_id""")),
+
+    // ── Visual near-dup pairs via perceptual aHash (q150) ──────────────
+    // The multimodal × dedup crossover: the REAL pipeline on the Spark
+    // side (PPM decode → codec resampler to 8×8 → integer-luminance
+    // threshold hash → banded candidate join → exact Hamming verify),
+    // while the oracle replays the whole arithmetic straight from the
+    // text bytes the q61 images are cycled from — decode, downsample
+    // and hash all collapse to closed-form byte indexing.
+    QueryDef("q150_image_ahash_pairs",
+      (s, dir) => {
+        val media = Multimodal.asPpmMediaTable(tPar(s, dir, "documents"),
+          "doc_id", "text", 16, 16)
+        Multimodal.aHashPairs(media, ahashMaxHamming)
+          .orderBy("id_a", "id_b")
+      },
+      Some {
+        // luminance of 8×8 cell i: NN-downsample picks source pixel
+        // (2·(i div 8), 2·(i mod 8)) of the 16×16 image, whose RGB bytes
+        // sit at base = 3·(32·(i div 8) + 2·(i mod 8)) in the cycled
+        // plane; byte j of the plane is text byte (j mod len).
+        def byteAt(j: String) =
+          s"""CASE WHEN strlen(text) = 0 THEN 0 ELSE
+             ascii(substr(text, CAST(($j) % strlen(text) AS INT) + 1, 1))
+             END"""
+        val base = "(3 * (32 * (i // 8) + 2 * (i % 8)))"
+        val lum = s"(${byteAt(base)} + ${byteAt(s"$base + 1")} + " +
+          s"${byteAt(s"$base + 2")})"
+        val bandCond = (0 until 4).map(b =>
+          s"substr(a.ah, ${b * 16 + 1}, 16) = substr(b.ah, ${b * 16 + 1}, 16)")
+          .mkString(" OR ")
+        s"""WITH lums AS (SELECT doc_id,
+            list_transform(range(0, 64), i -> $lum) AS lums
+          FROM documents),
+        h AS (SELECT doc_id, array_to_string(
+            list_transform(range(0, 64), i ->
+              CASE WHEN lums[CAST(i AS INT) + 1] * 64 > list_sum(lums)
+                THEN '1' ELSE '0' END), '') AS ah
+          FROM lums),
+        cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            a.ah AS ha, b.ah AS hb
+          FROM h a JOIN h b ON a.doc_id < b.doc_id AND ($bandCond))
+        SELECT id_a, id_b,
+          CAST(len(list_filter(range(1, 65), i ->
+            substr(ha, CAST(i AS INT), 1) != substr(hb, CAST(i AS INT), 1)))
+            AS BIGINT) AS hamming
+        FROM cand WHERE len(list_filter(range(1, 65), i ->
+            substr(ha, CAST(i AS INT), 1) != substr(hb, CAST(i AS INT), 1)))
+          <= $ahashMaxHamming
+        ORDER BY id_a, id_b"""
+      }),
   )
 }

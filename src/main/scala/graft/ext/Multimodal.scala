@@ -722,4 +722,67 @@ object Multimodal {
       }
     }(enc)
   }
+
+  /** Perceptual average-hash (aHash) of each image: decode, nearest-
+    * neighbor downsample to 8×8 with the codec's own resampler, then
+    * per-cell integer luminance L = r+g+b (0..765) thresholded against
+    * the image total — bit i is `L_i·64 > ΣL` (strict, integer-only:
+    * no float mean for engines to disagree on). Emitted as a 64-char
+    * '0'/'1' string, row-major. Undecodable payloads hash to null.
+    */
+  def aHash(media: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField,
+      StructType}
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("ahash", StringType)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(schema))
+    media.select("media_id", "payload").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val h = ppmDecode(r.getAs[Array[Byte]](1)).map { case (w, hh, px) =>
+          val small = resampleRgb(px, w, hh, 8, 8)
+          val lum = Array.tabulate(64)(i => (small(3 * i) & 0xff) +
+            (small(3 * i + 1) & 0xff) + (small(3 * i + 2) & 0xff))
+          val total = lum.foldLeft(0L)(_ + _)
+          val sb = new java.lang.StringBuilder(64)
+          lum.foreach(l => sb.append(if (l.toLong * 64 > total) '1' else '0'))
+          sb.toString
+        }.orNull
+        Row(id, h)
+      }
+    }(enc)
+  }
+
+  /** Visually-near-duplicate image pairs: aHash, then a simhash-style
+    * banded join (4×16-bit bands — by pigeonhole, any pair at Hamming
+    * distance ≤ 3 shares a clean band and is guaranteed a candidate;
+    * beyond that the usual banded-LSH recall argument applies) and an
+    * exact Hamming verify over candidates only. Identical-content
+    * families should be exact-deduped first (q24): they collapse whole
+    * bands and make the banded join's buckets quadratic in the family
+    * size.
+    */
+  def aHashPairs(media: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 64)
+    val h = aHash(media).filter(col("ahash").isNotNull)
+    val bands = h.select(col("media_id"), col("ahash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          substring(col("ahash"), b * 16 + 1, 16).as("key"))): _*)).as("bk"))
+      .select(col("media_id"), col("ahash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = bands.alias("a").join(bands.alias("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        col("a.ahash").as("ha"), col("b.ahash").as("hb"))
+      .distinct()
+    cand
+      .withColumn("hamming", expr(
+        "size(filter(sequence(1, 64), i -> substring(ha, i, 1) != substring(hb, i, 1)))")
+        .cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
 }

@@ -202,4 +202,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(perDoc.filter(col("count") =!= 4).isEmpty)
     assert(frames.count() === media.count() * 4)
   }
+
+  test("aHash: 64-bit string, identical images collide, a local edit " +
+    "stays within a small Hamming radius, garbage hashes to null") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "the quick brown fox jumps over the lazy cat again and again"),
+      (4L, "")).toDF("doc_id", "text")
+    val ppm = Multimodal.asPpmMediaTable(docs, "doc_id", "text", 16, 16)
+    val h = Multimodal.aHash(ppm).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(h.values.forall(v => v == null || (v.length == 64 &&
+      v.forall(c => c == '0' || c == '1'))))
+    assert(h(1L) == h(2L)) // identical content ⇒ identical hash
+    val ham = h(1L).zip(h(3L)).count { case (a, b) => a != b }
+    assert(ham <= 16, s"one-word edit moved $ham of 64 bits")
+    // exact-dup pair must survive the banded join at Hamming 0
+    val pairs = Multimodal.aHashPairs(ppm, maxHamming = 0).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L &&
+      r.getLong(2) == 0L))
+    // undecodable payload → null hash
+    val junk = Seq((9L, Array[Byte](1, 2, 3))).toDF("media_id", "payload")
+    assert(Multimodal.aHash(junk).collect()(0).isNullAt(1))
+  }
 }
