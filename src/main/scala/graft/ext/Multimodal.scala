@@ -779,9 +779,8 @@ object Multimodal {
         col("a.ahash").as("ha"), col("b.ahash").as("hb"))
       .distinct()
     cand
-      .withColumn("hamming", expr(
-        "size(filter(sequence(1, 64), i -> substring(ha, i, 1) != substring(hb, i, 1)))")
-        .cast("long"))
+      .withColumn("hamming",
+        graft.functions.NativeExprs.hamming(col("ha"), col("hb")))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }

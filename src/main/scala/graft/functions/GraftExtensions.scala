@@ -76,7 +76,12 @@ object GraftFunctions {
     (FunctionIdentifier("graft_normalize_text"),
       new ExpressionInfo(classOf[NativeExprs.NormalizeTextExpr].getName,
         "graft_normalize_text"),
-      (args: Seq[Expression]) => NativeExprs.NormalizeTextExpr(args(0))))
+      (args: Seq[Expression]) => NativeExprs.NormalizeTextExpr(args(0))),
+    (FunctionIdentifier("graft_hamming"),
+      new ExpressionInfo(classOf[NativeExprs.HammingDistanceExpr].getName,
+        "graft_hamming"),
+      (args: Seq[Expression]) => NativeExprs.HammingDistanceExpr(args(0),
+        args(1))))
 
   /** Register on a live session. */
   def register(spark: SparkSession): Unit =

@@ -830,6 +830,66 @@ object NativeExprs {
         l: Expression, r: Expression): Expression = copy(left = l, right = r)
   }
 
+  /** Byte-wise Hamming distance of two strings — the verify step of
+    * every signature-space dedup (simhash q27, image aHash q150). A
+    * TOTAL function: positions differing over the common prefix plus
+    * the length difference (so unequal-length inputs are "maximally
+    * different in the tail", never null). On the '0'/'1' hash strings
+    * the pipelines emit, this is exactly the bit distance. The codegen
+    * loop compares raw UTF8 bytes — no per-position substring churn
+    * like the HOF formulation (`filter(sequence(...))`), which
+    * allocates two single-char strings per compared position.
+    */
+  case class HammingDistanceExpr(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_hamming"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires two strings, got ${l.sql} and ${r.sql}")
+      }
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[UTF8String]
+      val y = b.asInstanceOf[UTF8String]
+      val nx = x.numBytes(); val ny = y.numBytes()
+      val n = math.min(nx, ny)
+      var d = math.abs(nx - ny).toLong
+      var i = 0
+      while (i < n) {
+        if (x.getByte(i) != y.getByte(i)) d += 1
+        i += 1
+      }
+      d
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (xc, yc) => {
+        val nx = ctx.freshName("nx")
+        val ny = ctx.freshName("ny")
+        val n = ctx.freshName("n")
+        val d = ctx.freshName("d")
+        val i = ctx.freshName("i")
+        s"""
+        int $nx = $xc.numBytes();
+        int $ny = $yc.numBytes();
+        int $n = $nx < $ny ? $nx : $ny;
+        long $d = (long) ($nx < $ny ? $ny - $nx : $nx - $ny);
+        for (int $i = 0; $i < $n; $i++) {
+          if ($xc.getByte($i) != $yc.getByte($i)) $d++;
+        }
+        ${ev.value} = $d;
+        """
+      })
+
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(left = l, right = r)
+  }
+
   /** Text canonicalization in one pass: Unicode NFC, lower-case
     * (root locale), collapse ASCII-whitespace runs to one space, trim.
     * The pre-tokenization normalize step of every text pipeline
@@ -897,6 +957,10 @@ object NativeExprs {
   }
 
   // ── Column wrappers ─────────────────────────────────────────────────
+  def hamming(a: Column, b: Column): Column =
+    ColumnBridge.column(HammingDistanceExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   def normalizeText(s: Column): Column =
     ColumnBridge.column(NormalizeTextExpr(ColumnBridge.expression(s)))
 

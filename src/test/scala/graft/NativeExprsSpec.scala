@@ -221,4 +221,52 @@ class NativeExprsSpec extends AnyFunSuite {
       .collect()
     assert(nOut(0).isNullAt(0) && nOut(1).getString(0) == "x")
   }
+
+  test("HammingDistanceExpr ≡ reference, codegen ≡ interpreted, total " +
+    "on unequal lengths, SQL surface") {
+    import spark.implicits._
+    def ref(a: String, b: String): Long = {
+      val ab = a.getBytes("UTF-8"); val bb = b.getBytes("UTF-8")
+      math.abs(ab.length - bb.length).toLong +
+        ab.zip(bb).count { case (x, y) => x != y }
+    }
+    val pairs = Seq(("", ""), ("0101", "0101"), ("0101", "1010"),
+      ("1111", ""), ("", "0"), ("abc", "abd"), ("0001111", "0001"),
+      ("0" * 64, "0" * 63 + "1"))
+    val df = pairs.toDF("a", "b")
+    val got = df.select(NativeExprs.hamming(col("a"), col("b")).as("d"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === pairs.map { case (a, b) => ref(a, b) })
+
+    val conf = "spark.sql.codegen.wholeStage"
+    val prev = spark.conf.get(conf)
+    try {
+      spark.conf.set(conf, "false")
+      val interp = df.select(NativeExprs.hamming(col("a"), col("b")))
+        .collect().map(_.getLong(0)).toSeq
+      assert(interp === got)
+    } finally spark.conf.set(conf, prev)
+
+    graft.functions.GraftFunctions.register(spark)
+    df.createOrReplaceTempView("hpairs")
+    val sql = spark.sql("SELECT graft_hamming(a, b) FROM hpairs")
+      .collect().map(_.getLong(0)).toSeq
+    assert(sql === got)
+
+    // force-compile: janino failures must not hide behind the
+    // interpreted fallback
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val bound = NativeExprs.HammingDistanceExpr(
+      BoundReference(0, StringType, nullable = false),
+      BoundReference(1, StringType, nullable = false))
+    val proj = GenerateUnsafeProjection.generate(Seq(bound))
+    pairs.foreach { case (a, b) =>
+      assert(proj(InternalRow(UTF8String.fromString(a),
+        UTF8String.fromString(b))).getLong(0) === ref(a, b))
+    }
+  }
 }
