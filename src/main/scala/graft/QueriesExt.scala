@@ -4299,5 +4299,250 @@ object QueriesExt {
           <= $ahashMaxHamming
         ORDER BY id_a, id_b"""
       }),
+
+    // ── Two-sample Kolmogorov–Smirnov drift monitor (q151) ─────────────
+    // Distribution-level drift between the 'view' and 'click' value
+    // populations. Integer-exact: the sup gap is max |F_a·n2 − F_b·n1|
+    // over the distinct-value histogram (one shrinking groupBy), and
+    // the CDF prefix sums run through Hypothesis.prefixSumByRange — a
+    // range-partitioned two-pass cumulative sum, NOT a single-partition
+    // global window, so the histogram never funnels through one task.
+    QueryDef("q151_ks_drift",
+      (s, dir) => {
+        import graft.ext.Hypothesis
+        val ev = t(s, dir, "events")
+        Hypothesis.ksTwoSample(ev, col("value"),
+          col("event_type") === "view", col("event_type") === "click")
+      },
+      Some("""WITH c AS (SELECT value AS v,
+            SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS ca,
+            SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS cb
+          FROM events WHERE event_type IN ('view', 'click')
+          GROUP BY value),
+        cum AS (SELECT SUM(ca) OVER (ORDER BY v) AS fa,
+            SUM(cb) OVER (ORDER BY v) AS fb FROM c),
+        t AS (SELECT
+            SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n1,
+            SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n2
+          FROM events)
+        SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+          CAST(MAX(ABS(fa * n2 - fb * n1)) AS BIGINT) AS d_num,
+          CAST((MAX(ABS(fa * n2 - fb * n1)) * 100000000) // (n1 * n2)
+            AS DOUBLE) / 100000000.0 AS ks
+        FROM cum, t GROUP BY n1, n2""")),
+
+    // ── Mann–Whitney U / AUC between two event populations (q152) ──────
+    // Rank-sum with textbook midrank ties, carried as DOUBLED integer
+    // rank sums so half-integer midranks never touch a float. The AUC
+    // form U/(n1·n2) is the probability a random 'view' value outranks
+    // a random 'click' value — the drift monitor's effect size.
+    QueryDef("q152_mann_whitney",
+      (s, dir) => {
+        import graft.ext.Hypothesis
+        val ev = t(s, dir, "events")
+        Hypothesis.mannWhitneyU(ev, col("value"),
+          col("event_type") === "view", col("event_type") === "click")
+      },
+      Some("""WITH c AS (SELECT value AS v,
+            SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS ca,
+            SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS cb
+          FROM events WHERE event_type IN ('view', 'click')
+          GROUP BY value),
+        cum AS (SELECT ca, cb, ca + cb AS c,
+            SUM(ca + cb) OVER (ORDER BY v) - (ca + cb) AS bef FROM c),
+        t AS (SELECT
+            SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n1,
+            SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n2
+          FROM events)
+        SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+          CAST(SUM(ca * (2 * bef + c + 1)) - n1 * (n1 + 1) AS BIGINT)
+            AS u2,
+          CAST((SUM(ca * (2 * bef + c + 1)) - n1 * (n1 + 1)) * 50000000
+            // (n1 * n2) AS DOUBLE) / 100000000.0 AS auc
+        FROM cum, t GROUP BY n1, n2""")),
+
+    // ── Chi-square independence: event_type × day-of-week (q153) ───────
+    // Is event mix independent of weekday? Contingency counts are the
+    // only full-data shuffle; margins broadcast back. Each (o−e)²/e
+    // term is three correctly-rounded IEEE ops on exact inputs, so the
+    // per-cell floor(·1e6) quantization is engine-identical. Spark's
+    // dayofweek is 1=Sunday; DuckDB's is 0=Sunday, hence the +1.
+    QueryDef("q153_chi2_independence",
+      (s, dir) => {
+        import graft.ext.Hypothesis
+        Hypothesis.chiSquare(t(s, dir, "events"),
+          col("event_type"), dayofweek(col("ts")))
+      },
+      Some("""WITH cells AS (SELECT event_type AS a,
+            dayofweek(ts) + 1 AS b, COUNT(*) AS o
+          FROM events GROUP BY 1, 2),
+        r AS (SELECT a, SUM(o) AS r FROM cells GROUP BY a),
+        c AS (SELECT b, SUM(o) AS c FROM cells GROUP BY b),
+        n AS (SELECT SUM(o) AS n FROM cells),
+        terms AS (SELECT cells.a, cells.b, cells.o, n.n,
+            CAST(r.r AS DOUBLE) * CAST(c.c AS DOUBLE)
+              / CAST(n.n AS DOUBLE) AS e
+          FROM cells JOIN r USING (a) JOIN c USING (b) CROSS JOIN n)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+          CAST((COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1)
+            AS BIGINT) AS dof,
+          CAST(MAX(n) AS BIGINT) AS n,
+          CAST(SUM(CAST(floor((CAST(o AS DOUBLE) - e)
+              * (CAST(o AS DOUBLE) - e) / e * 1000000.0) AS BIGINT))
+            AS DOUBLE) / 1000000.0 AS chi2
+        FROM terms""")),
+
+    // ── CUSUM change-point per user (q154) ─────────────────────────────
+    // Where did a user's value level shift? Classic mean-centered
+    // cumulative sum, made integer-exact by clearing denominators:
+    // with per-row quantized xq = ⌊value·1e6⌋, prefix sums P_i and
+    // total S, the centered cusum at row i is (P_i − i·S/n); n·|…| =
+    // |n·P_i − i·S| needs no division at all. Two windows per user —
+    // the running prefix and the per-user constants — then an argmax
+    // with first-row tie-break via a max-join.
+    QueryDef("q154_cusum_changepoint",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        val wAll = Window.partitionBy("user_id")
+        val scored = t(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("us"),
+            floor(col("value") * lit(1.0e6)).cast("long").as("xq"))
+          .withColumn("i", row_number().over(w).cast("long"))
+          .withColumn("p", sum("xq").over(w))
+          .withColumn("n", count(lit(1)).over(wAll).cast("long"))
+          .withColumn("stot", sum("xq").over(wAll))
+          .withColumn("stat", abs(col("n") * col("p") - col("i") * col("stot")))
+        val m = scored.groupBy(col("user_id").as("m_user"))
+          .agg(max("stat").as("mstat"))
+        scored.join(m, col("user_id") === col("m_user") &&
+            col("stat") === col("mstat"))
+          .groupBy("user_id")
+          .agg(max("n").as("n"), min("i").as("shift_i"),
+            max("stat").as("cusum_num"),
+            (max("stat").cast("double") /
+              (max("n") * lit(1.0e6))).as("cusum"))
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+            CAST(floor(value * 1000000.0) AS BIGINT) AS xq FROM events),
+        s AS (SELECT user_id,
+            ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY us, event_id) AS i,
+            SUM(xq) OVER (PARTITION BY user_id
+              ORDER BY us, event_id) AS p,
+            COUNT(*) OVER (PARTITION BY user_id) AS n,
+            SUM(xq) OVER (PARTITION BY user_id) AS stot FROM e),
+        st AS (SELECT user_id, n, i,
+            ABS(n * p - i * stot) AS stat FROM s),
+        m AS (SELECT user_id, MAX(stat) AS mstat FROM st GROUP BY user_id)
+        SELECT st.user_id, CAST(MAX(st.n) AS BIGINT) AS n,
+          CAST(MIN(st.i) AS BIGINT) AS shift_i,
+          CAST(MAX(st.stat) AS BIGINT) AS cusum_num,
+          CAST(MAX(st.stat) AS DOUBLE)
+            / (MAX(st.n) * 1000000.0) AS cusum
+        FROM st JOIN m ON st.user_id = m.user_id AND st.stat = m.mstat
+        GROUP BY st.user_id ORDER BY st.user_id""")),
+
+    // ── EWMA final smoothed value per user, α = ½ (q155) ───────────────
+    // The recursive s_i = (x_i + s_{i−1})/2 unrolls to a closed-form
+    // weighted sum with weights 2^(rn−n−1) (doubled for the seed row),
+    // so one window pass replaces per-row recursion. α = ½ keeps every
+    // weight an exact power of two — x·2^k is a pure exponent shift —
+    // and the per-row floor(·1e8) makes the cross-row sum
+    // order-independent. Weights below the grid floor to 0/−1
+    // identically on both engines.
+    QueryDef("q155_ewma_smooth",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        val wAll = Window.partitionBy("user_id")
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("us"), col("value"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("n", count(lit(1)).over(wAll).cast("long"))
+          .withColumn("wq", floor(col("value") *
+            pow(lit(2.0), col("rn") - col("n") - lit(1) +
+              when(col("rn") === 1, 1).otherwise(0)) *
+            lit(1.0e8)).cast("long"))
+          .groupBy("user_id")
+          .agg(max("n").as("n"),
+            (sum("wq").cast("double") / lit(1.0e8)).as("ewma"))
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+            value FROM events),
+        r AS (SELECT user_id, value,
+            ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY us, event_id) AS rn,
+            COUNT(*) OVER (PARTITION BY user_id) AS n FROM e)
+        SELECT user_id, CAST(MAX(n) AS BIGINT) AS n,
+          CAST(SUM(CAST(floor(value * pow(2.0, rn - n - 1 +
+              CASE WHEN rn = 1 THEN 1 ELSE 0 END) * 100000000.0)
+            AS BIGINT)) AS DOUBLE) / 100000000.0 AS ewma
+        FROM r GROUP BY user_id ORDER BY user_id""")),
+
+    // ── Weighted median price per brand (q156) ─────────────────────────
+    // p_size-weighted median of p_retailprice: cumulative weights down
+    // the per-brand price order, first row where 2·cum ≥ total. All
+    // comparisons integer; the tie order is pinned by p_partkey but
+    // cannot change the selected PRICE (equal prices cross together).
+    QueryDef("q156_weighted_median",
+      (s, dir) => {
+        val w = Window.partitionBy("p_brand")
+          .orderBy("p_retailprice", "p_partkey")
+        val wAll = Window.partitionBy("p_brand")
+        t(s, dir, "part")
+          .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+            col("p_size").cast("long").as("wt"))
+          .withColumn("cw", sum("wt").over(w))
+          .withColumn("tw", sum("wt").over(wAll))
+          .filter(col("cw") * 2 >= col("tw"))
+          .groupBy("p_brand")
+          .agg(max("tw").as("total_weight"),
+            min("p_retailprice").as("wmedian"))
+          .orderBy("p_brand")
+      },
+      Some("""WITH r AS (SELECT p_brand, p_retailprice,
+            SUM(CAST(p_size AS BIGINT)) OVER (PARTITION BY p_brand
+              ORDER BY p_retailprice, p_partkey) AS cw,
+            SUM(CAST(p_size AS BIGINT)) OVER (PARTITION BY p_brand) AS tw
+          FROM part)
+        SELECT p_brand, CAST(MAX(tw) AS BIGINT) AS total_weight,
+          MIN(p_retailprice) AS wmedian
+        FROM r WHERE cw * 2 >= tw
+        GROUP BY p_brand ORDER BY p_brand""")),
+
+    // ── Pareto frontier per brand: cheap AND large (q157) ──────────────
+    // The 2-D skyline (minimize price, maximize size) needs no
+    // quadratic dominance join: ordered by (price asc, size desc), a
+    // point survives iff its size strictly beats the running max over
+    // everything ordered before it — one window per brand after a
+    // dedup groupBy. The oracle states the dominance contract directly
+    // as the quadratic NOT EXISTS, proving the sweep ≡ the definition.
+    QueryDef("q157_pareto_frontier",
+      (s, dir) => {
+        val pts = t(s, dir, "part")
+          .groupBy("p_brand", "p_retailprice", "p_size")
+          .agg(count(lit(1)).as("n_parts"))
+        val w = Window.partitionBy("p_brand")
+          .orderBy(col("p_retailprice").asc, col("p_size").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        pts.withColumn("runmax", max("p_size").over(w))
+          .filter(col("runmax").isNull || col("p_size") > col("runmax"))
+          .select("p_brand", "p_retailprice", "p_size", "n_parts")
+          .orderBy("p_brand", "p_retailprice")
+      },
+      Some("""WITH pts AS (SELECT p_brand, p_retailprice, p_size,
+            COUNT(*) AS n_parts
+          FROM part GROUP BY 1, 2, 3)
+        SELECT p_brand, p_retailprice, p_size, n_parts FROM pts a
+        WHERE NOT EXISTS (SELECT 1 FROM pts b
+          WHERE b.p_brand = a.p_brand
+            AND b.p_retailprice <= a.p_retailprice
+            AND b.p_size >= a.p_size
+            AND (b.p_retailprice < a.p_retailprice
+              OR b.p_size > a.p_size))
+        ORDER BY p_brand, p_retailprice""")),
   )
 }

@@ -1,0 +1,163 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution-comparison statistics over event streams: two-sample
+  * Kolmogorov–Smirnov, Mann–Whitney U, and chi-square independence.
+  *
+  * The reference's reporting layer stops at counts and sums; a
+  * training-data pipeline additionally needs DISTRIBUTION monitors —
+  * "did the score distribution of source A drift away from source B" —
+  * that stay mergeable and integer-exact so the oracle can replay them.
+  * All three statistics here are computed in integer (or fixed-order
+  * IEEE) arithmetic: the KS sup-gap and the U statistic are pure
+  * integer numerators over the rational grid {0, 1/(n1·n2), …}, so the
+  * Spark and DuckDB sides agree bit-for-bit with no epsilon.
+  *
+  * Scale design: every statistic first collapses the input to its
+  * DISTINCT-VALUE histogram (`groupBy(value)` — one shuffle that
+  * shrinks 100 TB of events to at most the value cardinality), then
+  * runs cumulative sums over that histogram. The cumulative pass uses
+  * [[prefixSumByRange]] — a two-pass range-partitioned prefix sum —
+  * rather than a single-partition global window, so no stage ever
+  * funnels the histogram through one task.
+  */
+object Hypothesis {
+
+  /** Exact prefix sums of `valueCol` in `orderCol` order, distributed.
+    *
+    * A bare `Window.orderBy(x)` (no partitionBy) collapses the input
+    * into ONE task — the classic cumulative-sum scale trap. This is the
+    * standard two-pass fix, kept entirely in the DataFrame API:
+    *
+    *  1. range-repartition by the order column, so partition i holds a
+    *     contiguous key range below partition i+1;
+    *  2. per-partition running sums via a window PARTITIONED by
+    *     `spark_partition_id()` (parallel across partitions);
+    *  3. per-partition totals (numPartitions rows — broadcast-tiny)
+    *     get their own exclusive prefix via a driver-free window over
+    *     the tiny frame, then broadcast-join back as offsets.
+    *
+    * Rows with equal `orderCol` values must be pre-aggregated by the
+    * caller (one row per distinct key) — RangePartitioner may split a
+    * run of equal keys across adjacent partitions, which would make
+    * "running sum at key k" ambiguous mid-run.
+    *
+    * Returns the input columns plus `cum` = inclusive prefix sum.
+    */
+  def prefixSumByRange(df: DataFrame, orderCol: String, valueCol: String,
+                       partitions: Int): DataFrame = {
+    val ranged = df.repartitionByRange(partitions, col(orderCol))
+      .withColumn("_pid", spark_partition_id())
+    val local = ranged.withColumn("_local",
+      sum(col(valueCol)).over(Window.partitionBy("_pid").orderBy(orderCol)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val offsets = local.groupBy("_pid")
+      .agg(sum(col(valueCol)).as("_ptot"))
+      .withColumn("_offset",
+        coalesce(sum(col("_ptot")).over(Window.orderBy("_pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("_pid", "_offset")
+    local.join(broadcast(offsets), "_pid")
+      .withColumn("cum", col("_local") + col("_offset"))
+      .drop("_pid", "_local", "_offset")
+  }
+
+  /** Two-sample Kolmogorov–Smirnov over `valueCol`, groups selected by
+    * the boolean columns `isA` / `isB`.
+    *
+    * D = sup_v |F_A(v) − F_B(v)| computed on the integer grid: the
+    * sup of |cumA·n_B − cumB·n_A| over distinct values, divided by
+    * n_A·n_B only at the very end (one floor-quantized division).
+    * One row out: n1, n2, d_num (the integer numerator) and `ks`
+    * (= d_num/(n1·n2) floored to 1e-8).
+    */
+  def ksTwoSample(df: DataFrame, valueCol: Column, isA: Column, isB: Column,
+                  partitions: Int = 32): DataFrame = {
+    val counts = df.filter(isA || isB)
+      .groupBy(valueCol.as("v"))
+      .agg(sum(when(isA, 1L).otherwise(0L)).as("ca"),
+        sum(when(isB, 1L).otherwise(0L)).as("cb"))
+    val withCa = prefixSumByRange(counts, "v", "ca", partitions)
+      .withColumnRenamed("cum", "fa")
+    val cum = prefixSumByRange(withCa, "v", "cb", partitions)
+      .withColumnRenamed("cum", "fb")
+    val tot = df.agg(sum(when(isA, 1L).otherwise(0L)).as("n1"),
+      sum(when(isB, 1L).otherwise(0L)).as("n2"))
+    cum.crossJoin(broadcast(tot))
+      .groupBy("n1", "n2")
+      .agg(max(abs(col("fa") * col("n2") - col("fb") * col("n1")))
+        .as("d_num"))
+      // integer floor division keeps the quantization exact — the
+      // numerator stays < 2^63 up to n1·n2 ~ 9e10 (document scale: at
+      // larger n switch d_num to decimal and drop the 1e8 grid)
+      .select(col("n1"), col("n2"), col("d_num"),
+        (expr("d_num * 100000000L div (n1 * n2)").cast("double") /
+          lit(1.0e8)).as("ks"))
+  }
+
+  /** Mann–Whitney U (rank-sum) between groups A and B on `valueCol`,
+    * with the standard midrank treatment of ties, kept integer-exact by
+    * carrying DOUBLED rank sums (midranks are half-integers).
+    *
+    * For a tie block of c = ca+cb equal values starting after `before`
+    * smaller observations, each member's midrank is
+    * (2·before + c + 1)/2, so A's doubled rank-sum contribution is
+    * ca·(2·before + c + 1). Then 2·U_A = 2·R_A − n1·(n1+1).
+    * Output: n1, n2, u2 (= 2·U_A, integer) and `auc` = U_A/(n1·n2)
+    * floored to 1e-8 — the probability a random A outranks a random B.
+    */
+  def mannWhitneyU(df: DataFrame, valueCol: Column, isA: Column, isB: Column,
+                   partitions: Int = 32): DataFrame = {
+    val counts = df.filter(isA || isB)
+      .groupBy(valueCol.as("v"))
+      .agg(sum(when(isA, 1L).otherwise(0L)).as("ca"),
+        sum(when(isB, 1L).otherwise(0L)).as("cb"))
+      .withColumn("c", col("ca") + col("cb"))
+    val cum = prefixSumByRange(counts, "v", "c", partitions)
+      .withColumn("bef", col("cum") - col("c"))
+    val tot = df.agg(sum(when(isA, 1L).otherwise(0L)).as("n1"),
+      sum(when(isB, 1L).otherwise(0L)).as("n2"))
+    cum.crossJoin(broadcast(tot))
+      .groupBy("n1", "n2")
+      .agg(sum(col("ca") * (lit(2L) * col("bef") + col("c") + lit(1L)))
+        .as("r2a"))
+      .select(col("n1"), col("n2"),
+        (col("r2a") - col("n1") * (col("n1") + lit(1L))).as("u2"),
+        (expr("(r2a - n1 * (n1 + 1)) * 50000000L div (n1 * n2)")
+          .cast("double") / lit(1.0e8)).as("auc"))
+  }
+
+  /** Chi-square test of independence between two categorical columns.
+    *
+    * Expected counts e = row·col/N are exact rationals; the per-cell
+    * term (o−e)²/e is three correctly-rounded IEEE double operations on
+    * inputs that are exact integers-in-doubles, so both engines compute
+    * the identical double, and the per-cell floor(term·1e6) makes the
+    * cross-cell sum order-independent. The contingency table itself is
+    * one `groupBy(a, b).count` — the only full-data shuffle; margins
+    * are tiny aggregates broadcast back.
+    * Output: one row — n_cells, dof, n, chi2 (floored to 1e-6).
+    */
+  def chiSquare(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val cells = df.groupBy(aCol.as("a"), bCol.as("b"))
+      .agg(count(lit(1)).as("o"))
+    val rows = cells.groupBy("a").agg(sum("o").as("r"))
+    val cols = cells.groupBy("b").agg(sum("o").as("c"))
+    val n = cells.agg(sum("o").as("n"))
+    cells.join(broadcast(rows), "a").join(broadcast(cols), "b")
+      .crossJoin(broadcast(n))
+      .withColumn("e", col("r").cast("double") * col("c").cast("double") /
+        col("n").cast("double"))
+      .withColumn("term_q", floor((col("o").cast("double") - col("e")) *
+        (col("o").cast("double") - col("e")) / col("e") * lit(1.0e6))
+        .cast("long"))
+      .agg(count(lit(1)).as("n_cells"),
+        ((countDistinct("a") - lit(1)) * (countDistinct("b") - lit(1)))
+          .as("dof"),
+        first(col("n")).as("n"),
+        (sum(col("term_q")).cast("double") / lit(1.0e6)).as("chi2"))
+  }
+}
