@@ -36,6 +36,8 @@ object Params {
   val snmWindow = 3
   /** Perceptual-hash image pairs (q150): max Hamming distance kept. */
   val ahashMaxHamming = 8
+  /** Johnson–Lindenstrauss sign projection (q159): output dims. */
+  val jlOutDims = 8
   /** Containment near-dup pairs (q119): |sub ∩ sup| / |sub| ≥ 4/5. */
   val containNum = 4
   val containDen = 5

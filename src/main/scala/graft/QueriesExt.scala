@@ -4544,5 +4544,115 @@ object QueriesExt {
             AND (b.p_retailprice < a.p_retailprice
               OR b.p_size > a.p_size))
         ORDER BY p_brand, p_retailprice""")),
+
+    // ── Embedding covariance matrix, exact-integer (q158) ──────────────
+    // The PCA front half as a first-class query: all d(d+1)/2 upper-
+    // triangle covariance entries in ONE map-only pair expansion (the
+    // Gram shape — n·d²/2 structs from a nested transform, NO self-
+    // join) plus one groupBy whose key space IS the d² output, so
+    // map-side combine bounds the shuffle at d(d+1)/2 rows per task at
+    // any corpus size. Per-element ⌊x·1e4⌋ quantization keeps the sums
+    // integer ⇒ partition-order independent ⇒ oracle-exact.
+    QueryDef("q158_embedding_covariance",
+      (s, dir) => graft.ext.Pca.covariancePairs(
+        tPar(s, dir, "embeddings"), col("embedding"), annDims)
+        .orderBy("pos_a", "pos_b"),
+      Some(s"""WITH x AS (SELECT vec_id, CAST(i AS INT) AS pos,
+            CAST(floor(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)
+              * 10000.0) AS BIGINT) AS xq
+          FROM embeddings, range(0, $annDims) t(i)),
+        p AS (SELECT a.pos AS pos_a, b.pos AS pos_b,
+            a.xq AS xa, b.xq AS xb
+          FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.pos <= b.pos)
+        SELECT pos_a, pos_b, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(COUNT(*) * SUM(xa * xb) - SUM(xa) * SUM(xb) AS BIGINT)
+            AS cov_num,
+          CAST(COUNT(*) * SUM(xa * xb) - SUM(xa) * SUM(xb) AS DOUBLE)
+            / (CAST(COUNT(*) * COUNT(*) AS DOUBLE) * 100000000.0) AS cov
+        FROM p GROUP BY pos_a, pos_b ORDER BY pos_a, pos_b""")),
+
+    // ── Johnson–Lindenstrauss sign projection 64 → 8 dims (q159) ───────
+    // Dimensionality reduction with a DATA-FREE projection matrix:
+    // entries are ±1 by md5 parity of "j|i" — the same portable hash
+    // family as MinHash — so the oracle rebuilds the matrix without
+    // shipping it. Map-only per row: one zip_with against an array
+    // literal and a sequential aggregate fold per output dim (fixed
+    // fold order ⇒ both engines add in the same sequence ⇒ bit-equal
+    // before the final ⌊·1e6⌋ grid).
+    QueryDef("q159_random_projection",
+      (s, dir) => {
+        def signOf(j: Int, i: Int): Int = {
+          val d = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"$j|$i".getBytes("UTF-8"))
+          val hex = d.take(4).map(b => f"$b%02x").mkString.take(7)
+          if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1 else -1
+        }
+        val cols = (0 until jlOutDims).map { j =>
+          val arr = (0 until annDims).map(signOf(j, _)).mkString(",")
+          (floor(expr(s"""aggregate(zip_with(embedding, array($arr),
+            (x, sg) -> CAST(x AS DOUBLE) * sg),
+            CAST(0.0 AS DOUBLE), (a, v) -> a + v)""") * lit(1.0e6)) /
+            lit(1.0e6)).as(s"y$j")
+        }
+        t(s, dir, "embeddings")
+          .select(col("vec_id") +: cols: _*).orderBy("vec_id")
+      },
+      Some {
+        def sign(j: Int) =
+          s"""CASE WHEN ('0x' || substr(md5($j || '|' ||
+             CAST(i AS VARCHAR)), 1, 7))::BIGINT % 2 = 0
+             THEN 1 ELSE -1 END"""
+        val ys = (0 until jlOutDims).map(j =>
+          s"""floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(0, $annDims), i ->
+               CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)
+                 * ${sign(j)})),
+             (a, v) -> a + v) * 1000000.0) / 1000000.0 AS y$j""")
+          .mkString(",\n          ")
+        s"""SELECT vec_id,
+          $ys
+        FROM embeddings ORDER BY vec_id"""
+      }),
+
+    // ── Audio sequency spectrum: Walsh–Hadamard centroid (q160) ────────
+    // Real spectral analysis on the decoded WAV path, kept EXACT by
+    // using the Walsh–Hadamard transform (±1 integer arithmetic) in
+    // place of a DFT whose cos/sin have no cross-engine rounding
+    // guarantee. One map stage over payloads, O(n²) per 64-sample
+    // frame; the oracle replays decode + WHT + centroid closed-form
+    // from the text bytes the WAV fixtures cycle.
+    QueryDef("q160_walsh_spectrum",
+      (s, dir) => {
+        val media = Multimodal.asWavMediaTable(tPar(s, dir, "documents"),
+          "doc_id", "text", 256, 16000)
+        Multimodal.audioWalshSpectrum(media, 64, 64)
+          .orderBy("media_id", "frame_no")
+      },
+      Some {
+        val samp = "CASE WHEN strlen(text) = 0 THEN 0 ELSE " +
+          "CAST((ascii(substr(text, CAST((frame_no * 64 + i) % strlen(text)" +
+          " AS INT) + 1, 1)) - 128) * 256 AS BIGINT) END"
+        s"""WITH f AS (SELECT doc_id, text,
+            unnest(range(0, 4)) AS frame_no FROM documents),
+        w AS (SELECT doc_id, frame_no,
+            list_transform(range(1, 64), k ->
+              list_sum(list_transform(range(0, 64), i ->
+                CASE WHEN bit_count(CAST(k AS INT) & CAST(i AS INT)) % 2 = 0
+                  THEN $samp ELSE -($samp) END))) AS wk
+          FROM f),
+        c AS (SELECT doc_id, frame_no,
+            CAST(list_sum(list_transform(range(1, 64), k ->
+              CAST(k AS BIGINT) * abs(wk[CAST(k AS INT)]))) AS BIGINT)
+              AS num,
+            CAST(list_sum(list_transform(range(1, 64), k ->
+              abs(wk[CAST(k AS INT)]))) AS BIGINT) AS den
+          FROM w)
+        SELECT doc_id AS media_id, CAST(frame_no AS INT) AS frame_no,
+          CAST(64 AS INT) AS n_samples, num, den,
+          CASE WHEN den = 0 THEN NULL
+            ELSE CAST(num * 1000000 // den AS DOUBLE) / 1000000.0
+          END AS centroid
+        FROM c ORDER BY media_id, frame_no"""
+      }),
   )
 }

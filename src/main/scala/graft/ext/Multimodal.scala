@@ -696,6 +696,77 @@ object Multimodal {
     }(enc)
   }
 
+  val walshSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_no", IntegerType, nullable = false),
+    StructField("n_samples", IntegerType, nullable = false),
+    StructField("num", LongType, nullable = false),
+    StructField("den", LongType, nullable = false),
+    StructField("centroid", DoubleType, nullable = true)))
+
+  /** Sequency-domain spectral summary per audio frame: the naive
+    * Walsh–Hadamard transform W_k = Σ_i (−1)^popcount(k∧i)·x_i over
+    * each `frameLen`-sample window, reduced to the spectral centroid
+    * Σ k·|W_k| / Σ|W_k| over the AC sequencies k ≥ 1.
+    *
+    * Walsh, not Fourier, deliberately: the WHT is ±1 integer
+    * arithmetic end to end, so the statistic is EXACT and an external
+    * SQL oracle replays it bit-for-bit — a DFT's cos/sin carry no
+    * cross-engine correct-rounding guarantee, which would turn a
+    * codec-pipeline test into a floating-point epsilon test. The
+    * centroid division is the only non-integer step and is emitted as
+    * a ⌊num·1e6/den⌋ quantization (NULL for silent frames, den = 0).
+    *
+    * O(n²) per frame (n = frameLen·channels ≤ 64 here) in one map
+    * stage over the payloads — same scale shape as [[audioFrames]]:
+    * row-expanding, no shuffle, work proportional to decoded bytes.
+    */
+  def audioWalshSpectrum(media: DataFrame, frameLen: Int,
+                         hop: Int): DataFrame = {
+    require(frameLen > 0 && hop > 0, s"frameLen $frameLen hop $hop")
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(walshSchema))
+    media.select("media_id", "payload").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        Wav.decode(r.getAs[Array[Byte]](1)) match {
+          case Some(clip) =>
+            val ch = clip.channels
+            val n = frameLen * ch
+            require((n & (n - 1)) == 0,
+              s"WHT window must be a power of two, got $n")
+            Iterator.from(0)
+              .takeWhile(f => f.toLong * hop + frameLen <= clip.frames)
+              .map { f =>
+                val base = f * hop * ch
+                var num = 0L
+                var den = 0L
+                var k = 1
+                while (k < n) {
+                  var wk = 0L
+                  var i = 0
+                  while (i < n) {
+                    val x = clip.samples(base + i).toLong
+                    if ((Integer.bitCount(k & i) & 1) == 0) wk += x
+                    else wk -= x
+                    i += 1
+                  }
+                  val a = math.abs(wk)
+                  num += k.toLong * a
+                  den += a
+                  k += 1
+                }
+                val centroid: java.lang.Double =
+                  if (den == 0L) null
+                  else java.lang.Double.valueOf(
+                    (num * 1000000L / den).toDouble / 1.0e6)
+                Row(id, f, n, num, den, centroid)
+              }
+          case None => Iterator.empty
+        }
+      }
+    }(enc)
+  }
+
   val frameSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("frame_no", IntegerType, nullable = false),
