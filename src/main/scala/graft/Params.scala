@@ -38,6 +38,8 @@ object Params {
   val ahashMaxHamming = 8
   /** Johnson–Lindenstrauss sign projection (q159): output dims. */
   val jlOutDims = 8
+  /** BPE tokenizer training (q161): merge rounds learned. */
+  val bpeSteps = 4
   /** Containment near-dup pairs (q119): |sub ∩ sup| / |sub| ≥ 4/5. */
   val containNum = 4
   val containDen = 5

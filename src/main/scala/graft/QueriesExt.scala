@@ -3881,40 +3881,69 @@ object QueriesExt {
     // user partition — history scanned once, no self-join per gap.
     QueryDef("q142_linear_interp",
       (s, dir) => {
+        // SEGMENT-EXPLODE shape, not grid-join: the dense output grid
+        // spans min..max of event hours, so every output point lies
+        // inside a segment between consecutive observations (or in the
+        // head/tail constant-fill runs). Windows therefore only ever
+        // run over the OBSERVATION table (one lead pass); the dense
+        // grid is produced map-side by exploding each segment — no
+        // dense-grid join, no dense-grid window. The r9 bench caught
+        // the old grid-join form at 29 s (two full-grid window sorts
+        // plus a full-grid shuffle join); this plan produces the
+        // identical rows with the grid appearing only at the final
+        // explode.
+        val hourUs = 3600000000L
         val ev = t(s, dir, "events")
           .withColumn("hour_us",
-            floor(unix_micros(col("ts")) / 3600000000L).cast("long")
-              * 3600000000L)
+            floor(unix_micros(col("ts")) / hourUs).cast("long") * hourUs)
         val w = Window.partitionBy("user_id", "hour_us")
           .orderBy(col("ts").desc, col("event_id").desc)
         val hourly = ev.withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1)
           .select(col("user_id"), col("hour_us"), col("value"))
-        val grid = ev.groupBy("user_id")
+        val bounds = ev.groupBy("user_id")
           .agg(min(col("hour_us")).as("lo"), max(col("hour_us")).as("hi"))
+        // null-valued hours count as UNOBSERVED (the grid-form contract:
+        // ignore-nulls windows skipped them) — segment anchors are the
+        // non-null observations only
+        val obs = hourly.filter(col("value").isNotNull)
+        val wl = Window.partitionBy("user_id").orderBy("hour_us")
+        val seg = obs
+          .withColumn("nh", lead(col("hour_us"), 1).over(wl))
+          .withColumn("nv", lead(col("value"), 1).over(wl))
+          .withColumn("rn", row_number().over(wl))
+        // head run: hours before the first observation take its value
+        // (BOCF); a user with no non-null observation fills null
+        val firstObs = seg.filter(col("rn") === 1)
+          .select(col("user_id"), col("hour_us").as("fh"),
+            col("value").as("fv"))
+        val head = bounds.join(firstObs, Seq("user_id"), "left")
+          .filter(col("fh").isNull || col("lo") < col("fh"))
           .select(col("user_id"),
-            explode(sequence(col("lo"), col("hi"),
-              lit(3600000000L))).as("hour_us"))
-        val wPrev = Window.partitionBy("user_id").orderBy("hour_us")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val wNext = Window.partitionBy("user_id").orderBy("hour_us")
-          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        val obsHour = when(col("value").isNotNull, col("hour_us"))
-        val filled = grid.join(hourly, Seq("user_id", "hour_us"), "left")
-          .withColumn("pv", last(col("value"), ignoreNulls = true).over(wPrev))
-          .withColumn("ph", last(obsHour, ignoreNulls = true).over(wPrev))
-          .withColumn("nv", first(col("value"), ignoreNulls = true).over(wNext))
-          .withColumn("nh", first(obsHour, ignoreNulls = true).over(wNext))
-        filled.select(col("user_id"), col("hour_us"),
-          col("value").isNotNull.cast("long").as("observed"),
-          when(col("value").isNotNull, col("value"))
-            .when(col("pv").isNull, col("nv"))
-            .when(col("nv").isNull, col("pv"))
-            .otherwise(col("pv") + (col("nv") - col("pv")) *
-              ((col("hour_us") - col("ph")).cast("double") /
-                (col("nh") - col("ph")).cast("double")))
-            .as("value_interp"))
-          .orderBy("user_id", "hour_us")
+            explode(sequence(col("lo"),
+              coalesce(col("fh") - lit(hourUs), col("hi")),
+              lit(hourUs))).as("hour_us"),
+            lit(0L).as("observed"), col("fv").as("value_interp"))
+        // each observation owns [its hour, next obs hour): interior
+        // points interpolate, the last observation's run extends to hi
+        // as constant fill (LOCF)
+        val mids = seg.join(bounds, Seq("user_id"))
+          .withColumn("end_h",
+            coalesce(col("nh") - lit(hourUs), col("hi")))
+          .withColumnRenamed("hour_us", "ph")
+          .select(col("user_id"), col("ph"), col("value"),
+            col("nh"), col("nv"),
+            explode(sequence(col("ph"), col("end_h"), lit(hourUs)))
+              .as("hour_us"))
+          .select(col("user_id"), col("hour_us"),
+            (col("hour_us") === col("ph")).cast("long").as("observed"),
+            when(col("hour_us") === col("ph"), col("value"))
+              .when(col("nh").isNull, col("value"))
+              .otherwise(col("value") + (col("nv") - col("value")) *
+                ((col("hour_us") - col("ph")).cast("double") /
+                  (col("nh") - col("ph")).cast("double")))
+              .as("value_interp"))
+        head.unionByName(mids).orderBy("user_id", "hour_us")
       },
       Some("""WITH ev AS (SELECT user_id, event_id, ts, value,
             (epoch_us(ts) // 3600000000) * 3600000000 AS hour_us
@@ -4653,6 +4682,55 @@ object QueriesExt {
             ELSE CAST(num * 1000000 // den AS DOUBLE) / 1000000.0
           END AS centroid
         FROM c ORDER BY media_id, frame_no"""
+      }),
+
+    // ── BPE tokenizer training: the full merge loop (q161) ─────────────
+    // q83 counts one round of pairs; this LEARNS the merge table —
+    // `bpeSteps` rounds of count → argmax → greedy merge over the
+    // word-frequency table (corpus tokenized once; each round costs
+    // the vocabulary, not the corpus). The greedy merge is a
+    // sequential string-accumulator fold with identical semantics in
+    // Spark `aggregate` and DuckDB `list_reduce` (runs merge
+    // leftmost-first: [a,a,a,a] → [aa,aa]; the space delimiter anchors
+    // symbol boundaries), so the oracle replays all rounds exactly.
+    QueryDef("q161_bpe_train",
+      (s, dir) => graft.ext.TextStats.bpeTrain(
+        tPar(s, dir, "documents"), col("text"), bpeSteps),
+      Some {
+        def fold(b: String) =
+          s"""string_split(substr(list_reduce(list_prepend('', syms),
+             (acc, x) -> CASE
+               WHEN ends_with(acc, ' ' || $b.m_left) AND x = $b.m_right
+               THEN substr(acc, 1,
+                   strlen(acc) - strlen($b.m_left) - 1)
+                 || ' ' || $b.m_left || $b.m_right
+               ELSE acc || ' ' || x END), 2), ' ')"""
+        def bestCte(k: Int) =
+          s"""b$k AS (SELECT p.l AS m_left, p.r AS m_right,
+             SUM(wc) AS pair_count
+           FROM (SELECT wc, unnest(list_transform(range(1, len(syms)),
+               i -> {'l': syms[CAST(i AS INT)],
+                     'r': syms[CAST(i AS INT) + 1]})) AS p
+             FROM v${k - 1}) q
+           GROUP BY 1, 2
+           ORDER BY pair_count DESC, m_left, m_right LIMIT 1)"""
+        def vocabCte(k: Int) =
+          s"""v$k AS (SELECT word, wc, ${fold(s"b$k")} AS syms
+           FROM v${k - 1}, b$k)"""
+        val ctes = (s"""v0 AS (SELECT word, COUNT(*) AS wc,
+            list_transform(range(1, strlen(word) + 1),
+              i -> substr(word, CAST(i AS INT), 1)) AS syms
+          FROM (SELECT unnest($dTok) AS word FROM documents)
+          GROUP BY word)""" +:
+          (1 to bpeSteps).flatMap(k =>
+            Seq(bestCte(k)) ++
+              (if (k < bpeSteps) Seq(vocabCte(k)) else Nil)))
+          .mkString(",\n        ")
+        val out = (1 to bpeSteps).map(k =>
+          s"""SELECT $k AS step, m_left, m_right,
+             CAST(pair_count AS BIGINT) AS pair_count FROM b$k""")
+          .mkString("\n        UNION ALL ")
+        s"WITH $ctes\n        $out ORDER BY step"
       }),
   )
 }

@@ -192,4 +192,71 @@ object TextStats {
         (sum(col("q")).cast("double") / lit(1.0e8) / count(lit(1)))
           .as("predictability"))
   }
+
+  /** BPE tokenizer TRAINING — the full merge loop, not just the q83
+    * pair-counting pass: `steps` rounds of (count adjacent symbol
+    * pairs → pick the most frequent → greedily merge its occurrences),
+    * returning the learned merge table (step, left, right, pair_count).
+    *
+    * Scale shape is the textbook one: the corpus is tokenized ONCE into
+    * a word-frequency table (vocab-bounded), and every iteration
+    * operates on that table — pair counts weight by word frequency, so
+    * 100 TB of text costs the same per round as its distinct-word
+    * vocabulary. The per-round argmax is a 1-row TakeOrdered with a
+    * deterministic (count desc, left, right) tie-break, broadcast back.
+    *
+    * The greedy merge itself is a sequential fold per word, expressed
+    * as a space-delimited string accumulator (`aggregate` over the
+    * symbol array): append each symbol unless the accumulator ends
+    * with " "+left and the symbol equals right, in which case the tail
+    * symbol is replaced by left‖right. Because the merged symbol is
+    * strictly longer than `left`, it can never re-match within the
+    * same round — the fold IS leftmost-greedy BPE (runs like
+    * [a,a,a,a] → [aa,aa]), and the space delimiter anchors symbol
+    * boundaries so suffix/prefix collisions (merging (a,b) must skip
+    * [xa,b]) are impossible. The identical fold is expressible in
+    * DuckDB's `list_reduce`, which keeps the whole loop oracle-exact.
+    *
+    * Each round's vocab is localCheckpoint'ed: the next round's plan
+    * references the materialized table, not `steps` nested folds.
+    */
+  def bpeTrain(docs: DataFrame, textCol: Column, steps: Int): DataFrame = {
+    require(steps >= 1, s"steps $steps")
+    val spark = docs.sparkSession
+    var vocab = docs
+      .select(explode(tokens(textCol)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+      .withColumn("syms", expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+      .localCheckpoint(eager = true)
+    val merges = Seq.newBuilder[org.apache.spark.sql.DataFrame]
+    for (step <- 1 to steps) {
+      val best = vocab
+        // adjacent pairs via offset slices, NOT sequence(1, n-1):
+        // Spark's sequence(1, 0) DESCENDS instead of being empty, so
+        // the slice form is what keeps 1-symbol words pair-free
+        .select(col("wc"), explode(expr(
+          """zip_with(slice(syms, 1, size(syms) - 1),
+                      slice(syms, 2, size(syms) - 1),
+             (a, b) -> named_struct('l', a, 'r', b))""")).as("p"))
+        .groupBy(col("p.l").as("m_left"), col("p.r").as("m_right"))
+        .agg(sum("wc").as("pair_count"))
+        .orderBy(desc("pair_count"), col("m_left"), col("m_right"))
+        .limit(1)
+      merges += best.withColumn("step", lit(step))
+        .select("step", "m_left", "m_right", "pair_count")
+      vocab = vocab.crossJoin(broadcast(best))
+        .withColumn("syms", expr(
+          """split(substring(aggregate(syms, CAST('' AS STRING),
+             (acc, x) -> CASE
+               WHEN endswith(acc, concat(' ', m_left)) AND x = m_right
+               THEN concat(substring(acc, 1,
+                   length(acc) - length(m_left) - 1),
+                 ' ', m_left, m_right)
+               ELSE concat(acc, ' ', x) END), 2), ' ')"""))
+        .select("word", "wc", "syms")
+        .localCheckpoint(eager = true)
+    }
+    merges.result().reduce(_ unionAll _).orderBy("step")
+  }
 }
