@@ -40,6 +40,14 @@ object Params {
   val jlOutDims = 8
   /** BPE tokenizer training (q161): merge rounds learned. */
   val bpeSteps = 4
+  /** k-core peel (q162): minimum degree and peel rounds. */
+  val kCoreK = 3
+  val kCoreRounds = 5
+  /** Scene-cut threshold (q163): mean abs luma diff > num/den.
+    * 28 sits at the testdata's median adjacent-frame difference, so
+    * both verdicts are exercised. */
+  val sceneCutNum = 28L
+  val sceneCutDen = 1L
   /** Containment near-dup pairs (q119): |sub ∩ sup| / |sub| ≥ 4/5. */
   val containNum = 4
   val containDen = 5

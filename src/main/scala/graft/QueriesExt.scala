@@ -4732,5 +4732,81 @@ object QueriesExt {
           .mkString("\n        UNION ALL ")
         s"WITH $ctes\n        $out ORDER BY step"
       }),
+
+    // ── k-core of the co-occurrence graph (q162) ───────────────────────
+    // Fourth graph primitive (components q45, PageRank q108, BFS q110,
+    // triangles q118): strip the hub-and-spoke fringe by kCoreRounds
+    // synchronized peels of nodes with degree < k. Bounded-unroll like
+    // q110 — the oracle replays exactly the same peel rounds as CTE
+    // stages; every iteration is broadcast semi-joins on the
+    // vocab²-bounded edge table, corpus touched once.
+    QueryDef("q162_kcore",
+      (s, dir) => graft.ext.Search.kCore(tPar(s, dir, "documents"),
+        "doc_id", "text", trVocab, kCoreK, kCoreRounds),
+      Some {
+        // every CTE is MATERIALIZED: DuckDB inlines plain CTEs, and the
+        // peel chain references each stage ~3×, so unmaterialized the
+        // h5 tree would expand to 3^rounds scans of the parquet file
+        // (observed as "Too many open files" before it got slow)
+        def degCte(i: Int) =
+          s"""d$i AS MATERIALIZED (SELECT t, COUNT(*) AS deg FROM
+             (SELECT src AS t FROM h${i - 1}
+              UNION ALL SELECT dst FROM h${i - 1}) GROUP BY 1)"""
+        def peelCte(i: Int) =
+          s"""h$i AS MATERIALIZED (SELECT h.src, h.dst FROM h${i - 1} h
+             JOIN d$i a ON h.src = a.t JOIN d$i b ON h.dst = b.t
+             WHERE a.deg >= $kCoreK AND b.deg >= $kCoreK)"""
+        val peels = (1 to kCoreRounds)
+          .flatMap(i => Seq(degCte(i), peelCte(i)))
+          .mkString(",\n          ")
+        s"""WITH dt AS MATERIALIZED (SELECT DISTINCT doc_id, tok AS token
+            FROM (SELECT doc_id, unnest($dTok) AS tok FROM documents)),
+          v AS MATERIALIZED (SELECT token FROM
+            (SELECT token, COUNT(*) AS df FROM dt
+            GROUP BY 1 ORDER BY df DESC, token LIMIT $trVocab)),
+          vt AS MATERIALIZED (SELECT dt.doc_id, dt.token
+            FROM dt JOIN v USING (token)),
+          h0 AS MATERIALIZED (SELECT a.token AS src, b.token AS dst
+            FROM vt a JOIN vt b
+              ON a.doc_id = b.doc_id AND a.token < b.token
+            GROUP BY 1, 2),
+          $peels
+        SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS core_degree FROM
+          (SELECT src AS t FROM h$kCoreRounds
+           UNION ALL SELECT dst FROM h$kCoreRounds)
+        GROUP BY 1 ORDER BY token"""
+      }),
+
+    // ── Video scene-change detection (q163) ────────────────────────────
+    // Per adjacent decoded-frame pair, the exact sum of absolute luma
+    // differences; a cut when the mean difference clears the rational
+    // threshold via integer cross-multiplication. One row-expanding map
+    // stage over the Y4M payloads; the oracle replays decode + diff
+    // closed-form from the cycled text bytes.
+    QueryDef("q163_scene_cuts",
+      (s, dir) => {
+        val media = Multimodal.asY4mMediaTable(tPar(s, dir, "documents"),
+          "doc_id", "text", vidW, vidH, vidFrames)
+        Multimodal.sceneCuts(media, sceneCutNum, sceneCutDen)
+          .orderBy("media_id", "frame_idx")
+      },
+      Some {
+        val plane = vidW * vidH
+        def byteAt(j: String) =
+          s"""ascii(substr(text, CAST(($j) % strlen(text) AS INT) + 1, 1))"""
+        s"""WITH f AS (SELECT doc_id, text,
+            unnest(range(1, $vidFrames)) AS fr FROM documents),
+        d AS (SELECT doc_id, fr,
+            CASE WHEN strlen(text) = 0 THEN 0 ELSE
+              CAST(list_sum(list_transform(range(0, $plane), i ->
+                abs(${byteAt(s"fr * $plane + i")} -
+                    ${byteAt(s"(fr - 1) * $plane + i")})))
+              AS BIGINT) END AS diff_sum
+          FROM f)
+        SELECT doc_id AS media_id, CAST(fr AS INT) AS frame_idx,
+          diff_sum,
+          diff_sum * $sceneCutDen > $sceneCutNum * $plane AS is_cut
+        FROM d ORDER BY media_id, frame_idx"""
+      }),
   )
 }

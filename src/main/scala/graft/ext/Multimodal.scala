@@ -325,6 +325,47 @@ object Multimodal {
       }(enc)
   }
 
+  val sceneCutSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("diff_sum", LongType, nullable = false),
+    StructField("is_cut", BooleanType, nullable = false)))
+
+  /** Scene-change detection over decoded Y4M video: per adjacent frame
+    * pair, the exact sum of absolute luma differences over the plane;
+    * frame f is a cut when the MEAN difference exceeds cutNum/cutDen,
+    * tested as the integer cross-multiplication
+    * diff_sum·cutDen > cutNum·plane — no float thresholding, so the
+    * oracle replays every verdict exactly.
+    *
+    * Same scale shape as [[sampleFrames]]: one map stage over payloads,
+    * row-expanding to frames−1 rows per clip, work proportional to
+    * decoded bytes, no shuffle. Malformed/non-Y4M payloads emit no
+    * rows (auditable-skip contract).
+    */
+  def sceneCuts(media: DataFrame, cutNum: Long, cutDen: Long): DataFrame = {
+    require(cutNum >= 0 && cutDen >= 1, s"threshold $cutNum/$cutDen")
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(sceneCutSchema))
+    media.select("media_id", "payload")
+      .flatMap { r =>
+        val id = r.getLong(0)
+        Y4m.decode(r.getAs[Array[Byte]](1)).toSeq.flatMap { v =>
+          val plane = v.width * v.height
+          (1 until v.frames.length).map { f =>
+            val a = v.frames(f - 1)
+            val b = v.frames(f)
+            var d = 0L
+            var i = 0
+            while (i < plane) {
+              d += math.abs((a(i) & 0xff) - (b(i) & 0xff))
+              i += 1
+            }
+            Row(id, f, d, d * cutDen > cutNum * plane)
+          }
+        }
+      }(enc)
+  }
+
   val featureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("byte_len", LongType, nullable = false),

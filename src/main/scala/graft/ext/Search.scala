@@ -252,6 +252,48 @@ object Search {
           col("n_wedges").cast("double")).as("global_clustering"))
   }
 
+  /** k-core subgraph of the vocab-capped co-occurrence graph: `rounds`
+    * synchronized peel iterations (drop every node whose degree < k,
+    * recompute, repeat), returning each surviving node with its degree
+    * in the peeled subgraph — the standard cohesion filter that strips
+    * hub-and-spoke fringe from a vocabulary graph before community or
+    * centrality work.
+    *
+    * Bounded-unroll contract like [[bfsHops]]: exactly `rounds` peels,
+    * so the result is a well-defined pure function of the graph (and
+    * equals the true k-core whenever the peel converges within the
+    * horizon — each round that changes anything removes ≥ 1 node, so
+    * rounds ≥ |V| always converges). Every iteration runs on the
+    * ≤ vocab²-bounded edge table with broadcast semi-joins — integer
+    * degrees, no corpus re-scan, one localCheckpoint per round so the
+    * plan stays flat.
+    */
+  def kCore(docs: DataFrame, idCol: String, textCol: String, vocab: Int,
+            k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k $k")
+    require(rounds >= 1, s"rounds $rounds")
+    val (_, edges) = cooccurGraph(docs, idCol, textCol, vocab)
+    var half = edges.filter(col("src") < col("dst")).select("src", "dst")
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to rounds) {
+      val keep = half.select(col("src").as("t"))
+        .union(half.select(col("dst").as("t")))
+        .groupBy("t").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("t")
+      half = half
+        .join(broadcast(keep.withColumnRenamed("t", "src")),
+          Seq("src"), "left_semi")
+        .join(broadcast(keep.withColumnRenamed("t", "dst")),
+          Seq("dst"), "left_semi")
+        .select("src", "dst")
+        .localCheckpoint(eager = true)
+    }
+    half.select(col("src").as("token"))
+      .union(half.select(col("dst").as("token")))
+      .groupBy("token").agg(count(lit(1)).as("core_degree"))
+      .orderBy("token")
+  }
+
   /** Positional phrase search: documents containing `t1` immediately
     * followed by `t2`, with hit counts and the first match position
     * (1-based). The positional-inverted-index query: where [[bm25]] and
