@@ -48,6 +48,42 @@ object Params {
     * both verdicts are exercised. */
   val sceneCutNum = 28L
   val sceneCutDen = 1L
+  /** Fellegi–Sunter linkage model (q164): per-field (m, u) as exact
+    * rationals — agreement multiplies m/u, disagreement (1−m)/(1−u).
+    * CONFIGURED model parameters (a trained model would estimate them
+    * by EM); the score of each agreement pattern is a product of these
+    * constants, precomputed once so no per-row float arithmetic
+    * exists anywhere. */
+  val fsFields: Seq[(String, Int, Int, Int, Int)] = Seq(
+    // (field, mNum, mDen, uNum, uDen)
+    ("type", 9, 10, 1, 150),
+    ("size", 17, 20, 1, 50),
+    ("price", 4, 5, 1, 100))
+  /** Keep pairs whose likelihood ratio clears this floor. */
+  val fsMinScore = 100.0
+
+  /** Likelihood ratio of one agreement pattern: exact integer
+    * numerator/denominator products, ONE correctly-rounded division
+    * at the end — both engines then carry the identical double.
+    */
+  private def fsScore(bits: Seq[Boolean]): Double = {
+    var num = BigInt(1)
+    var den = BigInt(1)
+    fsFields.zip(bits).foreach { case ((_, mN, mD, uN, uD), agree) =>
+      if (agree) { num *= mN.toLong * uD; den *= mD.toLong * uN }
+      else { num *= (mD - mN).toLong * uD; den *= mD.toLong * (uD - uN) }
+    }
+    num.toDouble / den.toDouble
+  }
+
+  /** All 2^|fields| agreement patterns with their precomputed scores
+    * (bit order = [[fsFields]] order, '1' = agree). */
+  val fsPatterns: Seq[(String, Double)] =
+    (0 until (1 << fsFields.size)).map { m =>
+      val bits = fsFields.indices.map(i =>
+        (m & (1 << (fsFields.size - 1 - i))) != 0)
+      (bits.map(b => if (b) "1" else "0").mkString, fsScore(bits))
+    }
   /** Containment near-dup pairs (q119): |sub ∩ sup| / |sub| ≥ 4/5. */
   val containNum = 4
   val containDen = 5

@@ -4808,5 +4808,103 @@ object QueriesExt {
           diff_sum * $sceneCutDen > $sceneCutNum * $plane AS is_cut
         FROM d ORDER BY media_id, frame_idx"""
       }),
+
+    // ── Fellegi–Sunter probabilistic record linkage (q164) ─────────────
+    // The probabilistic layer the distance-based joins (q105 edit
+    // distance, q106 Jaccard) lack: each candidate pair's agreement
+    // PATTERN over (type, size, price-bucket) maps to a likelihood
+    // ratio Π m/u (agree) · (1−m)/(1−u) (disagree). With 3 fields
+    // there are only 8 patterns, so every score is PRECOMPUTED as one
+    // exact-rational-to-double literal — zero per-row float arithmetic
+    // on either engine. Candidates come brand-blocked (the q105
+    // contract: block key = shuffle key, never all-pairs).
+    QueryDef("q164_record_linkage",
+      (s, dir) => {
+        val d = t(s, dir, "part").select(
+          col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"),
+          floor(col("p_retailprice") / lit(100.0)).cast("long").as("pb"))
+        val j = d.as("a").join(d.as("b"),
+          col("a.p_brand") === col("b.p_brand") &&
+            col("a.p_partkey") < col("b.p_partkey"))
+        val bits = Seq(
+          col("a.p_type") === col("b.p_type"),
+          col("a.p_size") === col("b.p_size"),
+          col("a.pb") === col("b.pb"))
+        val pattern = concat(bits.map(b =>
+          when(b, lit("1")).otherwise(lit("0"))): _*)
+        val score = fsPatterns.tail.foldLeft(
+          when(pattern === fsPatterns.head._1, lit(fsPatterns.head._2))) {
+          case (acc, (p, sc)) => acc.when(pattern === p, lit(sc))
+        }
+        j.select(col("a.p_partkey").as("id_a"),
+            col("b.p_partkey").as("id_b"),
+            pattern.as("pattern"), score.as("score"))
+          .filter(col("score") >= fsMinScore)
+          .orderBy("id_a", "id_b")
+      },
+      Some {
+        // CAST each literal: DuckDB types a bare decimal literal as
+        // DECIMAL and the decimal→double hop can land one ulp off the
+        // strtod parse Spark does
+        val cases = fsPatterns.map { case (p, sc) =>
+          s"WHEN pattern = '$p' THEN CAST($sc AS DOUBLE)"
+        }.mkString("\n            ")
+        s"""WITH d AS (SELECT p_partkey, p_brand, p_type, p_size,
+            CAST(floor(p_retailprice / 100.0) AS BIGINT) AS pb
+          FROM part),
+        pairs AS (SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+            (CASE WHEN a.p_type = b.p_type THEN '1' ELSE '0' END ||
+             CASE WHEN a.p_size = b.p_size THEN '1' ELSE '0' END ||
+             CASE WHEN a.pb = b.pb THEN '1' ELSE '0' END) AS pattern
+          FROM d a JOIN d b
+            ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey),
+        scored AS (SELECT id_a, id_b, pattern, CASE
+            $cases
+            END AS score FROM pairs)
+        SELECT id_a, id_b, pattern, score FROM scored
+        WHERE score >= $fsMinScore ORDER BY id_a, id_b"""
+      }),
+
+    // ── Gini concentration of user activity per event type (q165) ──────
+    // The inequality monitor for curation mixes: how concentrated is
+    // each event type's volume across users? Classic rank formula
+    // G = Σ(2i−n−1)x_i / (n·Σx) on the ascending per-user counts —
+    // integer end to end (counts are integers, rank windows are exact,
+    // one final floor-quantized division). Tie permutations cannot
+    // change the sum: within a tie block x is constant and the rank
+    // coefficients sum identically.
+    QueryDef("q165_gini_activity",
+      (s, dir) => {
+        val x = t(s, dir, "events")
+          .groupBy("event_type", "user_id")
+          .agg(count(lit(1)).as("x"))
+        val w = Window.partitionBy("event_type").orderBy("x", "user_id")
+        val wAll = Window.partitionBy("event_type")
+        x.withColumn("i", row_number().over(w).cast("long"))
+          .withColumn("n", count(lit(1)).over(wAll).cast("long"))
+          .withColumn("s", sum("x").over(wAll))
+          .groupBy("event_type")
+          .agg(max("n").as("n_users"), max("s").as("volume"),
+            sum((lit(2) * col("i") - col("n") - lit(1)) * col("x"))
+              .as("g_num"))
+          .select(col("event_type"), col("n_users"), col("volume"),
+            col("g_num"),
+            (expr("g_num * 100000000L div (n_users * volume)")
+              .cast("double") / lit(1.0e8)).as("gini"))
+          .orderBy("event_type")
+      },
+      Some("""WITH x AS (SELECT event_type, user_id, COUNT(*) AS x
+            FROM events GROUP BY 1, 2),
+        r AS (SELECT event_type, x,
+            ROW_NUMBER() OVER (PARTITION BY event_type
+              ORDER BY x, user_id) AS i,
+            COUNT(*) OVER (PARTITION BY event_type) AS n,
+            SUM(x) OVER (PARTITION BY event_type) AS s FROM x)
+        SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_users,
+          CAST(MAX(s) AS BIGINT) AS volume,
+          CAST(SUM((2 * i - n - 1) * x) AS BIGINT) AS g_num,
+          CAST(SUM((2 * i - n - 1) * x) * 100000000
+            // (MAX(n) * MAX(s)) AS DOUBLE) / 100000000.0 AS gini
+        FROM r GROUP BY event_type ORDER BY event_type""")),
   )
 }
