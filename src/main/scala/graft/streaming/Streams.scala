@@ -345,6 +345,40 @@ object Streams {
       }
       .start()
 
+  /** Continuously-maintained count-min sketch — the streaming twin of
+    * q113 and the frequency-monitoring leg next to
+    * [[streamingAggMaintenance]] (sums) and
+    * [[streamingQuantileMaintenance]] (quantiles): each micro-batch is
+    * reduced to its own depth×width sketch and counter-ADDED into the
+    * state parquet. Counter addition is associative and commutative, so
+    * the maintained sketch is bit-identical to a one-shot sketch of the
+    * whole history under ANY micro-batching — heavy-hitter estimates
+    * over 100 TB of events without ever re-scanning history, in
+    * depth×width rows of state. The fold shuffles each batch's
+    * ≤ depth×width pre-aggregated rows, never raw history.
+    */
+  def streamingCountMinMaintenance(events: DataFrame, path: String,
+                                   valueCol: String, depth: Int, width: Int,
+                                   checkpoint: String)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        import graft.ext.Sketches
+        val delta = Sketches.countMin(batch, col(valueCol), depth, width)
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val merged =
+          if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+            spark.read.parquet(path).unionByName(delta)
+              .groupBy("j", "bucket").agg(sum("c").as("c"))
+          else delta
+        merged.localCheckpoint(true).write
+          .mode("overwrite").parquet(path)
+      }
+      .start()
+
   /** Streaming running aggregate per user — `mapGroupsWithState`
     * keeping (count, sum) state and emitting the updated totals each
     * micro-batch (C2-style latest-state tracking, streaming twin of

@@ -214,6 +214,36 @@ class StreamsSpec extends AnyFunSuite {
     assert(maintained.nonEmpty)
   }
 
+  test("streaming count-min maintenance: maintained sketch equals the " +
+       "one-shot sketch over the whole input, bit-exact") {
+    import graft.ext.Sketches
+    val (depth, width) = (4, 64)
+    val ev = Tables.load(spark, TestSpark.sf0001, "events")
+      .select("event_id", "user_id")
+    val srcDir = java.nio.file.Files.createTempDirectory("cms_src").toString
+    val stateDir =
+      java.nio.file.Files.createTempDirectory("cms_state").toString + "/state"
+    val cp = java.nio.file.Files.createTempDirectory("cms_cp").toString
+    (0 until 3).foreach { i =>
+      ev.filter(abs(hash(col("event_id"))) % 3 === i).coalesce(1)
+        .write.mode("append").parquet(srcDir)
+    }
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val q = Streams.streamingCountMinMaintenance(stream, stateDir,
+      "user_id", depth, width, cp)
+    q.processAllAvailable(); q.stop()
+
+    val maintained = spark.read.parquet(stateDir)
+      .orderBy("j", "bucket").collect().toSeq
+    val recompute = Sketches.countMin(ev, col("user_id"), depth, width)
+      .orderBy("j", "bucket").collect().toSeq
+    assert(maintained === recompute,
+      "stream-maintained count-min must equal the one-shot sketch bit-exactly")
+    assert(maintained.nonEmpty)
+  }
+
   test("stateful streaming dedup keeps exactly one event per key") {
     import spark.implicits._
     val batchEvents = Tables.load(spark, TestSpark.sf0001, "events")
