@@ -76,6 +76,10 @@ object Params {
     num.toDouble / den.toDouble
   }
 
+  /** Autocorrelation horizon (q168): lags 1..acfMaxLag of the daily
+    * volume series. */
+  val acfMaxLag = 6
+
   /** All 2^|fields| agreement patterns with their precomputed scores
     * (bit order = [[fsFields]] order, '1' = agree). */
   val fsPatterns: Seq[(String, Double)] =

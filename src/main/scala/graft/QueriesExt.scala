@@ -57,6 +57,57 @@ object QueriesExt {
   private val dNorm =
     "trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'), '\\s+', ' ', 'g'))"
 
+  /** Fellegi–Sunter scored candidate pairs (q164/q166): brand-blocked
+    * part pairs with their agreement pattern over (type, size,
+    * price-bucket) and its precomputed likelihood-ratio score — the
+    * whole model is the [[Params.fsPatterns]] lookup, so no per-row
+    * float arithmetic exists on either engine.
+    */
+  private def fsScoredPairs(s: org.apache.spark.sql.SparkSession,
+                            dir: String): DataFrame = {
+    val d = t(s, dir, "part").select(
+      col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"),
+      floor(col("p_retailprice") / lit(100.0)).cast("long").as("pb"))
+    val j = d.as("a").join(d.as("b"),
+      col("a.p_brand") === col("b.p_brand") &&
+        col("a.p_partkey") < col("b.p_partkey"))
+    val bits = Seq(
+      col("a.p_type") === col("b.p_type"),
+      col("a.p_size") === col("b.p_size"),
+      col("a.pb") === col("b.pb"))
+    val pattern = concat(bits.map(b =>
+      when(b, lit("1")).otherwise(lit("0"))): _*)
+    val score = fsPatterns.tail.foldLeft(
+      when(pattern === fsPatterns.head._1, lit(fsPatterns.head._2))) {
+      case (acc, (p, sc)) => acc.when(pattern === p, lit(sc))
+    }
+    j.select(col("a.p_partkey").as("id_a"), col("b.p_partkey").as("id_b"),
+      pattern.as("pattern"), score.as("score"))
+  }
+
+  /** DuckDB twin of [[fsScoredPairs]] as CTE text ending in `scored`.
+    * Score literals are CAST: DuckDB types a bare decimal literal as
+    * DECIMAL and the decimal→double hop can land one ulp off the
+    * strtod parse Spark does.
+    */
+  private val dFsCtes: String = {
+    val cases = fsPatterns.map { case (p, sc) =>
+      s"WHEN pattern = '$p' THEN CAST($sc AS DOUBLE)"
+    }.mkString("\n            ")
+    s"""d AS (SELECT p_partkey, p_brand, p_type, p_size,
+            CAST(floor(p_retailprice / 100.0) AS BIGINT) AS pb
+          FROM part),
+        fspairs AS (SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+            (CASE WHEN a.p_type = b.p_type THEN '1' ELSE '0' END ||
+             CASE WHEN a.p_size = b.p_size THEN '1' ELSE '0' END ||
+             CASE WHEN a.pb = b.pb THEN '1' ELSE '0' END) AS pattern
+          FROM d a JOIN d b
+            ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey),
+        scored AS (SELECT id_a, id_b, pattern, CASE
+            $cases
+            END AS score FROM fspairs)"""
+  }
+
   /** DuckDB twins of [[TextStats.stopwordRatio]]/[[TextStats.qualityScore]]
     * (shared by q21 and the q137 survivor ranking).
     */
@@ -4819,51 +4870,47 @@ object QueriesExt {
     // on either engine. Candidates come brand-blocked (the q105
     // contract: block key = shuffle key, never all-pairs).
     QueryDef("q164_record_linkage",
-      (s, dir) => {
-        val d = t(s, dir, "part").select(
-          col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"),
-          floor(col("p_retailprice") / lit(100.0)).cast("long").as("pb"))
-        val j = d.as("a").join(d.as("b"),
-          col("a.p_brand") === col("b.p_brand") &&
-            col("a.p_partkey") < col("b.p_partkey"))
-        val bits = Seq(
-          col("a.p_type") === col("b.p_type"),
-          col("a.p_size") === col("b.p_size"),
-          col("a.pb") === col("b.pb"))
-        val pattern = concat(bits.map(b =>
-          when(b, lit("1")).otherwise(lit("0"))): _*)
-        val score = fsPatterns.tail.foldLeft(
-          when(pattern === fsPatterns.head._1, lit(fsPatterns.head._2))) {
-          case (acc, (p, sc)) => acc.when(pattern === p, lit(sc))
-        }
-        j.select(col("a.p_partkey").as("id_a"),
-            col("b.p_partkey").as("id_b"),
-            pattern.as("pattern"), score.as("score"))
-          .filter(col("score") >= fsMinScore)
-          .orderBy("id_a", "id_b")
-      },
-      Some {
-        // CAST each literal: DuckDB types a bare decimal literal as
-        // DECIMAL and the decimal→double hop can land one ulp off the
-        // strtod parse Spark does
-        val cases = fsPatterns.map { case (p, sc) =>
-          s"WHEN pattern = '$p' THEN CAST($sc AS DOUBLE)"
-        }.mkString("\n            ")
-        s"""WITH d AS (SELECT p_partkey, p_brand, p_type, p_size,
-            CAST(floor(p_retailprice / 100.0) AS BIGINT) AS pb
-          FROM part),
-        pairs AS (SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
-            (CASE WHEN a.p_type = b.p_type THEN '1' ELSE '0' END ||
-             CASE WHEN a.p_size = b.p_size THEN '1' ELSE '0' END ||
-             CASE WHEN a.pb = b.pb THEN '1' ELSE '0' END) AS pattern
-          FROM d a JOIN d b
-            ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey),
-        scored AS (SELECT id_a, id_b, pattern, CASE
-            $cases
-            END AS score FROM pairs)
+      (s, dir) => fsScoredPairs(s, dir)
+        .filter(col("score") >= fsMinScore)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH $dFsCtes
         SELECT id_a, id_b, pattern, score FROM scored
-        WHERE score >= $fsMinScore ORDER BY id_a, id_b"""
-      }),
+        WHERE score >= $fsMinScore ORDER BY id_a, id_b""")),
+
+    // ── Linkage clusters: transitive closure of q164 matches (q166) ────
+    // Detect → CLUSTER, the entity-resolution step after scoring: the
+    // accepted match pairs feed the q45 label-propagation components
+    // machinery, and each part gets its entity id (min member key) and
+    // entity size. The oracle states the ground truth as recursive
+    // reachability + min-label over the same scored pairs.
+    QueryDef("q166_linkage_clusters",
+      (s, dir) => {
+        val pairs = fsScoredPairs(s, dir)
+          .filter(col("score") >= fsMinScore)
+          .select("id_a", "id_b")
+        val labeled = Dedup.dedupClusters(pairs)
+        labeled
+          .withColumn("cluster_size",
+            count(lit(1)).over(Window.partitionBy(col("cluster")))
+              .cast("long"))
+          .select(col("id").as("p_partkey"), col("cluster"),
+            col("cluster_size"))
+          .orderBy("p_partkey")
+      },
+      Some(s"""WITH RECURSIVE $dFsCtes,
+        m AS (SELECT id_a, id_b FROM scored WHERE score >= $fsMinScore),
+        edges AS (SELECT id_a AS u, id_b AS v FROM m
+                  UNION SELECT id_b, id_a FROM m),
+        nodes AS (SELECT DISTINCT u AS id FROM edges),
+        reach(id, r) AS (
+          SELECT id, id FROM nodes
+          UNION
+          SELECT rr.id, e.v FROM reach rr JOIN edges e ON rr.r = e.u),
+        lab AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id)
+        SELECT id AS p_partkey, cluster,
+          CAST(COUNT(*) OVER (PARTITION BY cluster) AS BIGINT)
+            AS cluster_size
+        FROM lab ORDER BY p_partkey""")),
 
     // ── Gini concentration of user activity per event type (q165) ──────
     // The inequality monitor for curation mixes: how concentrated is
@@ -4906,5 +4953,106 @@ object QueriesExt {
           CAST(SUM((2 * i - n - 1) * x) * 100000000
             // (MAX(n) * MAX(s)) AS DOUBLE) / 100000000.0 AS gini
         FROM r GROUP BY event_type ORDER BY event_type""")),
+
+    // ── Per-user modal event type (q167) ───────────────────────────────
+    // The MODE aggregate with a pinned tie contract (max count, then
+    // lexicographically smallest type) — engines disagree on native
+    // mode() tie-breaks, so it's stated as a rank window over the
+    // bounded (user, type) count table; the only full-data shuffle is
+    // the count groupBy.
+    QueryDef("q167_mode_event",
+      (s, dir) => {
+        val c = t(s, dir, "events")
+          .groupBy("user_id", "event_type")
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy("user_id")
+          .orderBy(desc("cnt"), col("event_type"))
+        c.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type").as("mode_type"),
+            col("cnt").as("mode_count"))
+          .orderBy("user_id")
+      },
+      Some("""WITH c AS (SELECT user_id, event_type, COUNT(*) AS cnt
+            FROM events GROUP BY 1, 2),
+        r AS (SELECT user_id, event_type, cnt,
+            ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY cnt DESC, event_type) AS rn FROM c)
+        SELECT user_id, event_type AS mode_type, cnt AS mode_count
+        FROM r WHERE rn = 1 ORDER BY user_id""")),
+
+    // ── Autocorrelation function to lag 6 (q168) ───────────────────────
+    // q129 generalized from lag 1 to the full short-range ACF: one
+    // window pass computes all acfMaxLag lagged copies of the daily
+    // series, an in-row stack unpivots them, and each (type, lag)
+    // cell reduces to integer sufficient sums finished by one fixed
+    // IEEE expression (sqrt is correctly rounded, so both engines
+    // agree bit-for-bit). Lags are series-index lags over observed
+    // days — the q129 contract.
+    QueryDef("q168_acf",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy("event_type").orderBy(col("day"))
+        val lagged = (1 to acfMaxLag).foldLeft(daily) { (df, l) =>
+          df.withColumn(s"p$l", lag(col("c"), l).over(w))
+        }
+        val stacked = lagged.select(col("event_type"), col("c"),
+          explode(expr(s"""arrays_zip(
+            array(${(1 to acfMaxLag).mkString(", ")}),
+            array(${(1 to acfMaxLag).map(l => s"p$l").mkString(", ")}))"""))
+            .as("z"))
+          .select(col("event_type"), expr("z.`0`").cast("int").as("lag"),
+            col("c"), expr("z.`1`").as("prev"))
+          .filter(col("prev").isNotNull)
+        val g = stacked.groupBy("event_type", "lag").agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(col("prev")).cast("double").as("sx"),
+          sum(col("c")).cast("double").as("sy"),
+          sum(col("prev") * col("prev")).cast("double").as("sxx"),
+          sum(col("prev") * col("c")).cast("double").as("sxy"),
+          sum(col("c") * col("c")).cast("double").as("syy"))
+        val den1 = col("n") * col("sxx") - col("sx") * col("sx")
+        val den2 = col("n") * col("syy") - col("sy") * col("sy")
+        g.select(col("event_type"), col("lag"),
+            col("n").cast("long").as("n_pairs"),
+            when(den1 > 0.0 && den2 > 0.0,
+              (col("n") * col("sxy") - col("sx") * col("sy")) /
+                sqrt(den1 * den2)).as("autocorr"))
+          .orderBy("event_type", "lag")
+      },
+      Some {
+        val lagCols = (1 to acfMaxLag).map(l =>
+          s"lag(c, $l) OVER (PARTITION BY event_type ORDER BY day) AS p$l")
+          .mkString(",\n            ")
+        val stack = (1 to acfMaxLag).map(l =>
+          s"SELECT event_type, $l AS lag, c, p$l AS prev FROM lagged")
+          .mkString("\n          UNION ALL ")
+        s"""WITH daily AS (SELECT event_type,
+            epoch_us(ts) // 86400000000 AS day, COUNT(*) AS c
+          FROM events GROUP BY 1, 2),
+        lagged AS (SELECT event_type, day, c,
+            $lagCols
+          FROM daily),
+        stacked AS ($stack),
+        g AS (SELECT event_type, lag,
+            CAST(COUNT(*) AS DOUBLE) AS n,
+            CAST(SUM(prev) AS DOUBLE) AS sx,
+            CAST(SUM(c) AS DOUBLE) AS sy,
+            CAST(SUM(prev * prev) AS DOUBLE) AS sxx,
+            CAST(SUM(prev * c) AS DOUBLE) AS sxy,
+            CAST(SUM(c * c) AS DOUBLE) AS syy
+          FROM stacked WHERE prev IS NOT NULL GROUP BY 1, 2)
+        SELECT event_type, CAST(lag AS INT) AS lag,
+          CAST(n AS BIGINT) AS n_pairs,
+          CASE WHEN (n * sxx - sx * sx) > 0.0
+              AND (n * syy - sy * sy) > 0.0
+            THEN (n * sxy - sx * sy)
+              / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) END
+            AS autocorr
+        FROM g ORDER BY event_type, lag"""
+      }),
   )
 }
