@@ -48,21 +48,39 @@ object Hypothesis {
     * Returns the input columns plus `cum` = inclusive prefix sum.
     */
   def prefixSumByRange(df: DataFrame, orderCol: String, valueCol: String,
-                       partitions: Int): DataFrame = {
+                       partitions: Int): DataFrame =
+    prefixSumsByRange(df, orderCol, Seq(valueCol), partitions)
+      .withColumnRenamed(s"cum_$valueCol", "cum")
+
+  /** Multi-column form of [[prefixSumByRange]]: ONE range repartition
+    * and one per-partition window pass produce `cum_<col>` for every
+    * value column — a two-sided CDF (q151/q152) then costs the same
+    * shuffles as a one-sided one.
+    */
+  def prefixSumsByRange(df: DataFrame, orderCol: String,
+                        valueCols: Seq[String], partitions: Int): DataFrame = {
+    require(valueCols.nonEmpty, "no value columns")
     val ranged = df.repartitionByRange(partitions, col(orderCol))
       .withColumn("_pid", spark_partition_id())
-    val local = ranged.withColumn("_local",
-      sum(col(valueCol)).over(Window.partitionBy("_pid").orderBy(orderCol)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val offsets = local.groupBy("_pid")
-      .agg(sum(col(valueCol)).as("_ptot"))
-      .withColumn("_offset",
-        coalesce(sum(col("_ptot")).over(Window.orderBy("_pid")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("_pid", "_offset")
-    local.join(broadcast(offsets), "_pid")
-      .withColumn("cum", col("_local") + col("_offset"))
-      .drop("_pid", "_local", "_offset")
+    val wLoc = Window.partitionBy("_pid").orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = valueCols.foldLeft(ranged) { (d, v) =>
+      d.withColumn(s"_local_$v", sum(col(v)).over(wLoc))
+    }
+    val wPrev = Window.orderBy("_pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ptots = valueCols.map(v => sum(col(v)).as(s"_ptot_$v"))
+    val offsets = ranged.groupBy("_pid")
+      .agg(ptots.head, ptots.tail: _*)
+      .select(col("_pid") +: valueCols.map(v =>
+        coalesce(sum(col(s"_ptot_$v")).over(wPrev), lit(0L))
+          .as(s"_off_$v")): _*)
+    val joined = local.join(broadcast(offsets), "_pid")
+    val withCums = valueCols.foldLeft(joined) { (d, v) =>
+      d.withColumn(s"cum_$v", col(s"_local_$v") + col(s"_off_$v"))
+    }
+    withCums.drop("_pid" +:
+      valueCols.flatMap(v => Seq(s"_local_$v", s"_off_$v")): _*)
   }
 
   /** Two-sample Kolmogorov–Smirnov over `valueCol`, groups selected by
@@ -80,12 +98,11 @@ object Hypothesis {
       .groupBy(valueCol.as("v"))
       .agg(sum(when(isA, 1L).otherwise(0L)).as("ca"),
         sum(when(isB, 1L).otherwise(0L)).as("cb"))
-    val withCa = prefixSumByRange(counts, "v", "ca", partitions)
-      .withColumnRenamed("cum", "fa")
-    val cum = prefixSumByRange(withCa, "v", "cb", partitions)
-      .withColumnRenamed("cum", "fb")
-    val tot = df.agg(sum(when(isA, 1L).otherwise(0L)).as("n1"),
-      sum(when(isB, 1L).otherwise(0L)).as("n2"))
+    val cum = prefixSumsByRange(counts, "v", Seq("ca", "cb"), partitions)
+      .withColumnRenamed("cum_ca", "fa")
+      .withColumnRenamed("cum_cb", "fb")
+    // totals from the histogram, not a second scan of the input
+    val tot = counts.agg(sum("ca").as("n1"), sum("cb").as("n2"))
     cum.crossJoin(broadcast(tot))
       .groupBy("n1", "n2")
       .agg(max(abs(col("fa") * col("n2") - col("fb") * col("n1")))
@@ -118,8 +135,8 @@ object Hypothesis {
       .withColumn("c", col("ca") + col("cb"))
     val cum = prefixSumByRange(counts, "v", "c", partitions)
       .withColumn("bef", col("cum") - col("c"))
-    val tot = df.agg(sum(when(isA, 1L).otherwise(0L)).as("n1"),
-      sum(when(isB, 1L).otherwise(0L)).as("n2"))
+    // totals from the histogram, not a second scan of the input
+    val tot = counts.agg(sum("ca").as("n1"), sum("cb").as("n2"))
     cum.crossJoin(broadcast(tot))
       .groupBy("n1", "n2")
       .agg(sum(col("ca") * (lit(2L) * col("bef") + col("c") + lit(1L)))
