@@ -5054,5 +5054,51 @@ object QueriesExt {
             AS autocorr
         FROM g ORDER BY event_type, lag"""
       }),
+
+    // ── BPE encode: apply the learned merges to the corpus (q169) ──────
+    // The tokenizer's second half — q161 TRAINS the merge table, this
+    // ENCODES with it: the training loop's final vocab table already
+    // holds every distinct word's post-merge symbol sequence, so
+    // encoding is one broadcast join against the exploded corpus and a
+    // per-doc sum. The oracle replays the whole train+apply chain;
+    // every CTE is MATERIALIZED (the vocab chain references each stage
+    // ~3×, which DuckDB would otherwise inline exponentially).
+    QueryDef("q169_bpe_encode",
+      (s, dir) => graft.ext.TextStats.bpeEncode(
+        tPar(s, dir, "documents"), "doc_id", col("text"), bpeSteps),
+      Some {
+        def fold(b: String) =
+          s"""string_split(substr(list_reduce(list_prepend('', syms),
+             (acc, x) -> CASE
+               WHEN ends_with(acc, ' ' || $b.m_left) AND x = $b.m_right
+               THEN substr(acc, 1,
+                   strlen(acc) - strlen($b.m_left) - 1)
+                 || ' ' || $b.m_left || $b.m_right
+               ELSE acc || ' ' || x END), 2), ' ')"""
+        def bestCte(k: Int) =
+          s"""b$k AS MATERIALIZED (SELECT p.l AS m_left, p.r AS m_right
+           FROM (SELECT wc, unnest(list_transform(range(1, len(syms)),
+               i -> {'l': syms[CAST(i AS INT)],
+                     'r': syms[CAST(i AS INT) + 1]})) AS p
+             FROM v${k - 1}) q
+           GROUP BY 1, 2
+           ORDER BY SUM(wc) DESC, m_left, m_right LIMIT 1)"""
+        def vocabCte(k: Int) =
+          s"""v$k AS MATERIALIZED (SELECT word, wc, ${fold(s"b$k")} AS syms
+           FROM v${k - 1}, b$k)"""
+        val ctes = (s"""v0 AS MATERIALIZED (SELECT word, COUNT(*) AS wc,
+            list_transform(range(1, strlen(word) + 1),
+              i -> substr(word, CAST(i AS INT), 1)) AS syms
+          FROM (SELECT unnest($dTok) AS word FROM documents)
+          GROUP BY word)""" +:
+          (1 to bpeSteps).flatMap(k => Seq(bestCte(k), vocabCte(k))))
+          .mkString(",\n        ")
+        s"""WITH $ctes,
+        tok AS (SELECT doc_id, unnest($dTok) AS word FROM documents)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+          CAST(SUM(len(v$bpeSteps.syms)) AS BIGINT) AS n_subwords
+        FROM tok JOIN v$bpeSteps USING (word)
+        GROUP BY doc_id ORDER BY doc_id"""
+      }),
   )
 }

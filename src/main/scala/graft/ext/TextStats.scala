@@ -220,7 +220,30 @@ object TextStats {
     * Each round's vocab is localCheckpoint'ed: the next round's plan
     * references the materialized table, not `steps` nested folds.
     */
-  def bpeTrain(docs: DataFrame, textCol: Column, steps: Int): DataFrame = {
+  def bpeTrain(docs: DataFrame, textCol: Column, steps: Int): DataFrame =
+    bpeLoop(docs, textCol, steps)._1
+
+  /** Apply the merges [[bpeTrain]] learns back onto the corpus — the
+    * ENCODE half of the tokenizer: every distinct word is reduced to
+    * its post-merge symbol sequence (the training loop's final vocab
+    * table IS that encoding, vocab-bounded), then one broadcast join
+    * against the exploded corpus sums subword counts per document.
+    * Returns (doc id, n_words, n_subwords); token-free documents drop
+    * out (inner-join contract, mirrored by the oracle).
+    */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: Column,
+                steps: Int): DataFrame = {
+    val vocab = bpeLoop(docs, textCol, steps)._2
+    docs.select(col(idCol), explode(tokens(textCol)).as("word"))
+      .join(broadcast(vocab.select(col("word"),
+        size(col("syms")).cast("long").as("n_syms"))), "word")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_words"), sum("n_syms").as("n_subwords"))
+      .orderBy(idCol)
+  }
+
+  private def bpeLoop(docs: DataFrame, textCol: Column,
+                      steps: Int): (DataFrame, DataFrame) = {
     require(steps >= 1, s"steps $steps")
     val spark = docs.sparkSession
     var vocab = docs
@@ -257,6 +280,6 @@ object TextStats {
         .select("word", "wc", "syms")
         .localCheckpoint(eager = true)
     }
-    merges.result().reduce(_ unionAll _).orderBy("step")
+    (merges.result().reduce(_ unionAll _).orderBy("step"), vocab)
   }
 }

@@ -26,6 +26,18 @@ class BpeSpec extends AnyFunSuite {
       (4, "low", "er", 2L)))
   }
 
+  test("encode applies the learned merges: per-doc subword counts") {
+    val docs = Seq(
+      (10L, "low low low"), (20L, "lower lower"), (30L, "newest"))
+      .toDF("doc_id", "text")
+    val got = TextStats.bpeEncode(docs, "doc_id", col("text"), 4)
+      .as[(Long, Long, Long)].collect().toSeq
+    // after (l,o)(lo,w)(e,r)(low,er): low→[low], lower→[lower] (the
+    // 4th merge is itself applied), newest untouched (no learned pair
+    // is adjacent in it)
+    assert(got == Seq((10L, 3L, 3L), (20L, 2L, 2L), (30L, 1L, 6L)))
+  }
+
   test("greedy merge is leftmost-first on runs") {
     // 'aaaa' with pair (a,a) must become [aa, aa], so round 2's top
     // pair is (aa, aa) with one occurrence per word instance
