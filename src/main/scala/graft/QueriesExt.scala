@@ -5100,5 +5100,49 @@ object QueriesExt {
         FROM tok JOIN v$bpeSteps USING (word)
         GROUP BY doc_id ORDER BY doc_id"""
       }),
+
+    // ── SCD type 3: previous-value shadow columns (q170) ───────────────
+    // Completes the SCD family (type 1 = D5 upsert, type 2 = q15's
+    // versioned merge): one full-outer join on the key; a changed
+    // attribute's old value moves into its per-attribute shadow, new
+    // keys insert with null shadows, keys absent from the snapshot
+    // stay untouched. No versioning rows — the type-3 trade of exactly
+    // one generation of history. Same orders-snapshot fixtures as q15.
+    QueryDef("q170_scd3",
+      (s, dir) => {
+        def snap(cut: String) = t(s, dir, "orders")
+          .filter(col("o_orderdate") < lit(cut))
+          .groupBy(col("o_custkey").as("custkey"))
+          .agg(count(lit(1)).as("n_orders"),
+            max(col("o_totalprice")).as("max_price"))
+        val d0 = snap("1998-01-01")
+          .withColumn("prev_n_orders", lit(null).cast("long"))
+          .withColumn("prev_max_price", lit(null).cast("double"))
+        Scd2.scd3Merge(d0, snap("2000-01-01"), "custkey",
+          Seq("n_orders", "max_price")).orderBy("custkey")
+      },
+      Some("""WITH s1 AS (
+          SELECT o_custkey AS custkey, COUNT(*) AS n_orders,
+            max(o_totalprice) AS max_price
+          FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+          GROUP BY 1),
+        s2 AS (
+          SELECT o_custkey AS custkey, COUNT(*) AS n_orders,
+            max(o_totalprice) AS max_price
+          FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'
+          GROUP BY 1)
+        SELECT COALESCE(s1.custkey, s2.custkey) AS custkey,
+          CASE WHEN s2.custkey IS NULL THEN s1.n_orders
+               ELSE s2.n_orders END AS n_orders,
+          CASE WHEN s1.custkey IS NOT NULL AND s2.custkey IS NOT NULL
+                AND s1.n_orders IS DISTINCT FROM s2.n_orders
+            THEN s1.n_orders END AS prev_n_orders,
+          CASE WHEN s2.custkey IS NULL THEN s1.max_price
+               ELSE s2.max_price END AS max_price,
+          CASE WHEN s1.custkey IS NOT NULL AND s2.custkey IS NOT NULL
+                AND s1.max_price IS DISTINCT FROM s2.max_price
+            THEN s1.max_price END AS prev_max_price
+        FROM s1 FULL OUTER JOIN s2 ON s1.custkey = s2.custkey
+        ORDER BY custkey""")),
   )
 }

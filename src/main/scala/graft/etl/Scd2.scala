@@ -126,6 +126,50 @@ object Scd2 {
   final case class WarehouseState(version: Long, histDirs: Seq[String],
                                   curDir: Option[String])
 
+  /** SCD TYPE 3 merge — the previous-value column variant completing
+    * the SCD family (type 1 = the D5 upsert, type 2 = [[merge]]):
+    * `dim` carries each tracked attribute plus its `prev_<attr>`
+    * shadow; merging a snapshot moves a changed attribute's old value
+    * into the shadow, leaves unchanged rows' shadows alone, inserts
+    * new keys with null shadows, and keeps keys absent from the
+    * snapshot as-is. One full-outer join on the key — no versioning
+    * rows, so the dimension never grows with history (that's the
+    * type-3 trade: exactly ONE generation of history).
+    *
+    * Comparisons are null-safe (`<=>`), so a null→value transition
+    * counts as a change just like value→value.
+    */
+  def scd3Merge(dim: DataFrame, snapshot: DataFrame, key: String,
+                attrs: Seq[String]): DataFrame = {
+    require(attrs.nonEmpty, "no tracked attributes")
+    val d = dim
+      .withColumn("_in_d", lit(1))
+      .select(col(key) +: col("_in_d") +:
+        attrs.flatMap(a => Seq(col(a).as(s"_d_$a"),
+          col(s"prev_$a").as(s"_p_$a"))): _*)
+    val s = snapshot
+      .withColumn("_in_s", lit(1))
+      .select(col(key) +: col("_in_s") +:
+        attrs.map(a => col(a).as(s"_s_$a")): _*)
+    val j = d.join(s, Seq(key), "full_outer")
+    val inBoth = col("_in_d").isNotNull && col("_in_s").isNotNull
+    // per-ATTRIBUTE shadows (the textbook type 3): attribute a's shadow
+    // moves only when a itself changed, even if a sibling changed too
+    val outCols = attrs.flatMap { a =>
+      val changedA = !(col(s"_d_$a") <=> col(s"_s_$a"))
+      val value =
+        when(col("_in_d").isNull, col(s"_s_$a"))          // insert
+          .when(col("_in_s").isNull, col(s"_d_$a"))       // untouched
+          .otherwise(col(s"_s_$a"))                       // refresh
+      val prev =
+        when(inBoth && changedA, col(s"_d_$a"))           // shadow moves
+          .when(col("_in_d").isNotNull, col(s"_p_$a"))    // shadow kept
+      // inserts fall through to null shadows
+      Seq(value.as(a), prev.as(s"prev_$a"))
+    }
+    j.select(col(key) +: outCols: _*)
+  }
+
   private def hadoopFs(spark: org.apache.spark.sql.SparkSession,
                        path: String) =
     new org.apache.hadoop.fs.Path(path)

@@ -198,4 +198,33 @@ class Scd2Spec extends AnyFunSuite {
     assert(dim2.filter($"dt_last_update" =!= lit(Scd2.Sentinel) &&
       $"dt_last_update" >= lit(Scd2.Sentinel)).isEmpty)
   }
+
+  test("scd3Merge: per-attribute shadows across two generations") {
+    import org.apache.spark.sql.functions._
+    // dim after an earlier life: a's shadow already holds 1
+    val d0 = Seq(("a", 5, Some(1), 10, Option.empty[Int]),
+        ("b", 7, Option.empty[Int], 20, Option.empty[Int]))
+      .toDF("k", "x", "prev_x", "y", "prev_y")
+    // snapshot: a changes x only (shadow moves, y shadow untouched),
+    // b unchanged (both shadows kept), c is new (null shadows)
+    val snap = Seq(("a", 6, 10), ("b", 7, 20), ("c", 9, 30))
+      .toDF("k", "x", "y")
+    val out = Scd2.scd3Merge(d0, snap, "k", Seq("x", "y"))
+      .orderBy("k")
+      .select("k", "x", "prev_x", "y", "prev_y")
+      .as[(String, Int, Option[Int], Int, Option[Int])].collect().toSeq
+    assert(out == Seq(
+      ("a", 6, Some(5), 10, None),
+      ("b", 7, None, 20, None),
+      ("c", 9, None, 30, None)))
+    // a key absent from the snapshot stays untouched, shadows intact
+    val out2 = Scd2.scd3Merge(d0, Seq(("a", 5, 10)).toDF("k", "x", "y"),
+        "k", Seq("x", "y"))
+      .orderBy("k")
+      .select("k", "x", "prev_x", "y", "prev_y")
+      .as[(String, Int, Option[Int], Int, Option[Int])].collect().toSeq
+    assert(out2 == Seq(
+      ("a", 5, Some(1), 10, None),
+      ("b", 7, None, 20, None)))
+  }
 }
