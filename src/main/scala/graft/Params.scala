@@ -79,6 +79,10 @@ object Params {
   /** Autocorrelation horizon (q168): lags 1..acfMaxLag of the daily
     * volume series. */
   val acfMaxLag = 6
+  /** Benford first-digit probabilities (q172): log10(1 + 1/d),
+    * computed ONCE here and embedded as literals on both engines — no
+    * per-row transcendental anywhere. */
+  def benfordP(d: Int): Double = math.log10(1.0 + 1.0 / d)
 
   /** All 2^|fields| agreement patterns with their precomputed scores
     * (bit order = [[fsFields]] order, '1' = agree). */

@@ -5144,5 +5144,104 @@ object QueriesExt {
             THEN s1.max_price END AS prev_max_price
         FROM s1 FULL OUTER JOIN s2 ON s1.custkey = s2.custkey
         ORDER BY custkey""")),
+
+    // ── Audio fingerprint dedup: energy-envelope sign bits (q171) ──────
+    // The audio leg of the dedup suite (text q24/q106, images q150):
+    // each clip reduces to the 15-bit sign sequence of its frame-energy
+    // deltas (the Shazam-style envelope fingerprint, integer-exact on
+    // the int64 energies), and clips collide on equal fingerprints.
+    // One decode pass + two bounded groupBys; the oracle replays
+    // energies closed-form from the cycled text bytes and folds the
+    // same bits.
+    QueryDef("q171_audio_fingerprint",
+      (s, dir) => {
+        val media = Multimodal.asWavMediaTable(tPar(s, dir, "documents"),
+          "doc_id", "text", 256, 16000)
+        val fp = Multimodal.audioFrames(media, frameLen = 16, hop = 16)
+          .groupBy("media_id")
+          .agg(sort_array(collect_list(struct(col("frame_no"),
+            col("energy")))).as("arr"))
+          .select(col("media_id"), expr(
+            """array_join(zip_with(
+               slice(arr, 1, size(arr) - 1), slice(arr, 2, size(arr) - 1),
+               (a, b) -> CASE WHEN b.energy > a.energy
+                 THEN '1' ELSE '0' END), '')""").as("fp"))
+        fp.groupBy("fp")
+          .agg(count(lit(1)).as("n_docs"), min("media_id").as("canonical"))
+          .filter(col("n_docs") > 1)
+          .orderBy("fp")
+      },
+      Some {
+        val samp = "CAST((ascii(substr(text, CAST(i % strlen(text) AS INT)" +
+          " + 1, 1)) - 128) * 256 AS BIGINT)"
+        s"""WITH f AS (SELECT doc_id, text,
+            unnest(range(0, 16)) AS fr FROM documents),
+        e AS (SELECT doc_id, fr,
+            CASE WHEN strlen(text) = 0 THEN CAST(0 AS BIGINT) ELSE
+              CAST(list_sum(list_transform(
+                range(fr * 16, fr * 16 + 16), i -> $samp * $samp))
+              AS BIGINT) END AS energy
+          FROM f),
+        b AS (SELECT a.doc_id, a.fr,
+            CASE WHEN a.energy > p.energy THEN '1' ELSE '0' END AS bit
+          FROM e a JOIN e p ON a.doc_id = p.doc_id AND a.fr = p.fr + 1),
+        fp AS (SELECT doc_id, string_agg(bit, '' ORDER BY fr) AS fp
+          FROM b GROUP BY doc_id)
+        SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          MIN(doc_id) AS canonical
+        FROM fp GROUP BY fp HAVING COUNT(*) > 1 ORDER BY fp"""
+      }),
+
+    // ── Benford first-digit conformance test (q172) ────────────────────
+    // The fraud/synthetic-data canary: per order status, chi-square of
+    // the o_totalprice leading-digit distribution against Benford's
+    // log10(1+1/d). First digits come from integer string indexing
+    // (never a per-row log); the nine Benford probabilities are
+    // PRECOMPUTED double literals shared with the oracle, so the only
+    // float work is nine fixed IEEE (o−e)²/e terms per group, each
+    // floor-quantized before the sum. One groupBy shuffle.
+    QueryDef("q172_benford",
+      (s, dir) => {
+        val digits = 1 to 9
+        val base = t(s, dir, "orders")
+          .withColumn("d", substring(
+            floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+            .cast("int"))
+          .filter(col("d").between(1, 9))
+        val counts = digits.map(d =>
+          sum(when(col("d") === d, 1L).otherwise(0L)).as(s"o$d"))
+        val aggCols = count(lit(1)).as("n") +: counts
+        val agged = base.groupBy("o_orderstatus")
+          .agg(aggCols.head, aggCols.tail: _*)
+        val chi2 = digits.map { d =>
+          val e = col("n").cast("double") * lit(benfordP(d))
+          floor((col(s"o$d").cast("double") - e) *
+            (col(s"o$d").cast("double") - e) / e * lit(1.0e6))
+            .cast("long")
+        }.reduce(_ + _)
+        agged.select(col("o_orderstatus"), col("n"),
+            (chi2.cast("double") / lit(1.0e6)).as("chi2"))
+          .orderBy("o_orderstatus")
+      },
+      Some {
+        val obs = (1 to 9).map(d =>
+          s"SUM(CASE WHEN d = $d THEN 1 ELSE 0 END) AS o$d")
+          .mkString(",\n            ")
+        val terms = (1 to 9).map { d =>
+          val e = s"(CAST(n AS DOUBLE) * CAST(${benfordP(d)} AS DOUBLE))"
+          s"""CAST(floor((CAST(o$d AS DOUBLE) - $e)
+             * (CAST(o$d AS DOUBLE) - $e) / $e * 1000000.0) AS BIGINT)"""
+        }.mkString(" + ")
+        s"""WITH b AS (SELECT o_orderstatus,
+            CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+              AS VARCHAR), 1, 1) AS INT) AS d
+          FROM orders),
+        g AS (SELECT o_orderstatus, COUNT(*) AS n,
+            $obs
+          FROM b WHERE d BETWEEN 1 AND 9 GROUP BY o_orderstatus)
+        SELECT o_orderstatus, CAST(n AS BIGINT) AS n,
+          CAST($terms AS DOUBLE) / 1000000.0 AS chi2
+        FROM g ORDER BY o_orderstatus"""
+      }),
   )
 }
