@@ -5243,5 +5243,75 @@ object QueriesExt {
           CAST($terms AS DOUBLE) / 1000000.0 AS chi2
         FROM g ORDER BY o_orderstatus"""
       }),
+
+    // ── Exact rolling 7-day distinct users per day (q173) ──────────────
+    // The exact twin of q127's KMV sliding distinct: each (user, day)
+    // observation contributes to the 7 windows ending on days
+    // d..d+6 — the standard expand-then-distinct-count shape (×7
+    // map-side expansion, one distinct-agg shuffle), which is how
+    // exact rolling DAU/WAU is computed at scale when the sketch
+    // answer isn't enough. Emits every window end the expansion
+    // reaches, including the partial tail past the last observed day.
+    QueryDef("q173_rolling_dau",
+      (s, dir) => {
+        val du = t(s, dir, "events")
+          .select(col("user_id"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .distinct()
+        du.select(col("user_id"),
+            explode(sequence(col("day"), col("day") + 6)).as("rday"))
+          .groupBy("rday")
+          .agg(countDistinct("user_id").as("wau"))
+          .orderBy("rday")
+      },
+      Some("""WITH du AS (SELECT DISTINCT user_id,
+            epoch_us(ts) // 86400000000 AS day FROM events),
+        x AS (SELECT user_id, day + o AS rday
+          FROM du, range(0, 7) t(o))
+        SELECT rday, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+        FROM x GROUP BY rday ORDER BY rday""")),
+
+    // ── Conversion latency: exact view→click delay stats (q174) ────────
+    // Composes the funnel timing (q149's first-click-at-or-after-
+    // first-view) with the exact sort-free median engine (q141):
+    // per-user latency t2−t1 in µs, then count/min/max/median over
+    // the converting population, with the median computed by
+    // histogram refinement — no global sort, oracle = DuckDB median.
+    QueryDef("q174_conversion_latency",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        def typed(tp: String, as: String) =
+          ev.filter(col("event_type") === tp)
+            .select(col("user_id"), unix_micros(col("ts")).as(as))
+        val t1 = typed("view", "us1").groupBy("user_id")
+          .agg(min(col("us1")).as("t1"))
+        val lat = t1.join(typed("click", "us2"), Seq("user_id"))
+          .groupBy("user_id")
+          .agg(min(col("t1")).as("t1"),
+            min(when(col("us2") >= col("t1"), col("us2"))).as("t2"))
+          .filter(col("t2").isNotNull)
+          .select(lit("all").as("g"),
+            (col("t2") - col("t1")).cast("double").as("lat_us"))
+        val med = graft.ext.Stats.exactMedianByGroup(lat, "g", "lat_us")
+          .select(col("n"), col("median").as("median_us"))
+        val ext = lat.groupBy("g")
+          .agg(min("lat_us").as("min_us"), max("lat_us").as("max_us"))
+          .drop("g")
+        med.crossJoin(ext)
+      },
+      Some("""WITH t1 AS (SELECT user_id, MIN(epoch_us(ts)) AS t1
+            FROM events WHERE event_type = 'view' GROUP BY user_id),
+          c AS (SELECT user_id, epoch_us(ts) AS us2 FROM events
+            WHERE event_type = 'click'),
+          lat AS (SELECT CAST(MIN(CASE WHEN c.us2 >= t1.t1
+                THEN c.us2 END) - MIN(t1.t1) AS DOUBLE) AS lat_us
+            FROM t1 JOIN c ON t1.user_id = c.user_id
+            GROUP BY t1.user_id
+            HAVING MIN(CASE WHEN c.us2 >= t1.t1 THEN c.us2 END)
+              IS NOT NULL)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          median(lat_us) AS median_us,
+          MIN(lat_us) AS min_us, MAX(lat_us) AS max_us
+        FROM lat""")),
   )
 }
