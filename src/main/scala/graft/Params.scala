@@ -174,6 +174,17 @@ object Params {
   val cmsTopN = 10
   /** Priority sampling (q114): sample size. */
   val psK = 50
+  /** Exact heavy hitters (q175): keep tokens with frequency ≥ 1/hhDen
+    * of all occurrences (den·count ≥ total). 30 splits the testdata
+    * vocabulary roughly in half, so the count-min gate has real work. */
+  val hhDen = 30L
+  /** Hashed-feature linear classifier (q176): feature buckets and the
+    * weight range — w(b) = baseHash("w|"+b) mod fhWMod − fhWOff, an
+    * integer milli-weight in [−1000, 1000] derived from the hash
+    * family, so the oracle rebuilds the identical model. */
+  val fhDim = 64
+  val fhWMod = 2001
+  val fhWOff = 1000
   /** Phrase search (q115): the two-token phrase (adjacent, in order). */
   val phraseA = "order"
   val phraseB = "fast"

@@ -5313,5 +5313,79 @@ object QueriesExt {
           median(lat_us) AS median_us,
           MIN(lat_us) AS min_us, MAX(lat_us) AS max_us
         FROM lat""")),
+
+    // ── Sketch-gated exact heavy hitters (q175) ────────────────────────
+    // The two-pass production answer to "exact counts above φ": pass 1
+    // builds the bounded count-min grid (q113's sketch), pass 2 gates
+    // every occurrence MAP-SIDE on its broadcast-grid estimate before
+    // the exact-count shuffle — one-sided sketch error means no true
+    // heavy hitter is ever gated out, and the final exact filter kills
+    // collision-inflated impostors. The exact-count shuffle carries
+    // only candidate occurrences; the oracle proves the gate is
+    // transparent (output ≡ plain GROUP BY … HAVING).
+    QueryDef("q175_heavy_hitters",
+      (s, dir) => graft.ext.Sketches.heavyHittersExact(
+        tPar(s, dir, "documents")
+          .select(explode(TextStats.tokens(col("text"))).as("token")),
+        col("token"), cmsDepth, cmsWidth, hhDen)
+        .withColumnRenamed("v", "token")
+        .orderBy(desc("exact_n"), col("token")),
+      Some(s"""WITH tk AS (SELECT unnest($dTok) AS token FROM documents),
+          tot AS (SELECT COUNT(*) AS total FROM tk),
+          hh AS (SELECT token, COUNT(*) AS exact_n FROM tk CROSS JOIN tot
+            GROUP BY token, total HAVING COUNT(*) * $hhDen >= total),
+          grid AS (SELECT j, ('0x' || substr(md5(j::VARCHAR || '|' ||
+              token), 1, 7))::BIGINT % $cmsWidth AS bucket, COUNT(*) AS c
+            FROM tk CROSS JOIN (SELECT unnest(range(0, $cmsDepth)) AS j)
+            GROUP BY 1, 2),
+          est AS (SELECT h.token,
+            CAST(MIN(COALESCE(g.c, 0)) AS BIGINT) AS cms_est
+          FROM hh h CROSS JOIN (SELECT unnest(range(0, $cmsDepth)) AS j) r
+            LEFT JOIN grid g ON g.j = r.j AND g.bucket =
+              ('0x' || substr(md5(r.j::VARCHAR || '|' || h.token), 1, 7))
+                ::BIGINT % $cmsWidth
+          GROUP BY 1)
+        SELECT h.token, CAST(h.exact_n AS BIGINT) AS exact_n, e.cms_est
+        FROM hh h JOIN est e USING (token)
+        ORDER BY exact_n DESC, token""")),
+
+    // ── Hashed-feature linear classifier inference (q176) ──────────────
+    // Model scoring at corpus scale — the fastText/CCNet-style quality
+    // gate: each token hashes to one of fhDim buckets, each bucket
+    // carries an integer milli-weight derived from the portable hash
+    // family (a trained model would broadcast real weights; the
+    // PLUMBING — map-only scoring, no shuffle, no model join — is
+    // identical), and a document's score is the sum over its token
+    // occurrences. One `aggregate` fold per row computes bucket,
+    // weight, and sum in a single pass; the only shuffle in the plan
+    // is the final presentation sort.
+    QueryDef("q176_hash_classifier",
+      (s, dir) => {
+        def score(toks: Column): Column = aggregate(toks, lit(0L),
+          (acc, tk) => {
+            val b = Shingles.baseHash(tk) % fhDim
+            acc + (Shingles.baseHash(concat(lit("w|"), b.cast("string")))
+              % fhWMod - fhWOff)
+          })
+        tPar(s, dir, "documents")
+          .select(col("doc_id"),
+            size(TextStats.tokens(col("text"))).cast("long")
+              .as("n_tokens"),
+            score(TextStats.tokens(col("text"))).as("score_milli"))
+          .withColumn("label",
+            when(col("score_milli") >= 0, lit("keep")).otherwise("drop"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH sc AS (SELECT doc_id,
+            CAST(len($dTok) AS BIGINT) AS n_tokens,
+            CAST(COALESCE(list_sum(list_transform($dTok, t ->
+              ('0x' || substr(md5('w|' ||
+                  (('0x' || substr(md5(t), 1, 7))::BIGINT % $fhDim)
+                    ::VARCHAR), 1, 7))::BIGINT % $fhWMod - $fhWOff)), 0)
+              AS BIGINT) AS score_milli
+          FROM documents)
+        SELECT doc_id, n_tokens, score_milli,
+          CASE WHEN score_milli >= 0 THEN 'keep' ELSE 'drop' END AS label
+        FROM sc ORDER BY doc_id""")),
   )
 }

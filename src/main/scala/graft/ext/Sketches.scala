@@ -119,6 +119,47 @@ object Sketches {
   private def cmsBucket(j: Column, v: Column, width: Int): Column =
     Shingles.baseHash(concat(j.cast("string"), lit("|"), v)) % width
 
+  /** Two-pass EXACT heavy hitters with a count-min prefilter — the
+    * production shape for "exact counts of everything above φ of the
+    * total" when the full key domain is too wide to exact-count:
+    *
+    * Pass 1 builds the depth×width sketch (shuffle bounded by the GRID
+    * size, map-side combine collapses each partition to ≤ depth·width
+    * partials) and collects it to the driver — `depth·width` longs, a
+    * few KB at any corpus size. Pass 2 re-scans and gates each
+    * occurrence MAP-SIDE on its sketch estimate (the grid rides along
+    * as a literal array — no join, no explode: estimate = min over the
+    * depth rows of one array index each), so the exact-count shuffle
+    * only ever carries occurrences of candidate keys. Count-min error
+    * is one-sided (est ≥ true), so the gate provably never drops a true
+    * heavy hitter; the final exact filter removes collision-inflated
+    * false candidates.
+    *
+    * Returns (v, exact_n, cms_est) for every v with den·count ≥ total
+    * occurrences — i.e. frequency ≥ 1/den of the stream.
+    */
+  def heavyHittersExact(df: DataFrame, valueCol: Column, depth: Int,
+                        width: Int, den: Long): DataFrame = {
+    require(den >= 1, s"heavy-hitter denominator $den")
+    val vals = df.select(valueCol.cast("string").as("v"))
+    val grid = Array.fill(depth * width)(0L)
+    countMin(vals, col("v"), depth, width).collect().foreach { r =>
+      grid(r.getInt(0) * width + r.getLong(1).toInt) = r.getLong(2)
+    }
+    // Row 0 of the grid receives exactly one increment per occurrence,
+    // so its counter sum IS the stream length — no extra pass.
+    val total = grid.take(width).sum
+    val gridLit = lit(grid)
+    def est(v: Column): Column = least((0 until depth).map { j =>
+      element_at(gridLit,
+        (lit(j * width) + cmsBucket(lit(j), v, width)).cast("int") + 1)
+    }: _*)
+    vals.filter(est(col("v")) * den >= total)
+      .groupBy("v").agg(count(lit(1)).as("exact_n"))
+      .filter(col("exact_n") * den >= total)
+      .withColumn("cms_est", est(col("v")))
+  }
+
   /** Count-min sketch (Cormode & Muthukrishnan, J. Algorithms 2005):
     * `depth` hash rows × `width` counters; each occurrence of a value
     * increments one counter per row. Returns the sketch as a

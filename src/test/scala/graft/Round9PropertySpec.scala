@@ -199,4 +199,25 @@ class Round9PropertySpec extends AnyFunSuite {
       st.view.exceptAll(direct).isEmpty && direct.exceptAll(st.view).isEmpty
     }, n = 15)
   }
+
+  test("heavyHittersExact ≡ plain GROUP BY HAVING on skewed random data") {
+    // Zipf-ish draws over a key domain wider than the sketch, so bucket
+    // collisions actually happen and the one-sided gate is exercised.
+    val genCase = for {
+      keys <- Gen.listOfN(400, Gen.frequency(
+        (8, Gen.choose(0, 4)), (3, Gen.choose(5, 30)),
+        (1, Gen.choose(31, 200))))
+      den <- Gen.oneOf(10L, 25L, 50L)
+    } yield (keys, den)
+    check(Prop.forAll(genCase) { case (keys, den) =>
+      val df = keys.map(k => s"k$k").toDF("v")
+      val got = graft.ext.Sketches
+        .heavyHittersExact(df, col("v"), 3, 16, den)
+        .select("v", "exact_n")
+      val total = keys.size.toLong
+      val want = df.groupBy("v").agg(count(lit(1)).as("exact_n"))
+        .filter(col("exact_n") * den >= total)
+      got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty
+    }, n = 12)
+  }
 }
