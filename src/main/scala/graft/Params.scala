@@ -185,6 +185,10 @@ object Params {
   val fhDim = 64
   val fhWMod = 2001
   val fhWOff = 1000
+  /** Nearest-centroid assignment (q177): embedding components and
+    * centroid means quantized to this integer grid (floor), keeping
+    * every dot product and comparison in exact long arithmetic. */
+  val ncScale = 1000000L
   /** Phrase search (q115): the two-token phrase (adjacent, in order). */
   val phraseA = "order"
   val phraseB = "fast"

@@ -5387,5 +5387,35 @@ object QueriesExt {
         SELECT doc_id, n_tokens, score_milli,
           CASE WHEN score_milli >= 0 THEN 'keep' ELSE 'drop' END AS label
         FROM sc ORDER BY doc_id""")),
+
+    // ── Nearest-centroid auto-labeling: confusion matrix (q177) ────────
+    // The classification companion of q93's centroid similarity: train
+    // = one bounded (label, dim) aggregation, inference = a MAP-ONLY
+    // pass with the centroid table as literals (at 100 TB the corpus is
+    // scanned once, nothing is joined). All dots are exact long
+    // arithmetic on the shared ncScale quantization grid; ties break to
+    // the smaller label on both engines. Output: how often each true
+    // label's members sit closest (by inner product) to each label's
+    // centroid — the separability audit of the embedding space.
+    QueryDef("q177_nearest_centroid",
+      (s, dir) => graft.ext.Similarity.nearestCentroidConfusion(
+        tPar(s, dir, "embeddings"), "embedding", "label", ncScale),
+      Some(s"""WITH e AS (SELECT vec_id, label,
+            generate_subscripts(embedding, 1) - 1 AS dim,
+            CAST(floor(CAST(unnest(embedding) AS DOUBLE) * $ncScale.0)
+              AS BIGINT) AS vq
+          FROM embeddings),
+        c AS (SELECT label AS cand, dim, SUM(vq) AS s, COUNT(*) AS n
+          FROM e GROUP BY 1, 2),
+        cq AS (SELECT cand, dim,
+            CAST((s - ((s % n) + n) % n) // n AS BIGINT) AS mq FROM c),
+        d AS (SELECT e.vec_id, e.label, cq.cand,
+            SUM(e.vq * cq.mq) AS dot
+          FROM e JOIN cq ON e.dim = cq.dim GROUP BY 1, 2, 3),
+        b AS (SELECT vec_id, label, cand, row_number() OVER (
+            PARTITION BY vec_id ORDER BY dot DESC, cand) AS rn FROM d)
+        SELECT label AS true_label, cand AS assigned,
+          CAST(COUNT(*) AS BIGINT) AS n_vecs
+        FROM b WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""")),
   )
 }

@@ -488,4 +488,52 @@ object Similarity {
       Seq(graft.plans.TopKPerKey.Sort("cos", asc = false),
         graft.plans.TopKPerKey.Sort("nn_id")), k)
       .select("probe_id", "nn_id", "cos", "rank")
+
+  /** Nearest-centroid auto-labeling + confusion matrix — the router /
+    * weak-classifier shape for embedding corpora: per-label centroids
+    * (one bounded-key aggregation), then a MAP-ONLY assignment pass
+    * with the |labels|×dims centroid table riding along as literals —
+    * no join, no explode, the corpus is scanned once per phase and the
+    * output is the ≤ |labels|² confusion matrix.
+    *
+    * Exactness: components quantize to the `scale` integer grid
+    * (float→double widening is exact, ×scale and floor are
+    * correctly-rounded and identical on both engines); centroid means
+    * are FLOOR-div quantized (pmod form, so both engines agree on
+    * negative sums); every dot product is then long arithmetic,
+    * |dot| ≤ dims·scale² — no overflow, no float comparison anywhere.
+    * Ties (equal dots) break toward the smaller label, stated on both
+    * engines.
+    */
+  def nearestCentroidConfusion(emb: DataFrame, vecCol: String,
+                               labelCol: String,
+                               scale: Long): DataFrame = {
+    val q = emb.select(col(labelCol).as("true_label"),
+      transform(col(vecCol), v => floor(v.cast("double") * scale))
+        .as("vq"))
+    val centRows = q
+      .select(col("true_label").as("c"),
+        posexplode(col("vq")).as(Seq("dim", "x")))
+      .groupBy("c", "dim")
+      .agg(sum("x").as("s"), count(lit(1)).as("n"))
+      .select(col("c"), col("dim"),
+        expr("(s - pmod(s, n)) div n").as("mq"))
+      .collect()
+    val cents = centRows.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map { case (lab, rows) =>
+        val arr = new Array[Long](rows.map(_.getInt(1)).max + 1)
+        rows.foreach(r => arr(r.getInt(1)) = r.getLong(2))
+        (lab, arr)
+      }
+    val best = array_min(array(cents.map { case (lab, arr) =>
+      struct(
+        (-aggregate(zip_with(col("vq"), lit(arr), (x, y) => x * y),
+          lit(0L), (acc, x) => acc + x)).as("negdot"),
+        lit(lab).as("l"))
+    }: _*)).getField("l")
+    q.select(col("true_label"), best.as("assigned"))
+      .groupBy("true_label", "assigned")
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy("true_label", "assigned")
+  }
 }
