@@ -5417,5 +5417,77 @@ object QueriesExt {
         SELECT label AS true_label, cand AS assigned,
           CAST(COUNT(*) AS BIGINT) AS n_vecs
         FROM b WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ── RFM segmentation via the exact-quantile engine (q178) ──────────
+    // The classic customer-value cube (recency / frequency / monetary
+    // quartiles), built the scale-sane way: NO global ntile window
+    // (that's a single-partition sort over every customer) — instead
+    // the q144 histogram-refinement engine finds the nine exact
+    // quantile_cont boundaries distributed, and assignment is a
+    // MAP-SIDE value comparison against nine broadcast literals.
+    // Value-based bins (not row-number ntile) also give ties a stable,
+    // engine-independent meaning: equal metric ⇒ same bin, stated
+    // identically in the oracle.
+    QueryDef("q178_rfm_segments",
+      (s, dir) => {
+        val per = t(s, dir, "orders").groupBy(col("o_custkey").as("ck"))
+          .agg(max(expr(
+            "unix_micros(cast(o_orderdate as timestamp)) div 86400000000"))
+            .as("last_day"), count(lit(1)).as("f"),
+            dsum(col("o_totalprice")).as("m"))
+        val gmax = per.agg(max("last_day").as("gmax"))
+        val rfm = per.crossJoin(broadcast(gmax))
+          .select(col("ck"),
+            (col("gmax") - col("last_day")).cast("double").as("rv"),
+            col("f").cast("double").as("fv"), col("m"))
+        val melted = rfm.select(col("ck"), explode(array(
+          struct(lit("r").as("metric"), col("rv").as("value")),
+          struct(lit("f").as("metric"), col("fv").as("value")),
+          struct(lit("m").as("metric"), col("m").as("value"))))
+          .as("mv")).select(col("mv.metric"), col("mv.value"))
+        val bounds = graft.ext.Stats.exactQuantilesByGroup(
+          melted, "metric", "value", Seq(0.25, 0.5, 0.75),
+          buckets = 64, tail = 64)
+          .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+            r.getDouble(3)).toMap
+        def band(v: Column, metric: String): Column =
+          Seq(0.25, 0.5, 0.75).map(p =>
+            (v > lit(bounds((metric, p)))).cast("int"))
+            .foldLeft(lit(1))(_ + _)
+        rfm.select(col("ck"), col("m"), concat(
+            band(col("rv"), "r").cast("string"),
+            band(col("fv"), "f").cast("string"),
+            band(col("m"), "m").cast("string")).as("segment"))
+          .groupBy("segment")
+          .agg(count(lit(1)).as("n_customers"),
+            dsum(col("m")).as("monetary_sum"))
+          .orderBy("segment")
+      },
+      Some(s"""WITH per AS (SELECT o_custkey AS ck,
+            MAX(epoch_us(o_orderdate) // 86400000000) AS last_day,
+            COUNT(*) AS f, ${dsumSql("o_totalprice")} AS m
+          FROM orders GROUP BY 1),
+        rfm AS (SELECT ck,
+            CAST((SELECT MAX(last_day) FROM per) - last_day AS DOUBLE)
+              AS rv,
+            CAST(f AS DOUBLE) AS fv, m FROM per),
+        q AS (SELECT
+            quantile_cont(rv, 0.25) AS r1, quantile_cont(rv, 0.5) AS r2,
+            quantile_cont(rv, 0.75) AS r3,
+            quantile_cont(fv, 0.25) AS f1, quantile_cont(fv, 0.5) AS f2,
+            quantile_cont(fv, 0.75) AS f3,
+            quantile_cont(m, 0.25) AS m1, quantile_cont(m, 0.5) AS m2,
+            quantile_cont(m, 0.75) AS m3 FROM rfm),
+        seg AS (SELECT ck, m,
+            CAST(1 + (rv > r1)::INT + (rv > r2)::INT + (rv > r3)::INT
+              AS VARCHAR) ||
+            CAST(1 + (fv > f1)::INT + (fv > f2)::INT + (fv > f3)::INT
+              AS VARCHAR) ||
+            CAST(1 + (m > m1)::INT + (m > m2)::INT + (m > m3)::INT
+              AS VARCHAR) AS segment
+          FROM rfm CROSS JOIN q)
+        SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+          ${dsumSql("m")} AS monetary_sum
+        FROM seg GROUP BY segment ORDER BY segment""")),
   )
 }
