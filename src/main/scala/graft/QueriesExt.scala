@@ -5489,5 +5489,74 @@ object QueriesExt {
         SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_customers,
           ${dsumSql("m")} AS monetary_sum
         FROM seg GROUP BY segment ORDER BY segment""")),
+
+    // ── Kaplan–Meier retention curve (q179) ────────────────────────────
+    // Survival analysis for user churn: lifetime = days between a
+    // user's first and last event, "churned" iff the last event falls
+    // ≥ 7 days before the corpus horizon (otherwise right-censored).
+    // The heavy work — per-user lifetimes and the life table — is
+    // ordinary distributed aggregation; at-risk counts come from ONE
+    // suffix-sum window over the ≤|distinct lifetimes| life table; and
+    // the product-limit estimator runs as an in-plan prefix-product
+    // fold over that bounded table (S_i = S_{i-1}·(n_i−d_i) div n_i,
+    // INTEGER-scaled at 1e12 so each truncation is deterministic — the
+    // oracle replays the identical recurrence as a recursive CTE;
+    // long arithmetic holds while 1e12·users < 2^63, i.e. up to ~9M
+    // at-risk users — above that, swap the fold to DECIMAL).
+    QueryDef("q179_kaplan_meier",
+      (s, dir) => {
+        val day = 86400000000L
+        val u = t(s, dir, "events").groupBy("user_id")
+          .agg(min(unix_micros(col("ts"))).as("fu"),
+            max(unix_micros(col("ts"))).as("lu"))
+        val p = u.crossJoin(broadcast(u.agg(max("lu").as("gmax"))))
+          .select(expr("(lu - fu) div 86400000000").as("t"),
+            (col("lu") <= col("gmax") - lit(7L * day)).as("died"))
+        val lt = p.groupBy("t")
+          .agg(sum(when(col("died"), 1L).otherwise(0L)).as("d"),
+            sum(when(col("died"), 0L).otherwise(1L)).as("cc"))
+        // Suffix sum over the bounded life table (global window is fine:
+        // ≤ |distinct lifetime days| rows by construction).
+        val w = Window.orderBy("t")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val withRisk = lt.withColumn("n", sum(col("d") + col("cc")).over(w))
+        withRisk.agg(sort_array(collect_list(
+            struct(col("t"), col("d"), col("cc"), col("n")))).as("arr"))
+          .select(posexplode(expr(
+            """transform(sequence(1, size(arr)), i -> struct(
+               arr[i - 1].t as t, arr[i - 1].d as died,
+               arr[i - 1].cc as censored, arr[i - 1].n as at_risk,
+               aggregate(slice(arr, 1, i), CAST(1000000000000 AS BIGINT),
+                 (acc, x) -> (acc * (x.n - x.d)) div x.n)
+                 as surv_scaled))"""))
+            .as(Seq("i", "row")))
+          .select(col("row.t"), col("row.died"), col("row.censored"),
+            col("row.at_risk"), col("row.surv_scaled"))
+          .orderBy("t")
+      },
+      Some("""WITH RECURSIVE u AS (SELECT user_id,
+            MIN(epoch_us(ts)) AS fu, MAX(epoch_us(ts)) AS lu
+          FROM events GROUP BY 1),
+        p AS (SELECT (lu - fu) // 86400000000 AS t,
+            (lu <= (SELECT MAX(lu) FROM u) - 7 * 86400000000) AS died
+          FROM u),
+        lt AS (SELECT t, SUM(CASE WHEN died THEN 1 ELSE 0 END) AS d,
+            SUM(CASE WHEN died THEN 0 ELSE 1 END) AS cc
+          FROM p GROUP BY t),
+        w AS (SELECT t, d, cc, SUM(d + cc) OVER (ORDER BY t
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n,
+            row_number() OVER (ORDER BY t) AS rn FROM lt),
+        rec AS (
+          SELECT rn, t, d, cc, n,
+            (1000000000000 * (n - d)) // n AS surv
+          FROM w WHERE rn = 1
+          UNION ALL
+          SELECT w.rn, w.t, w.d, w.cc, w.n,
+            (rec.surv * (w.n - w.d)) // w.n
+          FROM rec JOIN w ON w.rn = rec.rn + 1)
+        SELECT t, CAST(d AS BIGINT) AS died,
+          CAST(cc AS BIGINT) AS censored, CAST(n AS BIGINT) AS at_risk,
+          CAST(surv AS BIGINT) AS surv_scaled
+        FROM rec ORDER BY t""")),
   )
 }
