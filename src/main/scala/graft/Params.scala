@@ -189,6 +189,9 @@ object Params {
     * centroid means quantized to this integer grid (floor), keeping
     * every dot product and comparison in exact long arithmetic. */
   val ncScale = 1000000L
+  /** Market-basket mining (q180): keep brand pairs co-ordered in at
+    * least 1/basketDen of all orders (s_ab·basketDen ≥ N). */
+  val basketDen = 40L
   /** Phrase search (q115): the two-token phrase (adjacent, in order). */
   val phraseA = "order"
   val phraseB = "fast"

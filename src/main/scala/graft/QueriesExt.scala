@@ -5558,5 +5558,61 @@ object QueriesExt {
           CAST(cc AS BIGINT) AS censored, CAST(n AS BIGINT) AS at_risk,
           CAST(surv AS BIGINT) AS surv_scaled
         FROM rec ORDER BY t""")),
+
+    // ── Market-basket mining: brand pair rules (q180) ──────────────────
+    // The retail association shape over the REAL fact table (lineitem,
+    // not the doc corpus like q98): support/confidence/lift for brand
+    // pairs co-occurring in one order. Scale plan: the only expansion
+    // is the per-order pair join, bounded by (brands per order choose
+    // 2) — never a brand×brand cross join; brand supports and the
+    // order count are broadcast-tiny. Support threshold is relative
+    // (s_ab·basketDen ≥ N) so the query is scale-invariant; confidence
+    // and lift are single correctly-rounded divisions of exact counts,
+    // written operation-for-operation identically in the oracle.
+    QueryDef("q180_basket_rules",
+      (s, dir) => {
+        val ob = t(s, dir, "lineitem")
+          .join(broadcast(t(s, dir, "part")),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
+          .distinct()
+        val nOrders = ob.select("ok").distinct()
+          .agg(count(lit(1)).as("n"))
+        val supp = ob.groupBy(col("b")).agg(count(lit(1)).as("s"))
+        val pairs = ob.select(col("ok"), col("b").as("ba"))
+          .join(ob.select(col("ok"), col("b").as("bb")), Seq("ok"))
+          .filter(col("ba") < col("bb"))
+          .groupBy("ba", "bb").agg(count(lit(1)).as("s_ab"))
+        pairs.crossJoin(broadcast(nOrders))
+          .filter(col("s_ab") * basketDen >= col("n"))
+          .join(broadcast(supp.select(col("b").as("ba"),
+            col("s").as("s_a"))), "ba")
+          .join(broadcast(supp.select(col("b").as("bb"),
+            col("s").as("s_b"))), "bb")
+          .select(col("ba").as("brand_a"), col("bb").as("brand_b"),
+            col("s_ab"), col("s_a"), col("s_b"),
+            (col("s_ab").cast("double") / col("s_a")).as("confidence"),
+            ((col("n").cast("double") * col("s_ab")) /
+              (col("s_a").cast("double") * col("s_b"))).as("lift"))
+          .orderBy(desc("s_ab"), col("brand_a"), col("brand_b"))
+      },
+      Some(s"""WITH ob AS (SELECT DISTINCT l.l_orderkey AS ok,
+            p.p_brand AS b
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        n AS (SELECT COUNT(DISTINCT ok) AS n FROM ob),
+        supp AS (SELECT b, COUNT(*) AS s FROM ob GROUP BY b),
+        pr AS (SELECT a.b AS ba, c.b AS bb, COUNT(*) AS s_ab
+          FROM ob a JOIN ob c ON a.ok = c.ok AND a.b < c.b
+          GROUP BY 1, 2)
+        SELECT pr.ba AS brand_a, pr.bb AS brand_b,
+          CAST(pr.s_ab AS BIGINT) AS s_ab,
+          CAST(sa.s AS BIGINT) AS s_a, CAST(sb.s AS BIGINT) AS s_b,
+          CAST(pr.s_ab AS DOUBLE) / sa.s AS confidence,
+          (CAST(n.n AS DOUBLE) * pr.s_ab) /
+            (CAST(sa.s AS DOUBLE) * sb.s) AS lift
+        FROM pr CROSS JOIN n
+          JOIN supp sa ON sa.b = pr.ba JOIN supp sb ON sb.b = pr.bb
+        WHERE pr.s_ab * $basketDen >= n.n
+        ORDER BY s_ab DESC, brand_a, brand_b""")),
   )
 }
