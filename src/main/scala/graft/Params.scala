@@ -192,6 +192,9 @@ object Params {
   /** Market-basket mining (q180): keep brand pairs co-ordered in at
     * least 1/basketDen of all orders (s_ab·basketDen ≥ N). */
   val basketDen = 40L
+  /** Systematic PPS sampling (q181): target sample size (expected
+    * pick count; big rows can be picked more than once). */
+  val sysK = 40L
   /** Phrase search (q115): the two-token phrase (adjacent, in order). */
   val phraseA = "order"
   val phraseB = "fast"

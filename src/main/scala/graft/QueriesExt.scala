@@ -5614,5 +5614,47 @@ object QueriesExt {
           JOIN supp sa ON sa.b = pr.ba JOIN supp sb ON sb.b = pr.bb
         WHERE pr.s_ab * $basketDen >= n.n
         ORDER BY s_ab DESC, brand_a, brand_b""")),
+
+    // ── Systematic PPS sampling via distributed prefix sum (q181) ──────
+    // The with-replacement complement of q114's priority sampling:
+    // probability-proportional-to-size systematic selection — walk the
+    // hash-ordered cumulative weight line and pick every W/k-th point.
+    // The cumulative weights come from Hypothesis.prefixSumByRange (a
+    // range repartition + per-partition windows + one broadcast offset
+    // join), so there is NO single-partition global window; selection
+    // is a map-side integer predicate: a row with weight w and
+    // inclusive cum c is picked ⌊c·k/W⌋ − ⌊(c−w)·k/W⌋ times. Exact
+    // long arithmetic end to end (c·k ≤ W·k), deterministic hash
+    // order, so the oracle replays the identical walk with one global
+    // window.
+    QueryDef("q181_systematic_pps",
+      (s, dir) => {
+        val d = tPar(s, dir, "documents").select(col("doc_id"),
+          greatest(lit(1L), col("n_chars")).as("w"),
+          concat(md5(col("doc_id").cast("string")), lit("|"),
+            col("doc_id").cast("string")).as("ok"))
+        val cum = graft.ext.Hypothesis.prefixSumByRange(d, "ok", "w", 32)
+        cum.crossJoin(broadcast(d.agg(sum("w").as("tw"))))
+          .withColumn("n_picks", expr(
+            s"(cum * $sysK) div tw - ((cum - w) * $sysK) div tw"))
+          .filter(col("n_picks") >= 1)
+          .select(col("doc_id"), col("w"), col("cum"), col("n_picks"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH d AS (SELECT doc_id,
+            GREATEST(1, n_chars) AS w,
+            md5(doc_id::VARCHAR) || '|' || doc_id::VARCHAR AS ok
+          FROM documents),
+        c AS (SELECT doc_id, w,
+            SUM(w) OVER (ORDER BY ok
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+            (SELECT SUM(w) FROM d) AS tw
+          FROM d)
+        SELECT doc_id, CAST(w AS BIGINT) AS w, CAST(cum AS BIGINT) AS cum,
+          CAST((cum * $sysK) // tw - ((cum - w) * $sysK) // tw
+            AS BIGINT) AS n_picks
+        FROM c
+        WHERE (cum * $sysK) // tw - ((cum - w) * $sysK) // tw >= 1
+        ORDER BY doc_id""")),
   )
 }
