@@ -195,6 +195,11 @@ object Params {
   /** Systematic PPS sampling (q181): target sample size (expected
     * pick count; big rows can be picked more than once). */
   val sysK = 40L
+  /** MMR diversified retrieval (q182): probe vector id, relevance
+    * candidate pool size, and final diversified picks. */
+  val mmrProbeId = 0L
+  val mmrCand = 12
+  val mmrK = 5
   /** Phrase search (q115): the two-token phrase (adjacent, in order). */
   val phraseA = "order"
   val phraseB = "fast"

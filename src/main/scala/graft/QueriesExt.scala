@@ -5656,5 +5656,61 @@ object QueriesExt {
         FROM c
         WHERE (cum * $sysK) // tw - ((cum - w) * $sysK) // tw >= 1
         ORDER BY doc_id""")),
+
+    // ── MMR diversified retrieval (q182) ───────────────────────────────
+    // Relevance-vs-redundancy re-ranking (λ = ½) on top of the exact
+    // retrieval leg: corpus-scale map-only dots against the broadcast
+    // probe, TakeOrdered candidate pool, then the bounded greedy
+    // re-rank (see Similarity.mmrDiversifiedTopK). The oracle unrolls
+    // the k greedy steps as chained CTEs over the same integer dot
+    // matrix — selection, penalties, and tie-breaks replay exactly.
+    QueryDef("q182_mmr_rerank",
+      (s, dir) => graft.ext.Similarity.mmrDiversifiedTopK(
+        tPar(s, dir, "embeddings"), "vec_id", "embedding",
+        mmrProbeId, mmrCand, mmrK, ncScale)
+        .select(col("rank").cast("long").as("rank"), col("vec_id"),
+          col("relevance"), col("penalty"), col("mmr_score"))
+        .orderBy("rank"),
+      Some {
+        val steps = (2 to mmrK).map { j =>
+          val sel = (1 until j).map(i => s"SELECT vec_id FROM s$i")
+            .mkString(" UNION ALL ")
+          s"""s$j AS (SELECT $j AS rank, vec_id, relevance, penalty,
+              relevance - penalty AS mmr_score FROM (
+            SELECT c.vec_id, c.rel AS relevance,
+              (SELECT MAX(p.d) FROM pr p WHERE p.ida = c.vec_id
+                AND p.idb IN ($sel)) AS penalty
+            FROM cand c WHERE c.vec_id NOT IN ($sel)) t
+            ORDER BY mmr_score DESC, vec_id LIMIT 1)"""
+        }.mkString(",\n        ")
+        val unioned = (1 to mmrK).map(i => s"SELECT * FROM s$i")
+          .mkString(" UNION ALL ")
+        s"""WITH e AS (SELECT vec_id,
+              generate_subscripts(embedding, 1) - 1 AS dim,
+              CAST(floor(CAST(unnest(embedding) AS DOUBLE) * $ncScale.0)
+                AS BIGINT) AS vq
+            FROM embeddings),
+          qv AS (SELECT dim, vq FROM e WHERE vec_id = $mmrProbeId),
+          rel AS (SELECT e.vec_id, SUM(e.vq * qv.vq) AS rel
+            FROM e JOIN qv USING (dim)
+            WHERE e.vec_id <> $mmrProbeId GROUP BY 1),
+          cand AS (SELECT vec_id, rel FROM rel
+            ORDER BY rel DESC, vec_id LIMIT $mmrCand),
+          pr AS (SELECT a.vec_id AS ida, b.vec_id AS idb,
+              SUM(ea.vq * eb.vq) AS d
+            FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+              JOIN e ea ON ea.vec_id = a.vec_id
+              JOIN e eb ON eb.vec_id = b.vec_id AND ea.dim = eb.dim
+            GROUP BY 1, 2),
+          s1 AS (SELECT 1 AS rank, vec_id, rel AS relevance,
+              CAST(NULL AS BIGINT) AS penalty, rel AS mmr_score
+            FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+          $steps
+        SELECT CAST(rank AS BIGINT) AS rank, vec_id,
+          CAST(relevance AS BIGINT) AS relevance,
+          CAST(penalty AS BIGINT) AS penalty,
+          CAST(mmr_score AS BIGINT) AS mmr_score
+        FROM ($unioned) ORDER BY rank"""
+      }),
   )
 }

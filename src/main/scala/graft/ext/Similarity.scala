@@ -536,4 +536,62 @@ object Similarity {
       .agg(count(lit(1)).as("n_vecs"))
       .orderBy("true_label", "assigned")
   }
+
+  /** Maximal-marginal-relevance diversified top-k (Carbonell &
+    * Goldstein, SIGIR'98) with λ = ½: greedily pick the candidate
+    * maximizing relevance − max-similarity-to-already-picked.
+    *
+    * Scale split: the RELEVANCE pass is the corpus-scale part — a
+    * map-only quantized dot against the broadcast probe vector, topped
+    * by TakeOrderedAndProject (per-partition heaps, `cand` rows to the
+    * driver, no full sort). The greedy re-ranking then runs on the
+    * driver over the cand×cand dot matrix — O(cand²) longs, bounded by
+    * construction, the same bounded-collect contract as the ANN
+    * quantizers. All similarity arithmetic is exact long dots on the
+    * `scale` quantization grid; ties break to the smaller id.
+    */
+  def mmrDiversifiedTopK(emb: DataFrame, idCol: String, vecCol: String,
+                         probeId: Long, cand: Int, k: Int,
+                         scale: Long): DataFrame = {
+    require(cand >= k && k >= 1, s"mmr cand=$cand k=$k")
+    val spark = emb.sparkSession
+    val q = emb.select(col(idCol).as("id"),
+      transform(col(vecCol), v => floor(v.cast("double") * scale))
+        .as("vq"))
+    val probe = q.filter(col("id") === probeId).limit(2).collect()
+    require(probe.length == 1, s"probe id $probeId not unique/found")
+    val pv = probe(0).getSeq[Long](1).toArray
+    val dotProbe = aggregate(
+      zip_with(col("vq"), lit(pv), (x, y) => x * y),
+      lit(0L), (acc, x) => acc + x)
+    val top = q.filter(col("id") =!= probeId)
+      .select(col("id"), col("vq"), dotProbe.as("rel"))
+      .orderBy(desc("rel"), col("id")).limit(cand)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+    def dotLL(a: Array[Long], b: Array[Long]): Long =
+      a.indices.foldLeft(0L)((s, i) => s + a(i) * b(i))
+    val picked = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Long, Long, Option[Long], Long)]
+    val pickedVecs = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+    val remaining = scala.collection.mutable.LinkedHashMap(
+      top.map(t => t._1 -> t): _*)
+    for (rank <- 1 to k) {
+      val best = remaining.values.map { case (id, vq, rel) =>
+        val pen =
+          if (pickedVecs.isEmpty) None
+          else Some(pickedVecs.map(dotLL(vq, _)).max)
+        (id, rel, pen, rel - pen.getOrElse(0L))
+      }.reduceLeft { (a, b) =>
+        if (b._4 > a._4 || (b._4 == a._4 && b._1 < a._1)) b else a
+      }
+      picked += ((rank, best._1, best._2, best._3, best._4))
+      pickedVecs += remaining(best._1)._2
+      remaining.remove(best._1)
+    }
+    import spark.implicits._
+    picked.toSeq
+      .map(p => (p._1, p._2, p._3, p._4, p._5))
+      .toDF("rank", "vec_id", "relevance", "penalty", "mmr_score")
+  }
 }
