@@ -294,12 +294,17 @@ object Sketches {
     * those. Mergeable by construction (max of maxes).
     */
   def hllDistinct(df: DataFrame, groupCols: Seq[String],
-                  key: Column): DataFrame = {
-    val m = 64
+                  key: Column): DataFrame =
+    hllEstimate(hllRegisters(df, groupCols, key), groupCols)
+
+  /** The register table (`groupCols…, __bucket, __m`) — ≤ 64 rows per
+    * group, mergeable by `max(__m)` per (group, bucket): the state a
+    * continuously-maintained distinct sketch stores. */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String],
+                   key: Column): DataFrame = {
     val split = 4398046511104L // 2^42: 6 bucket bits / 42 rank bits
     val gs = groupCols.map(col)
-    val reg = df
-      .select(gs :+ conv(substring(md5(key), 1, 12), 16, 10)
+    df.select(gs :+ conv(substring(md5(key), 1, 12), 16, 10)
         .cast("long").as("__h"): _*)
       .withColumn("__bucket", expr(s"__h div ${split}L"))
       .withColumn("__rest", col("__h") % split)
@@ -307,6 +312,12 @@ object Sketches {
         .otherwise(lit(43) - length(bin(col("__rest")))))
       .groupBy(gs :+ col("__bucket"): _*)
       .agg(max(col("__rank")).as("__m"))
+  }
+
+  /** Finish: fold a register table to the raw Flajolet estimate. */
+  def hllEstimate(reg: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val m = 64
+    val gs = groupCols.map(col)
     reg.groupBy(gs: _*)
       .agg((((lit(m) - count(lit(1))) * lit(1.0)) +
         sum(pow(lit(2.0), -col("__m")))).as("__denom"))

@@ -379,6 +379,38 @@ object Streams {
       }
       .start()
 
+  /** Streaming HLL maintenance — the DISTINCT leg of the maintained-
+    * sketch family (sums q97-stream, quantiles q116-stream, count-min
+    * above): per micro-batch the batch's register table merges into
+    * state by per-(group, bucket) max. Register max is associative,
+    * commutative, and idempotent, so the maintained state — and every
+    * estimate read from it — bit-equals the one-shot sketch under ANY
+    * micro-batching AND under replayed batches (idempotence is the
+    * property the additive count-min state lacks).
+    */
+  def streamingHllMaintenance(events: DataFrame, path: String,
+                              groupCol: String, keyCol: String,
+                              checkpoint: String)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        import graft.ext.Sketches
+        val delta = Sketches.hllRegisters(batch, Seq(groupCol),
+          col(keyCol).cast("string"))
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val merged =
+          if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+            spark.read.parquet(path).unionByName(delta)
+              .groupBy(groupCol, "__bucket").agg(max("__m").as("__m"))
+          else delta
+        merged.localCheckpoint(true).write
+          .mode("overwrite").parquet(path)
+      }
+      .start()
+
   /** Streaming running aggregate per user — `mapGroupsWithState`
     * keeping (count, sum) state and emitting the updated totals each
     * micro-batch (C2-style latest-state tracking, streaming twin of

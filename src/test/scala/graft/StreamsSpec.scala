@@ -244,6 +244,41 @@ class StreamsSpec extends AnyFunSuite {
     assert(maintained.nonEmpty)
   }
 
+  test("streaming HLL maintenance: maintained registers and estimates " +
+       "equal the one-shot sketch, bit-exact") {
+    import graft.ext.Sketches
+    val ev = Tables.load(spark, TestSpark.sf0001, "events")
+      .select("event_id", "event_type", "user_id")
+    val srcDir = java.nio.file.Files.createTempDirectory("hll_src").toString
+    val stateDir =
+      java.nio.file.Files.createTempDirectory("hll_state").toString + "/state"
+    val cp = java.nio.file.Files.createTempDirectory("hll_cp").toString
+    (0 until 3).foreach { i =>
+      ev.filter(abs(hash(col("event_id"))) % 3 === i).coalesce(1)
+        .write.mode("append").parquet(srcDir)
+    }
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val q = Streams.streamingHllMaintenance(stream, stateDir,
+      "event_type", "user_id", cp)
+    q.processAllAvailable(); q.stop()
+
+    val maintained = spark.read.parquet(stateDir)
+    val recompute = Sketches.hllRegisters(ev, Seq("event_type"),
+      col("user_id").cast("string"))
+    assert(maintained.orderBy("event_type", "__bucket").collect().toSeq ===
+      recompute.orderBy("event_type", "__bucket").collect().toSeq,
+      "stream-maintained HLL registers must equal the one-shot sketch")
+    val estM = Sketches.hllEstimate(maintained, Seq("event_type"))
+      .orderBy("event_type").collect().toSeq
+    val estR = Sketches.hllDistinct(ev, Seq("event_type"),
+      col("user_id").cast("string"))
+      .orderBy("event_type").collect().toSeq
+    assert(estM === estR)
+    assert(estM.nonEmpty)
+  }
+
   test("stateful streaming dedup keeps exactly one event per key") {
     import spark.implicits._
     val batchEvents = Tables.load(spark, TestSpark.sf0001, "events")
