@@ -5712,5 +5712,62 @@ object QueriesExt {
           CAST(mmr_score AS BIGINT) AS mmr_score
         FROM ($unioned) ORDER BY rank"""
       }),
+
+    // ── Per-user feature materialization (q183) ────────────────────────
+    // The feature-store build: one pass turns raw events into the
+    // model-ready per-user vector — counts, activity span, per-day
+    // rate, decimal-exact mean value, and an activity TREND (the q112
+    // least-squares slope of daily event counts over day index, exact
+    // integer sufficient sums, one correctly-rounded division).
+    // Two-level aggregation — (user, day) partial then per-user — so
+    // both shuffles are partial-agg friendly; no window, no join.
+    QueryDef("q183_user_features",
+      (s, dir) => {
+        val perDay = t(s, dir, "events")
+          .select(col("user_id"),
+            expr("unix_micros(ts) div 86400000000").as("day"),
+            col("value"))
+          .groupBy("user_id", "day")
+          .agg(count(lit(1)).as("c"), dsum(col("value")).as("sv"))
+        perDay.groupBy("user_id")
+          .agg(sum("c").as("n_events"),
+            count(lit(1)).as("active_days"),
+            min("day").as("first_day"), max("day").as("last_day"),
+            sum(col("day") * col("c")).as("sxy0"),
+            sum("day").as("sx"), sum(col("day") * col("day")).as("sxx"),
+            dsum(col("sv")).as("svv"))
+          .select(col("user_id"), col("n_events"), col("active_days"),
+            (col("last_day") - col("first_day") + 1).as("span_days"),
+            (col("n_events").cast("double") / col("active_days"))
+              .as("events_per_active_day"),
+            (col("svv") / col("n_events")).as("mean_value"),
+            when(col("active_days") > 1,
+              (col("active_days").cast("double") * col("sxy0") -
+                col("sx").cast("double") * col("n_events")) /
+              (col("active_days").cast("double") * col("sxx") -
+                col("sx").cast("double") * col("sx")))
+              .as("daily_trend"))
+          .orderBy("user_id")
+      },
+      Some(s"""WITH pd AS (SELECT user_id,
+            epoch_us(ts) // 86400000000 AS day, COUNT(*) AS c,
+            ${dsumSql("value")} AS sv
+          FROM events GROUP BY 1, 2),
+        u AS (SELECT user_id, SUM(c) AS n_events, COUNT(*) AS active_days,
+            MIN(day) AS first_day, MAX(day) AS last_day,
+            SUM(day * c) AS sxy0, SUM(day) AS sx,
+            SUM(day * day) AS sxx, ${dsumSql("sv")} AS svv
+          FROM pd GROUP BY 1)
+        SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+          CAST(active_days AS BIGINT) AS active_days,
+          CAST(last_day - first_day + 1 AS BIGINT) AS span_days,
+          CAST(n_events AS DOUBLE) / active_days AS events_per_active_day,
+          svv / n_events AS mean_value,
+          CASE WHEN active_days > 1 THEN
+            (CAST(active_days AS DOUBLE) * sxy0 -
+              CAST(sx AS DOUBLE) * n_events) /
+            (CAST(active_days AS DOUBLE) * sxx -
+              CAST(sx AS DOUBLE) * sx) END AS daily_trend
+        FROM u ORDER BY user_id""")),
   )
 }
