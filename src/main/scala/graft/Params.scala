@@ -200,6 +200,8 @@ object Params {
   val mmrProbeId = 0L
   val mmrCand = 12
   val mmrK = 5
+  /** Negative sampling (q184): negatives drawn per customer. */
+  val negK = 2
   /** Phrase search (q115): the two-token phrase (adjacent, in order). */
   val phraseA = "order"
   val phraseB = "fast"

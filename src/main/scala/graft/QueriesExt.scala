@@ -5769,5 +5769,55 @@ object QueriesExt {
             (CAST(active_days AS DOUBLE) * sxx -
               CAST(sx AS DOUBLE) * sx) END AS daily_trend
         FROM u ORDER BY user_id""")),
+
+    // ── Deterministic negative sampling (q184) ─────────────────────────
+    // Contrastive-training prep: per customer, sample negK items
+    // (brands) they have NOT bought — candidate space = customers ×
+    // the BOUNDED brand dimension (a broadcast expansion, never an
+    // item-domain cross join — with an unbounded catalog you'd
+    // hash-bucket candidates first), positives removed by anti-join,
+    // selection by deterministic md5 priority on the custom
+    // TopKPerKey heap operator. A pure function of the keys:
+    // reruns, retries, and the oracle all pick the same negatives.
+    QueryDef("q184_negative_sampling",
+      (s, dir) => {
+        val pos = t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, dir, "part")),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("o_custkey").as("custkey"),
+            col("p_brand").as("brand")).distinct()
+        val brands = t(s, dir, "part").select(col("p_brand").as("brand"))
+          .distinct()
+        val custs = t(s, dir, "orders")
+          .select(col("o_custkey").as("custkey")).distinct()
+        val neg = custs.crossJoin(broadcast(brands))
+          .join(pos, Seq("custkey", "brand"), "left_anti")
+          .withColumn("h", md5(concat(col("custkey").cast("string"),
+            lit("|"), col("brand"))))
+        graft.plans.TopKPerKey.topKPerKey(neg, Seq("custkey"),
+          Seq(graft.plans.TopKPerKey.Sort("h"),
+            graft.plans.TopKPerKey.Sort("brand")), negK)
+          .select(col("custkey"), col("brand"),
+            col("rank").cast("long").as("rank"))
+          .orderBy("custkey", "rank")
+      },
+      Some(s"""WITH pos AS (SELECT DISTINCT o.o_custkey AS custkey,
+            p.p_brand AS brand
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN part p ON l.l_partkey = p.p_partkey),
+        br AS (SELECT DISTINCT p_brand AS brand FROM part),
+        cu AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
+        neg AS (SELECT c.custkey, c.brand
+          FROM (SELECT custkey, brand FROM cu CROSS JOIN br) c
+          ANTI JOIN pos ON pos.custkey = c.custkey
+            AND pos.brand = c.brand),
+        rk AS (SELECT custkey, brand, row_number() OVER (
+            PARTITION BY custkey
+            ORDER BY md5(custkey::VARCHAR || '|' || brand), brand)
+            AS rank FROM neg)
+        SELECT custkey, brand, CAST(rank AS BIGINT) AS rank FROM rk
+        WHERE rank <= $negK ORDER BY custkey, rank""")),
   )
 }
