@@ -202,6 +202,11 @@ object Params {
   val mmrK = 5
   /** Negative sampling (q184): negatives drawn per customer. */
   val negK = 2
+  /** SemDeDup (q185): prune within-cell pairs with cosine ≥ num/den
+    * (2/5 sits inside the testdata's similarity range so both verdicts
+    * occur; production corpora with real duplicates run ~19/20). */
+  val semCosNum = 2
+  val semCosDen = 5
   /** Phrase search (q115): the two-token phrase (adjacent, in order). */
   val phraseA = "order"
   val phraseB = "fast"

@@ -5819,5 +5819,55 @@ object QueriesExt {
             AS rank FROM neg)
         SELECT custkey, brand, CAST(rank AS BIGINT) AS rank FROM rk
         WHERE rank <= $negK ORDER BY custkey, rank""")),
+
+    // ── SemDeDup: cluster-then-prune semantic dedup (q185) ─────────────
+    // Embedding near-dup pruning in the published cluster-local shape
+    // (Abbas et al. 2023): nearest-centroid cells from q177's
+    // machinery, pairwise EXACT rational cosine tests confined to each
+    // cell, prune all but the lowest id of each similar pair. See
+    // Similarity.semDedupCellStats for the scale contract.
+    QueryDef("q185_semdedup",
+      (s, dir) => graft.ext.Similarity.semDedupCellStats(
+        tPar(s, dir, "embeddings"), "vec_id", "embedding", "label",
+        ncScale, semCosNum, semCosDen),
+      Some {
+        val n2 = semCosNum.toLong * semCosNum
+        val d2 = semCosDen.toLong * semCosDen
+        s"""WITH e AS (SELECT vec_id, label,
+              generate_subscripts(embedding, 1) - 1 AS dim,
+              CAST(floor(CAST(unnest(embedding) AS DOUBLE) * $ncScale.0)
+                AS BIGINT) AS vq
+            FROM embeddings),
+          c AS (SELECT label AS cand, dim, SUM(vq) AS s, COUNT(*) AS n
+            FROM e GROUP BY 1, 2),
+          cq AS (SELECT cand, dim,
+              CAST((s - ((s % n) + n) % n) // n AS BIGINT) AS mq FROM c),
+          d AS (SELECT e.vec_id, cq.cand, SUM(e.vq * cq.mq) AS dot
+            FROM e JOIN cq ON e.dim = cq.dim GROUP BY 1, 2),
+          asg AS (SELECT vec_id, cand AS cell FROM (
+            SELECT vec_id, cand, row_number() OVER (PARTITION BY vec_id
+              ORDER BY dot DESC, cand) AS rn FROM d) WHERE rn = 1),
+          nn AS (SELECT vec_id, SUM(vq * vq) AS nn FROM e GROUP BY 1),
+          pd AS (SELECT aa.cell, ea.vec_id AS ia, eb.vec_id AS ib,
+              SUM(ea.vq * eb.vq) AS dot
+            FROM asg aa JOIN asg ab ON aa.cell = ab.cell
+              AND aa.vec_id < ab.vec_id
+              JOIN e ea ON ea.vec_id = aa.vec_id
+              JOIN e eb ON eb.vec_id = ab.vec_id AND eb.dim = ea.dim
+            GROUP BY 1, 2, 3),
+          qual AS (SELECT pd.cell, pd.ia, pd.ib FROM pd
+            JOIN nn na ON na.vec_id = pd.ia
+            JOIN nn nb ON nb.vec_id = pd.ib
+            WHERE pd.dot > 0
+              AND $d2 * pd.dot * pd.dot >= $n2 * na.nn * nb.nn),
+          mem AS (SELECT cell, COUNT(*) AS n_members FROM asg
+            GROUP BY 1),
+          ps AS (SELECT cell, COUNT(*) AS n_pairs,
+              COUNT(DISTINCT ib) AS n_pruned FROM qual GROUP BY 1)
+        SELECT mem.cell, CAST(n_members AS BIGINT) AS n_members,
+          CAST(COALESCE(n_pairs, 0) AS BIGINT) AS n_pairs,
+          CAST(COALESCE(n_pruned, 0) AS BIGINT) AS n_pruned
+        FROM mem LEFT JOIN ps USING (cell) ORDER BY cell"""
+      }),
   )
 }

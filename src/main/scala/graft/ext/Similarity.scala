@@ -507,10 +507,25 @@ object Similarity {
     */
   def nearestCentroidConfusion(emb: DataFrame, vecCol: String,
                                labelCol: String,
-                               scale: Long): DataFrame = {
-    val q = emb.select(col(labelCol).as("true_label"),
+                               scale: Long): DataFrame =
+    nearestCentroidAssign(emb, Nil, vecCol, labelCol, scale)
+      .groupBy("true_label", "assigned")
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy("true_label", "assigned")
+
+  /** The assignment half of [[nearestCentroidConfusion]]: returns
+    * (`carryCols…`, true_label, vq, assigned) — quantized vector and
+    * nearest-centroid cell per row, same bounded-collect + map-only
+    * plan. Exposed so downstream cluster-local operators (SemDeDup
+    * q185) can reuse the cells.
+    */
+  def nearestCentroidAssign(emb: DataFrame, carryCols: Seq[String],
+                            vecCol: String, labelCol: String,
+                            scale: Long): DataFrame = {
+    val q = emb.select(carryCols.map(col) ++ Seq(
+      col(labelCol).as("true_label"),
       transform(col(vecCol), v => floor(v.cast("double") * scale))
-        .as("vq"))
+        .as("vq")): _*)
     val centRows = q
       .select(col("true_label").as("c"),
         posexplode(col("vq")).as(Seq("dim", "x")))
@@ -531,10 +546,55 @@ object Similarity {
           lit(0L), (acc, x) => acc + x)).as("negdot"),
         lit(lab).as("l"))
     }: _*)).getField("l")
-    q.select(col("true_label"), best.as("assigned"))
-      .groupBy("true_label", "assigned")
-      .agg(count(lit(1)).as("n_vecs"))
-      .orderBy("true_label", "assigned")
+    q.withColumn("assigned", best)
+  }
+
+  /** SemDeDup (Abbas et al., 2023): semantic near-dup pruning by
+    * cluster-then-compare — embeddings are assigned to nearest-centroid
+    * cells, pairwise similarity is computed ONLY within a cell, and all
+    * but the lowest-id member of each similar pair are pruned. The
+    * quadratic is confined to cells (at 100 TB you raise the cell
+    * count so cells stay bounded — that IS the published algorithm);
+    * nothing cross-cell ever joins. Similarity is the exact rational
+    * test cos ≥ num/den ⟺ dot > 0 ∧ den²·dot² ≥ num²·‖a‖²‖b‖², carried
+    * in DECIMAL(38,0) so no float enters the verdict.
+    *
+    * Returns one row per cell: members, qualifying pairs, pruned count.
+    */
+  def semDedupCellStats(emb: DataFrame, idCol: String, vecCol: String,
+                        labelCol: String, scale: Long,
+                        cosNum: Int, cosDen: Int): DataFrame = {
+    val assigned = nearestCentroidAssign(emb, Seq(idCol), vecCol,
+      labelCol, scale)
+      .select(col(idCol).as("id"), col("vq"), col("assigned").as("cell"))
+    val withNorm = assigned.withColumn("nn",
+      aggregate(zip_with(col("vq"), col("vq"), (x, y) => x * y),
+        lit(0L), (acc, x) => acc + x))
+    val a = withNorm.select(col("cell"), col("id").as("ia"),
+      col("vq").as("va"), col("nn").as("na"))
+    val b = withNorm.select(col("cell"), col("id").as("ib"),
+      col("vq").as("vb"), col("nn").as("nb"))
+    val dec = "decimal(38,0)"
+    val pairs = a.join(b, Seq("cell")).filter(col("ia") < col("ib"))
+      .withColumn("dot",
+        aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
+          lit(0L), (acc, x) => acc + x))
+      .filter(col("dot") > 0 &&
+        lit(cosDen.toLong * cosDen).cast(dec) *
+          col("dot").cast(dec) * col("dot").cast(dec) >=
+        lit(cosNum.toLong * cosNum).cast(dec) *
+          col("na").cast(dec) * col("nb").cast(dec))
+      .select(col("cell"), col("ia"), col("ib"))
+    val members = assigned.groupBy("cell")
+      .agg(count(lit(1)).as("n_members"))
+    val pairStats = pairs.groupBy("cell")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct("ib").as("n_pruned"))
+    members.join(pairStats, Seq("cell"), "left")
+      .select(col("cell"), col("n_members"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_pruned"), lit(0L)).as("n_pruned"))
+      .orderBy("cell")
   }
 
   /** Maximal-marginal-relevance diversified top-k (Carbonell &
