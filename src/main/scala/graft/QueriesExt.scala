@@ -5436,10 +5436,13 @@ object QueriesExt {
             .as("last_day"), count(lit(1)).as("f"),
             dsum(col("o_totalprice")).as("m"))
         val gmax = per.agg(max("last_day").as("gmax"))
+        // rfm feeds both the quantile engine and the final assignment
+        // pass — materialize the per-customer aggregate once
         val rfm = per.crossJoin(broadcast(gmax))
           .select(col("ck"),
             (col("gmax") - col("last_day")).cast("double").as("rv"),
             col("f").cast("double").as("fv"), col("m"))
+          .localCheckpoint()
         val melted = rfm.select(col("ck"), explode(array(
           struct(lit("r").as("metric"), col("rv").as("value")),
           struct(lit("f").as("metric"), col("fv").as("value")),
@@ -5571,11 +5574,15 @@ object QueriesExt {
     // written operation-for-operation identically in the oracle.
     QueryDef("q180_basket_rules",
       (s, dir) => {
+        // materialize once: ob feeds the order count, brand supports,
+        // and BOTH sides of the pair join — without this the fact
+        // table would be scanned four times (q106's lesson)
         val ob = t(s, dir, "lineitem")
           .join(broadcast(t(s, dir, "part")),
             col("l_partkey") === col("p_partkey"))
           .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
           .distinct()
+          .localCheckpoint()
         val nOrders = ob.select("ok").distinct()
           .agg(count(lit(1)).as("n"))
         val supp = ob.groupBy(col("b")).agg(count(lit(1)).as("s"))

@@ -564,12 +564,16 @@ object Similarity {
   def semDedupCellStats(emb: DataFrame, idCol: String, vecCol: String,
                         labelCol: String, scale: Long,
                         cosNum: Int, cosDen: Int): DataFrame = {
-    val assigned = nearestCentroidAssign(emb, Seq(idCol), vecCol,
+    // One materialization (q106's lesson): assignment + norms feed the
+    // pair join twice and the member counts once — localCheckpoint so
+    // the corpus is quantized/assigned exactly once, not three times.
+    val withNorm = nearestCentroidAssign(emb, Seq(idCol), vecCol,
       labelCol, scale)
       .select(col(idCol).as("id"), col("vq"), col("assigned").as("cell"))
-    val withNorm = assigned.withColumn("nn",
-      aggregate(zip_with(col("vq"), col("vq"), (x, y) => x * y),
-        lit(0L), (acc, x) => acc + x))
+      .withColumn("nn",
+        aggregate(zip_with(col("vq"), col("vq"), (x, y) => x * y),
+          lit(0L), (acc, x) => acc + x))
+      .localCheckpoint()
     val a = withNorm.select(col("cell"), col("id").as("ia"),
       col("vq").as("va"), col("nn").as("na"))
     val b = withNorm.select(col("cell"), col("id").as("ib"),
@@ -585,7 +589,7 @@ object Similarity {
         lit(cosNum.toLong * cosNum).cast(dec) *
           col("na").cast(dec) * col("nb").cast(dec))
       .select(col("cell"), col("ia"), col("ib"))
-    val members = assigned.groupBy("cell")
+    val members = withNorm.groupBy("cell")
       .agg(count(lit(1)).as("n_members"))
     val pairStats = pairs.groupBy("cell")
       .agg(count(lit(1)).as("n_pairs"),
