@@ -5876,5 +5876,79 @@ object QueriesExt {
           CAST(COALESCE(n_pruned, 0) AS BIGINT) AS n_pruned
         FROM mem LEFT JOIN ps USING (cell) ORDER BY cell"""
       }),
+
+    // ── Data-quality gate report (q186) ────────────────────────────────
+    // The oracle-gated face of the quality/Checks machinery: one
+    // result set of (table, rule, n_checked, n_violations) rows —
+    // key-null counts, duplicate primary keys, referential orphans
+    // (each leg a broadcast-able anti-join, never a full outer), and
+    // domain-range rules. Every rule is a single aggregate; same-table
+    // rules share one scan.
+    QueryDef("q186_dq_report",
+      (s, dir) => {
+        def row(tbl: String, rule: String, checked: Column,
+                viol: Column, src: DataFrame) =
+          src.agg(checked.as("n_checked"), viol.as("n_violations"))
+            .select(lit(tbl).as("table_name"), lit(rule).as("rule"),
+              col("n_checked"), col("n_violations"))
+        val li = t(s, dir, "lineitem")
+        val ord = t(s, dir, "orders")
+        val cust = t(s, dir, "customer")
+        val orphanLi = li.join(ord.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        val orphanCust = cust.join(
+          broadcast(t(s, dir, "nation").select(col("n_nationkey"))),
+          col("c_nationkey") === col("n_nationkey"), "left_anti")
+        val dupOrders = ord.groupBy("o_orderkey")
+          .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+        Seq(
+          row("lineitem", "key_not_null", count(lit(1)),
+            sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)), li),
+          row("lineitem", "fk_orders", count(lit(1)), count(lit(1)),
+            orphanLi).withColumn("n_checked",
+            lit(null).cast("long")),
+          row("orders", "pk_unique", count(lit(1)), count(lit(1)),
+            dupOrders).withColumn("n_checked", lit(null).cast("long")),
+          row("orders", "price_positive", count(lit(1)),
+            sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)), ord),
+          row("customer", "fk_nation", count(lit(1)), count(lit(1)),
+            orphanCust).withColumn("n_checked", lit(null).cast("long")),
+          row("events", "value_not_null", count(lit(1)),
+            sum(when(col("value").isNull || isnan(col("value")), 1L)
+              .otherwise(0L)), t(s, dir, "events")))
+          .reduce(_.unionByName(_))
+          .select(col("table_name"), col("rule"), col("n_checked"),
+            col("n_violations"))
+          .orderBy("table_name", "rule")
+      },
+      Some("""SELECT table_name, rule, CAST(n_checked AS BIGINT)
+          AS n_checked, CAST(n_violations AS BIGINT) AS n_violations
+        FROM (
+          SELECT 'lineitem' AS table_name, 'key_not_null' AS rule,
+            COUNT(*) AS n_checked,
+            SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+              AS n_violations FROM lineitem
+          UNION ALL
+          SELECT 'lineitem', 'fk_orders', NULL,
+            (SELECT COUNT(*) FROM lineitem l ANTI JOIN orders o
+              ON l.l_orderkey = o.o_orderkey)
+          UNION ALL
+          SELECT 'orders', 'pk_unique', NULL,
+            (SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders
+              GROUP BY 1 HAVING COUNT(*) > 1))
+          UNION ALL
+          SELECT 'orders', 'price_positive', COUNT(*),
+            SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+          FROM orders
+          UNION ALL
+          SELECT 'customer', 'fk_nation', NULL,
+            (SELECT COUNT(*) FROM customer c ANTI JOIN nation n
+              ON c.c_nationkey = n.n_nationkey)
+          UNION ALL
+          SELECT 'events', 'value_not_null', COUNT(*),
+            SUM(CASE WHEN value IS NULL OR isnan(value) THEN 1 ELSE 0
+              END)
+          FROM events)
+        ORDER BY table_name, rule""")),
   )
 }
