@@ -5509,9 +5509,12 @@ object QueriesExt {
     QueryDef("q179_kaplan_meier",
       (s, dir) => {
         val day = 86400000000L
+        // per-user bounds feed both the horizon and the lifetimes —
+        // materialize so the fact table is scanned once, not twice
         val u = t(s, dir, "events").groupBy("user_id")
           .agg(min(unix_micros(col("ts"))).as("fu"),
             max(unix_micros(col("ts"))).as("lu"))
+          .localCheckpoint()
         val p = u.crossJoin(broadcast(u.agg(max("lu").as("gmax"))))
           .select(expr("(lu - fu) div 86400000000").as("t"),
             (col("lu") <= col("gmax") - lit(7L * day)).as("died"))
