@@ -5953,5 +5953,56 @@ object QueriesExt {
               END)
           FROM events)
         ORDER BY table_name, rule""")),
+
+    // ── KMV A-not-B: set-difference distinct estimate (q187) ───────────
+    // "How many users viewed but never purchased" answered from two
+    // k-row sketches — the set-difference leg of the KMV algebra after
+    // q95's union/intersection: among the union's k minima, the
+    // A-only fraction scales the union estimate. The exact anti-join
+    // answer rides along as the audit column, q113-style, so the
+    // output itself exhibits the estimator's error.
+    QueryDef("q187_kmv_anotb",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val viewers = ev.filter(col("event_type") === "view")
+          .select(col("user_id"))
+        val buyers = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"))
+        val est = graft.ext.Sketches.kmvANotB(
+          viewers, col("user_id"), buyers, col("user_id"), kmvK)
+        val exact = viewers.distinct()
+          .join(buyers.distinct(), Seq("user_id"), "left_anti")
+          .agg(count(lit(1)).as("anotb_exact"))
+        est.crossJoin(exact)
+      },
+      Some {
+        val est = s"""CASE WHEN ku < $kmvK THEN CAST(ku AS DOUBLE)
+           ELSE CAST(ku - 1 AS DOUBLE) * CAST(268435456.0 AS DOUBLE)
+             / CAST(kth_u AS DOUBLE) END"""
+        s"""WITH av AS (SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'view'),
+          bv AS (SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'purchase'),
+          ka AS (SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+              1, 7))::BIGINT AS h, 1 AS in_a FROM av
+            ORDER BY h LIMIT $kmvK),
+          kb AS (SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+              1, 7))::BIGINT AS h, 1 AS in_b FROM bv
+            ORDER BY h LIMIT $kmvK),
+          u AS (SELECT COALESCE(ka.h, kb.h) AS h,
+              COALESCE(in_a, 0) AS in_a, COALESCE(in_b, 0) AS in_b
+            FROM ka FULL OUTER JOIN kb ON ka.h = kb.h
+            ORDER BY h LIMIT $kmvK),
+          uu AS (SELECT COUNT(*) AS ku, MAX(h) AS kth_u,
+            CAST(SUM(in_a * (1 - in_b)) AS BIGINT) AS n_aonly FROM u),
+          ex AS (SELECT COUNT(*) AS anotb_exact
+            FROM av ANTI JOIN bv ON av.user_id = bv.user_id)
+        SELECT CAST(ku AS BIGINT) AS k_actual, n_aonly,
+          $est AS d_union,
+          (CAST(n_aonly AS DOUBLE) / CAST(ku AS DOUBLE)) * ($est)
+            AS anotb_est,
+          CAST(anotb_exact AS BIGINT) AS anotb_exact
+        FROM uu CROSS JOIN ex"""
+      }),
   )
 }

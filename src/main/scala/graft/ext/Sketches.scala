@@ -111,6 +111,35 @@ object Sketches {
             col("d_union"))).as("join_size_est"))
   }
 
+  /** KMV A-not-B: estimate the distinct count of keys in A but not B
+    * from the two k-minimum-values sketches alone — the set-DIFFERENCE
+    * leg of the sketch algebra next to union/intersection
+    * ([[kmvJoinCardinality]]): among the union's k minima, the
+    * fraction carrying only the A flag scales the union estimate.
+    * Preferable to d_union − d_B at scale because it needs no second
+    * subtraction of two noisy estimates and is never negative. Each
+    * side costs one scan + a k-row TakeOrdered; pure md5-family
+    * function, so the oracle replays every number.
+    */
+  def kmvANotB(a: DataFrame, keyA: Column, b: DataFrame,
+               keyB: Column, k: Int): DataFrame = {
+    def kMin(df: DataFrame, key: Column, flag: String) = df
+      .select(Shingles.baseHash(key.cast("string")).as("h")).distinct()
+      .orderBy(col("h")).limit(k).withColumn(flag, lit(1))
+    val u = kMin(a, keyA, "in_a").join(kMin(b, keyB, "in_b"),
+        Seq("h"), "full_outer")
+      .select(col("h"), coalesce(col("in_a"), lit(0)).as("in_a"),
+        coalesce(col("in_b"), lit(0)).as("in_b"))
+      .orderBy(col("h")).limit(k)
+    u.agg(count(lit(1)).as("k_actual"), max(col("h")).as("kth_hash"),
+        sum(col("in_a") * (lit(1) - col("in_b"))).as("n_aonly"))
+      .select(col("k_actual"), col("n_aonly"), estimateCol(k))
+      .withColumnRenamed("distinct_estimate", "d_union")
+      .select(col("k_actual"), col("n_aonly"), col("d_union"),
+        ((col("n_aonly").cast("double") / col("k_actual").cast("double"))
+          * col("d_union")).as("anotb_est"))
+  }
+
   /** Per-row count-min bucket: row j's hash of value `v` is the shared
     * 28-bit md5 base hash ([[Shingles.baseHash]]) of `"j|v"` mod
     * `width` — the same portable seed-prefix family as MinHash, so the
