@@ -68,7 +68,15 @@ object QueriesExt {
     val d = t(s, dir, "part").select(
       col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"),
       floor(col("p_retailprice") / lit(100.0)).cast("long").as("pb"))
-    val j = d.as("a").join(d.as("b"),
+      .localCheckpoint()
+    // |brands| ≪ cores, so a shuffle join on the block key would cap
+    // parallelism at 25 hot partitions (the q105 lesson). The build
+    // side is the bounded part DIMENSION — broadcast it and spread the
+    // probe side across every core: candidate generation becomes
+    // map-side, no block-key shuffle at all. (With an unbounded entity
+    // table this switches to the salt-replicated Skew.saltedJoin.)
+    val j = d.repartition(s.sparkContext.defaultParallelism).as("a")
+      .join(broadcast(d).as("b"),
       col("a.p_brand") === col("b.p_brand") &&
         col("a.p_partkey") < col("b.p_partkey"))
     val bits = Seq(
