@@ -6012,5 +6012,103 @@ object QueriesExt {
           CAST(anotb_exact AS BIGINT) AS anotb_exact
         FROM uu CROSS JOIN ex"""
       }),
+
+    // ── Functional-dependency discovery (q188) ─────────────────────────
+    // Data profiling's schema-inference primitive (the Metanome/TANE
+    // check, pairwise form): does A → B hold — i.e. does any A value
+    // map to more than one distinct B? Each candidate costs ONE
+    // partial-agg groupBy(A) countDistinct(B); violations = values of
+    // A with ≥ 2 images; output includes the violation mass so a
+    // "nearly-holds" FD (the interesting kind for cleaning) is visible,
+    // not just the boolean.
+    QueryDef("q188_fd_discovery",
+      (s, dir) => {
+        def fd(tbl: String, a: String, b: String) =
+          t(s, dir, tbl).groupBy(col(a))
+            .agg(countDistinct(col(b)).as("nb"))
+            .agg(count(lit(1)).as("n_lhs_values"),
+              sum(when(col("nb") > 1, 1L).otherwise(0L))
+                .as("n_violating_lhs"))
+            .select(lit(tbl).as("table_name"), lit(a).as("determinant"),
+              lit(b).as("dependent"), col("n_lhs_values"),
+              col("n_violating_lhs"),
+              (col("n_violating_lhs") === 0).as("holds"))
+        Seq(
+          fd("nation", "n_nationkey", "n_name"),
+          fd("nation", "n_name", "n_regionkey"),
+          fd("customer", "c_nationkey", "c_mktsegment"),
+          fd("part", "p_brand", "p_type"),
+          fd("orders", "o_custkey", "o_orderpriority"),
+          fd("lineitem", "l_orderkey", "l_returnflag"))
+          .reduce(_.unionByName(_))
+          .orderBy("table_name", "determinant", "dependent")
+      },
+      Some {
+        def fd(tbl: String, a: String, b: String) =
+          s"""SELECT '$tbl' AS table_name, '$a' AS determinant,
+             '$b' AS dependent,
+             CAST(COUNT(*) AS BIGINT) AS n_lhs_values,
+             CAST(SUM(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating_lhs,
+             SUM(CASE WHEN nb > 1 THEN 1 ELSE 0 END) = 0 AS holds
+           FROM (SELECT $a, COUNT(DISTINCT $b) AS nb FROM $tbl
+                 GROUP BY $a)"""
+        Seq(
+          fd("nation", "n_nationkey", "n_name"),
+          fd("nation", "n_name", "n_regionkey"),
+          fd("customer", "c_nationkey", "c_mktsegment"),
+          fd("part", "p_brand", "p_type"),
+          fd("orders", "o_custkey", "o_orderpriority"),
+          fd("lineitem", "l_orderkey", "l_returnflag"))
+          .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+            ")\nORDER BY table_name, determinant, dependent")
+      }),
+
+    // ── Transition-timing profile (q189) ───────────────────────────────
+    // The temporal layer over q111's Markov matrix: for each observed
+    // (from → to) event transition, the count, decimal-exact mean gap,
+    // min/max, and EXACT median gap in microseconds — median via the
+    // q141 histogram-refinement engine keyed by the transition pair,
+    // so there is no global sort and no per-pair re-scan. One lag
+    // window over the user timeline feeds everything.
+    QueryDef("q189_transition_timing",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("us").asc, col("event_id").asc)
+        val tr = t(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            col("event_type"), unix_micros(col("ts")).as("us"))
+          .select(col("event_type").as("to_type"),
+            lag(col("event_type"), 1).over(w).as("from_type"),
+            (col("us") - lag(col("us"), 1).over(w)).as("gap_us"))
+          .filter(col("from_type").isNotNull)
+          .select(concat(col("from_type"), lit(">"), col("to_type"))
+            .as("transition"), col("gap_us").cast("double").as("gap_us"))
+          .localCheckpoint()
+        val med = graft.ext.Stats.exactMedianByGroup(
+          tr, "transition", "gap_us")
+          .select(col("transition"), col("n"),
+            col("median").as("median_gap_us"))
+        val ext = tr.groupBy("transition")
+          .agg(davg(col("gap_us")).as("mean_gap_us"),
+            min("gap_us").as("min_gap_us"),
+            max("gap_us").as("max_gap_us"))
+        med.join(ext, "transition")
+          .orderBy("transition")
+      },
+      Some(s"""WITH tr AS (SELECT
+            lag(event_type) OVER (PARTITION BY user_id
+              ORDER BY epoch_us(ts), event_id) || '>' || event_type
+              AS transition,
+            CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+              PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+              AS DOUBLE) AS gap_us
+          FROM events)
+        SELECT transition, CAST(COUNT(*) AS BIGINT) AS n,
+          median(gap_us) AS median_gap_us,
+          ${dsumSql("gap_us")} / COUNT(*) AS mean_gap_us,
+          MIN(gap_us) AS min_gap_us, MAX(gap_us) AS max_gap_us
+        FROM tr WHERE transition IS NOT NULL
+        GROUP BY transition ORDER BY transition""")),
   )
 }
