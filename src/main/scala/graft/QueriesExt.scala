@@ -6110,5 +6110,39 @@ object QueriesExt {
           MIN(gap_us) AS min_gap_us, MAX(gap_us) AS max_gap_us
         FROM tr WHERE transition IS NOT NULL
         GROUP BY transition ORDER BY transition""")),
+
+    // ── Retractable incremental aggregation (q190) ─────────────────────
+    // q97 handles insert-only maintenance; real CDC feeds also DELETE.
+    // (count, decimal sum) form an abelian group, so a retraction folds
+    // in as its exact inverse and the maintained state bit-equals the
+    // recompute over surviving rows — which is precisely what the
+    // oracle states: a plain GROUP BY over events minus the
+    // deterministically-deleted subset. Batch membership and the
+    // delete set come from the portable hash family, so the replay is
+    // engine-independent.
+    QueryDef("q190_retractable_agg",
+      (s, dir) => {
+        import graft.etl.IncrementalAgg
+        val ev = t(s, dir, "events")
+          .withColumn("b",
+            Shingles.baseHash(col("event_id").cast("string")))
+          .localCheckpoint()
+        val batch1 = ev.filter(col("b") % 2 === 0)
+        val batch2 = ev.filter(col("b") % 2 === 1)
+        val deletes = ev.filter(col("b") % 10 === 0)
+        val st0 = IncrementalAgg.partial(batch1, Seq("event_type"),
+          col("value"))
+        val st1 = IncrementalAgg.applyDelta(st0, batch2, deletes,
+          Seq("event_type"), col("value"))
+        IncrementalAgg.finish(st1, Seq("event_type"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH surv AS (SELECT event_type, value FROM events
+          WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 7))
+            ::BIGINT % 10 <> 0)
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+          ${dsumSql("value")} AS total,
+          ${dsumSql("value")} / COUNT(*) AS avg_value
+        FROM surv GROUP BY event_type ORDER BY event_type""")),
   )
 }

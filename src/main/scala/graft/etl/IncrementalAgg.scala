@@ -40,4 +40,27 @@ object IncrementalAgg {
     state.select(keys.map(col) ++ Seq(col("n"),
       col("sum_dec").cast("double").as("total"),
       (col("sum_dec").cast("double") / col("n")).as("avg_value")): _*)
+
+  /** RETRACTABLE fold — the CDC/upsert-stream completion of the
+    * insert-only merge: (count, decimal sum) form an abelian GROUP,
+    * not just a monoid, so a deleted row folds in as its exact inverse
+    * (−1, −value) and the state after any interleaving of inserts and
+    * deletes bit-equals the recompute over the surviving rows. Keys
+    * whose count reaches zero leave the state entirely (a key that was
+    * fully retracted is indistinguishable from one never seen —
+    * required for the recompute equivalence). Min/max are deliberately
+    * NOT in this state: they are monoid-only and would need a per-key
+    * rescan on delete; a warehouse keeps them in a separate
+    * insert-only view.
+    */
+  def applyDelta(state: DataFrame, inserts: DataFrame,
+                 deletes: DataFrame, keys: Seq[String],
+                 valueCol: Column): DataFrame = {
+    val ins = partial(inserts, keys, valueCol)
+    val del = partial(deletes, keys, valueCol)
+      .select(keys.map(col) ++ Seq((-col("n")).as("n"),
+        (-col("sum_dec")).as("sum_dec")): _*)
+    merge(merge(state, ins, keys), del, keys)
+      .filter(col("n") =!= 0)
+  }
 }

@@ -50,6 +50,38 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("retractable fold: inserts+deletes in any split equal the " +
+       "recompute over survivors; full retraction empties the key") {
+    import spark.implicits._
+    val rows = (1 to 300).map(i => (i, s"k${i % 5}", math.cos(i) * 500.0))
+    val df = rows.toDF("id", "k", "v").cache()
+    val genDel = Gen.choose(2, 10)
+    val prop = Prop.forAll(genDel, Gen.choose(0, 299)) { (mod, cut) =>
+      val batch1 = df.filter(col("id") <= cut)
+      val batch2 = df.filter(col("id") > cut)
+      val deletes = df.filter(col("id") % mod === 0)
+      val st = IncrementalAgg.applyDelta(
+        IncrementalAgg.partial(batch1, Seq("k"), col("v")),
+        batch2, deletes, Seq("k"), col("v"))
+      val folded = IncrementalAgg.finish(st, Seq("k"))
+        .orderBy("k").collect().toSeq
+      val direct = IncrementalAgg.finish(
+        IncrementalAgg.partial(df.filter(col("id") % mod =!= 0),
+          Seq("k"), col("v")), Seq("k"))
+        .orderBy("k").collect().toSeq
+      folded == direct
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+
+    // delete everything ever inserted → state has no rows at all
+    val all = IncrementalAgg.partial(df, Seq("k"), col("v"))
+    val emptied = IncrementalAgg.applyDelta(all,
+      df.filter(lit(false)), df, Seq("k"), col("v"))
+    assert(emptied.count() === 0)
+  }
+
   test("KMV join-cardinality estimates are near the truth on real data") {
     val ev = Tables.load(spark, TestSpark.sf0001, "events")
     val cust = Tables.load(spark, TestSpark.sf0001, "customer")
