@@ -6144,5 +6144,37 @@ object QueriesExt {
           ${dsumSql("value")} AS total,
           ${dsumSql("value")} / COUNT(*) AS avg_value
         FROM surv GROUP BY event_type ORDER BY event_type""")),
+
+    // ── KMV as a first-class Catalyst aggregate (q191) ─────────────────
+    // q73's per-group sketch re-expressed as a native
+    // TypedImperativeAggregate: the bottom-k set IS the aggregation
+    // buffer, so map-side partial aggregation, hash-aggregate
+    // placement, and AQE shuffle planning all come from the engine —
+    // no custom operator needed, and `graft_kmv(...)` works anywhere a
+    // built-in aggregate does (including SQL). Same hash family, same
+    // estimator, same oracle as q73 — proving operator-formulation vs
+    // aggregate-formulation agree bit-for-bit.
+    QueryDef("q191_kmv_native_agg",
+      (s, dir) => t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(graft.functions.KmvSketchAgg.kmvAgg(
+          col("user_id").cast("string"), kmvK).as("sk"))
+        .select(col("event_type"), col("sk.k_actual"),
+          col("sk.kth_hash"), col("sk.distinct_estimate"))
+        .orderBy("event_type"),
+      Some(s"""WITH h AS (SELECT DISTINCT event_type,
+          ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 7))::BIGINT
+            AS h
+          FROM events),
+        r AS (SELECT event_type, h,
+          row_number() OVER (PARTITION BY event_type ORDER BY h ASC)
+            AS rn
+          FROM h)
+        SELECT event_type, COUNT(*) AS k_actual, max(h) AS kth_hash,
+          CASE WHEN COUNT(*) < $kmvK THEN CAST(COUNT(*) AS DOUBLE)
+          ELSE CAST(COUNT(*) - 1 AS DOUBLE) * CAST(268435456.0 AS DOUBLE)
+               / CAST(max(h) AS DOUBLE) END AS distinct_estimate
+        FROM r WHERE rn <= $kmvK GROUP BY event_type
+        ORDER BY event_type""")),
   )
 }

@@ -81,7 +81,11 @@ object GraftFunctions {
       new ExpressionInfo(classOf[NativeExprs.HammingDistanceExpr].getName,
         "graft_hamming"),
       (args: Seq[Expression]) => NativeExprs.HammingDistanceExpr(args(0),
-        args(1))))
+        args(1))),
+    (FunctionIdentifier("graft_kmv"),
+      new ExpressionInfo(classOf[KmvSketchAgg].getName, "graft_kmv"),
+      (args: Seq[Expression]) => KmvSketchAgg(args(0),
+        intArg(args(1), "k"))))
 
   /** Register on a live session. */
   def register(spark: SparkSession): Unit =

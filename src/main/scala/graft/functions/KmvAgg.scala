@@ -1,0 +1,117 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** KMV distinct sketch as a FIRST-CLASS Catalyst aggregate
+  * (`TypedImperativeAggregate`): the per-group bottom-k hash set lives
+  * in the aggregation buffer, so Spark gives the sketch everything a
+  * built-in aggregate gets — hash-aggregate operator placement,
+  * MAP-SIDE partial aggregation (each map task emits ≤ k longs per
+  * group, the property the TopKPerKey formulation of q73 had to build
+  * as a separate operator), codegen'd grouping, and AQE-planned
+  * shuffles. Merge is bottom-k set union — associative, commutative,
+  * idempotent — so partials fold exactly under any partitioning.
+  *
+  * The hash family is the shared portable one ([[NativeExprs]]'s 28-bit
+  * md5 prefix ≡ `('0x' || substr(md5(s),1,7))::BIGINT`), so a SQL
+  * oracle replays estimates bit-for-bit. Returns a struct
+  * (k_actual, kth_hash, distinct_estimate) matching
+  * [[graft.ext.Sketches.kmvDistinct]].
+  *
+  * Cite: Beyer et al., "On synopses for distinct-value estimation under
+  * multiset operations" (SIGMOD'07) — the (k−1)/kth-fraction estimator.
+  */
+case class KmvSketchAgg(child: Expression, k: Int,
+                        mutableAggBufferOffset: Int = 0,
+                        inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+    with UnaryLike[Expression] {
+  require(k >= 2, s"kmv k=$k")
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = StructType(Seq(
+    StructField("k_actual", LongType, nullable = false),
+    StructField("kth_hash", LongType, nullable = true),
+    StructField("distinct_estimate", DoubleType, nullable = false)))
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  private def add(buf: java.util.TreeSet[java.lang.Long], h: Long): Unit =
+    if (buf.size < k) { buf.add(h); () }
+    else if (h < buf.last()) {
+      // strict insert-then-trim: add() is false on a duplicate, and a
+      // duplicate must NOT evict the current kth value
+      if (buf.add(h) && buf.size > k) { buf.pollLast(); () }
+    }
+
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+                      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      add(buf, NativeExprs.baseHash28(
+        v.asInstanceOf[UTF8String].getBytes))
+    }
+    buf
+  }
+
+  override def merge(b1: java.util.TreeSet[java.lang.Long],
+                     b2: java.util.TreeSet[java.lang.Long])
+      : java.util.TreeSet[java.lang.Long] = {
+    val it = b2.iterator()
+    while (it.hasNext) add(b1, it.next())
+    b1
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val ka = buf.size
+    val kth: Any = if (ka == 0) null else buf.last().longValue()
+    val est =
+      if (ka < k) ka.toDouble
+      else (ka - 1).toDouble * 268435456.0 / buf.last().toDouble
+    InternalRow(ka.toLong, kth, est)
+  }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 8 * buf.size)
+    bb.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) { buf.add(bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KmvSketchAgg =
+    copy(child = newChild)
+  override def prettyName: String = "graft_kmv"
+}
+
+object KmvSketchAgg {
+  /** DataFrame-facing column: `kmvAgg(col, k)` usable inside `agg(...)`
+    * exactly like a built-in aggregate.
+    */
+  def kmvAgg(c: Column, k: Int): Column =
+    ColumnBridge.column(
+      KmvSketchAgg(ColumnBridge.expression(c), k).toAggregateExpression())
+}

@@ -54,4 +54,36 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("integer literal"))
   }
+
+  test("graft_kmv native aggregate: SQL ≡ Column API ≡ the TopKPerKey " +
+       "formulation, with map-side partial aggregation in the plan") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.load(spark, TestSpark.sf0001, "events")
+    ev.createOrReplaceTempView("kmv_ev")
+    val viaSql = spark.sql(
+      """SELECT event_type, graft_kmv(CAST(user_id AS STRING), 64) AS sk
+        FROM kmv_ev GROUP BY event_type""")
+      .select("event_type", "sk.k_actual", "sk.kth_hash",
+        "sk.distinct_estimate").orderBy("event_type").collect().toSeq
+    val viaCol = ev.groupBy("event_type")
+      .agg(graft.functions.KmvSketchAgg.kmvAgg(
+        col("user_id").cast("string"), 64).as("sk"))
+      .select("event_type", "sk.k_actual", "sk.kth_hash",
+        "sk.distinct_estimate").orderBy("event_type").collect().toSeq
+    val viaOp = graft.ext.Sketches.kmvDistinctByGroup(
+      ev, "event_type", col("user_id"), 64)
+      .orderBy("event_type").collect().toSeq
+    assert(viaSql === viaCol)
+    assert(viaCol.map(r => (r.getString(0), r.getLong(1), r.getLong(2))) ===
+      viaOp.map(r => (r.getString(0), r.getLong(1), r.getLong(2))))
+    assert(viaCol.map(_.getDouble(3)) === viaOp.map(_.getDouble(3)))
+    // the engine must plan a PARTIAL aggregate below the exchange —
+    // the map-side-combine property the sketch exists for
+    val plan = ev.groupBy("event_type")
+      .agg(graft.functions.KmvSketchAgg.kmvAgg(
+        col("user_id").cast("string"), 64))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_graft_kmv"),
+      s"expected a partial aggregate phase in:\n$plan")
+  }
 }
