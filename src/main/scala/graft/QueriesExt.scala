@@ -6176,5 +6176,49 @@ object QueriesExt {
                / CAST(max(h) AS DOUBLE) END AS distinct_estimate
         FROM r WHERE rn <= $kmvK GROUP BY event_type
         ORDER BY event_type""")),
+
+    // ── Backfill planner / partition-completeness audit (q192) ─────────
+    // The ops question every daily pipeline answers before a rerun:
+    // which partitions are MISSING (calendar day with no rows) and
+    // which are PARTIAL (volume < half the per-day average — a
+    // truncated load)? The calendar grid generates from one 1-row
+    // bounds aggregate (no date-dim scan), the verdict is a
+    // cross-multiplied integer comparison (2·c·ndays < total — no
+    // float average), and the whole audit is one per-day groupBy plus
+    // a broadcast of the bounded day grid.
+    QueryDef("q192_backfill_plan",
+      (s, dir) => {
+        val pd = t(s, dir, "events")
+          .select(expr("unix_micros(ts) div 86400000000").as("day"))
+          .groupBy("day").agg(count(lit(1)).as("c"))
+          .localCheckpoint()
+        val bounds = pd.agg(min("day").as("mind"), max("day").as("maxd"),
+          sum("c").as("total"), count(lit(1)).as("ndays"))
+        val grid = bounds.select(
+          explode(sequence(col("mind"), col("maxd"))).as("day"),
+          col("total"), col("ndays"))
+        grid.join(pd, Seq("day"), "left")
+          .select(col("day"),
+            coalesce(col("c"), lit(0L)).as("n_rows"),
+            when(col("c").isNull, lit("missing"))
+              .when(lit(2L) * col("c") * col("ndays") < col("total"),
+                lit("partial"))
+              .otherwise(lit("ok")).as("status"))
+          .orderBy("day")
+      },
+      Some("""WITH pd AS (SELECT epoch_us(ts) // 86400000000 AS day,
+            COUNT(*) AS c
+          FROM events GROUP BY 1),
+        b AS (SELECT MIN(day) AS mind, MAX(day) AS maxd,
+            SUM(c) AS total, COUNT(*) AS ndays FROM pd),
+        grid AS (SELECT unnest(range(mind, maxd + 1)) AS gday,
+            total, ndays FROM b)
+        SELECT grid.gday AS day, CAST(COALESCE(pd.c, 0) AS BIGINT)
+          AS n_rows,
+          CASE WHEN pd.c IS NULL THEN 'missing'
+               WHEN 2 * pd.c * ndays < total THEN 'partial'
+               ELSE 'ok' END AS status
+        FROM grid LEFT JOIN pd ON grid.gday = pd.day
+        ORDER BY day""")),
   )
 }
