@@ -6220,5 +6220,41 @@ object QueriesExt {
                ELSE 'ok' END AS status
         FROM grid LEFT JOIN pd ON grid.gday = pd.day
         ORDER BY day""")),
+
+    // ── CDC log compaction (q193) ──────────────────────────────────────
+    // The upsert/delete log → snapshot primitive (Kafka log
+    // compaction / CDF apply), distinct from SCD2 which KEEPS history:
+    // per key take the latest operation in (ts, event_id) total order;
+    // the key survives iff that operation is an upsert. One ranking
+    // window per key, no join, no state. The log is synthesized
+    // deterministically from events (op = delete on an md5 gate) so
+    // the oracle replays the identical compaction.
+    QueryDef("q193_cdc_compaction",
+      (s, dir) => {
+        val log = t(s, dir, "events").select(
+          col("user_id").as("k"),
+          when(Shingles.baseHash(col("event_id").cast("string"))
+            % 7 === 0, lit("D")).otherwise(lit("U")).as("op"),
+          unix_micros(col("ts")).as("us"), col("event_id"),
+          col("value"))
+        val w = Window.partitionBy("k")
+          .orderBy(col("us").desc, col("event_id").desc)
+        log.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1 && col("op") === "U")
+          .select(col("k").as("user_id"), col("us").as("last_us"),
+            col("value").as("last_value"))
+          .orderBy("user_id")
+      },
+      Some("""WITH log AS (SELECT user_id AS k,
+            CASE WHEN ('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+              1, 7))::BIGINT % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+            epoch_us(ts) AS us, event_id, value
+          FROM events),
+        rk AS (SELECT k, op, us, value, row_number() OVER (
+            PARTITION BY k ORDER BY us DESC, event_id DESC) AS rn
+          FROM log)
+        SELECT k AS user_id, CAST(us AS BIGINT) AS last_us,
+          value AS last_value
+        FROM rk WHERE rn = 1 AND op = 'U' ORDER BY user_id""")),
   )
 }
