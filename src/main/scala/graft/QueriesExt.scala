@@ -3677,20 +3677,28 @@ object QueriesExt {
           .join(broadcast(t(s, dir, "region")),
             col("n_regionkey") === col("r_regionkey"))
           .groupBy("r_name", "n_name")
-          .agg(dsum(revenue).as("revenue"))
-        // window totals re-enter the decimal domain: a double SUM OVER
-        // is partition-order-dependent, the decimal one is not
-        val dec = col("revenue")
-          .cast(org.apache.spark.sql.types.DecimalType(30, 8))
+          // carry the EXACT decimal alongside the double view: window
+          // totals must fold source decimals, not doubles re-cast to
+          // decimal — Spark's double→decimal goes through the shortest
+          // decimal representation while DuckDB rounds the binary
+          // value, so a re-entered decimal can differ at 1e-8 and the
+          // share at 1 ulp (seen at sf0.1)
+          .agg(dsum(revenue).as("revenue"),
+            sum(revenue.cast(org.apache.spark.sql.types
+              .DecimalType(30, 8))).as("rev_dec"))
         base
           .withColumn("region_share", col("revenue") /
-            sum(dec).over(Window.partitionBy("r_name")).cast("double"))
+            sum(col("rev_dec")).over(Window.partitionBy("r_name"))
+              .cast("double"))
           .withColumn("total_share", col("revenue") /
-            sum(dec).over(Window.partitionBy()).cast("double"))
+            sum(col("rev_dec")).over(Window.partitionBy()).cast("double"))
+          .drop("rev_dec")
           .orderBy("r_name", "n_name")
       },
       Some(s"""WITH base AS (SELECT r_name, n_name,
-            ${dsumSql("l_extendedprice*(1-l_discount)")} AS revenue
+            ${dsumSql("l_extendedprice*(1-l_discount)")} AS revenue,
+            SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,8)))
+              AS rev_dec
           FROM lineitem
           JOIN orders ON l_orderkey = o_orderkey
           JOIN customer ON o_custkey = c_custkey
@@ -3698,10 +3706,10 @@ object QueriesExt {
           JOIN region ON n_regionkey = r_regionkey
           GROUP BY r_name, n_name)
         SELECT r_name, n_name, revenue,
-          revenue / CAST(CAST(SUM(CAST(revenue AS DECIMAL(30,8)))
+          revenue / CAST(CAST(SUM(rev_dec)
             OVER (PARTITION BY r_name) AS VARCHAR) AS DOUBLE)
             AS region_share,
-          revenue / CAST(CAST(SUM(CAST(revenue AS DECIMAL(30,8)))
+          revenue / CAST(CAST(SUM(rev_dec)
             OVER () AS VARCHAR) AS DOUBLE) AS total_share
         FROM base ORDER BY r_name, n_name""")),
 
@@ -6256,5 +6264,123 @@ object QueriesExt {
         SELECT k AS user_id, CAST(us AS BIGINT) AS last_us,
           value AS last_value
         FROM rk WHERE rn = 1 AND op = 'U' ORDER BY user_id""")),
+
+    // ── Deterministic Poisson bootstrap (q194) ─────────────────────────
+    // Uncertainty for a mean WITHOUT distributional assumptions — the
+    // production-stats workhorse, in the online/Poisson form that
+    // needs no resample-by-index (Chamandy et al., "Estimating
+    // uncertainty for massive data streams", 2012): each row gets a
+    // per-replicate weight ~Poisson(1), here drawn DETERMINISTICALLY
+    // from the md5 family (P(0), P(1), P(2), P(3) thresholds on a
+    // 10000-grid), so both engines build the identical 32 replicates.
+    // Replicate means use decimal sums; the 90%-ish band is the 2nd
+    // smallest / 2nd largest replicate mean — rank-based, no
+    // interpolation. One ×B map-side expansion, two partial-agg
+    // shuffles, a 32-row-per-group rank window.
+    QueryDef("q194_bootstrap_ci",
+      (s, dir) => {
+        val B = 32
+        val ev = t(s, dir, "events").select(col("event_type"),
+          col("event_id"), col("value"))
+        val point = ev.groupBy("event_type")
+          .agg(davg(col("value")).as("point_mean"))
+        val rep = ev
+          .select(col("event_type"), col("value"),
+            explode(array((0 until B).map(lit(_)): _*)).as("b"))
+          .withColumn("h", Shingles.baseHash(concat(col("b").cast("string"),
+            lit("|"), col("event_id").cast("string"))) % 10000)
+          .withColumn("w",
+            when(col("h") < 3679, 0L).when(col("h") < 7358, 1L)
+              .when(col("h") < 9197, 2L).otherwise(3L))
+          .groupBy("event_type", "b")
+          .agg((dsum(col("w") * col("value")) /
+            sum(col("w"))).as("rep_mean"))
+        val wAsc = Window.partitionBy("event_type")
+          .orderBy(col("rep_mean").asc)
+        val wDesc = Window.partitionBy("event_type")
+          .orderBy(col("rep_mean").desc)
+        rep
+          .withColumn("ra", row_number().over(wAsc))
+          .withColumn("rd", row_number().over(wDesc))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_replicates"),
+            max(when(col("ra") === 2, col("rep_mean"))).as("boot_lo"),
+            max(when(col("rd") === 2, col("rep_mean"))).as("boot_hi"))
+          .join(point, "event_type")
+          .select(col("event_type"), col("n_replicates"),
+            col("point_mean"), col("boot_lo"), col("boot_hi"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH rep AS (SELECT event_type, b,
+            ${dsumSql("w * value")} / SUM(w) AS rep_mean
+          FROM (SELECT event_type, value, b,
+              CASE WHEN h < 3679 THEN 0 WHEN h < 7358 THEN 1
+                   WHEN h < 9197 THEN 2 ELSE 3 END AS w
+            FROM (SELECT event_type, value, r.b,
+                ('0x' || substr(md5(r.b::VARCHAR || '|' ||
+                  event_id::VARCHAR), 1, 7))::BIGINT % 10000 AS h
+              FROM events CROSS JOIN
+                (SELECT unnest(range(0, 32)) AS b) r))
+          GROUP BY 1, 2),
+        rk AS (SELECT event_type, rep_mean,
+            row_number() OVER (PARTITION BY event_type
+              ORDER BY rep_mean ASC) AS ra,
+            row_number() OVER (PARTITION BY event_type
+              ORDER BY rep_mean DESC) AS rd
+          FROM rep),
+        band AS (SELECT event_type,
+            CAST(COUNT(*) AS BIGINT) AS n_replicates,
+            MAX(CASE WHEN ra = 2 THEN rep_mean END) AS boot_lo,
+            MAX(CASE WHEN rd = 2 THEN rep_mean END) AS boot_hi
+          FROM rk GROUP BY 1),
+        pt AS (SELECT event_type,
+            ${dsumSql("value")} / COUNT(value) AS point_mean
+          FROM events GROUP BY 1)
+        SELECT band.event_type, n_replicates, point_mean,
+          boot_lo, boot_hi
+        FROM band JOIN pt USING (event_type)
+        ORDER BY event_type""")),
+
+    // ── Sequential-pattern support (q195) ──────────────────────────────
+    // Subsequence patterns "a … then … b" with ANY gap — what the
+    // adjacent-only Markov matrix (q111) cannot see: a user supports
+    // (a, b) iff some a-event precedes some b-event, i.e.
+    // min_ts(a) < max_ts(b). One (user, type) min/max aggregation,
+    // then a per-user pair join over the BOUNDED type set (≤ |types|²
+    // pairs per user), then a count — the PrefixSpan depth-2 scan
+    // without a sequence explosion.
+    QueryDef("q195_seq_patterns",
+      (s, dir) => {
+        val ut = t(s, dir, "events")
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(min(unix_micros(col("ts"))).as("mn"),
+            max(unix_micros(col("ts"))).as("mx"))
+          .localCheckpoint()
+        val users = ut.select("user_id").distinct()
+          .agg(count(lit(1)).as("n_users"))
+        ut.select(col("user_id"), col("event_type").as("a"),
+            col("mn").as("mn_a"))
+          .join(ut.select(col("user_id"), col("event_type").as("b"),
+            col("mx").as("mx_b")), Seq("user_id"))
+          .filter(col("a") =!= col("b") && col("mn_a") < col("mx_b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("n_supporting"))
+          .crossJoin(broadcast(users))
+          .select(col("a"), col("b"), col("n_supporting"),
+            (col("n_supporting").cast("double") / col("n_users"))
+              .as("support"))
+          .orderBy("a", "b")
+      },
+      Some("""WITH ut AS (SELECT user_id, event_type,
+            MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx
+          FROM events GROUP BY 1, 2),
+        n AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM ut),
+        sp AS (SELECT x.event_type AS a, y.event_type AS b,
+            COUNT(*) AS n_supporting
+          FROM ut x JOIN ut y ON x.user_id = y.user_id
+            AND x.event_type <> y.event_type AND x.mn < y.mx
+          GROUP BY 1, 2)
+        SELECT a, b, CAST(n_supporting AS BIGINT) AS n_supporting,
+          CAST(n_supporting AS DOUBLE) / n_users AS support
+        FROM sp CROSS JOIN n ORDER BY a, b""")),
   )
 }

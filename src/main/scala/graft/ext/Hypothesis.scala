@@ -60,8 +60,16 @@ object Hypothesis {
   def prefixSumsByRange(df: DataFrame, orderCol: String,
                         valueCols: Seq[String], partitions: Int): DataFrame = {
     require(valueCols.nonEmpty, "no value columns")
+    // ONE materialization, consumed by both the local-window pass and
+    // the offsets aggregate. Without it each consumer re-evaluates the
+    // range exchange as its own job, and AQE may coalesce the UPSTREAM
+    // shuffle differently per job — different input partitioning ⇒
+    // different sampled range boundaries ⇒ `_pid` in `local` and
+    // `offsets` describe DIFFERENT partitionings, silently corrupting
+    // the prefix sums (observed at sf0.1 on q152's 13k-row histogram).
     val ranged = df.repartitionByRange(partitions, col(orderCol))
       .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
     val wLoc = Window.partitionBy("_pid").orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = valueCols.foldLeft(ranged) { (d, v) =>
