@@ -6285,7 +6285,7 @@ object QueriesExt {
         val point = ev.groupBy("event_type")
           .agg(davg(col("value")).as("point_mean"))
         val rep = ev
-          .select(col("event_type"), col("value"),
+          .select(col("event_type"), col("event_id"), col("value"),
             explode(array((0 until B).map(lit(_)): _*)).as("b"))
           .withColumn("h", Shingles.baseHash(concat(col("b").cast("string"),
             lit("|"), col("event_id").cast("string"))) % 10000)
