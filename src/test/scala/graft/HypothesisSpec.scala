@@ -42,6 +42,28 @@ class HypothesisSpec extends AnyFunSuite {
     })
   }
 
+  test("prefixSumByRange survives AQE re-planning of the upstream " +
+       "shuffle (q152 sf0.1 regression)") {
+    // Regression lock: the ranged frame used to be evaluated once per
+    // consumer (local windows + offsets); AQE could coalesce the
+    // upstream aggregation shuffle differently per job, so the two
+    // passes disagreed on partition boundaries and the sums corrupted
+    // silently. A wide aggregated input (tens of thousands of distinct
+    // keys through a real shuffle) exercises exactly that shape; the
+    // materialized `ranged` must make both passes see one partitioning.
+    import spark.implicits._
+    val df = spark.range(200000)
+      .selectExpr("cast(id % 37117 as double) / 7 as k", "id % 5 as v")
+      .groupBy("k").agg(sum("v").cast("long").as("v"))
+    val got = Hypothesis.prefixSumByRange(df, "k", "v", 32)
+      .select("k", "cum").as[(Double, Long)].collect().sortBy(_._1)
+    val rows = df.as[(Double, Long)].collect().sortBy(_._1)
+    val want = rows.scanLeft((0.0, 0L)) {
+      case ((_, acc), (k, v)) => (k, acc + v)
+    }.drop(1)
+    assert(got.toSeq == want.toSeq)
+  }
+
   private val twoSampleGen = for {
     as <- Gen.nonEmptyListOf(Gen.choose(0, 8))
     bs <- Gen.nonEmptyListOf(Gen.choose(0, 8))
