@@ -95,4 +95,29 @@ class SourcesSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters: [isnotnull(dt_load_to_dw"),
       s"expected partition pruning in:\n$plan")
   }
+
+  test("schema evolution: mergeSchema reads old+new parquet vintages, " +
+       "old files surface the added column as null") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("evolve").toString
+    // vintage 1: (id, a); vintage 2 adds column b
+    Seq((1L, "x"), (2L, "y")).toDF("id", "a")
+      .write.mode("append").parquet(dir)
+    Seq((3L, "z", 30L), (4L, "w", 40L)).toDF("id", "a", "b")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet === Set("id", "a", "b"))
+    val rows = merged.orderBy("id")
+      .select("id", "a", "b").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L))
+    assert(rows.take(2).forall(_.isNullAt(2)),
+      "old-vintage rows must carry null for the added column")
+    assert(rows.drop(2).map(_.getLong(2)).toSeq === Seq(30L, 40L))
+    // the programmatic twin: unionByName across vintages in code
+    val v1 = spark.createDataFrame(
+      Seq((1L, "x")).map(t => (t._1, t._2))).toDF("id", "a")
+    val v2 = Seq((3L, "z", 30L)).toDF("id", "a", "b")
+    val u = v1.unionByName(v2, allowMissingColumns = true)
+    assert(u.columns.toSet === Set("id", "a", "b") && u.count() === 2)
+  }
 }
