@@ -6382,5 +6382,54 @@ object QueriesExt {
         SELECT a, b, CAST(n_supporting AS BIGINT) AS n_supporting,
           CAST(n_supporting AS DOUBLE) / n_users AS support
         FROM sp CROSS JOIN n ORDER BY a, b""")),
+
+    // ── Personalized PageRank: seed-anchored relatedness (q196) ────────
+    // q108's teleport mass redirected entirely to the highest-df seed
+    // token — stationary scores become proximity-to-seed, the
+    // query-expansion / related-terms primitive. Same fixed-point
+    // integer loop, oracle replays the iterations as chained CTEs.
+    QueryDef("q196_personalized_pagerank",
+      (s, dir) => graft.ext.Search.personalizedPageRank(
+        tPar(s, dir, "documents"), "doc_id", "text",
+        trVocab, trDampNum, trDampDen, trIters, trScale),
+      Some {
+        def step(prev: String) =
+          s"""SELECT v.token,
+              CAST(CASE WHEN v.token = (SELECT token FROM seed)
+                THEN (${trDampDen - trDampNum} * $trScale)
+                  // $trDampDen ELSE 0 END
+                + ($trDampNum * COALESCE(q.s, 0)) // $trDampDen
+                AS BIGINT) AS r
+            FROM v LEFT JOIN
+              (SELECT e.dst, CAST(SUM((p.r * e.c) // w.w) AS BIGINT) AS s
+               FROM e JOIN $prev p ON e.src = p.token
+                 JOIN w ON e.src = w.src
+               GROUP BY e.dst) q ON v.token = q.dst"""
+        s"""WITH dt AS (SELECT DISTINCT doc_id, tok AS token
+            FROM (SELECT doc_id, unnest($dTok) AS tok FROM documents)),
+          vd AS (SELECT token, COUNT(*) AS df FROM dt
+            GROUP BY 1 ORDER BY df DESC, token LIMIT $trVocab),
+          v AS (SELECT token FROM vd),
+          seed AS (SELECT token FROM vd
+            ORDER BY df DESC, token LIMIT 1),
+          vt AS (SELECT dt.doc_id, dt.token FROM dt JOIN v USING (token)),
+          h AS (SELECT a.token AS src, b.token AS dst, COUNT(*) AS c
+            FROM vt a JOIN vt b
+              ON a.doc_id = b.doc_id AND a.token < b.token
+            GROUP BY 1, 2),
+          e AS (SELECT src, dst, c FROM h
+            UNION ALL SELECT dst, src, c FROM h),
+          w AS (SELECT src, SUM(c) AS w FROM e GROUP BY 1),
+          r0 AS (SELECT token, CAST(CASE WHEN token =
+              (SELECT token FROM seed) THEN $trScale ELSE 0 END
+              AS BIGINT) AS r
+            FROM v),
+          r1 AS (${step("r0")}),
+          r2 AS (${step("r1")}),
+          r3 AS (${step("r2")})
+        SELECT token, CAST(r AS BIGINT) AS ppr_units,
+          CAST(r AS DOUBLE) / $trScale AS ppr
+        FROM r3 ORDER BY ppr_units DESC, token"""
+      }),
   )
 }

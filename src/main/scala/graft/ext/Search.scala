@@ -144,6 +144,51 @@ object Search {
       .orderBy(desc("rank_units"), col("token"))
   }
 
+  /** Personalized PageRank — the retrieval-expansion variant of
+    * [[textRank]]: ALL teleport mass returns to one seed node (the
+    * highest-df token, [[bfsHops]]'s source), so the stationary scores
+    * measure proximity to the seed instead of global centrality — the
+    * "related terms" / query-expansion primitive. Same fixed-point
+    * integer discipline (multiply + floor-div only), same bounded
+    * plan: corpus touched twice, iterations on the checkpointed
+    * ≤ vocab² edge table, all broadcast.
+    */
+  def personalizedPageRank(docs: DataFrame, idCol: String, textCol: String,
+                           vocab: Int, dampNum: Int, dampDen: Int,
+                           iters: Int, scale: Long): DataFrame = {
+    require(dampNum >= 0 && dampNum <= dampDen, s"damping $dampNum/$dampDen")
+    require(iters >= 1, s"iters $iters")
+    val (vFull, edges) = cooccurGraph(docs, idCol, textCol, vocab)
+    val ew = edges.join(edges.groupBy("src").agg(sum("c").as("w")), "src")
+      .localCheckpoint()
+    val seeded = vFull
+      .crossJoin(broadcast(vFull.orderBy(desc("df"), col("token"))
+        .limit(1).select(col("token").as("seed_token"))))
+      .select(col("token"),
+        (col("token") === col("seed_token")).as("is_seed"))
+      .localCheckpoint()
+    var r = seeded.select(col("token"),
+      when(col("is_seed"), lit(scale)).otherwise(lit(0L)).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = ew
+        .join(broadcast(r.withColumnRenamed("token", "src")), "src")
+        .select(col("dst"), expr("(r * c) div w").as("contrib"))
+        .groupBy("dst").agg(sum("contrib").as("s"))
+      r = seeded
+        .join(broadcast(contrib.withColumnRenamed("dst", "token")),
+          Seq("token"), "left")
+        .select(col("token"),
+          (when(col("is_seed"),
+            expr(s"(${dampDen - dampNum}L * ${scale}L) div ${dampDen}L"))
+            .otherwise(lit(0L)) +
+           expr(s"(${dampNum}L * coalesce(s, 0L)) div ${dampDen}L"))
+            .as("r"))
+    }
+    r.select(col("token"), col("r").as("ppr_units"),
+      (col("r").cast("double") / lit(scale.toDouble)).as("ppr"))
+      .orderBy(desc("ppr_units"), col("token"))
+  }
+
   /** Sentinel for "unreached" in [[bfsHops]]'s integer relaxation. */
   private[ext] val BfsInf = 999999L
 
