@@ -6431,5 +6431,123 @@ object QueriesExt {
           CAST(r AS DOUBLE) / $trScale AS ppr
         FROM r3 ORDER BY ppr_units DESC, token"""
       }),
+
+    // ── Seasonal decomposition of daily volume (q197) ──────────────────
+    // The classical additive decomposition (trend + seasonal +
+    // residual) without loess: trend = centered 7-day moving average
+    // (null at the edges — exactly-7-row frames only), seasonal = the
+    // per-weekday decimal-exact mean of the detrended series, residual
+    // = what's left. Heavy lifting is ONE per-day aggregation; every
+    // window after that runs on the bounded day table. The monitoring
+    // twin of q138's anomaly flags — this one yields the components.
+    QueryDef("q197_seasonal_decompose",
+      (s, dir) => {
+        val pd = t(s, dir, "events")
+          .select(expr("unix_micros(ts) div 86400000000").as("day"))
+          .groupBy("day").agg(count(lit(1)).as("volume"))
+          .localCheckpoint()
+        val w7 = Window.orderBy("day").rowsBetween(-3, 3)
+        val withTrend = pd
+          .withColumn("trend",
+            when(count(lit(1)).over(w7) === 7,
+              sum("volume").over(w7).cast("double") / 7))
+          .withColumn("wd", pmod(col("day"), lit(7L)))
+        val seasonal = withTrend.filter(col("trend").isNotNull)
+          .groupBy("wd")
+          .agg(davg(col("volume") - col("trend")).as("seasonal"))
+        withTrend.join(broadcast(seasonal), "wd")
+          .select(col("day"), col("volume"), col("trend"),
+            col("seasonal"),
+            (col("volume") - col("trend") - col("seasonal"))
+              .as("residual"))
+          .orderBy("day")
+      },
+      Some(s"""WITH pd AS (SELECT epoch_us(ts) // 86400000000 AS day,
+            COUNT(*) AS volume
+          FROM events GROUP BY 1),
+        tr AS (SELECT day, volume,
+            CASE WHEN COUNT(*) OVER w = 7
+              THEN CAST(SUM(volume) OVER w AS DOUBLE) / 7 END AS trend,
+            day % 7 AS wd
+          FROM pd WINDOW w AS (ORDER BY day
+            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        se AS (SELECT wd,
+            ${dsumSql("volume - trend")} / COUNT(*) AS seasonal
+          FROM tr WHERE trend IS NOT NULL GROUP BY wd)
+        SELECT day, CAST(volume AS BIGINT) AS volume, trend, seasonal,
+          volume - trend - seasonal AS residual
+        FROM tr JOIN se USING (wd) ORDER BY day""")),
+
+    // ── Golden-record merge (q198) ─────────────────────────────────────
+    // The SELECT step after entity resolution (q164 scoring → q166
+    // clustering): one surviving record per entity with PER-ATTRIBUTE
+    // survivorship rules — mode-with-pinned-tie for the categorical
+    // (q167's contract), DISCRETE lower median for the numeric (a data
+    // value, no interpolation — q107's contract), min for the price.
+    // Every window spans one bounded entity cluster; the expensive
+    // parts (pair scoring, clustering) reuse the linkage machinery.
+    QueryDef("q198_golden_record",
+      (s, dir) => {
+        val pairs = fsScoredPairs(s, dir)
+          .filter(col("score") >= fsMinScore)
+          .select("id_a", "id_b")
+        val members = Dedup.dedupClusters(pairs)
+          .select(col("id").as("p_partkey"), col("cluster"))
+          .join(t(s, dir, "part"), "p_partkey")
+          .localCheckpoint()
+        val n = members.groupBy("cluster")
+          .agg(count(lit(1)).as("n_members"),
+            min("p_retailprice").as("min_price"))
+        val modeType = members.groupBy("cluster", "p_type")
+          .agg(count(lit(1)).as("c"))
+          .withColumn("rn", row_number().over(Window
+            .partitionBy("cluster")
+            .orderBy(desc("c"), col("p_type"))))
+          .filter(col("rn") === 1)
+          .select(col("cluster"), col("p_type").as("canonical_type"))
+        val medSize = members
+          .withColumn("rk", row_number().over(Window
+            .partitionBy("cluster")
+            .orderBy(col("p_size"), col("p_partkey"))))
+          .crossJoin(broadcast(members.groupBy("cluster")
+            .agg(count(lit(1)).as("nn"))
+            .withColumnRenamed("cluster", "cl2")))
+          .filter(col("cluster") === col("cl2") &&
+            col("rk") === expr("(nn + 1) div 2"))
+          .select(col("cluster"), col("p_size").as("median_size"))
+        n.join(modeType, "cluster").join(medSize, "cluster")
+          .select(col("cluster"), col("n_members"),
+            col("canonical_type"), col("median_size"), col("min_price"))
+          .orderBy("cluster")
+      },
+      Some(s"""WITH RECURSIVE $dFsCtes,
+        m AS (SELECT id_a, id_b FROM scored WHERE score >= $fsMinScore),
+        edges AS (SELECT id_a AS u, id_b AS v FROM m
+                  UNION SELECT id_b, id_a FROM m),
+        nodes AS (SELECT DISTINCT u AS id FROM edges),
+        reach(id, r) AS (
+          SELECT id, id FROM nodes
+          UNION
+          SELECT rr.id, e.v FROM reach rr JOIN edges e ON rr.r = e.u),
+        lab AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+        mem AS (SELECT lab.cluster, p.p_partkey, p.p_type, p.p_size,
+            p.p_retailprice
+          FROM lab JOIN part p ON lab.id = p.p_partkey),
+        n AS (SELECT cluster, COUNT(*) AS n_members,
+            MIN(p_retailprice) AS min_price FROM mem GROUP BY 1),
+        mt AS (SELECT cluster, p_type AS canonical_type FROM (
+          SELECT cluster, p_type, row_number() OVER (
+              PARTITION BY cluster ORDER BY COUNT(*) DESC, p_type)
+            AS rn
+          FROM mem GROUP BY cluster, p_type) WHERE rn = 1),
+        ms AS (SELECT cluster, p_size AS median_size FROM (
+          SELECT cluster, p_size, row_number() OVER (
+              PARTITION BY cluster ORDER BY p_size, p_partkey) AS rk,
+            COUNT(*) OVER (PARTITION BY cluster) AS nn
+          FROM mem) WHERE rk = (nn + 1) // 2)
+        SELECT cluster, CAST(n_members AS BIGINT) AS n_members,
+          canonical_type, median_size, min_price
+        FROM n JOIN mt USING (cluster) JOIN ms USING (cluster)
+        ORDER BY cluster""")),
   )
 }
