@@ -6549,5 +6549,103 @@ object QueriesExt {
           canonical_type, median_size, min_price
         FROM n JOIN mt USING (cluster) JOIN ms USING (cluster)
         ORDER BY cluster""")),
+
+    // ── Period-over-period report (q199) ───────────────────────────────
+    // The BI staple: week-over-week revenue change per nation —
+    // decimal-exact weekly revenue, one lag window per nation over the
+    // BOUNDED (nation, week) aggregate, delta and pct_change as single
+    // IEEE ops, weekly rank of deltas for the movers board. The fact
+    // table is touched once.
+    QueryDef("q199_wow_report",
+      (s, dir) => {
+        val wk = t(s, dir, "orders")
+          .join(t(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"), expr(
+            "unix_micros(cast(o_orderdate as timestamp))" +
+              " div 604800000000").as("week"))
+          .agg(dsum(col("o_totalprice")).as("revenue"))
+        val wLag = Window.partitionBy("n_name").orderBy("week")
+        val withDelta = wk
+          .withColumn("prev_revenue", lag("revenue", 1).over(wLag))
+          .withColumn("delta", col("revenue") - col("prev_revenue"))
+          .withColumn("pct_change",
+            (col("revenue") - col("prev_revenue")) / col("prev_revenue"))
+        withDelta
+          .withColumn("week_rank", when(col("delta").isNotNull,
+            row_number().over(Window.partitionBy("week")
+              .orderBy(desc("delta"), col("n_name")))).cast("long"))
+          .select("n_name", "week", "revenue", "prev_revenue", "delta",
+            "pct_change", "week_rank")
+          .orderBy("n_name", "week")
+      },
+      Some {
+        // Spark ranks only rows with a delta (rows_between excludes the
+        // first week per nation from the movers board)
+        s"""WITH wk AS (SELECT n_name,
+            epoch_us(o_orderdate) // 604800000000 AS week,
+            ${dsumSql("o_totalprice")} AS revenue
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY 1, 2),
+        d AS (SELECT n_name, week, revenue,
+            lag(revenue) OVER (PARTITION BY n_name ORDER BY week)
+              AS prev_revenue
+          FROM wk)
+        SELECT n_name, week, revenue, prev_revenue,
+          revenue - prev_revenue AS delta,
+          (revenue - prev_revenue) / prev_revenue AS pct_change,
+          CASE WHEN prev_revenue IS NOT NULL THEN
+            CAST(row_number() OVER (PARTITION BY week,
+                (prev_revenue IS NOT NULL)
+              ORDER BY revenue - prev_revenue DESC, n_name) AS BIGINT)
+          END AS week_rank
+        FROM d ORDER BY n_name, week"""
+      }),
+
+    // ── Corpus dataset card (q200) ─────────────────────────────────────
+    // The one-row summary a training-data release ships with: corpus
+    // size, token mass, vocabulary, language/source breadth, exact
+    // duplicate rate, mean document length. Each number is an exact
+    // aggregate the suite already trusts; the card is one scan of the
+    // corpus plus the token pass.
+    QueryDef("q200_dataset_card",
+      (s, dir) => {
+        val d = tPar(s, dir, "documents").localCheckpoint()
+        val base = d.agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct("lang").as("n_langs"),
+          countDistinct("source").as("n_sources"),
+          sum("n_chars").as("total_chars"),
+          (dsum(col("n_chars")) / count(lit(1))).as("mean_chars"))
+        val toks = d.select(explode(TextStats.tokens(col("text")))
+            .as("token"))
+          .agg(count(lit(1)).as("total_tokens"),
+            countDistinct("token").as("vocab"))
+        val dups = d.groupBy(md5(col("text")).as("h"))
+          .agg(count(lit(1)).as("c"))
+          .agg(sum(col("c") - 1).as("n_exact_dups"))
+        base.crossJoin(toks).crossJoin(dups)
+      },
+      Some(s"""SELECT
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+          (SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) FROM documents)
+            AS n_langs,
+          (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) FROM documents)
+            AS n_sources,
+          (SELECT CAST(SUM(n_chars) AS BIGINT) FROM documents)
+            AS total_chars,
+          (SELECT ${dsumSql("n_chars")} / COUNT(*) FROM documents)
+            AS mean_chars,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM
+            (SELECT unnest($dTok) FROM documents)) AS total_tokens,
+          (SELECT CAST(COUNT(DISTINCT token) AS BIGINT) FROM
+            (SELECT unnest($dTok) AS token FROM documents)) AS vocab,
+          (SELECT CAST(SUM(c - 1) AS BIGINT) FROM
+            (SELECT md5(text) AS h, COUNT(*) AS c FROM documents
+             GROUP BY 1)) AS n_exact_dups""")),
   )
 }
