@@ -6647,5 +6647,74 @@ object QueriesExt {
           (SELECT CAST(SUM(c - 1) AS BIGINT) FROM
             (SELECT md5(text) AS h, COUNT(*) AS c FROM documents
              GROUP BY 1)) AS n_exact_dups""")),
+
+    // ── Split-conformal prediction bands (q201) ────────────────────────
+    // Distribution-free intervals with finite-sample guarantees
+    // (Vovk et al.; the q194 bootstrap's rigorous cousin): a hash-split
+    // "training" half fits the per-type decimal-exact mean, the
+    // calibration half's nonconformity scores |v − mean| feed the
+    // EXACT p90 engine (q144 machinery, quantile_cont parity), and the
+    // band mean ± q is then audited for coverage on the held-out
+    // training half — real coverage vs the nominal 90%, as one exact
+    // count ratio. Two scans, one quantile refinement, no sort.
+    QueryDef("q201_conformal_band",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .withColumn("cal",
+            Shingles.baseHash(col("event_id").cast("string")) % 2 === 1)
+          .localCheckpoint()
+        val means = ev.filter(!col("cal")).groupBy("event_type")
+          .agg(davg(col("value")).as("mean_v"),
+            count(lit(1)).as("n_train"))
+        val scores = ev.filter(col("cal"))
+          .join(broadcast(means), "event_type")
+          .select(col("event_type"),
+            abs(col("value") - col("mean_v")).as("score"))
+        val q90 = graft.ext.Stats.exactQuantilesByGroup(
+          scores, "event_type", "score", Seq(0.9),
+          buckets = 64, tail = 64)
+          .select(col("event_type"), col("n").as("n_cal"),
+            col("quantile").as("q90"))
+        val band = means.join(q90, "event_type")
+          .withColumn("lo", col("mean_v") - col("q90"))
+          .withColumn("hi", col("mean_v") + col("q90"))
+        val cover = ev.filter(!col("cal"))
+          .join(broadcast(band.select("event_type", "lo", "hi")),
+            "event_type")
+          .groupBy("event_type")
+          .agg(sum(when(col("value") >= col("lo") &&
+            col("value") <= col("hi"), 1L).otherwise(0L)).as("n_in"))
+        band.join(cover, "event_type")
+          .select(col("event_type"), col("n_train"), col("n_cal"),
+            col("mean_v"), col("q90"), col("lo"), col("hi"),
+            (col("n_in").cast("double") / col("n_train"))
+              .as("coverage_train"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH ev AS (SELECT event_type, value,
+            ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 7))
+              ::BIGINT % 2 = 1 AS cal
+          FROM events),
+        m AS (SELECT event_type,
+            ${dsumSql("value")} / COUNT(value) AS mean_v,
+            CAST(COUNT(*) AS BIGINT) AS n_train
+          FROM ev WHERE NOT cal GROUP BY 1),
+        sc AS (SELECT ev.event_type, abs(value - mean_v) AS score
+          FROM ev JOIN m USING (event_type) WHERE cal),
+        q AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_cal,
+            quantile_cont(score, 0.9) AS q90
+          FROM sc GROUP BY 1),
+        band AS (SELECT m.event_type, n_train, n_cal, mean_v, q90,
+            mean_v - q90 AS lo, mean_v + q90 AS hi
+          FROM m JOIN q USING (event_type)),
+        cov AS (SELECT ev.event_type,
+            SUM(CASE WHEN value >= lo AND value <= hi THEN 1 ELSE 0 END)
+              AS n_in
+          FROM ev JOIN band USING (event_type) WHERE NOT cal
+          GROUP BY 1)
+        SELECT band.event_type, n_train, n_cal, mean_v, q90, lo, hi,
+          CAST(n_in AS DOUBLE) / n_train AS coverage_train
+        FROM band JOIN cov USING (event_type)
+        ORDER BY event_type""")),
   )
 }
