@@ -6716,5 +6716,31 @@ object QueriesExt {
           CAST(n_in AS DOUBLE) / n_train AS coverage_train
         FROM band JOIN cov USING (event_type)
         ORDER BY event_type""")),
+
+    // ── Count-min as a native Catalyst aggregate (q202) ────────────────
+    // q113's grid built by `graft_cms`, the second first-class sketch
+    // aggregate after q191: the depth×width counter array IS the
+    // aggregation buffer, merge is element-wise addition, so each map
+    // task ships ONE bounded grid instead of its token stream — the
+    // operator-level q113 pays a (token, j) exchange; this pays
+    // grids-per-task. Identical bucket family ⇒ the oracle replays
+    // every counter; non-zero cells emitted as (j, bucket, c) rows.
+    QueryDef("q202_cms_native_agg",
+      (s, dir) => tPar(s, dir, "documents")
+        .select(explode(TextStats.tokens(col("text"))).as("token"))
+        .agg(graft.functions.CmsSketchAgg.cmsAgg(
+          col("token"), cmsDepth, cmsWidth).as("grid"))
+        .select(posexplode(col("grid")).as(Seq("idx", "c")))
+        .filter(col("c") > 0)
+        .select(expr(s"idx div $cmsWidth").as("j"),
+          pmod(col("idx"), lit(cmsWidth)).cast("long").as("bucket"),
+          col("c"))
+        .orderBy("j", "bucket"),
+      Some(s"""WITH tk AS (SELECT unnest($dTok) AS token FROM documents)
+        SELECT j, ('0x' || substr(md5(j::VARCHAR || '|' || token), 1, 7))
+            ::BIGINT % $cmsWidth AS bucket,
+          COUNT(*) AS c
+        FROM tk CROSS JOIN (SELECT unnest(range(0, $cmsDepth)) AS j)
+        GROUP BY 1, 2 ORDER BY j, bucket""")),
   )
 }

@@ -85,7 +85,11 @@ object GraftFunctions {
     (FunctionIdentifier("graft_kmv"),
       new ExpressionInfo(classOf[KmvSketchAgg].getName, "graft_kmv"),
       (args: Seq[Expression]) => KmvSketchAgg(args(0),
-        intArg(args(1), "k"))))
+        intArg(args(1), "k"))),
+    (FunctionIdentifier("graft_cms"),
+      new ExpressionInfo(classOf[CmsSketchAgg].getName, "graft_cms"),
+      (args: Seq[Expression]) => CmsSketchAgg(args(0),
+        intArg(args(1), "depth"), intArg(args(2), "width"))))
 
   /** Register on a live session. */
   def register(spark: SparkSession): Unit =

@@ -115,3 +115,77 @@ object KmvSketchAgg {
     ColumnBridge.column(
       KmvSketchAgg(ColumnBridge.expression(c), k).toAggregateExpression())
 }
+
+/** Count-min sketch as a native Catalyst aggregate — the frequency twin
+  * of [[KmvSketchAgg]]: the depth×width counter grid IS the aggregation
+  * buffer (a flat long array, merge = element-wise add — associative
+  * and commutative, so partials fold exactly under any partitioning and
+  * each map task ships one bounded grid per group, never its token
+  * stream). Bucket family is the shared portable one (28-bit md5 prefix
+  * of `"j|value"`), identical to [[graft.ext.Sketches.countMin]], so
+  * the oracle replays every counter. Returns the grid as
+  * `array<long>` of length depth·width, row-major.
+  */
+case class CmsSketchAgg(child: Expression, depth: Int, width: Int,
+                        mutableAggBufferOffset: Int = 0,
+                        inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]]
+    with UnaryLike[Expression] {
+  require(depth >= 1 && width >= 1, s"cms ${depth}x$width")
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](depth * width)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val s = v.asInstanceOf[UTF8String].toString
+      var j = 0
+      while (j < depth) {
+        val h = NativeExprs.baseHash28(
+          (j.toString + "|" + s).getBytes("UTF-8"))
+        buf(j * width + (h % width).toInt) += 1
+        j += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < b1.length) { b1(i) += b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Long]): Any =
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * buf.length)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CmsSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CmsSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): CmsSketchAgg =
+    copy(child = newChild)
+  override def prettyName: String = "graft_cms"
+}
+
+object CmsSketchAgg {
+  def cmsAgg(c: Column, depth: Int, width: Int): Column =
+    ColumnBridge.column(
+      CmsSketchAgg(ColumnBridge.expression(c), depth, width)
+        .toAggregateExpression())
+}

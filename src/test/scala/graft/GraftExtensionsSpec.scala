@@ -86,4 +86,29 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(plan.contains("partial_graft_kmv"),
       s"expected a partial aggregate phase in:\n$plan")
   }
+
+  test("graft_cms native aggregate: grid equals the operator-level " +
+       "sketch, SQL surface works, partial phase planned") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.load(spark, TestSpark.sf0001, "events")
+      .select(col("user_id").cast("string").as("v"))
+    val (depth, width) = (4, 16)
+    val gridDf = ev.agg(graft.functions.CmsSketchAgg.cmsAgg(
+      col("v"), depth, width).as("grid"))
+    val grid = gridDf.head().getSeq[Long](0)
+    val opRows = graft.ext.Sketches.countMin(ev, col("v"), depth, width)
+      .collect().map(r => (r.getInt(0) * width + r.getLong(1).toInt,
+        r.getLong(2))).toMap
+    assert(grid.length === depth * width)
+    grid.zipWithIndex.foreach { case (c, i) =>
+      assert(c === opRows.getOrElse(i, 0L),
+        s"cell $i: native $c vs operator ${opRows.getOrElse(i, 0L)}")
+    }
+    ev.createOrReplaceTempView("cms_ev")
+    val viaSql = spark.sql(s"SELECT graft_cms(v, $depth, $width) FROM cms_ev")
+      .head().getSeq[Long](0)
+    assert(viaSql === grid)
+    assert(gridDf.queryExecution.executedPlan.toString
+      .contains("partial_graft_cms"))
+  }
 }
