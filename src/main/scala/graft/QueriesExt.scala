@@ -6742,5 +6742,89 @@ object QueriesExt {
           COUNT(*) AS c
         FROM tk CROSS JOIN (SELECT unnest(range(0, $cmsDepth)) AS j)
         GROUP BY 1, 2 ORDER BY j, bucket""")),
+
+    // ── Apriori triples: frequent 3-itemsets (q203) ────────────────────
+    // q180 extended one level with the APRIORI prune: a brand triple
+    // can only be frequent if all three of its pairs are, so candidate
+    // generation semi-joins each extension step against the
+    // broadcast-tiny frequent-pair set BEFORE counting — at scale this
+    // is what keeps the 3-way expansion proportional to surviving
+    // candidates, not (brands per order choose 3). Output is the
+    // top-20 triples by support (rank-based — absolute triple support
+    // thins as the catalog diversifies with scale, so a fixed relative
+    // floor is the wrong contract), each with its three pair supports.
+    QueryDef("q203_apriori_triples",
+      (s, dir) => {
+        val ob = t(s, dir, "lineitem")
+          .join(broadcast(t(s, dir, "part")),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
+          .distinct()
+          .localCheckpoint()
+        val n = ob.select("ok").distinct().agg(count(lit(1)).as("n"))
+        val fp = ob.select(col("ok"), col("b").as("pa"))
+          .join(ob.select(col("ok"), col("b").as("pb")), Seq("ok"))
+          .filter(col("pa") < col("pb"))
+          .groupBy("pa", "pb").agg(count(lit(1)).as("s_pair"))
+          .crossJoin(broadcast(n))
+          .filter(col("s_pair") * basketDen >= col("n"))
+          .select("pa", "pb", "s_pair")
+          .localCheckpoint()
+        def fpSemi(left: String, right: String) =
+          broadcast(fp.select(col("pa").as(left), col("pb").as(right)))
+        val tri = ob.select(col("ok"), col("b").as("a"))
+          .join(ob.select(col("ok"), col("b").as("bb")), Seq("ok"))
+          .filter(col("a") < col("bb"))
+          .join(fpSemi("a", "bb"), Seq("a", "bb"), "left_semi")
+          .join(ob.select(col("ok"), col("b").as("c")), Seq("ok"))
+          .filter(col("bb") < col("c"))
+          .join(fpSemi("bb", "c"), Seq("bb", "c"), "left_semi")
+          .join(fpSemi("a", "c"), Seq("a", "c"), "left_semi")
+          .groupBy("a", "bb", "c").agg(count(lit(1)).as("s_abc"))
+          .orderBy(desc("s_abc"), col("a"), col("bb"), col("c"))
+          .limit(20)
+        tri
+          .join(broadcast(fp.select(col("pa").as("a"),
+            col("pb").as("bb"), col("s_pair").as("s_ab"))),
+            Seq("a", "bb"))
+          .join(broadcast(fp.select(col("pa").as("a"),
+            col("pb").as("c"), col("s_pair").as("s_ac"))), Seq("a", "c"))
+          .join(broadcast(fp.select(col("pa").as("bb"),
+            col("pb").as("c"), col("s_pair").as("s_bc"))),
+            Seq("bb", "c"))
+          .select(col("a").as("brand_a"), col("bb").as("brand_b"),
+            col("c").as("brand_c"), col("s_abc"), col("s_ab"),
+            col("s_ac"), col("s_bc"))
+          .orderBy(desc("s_abc"), col("brand_a"), col("brand_b"),
+            col("brand_c"))
+      },
+      Some(s"""WITH ob AS (SELECT DISTINCT l.l_orderkey AS ok,
+            p.p_brand AS b
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        n AS (SELECT COUNT(DISTINCT ok) AS n FROM ob),
+        fp AS (SELECT a.b AS pa, c.b AS pb, COUNT(*) AS s_pair
+          FROM ob a JOIN ob c ON a.ok = c.ok AND a.b < c.b
+          GROUP BY 1, 2
+          HAVING COUNT(*) * $basketDen >= (SELECT n FROM n)),
+        tri AS (SELECT x.b AS a, y.b AS bb, z.b AS c,
+            COUNT(*) AS s_abc
+          FROM ob x
+          JOIN ob y ON x.ok = y.ok AND x.b < y.b
+          JOIN fp p1 ON p1.pa = x.b AND p1.pb = y.b
+          JOIN ob z ON x.ok = z.ok AND y.b < z.b
+          JOIN fp p2 ON p2.pa = y.b AND p2.pb = z.b
+          JOIN fp p3 ON p3.pa = x.b AND p3.pb = z.b
+          GROUP BY 1, 2, 3
+          ORDER BY s_abc DESC, a, bb, c LIMIT 20)
+        SELECT tri.a AS brand_a, tri.bb AS brand_b, tri.c AS brand_c,
+          CAST(s_abc AS BIGINT) AS s_abc,
+          CAST(p1.s_pair AS BIGINT) AS s_ab,
+          CAST(p3.s_pair AS BIGINT) AS s_ac,
+          CAST(p2.s_pair AS BIGINT) AS s_bc
+        FROM tri
+        JOIN fp p1 ON p1.pa = tri.a AND p1.pb = tri.bb
+        JOIN fp p2 ON p2.pa = tri.bb AND p2.pb = tri.c
+        JOIN fp p3 ON p3.pa = tri.a AND p3.pb = tri.c
+        ORDER BY s_abc DESC, brand_a, brand_b, brand_c""")),
   )
 }
