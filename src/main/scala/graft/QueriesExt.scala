@@ -6826,5 +6826,80 @@ object QueriesExt {
         JOIN fp p2 ON p2.pa = tri.bb AND p2.pb = tri.c
         JOIN fp p3 ON p3.pa = tri.a AND p3.pb = tri.c
         ORDER BY s_abc DESC, brand_a, brand_b, brand_c""")),
+
+    // ── Inter-classifier agreement: Cohen's kappa (q204) ───────────────
+    // Model-eval primitive: how much do the hashed linear classifier
+    // (q176) and the heuristic quality gate (q21 ≥ ½) agree beyond
+    // chance? The 2×2 agreement matrix is one map-only scan + one
+    // 4-cell aggregate; kappa = (N·agree − Σ marginal products) /
+    // (N² − Σ marginal products) carried in DECIMAL(38,0) integers so
+    // only the final division is float — exact at any corpus size
+    // where N² fits 38 digits.
+    QueryDef("q204_cohens_kappa",
+      (s, dir) => {
+        def score(toks: Column): Column = aggregate(toks, lit(0L),
+          (acc, tk) => {
+            val b = Shingles.baseHash(tk) % fhDim
+            acc + (Shingles.baseHash(concat(lit("w|"), b.cast("string")))
+              % fhWMod - fhWOff)
+          })
+        val d = tPar(s, dir, "documents").select(
+          (score(TextStats.tokens(col("text"))) >= 0).as("a"),
+          (TextStats.qualityScore(col("text"), stopwords) >= 0.5)
+            .as("b"))
+        val cells = d.agg(
+          sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("n11"),
+          sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("n10"),
+          sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("n01"),
+          sum(when(!col("a") && !col("b"), 1L).otherwise(0L)).as("n00"))
+        val dec = "decimal(38,0)"
+        cells.select(col("n11"), col("n10"), col("n01"), col("n00"),
+          ((
+            (col("n11") + col("n10") + col("n01") + col("n00"))
+              .cast(dec) * (col("n11") + col("n00")).cast(dec) -
+            ((col("n11") + col("n10")).cast(dec) *
+              (col("n11") + col("n01")).cast(dec) +
+             (col("n01") + col("n00")).cast(dec) *
+              (col("n10") + col("n00")).cast(dec))
+          ).cast("double") /
+          (
+            (col("n11") + col("n10") + col("n01") + col("n00"))
+              .cast(dec) * (col("n11") + col("n10") + col("n01") +
+                col("n00")).cast(dec) -
+            ((col("n11") + col("n10")).cast(dec) *
+              (col("n11") + col("n01")).cast(dec) +
+             (col("n01") + col("n00")).cast(dec) *
+              (col("n10") + col("n00")).cast(dec))
+          ).cast("double")).as("kappa"))
+      },
+      Some(s"""WITH lab AS (SELECT
+            CAST(COALESCE(list_sum(list_transform($dTok, t ->
+              ('0x' || substr(md5('w|' ||
+                  (('0x' || substr(md5(t), 1, 7))::BIGINT % $fhDim)
+                    ::VARCHAR), 1, 7))::BIGINT % $fhWMod - $fhWOff)), 0)
+              AS BIGINT) >= 0 AS a,
+            $dQualityExpr >= 0.5 AS b
+          FROM documents),
+        c AS (SELECT
+            CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT)
+              AS n11,
+            CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+              AS n10,
+            CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT)
+              AS n01,
+            CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)
+              AS BIGINT) AS n00
+          FROM lab)
+        SELECT n11, n10, n01, n00,
+          CAST(CAST(n11 + n10 + n01 + n00 AS HUGEINT) * (n11 + n00)
+              - ((n11 + n10) * CAST(n11 + n01 AS HUGEINT)
+                 + (n01 + n00) * CAST(n10 + n00 AS HUGEINT))
+            AS DOUBLE) /
+          CAST(CAST(n11 + n10 + n01 + n00 AS HUGEINT)
+              * (n11 + n10 + n01 + n00)
+              - ((n11 + n10) * CAST(n11 + n01 AS HUGEINT)
+                 + (n01 + n00) * CAST(n10 + n00 AS HUGEINT))
+            AS DOUBLE) AS kappa
+        FROM c""")),
   )
 }
