@@ -6901,5 +6901,86 @@ object QueriesExt {
                  + (n01 + n00) * CAST(n10 + n00 AS HUGEINT))
             AS DOUBLE) AS kappa
         FROM c""")),
+
+    // ── Gains / lift table for the classifier (q205) ───────────────────
+    // The model-eval companion of q204: docs bucketed into score
+    // deciles by VALUE boundaries from the exact-quantile engine (the
+    // q178 discipline — no global ntile sort; ties land in one bin
+    // deterministically), response = the q21 quality gate, and the
+    // gains table ranks deciles best-first with cumulative capture and
+    // lift — exact integer counts, divisions only in the output
+    // columns, the 10-row cumulative window costs nothing.
+    QueryDef("q205_gains_table",
+      (s, dir) => {
+        def score(toks: Column): Column = aggregate(toks, lit(0L),
+          (acc, tk) => {
+            val b = Shingles.baseHash(tk) % fhDim
+            acc + (Shingles.baseHash(concat(lit("w|"), b.cast("string")))
+              % fhWMod - fhWOff)
+          })
+        val d = tPar(s, dir, "documents").select(
+          score(TextStats.tokens(col("text"))).cast("double").as("sc"),
+          when(TextStats.qualityScore(col("text"), stopwords) >= 0.5,
+            1L).otherwise(0L).as("resp"))
+          .withColumn("g", lit("all"))
+          .localCheckpoint()
+        val ps = (1 to 9).map(_ / 10.0)
+        val bounds = graft.ext.Stats.exactQuantilesByGroup(
+          d, "g", "sc", ps, buckets = 64, tail = 64)
+          .collect().map(r => r.getDouble(1) -> r.getDouble(3)).toMap
+        val decile = ps.map(p => (col("sc") > lit(bounds(p))).cast("int"))
+          .foldLeft(lit(1))(_ + _).cast("long")
+        val per = d.groupBy(decile.as("decile"))
+          .agg(count(lit(1)).as("n_docs"), sum("resp").as("n_resp"))
+        val w = Window.orderBy(desc("decile"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        per
+          .withColumn("cum_docs", sum("n_docs").over(w))
+          .withColumn("cum_resp", sum("n_resp").over(w))
+          .crossJoin(broadcast(d.agg(count(lit(1)).as("tot_docs"),
+            sum("resp").as("tot_resp"))))
+          .select(col("decile"), col("n_docs"), col("n_resp"),
+            (col("n_resp").cast("double") / col("n_docs"))
+              .as("resp_rate"),
+            col("cum_docs"), col("cum_resp"),
+            (col("cum_resp").cast("double") / col("tot_resp"))
+              .as("gain"),
+            ((col("cum_resp").cast("double") / col("cum_docs")) /
+              (col("tot_resp").cast("double") / col("tot_docs")))
+              .as("lift"))
+          .orderBy(desc("decile"))
+      },
+      Some(s"""WITH d AS (SELECT
+            CAST(CAST(COALESCE(list_sum(list_transform($dTok, t ->
+              ('0x' || substr(md5('w|' ||
+                  (('0x' || substr(md5(t), 1, 7))::BIGINT % $fhDim)
+                    ::VARCHAR), 1, 7))::BIGINT % $fhWMod - $fhWOff)), 0)
+              AS BIGINT) AS DOUBLE) AS sc,
+            CASE WHEN $dQualityExpr >= 0.5 THEN 1 ELSE 0 END AS resp
+          FROM documents),
+        q AS (SELECT ${(1 to 9).map(i =>
+            s"quantile_cont(sc, 0.$i) AS b$i").mkString(", ")} FROM d),
+        a AS (SELECT 1 ${(1 to 9).map(i =>
+            s"+ (sc > b$i)::INT").mkString(" ")} AS decile, resp
+          FROM d CROSS JOIN q),
+        per AS (SELECT decile, COUNT(*) AS n_docs, SUM(resp) AS n_resp
+          FROM a GROUP BY decile),
+        cum AS (SELECT decile, n_docs, n_resp,
+            SUM(n_docs) OVER w AS cum_docs,
+            SUM(n_resp) OVER w AS cum_resp
+          FROM per WINDOW w AS (ORDER BY decile DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        tot AS (SELECT COUNT(*) AS tot_docs, SUM(resp) AS tot_resp
+          FROM d)
+        SELECT CAST(decile AS BIGINT) AS decile,
+          CAST(n_docs AS BIGINT) AS n_docs,
+          CAST(n_resp AS BIGINT) AS n_resp,
+          CAST(n_resp AS DOUBLE) / n_docs AS resp_rate,
+          CAST(cum_docs AS BIGINT) AS cum_docs,
+          CAST(cum_resp AS BIGINT) AS cum_resp,
+          CAST(cum_resp AS DOUBLE) / tot_resp AS gain,
+          (CAST(cum_resp AS DOUBLE) / cum_docs) /
+            (CAST(tot_resp AS DOUBLE) / tot_docs) AS lift
+        FROM cum CROSS JOIN tot ORDER BY decile DESC""")),
   )
 }
