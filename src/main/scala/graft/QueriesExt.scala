@@ -4904,7 +4904,11 @@ object QueriesExt {
         val pairs = fsScoredPairs(s, dir)
           .filter(col("score") >= fsMinScore)
           .select("id_a", "id_b")
-        val labeled = Dedup.dedupClusters(pairs)
+        // threshold graphs inside a brand block can chain arbitrarily
+        // deep — star contraction converges in O(log n) rounds where
+        // min-label propagation pays one round per hop of diameter
+        // (proven ≡ in DedupSpec)
+        val labeled = Dedup.dedupClustersStar(pairs)
         labeled
           .withColumn("cluster_size",
             count(lit(1)).over(Window.partitionBy(col("cluster")))
@@ -6491,7 +6495,7 @@ object QueriesExt {
         val pairs = fsScoredPairs(s, dir)
           .filter(col("score") >= fsMinScore)
           .select("id_a", "id_b")
-        val members = Dedup.dedupClusters(pairs)
+        val members = Dedup.dedupClustersStar(pairs)
           .select(col("id").as("p_partkey"), col("cluster"))
           .join(t(s, dir, "part"), "p_partkey")
           .localCheckpoint()
