@@ -6513,11 +6513,9 @@ object QueriesExt {
           .withColumn("rk", row_number().over(Window
             .partitionBy("cluster")
             .orderBy(col("p_size"), col("p_partkey"))))
-          .crossJoin(broadcast(members.groupBy("cluster")
-            .agg(count(lit(1)).as("nn"))
-            .withColumnRenamed("cluster", "cl2")))
-          .filter(col("cluster") === col("cl2") &&
-            col("rk") === expr("(nn + 1) div 2"))
+          .withColumn("nn", count(lit(1)).over(Window
+            .partitionBy("cluster")))
+          .filter(col("rk") === expr("(nn + 1) div 2"))
           .select(col("cluster"), col("p_size").as("median_size"))
         n.join(modeType, "cluster").join(medSize, "cluster")
           .select(col("cluster"), col("n_members"),
@@ -6986,5 +6984,50 @@ object QueriesExt {
           (CAST(cum_resp AS DOUBLE) / cum_docs) /
             (CAST(tot_resp AS DOUBLE) / tot_docs) AS lift
         FROM cum CROSS JOIN tot ORDER BY decile DESC""")),
+
+    // ── kNN-graph: corpus×corpus top-k similarity JOIN (q206) ──────────
+    // The missing ANN primitive next to the probe-based paths
+    // (q30/q31/q37/q56/q85): EVERY vector is probe and indexed point at
+    // once — the kNN-graph build behind semantic-dedup graphs and
+    // link-prediction features. IVF-cell-blocked (no all-pairs): one
+    // map-only assignment pass yields home cell (indexing) and probe
+    // cells (element 1 / full array of the same nprobe-cell vector),
+    // candidates are the cell equi-join, per-id top-k is the TopKPerKey
+    // heap operator. Candidates per vector ≤ nprobe × cell size.
+    QueryDef("q206_knn_graph",
+      (s, dir) => {
+        val e = tPar(s, dir, "embeddings")
+        Similarity.knnGraph(e, "vec_id", "embedding", topK,
+          nlist = 16, nprobe = 2)
+          .orderBy("probe_id", "rank")
+      },
+      Some {
+        def cos(a: String, b: String) =
+          s"""(${dDot(a, b)}) / (sqrt(${dDot(a, a)}) * sqrt(${dDot(b, b)}))"""
+        s"""WITH cents AS (
+            SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+          scored AS (
+            SELECT e.vec_id, cid,
+              ${cos("e.embedding", "cvec")} AS ccos
+            FROM embeddings e CROSS JOIN cents),
+          ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+              ORDER BY ccos DESC, cid ASC) AS rn FROM scored),
+          home AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1),
+          probe AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn <= 2),
+          v AS (SELECT e.vec_id, e.embedding, cell
+            FROM embeddings e JOIN home USING (vec_id)),
+          pv AS (SELECT e.vec_id, e.embedding, cell
+            FROM embeddings e JOIN probe USING (vec_id)),
+          pairs AS (
+            SELECT a.vec_id AS probe_id, b.vec_id AS nn_id,
+              ${cos("a.embedding", "b.embedding")} AS cos
+            FROM pv a JOIN v b ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+          SELECT probe_id, nn_id, cos, rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY probe_id
+              ORDER BY cos DESC, nn_id ASC) AS rank FROM pairs)
+          WHERE rank <= $topK ORDER BY probe_id, rank"""
+      }),
   )
 }

@@ -281,6 +281,47 @@ object Similarity {
     rankTopK(pairs, k)
   }
 
+  /** kNN-graph construction — the corpus×corpus top-k similarity JOIN
+    * (every vector is simultaneously probe and indexed point), the
+    * primitive behind semantic-dedup graphs, embedding-space cluster
+    * seeding, and link-prediction feature tables.
+    *
+    * Scale shape (the reason this is not `ivfTopK(corpus, corpus)`):
+    * ONE map-only assignment pass computes each vector's `nprobe`
+    * nearest cells (inline codegen'd [[graft.functions.NativeExprs
+    * .ivfCells]] over the driver-collected quantizer — no join, no
+    * corpus shuffle); element 1 of that array is the home cell that
+    * indexes the vector, the full array is its probe set, so the two
+    * sides of the self-join are projections of the same scan instead of
+    * two assignment jobs. Candidates come from the cell equi-join —
+    * per-vector candidate count is bounded by nprobe × cell size, never
+    * all-pairs — and the per-id top-k is the heap operator
+    * ([[graft.plans.TopKPerKey]]), so the only corpus-sized shuffles
+    * are the cell join and the final per-id clustering. A vector lives
+    * in exactly one home cell, so multi-probe never emits a duplicate
+    * pair. At 100 TB: nlist scales with corpus size (cells stay
+    * ~constant-sized), the quantizer stays O(nlist·dims) driver-side —
+    * the same cost class as the broadcast it feeds.
+    */
+  def knnGraph(corpus: DataFrame, idCol: String, vecCol: String,
+               k: Int, nlist: Int, nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, "nprobe must be >= 1")
+    val centroids = sampleCentroids(corpus, idCol, vecCol, nlist)
+    val (cids, cvecs) = collectCentroids(centroids, idCol, vecCol)
+    val cells = graft.functions.NativeExprs
+      .ivfCells(col(vecCol), cids, cvecs, nprobe)
+    val assigned = corpus.select(col(idCol), col(vecCol),
+      (if (nprobe == 1) array(cells) else cells).as("cells"))
+    val index = assigned.select(col(idCol).as("nn_id"),
+      col(vecCol).as("nn_vec"), element_at(col("cells"), 1).as("cell"))
+    val probes = assigned.select(col(idCol).as("probe_id"),
+      col(vecCol).as("probe_vec"), explode(col("cells")).as("cell"))
+    val pairs = probes.join(index, Seq("cell"))
+      .filter(col("probe_id") =!= col("nn_id"))
+      .withColumn("cos", cosine(col("probe_vec"), col("nn_vec")))
+    rankTopK(pairs, k)
+  }
+
   /** All `subspaces` PQ codebooks trained together — ONE corpus scan and
     * ONE aggregation shuffle per Lloyd round, regardless of subspace
     * count (training them as independent [[kmeansCentroids]] runs would

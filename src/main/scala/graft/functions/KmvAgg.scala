@@ -4,7 +4,7 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -34,9 +34,13 @@ case class KmvSketchAgg(child: Expression, k: Int,
                         mutableAggBufferOffset: Int = 0,
                         inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
-    with UnaryLike[Expression] {
+    with UnaryLike[Expression] with ExpectsInputTypes {
   require(k >= 2, s"kmv k=$k")
 
+  // SQL callers (graft_kmv registered in FunctionRegistry) get an
+  // analysis-time implicit cast to string instead of a runtime CCE on
+  // non-UTF8String input.
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def nullable: Boolean = false
   override def dataType: DataType = StructType(Seq(
     StructField("k_actual", LongType, nullable = false),
@@ -109,11 +113,14 @@ case class KmvSketchAgg(child: Expression, k: Int,
 
 object KmvSketchAgg {
   /** DataFrame-facing column: `kmvAgg(col, k)` usable inside `agg(...)`
-    * exactly like a built-in aggregate.
+    * exactly like a built-in aggregate. Casts to string for the caller;
+    * SQL callers of `graft_kmv` on a non-string column get an
+    * analysis-time type error (ExpectsInputTypes) telling them to CAST.
     */
   def kmvAgg(c: Column, k: Int): Column =
     ColumnBridge.column(
-      KmvSketchAgg(ColumnBridge.expression(c), k).toAggregateExpression())
+      KmvSketchAgg(ColumnBridge.expression(c.cast("string")), k)
+        .toAggregateExpression())
 }
 
 /** Count-min sketch as a native Catalyst aggregate — the frequency twin
@@ -130,9 +137,10 @@ case class CmsSketchAgg(child: Expression, depth: Int, width: Int,
                         mutableAggBufferOffset: Int = 0,
                         inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Array[Long]]
-    with UnaryLike[Expression] {
+    with UnaryLike[Expression] with ExpectsInputTypes {
   require(depth >= 1 && width >= 1, s"cms ${depth}x$width")
 
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -186,6 +194,6 @@ case class CmsSketchAgg(child: Expression, depth: Int, width: Int,
 object CmsSketchAgg {
   def cmsAgg(c: Column, depth: Int, width: Int): Column =
     ColumnBridge.column(
-      CmsSketchAgg(ColumnBridge.expression(c), depth, width)
+      CmsSketchAgg(ColumnBridge.expression(c.cast("string")), depth, width)
         .toAggregateExpression())
 }

@@ -13,6 +13,64 @@ import org.apache.spark.sql.types.StructType
   */
 object Streams {
 
+  import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+
+  /** Crash-safe maintained-state store for the foreachBatch sketch
+    * sinks below. State lives in versioned dirs `<path>/v=<batchId>`; a
+    * version is visible only once its parquet `_SUCCESS` marker exists,
+    * so a crash mid-write can never be observed and never replaces the
+    * previous registers (the old read-then-`mode("overwrite")` cycle on
+    * one path deleted the prior state before the new one was durable).
+    *
+    * Exactly-once under replay — including for ADDITIVE state (sums,
+    * count-min), not just idempotent max-merge: batch b always merges
+    * its delta into the newest committed version with id < b, so a
+    * replayed batch re-derives v=b from the same pre-b state instead of
+    * double-merging into its own output. Only versions ≤ b−2 are pruned
+    * after a commit; v=b−1 must survive until b's checkpoint commit
+    * guarantees b can never replay (i.e. until b+1 runs).
+    */
+  private def stateFs(spark: SparkSession, path: String): FileSystem =
+    new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def committedVersions(fs: FileSystem, path: String): Seq[Long] = {
+    val root = new HPath(path)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .filter(s => fs.exists(new HPath(s.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.stripPrefix("v=").toLong)
+      .sorted
+  }
+
+  /** Newest committed state strictly before `batchId` (what a
+    * foreachBatch body must merge into), or None on a cold start.
+    */
+  private def readStateBefore(spark: SparkSession, path: String,
+                              batchId: Long): Option[DataFrame] =
+    committedVersions(stateFs(spark, path), path)
+      .filter(_ < batchId).lastOption
+      .map(v => spark.read.parquet(s"$path/v=$v"))
+
+  /** Newest committed state — the external read surface (monitoring
+    * queries, specs). Empty Option until the first batch commits.
+    */
+  def readState(spark: SparkSession, path: String): Option[DataFrame] =
+    committedVersions(stateFs(spark, path), path).lastOption
+      .map(v => spark.read.parquet(s"$path/v=$v"))
+
+  private def commitState(merged: DataFrame, path: String,
+                          batchId: Long): Unit = {
+    val spark = merged.sparkSession
+    // overwrite: a replayed batch rewrites ITS OWN version dir (possibly
+    // half-written from the crashed attempt) from the same pre-b state
+    merged.localCheckpoint(true).write
+      .mode("overwrite").parquet(s"$path/v=$batchId")
+    val fs = stateFs(spark, path)
+    committedVersions(fs, path).filter(_ <= batchId - 2)
+      .foreach(v => fs.delete(new HPath(s"$path/v=$v"), true))
+  }
+
   /** Watermarked tumbling-window aggregation over an event stream.
     * Works on a batch OR streaming DataFrame (identical logical plan).
     */
@@ -292,20 +350,14 @@ object Streams {
   : org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         import graft.etl.IncrementalAgg
         val delta = IncrementalAgg.partial(batch, keys, col(valueCol))
-        val fs = new org.apache.hadoop.fs.Path(path)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val merged =
-          if (fs.exists(new org.apache.hadoop.fs.Path(path)))
-            IncrementalAgg.merge(spark.read.parquet(path), delta, keys)
-          else delta
-        // state is small (one row per key); localCheckpoint breaks the
-        // read-then-overwrite cycle on the same path
-        merged.localCheckpoint(true).write
-          .mode("overwrite").parquet(path)
+        val merged = readStateBefore(spark, path, batchId)
+          .map(st => IncrementalAgg.merge(st, delta, keys))
+          .getOrElse(delta)
+        commitState(merged, path, batchId)
       }
       .start()
 
@@ -328,20 +380,15 @@ object Streams {
   : org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         import graft.ext.Sketches
         val delta = Sketches.quantilePartial(batch, keys, col(valueCol),
           col(idCol), k)
-        val fs = new org.apache.hadoop.fs.Path(path)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val merged =
-          if (fs.exists(new org.apache.hadoop.fs.Path(path)))
-            Sketches.quantileMerge(spark.read.parquet(path), delta,
-              keys, k)
-          else delta
-        merged.localCheckpoint(true).write
-          .mode("overwrite").parquet(path)
+        val merged = readStateBefore(spark, path, batchId)
+          .map(st => Sketches.quantileMerge(st, delta, keys, k))
+          .getOrElse(delta)
+        commitState(merged, path, batchId)
       }
       .start()
 
@@ -363,19 +410,15 @@ object Streams {
   : org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         import graft.ext.Sketches
         val delta = Sketches.countMin(batch, col(valueCol), depth, width)
-        val fs = new org.apache.hadoop.fs.Path(path)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val merged =
-          if (fs.exists(new org.apache.hadoop.fs.Path(path)))
-            spark.read.parquet(path).unionByName(delta)
-              .groupBy("j", "bucket").agg(sum("c").as("c"))
-          else delta
-        merged.localCheckpoint(true).write
-          .mode("overwrite").parquet(path)
+        val merged = readStateBefore(spark, path, batchId)
+          .map(st => st.unionByName(delta)
+            .groupBy("j", "bucket").agg(sum("c").as("c")))
+          .getOrElse(delta)
+        commitState(merged, path, batchId)
       }
       .start()
 
@@ -394,20 +437,16 @@ object Streams {
   : org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         import graft.ext.Sketches
         val delta = Sketches.hllRegisters(batch, Seq(groupCol),
           col(keyCol).cast("string"))
-        val fs = new org.apache.hadoop.fs.Path(path)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val merged =
-          if (fs.exists(new org.apache.hadoop.fs.Path(path)))
-            spark.read.parquet(path).unionByName(delta)
-              .groupBy(groupCol, "__bucket").agg(max("__m").as("__m"))
-          else delta
-        merged.localCheckpoint(true).write
-          .mode("overwrite").parquet(path)
+        val merged = readStateBefore(spark, path, batchId)
+          .map(st => st.unionByName(delta)
+            .groupBy(groupCol, "__bucket").agg(max("__m").as("__m")))
+          .getOrElse(delta)
+        commitState(merged, path, batchId)
       }
       .start()
 

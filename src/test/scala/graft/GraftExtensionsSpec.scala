@@ -87,6 +87,39 @@ class GraftExtensionsSpec extends AnyFunSuite {
       s"expected a partial aggregate phase in:\n$plan")
   }
 
+  test("graft_kmv/graft_cms on non-string input: analysis-time type " +
+       "error in SQL (not a runtime CCE), automatic cast in Column API") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.load(spark, TestSpark.sf0001, "events")
+    ev.createOrReplaceTempView("kmv_raw_ev")
+    // user_id is BIGINT: before the ExpectsInputTypes contract the SQL
+    // path threw a runtime ClassCastException mid-job; now it fails at
+    // analysis with the required type named (ANSI coercion does not
+    // implicitly cast numeric→string for function inputs)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        """SELECT event_type, graft_kmv(user_id, 64) AS sk
+          FROM kmv_raw_ev GROUP BY event_type""").collect()
+    }
+    assert(e.getMessage.contains("STRING"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_cms(user_id, 4, 16) FROM kmv_raw_ev")
+        .collect()
+    }
+    assert(e2.getMessage.contains("STRING"))
+    // the Column API casts for the caller: bare bigint column ≡ CAST
+    val bare = ev.groupBy("event_type")
+      .agg(graft.functions.KmvSketchAgg.kmvAgg(col("user_id"), 64).as("sk"))
+      .select("event_type", "sk.k_actual", "sk.kth_hash")
+      .orderBy("event_type").collect().toSeq
+    val casted = spark.sql(
+      """SELECT event_type, graft_kmv(CAST(user_id AS STRING), 64) AS sk
+        FROM kmv_raw_ev GROUP BY event_type""")
+      .select("event_type", "sk.k_actual", "sk.kth_hash")
+      .orderBy("event_type").collect().toSeq
+    assert(bare === casted)
+  }
+
   test("graft_cms native aggregate: grid equals the operator-level " +
        "sketch, SQL surface works, partial phase planned") {
     import org.apache.spark.sql.functions._

@@ -171,4 +171,26 @@ class SimilaritySpec extends AnyFunSuite {
       f"multi-probe must not lose neighbors: $rN%.3f < $r1%.3f")
     assert(rN >= 0.5, f"ivf nprobe=${Params.ivfNprobe} recall@10 $rN%.3f below floor 0.5")
   }
+
+  test("knnGraph (corpus×corpus top-k join) recall floor vs brute force; " +
+       "multi-probe amplifies; every vector gets neighbors") {
+    val k = 10
+    // exact graph over the whole corpus = brute force with probes=corpus
+    val r1 = recallAgainst(emb, emb,
+      Similarity.knnGraph(emb, "vec_id", "embedding", k,
+        nlist = Params.ivfNlist, nprobe = 1), k)
+    val r2 = recallAgainst(emb, emb,
+      Similarity.knnGraph(emb, "vec_id", "embedding", k,
+        nlist = Params.ivfNlist, nprobe = Params.ivfNprobe), k)
+    info(f"knnGraph recall@10: nprobe=1 $r1%.3f, nprobe=${Params.ivfNprobe} $r2%.3f")
+    assert(r2 >= r1, f"multi-probe must not lose neighbors: $r2%.3f < $r1%.3f")
+    assert(r2 >= 0.5, f"knnGraph nprobe=${Params.ivfNprobe} recall@10 $r2%.3f below floor 0.5")
+    // graph property: every vector appears as a probe with ≥1 neighbor
+    val g = Similarity.knnGraph(emb, "vec_id", "embedding", k,
+      nlist = Params.ivfNlist, nprobe = Params.ivfNprobe)
+    assert(g.select("probe_id").distinct().count() === emb.count())
+    // and no self-loops, no rank beyond k
+    assert(g.filter($"probe_id" === $"nn_id").count() === 0L)
+    assert(g.agg(org.apache.spark.sql.functions.max($"rank")).head.getLong(0) <= k)
+  }
 }

@@ -170,7 +170,7 @@ class StreamsSpec extends AnyFunSuite {
     q.processAllAvailable(); q.stop()
 
     val maintained = IncrementalAgg.finish(
-      spark.read.parquet(stateDir), Seq("event_type"))
+      Streams.readState(spark, stateDir).get, Seq("event_type"))
       .orderBy("event_type").collect().toSeq
     val recompute = IncrementalAgg.finish(
       IncrementalAgg.partial(ev, Seq("event_type"), col("value")),
@@ -178,6 +178,26 @@ class StreamsSpec extends AnyFunSuite {
     assert(maintained === recompute,
       "stream-maintained state must equal the full recompute bit-exactly")
     assert(maintained.nonEmpty)
+
+    // crash-safety contract of the versioned state store: a version dir
+    // with no _SUCCESS marker (a crashed mid-write batch) is invisible
+    // to readers, and pruning keeps at most the two newest committed
+    // versions (the current one plus its replay fallback).
+    val stateRoot = new java.io.File(stateDir)
+    val committed = stateRoot.listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .filter(f => new java.io.File(f, "_SUCCESS").exists())
+    assert(committed.size <= 2,
+      s"pruning must keep <=2 committed versions, saw ${committed.size}")
+    val torn = new java.io.File(stateRoot, "v=999")
+    assert(torn.mkdirs())
+    java.nio.file.Files.write(torn.toPath.resolve("part-garbage.parquet"),
+      Array[Byte](1, 2, 3))
+    val afterTorn = IncrementalAgg.finish(
+      Streams.readState(spark, stateDir).get, Seq("event_type"))
+      .orderBy("event_type").collect().toSeq
+    assert(afterTorn === recompute,
+      "an uncommitted (no _SUCCESS) version must never be observed")
   }
 
   test("streaming quantile-sketch maintenance: maintained state equals " +
@@ -203,7 +223,7 @@ class StreamsSpec extends AnyFunSuite {
     q.processAllAvailable(); q.stop()
 
     val maintained = Sketches.quantileFinish(
-      spark.read.parquet(stateDir), Seq("event_type"))
+      Streams.readState(spark, stateDir).get, Seq("event_type"))
       .orderBy("event_type").collect().toSeq
     val recompute = Sketches.quantileFinish(
       Sketches.quantilePartial(ev, Seq("event_type"), col("value"),
@@ -235,7 +255,7 @@ class StreamsSpec extends AnyFunSuite {
       "user_id", depth, width, cp)
     q.processAllAvailable(); q.stop()
 
-    val maintained = spark.read.parquet(stateDir)
+    val maintained = Streams.readState(spark, stateDir).get
       .orderBy("j", "bucket").collect().toSeq
     val recompute = Sketches.countMin(ev, col("user_id"), depth, width)
       .orderBy("j", "bucket").collect().toSeq
@@ -264,7 +284,7 @@ class StreamsSpec extends AnyFunSuite {
       "event_type", "user_id", cp)
     q.processAllAvailable(); q.stop()
 
-    val maintained = spark.read.parquet(stateDir)
+    val maintained = Streams.readState(spark, stateDir).get
     val recompute = Sketches.hllRegisters(ev, Seq("event_type"),
       col("user_id").cast("string"))
     assert(maintained.orderBy("event_type", "__bucket").collect().toSeq ===
