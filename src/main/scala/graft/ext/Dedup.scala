@@ -76,6 +76,15 @@ object Dedup {
   val NgramBucketMetrics = "graft_dedup_buckets_ngram"
   val ContainmentBucketMetrics = "graft_dedup_buckets_containment"
 
+  /** [[org.apache.spark.sql.Dataset.observe]] metrics of
+    * [[prefixFilterJaccardPairs]]'s candidate stage: `prefix_pairs` =
+    * pairs surviving the prefix+size filters, `pruned_positional` = of
+    * those, pairs the positional/suffix bounds removed before the
+    * verify join, `pruned_suffix_only` = the subset only the
+    * last-collision (suffix-side) bound caught.
+    */
+  val PpjoinCandidateMetrics = "graft_ppjoin_candidates"
+
   private def observeBuckets(buckets: DataFrame, arrCol: String, cap: Int,
                              metric: String): DataFrame =
     buckets.observe(metric,
@@ -641,13 +650,14 @@ object Dedup {
     * and the size filter `t·na ≤ nb ∧ t·nb ≤ na` prunes candidates
     * before verification.
     *
-    * The shingle table feeds five consumers (sizes, document
-    * frequencies, the ranked prefixes, and both sides of the verify
-    * join), and the ranked prefix table feeds both sides of the
-    * candidate self-join — so both are materialized once
-    * (`localCheckpoint`) instead of re-tokenizing the corpus per
+    * The shingle table feeds two consumers (document frequencies and
+    * the per-doc aggregate), and the per-doc aggregate — ONE row per
+    * doc carrying its size, rare-shingle prefix, and full sorted
+    * shingle array — feeds both sides of the candidate self-join, both
+    * sides of the verify, and the size filters; each is materialized
+    * once (`localCheckpoint`) instead of re-tokenizing the corpus per
     * consumer. At cluster scale the equivalent move is a staged write
-    * of the shingle table; the plan shape (one tokenize pass, then
+    * of the per-doc table; the plan shape (one tokenize pass, then
     * joins over the materialized table) is the same.
     */
   def prefixFilterJaccardPairs(docs: DataFrame, idCol: String,
@@ -671,59 +681,104 @@ object Dedup {
           TextStats.tokens(col(textCol)), shingleK, distinct = true))
           .as("tok"))
       .localCheckpoint()
-    val sz = sh.groupBy(idCol).agg(count(lit(1)).as("n")).localCheckpoint()
     val dfreq = sh.groupBy("tok").agg(count(lit(1)).as("df"))
     // Prefix of length n − ceil(t·n) + 1 in the global (df, tok) order,
     // derived by sorting each doc's shingle list IN the aggregation
-    // (collect → sort_array → slice → posexplode): a doc's distinct
-    // shingles are bounded, so the per-group sort is tiny, only the
-    // prefix rows ever materialize, and the row_number window this
-    // replaces — plus its second full-table sort pass — disappears
-    // (measured: ~1.6× on the stage at sf0.1, same 133,971 rows).
+    // (collect → sort_array → slice): a doc's distinct shingles are
+    // bounded, so the per-group sort is tiny, and the row_number window
+    // this replaces — plus its second full-table sort pass — disappears
+    // (measured: ~1.6× on the stage at sf0.1). ONE aggregation yields
+    // BOTH per-doc artifacts — the size n and the compact prefix ARRAY —
+    // so the checkpoint is one |docs|-row table and the old separate
+    // size aggregation over the full shingle table is gone (its two
+    // final-join consumers now read a map-only projection of this
+    // checkpoint). The exploded prefix rows are re-derived map-only per
+    // consumer, which is cheaper than materializing them.
     // ceil(t·n) = (tNum·n + tDen − 1) div tDen — integers end to end.
-    val ranked = sh.join(dfreq, "tok")
+    val docAgg = sh.join(dfreq, "tok")
       .groupBy(idCol)
       .agg(sort_array(collect_list(struct(col("df"), col("tok"))))
         .as("arr"))
       .select(col(idCol), size(col("arr")).cast("long").as("n"),
-        posexplode(slice(col("arr"), lit(1), expr(
-          s"size(arr) - (($tNum * size(arr) + ${tDen - 1}) div $tDen) + 1")))
-          .as(Seq("pos", "e")))
+        slice(col("arr"), lit(1), expr(
+          s"size(arr) - (($tNum * size(arr) + ${tDen - 1}) div $tDen) + 1"))
+          .as("pfx"),
+        transform(col("arr"), e => e("tok")).as("toks"))
+      .localCheckpoint()
+    val ranked = docAgg
+      .select(col(idCol), col("n"), posexplode(col("pfx")).as(Seq("pos", "e")))
       .select(col(idCol), col("e.tok").as("tok"), col("n"),
         (col("pos") + 1).cast("int").as("rk"))
-      .localCheckpoint()
-    // PPJoin's POSITIONAL filter on top of the prefix filter: at the
-    // pair's first shared token (rank rk_a in a, rk_b in b under the
-    // same global (df, tok) order), no earlier token is shared, so
-    // overlap ≤ 1 + min(n_a − rk_a, n_b − rk_b); J ≥ t needs
-    // shared·(tDen+tNum) ≥ tNum·(n_a+n_b). Lossless for the same reason
-    // the prefix filter is — a qualifying pair's first-shared-token
-    // collision always passes — and at sf0.1 it drops ~60% of
-    // candidates before the verify join, the most expensive stage.
+    // PPJoin's POSITIONAL + PPJoin+-style SUFFIX-side filter on top of
+    // the prefix filter. Key fact: a doc's positions follow the global
+    // (df, tok) order, so every shared token smaller than a
+    // both-prefix-shared token is itself both-prefix-shared — the M
+    // prefix collisions of a pair are exactly its M smallest shared
+    // tokens. Two lossless overlap bounds follow, applied per pair
+    // AFTER aggregating its collisions (the aggregation replaces the
+    // old per-collision filter + distinct at the same shuffle cost):
+    //  • first collision (rka_min, rkb_min): no shared token precedes
+    //    it, so overlap ≤ 1 + min(n_a − rka_min, n_b − rkb_min) — the
+    //    classic positional filter;
+    //  • last collision (rka_max, rkb_max): every shared token beyond
+    //    the M prefix collisions lies after BOTH its positions, so
+    //    overlap ≤ M + min(n_a − rka_max, n_b − rkb_max) — the
+    //    suffix-side tightening (the relational form of PPJoin+'s
+    //    suffix bound), which prunes pairs whose single shared-prefix
+    //    evidence sits deep in both docs.
+    // J ≥ t ⇔ overlap·(tDen+tNum) ≥ tNum·(n_a+n_b), all integer.
     val cand = ranked.as("a").join(ranked.as("b"),
         col("a.tok") === col("b.tok") &&
           col(s"a.$idCol") < col(s"b.$idCol") &&
           // size filter: J ≥ t ⇒ min(na,nb) ≥ t·max(na,nb)
           lit(tNum) * col("a.n") <= lit(tDen) * col("b.n") &&
-          lit(tNum) * col("b.n") <= lit(tDen) * col("a.n") &&
-          (least(col("a.n") - col("a.rk"), col("b.n") - col("b.rk")) +
-            lit(1)) * lit(tDen + tNum) >=
-            lit(tNum) * (col("a.n") + col("b.n")))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
-      .distinct()
-    val shared = cand
-      .join(sh.as("x"), col("id_a") === col(s"x.$idCol"))
-      .join(sh.as("y"), col("id_b") === col(s"y.$idCol") &&
-        col("x.tok") === col("y.tok"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
-    shared
-      .join(sz.as("sa"), col("id_a") === col(s"sa.$idCol"))
-      .join(sz.as("sb"), col("id_b") === col(s"sb.$idCol"))
+          lit(tNum) * col("b.n") <= lit(tDen) * col("a.n"))
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("m"),
+        first(col("a.n")).as("na"), first(col("b.n")).as("nb"),
+        min(col("a.rk")).as("rka_min"), min(col("b.rk")).as("rkb_min"),
+        max(col("a.rk")).as("rka_max"), max(col("b.rk")).as("rkb_max"))
+      .withColumn("ok_first",
+        (least(col("na") - col("rka_min"), col("nb") - col("rkb_min")) +
+          lit(1)) * lit(tDen + tNum) >=
+          lit(tNum) * (col("na") + col("nb")))
+      .withColumn("ok_last",
+        (least(col("na") - col("rka_max"), col("nb") - col("rkb_max")) +
+          col("m")) * lit(tDen + tNum) >=
+          lit(tNum) * (col("na") + col("nb")))
+      // no silent pruning: the verify-set reduction is observable
+      .observe(PpjoinCandidateMetrics,
+        count(lit(1)).as("prefix_pairs"),
+        sum(when(!col("ok_first") || !col("ok_last"), 1L).otherwise(0L))
+          .as("pruned_positional"),
+        sum(when(col("ok_first") && !col("ok_last"), 1L).otherwise(0L))
+          .as("pruned_suffix_only"))
+      .filter(col("ok_first") && col("ok_last"))
+      .select(col("id_a"), col("id_b"))
+    // Exact verify by per-pair array intersection: the checkpointed
+    // per-doc table already holds each doc's distinct shingles sorted,
+    // so two id-keyed joins attach both token arrays and a codegen'd
+    // array_intersect counts the overlap in-place. This replaces the
+    // old shape — candidate pairs re-exploded against the full shingle
+    // table twice, then a per-pair count aggregation and two more size
+    // joins — with joins that shuffle only |cand| + |docs| rows and NO
+    // post-join aggregation. Per-doc shingle arrays are bounded by
+    // document length, so the widest row is a document, not a corpus
+    // property.
+    cand
+      .join(docAgg.select(col(idCol).as("id_a"), col("toks").as("ta"),
+        col("n").as("na")), "id_a")
+      .join(docAgg.select(col(idCol).as("id_b"), col("toks").as("tb"),
+        col("n").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("ta"), col("tb"))).cast("long")
+          .as("shared"),
+        col("na"), col("nb"))
       .filter(col("shared") * tDen >=
-        lit(tNum) * (col("sa.n") + col("sb.n") - col("shared")))
+        lit(tNum) * (col("na") + col("nb") - col("shared")))
       .select(col("id_a"), col("id_b"),
         (col("shared").cast("double") /
-          (col("sa.n") + col("sb.n") - col("shared")).cast("double"))
+          (col("na") + col("nb") - col("shared")).cast("double"))
           .as("jaccard"))
   }
 
