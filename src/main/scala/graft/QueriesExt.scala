@@ -5599,9 +5599,14 @@ object QueriesExt {
       (s, dir) => {
         // materialize once: ob feeds the order count, brand supports,
         // and BOTH sides of the pair join — without this the fact
-        // table would be scanned four times (q106's lesson)
+        // table would be scanned four times (q106's lesson). The
+        // part-dim join carries NO broadcast hint: Catalyst's
+        // size-gated planning broadcasts it while the catalog is
+        // small and falls back to a shuffled join when it is not, so
+        // the basket family survives an unbounded item catalog
+        // (PlanQualitySpec locks both plans).
         val ob = t(s, dir, "lineitem")
-          .join(broadcast(t(s, dir, "part")),
+          .join(t(s, dir, "part"),
             col("l_partkey") === col("p_partkey"))
           .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
           .distinct()
@@ -5811,10 +5816,12 @@ object QueriesExt {
     // reruns, retries, and the oracle all pick the same negatives.
     QueryDef("q184_negative_sampling",
       (s, dir) => {
+        // part-dim join deliberately unhinted — size-gated broadcast,
+        // shuffled above the threshold (see q180)
         val pos = t(s, dir, "lineitem")
           .join(t(s, dir, "orders"),
             col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(t(s, dir, "part")),
+          .join(t(s, dir, "part"),
             col("l_partkey") === col("p_partkey"))
           .select(col("o_custkey").as("custkey"),
             col("p_brand").as("brand")).distinct()
@@ -6757,8 +6764,10 @@ object QueriesExt {
     // floor is the wrong contract), each with its three pair supports.
     QueryDef("q203_apriori_triples",
       (s, dir) => {
+        // part-dim join deliberately unhinted — size-gated broadcast,
+        // shuffled above the threshold (see q180)
         val ob = t(s, dir, "lineitem")
-          .join(broadcast(t(s, dir, "part")),
+          .join(t(s, dir, "part"),
             col("l_partkey") === col("p_partkey"))
           .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
           .distinct()

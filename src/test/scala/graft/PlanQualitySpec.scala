@@ -98,6 +98,44 @@ class PlanQualitySpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("basket family (q180/q184/q203): part-dim join is size-gated — " +
+       "broadcast while small, a working shuffled join when not") {
+    // The item catalog is NOT assumed bounded: with no broadcast hint,
+    // Catalyst broadcasts under the threshold and falls back to a
+    // shuffled join above it. Lock both plans AND that the fallback
+    // computes the same rows (the scale path must be correct, not just
+    // planned).
+    val names = Seq("q180_basket_rules", "q184_negative_sampling",
+      "q203_apriori_triples")
+    names.foreach { n =>
+      assert(plan(n).contains("BroadcastHashJoin"),
+        s"$n: small part dim should auto-broadcast")
+    }
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      names.foreach { n =>
+        val p = plan(n)
+        // q184's bounded brand-DOMAIN broadcasts are hinted and
+        // legitimately survive; only the part-KEYED join must not
+        // broadcast once the threshold is gone
+        assert(!p.linesIterator.exists(l =>
+            l.contains("BroadcastHashJoin") && l.contains("p_partkey")),
+          s"$n: forced-low threshold must drop the part-dim broadcast")
+        assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+          s"$n: expected a shuffled join fallback")
+      }
+      val rows = SparkEntry.queries("q180_basket_rules")(spark, dir)
+        .collect().toSeq
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      val rowsB = SparkEntry.queries("q180_basket_rules")(spark, dir)
+        .collect().toSeq
+      assert(rows === rowsB,
+        "q180 must return identical rows with and without the broadcast")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q68 PNG decode is map-only after the parallelize repartition") {
     val p = plan("q68_png_decode")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
