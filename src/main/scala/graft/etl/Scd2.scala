@@ -215,6 +215,7 @@ object Scd2 {
       (st.curDir.map("cur=" + _).toSeq ++ st.histDirs.map("hist=" + _))
         .mkString("\n").getBytes("UTF-8"))
     finally out.close()
+    Failpoints.hit("scd2.in-commit")
     val dst = new org.apache.hadoop.fs.Path(log, f"v${st.version}%08d.txn")
     if (fs.exists(dst) || !fs.rename(tmp, dst)) {
       fs.delete(tmp, false)

@@ -155,6 +155,24 @@ class Scd2Spec extends AnyFunSuite {
     } finally Failpoints.disarm("scd2.before-commit")
     assert(Scd2.readWarehouse(spark, path).count() === 2)
 
+    // crash INSIDE commit: temp manifest written, atomic rename never
+    // runs — the orphan .tmp_ file must be invisible to currentState
+    Failpoints.arm("scd2.in-commit")
+    try intercept[IllegalStateException] {
+      Scd2.mergeInPlace(spark, path, day2, "natural_key", tracked, d2)
+    } finally Failpoints.disarm("scd2.in-commit")
+    assert(Scd2.readWarehouse(spark, path).count() === 2)
+    assert(Scd2.currentState(spark, path).get.version === 1)
+
+    // a torn staged DATA dir (crash mid-parquet-write: directory
+    // exists, no committed files) must also be invisible — merges pick
+    // fresh UUID dirs and only the manifest names what readers scan
+    val torn = new java.io.File(path, "data/hist_99999999_torn")
+    assert(torn.mkdirs())
+    java.nio.file.Files.write(torn.toPath.resolve("part-torn.parquet"),
+      Array[Byte](0x50, 0x41, 0x52))
+    assert(Scd2.readWarehouse(spark, path).count() === 2)
+
     // the crashes orphaned staging dirs; vacuum reclaims them and
     // leaves the committed data intact
     val removed = Scd2.vacuum(spark, path)
