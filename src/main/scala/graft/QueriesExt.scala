@@ -7038,5 +7038,265 @@ object QueriesExt {
               ORDER BY cos DESC, nn_id ASC) AS rank FROM pairs)
           WHERE rank <= $topK ORDER BY probe_id, rank"""
       }),
+
+    // ── Classifier eval: exact ROC-AUC from rank statistics (q207) ─────
+    // The eval family next to gains (q205) and kappa (q204). AUC is the
+    // Mann-Whitney normalization: (Σ midranks of positives −
+    // np(np+1)/2) / (np·nn) — computed WITHOUT a global sort or a
+    // per-row window. Rows collapse to the bounded (source, score)
+    // aggregate (score is a 999-bucket hash); midranks come from one
+    // prefix-count window over that aggregate; the whole thing is
+    // integer arithmetic with ONE final division per group, so it is
+    // bit-exact on both engines at any scale. Ties get textbook
+    // midranks: a score group of n_g rows after cb smaller rows
+    // contributes p_g·(2·cb + n_g + 1) to 2·Σranks.
+    QueryDef("q207_roc_auc",
+      (s, dir) => {
+        val d = tPar(s, dir, "documents").select(
+          col("source"),
+          (Shingles.baseHash(col("text")) % 999).as("m"),
+          when(TextStats.qualityScore(col("text"), stopwords) >= 0.5,
+            1L).otherwise(0L).as("y"))
+        val per = d.groupBy("source", "m")
+          .agg(count(lit(1)).as("n_g"), sum("y").as("p_g"))
+        val w = Window.partitionBy("source").orderBy("m")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        per.withColumn("cb", coalesce(sum("n_g").over(w), lit(0L)))
+          .groupBy("source")
+          .agg(sum(col("p_g") * (lit(2) * col("cb") + col("n_g") + lit(1)))
+            .as("s2"),
+            sum("p_g").as("np"), sum("n_g").as("n"))
+          .withColumn("nn", col("n") - col("np"))
+          .filter(col("np") > 0 && col("nn") > 0)
+          .select(col("source"), col("np"), col("nn"),
+            ((col("s2") - col("np") * (col("np") + lit(1))).cast("double") /
+              (lit(2) * col("np") * col("nn")).cast("double")).as("auc"))
+          .orderBy("source")
+      },
+      Some(s"""WITH d AS (SELECT source,
+            ('0x' || substr(md5(text), 1, 7))::BIGINT % 999 AS m,
+            CASE WHEN $dQualityExpr >= 0.5 THEN 1 ELSE 0 END AS y
+          FROM documents),
+        per AS (SELECT source, m, COUNT(*) AS n_g, SUM(y) AS p_g
+          FROM d GROUP BY 1, 2),
+        cum AS (SELECT source, m, n_g, p_g,
+            COALESCE(SUM(n_g) OVER (PARTITION BY source ORDER BY m
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+          FROM per),
+        g AS (SELECT source,
+            SUM(p_g * (2 * cb + n_g + 1)) AS s2,
+            SUM(p_g) AS np, SUM(n_g) AS n
+          FROM cum GROUP BY 1)
+        SELECT source, CAST(np AS BIGINT) AS np,
+          CAST(n - np AS BIGINT) AS nn,
+          CAST(s2 - np * (np + 1) AS DOUBLE)
+            / CAST(2 * np * (n - np) AS DOUBLE) AS auc
+        FROM g WHERE np > 0 AND n - np > 0 ORDER BY source""")),
+
+    // ── Calibration / reliability table (q208) ─────────────────────────
+    // Per (source, decile-of-predicted-probability) bin: count, mean
+    // predicted probability, observed positive rate, and the gap. The
+    // prediction is the deterministic 999-bucket hash scaled to [0,1),
+    // so every cell is an integer ratio — mean_pred = Σm/(999·n_b) and
+    // frac_pos = Σy/n_b are single correctly-rounded divisions, exact
+    // on both engines at any scale. One map-only scan + one bounded
+    // (source × 10)-key aggregation.
+    QueryDef("q208_calibration",
+      (s, dir) => {
+        val d = tPar(s, dir, "documents").select(
+          col("source"),
+          (Shingles.baseHash(col("text")) % 999).as("m"),
+          when(TextStats.qualityScore(col("text"), stopwords) >= 0.5,
+            1L).otherwise(0L).as("y"))
+        d.groupBy(col("source"), expr("m div 100").as("bin"))
+          .agg(count(lit(1)).as("n_docs"), sum("m").as("sm"),
+            sum("y").as("sy"))
+          .select(col("source"), col("bin"), col("n_docs"),
+            (col("sm").cast("double") /
+              (lit(999L) * col("n_docs")).cast("double")).as("mean_pred"),
+            (col("sy").cast("double") / col("n_docs").cast("double"))
+              .as("frac_pos"))
+          .withColumn("gap", abs(col("mean_pred") - col("frac_pos")))
+          .orderBy("source", "bin")
+      },
+      Some(s"""WITH d AS (SELECT source,
+            ('0x' || substr(md5(text), 1, 7))::BIGINT % 999 AS m,
+            CASE WHEN $dQualityExpr >= 0.5 THEN 1 ELSE 0 END AS y
+          FROM documents)
+        SELECT source, m // 100 AS bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(m) AS DOUBLE) / CAST(999 * COUNT(*) AS DOUBLE)
+            AS mean_pred,
+          CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS frac_pos,
+          abs(CAST(SUM(m) AS DOUBLE) / CAST(999 * COUNT(*) AS DOUBLE)
+            - CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS gap
+        FROM d GROUP BY 1, 2 ORDER BY source, bin""")),
+
+    // ── Ranking eval: nDCG@10 per source (q209) ────────────────────────
+    // The retrieval-quality metric for the search family (q71/q89):
+    // docs ranked by the deterministic hash score, binary relevance =
+    // the quality gate. Cross-engine float discipline: the 1/log2(i+1)
+    // discounts are PRECOMPUTED 12-dp DECIMAL literals (log() at query
+    // time would hash-diverge across libms — the q89 lesson), so DCG
+    // and ideal DCG are exact decimal sums and nDCG is one final
+    // double division. Top-10 per group via the TopKPerKey heap (no
+    // global sort); the ideal DCG needs only the group's positive
+    // count, a bounded aggregate.
+    QueryDef("q209_ndcg",
+      (s, dir) => {
+        val disc = Seq("1.000000000000", "0.630929753571",
+          "0.500000000000", "0.430676558073", "0.386852807235",
+          "0.356207187108", "0.333333333333", "0.315464876786",
+          "0.301029995664", "0.289064826318")
+        val cumDisc = Seq("1.000000000000", "1.630929753571",
+          "2.130929753571", "2.561606311645", "2.948459118879",
+          "3.304666305987", "3.637999639321", "3.953464516106",
+          "4.254494511770", "4.543559338088")
+        def dlit(v: String) = expr(s"CAST($v AS DECIMAL(14,12))")
+        val d = tPar(s, dir, "documents").select(
+          col("source"), col("doc_id"),
+          (Shingles.baseHash(col("text")) % 999).as("m"),
+          when(TextStats.qualityScore(col("text"), stopwords) >= 0.5,
+            1L).otherwise(0L).as("y"))
+          .localCheckpoint()
+        val top = graft.plans.TopKPerKey.topKPerKey(d, Seq("source"),
+          Seq(graft.plans.TopKPerKey.Sort("m", asc = false),
+            graft.plans.TopKPerKey.Sort("doc_id")), 10)
+        val dAt = disc.zipWithIndex.tail.foldLeft(
+          when(col("rank") === 1, dlit(disc.head))) {
+          case (acc, (v, i)) => acc.when(col("rank") === i + 1, dlit(v))
+        }
+        val dcg = top
+          .withColumn("g", when(col("y") === 1, dAt)
+            .otherwise(expr("CAST(0 AS DECIMAL(14,12))")))
+          .groupBy("source").agg(sum("g").as("dcg"))
+        val cumAt = cumDisc.zipWithIndex.tail.foldLeft(
+          when(col("k") === 1, dlit(cumDisc.head))) {
+          case (acc, (v, i)) => acc.when(col("k") === i + 1, dlit(v))
+        }
+        val ideal = d.groupBy("source").agg(sum("y").as("np"))
+          .filter(col("np") >= 1)
+          .withColumn("k", least(col("np"), lit(10L)))
+          .select(col("source"), col("np"), cumAt.as("idcg"))
+        dcg.join(ideal, "source")
+          .select(col("source"), col("np"),
+            col("dcg").cast("double").as("dcg"),
+            (col("dcg").cast("double") / col("idcg").cast("double"))
+              .as("ndcg"))
+          .orderBy("source")
+      },
+      Some {
+        val disc = Seq("1.000000000000", "0.630929753571",
+          "0.500000000000", "0.430676558073", "0.386852807235",
+          "0.356207187108", "0.333333333333", "0.315464876786",
+          "0.301029995664", "0.289064826318")
+        val cumDisc = Seq("1.000000000000", "1.630929753571",
+          "2.130929753571", "2.561606311645", "2.948459118879",
+          "3.304666305987", "3.637999639321", "3.953464516106",
+          "4.254494511770", "4.543559338088")
+        val dCase = disc.zipWithIndex.map { case (v, i) =>
+          s"WHEN ${i + 1} THEN CAST($v AS DECIMAL(14,12))" }
+          .mkString("CASE rank ", " ", " END")
+        val cCase = cumDisc.zipWithIndex.map { case (v, i) =>
+          s"WHEN ${i + 1} THEN CAST($v AS DECIMAL(14,12))" }
+          .mkString("CASE least(np, 10) ", " ", " END")
+        s"""WITH d AS (SELECT source, doc_id,
+            ('0x' || substr(md5(text), 1, 7))::BIGINT % 999 AS m,
+            CASE WHEN $dQualityExpr >= 0.5 THEN 1 ELSE 0 END AS y
+          FROM documents),
+        ranked AS (SELECT source, y, row_number() OVER (
+            PARTITION BY source ORDER BY m DESC, doc_id) AS rank
+          FROM d),
+        dcg AS (SELECT source,
+            SUM(CASE WHEN y = 1 THEN $dCase
+                ELSE CAST(0 AS DECIMAL(14,12)) END) AS dcg
+          FROM ranked WHERE rank <= 10 GROUP BY source),
+        ideal AS (SELECT source, CAST(SUM(y) AS BIGINT) AS np
+          FROM d GROUP BY source HAVING SUM(y) >= 1),
+        idcg AS (SELECT source, np, $cCase AS idcg FROM ideal)
+        SELECT dcg.source, np, CAST(dcg AS DOUBLE) AS dcg,
+          CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE) AS ndcg
+        FROM dcg JOIN idcg ON dcg.source = idcg.source
+        ORDER BY dcg.source"""
+      }),
+
+    // ── Brier score + Murphy decomposition per source (q210) ───────────
+    // Probability-forecast quality: exact Brier score from integer
+    // moments — (Σm² − 2·999·Σmy + 999²·Σy) / (999²·n) is ONE division
+    // of exact longs (y² = y) — plus the reliability / resolution /
+    // uncertainty decomposition over the 10 calibration bins of q208.
+    // Each bin term is a single division of integer numerators
+    // ((Σm_b − 999·Σy_b)² and (n·Σy_b − n_b·Σy)²); the ≤10-term sums
+    // go through the Parity.dsum decimal contract. Two bounded
+    // aggregations + a per-source join of 10-row bin stats.
+    QueryDef("q210_brier",
+      (s, dir) => {
+        val d = tPar(s, dir, "documents").select(
+          col("source"),
+          (Shingles.baseHash(col("text")) % 999).as("m"),
+          when(TextStats.qualityScore(col("text"), stopwords) >= 0.5,
+            1L).otherwise(0L).as("y"))
+          .localCheckpoint()
+        val tot = d.groupBy("source").agg(
+          count(lit(1)).as("n"), sum("m").as("sm"),
+          sum(col("m") * col("m")).as("smm"), sum("y").as("sy"),
+          sum(col("m") * col("y")).as("smy"))
+        val bins = d.groupBy(col("source"), expr("m div 100").as("bin"))
+          .agg(count(lit(1)).as("n_b"), sum("m").as("sm_b"),
+            sum("y").as("sy_b"))
+        val terms = bins.join(tot, "source")
+          .select(col("source"),
+            ((col("sm_b") - lit(999L) * col("sy_b")) *
+              (col("sm_b") - lit(999L) * col("sy_b"))).cast("double")
+              ./((lit(998001L) * col("n_b") * col("n")).cast("double"))
+              .as("rel_t"),
+            ((col("n") * col("sy_b") - col("n_b") * col("sy")) *
+              (col("n") * col("sy_b") - col("n_b") * col("sy")))
+              .cast("double")
+              ./((col("n_b") * col("n") * col("n") * col("n"))
+                .cast("double")).as("res_t"))
+          .groupBy("source")
+          .agg(graft.functions.Parity.dsum(col("rel_t")).as("reliability"),
+            graft.functions.Parity.dsum(col("res_t")).as("resolution"))
+        tot.join(terms, "source")
+          .select(col("source"), col("n"),
+            ((col("smm") - lit(1998L) * col("smy") +
+              lit(998001L) * col("sy")).cast("double") /
+              (lit(998001L) * col("n")).cast("double")).as("brier"),
+            ((col("sy") * (col("n") - col("sy"))).cast("double") /
+              (col("n") * col("n")).cast("double")).as("uncertainty"),
+            col("reliability"), col("resolution"))
+          .orderBy("source")
+      },
+      Some(s"""WITH d AS (SELECT source,
+            ('0x' || substr(md5(text), 1, 7))::BIGINT % 999 AS m,
+            CASE WHEN $dQualityExpr >= 0.5 THEN 1 ELSE 0 END AS y
+          FROM documents),
+        tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(m) AS BIGINT) AS sm, CAST(SUM(m * m) AS BIGINT) AS smm,
+            CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(m * y) AS BIGINT) AS smy
+          FROM d GROUP BY 1),
+        bins AS (SELECT source, m // 100 AS bin,
+            CAST(COUNT(*) AS BIGINT) AS n_b, CAST(SUM(m) AS BIGINT) AS sm_b,
+            CAST(SUM(y) AS BIGINT) AS sy_b
+          FROM d GROUP BY 1, 2),
+        terms AS (SELECT bins.source,
+            CAST(SUM(CAST(
+              CAST((sm_b - 999 * sy_b) * (sm_b - 999 * sy_b) AS DOUBLE)
+                / CAST(998001 * n_b * n AS DOUBLE)
+              AS DECIMAL(30,8))) AS DOUBLE) AS reliability,
+            CAST(SUM(CAST(
+              CAST((n * sy_b - n_b * sy) * (n * sy_b - n_b * sy) AS DOUBLE)
+                / CAST(n_b * n * n * n AS DOUBLE)
+              AS DECIMAL(30,8))) AS DOUBLE) AS resolution
+          FROM bins JOIN tot ON bins.source = tot.source
+          GROUP BY bins.source)
+        SELECT tot.source, n,
+          CAST(smm - 1998 * smy + 998001 * sy AS DOUBLE)
+            / CAST(998001 * n AS DOUBLE) AS brier,
+          CAST(sy * (n - sy) AS DOUBLE) / CAST(n * n AS DOUBLE)
+            AS uncertainty,
+          reliability, resolution
+        FROM tot JOIN terms ON tot.source = terms.source
+        ORDER BY tot.source""")),
   )
 }

@@ -7,8 +7,17 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir, nameFilter) = args match {
       case Array(s, o)    => (s, o, "")
-      case Array(s, o, f) => (s, o, f) // substring filter for local iteration
+      case Array(s, o, f) => (s, o, f) // filter for local iteration
     }
+    // Filter grammar (comma-separated substrings): a bare term includes
+    // matching queries, a "-" prefix excludes them. With only negative
+    // terms everything not excluded runs — the shape the sf1.0 at-scale
+    // sweep needs (all queries minus the quadratic-oracle pair families).
+    val terms = nameFilter.split(',').map(_.trim).filter(_.nonEmpty)
+    val (neg, pos) = terms.partition(_.startsWith("-"))
+    def selected(name: String): Boolean =
+      (pos.isEmpty || pos.exists(name.contains)) &&
+        !neg.exists(t => name.contains(t.stripPrefix("-")))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -25,7 +34,7 @@ object Verify {
     // Bench's contract.
     var failed = List.empty[String]
     SparkEntry.queries
-      .filter { case (name, _) => name.contains(nameFilter) }
+      .filter { case (name, _) => selected(name) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

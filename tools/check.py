@@ -34,8 +34,18 @@ def canon(df):
     return pd.concat(rows, axis=1)
 
 ok = bad = 0
+terms = [t.strip() for t in flt.split(",") if t.strip()]
+neg = [t[1:] for t in terms if t.startswith("-")]
+pos = [t for t in terms if not t.startswith("-")]
+
+def selected(name):
+    # same grammar as graft.Verify: bare terms include, "-" excludes;
+    # only-negative filters run everything not excluded
+    return ((not pos or any(t in name for t in pos))
+            and not any(t in name for t in neg))
+
 for name in sorted(oracle):
-    if flt and flt not in name:
+    if not selected(name):
         continue
     files = glob.glob(f"{out}/{name}/*.parquet")
     if not files:
