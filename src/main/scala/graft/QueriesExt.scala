@@ -7298,5 +7298,48 @@ object QueriesExt {
           reliability, resolution
         FROM tot JOIN terms ON tot.source = terms.source
         ORDER BY tot.source""")),
+
+    // ── Pettitt changepoint per event type (q211) ──────────────────────
+    // Nonparametric single-changepoint detection on the value stream —
+    // the drift-monitoring complement to CUSUM (q154): rank-based, so
+    // it needs no distributional assumption and no float arithmetic.
+    // U_t = Σ 2·midranks(≤t) − t(n+1), ALL integer (2×midranks stay
+    // integral under ties), via TWO grouped range-partitioned prefix
+    // sums (value order for ranks, time order for the CUSUM) — no
+    // per-group sort task, the Hypothesis engine's shape. Argmax |U_t|
+    // with ties to the earliest split.
+    QueryDef("q211_pettitt_changepoint",
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(
+          col("event_type"), col("value"),
+          struct(col("ts"), col("event_id")).as("tord"))
+        graft.ext.Hypothesis.pettittChangepoint(ev, "event_type", "value", "tord")
+          .select(col("event_type"), col("n"), col("t_star"),
+            col("u_at"), col("u_abs"),
+            date_format(col("at.ts"), "yyyy-MM-dd HH:mm:ss")
+              .as("change_ts"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (SELECT event_type AS g, ts, event_id, value AS v
+          FROM events),
+        r AS (SELECT g, ts, event_id,
+            2 * (RANK() OVER (PARTITION BY g ORDER BY v) - 1)
+              + COUNT(*) OVER (PARTITION BY g, v) + 1 AS r2
+          FROM e),
+        s AS (SELECT g, ts,
+            ROW_NUMBER() OVER w AS t,
+            SUM(r2) OVER w AS s2,
+            COUNT(*) OVER (PARTITION BY g) AS n
+          FROM r WINDOW w AS (PARTITION BY g ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        u AS (SELECT g, ts, t, n, s2 - t * (n + 1) AS u FROM s
+          WHERE t < n),
+        best AS (SELECT g, ts, t, n, u, row_number() OVER (
+            PARTITION BY g ORDER BY abs(u) DESC, t ASC) AS rn FROM u)
+        SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+          CAST(t AS BIGINT) AS t_star, CAST(u AS BIGINT) AS u_at,
+          CAST(abs(u) AS BIGINT) AS u_abs,
+          strftime(ts, '%Y-%m-%d %H:%M:%S') AS change_ts
+        FROM best WHERE rn = 1 ORDER BY event_type""")),
   )
 }

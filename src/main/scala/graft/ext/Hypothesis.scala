@@ -91,6 +91,81 @@ object Hypothesis {
       valueCols.flatMap(v => Seq(s"_local_$v", s"_off_$v")): _*)
   }
 
+  /** Per-GROUP prefix sums without per-group sort partitions: range-
+    * partition on the composite (group, order) key — one global range
+    * exchange regardless of group sizes, so a group larger than a
+    * partition still spreads across tasks (the `Window.partitionBy(
+    * group).orderBy(...)` formulation would sort each group inside ONE
+    * task — the global-order anti-pattern this engine exists to kill).
+    * The composite prefix sums bleed across group boundaries by
+    * construction; each group then subtracts the totals of all earlier
+    * groups — a bounded |groups|-row aggregate broadcast back.
+    * Requires a BOUNDED group count (the offsets ride a driver window);
+    * group totals come from the same aggregate, no extra scan.
+    */
+  def groupedPrefixSumsByRange(df: DataFrame, groupCol: String,
+                               orderCol: String, valueCols: Seq[String],
+                               partitions: Int): DataFrame = {
+    val keyed = df.withColumn("_gord",
+      struct(col(groupCol), col(orderCol)))
+    val cum = prefixSumsByRange(keyed, "_gord", valueCols, partitions)
+    val gtots = valueCols.map(v => sum(col(v)).as(s"_gt_$v"))
+    val wg = Window.orderBy(groupCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = df.groupBy(groupCol).agg(gtots.head, gtots.tail: _*)
+      .select(col(groupCol) +: valueCols.map(v =>
+        coalesce(sum(col(s"_gt_$v")).over(wg), lit(0L))
+          .as(s"_goff_$v")): _*)
+    val adj = valueCols.foldLeft(cum.join(broadcast(offs), groupCol)) {
+      (d, v) => d.withColumn(s"cum_$v", col(s"cum_$v") - col(s"_goff_$v"))
+    }
+    adj.drop("_gord" +: valueCols.map(v => s"_goff_$v"): _*)
+  }
+
+  /** Pettitt changepoint test (Pettitt 1979) per group: the rank-based
+    * CUSUM U_t = Σ_{i≤t} Σ_{j>t} sgn(X_i − X_j), maximized over split
+    * points t in the `orderCol` total order; the argmax is the single
+    * most likely changepoint. Exact and distributed via the rank
+    * identity U_t = Σ_{i≤t} 2·R_i − t(n+1), with 2×MIDRANKS (integer
+    * even with ties) so tied values contribute sgn = 0 exactly:
+    *   1. per-group value histogram → 2·midrank per distinct value via
+    *      one grouped prefix sum over the VALUE order;
+    *   2. rank-sum prefix S_t and index t via a second grouped prefix
+    *      sum over the TIME order;
+    *   3. U_t = S_t − t(n+1), all integer; argmax |U_t| with ties to
+    *      the earliest t.
+    * Two range exchanges + two joins total — no per-group sort task,
+    * no float anywhere. Returns (group, n, t_star, u_at, u_abs, at).
+    */
+  def pettittChangepoint(df: DataFrame, groupCol: String, valueCol: String,
+                         orderCol: String,
+                         partitions: Int = 32): DataFrame = {
+    val hist = df.groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("_ng"))
+    val hc = groupedPrefixSumsByRange(hist, groupCol, valueCol,
+      Seq("_ng"), partitions)
+    val r2 = hc.select(col(groupCol), col(valueCol),
+      (lit(2L) * (col("cum__ng") - col("_ng")) + col("_ng") + lit(1L))
+        .as("_r2"))
+    val rows = df.join(r2, Seq(groupCol, valueCol))
+      .withColumn("_one", lit(1L))
+    val tc = groupedPrefixSumsByRange(rows, groupCol, orderCol,
+      Seq("_one", "_r2"), partitions)
+    val tot = hist.groupBy(groupCol).agg(sum("_ng").as("n"))
+    tc.join(broadcast(tot), groupCol)
+      .select(col(groupCol), col(orderCol), col("n"),
+        col("cum__one").as("t"),
+        (col("cum__r2") - col("cum__one") * (col("n") + lit(1L))).as("u"))
+      .filter(col("t") < col("n"))
+      .groupBy(groupCol)
+      .agg(max("n").as("n"),
+        max(struct(abs(col("u")).as("ua"), (-col("t")).as("mt"),
+          col("u").as("uv"), col(orderCol).as("oc"))).as("_b"))
+      .select(col(groupCol), col("n"), (-col("_b.mt")).as("t_star"),
+        col("_b.uv").as("u_at"), col("_b.ua").as("u_abs"),
+        col("_b.oc").as("at"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov over `valueCol`, groups selected by
     * the boolean columns `isA` / `isB`.
     *

@@ -42,6 +42,60 @@ class HypothesisSpec extends AnyFunSuite {
     })
   }
 
+  test("groupedPrefixSumsByRange ≡ per-group scan, groups spread " +
+       "across range partitions") {
+    val gen = Gen.nonEmptyListOf(Gen.zip(Gen.choose(0, 3),
+      Gen.zip(Gen.choose(-1000, 1000), Gen.choose(-5L, 5L))))
+    check(Prop.forAll(gen) { raw =>
+      // distinct (group, key), as the contract requires
+      val rows = raw.groupBy(r => (r._1, r._2._1)).map {
+        case ((g, k), vs) => (g, k, vs.map(_._2._2).sum)
+      }.toSeq
+      val df = rows.toDF("g", "k", "v")
+      val got = Hypothesis.groupedPrefixSumsByRange(df, "g", "k",
+        Seq("v"), 4)
+        .select("g", "k", "cum_v").as[(Int, Int, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      val want = rows.groupBy(_._1).flatMap { case (g, vs) =>
+        vs.sortBy(_._2).scanLeft((0, 0L)) {
+          case ((_, acc), (_, k, v)) => (k, acc + v)
+        }.drop(1).map { case (k, c) => (g, k) -> c }
+      }
+      got == want
+    })
+  }
+
+  test("pettittChangepoint finds a planted mean shift; U is exact vs " +
+       "brute-force pair counting") {
+    // planted changepoint at t=30 of 50 (group "a"); ties included
+    val rnd = new scala.util.Random(7)
+    val a = (1 to 50).map(i =>
+      ("a", i.toLong, (if (i <= 30) rnd.nextInt(10) else 8 + rnd.nextInt(10)).toDouble))
+    val b = (1 to 40).map(i => ("b", i.toLong, (i % 5).toDouble))
+    val df = (a ++ b).toDF("g", "ord", "v")
+    val got = Hypothesis.pettittChangepoint(df, "g", "v", "ord")
+      .select("g", "n", "t_star", "u_at").as[(String, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    // brute force: U_t = Σ_{i<=t} Σ_{j>t} sgn(x_i - x_j), argmax |U|
+    def brute(xs: Seq[Double]): (Long, Long) = {
+      val n = xs.length
+      val us = (1 until n).map { t =>
+        var u = 0L
+        for (i <- 0 until t; j <- t until n)
+          u += math.signum(xs(i) - xs(j)).toLong
+        (t.toLong, u)
+      }
+      us.maxBy { case (t, u) => (math.abs(u), -t) }
+    }
+    val (taA, uaA) = brute(a.map(_._3))
+    assert(got("a")._3 === taA && got("a")._4 === uaA)
+    // the planted shift is found near t=30
+    assert(math.abs(got("a")._3 - 30L) <= 5,
+      s"changepoint ${got("a")._3} far from planted t=30")
+    val (taB, uaB) = brute(b.map(_._3))
+    assert(got("b")._3 === taB && got("b")._4 === uaB)
+  }
+
   test("prefixSumByRange survives AQE re-planning of the upstream " +
        "shuffle (q152 sf0.1 regression)") {
     // Regression lock: the ranged frame used to be evaluated once per
