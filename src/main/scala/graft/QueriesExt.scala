@@ -7341,5 +7341,82 @@ object QueriesExt {
           CAST(abs(u) AS BIGINT) AS u_abs,
           strftime(ts, '%Y-%m-%d %H:%M:%S') AS change_ts
         FROM best WHERE rn = 1 ORDER BY event_type""")),
+
+    // ── Leakage-safe K-fold target encoding (q212) ─────────────────────
+    // The feature-engineering staple with the trap designed out: each
+    // fold's categorical encoding is the OUT-OF-FOLD target mean,
+    // derived by subtraction from per-(category, fold) partials —
+    // (S_all − S_fold)/(n_all − n_fold) — so the whole thing is ONE
+    // bounded aggregation + a bounded self-join, never a per-row
+    // anti-join against the fold. Decimal partial sums make the means
+    // partition-order-exact; fold assignment is the portable md5 hash,
+    // so both engines agree row for row.
+    QueryDef("q212_target_encoding",
+      (s, dir) => {
+        val folds = 5
+        val d = t(s, dir, "events").select(
+          col("event_type"),
+          (Shingles.baseHash(col("event_id").cast("string")) % folds)
+            .as("fold"),
+          col("value").cast("decimal(30,8)").as("v"))
+        val per = d.groupBy("event_type", "fold")
+          .agg(count(lit(1)).as("n_f"), sum("v").as("s_f"))
+        val all = per.groupBy("event_type")
+          .agg(sum("n_f").as("n_all"), sum("s_f").as("s_all"))
+        per.join(all, "event_type")
+          .select(col("event_type"), col("fold"), col("n_f"),
+            ((col("s_all") - col("s_f")).cast("double") /
+              (col("n_all") - col("n_f")).cast("double")).as("oof_mean"))
+          .orderBy("event_type", "fold")
+      },
+      Some("""WITH d AS (SELECT event_type,
+            ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 7))::BIGINT
+              % 5 AS fold,
+            CAST(value AS DECIMAL(30,8)) AS v
+          FROM events),
+        per AS (SELECT event_type, fold, COUNT(*) AS n_f, SUM(v) AS s_f
+          FROM d GROUP BY 1, 2),
+        al AS (SELECT event_type, CAST(SUM(n_f) AS BIGINT) AS n_all,
+            SUM(s_f) AS s_all
+          FROM per GROUP BY 1)
+        SELECT per.event_type, CAST(fold AS BIGINT) AS fold,
+          CAST(n_f AS BIGINT) AS n_f,
+          CAST(s_all - s_f AS DOUBLE) / CAST(n_all - n_f AS DOUBLE)
+            AS oof_mean
+        FROM per JOIN al ON per.event_type = al.event_type
+        ORDER BY per.event_type, fold""")),
+
+    // ── k-anonymity / l-diversity audit (q213) ─────────────────────────
+    // The privacy gate a training-data release needs next to PII
+    // redaction (q59): group by the quasi-identifier tuple, flag
+    // equivalence classes smaller than k (re-identifiable) and classes
+    // whose sensitive attribute shows fewer than l distinct values
+    // (attribute disclosure even at size ≥ k). One aggregation; the
+    // risky-class report is the release blocker, ordered worst-first.
+    QueryDef("q213_k_anonymity",
+      (s, dir) => {
+        val k = 10L; val l = 3L
+        t(s, dir, "customer")
+          .groupBy(col("c_nationkey"), col("c_mktsegment"))
+          .agg(count(lit(1)).as("class_size"),
+            countDistinct(floor(col("c_acctbal") / 1000.0).cast("long"))
+              .as("sensitive_distinct"))
+          .withColumn("k_anonymous", col("class_size") >= k)
+          .withColumn("l_diverse", col("sensitive_distinct") >= l)
+          .filter(!col("k_anonymous") || !col("l_diverse"))
+          .orderBy(col("class_size"), col("c_nationkey"),
+            col("c_mktsegment"))
+      },
+      Some("""SELECT c_nationkey, c_mktsegment,
+          CAST(COUNT(*) AS BIGINT) AS class_size,
+          CAST(COUNT(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT))
+            AS BIGINT) AS sensitive_distinct,
+          COUNT(*) >= 10 AS k_anonymous,
+          COUNT(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) >= 3
+            AS l_diverse
+        FROM customer GROUP BY 1, 2
+        HAVING NOT (COUNT(*) >= 10) OR NOT
+          (COUNT(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) >= 3)
+        ORDER BY class_size, c_nationkey, c_mktsegment""")),
   )
 }

@@ -175,17 +175,22 @@ object Scd2 {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Latest committed state, or None if the path holds no table. */
-  def currentState(spark: org.apache.spark.sql.SparkSession,
-                   path: String): Option[WarehouseState] = {
+  /** All committed version numbers at `path`, ascending. */
+  def versions(spark: org.apache.spark.sql.SparkSession,
+               path: String): Seq[Long] = {
     val fs = hadoopFs(spark, path)
     val log = new org.apache.hadoop.fs.Path(path, "_log")
-    if (!fs.exists(log)) return None
-    val versions = fs.listStatus(log).map(_.getPath.getName)
+    if (!fs.exists(log)) return Nil
+    fs.listStatus(log).map(_.getPath.getName)
       .filter(n => n.startsWith("v") && n.endsWith(".txn"))
       .map(n => n.stripPrefix("v").stripSuffix(".txn").toLong)
-    if (versions.isEmpty) return None
-    val v = versions.max
+      .sorted.toSeq
+  }
+
+  private def readManifest(spark: org.apache.spark.sql.SparkSession,
+                           path: String, v: Long): WarehouseState = {
+    val fs = hadoopFs(spark, path)
+    val log = new org.apache.hadoop.fs.Path(path, "_log")
     val in = fs.open(new org.apache.hadoop.fs.Path(log, f"v$v%08d.txn"))
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
                finally in.close()
@@ -196,7 +201,37 @@ object Scd2 {
     val hist = lines.collect {
       case l if l.startsWith("hist=") => l.stripPrefix("hist=")
     }.toSeq
-    Some(WarehouseState(v, hist, cur))
+    WarehouseState(v, hist, cur)
+  }
+
+  /** Latest committed state, or None if the path holds no table. */
+  def currentState(spark: org.apache.spark.sql.SparkSession,
+                   path: String): Option[WarehouseState] = {
+    val vs = versions(spark, path)
+    if (vs.isEmpty) None
+    else Some(readManifest(spark, path, vs.max))
+  }
+
+  /** TIME TRAVEL: the full table view exactly as version `v` committed
+    * it (same columns as [[readWarehouse]]). Every version's manifest
+    * stays in the log forever; its DATA dirs survive until a
+    * [[vacuum]] (which keeps only the latest manifest's dirs) — the
+    * standard travel-until-vacuum contract. History dirs are
+    * append-only so old versions mostly share storage with the head;
+    * only each version's open-set dir is version-private.
+    */
+  def readAt(spark: org.apache.spark.sql.SparkSession, path: String,
+             v: Long): DataFrame = {
+    require(versions(spark, path).contains(v),
+      s"no committed version $v at $path")
+    val st = readManifest(spark, path, v)
+    val cur = (st.curDir match {
+      case Some(d) => readDirs(spark, path, Seq(d))
+      case None    => readDirs(spark, path, st.histDirs).limit(0)
+    }).withColumn("is_current", lit(true))
+    if (st.histDirs.isEmpty) cur
+    else readDirs(spark, path, st.histDirs)
+      .withColumn("is_current", lit(false)).unionByName(cur)
   }
 
   /** Publish `st` as version `st.version`: write a temp manifest, then

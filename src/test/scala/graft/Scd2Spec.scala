@@ -196,6 +196,32 @@ class Scd2Spec extends AnyFunSuite {
     assert(dw3.exceptAll(dw2).isEmpty && dw2.exceptAll(dw3).isEmpty)
   }
 
+  test("time travel: readAt(v) reproduces each committed version " +
+       "bit-exactly; vacuum ends travel but never breaks the head") {
+    val path = java.nio.file.Files.createTempDirectory("dw_tt").toString
+    Scd2.initPartitioned(snap(("a", 1, "x"), ("b", 2, "y")), path, d1)
+    val v1 = Scd2.readWarehouse(spark, path).collect().toSet
+    Scd2.mergeInPlace(spark, path, snap(("a", 5, "x"), ("c", 3, "z")),
+      "natural_key", tracked, d2)
+    val v2 = Scd2.readWarehouse(spark, path).collect().toSet
+    Scd2.mergeInPlace(spark, path, snap(("a", 5, "x"), ("b", 9, "y")),
+      "natural_key", tracked, d3)
+    val v3 = Scd2.readWarehouse(spark, path).collect().toSet
+
+    assert(Scd2.versions(spark, path) === Seq(1L, 2L, 3L))
+    assert(Scd2.readAt(spark, path, 1).collect().toSet === v1)
+    assert(Scd2.readAt(spark, path, 2).collect().toSet === v2)
+    assert(Scd2.readAt(spark, path, 3).collect().toSet === v3)
+    assert(v1 !== v2); assert(v2 !== v3)
+    intercept[IllegalArgumentException] { Scd2.readAt(spark, path, 9) }
+
+    // vacuum keeps only the head's dirs: old OPEN-SET dirs go (travel
+    // to superseded versions ends), the head stays bit-exact
+    Scd2.vacuum(spark, path)
+    assert(Scd2.readAt(spark, path, 3).collect().toSet === v3)
+    assert(Scd2.readWarehouse(spark, path).collect().toSet === v3)
+  }
+
   test("invariant holds across multi-day history: one open version per key") {
     val dim0 = init(snap(("a", 1, "x"), ("b", 2, "y")), d1)
     val dim1 = Scd2.merge(dim0, snap(("a", 5, "x"), ("b", 2, "y"),
