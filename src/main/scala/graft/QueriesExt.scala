@@ -7418,5 +7418,48 @@ object QueriesExt {
         HAVING NOT (COUNT(*) >= 10) OR NOT
           (COUNT(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) >= 3)
         ORDER BY class_size, c_nationkey, c_mktsegment""")),
+
+    // ── Audio VAD: energy-based activity segments (q214) ───────────────
+    // The speech-curation filter over the real WAV codec path: decode,
+    // exact integer frame energies Σs², and run-length segmentation all
+    // inside ONE map stage — no shuffle, 4 counters out per clip.
+    // Deterministic synthesized payloads (q160's machinery) let the
+    // oracle recompute every energy from the text bytes and re-derive
+    // the segment structure with a gaps-and-islands window. Same
+    // ASCII-corpus caveat as q61.
+    QueryDef("q214_audio_vad",
+      (s, dir) => {
+        val media = Multimodal.asWavMediaTable(tPar(s, dir, "documents"),
+          "doc_id", "text", 1024, 16000)
+        Multimodal.audioVadSegments(media, 64, 8500000000L)
+          .orderBy("media_id")
+      },
+      Some {
+        val samp = "CASE WHEN strlen(text) = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE CAST((ascii(substr(text, CAST((f * 64 + i) % strlen(text)" +
+          " AS INT) + 1, 1)) - 128) * 256 AS BIGINT) END"
+        s"""WITH fr AS (SELECT doc_id, text,
+            unnest(range(0, 16)) AS f FROM documents),
+        en AS (SELECT doc_id, f,
+            list_sum(list_transform(range(0, 64), i ->
+              ($samp) * ($samp))) AS e
+          FROM fr),
+        act AS (SELECT doc_id, f,
+            CASE WHEN e > 8500000000 THEN 1 ELSE 0 END AS a FROM en),
+        isl AS (SELECT doc_id, f, a, f - row_number() OVER (
+            PARTITION BY doc_id, a ORDER BY f) AS grp FROM act),
+        runs AS (SELECT doc_id, COUNT(*) AS len FROM isl
+          WHERE a = 1 GROUP BY doc_id, grp),
+        agg AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_segments,
+            CAST(SUM(len) AS INT) AS n_active,
+            CAST(MAX(len) AS INT) AS longest_run
+          FROM runs GROUP BY doc_id)
+        SELECT d.doc_id AS media_id, CAST(16 AS INT) AS n_frames,
+          COALESCE(n_active, 0) AS n_active,
+          COALESCE(n_segments, 0) AS n_segments,
+          COALESCE(longest_run, 0) AS longest_run
+        FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+        ORDER BY media_id"""
+      }),
   )
 }

@@ -762,6 +762,63 @@ object Multimodal {
     * stage over the payloads — same scale shape as [[audioFrames]]:
     * row-expanding, no shuffle, work proportional to decoded bytes.
     */
+  private val vadSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("media_id",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_frames",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_active",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_segments",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("longest_run",
+      org.apache.spark.sql.types.IntegerType, nullable = false)))
+
+  /** Energy-based voice-activity detection over PCM clips: frame the
+    * samples (non-overlapping `frameLen`-sample windows), mark a frame
+    * active when its EXACT integer energy Σ s² exceeds `threshold`,
+    * and fold the run-length structure (active frames, segments =
+    * maximal active runs, longest run) in the same pass. One
+    * row-preserving map stage — decode, energies, and segmentation all
+    * happen inside the task, no shuffle, work proportional to decoded
+    * bytes; the per-clip output is 4 counters, which is what a 100 TB
+    * speech-curation filter wants to aggregate next.
+    */
+  def audioVadSegments(media: DataFrame, frameLen: Int,
+                       threshold: Long): DataFrame = {
+    require(frameLen > 0, s"frameLen $frameLen")
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(vadSchema))
+    media.select("media_id", "payload").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        Wav.decode(r.getAs[Array[Byte]](1)) match {
+          case Some(clip) =>
+            val n = clip.samples.length / frameLen
+            var f = 0
+            var active = 0; var segs = 0; var run = 0; var longest = 0
+            while (f < n) {
+              var e = 0L
+              var i = f * frameLen
+              val end = i + frameLen
+              while (i < end) {
+                val s = clip.samples(i).toLong
+                e += s * s
+                i += 1
+              }
+              if (e > threshold) {
+                active += 1; run += 1
+                if (run == 1) segs += 1
+                if (run > longest) longest = run
+              } else run = 0
+              f += 1
+            }
+            Iterator.single(Row(id, n, active, segs, longest))
+          case None => Iterator.empty
+        }
+      }
+    }(enc)
+  }
+
   def audioWalshSpectrum(media: DataFrame, frameLen: Int,
                          hop: Int): DataFrame = {
     require(frameLen > 0 && hop > 0, s"frameLen $frameLen hop $hop")
