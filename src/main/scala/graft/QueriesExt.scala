@@ -7461,5 +7461,159 @@ object QueriesExt {
         FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
         ORDER BY media_id"""
       }),
+
+    // ── Forecast backtest: MASE per nation (q215) ──────────────────────
+    // The eval metric for the time-series family (q197/q199): seasonal-
+    // naive forecast (s = 4 weeks) scored against the one-step naive
+    // scale, per nation. Weekly revenue stays DECIMAL end to end, so
+    // lags, absolute errors, and both error sums are exact; each MAE
+    // is one correctly-rounded division and MASE their ratio — three
+    // IEEE-deterministic float ops total (a decimal×bigint product
+    // would hit Spark's precision cap and round where DuckDB widens). All windows ride the
+    // bounded (nation, week) aggregate.
+    QueryDef("q215_mase_backtest",
+      (s, dir) => {
+        val wk = t(s, dir, "orders")
+          .join(t(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"), expr(
+            "unix_micros(cast(o_orderdate as timestamp))" +
+              " div 604800000000").as("week"))
+          .agg(sum(col("o_totalprice").cast("decimal(30,8)")).as("rev"))
+        val w = Window.partitionBy("n_name").orderBy("week")
+        wk.withColumn("e1", abs(col("rev") - lag("rev", 1).over(w)))
+          .withColumn("e4", abs(col("rev") - lag("rev", 4).over(w)))
+          .groupBy("n_name")
+          .agg(count(lit(1)).as("n_weeks"),
+            sum("e1").as("s1"), count("e1").as("c1"),
+            sum("e4").as("s4"), count("e4").as("c4"))
+          .filter(col("c1") > 0 && col("c4") > 0)
+          .select(col("n_name"), col("n_weeks"),
+            (col("s1").cast("double") / col("c1").cast("double"))
+              .as("naive_mae"),
+            (col("s4").cast("double") / col("c4").cast("double"))
+              .as("seasonal_mae"),
+            ((col("s4").cast("double") / col("c4").cast("double")) /
+              (col("s1").cast("double") / col("c1").cast("double")))
+              .as("mase"))
+          .orderBy("n_name")
+      },
+      Some("""WITH wk AS (SELECT n_name,
+            epoch_us(o_orderdate) // 604800000000 AS week,
+            SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS rev
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY 1, 2),
+        lg AS (SELECT n_name, week, rev,
+            abs(rev - lag(rev, 1) OVER w) AS e1,
+            abs(rev - lag(rev, 4) OVER w) AS e4
+          FROM wk WINDOW w AS (PARTITION BY n_name ORDER BY week)),
+        g AS (SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_weeks,
+            SUM(e1) AS s1, CAST(COUNT(e1) AS BIGINT) AS c1,
+            SUM(e4) AS s4, CAST(COUNT(e4) AS BIGINT) AS c4
+          FROM lg GROUP BY 1)
+        SELECT n_name, n_weeks,
+          CAST(s1 AS DOUBLE) / CAST(c1 AS DOUBLE) AS naive_mae,
+          CAST(s4 AS DOUBLE) / CAST(c4 AS DOUBLE) AS seasonal_mae,
+          (CAST(s4 AS DOUBLE) / CAST(c4 AS DOUBLE))
+            / (CAST(s1 AS DOUBLE) / CAST(c1 AS DOUBLE)) AS mase
+        FROM g WHERE c1 > 0 AND c4 > 0 ORDER BY n_name""")),
+
+    // ── Rendezvous (highest-random-weight) sharding (q216) ─────────────
+    // The routing primitive for stateful services over the corpus:
+    // shard = argmax over nodes of hash(node | key), MAP-ONLY via an
+    // inline array-max over the bounded node set — no shuffle, no
+    // lookup table. The defining property — removing a node moves ONLY
+    // its own keys — is part of the result: per shard, the population
+    // and how many keys would move if node7 left (nonzero only for
+    // node7's own row).
+    QueryDef("q216_rendezvous_shards",
+      (s, dir) => {
+        val nodes = (0 until 8).map(i => s"node$i")
+        def hrw(ns: Seq[String]) = array_max(array(ns.map(n =>
+          struct(Shingles.baseHash(concat(lit(n), lit("|"),
+            col("doc_id").cast("string"))).as("h"),
+            lit(n).as("node"))): _*))("node")
+        tPar(s, dir, "documents")
+          .select(col("doc_id"), hrw(nodes).as("shard"),
+            hrw(nodes.init).as("shard_without_7"))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("shard") =!= col("shard_without_7"), 1L)
+              .otherwise(0L)).as("moved_if_node7_leaves"))
+          .orderBy("shard")
+      },
+      Some {
+        def hrwSql(ns: Seq[String]) = {
+          val arms = ns.map(n =>
+            s"""{h: ('0x' || substr(md5('$n' || '|' ||
+               CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT, node: '$n'}""")
+          s"list_max([${arms.mkString(", ")}]).node"
+        }
+        val nodes = (0 until 8).map(i => s"node$i")
+        s"""WITH a AS (SELECT doc_id,
+            ${hrwSql(nodes)} AS shard,
+            ${hrwSql(nodes.init)} AS shard_without_7
+          FROM documents)
+        SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(CASE WHEN shard <> shard_without_7 THEN 1 ELSE 0 END)
+            AS BIGINT) AS moved_if_node7_leaves
+        FROM a GROUP BY shard ORDER BY shard"""
+      }),
+
+    // ── Hellinger drift between time halves (q217) ─────────────────────
+    // Distribution drift WITHOUT log(): PSI/KL need ln, which is not
+    // bit-portable across libms (the q89/q209 lesson) — the Hellinger
+    // affinity Σ√(p·q) needs only sqrt, which IEEE defines correctly
+    // rounded, so both engines agree bit for bit. Per event type:
+    // value-bucket histograms of the first vs second half of the time
+    // range (midpoint from the exact integer micros min/max), affinity
+    // over the ≤20 buckets via the dsum contract, H² = 1 − affinity.
+    QueryDef("q217_hellinger_drift",
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("event_type"),
+          unix_micros(col("ts")).as("us"),
+          floor(col("value") / 25.0).cast("long").as("bucket"))
+        val mid = ev.agg(((min("us") + max("us")) / lit(2L)).as("mid"))
+        val h = ev.crossJoin(broadcast(mid))
+          .groupBy(col("event_type"), col("bucket"))
+          .agg(sum(when(col("us") < col("mid"), 1L).otherwise(0L))
+            .as("ca"),
+            sum(when(col("us") >= col("mid"), 1L).otherwise(0L))
+              .as("cb"))
+        val tot = h.groupBy("event_type")
+          .agg(sum("ca").as("na"), sum("cb").as("nb"))
+        h.join(tot, "event_type")
+          .select(col("event_type"), col("na"), col("nb"),
+            sqrt((col("ca").cast("double") / col("na").cast("double")) *
+              (col("cb").cast("double") / col("nb").cast("double")))
+              .as("t"))
+          .groupBy("event_type", "na", "nb")
+          .agg(graft.functions.Parity.dsum(col("t")).as("affinity"))
+          .select(col("event_type"), col("na"), col("nb"),
+            col("affinity"), (lit(1.0) - col("affinity")).as("h2"))
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (SELECT event_type, epoch_us(ts) AS us,
+            CAST(floor(value / 25.0) AS BIGINT) AS bucket FROM events),
+        m AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM ev),
+        h AS (SELECT event_type, bucket,
+            SUM(CASE WHEN us < mid THEN 1 ELSE 0 END) AS ca,
+            SUM(CASE WHEN us >= mid THEN 1 ELSE 0 END) AS cb
+          FROM ev CROSS JOIN m GROUP BY 1, 2),
+        tot AS (SELECT event_type, CAST(SUM(ca) AS BIGINT) AS na,
+            CAST(SUM(cb) AS BIGINT) AS nb
+          FROM h GROUP BY 1),
+        t AS (SELECT h.event_type, na, nb,
+            sqrt((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)) *
+              (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))) AS t
+          FROM h JOIN tot ON h.event_type = tot.event_type)
+        SELECT event_type, na, nb,
+          CAST(SUM(CAST(t AS DECIMAL(30,8))) AS DOUBLE) AS affinity,
+          1.0 - CAST(SUM(CAST(t AS DECIMAL(30,8))) AS DOUBLE) AS h2
+        FROM t GROUP BY event_type, na, nb ORDER BY event_type""")),
   )
 }
