@@ -7615,5 +7615,57 @@ object QueriesExt {
           CAST(SUM(CAST(t AS DECIMAL(30,8))) AS DOUBLE) AS affinity,
           1.0 - CAST(SUM(CAST(t AS DECIMAL(30,8))) AS DOUBLE) AS h2
         FROM t GROUP BY event_type, na, nb ORDER BY event_type""")),
+
+    // ── Dedup savings report: cluster → canonical → bytes (q218) ───────
+    // The curation DELIVERABLE on top of the near-dup machinery (q26
+    // candidates → q45 components): per duplicate cluster, elect the
+    // canonical survivor (longest text, ties to the lowest id — the
+    // keep-best-copy rule) and account the bytes deduplication frees.
+    // Cluster membership joins back to doc stats by id; the election
+    // and byte rollup are one aggregation over clusters whose sizes the
+    // LSH band caps already bound.
+    QueryDef("q218_dedup_savings",
+      (s, dir) => {
+        val docs = tPar(s, dir, "documents")
+        val pairs = Dedup.minhashCandidates(docs,
+          "doc_id", "text", shingleK, minhashHashes, minhashBandRows)
+        val members = Dedup.dedupClusters(pairs)
+          .select(col("id").as("doc_id"), col("cluster"))
+          .join(docs.select(col("doc_id"),
+            length(col("text")).cast("long").as("bytes")), "doc_id")
+        members.groupBy("cluster")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("bytes").as("bytes_total"),
+            max(struct(col("bytes"), (-col("doc_id")).as("nid")))
+              .as("_c"))
+          .select(col("cluster"), col("n_docs"), col("bytes_total"),
+            (-col("_c.nid")).as("canonical_doc"),
+            (col("bytes_total") - col("_c.bytes")).as("bytes_saved"))
+          .orderBy("cluster")
+      },
+      Some(s"""WITH RECURSIVE $dMinhashCandCtes,
+        edges AS (SELECT id_a AS u, id_b AS v FROM cand
+                  UNION SELECT id_b, id_a FROM cand),
+        nodes AS (SELECT DISTINCT u AS id FROM edges),
+        reach(id, r) AS (
+          SELECT id, id FROM nodes
+          UNION
+          SELECT rr.id, e.v FROM reach rr JOIN edges e ON rr.r = e.u),
+        mem AS (SELECT reach.id AS doc_id, MIN(r) AS cluster
+          FROM reach GROUP BY 1),
+        m2 AS (SELECT mem.doc_id, cluster,
+            CAST(strlen(text) AS BIGINT) AS bytes
+          FROM mem JOIN documents d ON mem.doc_id = d.doc_id),
+        agg AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(bytes) AS BIGINT) AS bytes_total
+          FROM m2 GROUP BY 1),
+        canon AS (SELECT cluster, doc_id AS canonical_doc, bytes FROM (
+          SELECT cluster, doc_id, bytes, row_number() OVER (
+              PARTITION BY cluster ORDER BY bytes DESC, doc_id ASC) AS rn
+          FROM m2) WHERE rn = 1)
+        SELECT agg.cluster, n_docs, bytes_total, canonical_doc,
+          bytes_total - canon.bytes AS bytes_saved
+        FROM agg JOIN canon ON agg.cluster = canon.cluster
+        ORDER BY agg.cluster""")),
   )
 }
