@@ -7586,7 +7586,7 @@ object QueriesExt {
               .as("cb"))
         val tot = h.groupBy("event_type")
           .agg(sum("ca").as("na"), sum("cb").as("nb"))
-        h.join(tot, "event_type")
+        h.join(broadcast(tot), "event_type")
           .select(col("event_type"), col("na"), col("nb"),
             sqrt((col("ca").cast("double") / col("na").cast("double")) *
               (col("cb").cast("double") / col("nb").cast("double")))
