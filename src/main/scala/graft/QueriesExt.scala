@@ -7667,5 +7667,49 @@ object QueriesExt {
           bytes_total - canon.bytes AS bytes_saved
         FROM agg JOIN canon ON agg.cluster = canon.cluster
         ORDER BY agg.cluster""")),
+
+    // ── Native HLL aggregate: graft_hll (q219) ─────────────────────────
+    // The DISTINCT leg of the native sketch trio (graft_kmv q191,
+    // graft_cms q202): the 64-register max-rank table lives IN the
+    // aggregation buffer, so each map task ships 64 bytes per group
+    // instead of its key stream, and register max (associative,
+    // commutative, idempotent) folds exactly under any partitioning.
+    // Output: every set register plus the Flajolet estimate (the 2^-m
+    // sum is exact in double — ≤64 distinct powers of two spanning 49
+    // bits of a 53-bit mantissa), register-identical to the
+    // operator-level q146 machinery and the SQL oracle.
+    QueryDef("q219_hll_native_agg",
+      (s, dir) => {
+        val reg = t(s, dir, "events").groupBy("event_type")
+          .agg(graft.functions.HllSketchAgg.hllAgg(col("user_id"))
+            .as("regs"))
+        val denom = aggregate(col("regs"), lit(0.0),
+          (acc, m) => acc + when(m === 0, lit(1.0))
+            .otherwise(pow(lit(2.0), -m.cast("double"))))
+        reg.withColumn("hll_est",
+            lit(0.709) * lit(64.0) * lit(64.0) / denom)
+          .select(col("event_type"), col("hll_est"),
+            posexplode(col("regs")).as(Seq("bucket", "m")))
+          .filter(col("m") > 0)
+          .select(col("event_type"), col("bucket"), col("m"),
+            col("hll_est"))
+          .orderBy("event_type", "bucket")
+      },
+      Some("""WITH h AS (SELECT event_type,
+            ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT
+              AS h FROM events),
+        r AS (SELECT event_type, h // 4398046511104 AS bucket,
+            h % 4398046511104 AS rest FROM h),
+        reg AS (SELECT event_type, bucket,
+            MAX(CASE WHEN rest = 0 THEN 43
+                ELSE 43 - len(bin(rest)) END) AS m
+          FROM r GROUP BY 1, 2),
+        est AS (SELECT event_type,
+            (64 - COUNT(*)) * 1.0 + SUM(pow(2.0, -m)) AS denom
+          FROM reg GROUP BY 1)
+        SELECT reg.event_type, CAST(bucket AS INT) AS bucket,
+          CAST(m AS INT) AS m, 0.709 * 64.0 * 64.0 / denom AS hll_est
+        FROM reg JOIN est ON reg.event_type = est.event_type
+        ORDER BY reg.event_type, bucket""")),
   )
 }

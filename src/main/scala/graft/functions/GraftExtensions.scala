@@ -89,7 +89,10 @@ object GraftFunctions {
     (FunctionIdentifier("graft_cms"),
       new ExpressionInfo(classOf[CmsSketchAgg].getName, "graft_cms"),
       (args: Seq[Expression]) => CmsSketchAgg(args(0),
-        intArg(args(1), "depth"), intArg(args(2), "width"))))
+        intArg(args(1), "depth"), intArg(args(2), "width"))),
+    (FunctionIdentifier("graft_hll"),
+      new ExpressionInfo(classOf[HllSketchAgg].getName, "graft_hll"),
+      (args: Seq[Expression]) => HllSketchAgg(args(0))))
 
   /** Register on a live session. */
   def register(spark: SparkSession): Unit =

@@ -197,3 +197,75 @@ object CmsSketchAgg {
       CmsSketchAgg(ColumnBridge.expression(c.cast("string")), depth, width)
         .toAggregateExpression())
 }
+
+/** HyperLogLog registers as a native Catalyst aggregate — the DISTINCT
+  * leg of the native sketch trio ([[KmvSketchAgg]] cardinality-by-
+  * bottom-k, [[CmsSketchAgg]] frequency, this one cardinality-by-
+  * registers): the 64-register max-rank table IS the aggregation
+  * buffer. Register max is associative, commutative, AND idempotent,
+  * so partials fold exactly under any partitioning and replay. Hash
+  * family is the portable 48-bit md5 prefix (6 bucket bits / 42 rank
+  * bits), identical to [[graft.ext.Sketches.hllRegisters]], so the
+  * oracle replays every register. Returns `array<int>` of length 64:
+  * element b = max rank of bucket b, 0 = bucket never hit.
+  */
+case class HllSketchAgg(child: Expression,
+                        mutableAggBufferOffset: Int = 0,
+                        inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Int]]
+    with UnaryLike[Expression] with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def createAggregationBuffer(): Array[Int] = new Array[Int](64)
+
+  override def update(buf: Array[Int], input: InternalRow): Array[Int] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = NativeExprs.baseHash48(v.asInstanceOf[UTF8String].getBytes)
+      val bucket = (h >>> 42).toInt          // top 6 of 48 bits
+      val rest = h & ((1L << 42) - 1)
+      // rank = 43 − bitlength(rest); rest == 0 → 43 (all 42 bits zero)
+      val rank =
+        if (rest == 0L) 43
+        else java.lang.Long.numberOfLeadingZeros(rest) - 21
+      if (rank > buf(bucket)) buf(bucket) = rank
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Int], b2: Array[Int]): Array[Int] = {
+    var i = 0
+    while (i < 64) { if (b2(i) > b1(i)) b1(i) = b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Int]): Any =
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(buf)
+
+  override def serialize(buf: Array[Int]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(64)
+    buf.foreach(r => bb.put(r.toByte)) // ranks ≤ 43 fit a byte
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Int] =
+    bytes.map(_.toInt)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): HllSketchAgg =
+    copy(child = newChild)
+  override def prettyName: String = "graft_hll"
+}
+
+object HllSketchAgg {
+  def hllAgg(c: Column): Column =
+    ColumnBridge.column(
+      HllSketchAgg(ColumnBridge.expression(c.cast("string")))
+        .toAggregateExpression())
+}

@@ -50,6 +50,19 @@ object NativeExprs {
       ((d(2) & 0xffL) << 4) | ((d(3) & 0xf0L) >>> 4)
   }
 
+  /** 48-bit md5 prefix ≡ `('0x' || substr(md5(s),1,12))::BIGINT` —
+    * the portable hash the HLL register family uses (6 bucket bits +
+    * 42 rank bits).
+    */
+  private[functions] def baseHash48(bytes: Array[Byte]): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(bytes)
+    ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) |
+      ((d(2) & 0xffL) << 24) | ((d(3) & 0xffL) << 16) |
+      ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+  }
+
   /** MinHash signature over k-word shingles of a token array: element i =
     * min over shingles of (a_i·h + b_i) mod P with h = [[baseHash28]].
     * Exactly [[Shingles.minHashSignature]]'s HOF semantics (whole-doc

@@ -87,6 +87,36 @@ class GraftExtensionsSpec extends AnyFunSuite {
       s"expected a partial aggregate phase in:\n$plan")
   }
 
+  test("graft_hll native aggregate: registers equal the operator-level " +
+       "sketch, SQL surface works, partial phase planned") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.load(spark, TestSpark.sf0001, "events")
+    val viaAgg = ev.groupBy("event_type")
+      .agg(graft.functions.HllSketchAgg.hllAgg(col("user_id")).as("regs"))
+      .select(col("event_type"), posexplode(col("regs")).as(Seq("b", "m")))
+      .filter(col("m") > 0)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    val viaOp = graft.ext.Sketches.hllRegisters(ev, Seq("event_type"),
+      col("user_id").cast("string"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1).toInt, r.getInt(2))).toSet
+    assert(viaAgg === viaOp,
+      "native registers must be bit-identical to the operator sketch")
+    ev.createOrReplaceTempView("hll_ev")
+    val viaSql = spark.sql(
+      """SELECT event_type, graft_hll(CAST(user_id AS STRING)) AS regs
+        FROM hll_ev GROUP BY event_type""")
+      .select(col("event_type"), posexplode(col("regs")).as(Seq("b", "m")))
+      .filter(col("m") > 0)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    assert(viaSql === viaOp)
+    val plan = ev.groupBy("event_type")
+      .agg(graft.functions.HllSketchAgg.hllAgg(col("user_id")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_graft_hll"),
+      s"expected a partial aggregate phase in:\n$plan")
+  }
+
   test("graft_kmv/graft_cms on non-string input: analysis-time type " +
        "error in SQL (not a runtime CCE), automatic cast in Column API") {
     import org.apache.spark.sql.functions._
