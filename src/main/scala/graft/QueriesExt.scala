@@ -7711,5 +7711,77 @@ object QueriesExt {
           CAST(m AS INT) AS m, 0.709 * 64.0 * 64.0 / denom AS hll_est
         FROM reg JOIN est ON reg.event_type = est.event_type
         ORDER BY reg.event_type, bucket""")),
+
+    // ── Prefix autocomplete table (q220) ───────────────────────────────
+    // The search-box companion to the retrieval family (q71/q89): for
+    // every token prefix of length 1–3, the top-5 completions by corpus
+    // frequency (ties to the lexicographically smaller token). One
+    // tokenize pass, prefixes exploded MAP-SIDE (≤3 rows per token
+    // occurrence), one aggregation, and the per-prefix top-k rides the
+    // TopKPerKey heap — no global sort, no per-prefix window sort. At
+    // 100 TB this is the precomputed index an autocomplete service
+    // ships; prefix cardinality, not corpus size, bounds the output.
+    QueryDef("q220_autocomplete",
+      (s, dir) => {
+        val tf = tPar(s, dir, "documents")
+          .select(explode(TextStats.tokens(col("text"))).as("token"))
+          .filter(length(col("token")) >= 3)
+          .groupBy("token").agg(count(lit(1)).as("tf"))
+        val byPrefix = tf.select(col("token"), col("tf"),
+            explode(array((1 to 3).map(l =>
+              substring(col("token"), 1, l)): _*)).as("prefix"))
+        graft.plans.TopKPerKey.topKPerKey(byPrefix, Seq("prefix"),
+          Seq(graft.plans.TopKPerKey.Sort("tf", asc = false),
+            graft.plans.TopKPerKey.Sort("token")), 5)
+          .select(col("prefix"), col("rank"), col("token"), col("tf"))
+          .orderBy("prefix", "rank")
+      },
+      Some(s"""WITH tk AS (SELECT unnest($dTok) AS token FROM documents),
+        tf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS tf FROM tk
+          WHERE len(token) >= 3 GROUP BY token),
+        p AS (SELECT token, tf, substr(token, 1, l) AS prefix
+          FROM tf CROSS JOIN (SELECT unnest([1, 2, 3]) AS l)),
+        r AS (SELECT prefix, token, tf, row_number() OVER (
+            PARTITION BY prefix ORDER BY tf DESC, token) AS rank
+          FROM p)
+        SELECT prefix, CAST(rank AS BIGINT) AS rank, token, tf
+        FROM r WHERE rank <= 5 ORDER BY prefix, rank""")),
+
+    // ── Character-diversity junk gate: Gini impurity (q221) ────────────
+    // The no-log() cousin of byte entropy for junk/binary detection
+    // (repeated-character spam, base64 blobs, single-char padding):
+    // Gini impurity 1 − Σ(c_i/n)² over the per-doc character histogram
+    // is EXACT rational arithmetic — Σc² and n² are integers, one
+    // division — where Shannon entropy's log2 would hash-diverge
+    // across libms. Low-impurity docs are the junk report.
+    QueryDef("q221_char_gini",
+      (s, dir) => {
+        val ch = tPar(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(split(col("text"), "")).as("c"))
+          .filter(col("c") =!= "")
+          .groupBy("doc_id", "c").agg(count(lit(1)).as("cnt"))
+        ch.groupBy("doc_id")
+          .agg(sum("cnt").as("n"),
+            count(lit(1)).as("distinct_chars"),
+            sum(col("cnt") * col("cnt")).as("s2"))
+          .select(col("doc_id"), col("n"), col("distinct_chars"),
+            (lit(1.0) - col("s2").cast("double") /
+              (col("n") * col("n")).cast("double")).as("gini"))
+          .filter(col("gini") < 0.9)
+          .orderBy("doc_id")
+      },
+      Some("""WITH ch AS (SELECT doc_id,
+            unnest(string_split_regex(text, '')) AS c FROM documents),
+        h AS (SELECT doc_id, c, COUNT(*) AS cnt FROM ch
+          WHERE c <> '' GROUP BY 1, 2),
+        g AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n,
+            CAST(COUNT(*) AS BIGINT) AS distinct_chars,
+            CAST(SUM(cnt * cnt) AS BIGINT) AS s2
+          FROM h GROUP BY 1)
+        SELECT doc_id, n, distinct_chars,
+          1.0 - CAST(s2 AS DOUBLE) / CAST(n * n AS DOUBLE) AS gini
+        FROM g WHERE 1.0 - CAST(s2 AS DOUBLE) / CAST(n * n AS DOUBLE) < 0.9
+        ORDER BY doc_id""")),
   )
 }
