@@ -7753,7 +7753,9 @@ object QueriesExt {
     // Gini impurity 1 − Σ(c_i/n)² over the per-doc character histogram
     // is EXACT rational arithmetic — Σc² and n² are integers, one
     // division — where Shannon entropy's log2 would hash-diverge
-    // across libms. Low-impurity docs are the junk report.
+    // across libms. The 10 lowest-impurity docs are the junk report
+    // (rank-based, not a fixed threshold — scale-stable), ranked on
+    // the TopKPerKey heap.
     QueryDef("q221_char_gini",
       (s, dir) => {
         val ch = tPar(s, dir, "documents")
@@ -7761,15 +7763,20 @@ object QueriesExt {
             explode(split(col("text"), "")).as("c"))
           .filter(col("c") =!= "")
           .groupBy("doc_id", "c").agg(count(lit(1)).as("cnt"))
-        ch.groupBy("doc_id")
+        val g = ch.groupBy("doc_id")
           .agg(sum("cnt").as("n"),
             count(lit(1)).as("distinct_chars"),
             sum(col("cnt") * col("cnt")).as("s2"))
           .select(col("doc_id"), col("n"), col("distinct_chars"),
             (lit(1.0) - col("s2").cast("double") /
               (col("n") * col("n")).cast("double")).as("gini"))
-          .filter(col("gini") < 0.9)
-          .orderBy("doc_id")
+          .withColumn("g", lit(1))
+        graft.plans.TopKPerKey.topKPerKey(g, Seq("g"),
+          Seq(graft.plans.TopKPerKey.Sort("gini"),
+            graft.plans.TopKPerKey.Sort("doc_id")), 10)
+          .select(col("rank"), col("doc_id"), col("n"),
+            col("distinct_chars"), col("gini"))
+          .orderBy("rank")
       },
       Some("""WITH ch AS (SELECT doc_id,
             unnest(string_split_regex(text, '')) AS c FROM documents),
@@ -7778,10 +7785,12 @@ object QueriesExt {
         g AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n,
             CAST(COUNT(*) AS BIGINT) AS distinct_chars,
             CAST(SUM(cnt * cnt) AS BIGINT) AS s2
-          FROM h GROUP BY 1)
-        SELECT doc_id, n, distinct_chars,
-          1.0 - CAST(s2 AS DOUBLE) / CAST(n * n AS DOUBLE) AS gini
-        FROM g WHERE 1.0 - CAST(s2 AS DOUBLE) / CAST(n * n AS DOUBLE) < 0.9
-        ORDER BY doc_id""")),
+          FROM h GROUP BY 1),
+        r AS (SELECT doc_id, n, distinct_chars,
+            1.0 - CAST(s2 AS DOUBLE) / CAST(n * n AS DOUBLE) AS gini
+          FROM g)
+        SELECT CAST(row_number() OVER (ORDER BY gini, doc_id) AS BIGINT)
+            AS rank, doc_id, n, distinct_chars, gini
+        FROM r ORDER BY gini, doc_id LIMIT 10""")),
   )
 }
