@@ -7792,5 +7792,168 @@ object QueriesExt {
         SELECT CAST(row_number() OVER (ORDER BY gini, doc_id) AS BIGINT)
             AS rank, doc_id, n, distinct_chars, gini
         FROM r ORDER BY gini, doc_id LIMIT 10""")),
+
+    // ── A/B conversion two-proportion z-test (q222) ────────────────────
+    // The experimentation staple over the event stream: users split
+    // into arms by the portable hash, conversion = viewed AND
+    // purchased, z = (p1−p2) / sqrt(p̂(1−p̂)(1/n1+1/n2)). Every input
+    // to the float expression is an exact integer count; the only
+    // float ops are correctly-rounded divisions and ONE IEEE sqrt, so
+    // the statistic is bit-identical across engines (the same
+    // no-libm discipline as q217 — a normal-CDF p-value would need
+    // erf, which is not portable; the z threshold 1.96 is the
+    // decision surface instead). One per-user aggregation, then a
+    // 2-row reduce.
+    QueryDef("q222_conversion_ztest",
+      (s, dir) => {
+        // (user, day) grain keeps the proportion interior — per-user
+        // over a month every user both views and purchases, p̂ = 1 and
+        // the variance collapses (caught by the ANSI divide-by-zero
+        // gate on first run); a view-day converts if that same day
+        // also purchased. Arms split at USER level, as a real
+        // experiment would.
+        val per = t(s, dir, "events")
+          .groupBy(col("user_id"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(max(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("viewed"),
+            max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("purchased"))
+          .filter(col("viewed") === 1)
+          .select((Shingles.baseHash(col("user_id").cast("string")) % 2)
+            .as("arm"), col("purchased"))
+        val arms = per.groupBy("arm")
+          .agg(count(lit(1)).as("n"), sum("purchased").as("c"))
+        val a = arms.filter(col("arm") === 0)
+          .select(col("n").as("n1"), col("c").as("c1"))
+        val b = arms.filter(col("arm") === 1)
+          .select(col("n").as("n2"), col("c").as("c2"))
+        a.crossJoin(b)
+          .select(col("n1"), col("c1"), col("n2"), col("c2"),
+            (col("c1").cast("double") / col("n1").cast("double"))
+              .as("p1"),
+            (col("c2").cast("double") / col("n2").cast("double"))
+              .as("p2"))
+          .withColumn("p_pool",
+            (col("c1") + col("c2")).cast("double") /
+              (col("n1") + col("n2")).cast("double"))
+          .withColumn("z", when(
+            col("p_pool") === 0.0 || col("p_pool") === 1.0, lit(null)
+              .cast("double"))
+            .otherwise((col("p1") - col("p2")) /
+              sqrt(col("p_pool") * (lit(1.0) - col("p_pool")) *
+                (lit(1.0) / col("n1").cast("double") +
+                  lit(1.0) / col("n2").cast("double")))))
+          .withColumn("significant_95", abs(col("z")) > 1.96)
+      },
+      Some("""WITH per AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+            MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS viewed,
+            MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS purchased
+          FROM events GROUP BY user_id, day),
+        armed AS (SELECT
+            ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 7))::BIGINT
+              % 2 AS arm, purchased
+          FROM per WHERE viewed = 1),
+        arms AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(purchased) AS BIGINT) AS c
+          FROM armed GROUP BY arm),
+        ab AS (SELECT
+            (SELECT n FROM arms WHERE arm = 0) AS n1,
+            (SELECT c FROM arms WHERE arm = 0) AS c1,
+            (SELECT n FROM arms WHERE arm = 1) AS n2,
+            (SELECT c FROM arms WHERE arm = 1) AS c2),
+        d AS (SELECT n1, c1, n2, c2,
+            CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+            CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS p2,
+            CAST(c1 + c2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) AS p_pool
+          FROM ab)
+        SELECT n1, c1, n2, c2, p1, p2, p_pool,
+          CASE WHEN p_pool = 0.0 OR p_pool = 1.0 THEN NULL
+            ELSE (p1 - p2) / sqrt(p_pool * (1.0 - p_pool)
+              * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE)))
+          END AS z,
+          abs(CASE WHEN p_pool = 0.0 OR p_pool = 1.0 THEN NULL
+            ELSE (p1 - p2) / sqrt(p_pool * (1.0 - p_pool)
+              * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE)))
+          END) > 1.96 AS significant_95
+        FROM d""")),
+
+    // ── Table diff: version-to-version reconciliation (q223) ───────────
+    // The data-diff tool a warehouse migration runs before cutover:
+    // keys added / removed / changed between two versions of a table,
+    // plus per-column change counts for the changed keys. The "old"
+    // version is derived deterministically from `part` (a hash-selected
+    // 95% with a hash-selected price perturbation), so both engines
+    // diff identical inputs. ONE full-outer join on the key; per-column
+    // comparison is null-safe equality inside the join projection — no
+    // per-column scans, no row explosion.
+    QueryDef("q223_table_diff",
+      (s, dir) => {
+        val cur = t(s, dir, "part")
+        def h(c: Column) = Shingles.baseHash(c.cast("string"))
+        val old = cur
+          .filter(h(col("p_partkey")) % 20 =!= 0) // 5% "new" keys
+          .withColumn("p_retailprice",
+            when(h(col("p_partkey") + 1000000) % 7 === 0,
+              col("p_retailprice") + 1.0)
+              .otherwise(col("p_retailprice")))
+        val j = cur.as("c").join(old.as("o"),
+          col("c.p_partkey") === col("o.p_partkey"), "full_outer")
+        j.agg(
+          sum(when(col("o.p_partkey").isNull, 1L).otherwise(0L))
+            .as("added"),
+          sum(when(col("c.p_partkey").isNull, 1L).otherwise(0L))
+            .as("removed"),
+          sum(when(col("c.p_partkey").isNotNull &&
+            col("o.p_partkey").isNotNull &&
+            (!(col("c.p_retailprice") <=> col("o.p_retailprice")) ||
+              !(col("c.p_type") <=> col("o.p_type")) ||
+              !(col("c.p_size") <=> col("o.p_size"))), 1L)
+            .otherwise(0L)).as("changed"),
+          sum(when(col("c.p_partkey").isNotNull &&
+            col("o.p_partkey").isNotNull &&
+            !(col("c.p_retailprice") <=> col("o.p_retailprice")), 1L)
+            .otherwise(0L)).as("changed_price"),
+          sum(when(col("c.p_partkey").isNotNull &&
+            col("o.p_partkey").isNotNull &&
+            !(col("c.p_type") <=> col("o.p_type")), 1L)
+            .otherwise(0L)).as("changed_type"),
+          sum(when(col("c.p_partkey").isNotNull &&
+            col("o.p_partkey").isNotNull, 1L).otherwise(0L))
+            .as("unchanged_or_changed"))
+      },
+      Some("""WITH old AS (SELECT p_partkey, p_type, p_size,
+            CASE WHEN ('0x' || substr(md5(CAST(p_partkey + 1000000
+                  AS VARCHAR)), 1, 7))::BIGINT % 7 = 0
+              THEN p_retailprice + 1.0 ELSE p_retailprice END
+              AS p_retailprice
+          FROM part
+          WHERE ('0x' || substr(md5(CAST(p_partkey AS VARCHAR)), 1, 7))
+            ::BIGINT % 20 <> 0)
+        SELECT
+          CAST(SUM(CASE WHEN o.p_partkey IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS added,
+          CAST(SUM(CASE WHEN c.p_partkey IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS removed,
+          CAST(SUM(CASE WHEN c.p_partkey IS NOT NULL
+              AND o.p_partkey IS NOT NULL
+              AND (c.p_retailprice IS DISTINCT FROM o.p_retailprice
+                OR c.p_type IS DISTINCT FROM o.p_type
+                OR c.p_size IS DISTINCT FROM o.p_size)
+            THEN 1 ELSE 0 END) AS BIGINT) AS changed,
+          CAST(SUM(CASE WHEN c.p_partkey IS NOT NULL
+              AND o.p_partkey IS NOT NULL
+              AND c.p_retailprice IS DISTINCT FROM o.p_retailprice
+            THEN 1 ELSE 0 END) AS BIGINT) AS changed_price,
+          CAST(SUM(CASE WHEN c.p_partkey IS NOT NULL
+              AND o.p_partkey IS NOT NULL
+              AND c.p_type IS DISTINCT FROM o.p_type
+            THEN 1 ELSE 0 END) AS BIGINT) AS changed_type,
+          CAST(SUM(CASE WHEN c.p_partkey IS NOT NULL
+              AND o.p_partkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS unchanged_or_changed
+        FROM part c FULL OUTER JOIN old o ON c.p_partkey = o.p_partkey""")),
   )
 }
