@@ -7955,5 +7955,59 @@ object QueriesExt {
               AND o.p_partkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
             AS unchanged_or_changed
         FROM part c FULL OUTER JOIN old o ON c.p_partkey = o.p_partkey""")),
+
+    // ── Nearest-event tolerance join (q224) ────────────────────────────
+    // The BIDIRECTIONAL cousin of the as-of join (q126 looks only
+    // backward): each purchase aligned to the SAME user's single
+    // nearest view within ±6 hours — the clickstream/sensor alignment
+    // primitive. Scale shape: the purchase side explodes to its 13
+    // candidate hour buckets (bounded, map-side) and equi-joins the
+    // view side on (user, hour) — a view's hour is unique, so no pair
+    // duplicates and never a |purchases|×|views| blow-up; candidates
+    // per purchase are bounded by the user's views that half-day. The
+    // nearest pick is the TopKPerKey heap with k=1 (ties: earlier
+    // event id).
+    QueryDef("q224_nearest_event",
+      (s, dir) => {
+        val hour = 3600000000L
+        val ev = t(s, dir, "events").select(
+          col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("eus"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("view_id"),
+            col("eus").as("vus"),
+            expr(s"eus div ${hour}L").as("hr"))
+        val cand = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            col("eus").as("pus"))
+          .withColumn("hr", explode(sequence(
+            expr(s"pus div ${hour}L") - 6, expr(s"pus div ${hour}L") + 6)))
+          .join(views, Seq("user_id", "hr"))
+          .withColumn("adt_us", abs(col("vus") - col("pus")))
+          .filter(col("adt_us") <= lit(6L * hour))
+        graft.plans.TopKPerKey.topKPerKey(
+          cand.select("purchase_id", "user_id", "view_id", "adt_us"),
+          Seq("purchase_id"),
+          Seq(graft.plans.TopKPerKey.Sort("adt_us"),
+            graft.plans.TopKPerKey.Sort("view_id")), 1)
+          .select(col("purchase_id"), col("user_id"), col("view_id"),
+            expr("adt_us div 1000000").as("adt_sec"))
+          .orderBy("purchase_id")
+      },
+      Some("""WITH ev AS (SELECT user_id, event_id, event_type,
+            epoch_us(ts) AS eus FROM events),
+        v AS (SELECT user_id, event_id AS view_id, eus AS vus FROM ev
+          WHERE event_type = 'view'),
+        p AS (SELECT user_id, event_id AS purchase_id, eus AS pus FROM ev
+          WHERE event_type = 'purchase'),
+        cand AS (SELECT purchase_id, p.user_id, view_id,
+            abs(vus - pus) AS adt_us
+          FROM p JOIN v ON p.user_id = v.user_id
+          WHERE abs(vus - pus) <= 6 * 3600000000),
+        r AS (SELECT *, row_number() OVER (PARTITION BY purchase_id
+            ORDER BY adt_us, view_id) AS rn FROM cand)
+        SELECT purchase_id, user_id, view_id,
+          adt_us // 1000000 AS adt_sec
+        FROM r WHERE rn = 1 ORDER BY purchase_id""")),
   )
 }
