@@ -8009,5 +8009,68 @@ object QueriesExt {
         SELECT purchase_id, user_id, view_id,
           adt_us // 1000000 AS adt_sec
         FROM r WHERE rn = 1 ORDER BY purchase_id""")),
+
+    // ── Segmented running balance with resets (q225) ───────────────────
+    // The ledger/meter pattern: per user, a running `value` balance
+    // that RESETS at every signup event; report each user's segment
+    // count, peak within-segment balance, and final balance. One
+    // per-user time window computes the global cumulative sum AND the
+    // segment id (cumulative signup count) in a single pass; the
+    // within-segment balance is cum − cum_at_segment_start, recovered
+    // with a per-(user, segment) first-value window on the SAME
+    // partitioning — no self-join. Per-entity windows are the correct
+    // scale shape here (a user's history is bounded and task-local;
+    // the range-partitioned prefix engine is for one GLOBAL order).
+    // Balances stay DECIMAL end to end — exact at any partitioning.
+    QueryDef("q225_running_balance",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy("eus", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wSeg = Window.partitionBy("user_id", "seg")
+          .orderBy("eus", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val ev = t(s, dir, "events").select(
+          col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("eus"),
+          col("value").cast("decimal(30,8)").as("v"),
+          when(col("event_type") === "signup", 1L).otherwise(0L)
+            .as("is_reset"))
+        val wo = Window.partitionBy("user_id")
+          .orderBy("eus", "event_id")
+        val cum = ev
+          .withColumn("cum", sum("v").over(w))
+          .withColumn("seg", sum("is_reset").over(w))
+          .withColumn("rn", row_number().over(wo))
+          .withColumn("base", first("cum").over(wSeg) -
+            first("v").over(wSeg))
+          .withColumn("bal", col("cum") - col("base"))
+        cum.groupBy("user_id")
+          .agg((max("seg") + lit(1)).as("n_segments"),
+            max("bal").as("peak_balance"),
+            max_by(col("bal"), col("rn")).as("final_balance"))
+          .orderBy("user_id")
+      },
+      Some("""WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS eus,
+            CAST(value AS DECIMAL(30,8)) AS v,
+            CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS is_reset
+          FROM events),
+        c AS (SELECT user_id, event_id, eus, v,
+            SUM(v) OVER w AS cum, SUM(is_reset) OVER w AS seg,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY eus, event_id) AS rn
+          FROM ev WINDOW w AS (PARTITION BY user_id
+            ORDER BY eus, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        b AS (SELECT user_id, event_id, eus, seg, rn,
+            cum - (first_value(cum) OVER ws - first_value(v) OVER ws)
+              AS bal
+          FROM c WINDOW ws AS (PARTITION BY user_id, seg
+            ORDER BY eus, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        SELECT user_id, CAST(MAX(seg) + 1 AS BIGINT) AS n_segments,
+          MAX(bal) AS peak_balance,
+          max_by(bal, rn) AS final_balance
+        FROM b GROUP BY user_id ORDER BY user_id""")),
   )
 }
