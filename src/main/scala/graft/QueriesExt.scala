@@ -8072,5 +8072,71 @@ object QueriesExt {
           MAX(bal) AS peak_balance,
           max_by(bal, rn) AS final_balance
         FROM b GROUP BY user_id ORDER BY user_id""")),
+
+    // ── Mergeable-sketch rollup: weekly HLL → monthly (q226) ───────────
+    // The lakehouse rollup pattern the sketches exist FOR: weekly
+    // distinct-user register tables (what a daily pipeline would
+    // persist) max-merge into the monthly estimate WITHOUT rescanning
+    // raw history — register max is associative, commutative,
+    // idempotent, so the rollup is bit-identical to sketching the raw
+    // month. Output contrasts the naive sum of weekly estimates
+    // (overcounts repeat visitors) with the merged estimate and the
+    // exact count it approximates. One raw scan total.
+    QueryDef("q226_hll_rollup",
+      (s, dir) => {
+        import graft.ext.Sketches
+        val ev = t(s, dir, "events").select(col("event_type"),
+          col("user_id"),
+          expr("unix_micros(ts) div 604800000000").as("week"))
+        val weekly = Sketches.hllRegisters(ev, Seq("event_type", "week"),
+          col("user_id").cast("string")).localCheckpoint()
+        val weeklyEst = Sketches.hllEstimate(weekly,
+          Seq("event_type", "week"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_weeks"),
+            graft.functions.Parity.dsum(col("hll_est"))
+              .as("sum_weekly_est"))
+        val monthlyEst = Sketches.hllEstimate(
+          weekly.groupBy(col("event_type"), col("__bucket"))
+            .agg(max("__m").as("__m")),
+          Seq("event_type"))
+          .withColumnRenamed("hll_est", "monthly_est")
+        val exact = ev.groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("n_exact"))
+        weeklyEst.join(monthlyEst, "event_type")
+          .join(exact, "event_type")
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (SELECT event_type, user_id,
+            epoch_us(ts) // 604800000000 AS week FROM events),
+        h AS (SELECT event_type, week,
+            ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT
+              AS h FROM ev),
+        r AS (SELECT event_type, week, h // 4398046511104 AS bucket,
+            h % 4398046511104 AS rest FROM h),
+        reg AS (SELECT event_type, week, bucket,
+            MAX(CASE WHEN rest = 0 THEN 43
+                ELSE 43 - len(bin(rest)) END) AS m
+          FROM r GROUP BY 1, 2, 3),
+        west AS (SELECT event_type, week,
+            0.709 * 64.0 * 64.0 /
+              ((64 - COUNT(*)) * 1.0 + SUM(pow(2.0, -m))) AS est
+          FROM reg GROUP BY 1, 2),
+        wsum AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_weeks,
+            CAST(SUM(CAST(est AS DECIMAL(30,8))) AS DOUBLE)
+              AS sum_weekly_est
+          FROM west GROUP BY 1),
+        mreg AS (SELECT event_type, bucket, MAX(m) AS m
+          FROM reg GROUP BY 1, 2),
+        mest AS (SELECT event_type,
+            0.709 * 64.0 * 64.0 /
+              ((64 - COUNT(*)) * 1.0 + SUM(pow(2.0, -m))) AS monthly_est
+          FROM mreg GROUP BY 1),
+        ex AS (SELECT event_type,
+            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+          FROM ev GROUP BY 1)
+        SELECT event_type, n_weeks, sum_weekly_est, monthly_est, n_exact
+        FROM wsum JOIN mest USING (event_type) JOIN ex USING (event_type)
+        ORDER BY event_type""")),
   )
 }
