@@ -7244,16 +7244,22 @@ object QueriesExt {
           .agg(count(lit(1)).as("n_b"), sum("m").as("sm_b"),
             sum("y").as("sy_b"))
         val terms = bins.join(tot, "source")
+          // squares and denominator products happen in DOUBLE (the
+          // long forms overflow near 1e5 docs/source under ANSI);
+          // operation-for-operation identical in the oracle
           .select(col("source"),
-            ((col("sm_b") - lit(999L) * col("sy_b")) *
-              (col("sm_b") - lit(999L) * col("sy_b"))).cast("double")
-              ./((lit(998001L) * col("n_b") * col("n")).cast("double"))
+            ((col("sm_b") - lit(999L) * col("sy_b")).cast("double") *
+              (col("sm_b") - lit(999L) * col("sy_b")).cast("double"))
+              ./(lit(998001.0) * col("n_b").cast("double") *
+                col("n").cast("double"))
               .as("rel_t"),
-            ((col("n") * col("sy_b") - col("n_b") * col("sy")) *
-              (col("n") * col("sy_b") - col("n_b") * col("sy")))
-              .cast("double")
-              ./((col("n_b") * col("n") * col("n") * col("n"))
-                .cast("double")).as("res_t"))
+            ((col("n") * col("sy_b") - col("n_b") * col("sy"))
+              .cast("double") *
+              (col("n") * col("sy_b") - col("n_b") * col("sy"))
+                .cast("double"))
+              ./(col("n_b").cast("double") * col("n").cast("double") *
+                col("n").cast("double") * col("n").cast("double"))
+              .as("res_t"))
           .groupBy("source")
           .agg(graft.functions.Parity.dsum(col("rel_t")).as("reliability"),
             graft.functions.Parity.dsum(col("res_t")).as("resolution"))
@@ -7281,12 +7287,15 @@ object QueriesExt {
           FROM d GROUP BY 1, 2),
         terms AS (SELECT bins.source,
             CAST(SUM(CAST(
-              CAST((sm_b - 999 * sy_b) * (sm_b - 999 * sy_b) AS DOUBLE)
-                / CAST(998001 * n_b * n AS DOUBLE)
+              (CAST(sm_b - 999 * sy_b AS DOUBLE)
+                * CAST(sm_b - 999 * sy_b AS DOUBLE))
+                / (998001.0 * CAST(n_b AS DOUBLE) * CAST(n AS DOUBLE))
               AS DECIMAL(30,8))) AS DOUBLE) AS reliability,
             CAST(SUM(CAST(
-              CAST((n * sy_b - n_b * sy) * (n * sy_b - n_b * sy) AS DOUBLE)
-                / CAST(n_b * n * n * n AS DOUBLE)
+              (CAST(n * sy_b - n_b * sy AS DOUBLE)
+                * CAST(n * sy_b - n_b * sy AS DOUBLE))
+                / (CAST(n_b AS DOUBLE) * CAST(n AS DOUBLE)
+                  * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
               AS DECIMAL(30,8))) AS DOUBLE) AS resolution
           FROM bins JOIN tot ON bins.source = tot.source
           GROUP BY bins.source)
@@ -7577,7 +7586,7 @@ object QueriesExt {
         val ev = t(s, dir, "events").select(col("event_type"),
           unix_micros(col("ts")).as("us"),
           floor(col("value") / 25.0).cast("long").as("bucket"))
-        val mid = ev.agg(((min("us") + max("us")) / lit(2L)).as("mid"))
+        val mid = ev.agg(expr("(min(us) + max(us)) div 2").as("mid"))
         val h = ev.crossJoin(broadcast(mid))
           .groupBy(col("event_type"), col("bucket"))
           .agg(sum(when(col("us") < col("mid"), 1L).otherwise(0L))
@@ -7822,22 +7831,30 @@ object QueriesExt {
           .filter(col("viewed") === 1)
           .select((Shingles.baseHash(col("user_id").cast("string")) % 2)
             .as("arm"), col("purchased"))
-        val arms = per.groupBy("arm")
-          .agg(count(lit(1)).as("n"), sum("purchased").as("c"))
-        val a = arms.filter(col("arm") === 0)
-          .select(col("n").as("n1"), col("c").as("c1"))
-        val b = arms.filter(col("arm") === 1)
-          .select(col("n").as("n2"), col("c").as("c2"))
-        a.crossJoin(b)
+        // ONE conditional aggregation always yields the report row —
+        // a per-arm groupBy + crossJoin would return ZERO rows when an
+        // arm is empty (the report must say 'degenerate', not vanish)
+        val ab = per.agg(
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("arm") === 0, col("purchased")).otherwise(0L))
+            .as("c1"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n2"),
+          sum(when(col("arm") === 1, col("purchased")).otherwise(0L))
+            .as("c2"))
+        ab
           .select(col("n1"), col("c1"), col("n2"), col("c2"),
-            (col("c1").cast("double") / col("n1").cast("double"))
-              .as("p1"),
-            (col("c2").cast("double") / col("n2").cast("double"))
-              .as("p2"))
+            when(col("n1") === 0, lit(null).cast("double"))
+              .otherwise(col("c1").cast("double") /
+                col("n1").cast("double")).as("p1"),
+            when(col("n2") === 0, lit(null).cast("double"))
+              .otherwise(col("c2").cast("double") /
+                col("n2").cast("double")).as("p2"))
           .withColumn("p_pool",
-            (col("c1") + col("c2")).cast("double") /
-              (col("n1") + col("n2")).cast("double"))
+            when(col("n1") + col("n2") === 0, lit(null).cast("double"))
+              .otherwise((col("c1") + col("c2")).cast("double") /
+                (col("n1") + col("n2")).cast("double")))
           .withColumn("z", when(
+            col("n1") === 0 || col("n2") === 0 ||
             col("p_pool") === 0.0 || col("p_pool") === 1.0, lit(null)
               .cast("double"))
             .otherwise((col("p1") - col("p2")) /
@@ -7856,25 +7873,33 @@ object QueriesExt {
             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 7))::BIGINT
               % 2 AS arm, purchased
           FROM per WHERE viewed = 1),
-        arms AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
-            CAST(SUM(purchased) AS BIGINT) AS c
-          FROM armed GROUP BY arm),
         ab AS (SELECT
-            (SELECT n FROM arms WHERE arm = 0) AS n1,
-            (SELECT c FROM arms WHERE arm = 0) AS c1,
-            (SELECT n FROM arms WHERE arm = 1) AS n2,
-            (SELECT c FROM arms WHERE arm = 1) AS c2),
+            CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n1,
+            CAST(SUM(CASE WHEN arm = 0 THEN purchased ELSE 0 END)
+              AS BIGINT) AS c1,
+            CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n2,
+            CAST(SUM(CASE WHEN arm = 1 THEN purchased ELSE 0 END)
+              AS BIGINT) AS c2
+          FROM armed),
         d AS (SELECT n1, c1, n2, c2,
-            CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
-            CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS p2,
-            CAST(c1 + c2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) AS p_pool
+            CASE WHEN n1 = 0 THEN NULL
+              ELSE CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) END AS p1,
+            CASE WHEN n2 = 0 THEN NULL
+              ELSE CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE) END AS p2,
+            CASE WHEN n1 + n2 = 0 THEN NULL
+              ELSE CAST(c1 + c2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)
+            END AS p_pool
           FROM ab)
         SELECT n1, c1, n2, c2, p1, p2, p_pool,
-          CASE WHEN p_pool = 0.0 OR p_pool = 1.0 THEN NULL
+          CASE WHEN n1 = 0 OR n2 = 0 OR p_pool = 0.0 OR p_pool = 1.0
+            THEN NULL
             ELSE (p1 - p2) / sqrt(p_pool * (1.0 - p_pool)
               * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE)))
           END AS z,
-          abs(CASE WHEN p_pool = 0.0 OR p_pool = 1.0 THEN NULL
+          abs(CASE WHEN n1 = 0 OR n2 = 0 OR p_pool = 0.0 OR p_pool = 1.0
+            THEN NULL
             ELSE (p1 - p2) / sqrt(p_pool * (1.0 - p_pool)
               * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE)))
           END) > 1.96 AS significant_95

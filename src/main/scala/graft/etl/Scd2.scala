@@ -224,14 +224,7 @@ object Scd2 {
              v: Long): DataFrame = {
     require(versions(spark, path).contains(v),
       s"no committed version $v at $path")
-    val st = readManifest(spark, path, v)
-    val cur = (st.curDir match {
-      case Some(d) => readDirs(spark, path, Seq(d))
-      case None    => readDirs(spark, path, st.histDirs).limit(0)
-    }).withColumn("is_current", lit(true))
-    if (st.histDirs.isEmpty) cur
-    else readDirs(spark, path, st.histDirs)
-      .withColumn("is_current", lit(false)).unionByName(cur)
+    viewOf(spark, path, readManifest(spark, path, v))
   }
 
   /** Publish `st` as version `st.version`: write a temp manifest, then
@@ -292,18 +285,28 @@ object Scd2 {
     }
   }
 
-  /** Full table view — history plus open versions, with the derived
-    * `is_current` column the downstream mart convention expects.
+  /** The hist+cur+`is_current` full-table view of one manifest — the
+    * single place the shape lives, shared by head reads and time
+    * travel so they can never diverge.
     */
-  def readWarehouse(spark: org.apache.spark.sql.SparkSession,
-                    path: String): DataFrame = {
-    val st = currentState(spark, path)
-      .getOrElse(sys.error(s"no committed SCD2 warehouse at $path"))
-    val cur = readCurrent(spark, path).withColumn("is_current", lit(true))
+  private def viewOf(spark: org.apache.spark.sql.SparkSession,
+                     path: String, st: WarehouseState): DataFrame = {
+    val cur = (st.curDir match {
+      case Some(d) => readDirs(spark, path, Seq(d))
+      case None    => readDirs(spark, path, st.histDirs).limit(0)
+    }).withColumn("is_current", lit(true))
     if (st.histDirs.isEmpty) cur
     else readDirs(spark, path, st.histDirs)
       .withColumn("is_current", lit(false)).unionByName(cur)
   }
+
+  /** Full table view — history plus open versions, with the derived
+    * `is_current` column the downstream mart convention expects.
+    */
+  def readWarehouse(spark: org.apache.spark.sql.SparkSession,
+                    path: String): DataFrame =
+    viewOf(spark, path, currentState(spark, path)
+      .getOrElse(sys.error(s"no committed SCD2 warehouse at $path")))
 
   /** Delete `path/data/` directories the LATEST manifest does not
     * reference — staging left by an injected/real crash, and open-set

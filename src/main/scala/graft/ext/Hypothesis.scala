@@ -116,10 +116,15 @@ object Hypothesis {
       .select(col(groupCol) +: valueCols.map(v =>
         coalesce(sum(col(s"_gt_$v")).over(wg), lit(0L))
           .as(s"_goff_$v")): _*)
-    val adj = valueCols.foldLeft(cum.join(broadcast(offs), groupCol)) {
+    // NULL-SAFE join: groupBy emits a NULL-group row in `offs` and the
+    // rows carry it too, but an equality join would drop them silently
+    // (NULL != NULL) — prefix sums for a nullable group must survive
+    val joined = cum.join(broadcast(offs.withColumnRenamed(groupCol,
+        "_goff_key")), col(groupCol) <=> col("_goff_key"))
+    val adj = valueCols.foldLeft(joined) {
       (d, v) => d.withColumn(s"cum_$v", col(s"cum_$v") - col(s"_goff_$v"))
     }
-    adj.drop("_gord" +: valueCols.map(v => s"_goff_$v"): _*)
+    adj.drop("_gord" +: "_goff_key" +: valueCols.map(v => s"_goff_$v"): _*)
   }
 
   /** Pettitt changepoint test (Pettitt 1979) per group: the rank-based

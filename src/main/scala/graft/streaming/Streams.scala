@@ -67,7 +67,13 @@ object Streams {
     merged.localCheckpoint(true).write
       .mode("overwrite").parquet(s"$path/v=$batchId")
     val fs = stateFs(spark, path)
-    committedVersions(fs, path).filter(_ <= batchId - 2)
+    // prune BOTH directions: versions ≤ b−2 are superseded, and
+    // versions > b belong to a DEAD lineage (a checkpoint reset reuses
+    // batch ids from 0 — without this, readState would serve the old
+    // run's stale state as "newest committed" until the new run's ids
+    // caught up)
+    committedVersions(fs, path)
+      .filter(v => v <= batchId - 2 || v > batchId)
       .foreach(v => fs.delete(new HPath(s"$path/v=$v"), true))
   }
 
