@@ -8163,5 +8163,91 @@ object QueriesExt {
         SELECT event_type, n_weeks, sum_weekly_est, monthly_est, n_exact
         FROM wsum JOIN mest USING (event_type) JOIN ex USING (event_type)
         ORDER BY event_type""")),
+
+    // ── Quantile-sketch rollup: weekly partials → monthly (q227) ───────
+    // q226's quantile twin: the weekly bottom-k-by-hash samples a daily
+    // pipeline would persist fold into the monthly sketch by re-taking
+    // the bottom k of their union — the k-minima of a disjoint union is
+    // a pure set function, so the rollup is bit-identical to sketching
+    // the raw month, with no raw rescan. Estimates follow q55's integer
+    // rank discipline (midLo/midHi median, ceil(0.9·m) p90), so the
+    // oracle reproduces the doubles exactly.
+    QueryDef("q227_quantile_rollup",
+      (s, dir) => {
+        import graft.ext.Sketches
+        val k = 32
+        val ev = t(s, dir, "events").select(col("event_type"),
+          col("event_id"), col("value"),
+          expr("unix_micros(ts) div 604800000000").as("week"))
+        val weekly = Sketches.quantilePartial(ev,
+          Seq("event_type", "week"), col("value"), col("event_id"), k)
+        val monthly = weekly.groupBy("event_type")
+          .agg(sum(col("n")).as("n"),
+            slice(sort_array(flatten(collect_list(col("qs_sample")))),
+              1, k).as("qs_sample"))
+        Sketches.quantileFinish(monthly, Seq("event_type"))
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (SELECT event_type, event_id,
+            CAST(value AS DOUBLE) AS v,
+            epoch_us(ts) // 604800000000 AS week FROM events),
+        h AS (SELECT event_type, week,
+            ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 7))::BIGINT
+              AS h, v FROM ev),
+        wk AS (SELECT event_type, week, h, v, row_number() OVER (
+            PARTITION BY event_type, week ORDER BY h, v) AS rn FROM h),
+        mo AS (SELECT event_type, h, v, row_number() OVER (
+            PARTITION BY event_type ORDER BY h, v) AS rn2
+          FROM wk WHERE rn <= 32),
+        sample AS (SELECT event_type, v FROM mo WHERE rn2 <= 32),
+        vs AS (SELECT event_type, v, row_number() OVER (
+            PARTITION BY event_type ORDER BY v) AS rv,
+            COUNT(*) OVER (PARTITION BY event_type) AS m FROM sample),
+        tot AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+          FROM ev GROUP BY 1),
+        fin AS (SELECT event_type, CAST(MAX(m) AS BIGINT) AS n_sampled,
+            (MAX(CASE WHEN rv = (m + 1) // 2 THEN v END)
+              + MAX(CASE WHEN rv = (m + 2) // 2 THEN v END)) / 2
+              AS median_est,
+            MAX(CASE WHEN rv = CAST(ceil(m * 0.9) AS INT) THEN v END)
+              AS p90_est
+          FROM vs GROUP BY event_type)
+        SELECT event_type, n, n_sampled, median_est, p90_est
+        FROM tot JOIN fin USING (event_type) ORDER BY event_type""")),
+
+    // ── M4 time-series downsampling (q228) ─────────────────────────────
+    // The published charting downsample (Jugel et al., VLDB'14): per
+    // (series, pixel bucket) keep min, max, first, and last — the four
+    // points that make the rendered line pixel-exact at any zoom. One
+    // aggregation over (event_type, day); first/last ride min_by/max_by
+    // on the in-bucket row number, so the whole thing is a single
+    // shuffle with map-side partials — the query a 100 TB metrics store
+    // answers per chart tile.
+    QueryDef("q228_m4_downsample",
+      (s, dir) => {
+        val w = Window.partitionBy("event_type", "day")
+          .orderBy("eus", "event_id")
+        t(s, dir, "events").select(col("event_type"),
+            col("event_id"), col("value").as("v"),
+            unix_micros(col("ts")).as("eus"))
+          .withColumn("day", expr("eus div 86400000000"))
+          .withColumn("rn", row_number().over(w))
+          .groupBy("event_type", "day")
+          .agg(count(lit(1)).as("n_points"),
+            min("v").as("v_min"), max("v").as("v_max"),
+            min_by(col("v"), col("rn")).as("v_first"),
+            max_by(col("v"), col("rn")).as("v_last"))
+          .orderBy("event_type", "day")
+      },
+      Some("""WITH ev AS (SELECT event_type, event_id, value AS v,
+            epoch_us(ts) AS eus, epoch_us(ts) // 86400000000 AS day
+          FROM events),
+        r AS (SELECT event_type, day, v, row_number() OVER (
+            PARTITION BY event_type, day ORDER BY eus, event_id) AS rn
+          FROM ev)
+        SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS n_points,
+          MIN(v) AS v_min, MAX(v) AS v_max,
+          min_by(v, rn) AS v_first, max_by(v, rn) AS v_last
+        FROM r GROUP BY 1, 2 ORDER BY event_type, day""")),
   )
 }
