@@ -7767,6 +7767,10 @@ object QueriesExt {
     // the TopKPerKey heap.
     QueryDef("q221_char_gini",
       (s, dir) => {
+        // split(text, "") yields UTF-16 code units (surrogate pairs
+        // split in half) while the oracle's string_split_regex yields
+        // UTF-8 code points — equivalent only on an ASCII corpus (true
+        // of the generated testdata; same caveat as q61/q214).
         val ch = tPar(s, dir, "documents")
           .select(col("doc_id"),
             explode(split(col("text"), "")).as("c"))
@@ -8058,7 +8062,12 @@ object QueriesExt {
         val ev = t(s, dir, "events").select(
           col("user_id"), col("event_id"),
           unix_micros(col("ts")).as("eus"),
-          col("value").cast("decimal(30,8)").as("v"),
+          // decimal(18,8), NOT (30,8): Spark's window SUM wants
+          // precision+10; from 30 that exceeds the precision-38 cap and
+          // Spark silently drops scale to 6 (DECIMAL(38,6)) while the
+          // oracle keeps scale 8 → exact-hash divergence. From 18 the
+          // sum is DECIMAL(28,8) — scale preserved, headroom intact.
+          col("value").cast("decimal(18,8)").as("v"),
           when(col("event_type") === "signup", 1L).otherwise(0L)
             .as("is_reset"))
         val wo = Window.partitionBy("user_id")
@@ -8249,5 +8258,641 @@ object QueriesExt {
           MIN(v) AS v_min, MAX(v) AS v_max,
           min_by(v, rn) AS v_first, max_by(v, rn) AS v_last
         FROM r GROUP BY 1, 2 ORDER BY event_type, day""")),
+
+    // ── Adjacent-bigram collocations by log-free PMI (q229) ────────────
+    // Collocation extraction (Church & Hanks 1990) with the same
+    // rational trick as q98: rank by lift = n_xy·N / (n_x·n_y), which
+    // is monotone in PMI = log(lift) — so the ORDER is PMI's order with
+    // zero libm calls. Unlike q98 (doc-level co-occurrence over a
+    // capped top-50 vocabulary), this is ADJACENT bigrams over the full
+    // vocabulary with a min-support gate; candidates are bounded by
+    // distinct bigram types, never doc pairs. Top-50 rides
+    // TakeOrderedAndProject (per-partition heaps), not a global sort.
+    QueryDef("q229_pmi_collocations",
+      (s, dir) => {
+        val docs = tPar(s, dir, "documents")
+        val uni = docs
+          .select(explode(TextStats.tokens(col("text"))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("c"))
+          .localCheckpoint() // consumed 3x: word_a join, word_b join, N
+        val nTot = uni.agg(sum("c").as("n"))
+        val bi = docs.select(explode(graft.functions.NativeExprs
+            .wordShingles(TextStats.tokens(col("text")), 2,
+              distinct = false)).as("bg"))
+          .groupBy("bg").agg(count(lit(1)).as("c_xy"))
+          .filter(col("c_xy") >= 5)
+          .select(split(col("bg"), " ").getItem(0).as("word_a"),
+            split(col("bg"), " ").getItem(1).as("word_b"), col("c_xy"))
+        bi.join(uni.select(col("tok").as("word_a"), col("c").as("c_a")),
+            "word_a")
+          .join(uni.select(col("tok").as("word_b"), col("c").as("c_b")),
+            "word_b")
+          .crossJoin(broadcast(nTot))
+          .select(col("word_a"), col("word_b"), col("c_xy"),
+            ((col("c_xy") * col("n")).cast("double") /
+              (col("c_a") * col("c_b")).cast("double")).as("lift"))
+          .orderBy(desc("lift"), col("word_a"), col("word_b"))
+          .limit(50)
+      },
+      Some(s"""WITH t AS (SELECT unnest($dTok) AS tok FROM documents),
+        uni AS (SELECT tok, COUNT(*) AS c FROM t GROUP BY tok),
+        ntot AS (SELECT SUM(c) AS n FROM uni),
+        bgs AS (SELECT unnest(${dShingles(dTok, 2)}) AS bg FROM documents),
+        bc AS (SELECT bg, COUNT(*) AS c_xy FROM bgs GROUP BY bg
+          HAVING COUNT(*) >= 5),
+        sp AS (SELECT string_split(bg, ' ')[1] AS word_a,
+          string_split(bg, ' ')[2] AS word_b, c_xy FROM bc)
+        SELECT word_a, word_b, CAST(c_xy AS BIGINT) AS c_xy,
+          CAST(c_xy * n AS DOUBLE) / CAST(a.c * b.c AS DOUBLE) AS lift
+        FROM sp JOIN uni a ON sp.word_a = a.tok
+          JOIN uni b ON sp.word_b = b.tok CROSS JOIN ntot
+        ORDER BY lift DESC, word_a, word_b LIMIT 50""")),
+
+    // ── Chi-square keyness: distinctive terms per source (q230) ────────
+    // The corpus-linguistics "keyword" statistic: per (source, token),
+    // chi² over the 2×2 contingency (token-in-source vs rest), top 10
+    // per source. All four cells are exact integers; chi² =
+    // N·(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) is evaluated in one fixed
+    // left-to-right double chain written identically in the oracle, so
+    // ranking and values are bit-exact. Shuffles: one on (source,
+    // token), one on token (vocab-bounded marginals), one 20-row
+    // broadcast of source totals — no per-doc pair work anywhere.
+    QueryDef("q230_chisq_keyness",
+      (s, dir) => {
+        val cnt = tPar(s, dir, "documents")
+          .select(col("source"), explode(TextStats.tokens(col("text")))
+            .as("token"))
+          .groupBy("source", "token").agg(count(lit(1)).as("a"))
+          .localCheckpoint() // feeds marginals AND the chi² join
+        val tokTot = cnt.groupBy("token").agg(sum("a").as("t"))
+        val srcTot = cnt.groupBy("source").agg(sum("a").as("sn"))
+        val nTot = cnt.agg(sum("a").as("nn"))
+        val cells = cnt.join(tokTot, "token").join(broadcast(srcTot), "source")
+          .crossJoin(broadcast(nTot))
+          .filter(col("a") >= 5)
+          .select(col("source"), col("token"), col("a"),
+            (col("t") - col("a")).as("b"), (col("sn") - col("a")).as("c"),
+            (col("nn") - col("sn") - (col("t") - col("a"))).as("d"),
+            col("nn"))
+        val num = (col("a") * col("d") - col("b") * col("c")).cast("double")
+        val chi2 = col("nn").cast("double") * num * num /
+          ((col("a") + col("b")) * (col("c") + col("d"))).cast("double") /
+          ((col("a") + col("c")) * (col("b") + col("d"))).cast("double")
+        val rw = Window.partitionBy("source")
+          .orderBy(desc("chi2"), col("token"))
+        cells.withColumn("chi2", chi2)
+          .withColumn("rk", row_number().over(rw))
+          .filter(col("rk") <= 10)
+          .select(col("source"), col("token"), col("a").as("n_token_src"),
+            col("chi2"), col("rk").cast("long").as("rk"))
+          .orderBy("source", "rk")
+      },
+      Some(s"""WITH t AS (SELECT source, unnest($dTok) AS token
+            FROM documents),
+        cnt AS (SELECT source, token, COUNT(*) AS a FROM t GROUP BY 1, 2),
+        tokt AS (SELECT token, SUM(a) AS tt FROM cnt GROUP BY token),
+        srct AS (SELECT source, SUM(a) AS sn FROM cnt GROUP BY source),
+        ntot AS (SELECT SUM(a) AS nn FROM cnt),
+        cells AS (SELECT source, token, a, tt - a AS b, sn - a AS c,
+            nn - sn - (tt - a) AS d, nn
+          FROM cnt JOIN tokt USING (token) JOIN srct USING (source)
+          CROSS JOIN ntot WHERE a >= 5),
+        chi AS (SELECT source, token, a,
+            CAST(nn AS DOUBLE) * CAST(a*d - b*c AS DOUBLE)
+              * CAST(a*d - b*c AS DOUBLE)
+              / CAST((a+b)*(c+d) AS DOUBLE) / CAST((a+c)*(b+d) AS DOUBLE)
+              AS chi2
+          FROM cells),
+        rk AS (SELECT *, row_number() OVER (PARTITION BY source
+            ORDER BY chi2 DESC, token) AS rk FROM chi)
+        SELECT source, token, CAST(a AS BIGINT) AS n_token_src, chi2,
+          CAST(rk AS BIGINT) AS rk
+        FROM rk WHERE rk <= 10 ORDER BY source, rk""")),
+
+    // ── Simpson diversity of each source's token mix (q231) ────────────
+    // The corpus-mix concentration monitor: per source, the probability
+    // two sampled tokens differ — D = 1 − Σ nᵢ(nᵢ−1)/(N(N−1)) — plus
+    // volume and vocabulary size. The per-DOC twin lives inside q135;
+    // this is the per-SOURCE report a mixing stage (q58) reads to spot
+    // a source collapsing to boilerplate. Entropy needs log; Simpson is
+    // one exact integer sum and a single division, so it oracle-hashes.
+    QueryDef("q231_simpson_diversity",
+      (s, dir) => tPar(s, dir, "documents")
+        .select(col("source"), explode(TextStats.tokens(col("text")))
+          .as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"),
+          sum(col("c") * (col("c") - 1)).as("ss"))
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          (lit(1.0) - col("ss").cast("double") /
+            (col("n_tokens") * (col("n_tokens") - 1)).cast("double"))
+            .as("simpson_d"))
+        .orderBy("source"),
+      Some(s"""WITH t AS (SELECT source, unnest($dTok) AS tok
+            FROM documents),
+        pc AS (SELECT source, tok, COUNT(*) AS c FROM t GROUP BY 1, 2)
+        SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+          CAST(COUNT(*) AS BIGINT) AS n_types,
+          1.0 - CAST(SUM(c * (c - 1)) AS DOUBLE)
+            / CAST(SUM(c) * (SUM(c) - 1) AS DOUBLE) AS simpson_d
+        FROM pc GROUP BY source ORDER BY source""")),
+
+    // ── Mann–Kendall trend test per event-type daily series (q232) ─────
+    // The nonparametric "is this metric drifting" monitor: S = Σ_{i<j}
+    // sign(vⱼ−vᵢ) over the daily totals, τ = S / C(n,2). Pure integers
+    // after the parity-summed daily totals; the pair stage is a
+    // self-join on the DAY-bounded series (days grow with time, not
+    // data volume — at 100 TB/day the series is still 365 rows/year per
+    // type), so the quadratic is capped exactly like q233's.
+    QueryDef("q232_mann_kendall",
+      (s, dir) => {
+        val d = t(s, dir, "events")
+          .select(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("day"), col("value"))
+          .groupBy("event_type", "day").agg(dsum(col("value")).as("v"))
+          .localCheckpoint() // both sides of the bounded pair self-join
+        d.as("a").join(d.as("b"),
+            col("a.event_type") === col("b.event_type") &&
+              col("a.day") < col("b.day"))
+          .select(col("a.event_type").as("event_type"),
+            when(col("b.v") > col("a.v"), 1L)
+              .when(col("b.v") < col("a.v"), -1L).otherwise(0L).as("sg"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_pairs"), sum("sg").as("s_stat"))
+          .select(col("event_type"), col("n_pairs"), col("s_stat"),
+            (col("s_stat").cast("double") / col("n_pairs").cast("double"))
+              .as("tau"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH dly AS (SELECT event_type,
+            epoch_us(ts) // 86400000000 AS day, ${dsumSql("value")} AS v
+          FROM events GROUP BY 1, 2),
+        p AS (SELECT a.event_type,
+            CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1 ELSE 0 END
+              AS sg
+          FROM dly a JOIN dly b
+            ON a.event_type = b.event_type AND a.day < b.day)
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+          CAST(SUM(sg) AS BIGINT) AS s_stat,
+          CAST(CAST(SUM(sg) AS BIGINT) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE) AS tau
+        FROM p GROUP BY event_type ORDER BY event_type""")),
+
+    // ── Theil–Sen robust trend slope per event type (q233) ─────────────
+    // The robust complement of q194's OLS: the MEDIAN of all pairwise
+    // slopes of the daily-total series — a 29% breakdown point, immune
+    // to the outlier days OLS chases. Pair count is C(days,2) per type
+    // (bounded by calendar time, not data volume); the median rides the
+    // exact iterative-refinement machinery of q141, so no global sort
+    // and no approximate percentile anywhere.
+    QueryDef("q233_theil_sen",
+      (s, dir) => {
+        val d = t(s, dir, "events")
+          .select(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("day"), col("value"))
+          .groupBy("event_type", "day").agg(dsum(col("value")).as("v"))
+          .localCheckpoint()
+        val slopes = d.as("a").join(d.as("b"),
+            col("a.event_type") === col("b.event_type") &&
+              col("a.day") < col("b.day"))
+          .select(col("a.event_type").as("event_type"),
+            // try_divide, not /: the median engine's !isnan(slope)
+            // filter references both join sides, so Catalyst pushes it
+            // INTO the join condition where it can evaluate before the
+            // a.day < b.day predicate — on same-day pairs the day delta
+            // is 0 and ANSI plain division aborts the job. try_divide
+            // yields NULL there; every pair the range predicate keeps
+            // has delta ≥ 1, so emitted slopes are bit-identical.
+            try_divide(col("b.v") - col("a.v"),
+              (col("b.day") - col("a.day")).cast("double")).as("slope"))
+        graft.ext.Stats.exactMedianByGroup(slopes, "event_type", "slope",
+            buckets = 64, tail = 1024)
+          .select(col("event_type"), col("n").as("n_pairs"),
+            col("median").as("sen_slope"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH dly AS (SELECT event_type,
+            epoch_us(ts) // 86400000000 AS day, ${dsumSql("value")} AS v
+          FROM events GROUP BY 1, 2),
+        sl AS (SELECT a.event_type,
+            (b.v - a.v) / CAST(b.day - a.day AS DOUBLE) AS slope
+          FROM dly a JOIN dly b
+            ON a.event_type = b.event_type AND a.day < b.day)
+        SELECT event_type, COUNT(slope) AS n_pairs,
+          median(slope) AS sen_slope
+        FROM sl GROUP BY event_type ORDER BY event_type""")),
+
+    // ── Gopher-rule document filter report (q234) ──────────────────────
+    // The Rae et al. 2021 quality gates as a release report: per rule,
+    // how many documents fail, plus the any-rule total. Every rule is
+    // integer-exact via cross-multiplication (mean word length ∈ [3,10]
+    // becomes 3w ≤ L ≤ 10w; top-unigram ≤ 20% becomes 5·max ≤ w), so
+    // no per-doc float exists at all. One (doc, token) aggregation
+    // cascade → per-doc flags → a single global fold unpivoted to five
+    // rows; the report is O(rules) however big the corpus.
+    QueryDef("q234_gopher_rules",
+      (s, dir) => {
+        val flags = tPar(s, dir, "documents")
+          .select(col("doc_id"), explode(TextStats.tokens(col("text")))
+            .as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(sum("c").as("w"), max("c").as("maxc"),
+            sum(col("c") * length(col("tok"))).as("l"),
+            sum(when(col("tok").isin(stopwords: _*), col("c"))
+              .otherwise(0L)).as("nstop"))
+          .select(
+            when(col("w").between(50, 100000), 0L).otherwise(1L).as("f1"),
+            when(col("l") >= col("w") * 3 && col("l") <= col("w") * 10, 0L)
+              .otherwise(1L).as("f2"),
+            when(col("nstop") >= 2, 0L).otherwise(1L).as("f3"),
+            when(col("maxc") * 5 <= col("w"), 0L).otherwise(1L).as("f4"))
+        val agg = flags.agg(count(lit(1)).as("n_docs"),
+          sum("f1").as("s1"), sum("f2").as("s2"), sum("f3").as("s3"),
+          sum("f4").as("s4"),
+          sum(when(col("f1") + col("f2") + col("f3") + col("f4") > 0, 1L)
+            .otherwise(0L)).as("sany"))
+        agg.select(explode(array(
+            struct(lit("any_rule").as("rule"), col("sany").as("n_fail")),
+            struct(lit("mean_word_length").as("rule"), col("s2").as("n_fail")),
+            struct(lit("stopword_count").as("rule"), col("s3").as("n_fail")),
+            struct(lit("top_unigram_frac").as("rule"), col("s4").as("n_fail")),
+            struct(lit("word_count").as("rule"), col("s1").as("n_fail"))))
+            .as("r"), col("n_docs"))
+          .select(col("r.rule").as("rule"), col("r.n_fail").as("n_fail"),
+            col("n_docs"),
+            (col("r.n_fail").cast("double") / col("n_docs").cast("double"))
+              .as("fail_rate"))
+          .orderBy("rule")
+      },
+      Some {
+        val stopList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"""WITH pc AS (SELECT doc_id, tok, COUNT(*) AS c
+            FROM (SELECT doc_id, unnest($dTok) AS tok FROM documents)
+            GROUP BY 1, 2),
+          pd AS (SELECT doc_id, SUM(c) AS w, MAX(c) AS maxc,
+              SUM(c * len(tok)) AS l,
+              SUM(CASE WHEN list_contains($stopList, tok) THEN c ELSE 0
+                END) AS nstop
+            FROM pc GROUP BY doc_id),
+          fl AS (SELECT
+              CASE WHEN w BETWEEN 50 AND 100000 THEN 0 ELSE 1 END AS f1,
+              CASE WHEN l >= w * 3 AND l <= w * 10 THEN 0 ELSE 1 END AS f2,
+              CASE WHEN nstop >= 2 THEN 0 ELSE 1 END AS f3,
+              CASE WHEN maxc * 5 <= w THEN 0 ELSE 1 END AS f4
+            FROM pd),
+          a AS (SELECT COUNT(*) AS n_docs, SUM(f1) AS s1, SUM(f2) AS s2,
+              SUM(f3) AS s3, SUM(f4) AS s4,
+              SUM(CASE WHEN f1 + f2 + f3 + f4 > 0 THEN 1 ELSE 0 END)
+                AS sany
+            FROM fl),
+          u AS (
+            SELECT 'any_rule' AS rule, sany AS n_fail, n_docs FROM a
+            UNION ALL
+            SELECT 'mean_word_length', s2, n_docs FROM a
+            UNION ALL SELECT 'stopword_count', s3, n_docs FROM a
+            UNION ALL SELECT 'top_unigram_frac', s4, n_docs FROM a
+            UNION ALL SELECT 'word_count', s1, n_docs FROM a)
+          SELECT rule, CAST(n_fail AS BIGINT) AS n_fail,
+            CAST(n_docs AS BIGINT) AS n_docs,
+            CAST(n_fail AS DOUBLE) / CAST(n_docs AS DOUBLE) AS fail_rate
+          FROM u ORDER BY rule"""
+      }),
+
+    // ── DSIR hashed-importance-weight model (q235) ─────────────────────
+    // Data Selection via Importance Resampling (Xie et al. 2023): bag-
+    // of-hashed-unigrams densities for a target domain vs the raw pool,
+    // add-one smoothed. The model TABLE is the deliverable (a later
+    // pass scores docs by Σ log w(bucket) — log-free here because no
+    // per-doc score is emitted). One aggregation keyed by the 64-way
+    // portable hash bucket — the same conv(md5)-prefix hash as the
+    // MinHash family, so both engines bucket identically; the model is
+    // O(buckets) however large the corpus.
+    QueryDef("q235_dsir_buckets",
+      (s, dir) => {
+        val nB = 64
+        val bt = tPar(s, dir, "documents")
+          .select((col("source") === "src1").as("tgt"),
+            explode(TextStats.tokens(col("text"))).as("tok"))
+          .select((graft.ext.Shingles.baseHash(col("tok")) % nB)
+            .as("bucket"), col("tgt"))
+          .groupBy("bucket")
+          .agg(sum(when(col("tgt"), 1L).otherwise(0L)).as("n_target"),
+            sum(when(!col("tgt"), 1L).otherwise(0L)).as("n_raw"))
+          .localCheckpoint() // feeds totals AND the weight projection
+        val tot = bt.agg(sum("n_target").as("nt"), sum("n_raw").as("nr"))
+        bt.crossJoin(broadcast(tot))
+          .select(col("bucket"), col("n_target"), col("n_raw"),
+            (((col("n_target") + 1) * (col("nr") + nB)).cast("double") /
+              ((col("n_raw") + 1) * (col("nt") + nB)).cast("double"))
+              .as("weight"))
+          .orderBy("bucket")
+      },
+      Some(s"""WITH t AS (SELECT source = 'src1' AS tgt,
+            unnest($dTok) AS tok FROM documents),
+        b AS (SELECT ('0x' || substr(md5(tok), 1, 7))::BIGINT % 64
+              AS bucket,
+            SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS n_target,
+            SUM(CASE WHEN NOT tgt THEN 1 ELSE 0 END) AS n_raw
+          FROM t GROUP BY 1),
+        tot AS (SELECT SUM(n_target) AS nt, SUM(n_raw) AS nr FROM b)
+        SELECT bucket, CAST(n_target AS BIGINT) AS n_target,
+          CAST(n_raw AS BIGINT) AS n_raw,
+          CAST((n_target + 1) * (nr + 64) AS DOUBLE)
+            / CAST((n_raw + 1) * (nt + 64) AS DOUBLE) AS weight
+        FROM b CROSS JOIN tot ORDER BY bucket""")),
+
+    // ── Event-type affinity matrix (bipartite projection, q236) ────────
+    // Which behaviors co-occur in the same users? The user–event-type
+    // bipartite graph projected onto types: per type pair, the count of
+    // users doing both and the Jaccard affinity c_ab/(c_a+c_b−c_ab).
+    // The self-join fans out ≤ C(|types|,2) pairs PER USER (types are a
+    // bounded dimension), so the pair stage is linear in users — the
+    // co-occurrence shape that stays cheap when users are 10⁹.
+    QueryDef("q236_type_affinity",
+      (s, dir) => {
+        val ut = t(s, dir, "events")
+          .select(col("user_id"), col("event_type")).distinct()
+          .localCheckpoint() // three consumers: both join sides + counts
+        val c = ut.groupBy("event_type").agg(count(lit(1)).as("c"))
+        val p = ut.as("a").join(ut.as("b"),
+            col("a.user_id") === col("b.user_id") &&
+              col("a.event_type") < col("b.event_type"))
+          .select(col("a.event_type").as("type_a"),
+            col("b.event_type").as("type_b"))
+          .groupBy("type_a", "type_b").agg(count(lit(1)).as("c_ab"))
+        p.join(broadcast(c.select(col("event_type").as("type_a"),
+            col("c").as("c_a"))), "type_a")
+          .join(broadcast(c.select(col("event_type").as("type_b"),
+            col("c").as("c_b"))), "type_b")
+          .select(col("type_a"), col("type_b"), col("c_ab"), col("c_a"),
+            col("c_b"),
+            (col("c_ab").cast("double") /
+              (col("c_a") + col("c_b") - col("c_ab")).cast("double"))
+              .as("jaccard"))
+          .orderBy("type_a", "type_b")
+      },
+      Some("""WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        c AS (SELECT event_type, COUNT(*) AS c FROM ut GROUP BY 1),
+        p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+            COUNT(*) AS c_ab
+          FROM ut a JOIN ut b ON a.user_id = b.user_id
+            AND a.event_type < b.event_type
+          GROUP BY 1, 2)
+        SELECT type_a, type_b, CAST(c_ab AS BIGINT) AS c_ab,
+          CAST(ca.c AS BIGINT) AS c_a, CAST(cb.c AS BIGINT) AS c_b,
+          CAST(c_ab AS DOUBLE) / CAST(ca.c + cb.c - c_ab AS DOUBLE)
+            AS jaccard
+        FROM p JOIN c ca ON p.type_a = ca.event_type
+          JOIN c cb ON p.type_b = cb.event_type
+        ORDER BY type_a, type_b""")),
+
+    // ── Chao1 vocabulary-richness estimator per source (q237) ──────────
+    // "How much vocabulary HAVEN'T we crawled yet?" — the ecology
+    // species estimator (Chao 1984) on token types: chao1 = D +
+    // f1(f1−1)/(2(f2+1)) from the observed type count and the
+    // singleton/doubleton counts (bias-corrected form, so the f2=0 case
+    // divides by 2 instead of 0). Everything up to one final division
+    // is exact integers off a single (source, token) aggregation —
+    // the same cascade shape as q231, O(|sources|) output forever.
+    QueryDef("q237_chao1_richness",
+      (s, dir) => tPar(s, dir, "documents")
+        .select(col("source"), explode(TextStats.tokens(col("text")))
+          .as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("d_obs"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+          sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+        .select(col("source"), col("d_obs"), col("f1"), col("f2"),
+          (col("d_obs").cast("double") +
+            (col("f1") * (col("f1") - 1)).cast("double") /
+              (lit(2L) * (col("f2") + 1)).cast("double")).as("chao1"))
+        .orderBy("source"),
+      Some(s"""WITH t AS (SELECT source, unnest($dTok) AS tok
+            FROM documents),
+        pc AS (SELECT source, tok, COUNT(*) AS c FROM t GROUP BY 1, 2),
+        agg AS (SELECT source, COUNT(*) AS d_obs,
+            SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS f1,
+            SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS f2
+          FROM pc GROUP BY source)
+        SELECT source, CAST(d_obs AS BIGINT) AS d_obs,
+          CAST(f1 AS BIGINT) AS f1, CAST(f2 AS BIGINT) AS f2,
+          CAST(d_obs AS DOUBLE) + CAST(f1 * (f1 - 1) AS DOUBLE)
+            / CAST(2 * (f2 + 1) AS DOUBLE) AS chao1
+        FROM agg ORDER BY source""")),
+
+    // ── Good–Turing frequency-of-frequencies table (q238) ──────────────
+    // The LM smoothing workhorse: N_r per count r, the adjusted count
+    // r* = (r+1)·N_{r+1}/N_r (0 when no N_{r+1} exists, the standard
+    // convention), and the unseen-probability mass p0 = N_1/N. The
+    // whole table derives from one vocabulary aggregation followed by
+    // an O(|distinct r|) self-join on r+1 — distinct frequencies grow
+    // ~log with corpus size, so the joined table is tiny at any scale.
+    QueryDef("q238_good_turing",
+      (s, dir) => {
+        val ff = tPar(s, dir, "documents")
+          .select(explode(TextStats.tokens(col("text"))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("r"))
+          .groupBy("r").agg(count(lit(1)).as("n_r"))
+          .localCheckpoint() // consumed 3x: both join sides + totals
+        val tot = ff.agg(sum(col("r") * col("n_r")).as("n_tok"),
+          sum(when(col("r") === 1, col("n_r")).otherwise(0L)).as("n1"))
+        ff.as("a")
+          .join(ff.select((col("r") - 1).as("r"), col("n_r").as("n_r1"))
+            .as("b"), Seq("r"), "left")
+          .crossJoin(broadcast(tot))
+          .select(col("r"), col("a.n_r").as("n_r"),
+            (((col("r") + 1) * coalesce(col("n_r1"), lit(0L)))
+              .cast("double") / col("a.n_r").cast("double")).as("r_star"),
+            (col("n1").cast("double") / col("n_tok").cast("double"))
+              .as("unseen_mass"))
+          .orderBy("r")
+      },
+      Some(s"""WITH t AS (SELECT unnest($dTok) AS tok FROM documents),
+        cnt AS (SELECT tok, COUNT(*) AS r FROM t GROUP BY tok),
+        ff AS (SELECT r, COUNT(*) AS n_r FROM cnt GROUP BY r),
+        tot AS (SELECT SUM(r * n_r) AS n_tok,
+            SUM(CASE WHEN r = 1 THEN n_r ELSE 0 END) AS n1 FROM ff)
+        SELECT a.r AS r, CAST(a.n_r AS BIGINT) AS n_r,
+          CAST((a.r + 1) * COALESCE(b.n_r, 0) AS DOUBLE)
+            / CAST(a.n_r AS DOUBLE) AS r_star,
+          CAST(n1 AS DOUBLE) / CAST(n_tok AS DOUBLE) AS unseen_mass
+        FROM ff a LEFT JOIN ff b ON b.r = a.r + 1 CROSS JOIN tot
+        ORDER BY r""")),
+
+    // ── Token burstiness: index of dispersion over documents (q239) ────
+    // Boilerplate tokens clump (variance ≫ mean across docs); content
+    // words approach Poisson (≈1). Fano factor over ALL docs including
+    // zeros reduces to exact integers: D = (N·Σc² − (Σc)²)/(N·Σc) from
+    // per-doc counts c — the zero docs contribute only through N, so no
+    // dense doc×token frame ever exists. Longs hold sf1.0 comfortably
+    // (N·Σc² ≲ 1e16); a 100 TB run would move the two products to
+    // decimal, same shape. Top-50 rides TakeOrderedAndProject.
+    QueryDef("q239_token_burstiness",
+      (s, dir) => {
+        val nd = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+        tPar(s, dir, "documents")
+          .select(col("doc_id"), explode(TextStats.tokens(col("text")))
+            .as("tok"))
+          .groupBy("tok", "doc_id").agg(count(lit(1)).as("c"))
+          .groupBy("tok")
+          .agg(sum("c").as("s1"), sum(col("c") * col("c")).as("s2"),
+            count(lit(1)).as("df_docs"))
+          .filter(col("df_docs") >= 50)
+          .crossJoin(broadcast(nd))
+          .select(col("tok"), col("s1").as("n_occurrences"),
+            col("df_docs").as("n_docs_with"),
+            ((col("n_docs") * col("s2") - col("s1") * col("s1"))
+              .cast("double") /
+              (col("n_docs") * col("s1")).cast("double")).as("dispersion"))
+          .orderBy(desc("dispersion"), col("tok"))
+          .limit(50)
+      },
+      Some(s"""WITH t AS (SELECT doc_id, unnest($dTok) AS tok
+            FROM documents),
+        pc AS (SELECT tok, doc_id, COUNT(*) AS c FROM t GROUP BY 1, 2),
+        st AS (SELECT tok, SUM(c) AS s1, SUM(c * c) AS s2,
+            COUNT(*) AS df_docs
+          FROM pc GROUP BY tok HAVING COUNT(*) >= 50),
+        nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+        SELECT tok, CAST(s1 AS BIGINT) AS n_occurrences,
+          CAST(df_docs AS BIGINT) AS n_docs_with,
+          CAST(n_docs * s2 - s1 * s1 AS DOUBLE)
+            / CAST(n_docs * s1 AS DOUBLE) AS dispersion
+        FROM st CROSS JOIN nd ORDER BY dispersion DESC, tok LIMIT 50""")),
+
+    // ── Per-document shingle novelty by arrival order (q240) ───────────
+    // The streaming-ingest view of dedup: treating doc_id as arrival
+    // order, what fraction of each document's distinct k-shingles is
+    // seen here FIRST? A corpus going stale shows novelty decaying
+    // toward 0; verbatim re-crawls sit at exactly 0. min(doc_id) per
+    // shingle is one map-side-combinable aggregation; the join back is
+    // on the same shingle key — two shuffles, never pairwise.
+    QueryDef("q240_shingle_novelty",
+      (s, dir) => {
+        val sh = tPar(s, dir, "documents")
+          .select(col("doc_id"), explode(graft.functions.NativeExprs
+            .wordShingles(TextStats.tokens(col("text")), shingleK,
+              distinct = true)).as("shingle"))
+        val fm = sh.groupBy("shingle").agg(min("doc_id").as("first_doc"))
+        sh.join(fm, "shingle")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+              .as("n_novel"))
+          .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+            (col("n_novel").cast("double") / col("n_shingles").cast("double"))
+              .as("novelty"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH sh AS (SELECT doc_id, unnest(list_distinct(
+            ${dShingles(dTok, shingleK)})) AS shingle FROM documents),
+        fm AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh
+          GROUP BY shingle)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+          CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+          CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS novelty
+        FROM sh JOIN fm USING (shingle) GROUP BY doc_id
+        ORDER BY doc_id""")),
+
+    // ── Boilerplate shingle report: top in-source templates (q241) ─────
+    // The template detector behind span dedup: per source, the 10
+    // k-shingles appearing in the largest FRACTION of its documents
+    // (countDistinct doc, not raw count — a shingle repeated inside one
+    // doc is repetition, q135's business, not boilerplate). Rank-based
+    // rather than a fixed ratio cut so the report never comes back
+    // empty on a clean corpus; df/n_docs contextualizes each hit. The
+    // heavy aggregation is keyed by (source, shingle) — the natural
+    // shuffle key — and the per-source top-10 is a bounded window.
+    QueryDef("q241_boilerplate_shingles",
+      (s, dir) => {
+        val docsPer = t(s, dir, "documents").groupBy("source")
+          .agg(count(lit(1)).as("n_docs"))
+        val df = tPar(s, dir, "documents")
+          .select(col("source"), col("doc_id"),
+            explode(graft.functions.NativeExprs.wordShingles(
+              TextStats.tokens(col("text")), shingleK, distinct = true))
+              .as("shingle"))
+          .groupBy("source", "shingle")
+          .agg(countDistinct("doc_id").as("df"))
+        val rw = Window.partitionBy("source")
+          .orderBy(desc("df"), col("shingle"))
+        df.join(broadcast(docsPer), "source")
+          .withColumn("rk", row_number().over(rw))
+          .filter(col("rk") <= 10)
+          .select(col("source"), col("shingle"), col("df"), col("n_docs"),
+            (col("df").cast("double") / col("n_docs").cast("double"))
+              .as("df_ratio"), col("rk").cast("long").as("rk"))
+          .orderBy("source", "rk")
+      },
+      Some(s"""WITH sh AS (SELECT source, doc_id, unnest(list_distinct(
+            ${dShingles(dTok, shingleK)})) AS shingle FROM documents),
+        df AS (SELECT source, shingle, COUNT(DISTINCT doc_id) AS df
+          FROM sh GROUP BY 1, 2),
+        nd AS (SELECT source, COUNT(*) AS n_docs FROM documents
+          GROUP BY source),
+        rk AS (SELECT source, shingle, df, n_docs,
+            row_number() OVER (PARTITION BY source
+              ORDER BY df DESC, shingle) AS rk
+          FROM df JOIN nd USING (source))
+        SELECT source, shingle, CAST(df AS BIGINT) AS df,
+          CAST(n_docs AS BIGINT) AS n_docs,
+          CAST(df AS DOUBLE) / CAST(n_docs AS DOUBLE) AS df_ratio,
+          CAST(rk AS BIGINT) AS rk
+        FROM rk WHERE rk <= 10 ORDER BY source, rk""")),
+
+    // ── Cross-source shingle overlap: leakage matrix (q242) ────────────
+    // "Is my eval shard leaking into training?" — Jaccard between each
+    // source PAIR's distinct-shingle sets. The pair stage explodes per
+    // shingle over the sources sharing it: sources are a bounded
+    // dimension (≤ C(|sources|,2) pairs per shingle), so the fan-out is
+    // linear in distinct shingles — the same bounded-projection trick
+    // as q236, never a doc-pair join.
+    QueryDef("q242_source_overlap",
+      (s, dir) => {
+        val ss = tPar(s, dir, "documents")
+          .select(col("source"), explode(graft.functions.NativeExprs
+            .wordShingles(TextStats.tokens(col("text")), shingleK,
+              distinct = true)).as("shingle"))
+          .distinct()
+          .localCheckpoint() // both pair-join sides + the size counts
+        val sz = ss.groupBy("source").agg(count(lit(1)).as("n"))
+        val p = ss.as("a").join(ss.as("b"),
+            col("a.shingle") === col("b.shingle") &&
+              col("a.source") < col("b.source"))
+          .select(col("a.source").as("source_a"),
+            col("b.source").as("source_b"))
+          .groupBy("source_a", "source_b").agg(count(lit(1)).as("c_ab"))
+        p.join(broadcast(sz.select(col("source").as("source_a"),
+            col("n").as("n_a"))), "source_a")
+          .join(broadcast(sz.select(col("source").as("source_b"),
+            col("n").as("n_b"))), "source_b")
+          .select(col("source_a"), col("source_b"), col("c_ab"),
+            col("n_a"), col("n_b"),
+            (col("c_ab").cast("double") /
+              (col("n_a") + col("n_b") - col("c_ab")).cast("double"))
+              .as("jaccard"))
+          .orderBy("source_a", "source_b")
+      },
+      Some(s"""WITH ss AS (SELECT DISTINCT source, shingle
+          FROM (SELECT source, unnest(list_distinct(
+            ${dShingles(dTok, shingleK)})) AS shingle FROM documents)),
+        sz AS (SELECT source, COUNT(*) AS n FROM ss GROUP BY source),
+        p AS (SELECT a.source AS source_a, b.source AS source_b,
+            COUNT(*) AS c_ab
+          FROM ss a JOIN ss b ON a.shingle = b.shingle
+            AND a.source < b.source
+          GROUP BY 1, 2)
+        SELECT source_a, source_b, CAST(c_ab AS BIGINT) AS c_ab,
+          CAST(x.n AS BIGINT) AS n_a, CAST(y.n AS BIGINT) AS n_b,
+          CAST(c_ab AS DOUBLE) / CAST(x.n + y.n - c_ab AS DOUBLE)
+            AS jaccard
+        FROM p JOIN sz x ON p.source_a = x.source
+          JOIN sz y ON p.source_b = y.source
+        ORDER BY source_a, source_b""")),
   )
 }

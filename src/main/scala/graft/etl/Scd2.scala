@@ -224,7 +224,18 @@ object Scd2 {
              v: Long): DataFrame = {
     require(versions(spark, path).contains(v),
       s"no committed version $v at $path")
-    viewOf(spark, path, readManifest(spark, path, v))
+    val st = readManifest(spark, path, v)
+    // The manifest log survives vacuum but the data dirs may not:
+    // validate them NOW so a vacuumed version fails with a clear
+    // message instead of a raw mid-read 'Path does not exist'.
+    val fs = hadoopFs(spark, path)
+    val gone = (st.histDirs ++ st.curDir).filterNot(d =>
+      fs.exists(new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(path, "data"), d)))
+    require(gone.isEmpty,
+      s"version $v at $path was vacuumed: data dirs ${gone.mkString(", ")} " +
+        "no longer exist (time travel is valid only until vacuum)")
+    viewOf(spark, path, st)
   }
 
   /** Publish `st` as version `st.version`: write a temp manifest, then

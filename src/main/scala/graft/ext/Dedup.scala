@@ -472,11 +472,17 @@ object Dedup {
       observeBuckets(postings, "ids", maxPosting, NgramBucketMetrics))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("shared"))
+    // `sizes` is one row per DOCUMENT — data-sized, so it must never be
+    // the build side of a broadcast (the planner's post-aggregation
+    // estimate undersells it and the broadcast OOMed at sf1.0; at
+    // corpus scale it is unbuildable by construction). shuffle_hash
+    // keeps the build per-partition and skips sorting the far larger
+    // pairs side.
     shared
       .join(sizes.withColumnRenamed(idCol, "id_a")
-        .withColumnRenamed("n", "n_a"), "id_a")
+        .withColumnRenamed("n", "n_a").hint("shuffle_hash"), "id_a")
       .join(sizes.withColumnRenamed(idCol, "id_b")
-        .withColumnRenamed("n", "n_b"), "id_b")
+        .withColumnRenamed("n", "n_b").hint("shuffle_hash"), "id_b")
       .withColumn("jaccard",
         col("shared").cast("double") /
           (col("n_a") + col("n_b") - col("shared")).cast("double"))
@@ -517,11 +523,13 @@ object Dedup {
       observeBuckets(postings, "ids", maxPosting, ContainmentBucketMetrics))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("shared"))
+    // per-doc `sizes` must not broadcast (see ngramJaccardPairs): hint
+    // shuffle_hash so the build side is the doc table per partition
     val sized = shared
       .join(sizes.withColumnRenamed(idCol, "id_a")
-        .withColumnRenamed("n", "n_a"), "id_a")
+        .withColumnRenamed("n", "n_a").hint("shuffle_hash"), "id_a")
       .join(sizes.withColumnRenamed(idCol, "id_b")
-        .withColumnRenamed("n", "n_b"), "id_b")
+        .withColumnRenamed("n", "n_b").hint("shuffle_hash"), "id_b")
     // both directions from ONE pass over the shared-count table: a
     // union of two projections would re-derive the whole inverted-index
     // pipeline per branch (observed: 2× scans/shuffles in the plan);
@@ -824,9 +832,15 @@ object Dedup {
     val sz = base.select(col("id"), col("toks"))
     // toks are distinct, so |a ∪ b| = |a| + |b| − |a ∩ b| without a
     // second set operation.
+    // `sz` carries a token ARRAY per document — data-sized and heavy;
+    // never a broadcast build side (same class as the ngramJaccardPairs
+    // sizes join, which OOMed at sf1.0 when the planner's estimate
+    // undersold it)
     pairs
-      .join(sz.select(col("id").as("id_a"), col("toks").as("ta")), "id_a")
-      .join(sz.select(col("id").as("id_b"), col("toks").as("tb")), "id_b")
+      .join(sz.select(col("id").as("id_a"), col("toks").as("ta"))
+        .hint("shuffle_hash"), "id_a")
+      .join(sz.select(col("id").as("id_b"), col("toks").as("tb"))
+        .hint("shuffle_hash"), "id_b")
       .withColumn("shared", size(array_intersect(col("ta"), col("tb"))))
       .withColumn("jaccard", col("shared").cast("double") /
         (size(col("ta")) + size(col("tb")) - col("shared")).cast("double"))

@@ -100,8 +100,19 @@ object Hypothesis {
     * The composite prefix sums bleed across group boundaries by
     * construction; each group then subtracts the totals of all earlier
     * groups — a bounded |groups|-row aggregate broadcast back.
-    * Requires a BOUNDED group count (the offsets ride a driver window);
-    * group totals come from the same aggregate, no extra scan.
+    *
+    * CONTRACT — BOUNDED GROUP COUNT REQUIRED. The DATA path is fully
+    * range-partitioned, but the OFFSETS path is one row per group fed
+    * through an unpartitioned `Window.orderBy(group)` and then a
+    * broadcast join: both are O(|groups|) in a single task / on the
+    * driver. This is the right trade while |groups| is small (a
+    * dimension-like column: event_type, source, shard) and WRONG for a
+    * high-cardinality group (user_id at 100 TB) — there, call
+    * [[prefixSumsByRange]] per group partition or restructure so the
+    * group rides the range key. Every in-repo caller (q211's
+    * event_type; q151/q152's global order) is bounded; PlanQualitySpec
+    * locks the offsets-side broadcast as the only unbounded-looking
+    * exchange in the plan.
     */
   def groupedPrefixSumsByRange(df: DataFrame, groupCol: String,
                                orderCol: String, valueCols: Seq[String],
@@ -145,8 +156,15 @@ object Hypothesis {
   def pettittChangepoint(df: DataFrame, groupCol: String, valueCol: String,
                          orderCol: String,
                          partitions: Int = 32): DataFrame = {
+    // hist is consumed three times (the grouped prefix-sum's cum AND
+    // offsets paths, plus `tot` below) and `rows` twice — without the
+    // checkpoints each consumer re-runs the raw scan + histogram
+    // shuffle as its own job. Both frames are at most one row per
+    // (group, distinct value) resp. input row, so the materialization
+    // is bounded by the input size it saves re-reading.
     val hist = df.groupBy(col(groupCol), col(valueCol))
       .agg(count(lit(1)).as("_ng"))
+      .localCheckpoint()
     val hc = groupedPrefixSumsByRange(hist, groupCol, valueCol,
       Seq("_ng"), partitions)
     val r2 = hc.select(col(groupCol), col(valueCol),
@@ -154,6 +172,7 @@ object Hypothesis {
         .as("_r2"))
     val rows = df.join(r2, Seq(groupCol, valueCol))
       .withColumn("_one", lit(1L))
+      .localCheckpoint()
     val tc = groupedPrefixSumsByRange(rows, groupCol, orderCol,
       Seq("_one", "_r2"), partitions)
     val tot = hist.groupBy(groupCol).agg(sum("_ng").as("n"))

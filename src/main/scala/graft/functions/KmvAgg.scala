@@ -37,9 +37,11 @@ case class KmvSketchAgg(child: Expression, k: Int,
     with UnaryLike[Expression] with ExpectsInputTypes {
   require(k >= 2, s"kmv k=$k")
 
-  // SQL callers (graft_kmv registered in FunctionRegistry) get an
-  // analysis-time implicit cast to string instead of a runtime CCE on
-  // non-UTF8String input.
+  // SQL callers (graft_kmv registered in FunctionRegistry) with a
+  // non-string argument get an analysis-time type error naming STRING
+  // (ANSI coercion does not implicitly cast numerics to string for
+  // function inputs — GraftExtensionsSpec locks this) instead of a
+  // runtime CCE on non-UTF8String input; they must CAST explicitly.
   override def inputTypes: Seq[DataType] = Seq(StringType)
   override def nullable: Boolean = false
   override def dataType: DataType = StructType(Seq(

@@ -418,4 +418,33 @@ class PlanQualitySpec extends AnyFunSuite {
           .filterNot(_ == JoinEliminate)
     }
   }
+
+  test("groupedPrefixSumsByRange: data path range-partitioned, only the " +
+       "bounded per-group offsets ride a broadcast (contract: bounded " +
+       "group count)") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(0, 10000)
+      .select((col("id") % 7).as("g"), col("id").as("o"), lit(1L).as("v"))
+    val out = graft.ext.Hypothesis.groupedPrefixSumsByRange(
+      df, "g", "o", Seq("v"), 8)
+    val p = out.queryExecution.executedPlan.toString
+    // the range exchange itself sits behind prefixSumsByRange's
+    // localCheckpoint (plan truncated there by design); its effect is
+    // visible as the checkpointed 8-way partitioning the local windows
+    // ride — NOT a single funnel partition
+    assert(out.rdd.getNumPartitions === 8,
+      "data path lost its 8-way range partitioning")
+    // exactly two broadcasts, both of the bounded sides the scaladoc
+    // contract names: the numPartitions-row per-partition offsets and
+    // the |groups|-row per-group offsets — nothing data-sized
+    assert("BroadcastExchange".r.findAllIn(p).length === 2,
+      "expected exactly the two bounded offsets broadcasts")
+    assert(!p.contains("SortMergeJoin"),
+      "offsets must join as broadcasts, not shuffles")
+    assert(!p.contains("CartesianProduct"))
+    // correctness of the composite shape: per-group running count == rank
+    val bad = out.filter(col("cum_v") =!=
+        (col("o") - col("g")) / 7 + 1).count()
+    assert(bad === 0, s"$bad rows with wrong grouped prefix sum")
+  }
 }

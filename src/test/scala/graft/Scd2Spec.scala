@@ -220,6 +220,14 @@ class Scd2Spec extends AnyFunSuite {
     Scd2.vacuum(spark, path)
     assert(Scd2.readAt(spark, path, 3).collect().toSet === v3)
     assert(Scd2.readWarehouse(spark, path).collect().toSet === v3)
+    // travel to a vacuumed version fails FAST with a clear message at
+    // readAt time (the manifest log survives vacuum, so without the
+    // data-dir validation this would surface as a raw mid-read
+    // 'Path does not exist' parquet error instead)
+    val gone = intercept[IllegalArgumentException] {
+      Scd2.readAt(spark, path, 1)
+    }
+    assert(gone.getMessage.contains("vacuumed"))
   }
 
   test("invariant holds across multi-day history: one open version per key") {

@@ -44,6 +44,37 @@ def selected(name):
     return ((not pos or any(t in name for t in pos))
             and not any(t in name for t in neg))
 
+import re
+
+def decimal_types(rel_sql):
+    """column -> (precision, scale) for every DECIMAL column of a query."""
+    d = {}
+    for _, row in con.sql(f"DESCRIBE {rel_sql}").df().iterrows():
+        m = re.fullmatch(r"DECIMAL\((\d+),(\d+)\)", row["column_type"])
+        if m:
+            d[row["column_name"].lower()] = (int(m.group(1)), int(m.group(2)))
+    return d
+
+def decimal_parity(name, spark_src, oracle_sql):
+    """Spark's silent scale reduction at the precision-38 cap has shipped
+    two hash-red queries (q212 in-round, q225 in r10) that rows/schema
+    checks can't see. SCALE mismatch on a decimal column is an instant
+    FAIL: the driver's value hash renders decimals at their scale, so
+    differing scales hash-diverge even on equal numbers. Precision is
+    advisory only — DuckDB widens every decimal aggregate to precision
+    38 while Spark keeps the minimal width, and rendered values (hence
+    hashes) don't depend on it."""
+    ds, do = decimal_types(f"SELECT * FROM '{spark_src}'"), decimal_types(oracle_sql)
+    errs = []
+    for c in sorted(set(ds) & set(do)):
+        (ps, ss), (po, so) = ds[c], do[c]
+        if ss != so:
+            errs.append(f"{c}: spark DECIMAL({ps},{ss}) vs oracle DECIMAL({po},{so})")
+    for c in sorted(set(ds) ^ set(do)):
+        side = "spark" if c in ds else "oracle"
+        errs.append(f"{c}: decimal on {side} side only")
+    return errs
+
 for name in sorted(oracle):
     if not selected(name):
         continue
@@ -53,8 +84,13 @@ for name in sorted(oracle):
     try:
         spark_df = con.sql(f"SELECT * FROM '{out}/{name}/*.parquet'").df()
         duck_df = con.sql(oracle[name]).df()
+        dec_errs = decimal_parity(name, f"{out}/{name}/*.parquet", oracle[name])
     except Exception as e:
         print(f"FAIL {name}: {e}"); bad += 1; continue
+    if dec_errs:
+        print(f"FAIL {name}: decimal scale parity: " + "; ".join(dec_errs))
+        bad += 1
+        continue
     a, b = canon(spark_df), canon(duck_df)
     schema_ok = sorted(map(str.lower, spark_df.columns)) == sorted(map(str.lower, duck_df.columns))
     rows_ok = len(a) == len(b)
