@@ -8894,5 +8894,112 @@ object QueriesExt {
         FROM p JOIN sz x ON p.source_a = x.source
           JOIN sz y ON p.source_b = y.source
         ORDER BY source_a, source_b""")),
+
+    // ── Materialized-aggregate rewrite, oracle-gated (q243) ────────────
+    // The MvRewrite optimizer rule end to end: build a (source, lang)
+    // rollup MV of `documents`, register it, and run the per-source
+    // rollup against the BASE scan — the rule must answer it from the
+    // MV (asserted on the optimized plan, not assumed), and the rows
+    // the rewritten plan computes must match DuckDB aggregating the
+    // base table directly. `localCheckpoint` materializes while the
+    // rule is live, so the dumped rows really come from the MV path.
+    // At 100 TB this plan never touches the fact table: the scan is
+    // |distinct (source, lang)| rows.
+    QueryDef("q243_mv_rollup",
+      (s, dir) => {
+        import graft.plans.MvRewrite
+        // plain parquet read on BOTH sides of the registration: the
+        // rule matches the scan's qualified root path
+        val basePath = s"$dir/documents.parquet"
+        val base = s.read.parquet(basePath)
+        val mvPath = java.nio.file.Files
+          .createTempDirectory("graft_mv_q243").toString + "/docs_mv"
+        base.groupBy("source", "lang")
+          .agg(sum("n_chars").as("sum_chars"),
+            min("n_chars").as("min_chars"),
+            max("n_chars").as("max_chars"),
+            count(lit(1)).as("cnt"))
+          .write.mode("overwrite").parquet(mvPath)
+        MvRewrite.register(basePath, s.read.parquet(mvPath),
+          groupCols = Seq("source", "lang"),
+          sumCols = Map("n_chars" -> "sum_chars"),
+          minCols = Map("n_chars" -> "min_chars"),
+          maxCols = Map("n_chars" -> "max_chars"),
+          countCol = Some("cnt"))
+        val added = s.experimental.synchronized {
+          val absent = !s.experimental.extraOptimizations.contains(MvRewrite)
+          if (absent) s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations :+ MvRewrite
+          absent
+        }
+        s.conf.set(MvRewrite.ConfKey, "true")
+        try {
+          val q = base.groupBy("source")
+            .agg(sum("n_chars").as("sum_chars"), count(lit(1)).as("n_docs"),
+              min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+            .orderBy("source")
+          val scans = q.queryExecution.optimizedPlan.collect {
+            case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+              l.relation match {
+                case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                  fs.location.rootPaths.map(_.toString)
+                case _ => Seq.empty[String]
+              }
+          }.flatten
+          require(scans.nonEmpty && scans.forall(_.contains("docs_mv")),
+            s"q243: the rollup must be answered from the MV scan, got $scans")
+          q.localCheckpoint() // materialize THROUGH the rewritten plan
+        } finally {
+          s.conf.unset(MvRewrite.ConfKey)
+          if (added) s.experimental.synchronized {
+            s.experimental.extraOptimizations =
+              s.experimental.extraOptimizations.filterNot(_ == MvRewrite)
+          }
+          MvRewrite.clear()
+        }
+      },
+      Some("""SELECT source, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+          COUNT(*) AS n_docs, MIN(n_chars) AS min_chars,
+          MAX(n_chars) AS max_chars
+        FROM documents GROUP BY source ORDER BY source""")),
+
+    // ── Small-files compaction plan (q244) ─────────────────────────────
+    // The lakehouse OPTIMIZE planner: bin-pack each partition's files
+    // (here: documents as (source, doc_id, n_chars)) into target-sized
+    // output groups by offset-binning the running byte total — file f
+    // lands in bucket floor(start_offset / target), the deterministic
+    // relational form of sequential packing (a file may straddle, its
+    // successor starts a new bin). One window cumsum per partition +
+    // one aggregation; integers end to end. At 100 TB the input is the
+    // FILE LISTING (one row per file, millions not trillions), the
+    // window key is the storage partition, and the output is the
+    // rewrite job manifest — exactly how table-maintenance services
+    // schedule compaction.
+    QueryDef("q244_compaction_plan",
+      (s, dir) => {
+        val target = 16384L // chars per output group
+        val w = Window.partitionBy("source").orderBy("doc_id")
+        t(s, dir, "documents")
+          .select(col("source"), col("doc_id"), col("n_chars"))
+          .withColumn("cum", sum("n_chars").over(w))
+          .withColumn("bucket",
+            expr(s"(cum - n_chars) div $target"))
+          .groupBy("source", "bucket")
+          .agg(count(lit(1)).as("n_files"),
+            sum("n_chars").as("bytes"),
+            min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+          .filter(col("n_files") > 1) // singleton groups need no rewrite
+          .orderBy("source", "bucket")
+      },
+      Some("""WITH f AS (SELECT source, doc_id, n_chars,
+          CAST(SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cum
+        FROM documents)
+        SELECT source, CAST((cum - n_chars) // 16384 AS BIGINT) AS bucket,
+          COUNT(*) AS n_files, CAST(SUM(n_chars) AS BIGINT) AS bytes,
+          MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        FROM f GROUP BY 1, 2 HAVING COUNT(*) > 1
+        ORDER BY source, bucket""")),
   )
 }

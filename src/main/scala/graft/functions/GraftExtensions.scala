@@ -110,5 +110,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKey.TopKStrategy)
     ext.injectOptimizerRule(_ => graft.plans.WindowTopKRewrite)
     ext.injectOptimizerRule(_ => graft.plans.JoinEliminate)
+    // conf-gated (spark.graft.mvRewrite.enabled, default off) + empty
+    // catalog ⇒ injection is a no-op until a caller opts in
+    ext.injectOptimizerRule(_ => graft.plans.MvRewrite)
   }
 }
