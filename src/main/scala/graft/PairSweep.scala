@@ -134,7 +134,10 @@ object PairSweep {
       val wrongCnt = perCopy.filter(col("count") =!= n01).count()
       val extra = same.join(base01, Seq("ba", "bb"), "left_anti").count()
       Seq(
-        Check("same_copy_counts", nCopies == reps && wrongCnt == 0,
+        // n01 == 0 ⇒ every copy legitimately has zero same-copy pairs,
+        // so ZERO copy groups (not reps) is the consistent outcome
+        Check("same_copy_counts",
+          (if (n01 == 0) nCopies == 0 else nCopies == reps) && wrongCnt == 0,
           s"$nCopies copies seen, $wrongCnt with count != $n01"),
         Check("same_copy_subset", extra == 0,
           s"$extra same-copy pairs absent from the sf0.1 pair set"))
@@ -332,7 +335,7 @@ object PairSweep {
       "q185_semdedup" -> { (_, df) =>
         val total = df.agg(sum("n_members")).head().getLong(0)
         val badPrune = df.filter(
-          col("n_pruned") * 10 < col("n_members") * (reps - 1) ||
+          col("n_pruned") * reps < col("n_members") * (reps - 1) ||
             col("n_pruned") >= col("n_members")).count()
         Seq(Check("membership_total", total == reps * nVecs0,
           s"cells cover $total vectors, expected ${reps * nVecs0}"),

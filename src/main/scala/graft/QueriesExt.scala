@@ -8776,6 +8776,7 @@ object QueriesExt {
           .select(col("doc_id"), explode(graft.functions.NativeExprs
             .wordShingles(TextStats.tokens(col("text")), shingleK,
               distinct = true)).as("shingle"))
+          .localCheckpoint() // min-agg side + join probe side
         val fm = sh.groupBy("shingle").agg(min("doc_id").as("first_doc"))
         sh.join(fm, "shingle")
           .groupBy("doc_id")
@@ -8912,8 +8913,10 @@ object QueriesExt {
         // rule matches the scan's qualified root path
         val basePath = s"$dir/documents.parquet"
         val base = s.read.parquet(basePath)
-        val mvPath = java.nio.file.Files
-          .createTempDirectory("graft_mv_q243").toString + "/docs_mv"
+        // fixed path + overwrite, NOT a fresh temp dir per call: bench
+        // harnesses build this query many times (warmups × rounds) and
+        // per-call temp dirs would accumulate full MV copies in /tmp
+        val mvPath = sys.props("java.io.tmpdir") + "/graft_q243_docs_mv"
         base.groupBy("source", "lang")
           .agg(sum("n_chars").as("sum_chars"),
             min("n_chars").as("min_chars"),

@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Distribution-comparison statistics over event streams: two-sample
   * Kolmogorov–Smirnov, Mann–Whitney U, and chi-square independence.
@@ -69,7 +70,7 @@ object Hypothesis {
     // the prefix sums (observed at sf0.1 on q152's 13k-row histogram).
     val ranged = df.repartitionByRange(partitions, col(orderCol))
       .withColumn("_pid", spark_partition_id())
-      .localCheckpoint()
+      .localCheckpoint(eager = true, StorageLevel.DISK_ONLY)
     val wLoc = Window.partitionBy("_pid").orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = valueCols.foldLeft(ranged) { (d, v) =>
@@ -161,10 +162,13 @@ object Hypothesis {
     // checkpoints each consumer re-runs the raw scan + histogram
     // shuffle as its own job. Both frames are at most one row per
     // (group, distinct value) resp. input row, so the materialization
-    // is bounded by the input size it saves re-reading.
+    // is bounded by the input size it saves re-reading. DISK_ONLY:
+    // checkpoint blocks are non-evictable, and input-sized frames in
+    // storage memory starve execution memory at scale (the q164 sf1.0
+    // UNABLE_TO_ACQUIRE_MEMORY lesson) — re-read IO is the safe price.
     val hist = df.groupBy(col(groupCol), col(valueCol))
       .agg(count(lit(1)).as("_ng"))
-      .localCheckpoint()
+      .localCheckpoint(eager = true, StorageLevel.DISK_ONLY)
     val hc = groupedPrefixSumsByRange(hist, groupCol, valueCol,
       Seq("_ng"), partitions)
     val r2 = hc.select(col(groupCol), col(valueCol),
@@ -172,7 +176,7 @@ object Hypothesis {
         .as("_r2"))
     val rows = df.join(r2, Seq(groupCol, valueCol))
       .withColumn("_one", lit(1L))
-      .localCheckpoint()
+      .localCheckpoint(eager = true, StorageLevel.DISK_ONLY)
     val tc = groupedPrefixSumsByRange(rows, groupCol, orderCol,
       Seq("_one", "_r2"), partitions)
     val tot = hist.groupBy(groupCol).agg(sum("_ng").as("n"))

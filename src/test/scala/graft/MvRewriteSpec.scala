@@ -113,7 +113,9 @@ class MvRewriteSpec extends AnyFunSuite {
        "(coalesced to 0, matching COUNT's contract)") {
     withMv {
       val q = base.agg(count(lit(1)).as("c"))
-      assert(!q.schema("c").nullable || q.head().getLong(0) === 1000L)
+      assert(scansMv(q))
+      assert(!q.schema("c").nullable,
+        "the rewritten COUNT must stay non-nullable (Coalesce to 0)")
       assert(q.head().getLong(0) === 1000L)
     }
   }

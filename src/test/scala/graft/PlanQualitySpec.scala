@@ -427,6 +427,8 @@ class PlanQualitySpec extends AnyFunSuite {
     // tiny 10k-row fixture's data exchange to 1 — at real volume the
     // advisory size keeps it wide. Disable coalescing so the assertion
     // sees the declared 8-way shape, which is what survives scale-up.
+    val prevCoalesce =
+      spark.conf.getOption("spark.sql.adaptive.coalescePartitions.enabled")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     try {
     val df = spark.range(0, 10000)
@@ -456,8 +458,12 @@ class PlanQualitySpec extends AnyFunSuite {
         (col("o") - col("g")) / 7 + 1).count()
     assert(bad === 0, s"$bad rows with wrong grouped prefix sum")
     } finally {
-      spark.conf.set(
-        "spark.sql.adaptive.coalescePartitions.enabled", "true")
+      prevCoalesce match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.adaptive.coalescePartitions.enabled", v)
+        case None => spark.conf.unset(
+          "spark.sql.adaptive.coalescePartitions.enabled")
+      }
     }
   }
 }
