@@ -8937,7 +8937,11 @@ object QueriesExt {
         }
         s.conf.set(MvRewrite.ConfKey, "true")
         try {
-          val q = base.groupBy("source")
+          // the lang predicate reads a GRAIN column, so it commutes
+          // with the rollup and must ride onto the MV scan — the
+          // filtered-dashboard shape, also answered without the base
+          val q = base.filter(col("lang") =!= "zh")
+            .groupBy("source")
             .agg(sum("n_chars").as("sum_chars"), count(lit(1)).as("n_docs"),
               min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
             .orderBy("source")
@@ -8964,7 +8968,8 @@ object QueriesExt {
       Some("""SELECT source, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
           COUNT(*) AS n_docs, MIN(n_chars) AS min_chars,
           MAX(n_chars) AS max_chars
-        FROM documents GROUP BY source ORDER BY source""")),
+        FROM documents WHERE lang <> 'zh'
+        GROUP BY source ORDER BY source""")),
 
     // ── Small-files compaction plan (q244) ─────────────────────────────
     // The lakehouse OPTIMIZE planner: bin-pack each partition's files

@@ -5,9 +5,9 @@ import java.util.concurrent.ConcurrentHashMap
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Coalesce, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Coalesce, Expression, Literal, NamedExpression, PlanExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
@@ -38,8 +38,12 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   *  - the aggregate's child is the REGISTERED base scan — a
   *    `LogicalRelation(HadoopFsRelation)` whose root paths equal the
   *    registration's, optionally under a pruning `Project` of plain
-  *    attributes (the shape column pruning leaves behind). Any Filter
-  *    defeats the rewrite: the MV pre-aggregated unfiltered rows.
+  *    attributes (the shape column pruning leaves behind) and/or
+  *    Filters whose predicates read ONLY grain columns (those drop
+  *    whole grain groups, so they commute with the aggregation and
+  *    ride along onto the MV scan — the classic rollup-with-WHERE
+  *    dashboard query). Any other filter defeats the rewrite: the MV
+  *    pre-aggregated unfiltered rows.
   *  - every grouping expression is a plain base column declared in the
   *    MV's grain; every aggregate is one of the four forms above on a
   *    plain column (no expressions — the MV declared columns, not
@@ -108,17 +112,37 @@ object MvRewrite extends Rule[LogicalPlan] {
     Set(fs.makeQualified(path).toString)
   }
 
-  /** The registered base scan, possibly under a pruning Project. */
-  private def baseMatch(plan: LogicalPlan): Option[MvDef] = plan match {
-    case l: LogicalRelation => l.relation match {
-      case fs: HadoopFsRelation =>
-        Option(catalog.get(fs.location.rootPaths.map(_.toString).toSet))
+  /** The registered base scan, possibly under a pruning Project and/or
+    * Filters. Returns the matched MV plus every peeled filter condition
+    * — the CALLER decides whether those conditions are grain-only (and
+    * so commute with the aggregation) or defeat the rewrite.
+    */
+  private def baseMatch(plan: LogicalPlan): Option[(MvDef, Seq[Expression])] =
+    plan match {
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation =>
+          Option(catalog.get(fs.location.rootPaths.map(_.toString).toSet))
+            .map(mv => (mv, Nil))
+        case _ => None
+      }
+      case Project(pl, child)
+          if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        baseMatch(child)
+      case Filter(cond, child) =>
+        baseMatch(child).map { case (mv, cs) => (mv, cond +: cs) }
       case _ => None
     }
-    case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
-      baseMatch(child)
-    case _ => None
-  }
+
+  /** A peeled filter commutes with the aggregation iff it only reads
+    * grain columns (it then drops whole grain groups, before or after
+    * aggregating — same thing), deterministically, with no subquery.
+    */
+  private def grainOnly(mv: MvDef, cond: Expression): Boolean =
+    cond.deterministic &&
+      !cond.exists(_.isInstanceOf[PlanExpression[_]]) &&
+      cond.references.forall(a =>
+        mv.groupCols.contains(a.name) &&
+          mvAttr(mv, a.name).dataType == a.dataType)
 
   private def mvAttr(mv: MvDef, name: String): Attribute =
     mv.mvPlan.output.find(_.name == name).get
@@ -175,23 +199,31 @@ object MvRewrite extends Rule[LogicalPlan] {
     plan.transformUp {
       case agg @ Aggregate(groupExprs, resultExprs, child, _) =>
         baseMatch(child) match {
-          case Some(mv)
-              if groupExprs.forall {
-                case a: AttributeReference =>
-                  // exact type match required: the group attribute is
-                  // re-pointed at the MV column under the SAME exprId,
-                  // so a type drift would corrupt parent bindings
-                  mv.groupCols.contains(a.name) &&
-                    mvAttr(mv, a.name).dataType == a.dataType
-                case _ => false
-              } =>
+          case Some((mv, conds))
+              if conds.forall(grainOnly(mv, _)) &&
+                groupExprs.forall {
+                  case a: AttributeReference =>
+                    // exact type match required: the group attribute is
+                    // re-pointed at the MV column under the SAME exprId,
+                    // so a type drift would corrupt parent bindings
+                    mv.groupCols.contains(a.name) &&
+                      mvAttr(mv, a.name).dataType == a.dataType
+                  case _ => false
+                } =>
             val groups = groupExprs.collect {
               case a: AttributeReference => (a: Attribute) -> mvAttr(mv, a.name)
             }.toMap
             val rewritten = resultExprs.map(rewriteExpr(_, mv, groups))
-            if (rewritten.forall(_.isDefined))
-              Aggregate(groups.values.toSeq, rewritten.map(_.get), mv.mvPlan)
-            else agg
+            if (rewritten.forall(_.isDefined)) {
+              // grain-only predicates ride along, re-pointed at the MV's
+              // columns (by NAME — the exprIds differ)
+              val newChild =
+                if (conds.isEmpty) mv.mvPlan
+                else Filter(conds.reduce(And).transform {
+                  case a: AttributeReference => mvAttr(mv, a.name)
+                }, mv.mvPlan)
+              Aggregate(groups.values.toSeq, rewritten.map(_.get), newChild)
+            } else agg
           case _ => agg
         }
     }

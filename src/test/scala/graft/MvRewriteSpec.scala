@@ -120,12 +120,38 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("a grain-column WHERE commutes with the aggregation and rides " +
+       "onto the MV scan; results and types are unchanged") {
+    def q(df: DataFrame): DataFrame = df
+      .filter(col("day") >= 3 && col("region") =!= "r0")
+      .groupBy("region")
+      .agg(sum("qty").as("s"), sum("amount").as("sa"), count(lit(1)).as("c"))
+    val expect = q(base)
+    val expectRows = expect.collect().map(_.toSeq).toSet
+    val expectSchema = expect.schema
+    withMv {
+      val r = q(base)
+      assert(scansMv(r), "grain-only predicates must not defeat the " +
+        "rewrite:\n" + r.queryExecution.optimizedPlan)
+      assert(r.schema === expectSchema)
+      assert(r.collect().map(_.toSeq).toSet === expectRows)
+      // filter that empties a group entirely: the group must vanish,
+      // exactly as it would aggregating the base
+      val none = base.filter(col("day") > 999)
+        .groupBy("region").agg(count(lit(1)).as("c"))
+      assert(scansMv(none))
+      assert(none.count() === 0L)
+    }
+  }
+
   test("scope guards decline: filter, non-grain group, AVG, DISTINCT, " +
        "expression argument, and conf off") {
     withMv {
       val filtered = base.filter(col("qty") > 10)
         .groupBy("region").agg(sum("qty").as("s"))
-      assert(!scansMv(filtered), "the MV pre-aggregated unfiltered rows")
+      assert(!scansMv(filtered),
+        "a MEASURE-column filter must defeat the rewrite: the MV " +
+          "pre-aggregated unfiltered rows")
 
       val wrongGrain = base.groupBy("qty").agg(count(lit(1)).as("c"))
       assert(!scansMv(wrongGrain), "qty is not in the MV grain")
