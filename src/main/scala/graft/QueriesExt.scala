@@ -8971,6 +8971,70 @@ object QueriesExt {
         FROM documents WHERE lang <> 'zh'
         GROUP BY source ORDER BY source""")),
 
+    // ── Mean reciprocal rank @10 (q245) ────────────────────────────────
+    // The retrieval-eval metric next to nDCG (q209), same framing: per
+    // source, docs ranked by the hash-derived model score m, relevant
+    // when the quality score clears 0.5. first_rank = the first
+    // relevant position within the top 10 (0 = none), rr = 1/first_rank
+    // as a PRECOMPUTED 12-dp decimal literal — like q209's discounts,
+    // the lookup table replaces a runtime division, so there is no
+    // float-division parity surface at all. Collapse-then-compute: the
+    // per-source top-10 rides the TopKPerKey heap (never a global
+    // sort), and all arithmetic happens on O(|sources|) rows.
+    QueryDef("q245_mrr",
+      (s, dir) => {
+        val rr = Seq("1.000000000000", "0.500000000000",
+          "0.333333333333", "0.250000000000", "0.200000000000",
+          "0.166666666667", "0.142857142857", "0.125000000000",
+          "0.111111111111", "0.100000000000")
+        val d = tPar(s, dir, "documents").select(
+          col("source"), col("doc_id"),
+          (Shingles.baseHash(col("text")) % 999).as("m"),
+          when(TextStats.qualityScore(col("text"), stopwords) >= 0.5,
+            1L).otherwise(0L).as("y"))
+        val top = graft.plans.TopKPerKey.topKPerKey(d, Seq("source"),
+          Seq(graft.plans.TopKPerKey.Sort("m", asc = false),
+            graft.plans.TopKPerKey.Sort("doc_id")), 10)
+        val first = top.filter(col("y") === 1)
+          .groupBy("source").agg(min(col("rank")).as("first_rank"))
+        val rrAt = rr.zipWithIndex.tail.foldLeft(
+          when(col("first_rank") === 1,
+            expr(s"CAST(${rr.head} AS DECIMAL(14,12))"))) {
+          case (acc, (v, i)) => acc.when(col("first_rank") === i + 1,
+            expr(s"CAST($v AS DECIMAL(14,12))"))
+        }
+        d.select("source").distinct()
+          .join(first, Seq("source"), "left")
+          .select(col("source"),
+            coalesce(col("first_rank"), lit(0L)).cast("long")
+              .as("first_rank"),
+            coalesce(rrAt.cast("double"), lit(0.0)).as("rr"))
+          .orderBy("source")
+      },
+      Some {
+        val rrCase = Seq("1.000000000000", "0.500000000000",
+          "0.333333333333", "0.250000000000", "0.200000000000",
+          "0.166666666667", "0.142857142857", "0.125000000000",
+          "0.111111111111", "0.100000000000").zipWithIndex.map {
+          case (v, i) => s"WHEN ${i + 1} THEN CAST($v AS DECIMAL(14,12))"
+        }.mkString("CASE first_rank ", " ", " END")
+        s"""WITH d AS (SELECT source, doc_id,
+            ('0x' || substr(md5(text), 1, 7))::BIGINT % 999 AS m,
+            CASE WHEN $dQualityExpr >= 0.5 THEN 1 ELSE 0 END AS y
+          FROM documents),
+        ranked AS (SELECT source, y, row_number() OVER (
+            PARTITION BY source ORDER BY m DESC, doc_id) AS rank
+          FROM d),
+        first AS (SELECT source, MIN(rank) AS first_rank
+          FROM ranked WHERE rank <= 10 AND y = 1 GROUP BY source)
+        SELECT d.source,
+          CAST(COALESCE(first_rank, 0) AS BIGINT) AS first_rank,
+          COALESCE(CAST($rrCase AS DOUBLE), 0.0) AS rr
+        FROM (SELECT DISTINCT source FROM d) d
+          LEFT JOIN first ON d.source = first.source
+        ORDER BY d.source"""
+      }),
+
     // ── Small-files compaction plan (q244) ─────────────────────────────
     // The lakehouse OPTIMIZE planner: bin-pack each partition's files
     // (here: documents as (source, doc_id, n_chars)) into target-sized
