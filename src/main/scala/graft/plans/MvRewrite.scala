@@ -76,11 +76,17 @@ object MvRewrite extends Rule[LogicalPlan] {
                          maxCols: Map[String, String],
                          countCol: Option[String])
 
-  private val catalog = new ConcurrentHashMap[Set[String], MvDef]()
+  /** Several MVs may be registered per base (e.g. a daily grain and a
+    * (region, day) grain); the rule picks the COARSEST one that still
+    * covers the query — fewest grain columns ⇒ fewest rows to re-
+    * aggregate, the standard navigational aggregate selection.
+    */
+  private val catalog = new ConcurrentHashMap[Set[String], List[MvDef]]()
 
   /** Declare `mv` as the (groupCols, sums/mins/maxs/count) rollup of the
-    * base table at `basePath`. The MV's correctness is the caller's
-    * promise — the rule checks shapes, not data.
+    * base table at `basePath` — additive: earlier registrations for the
+    * same base stay and compete on coverage. The MV's correctness is
+    * the caller's promise — the rule checks shapes, not data.
     */
   def register(basePath: String, mv: DataFrame, groupCols: Seq[String],
                sumCols: Map[String, String] = Map.empty,
@@ -93,8 +99,9 @@ object MvRewrite extends Rule[LogicalPlan] {
       maxCols.values ++ countCol
     val missing = need -- have
     require(missing.isEmpty, s"MV lacks declared columns: $missing")
-    catalog.put(rootKey(basePath, mv.sparkSession),
-      MvDef(plan, groupCols.toSet, sumCols, minCols, maxCols, countCol))
+    val d = MvDef(plan, groupCols.toSet, sumCols, minCols, maxCols, countCol)
+    catalog.merge(rootKey(basePath, mv.sparkSession), List(d),
+      (old, one) => one ::: old)
   }
 
   /** Drop every registration (tests). */
@@ -117,19 +124,20 @@ object MvRewrite extends Rule[LogicalPlan] {
     * — the CALLER decides whether those conditions are grain-only (and
     * so commute with the aggregation) or defeat the rewrite.
     */
-  private def baseMatch(plan: LogicalPlan): Option[(MvDef, Seq[Expression])] =
+  private def baseMatch(plan: LogicalPlan)
+      : Option[(List[MvDef], Seq[Expression])] =
     plan match {
       case l: LogicalRelation => l.relation match {
         case fs: HadoopFsRelation =>
           Option(catalog.get(fs.location.rootPaths.map(_.toString).toSet))
-            .map(mv => (mv, Nil))
+            .map(mvs => (mvs, Nil))
         case _ => None
       }
       case Project(pl, child)
           if pl.forall(_.isInstanceOf[AttributeReference]) =>
         baseMatch(child)
       case Filter(cond, child) =>
-        baseMatch(child).map { case (mv, cs) => (mv, cond +: cs) }
+        baseMatch(child).map { case (mvs, cs) => (mvs, cond +: cs) }
       case _ => None
     }
 
@@ -199,33 +207,46 @@ object MvRewrite extends Rule[LogicalPlan] {
     plan.transformUp {
       case agg @ Aggregate(groupExprs, resultExprs, child, _) =>
         baseMatch(child) match {
-          case Some((mv, conds))
-              if conds.forall(grainOnly(mv, _)) &&
-                groupExprs.forall {
-                  case a: AttributeReference =>
-                    // exact type match required: the group attribute is
-                    // re-pointed at the MV column under the SAME exprId,
-                    // so a type drift would corrupt parent bindings
-                    mv.groupCols.contains(a.name) &&
-                      mvAttr(mv, a.name).dataType == a.dataType
-                  case _ => false
-                } =>
-            val groups = groupExprs.collect {
-              case a: AttributeReference => (a: Attribute) -> mvAttr(mv, a.name)
-            }.toMap
-            val rewritten = resultExprs.map(rewriteExpr(_, mv, groups))
-            if (rewritten.forall(_.isDefined)) {
-              // grain-only predicates ride along, re-pointed at the MV's
-              // columns (by NAME — the exprIds differ)
-              val newChild =
-                if (conds.isEmpty) mv.mvPlan
-                else Filter(conds.reduce(And).transform {
-                  case a: AttributeReference => mvAttr(mv, a.name)
-                }, mv.mvPlan)
-              Aggregate(groups.values.toSeq, rewritten.map(_.get), newChild)
-            } else agg
+          case Some((mvs, conds)) =>
+            // coarsest covering MV wins: fewest grain columns ⇒ fewest
+            // rows to re-aggregate (ties: most recent registration)
+            mvs.sortBy(_.groupCols.size).iterator
+              .map(tryRewrite(_, groupExprs, resultExprs, conds))
+              .collectFirst { case Some(r) => r }
+              .getOrElse(agg)
           case _ => agg
         }
     }
+  }
+
+  /** Attempt the rewrite against ONE candidate MV; None if any guard
+    * declines (non-grain group/filter column, uncoverable aggregate).
+    */
+  private def tryRewrite(mv: MvDef, groupExprs: Seq[Expression],
+                         resultExprs: Seq[NamedExpression],
+                         conds: Seq[Expression]): Option[LogicalPlan] = {
+    val grouped = groupExprs.forall {
+      case a: AttributeReference =>
+        // exact type match required: the group attribute is re-pointed
+        // at the MV column under the SAME exprId, so a type drift
+        // would corrupt parent bindings
+        mv.groupCols.contains(a.name) &&
+          mvAttr(mv, a.name).dataType == a.dataType
+      case _ => false
+    }
+    if (!grouped || !conds.forall(grainOnly(mv, _))) return None
+    val groups = groupExprs.collect {
+      case a: AttributeReference => (a: Attribute) -> mvAttr(mv, a.name)
+    }.toMap
+    val rewritten = resultExprs.map(rewriteExpr(_, mv, groups))
+    if (!rewritten.forall(_.isDefined)) return None
+    // grain-only predicates ride along, re-pointed at the MV's
+    // columns (by NAME — the exprIds differ)
+    val newChild =
+      if (conds.isEmpty) mv.mvPlan
+      else Filter(conds.reduce(And).transform {
+        case a: AttributeReference => mvAttr(mv, a.name)
+      }, mv.mvPlan)
+    Some(Aggregate(groups.values.toSeq, rewritten.map(_.get), newChild))
   }
 }

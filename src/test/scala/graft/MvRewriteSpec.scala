@@ -183,6 +183,46 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("with several registered MVs the COARSEST covering grain wins, " +
+       "and queries it cannot cover fall back to the finer one") {
+    val coarseDir = baseDir + "_region_mv" // "_mv" suffix keeps scansMv honest
+    spark.read.parquet(baseDir)
+      .groupBy("region")
+      .agg(sum("qty").as("sum_qty"), count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(coarseDir)
+    def mvPaths(df: DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Seq.empty[String]
+          }
+      }.flatten
+    withMv { // registers the (region, day) MV
+      MvRewrite.register(baseDir, spark.read.parquet(coarseDir),
+        groupCols = Seq("region"),
+        sumCols = Map("qty" -> "sum_qty"), countCol = Some("cnt"))
+      val regional = base.groupBy("region")
+        .agg(sum("qty").as("s"), count(lit(1)).as("c"))
+      assert(mvPaths(regional).forall(_.contains("_region_mv")),
+        s"region rollup must pick the coarser MV: ${mvPaths(regional)}")
+      assert(regional.collect().map(_.toSeq).toSet ===
+        base.groupBy("region").agg(sum("qty").as("s"),
+          count(lit(1)).as("c")).collect().map(_.toSeq).toSet)
+      // day filter is outside the coarse grain -> the finer MV serves it
+      val daily = base.filter(col("day") === 4)
+        .groupBy("region").agg(sum("qty").as("s"))
+      val dp = mvPaths(daily)
+      assert(dp.nonEmpty && dp.forall(p =>
+        p.contains("fact_mv") && !p.contains("_region_mv")),
+        s"day-filtered rollup must fall back to the (region, day) MV: $dp")
+      // min/max are not declared on the coarse MV -> finer MV serves
+      val mm = base.groupBy("region").agg(min("qty").as("mn"))
+      assert(mvPaths(mm).forall(_.contains("fact_mv")))
+    }
+  }
+
   test("registration validates declared MV columns") {
     val e = intercept[IllegalArgumentException] {
       MvRewrite.register(baseDir, spark.read.parquet(mvDir),
