@@ -9035,6 +9035,101 @@ object QueriesExt {
         ORDER BY d.source"""
       }),
 
+    // ── HLL intersection via inclusion-exclusion (q246) ────────────────
+    // The canonical mergeable-sketch caveat op: HLL unions exactly
+    // (register max) but intersections only by |A∩B| ≈ est(A) + est(B)
+    // − est(A∪B). Per event-type pair: both marginals, the pair-union
+    // estimate from bucket-wise max registers, the inclusion-exclusion
+    // intersection, and the exact overlap for error accounting. Every
+    // frame after the register build is O(|types|·64) resp.
+    // O(users × C(|types|,2)) — the q236 bounded-projection shape; the
+    // raw events are scanned once per side, never per pair. Float
+    // parity: register ranks are integers, 2^-m sums are exact dyadic
+    // rationals (common denominator 2^-43, no rounding), so the single
+    // division and the a+b−u chain are bit-identical cross-engine.
+    QueryDef("q246_hll_intersect",
+      (s, dir) => {
+        import graft.ext.Sketches
+        val ut = t(s, dir, "events")
+          .select(col("event_type"), col("user_id")).distinct()
+          .localCheckpoint() // register build + exact-overlap sides
+        val reg = Sketches.hllRegisters(ut, Seq("event_type"),
+          col("user_id").cast("string")).localCheckpoint() // |types|x64
+        val est = Sketches.hllEstimate(reg, Seq("event_type"))
+        val types = reg.select(col("event_type").as("t2")).distinct()
+        val left = reg.join(types, col("event_type") < col("t2"))
+          .select(col("event_type").as("type_a"), col("t2").as("type_b"),
+            col("__bucket"), col("__m"))
+        val right = reg.join(types, col("t2") < col("event_type"))
+          .select(col("t2").as("type_a"), col("event_type").as("type_b"),
+            col("__bucket"), col("__m"))
+        val uest = Sketches.hllEstimate(
+          left.union(right)
+            .groupBy("type_a", "type_b", "__bucket")
+            .agg(max("__m").as("__m")),
+          Seq("type_a", "type_b"))
+          .withColumnRenamed("hll_est", "est_union")
+        val exact = ut.as("x").join(ut.as("y"),
+            col("x.user_id") === col("y.user_id") &&
+              col("x.event_type") < col("y.event_type"))
+          .groupBy(col("x.event_type").as("type_a"),
+            col("y.event_type").as("type_b"))
+          .agg(count(lit(1)).as("exact_common"))
+        uest
+          .join(est.select(col("event_type").as("type_a"),
+            col("hll_est").as("est_a")), "type_a")
+          .join(est.select(col("event_type").as("type_b"),
+            col("hll_est").as("est_b")), "type_b")
+          .join(exact, Seq("type_a", "type_b"))
+          .select(col("type_a"), col("type_b"), col("exact_common"),
+            col("est_a"), col("est_b"), col("est_union"),
+            (col("est_a") + col("est_b") - col("est_union"))
+              .as("est_intersect"))
+          .orderBy("type_a", "type_b")
+      },
+      Some("""WITH ev AS (SELECT DISTINCT event_type, user_id FROM events),
+        h AS (SELECT event_type,
+            ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT
+              AS h FROM ev),
+        r AS (SELECT event_type, h // 4398046511104 AS bucket,
+            h % 4398046511104 AS rest FROM h),
+        reg AS (SELECT event_type, bucket,
+            MAX(CASE WHEN rest = 0 THEN 43
+                ELSE 43 - len(bin(rest)) END) AS m
+          FROM r GROUP BY 1, 2),
+        est AS (SELECT event_type,
+            0.709 * 64.0 * 64.0 /
+              ((64 - COUNT(*)) * 1.0 + SUM(pow(2.0, -m))) AS e
+          FROM reg GROUP BY 1),
+        types AS (SELECT DISTINCT event_type FROM reg),
+        pairsrc AS (
+          SELECT r.event_type AS type_a, t.event_type AS type_b,
+            r.bucket, r.m
+          FROM reg r JOIN types t ON r.event_type < t.event_type
+          UNION ALL
+          SELECT t.event_type AS type_a, r.event_type AS type_b,
+            r.bucket, r.m
+          FROM reg r JOIN types t ON t.event_type < r.event_type),
+        ureg AS (SELECT type_a, type_b, bucket, MAX(m) AS m
+          FROM pairsrc GROUP BY 1, 2, 3),
+        uest AS (SELECT type_a, type_b,
+            0.709 * 64.0 * 64.0 /
+              ((64 - COUNT(*)) * 1.0 + SUM(pow(2.0, -m))) AS est_union
+          FROM ureg GROUP BY 1, 2),
+        exact AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
+            COUNT(*) AS exact_common
+          FROM ev x JOIN ev y ON x.user_id = y.user_id
+            AND x.event_type < y.event_type
+          GROUP BY 1, 2)
+        SELECT u.type_a, u.type_b, exact_common,
+          ea.e AS est_a, eb.e AS est_b, est_union,
+          ea.e + eb.e - est_union AS est_intersect
+        FROM uest u
+          JOIN est ea ON u.type_a = ea.event_type
+          JOIN est eb ON u.type_b = eb.event_type
+          JOIN exact x ON u.type_a = x.type_a AND u.type_b = x.type_b
+        ORDER BY u.type_a, u.type_b""")),
+
     // ── Small-files compaction plan (q244) ─────────────────────────────
     // The lakehouse OPTIMIZE planner: bin-pack each partition's files
     // (here: documents as (source, doc_id, n_chars)) into target-sized
