@@ -9035,6 +9035,63 @@ object QueriesExt {
         ORDER BY d.source"""
       }),
 
+    // ── Empirical-Bayes rate shrinkage (q247) ──────────────────────────
+    // The shrunken-CTR estimator every ranking/ads stack runs: per-user
+    // purchase conversion x/n is noisy at small n, so fit a beta prior
+    // by method of moments over users with n ≥ 5 (m1 = E[r],
+    // v = E[r²] − m1²; α = m1(m1(1−m1)/v − 1), β = α(1−m1)/m1) and
+    // report the posterior-mean rate (x+α)/(n+α+β) — small-n users pull
+    // toward the prior, high-n users keep their data. Collapse-then-
+    // compute: one per-user aggregation, O(1) moment row broadcast back,
+    // top-20 on a TakeOrdered heap. Float parity: moments ride the
+    // decimal-sum davg discipline; every later step is the same literal
+    // expression chain on both engines.
+    QueryDef("q247_eb_shrinkage",
+      (s, dir) => {
+        val perUser = t(s, dir, "events").groupBy("user_id")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("x"))
+          .localCheckpoint() // moments side + shrinkage side
+        val r = perUser.filter(col("n") >= 5)
+          .select((col("x").cast("double") / col("n").cast("double"))
+            .as("r"))
+        val mom = r.agg(davg(col("r")).as("m1"),
+            davg(col("r") * col("r")).as("m2"))
+          .select(col("m1"), (col("m2") - col("m1") * col("m1")).as("v"))
+          .select(col("m1"), col("v"),
+            (col("m1") * (col("m1") * (lit(1.0) - col("m1")) / col("v") -
+              lit(1.0))).as("alpha"))
+          .select(col("m1"), col("alpha"),
+            (col("alpha") * (lit(1.0) - col("m1")) / col("m1")).as("beta"))
+        perUser.crossJoin(broadcast(mom))
+          .select(col("user_id"), col("n"), col("x"),
+            (col("x").cast("double") / col("n").cast("double"))
+              .as("raw_rate"),
+            ((col("x") + col("alpha")) /
+              (col("n") + col("alpha") + col("beta"))).as("shrunk_rate"))
+          .orderBy(col("shrunk_rate").desc, col("user_id"))
+          .limit(20)
+      },
+      Some(s"""WITH pu AS (SELECT user_id, COUNT(*) AS n,
+            CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x
+          FROM events GROUP BY 1),
+        rr AS (SELECT CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS r
+          FROM pu WHERE n >= 5),
+        mom0 AS (SELECT ${dsumSql("r")} / COUNT(r) AS m1,
+            ${dsumSql("r*r")} / COUNT(r) AS m2 FROM rr),
+        mom1 AS (SELECT m1, m2 - m1 * m1 AS v FROM mom0),
+        mom2 AS (SELECT m1, v,
+            m1 * (m1 * (1.0 - m1) / v - 1.0) AS alpha FROM mom1),
+        mom AS (SELECT m1, alpha,
+            alpha * (1.0 - m1) / m1 AS beta FROM mom2)
+        SELECT user_id, n, x,
+          CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS raw_rate,
+          (x + alpha) / (n + alpha + beta) AS shrunk_rate
+        FROM pu CROSS JOIN mom
+        ORDER BY shrunk_rate DESC, user_id LIMIT 20""")),
+
     // ── HLL intersection via inclusion-exclusion (q246) ────────────────
     // The canonical mergeable-sketch caveat op: HLL unions exactly
     // (register max) but intersections only by |A∩B| ≈ est(A) + est(B)
