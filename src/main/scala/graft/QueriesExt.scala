@@ -9035,6 +9035,182 @@ object QueriesExt {
         ORDER BY d.source"""
       }),
 
+    // ── CUPED variance reduction (q249) ────────────────────────────────
+    // The experimentation-platform estimator (Deng et al., WSDM'13):
+    // adjust each user's post-period metric Y by their PRE-period
+    // activity X — Y_cuped = Y − θ(X − E[X]), θ = cov(X,Y)/var(X) —
+    // shrinking metric variance by exactly ρ² without biasing the
+    // treatment contrast (X predates assignment). Pre/post split at
+    // the integer midpoint day; arms are the q222 user-level hash
+    // split. Collapse-then-compute: one per-user conditional
+    // aggregation, pooled second moments as exact BIGINT sums, O(1)
+    // rows after that. Float parity: θ, means, and the adjusted means
+    // are the same literal chains of double divisions over exact
+    // integers on both engines; ρ² squares one exact difference.
+    QueryDef("q249_cuped",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+        // `div`, not `/`+cast: Column./ is double division and the
+        // long cast TRUNCATES where DuckDB's CAST rounds — on an odd
+        // min+max the two engines would split on different days
+        val split = ev.agg(min("day").as("mind"), max("day").as("maxd"))
+          .select(expr("(mind + maxd) div 2").as("split"))
+        val per = ev.crossJoin(broadcast(split))
+          .groupBy("user_id")
+          .agg(sum(when(col("day") < col("split"), 1L).otherwise(0L))
+            .as("x"),
+            sum(when(col("day") >= col("split") &&
+              col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("y"))
+          .select((Shingles.baseHash(col("user_id").cast("string")) % 2)
+            .as("arm"), col("x"), col("y"))
+          .localCheckpoint() // pooled-moments side + per-arm side
+        val pooled = per.agg(count(lit(1)).as("n"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+          .select(
+            (col("n") * col("sxy") - col("sx") * col("sy")).as("covn"),
+            (col("n") * col("sxx") - col("sx") * col("sx")).as("varxn"),
+            (col("n") * col("syy") - col("sy") * col("sy")).as("varyn"),
+            (col("sx").cast("double") / col("n").cast("double"))
+              .as("mean_x_pool"))
+          .select(
+            (col("covn").cast("double") / col("varxn").cast("double"))
+              .as("theta"),
+            ((col("covn").cast("double") * col("covn").cast("double")) /
+              (col("varxn").cast("double") * col("varyn").cast("double")))
+              .as("rho2"),
+            col("mean_x_pool"))
+        per.groupBy("arm")
+          .agg(count(lit(1)).as("n_users"),
+            sum("x").as("sxa"), sum("y").as("sya"))
+          .crossJoin(broadcast(pooled))
+          .select(col("arm"), col("n_users"),
+            (col("sxa").cast("double") / col("n_users").cast("double"))
+              .as("mean_x"),
+            (col("sya").cast("double") / col("n_users").cast("double"))
+              .as("mean_y"),
+            ((col("sya").cast("double") / col("n_users").cast("double")) -
+              col("theta") *
+              ((col("sxa").cast("double") / col("n_users").cast("double"))
+                - col("mean_x_pool"))).as("mean_y_cuped"),
+            col("theta"), col("rho2"))
+          .orderBy("arm")
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type,
+            epoch_us(ts) // 86400000000 AS day FROM events),
+        sp AS (SELECT (MIN(day) + MAX(day)) // 2 AS split FROM ev),
+        per AS (SELECT
+            ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 7))::BIGINT
+              % 2 AS arm,
+            CAST(SUM(CASE WHEN day < split THEN 1 ELSE 0 END) AS BIGINT)
+              AS x,
+            CAST(SUM(CASE WHEN day >= split AND event_type = 'purchase'
+              THEN 1 ELSE 0 END) AS BIGINT) AS y
+          FROM ev CROSS JOIN sp GROUP BY user_id),
+        mom AS (SELECT COUNT(*) AS n,
+            CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+            CAST(SUM(x * y) AS BIGINT) AS sxy,
+            CAST(SUM(x * x) AS BIGINT) AS sxx,
+            CAST(SUM(y * y) AS BIGINT) AS syy FROM per),
+        pooled AS (SELECT
+            CAST(n * sxy - sx * sy AS DOUBLE) /
+              CAST(n * sxx - sx * sx AS DOUBLE) AS theta,
+            (CAST(n * sxy - sx * sy AS DOUBLE) *
+             CAST(n * sxy - sx * sy AS DOUBLE)) /
+              (CAST(n * sxx - sx * sx AS DOUBLE) *
+               CAST(n * syy - sy * sy AS DOUBLE)) AS rho2,
+            CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_x_pool
+          FROM mom),
+        arms AS (SELECT arm, COUNT(*) AS n_users,
+            CAST(SUM(x) AS BIGINT) AS sxa, CAST(SUM(y) AS BIGINT) AS sya
+          FROM per GROUP BY arm)
+        SELECT arm, n_users,
+          CAST(sxa AS DOUBLE) / CAST(n_users AS DOUBLE) AS mean_x,
+          CAST(sya AS DOUBLE) / CAST(n_users AS DOUBLE) AS mean_y,
+          (CAST(sya AS DOUBLE) / CAST(n_users AS DOUBLE)) - theta *
+            ((CAST(sxa AS DOUBLE) / CAST(n_users AS DOUBLE))
+              - mean_x_pool) AS mean_y_cuped,
+          theta, rho2
+        FROM arms CROSS JOIN pooled ORDER BY arm""")),
+
+    // ── Cross-correlation lead-lag matrix (q248) ───────────────────────
+    // "Does view traffic LEAD purchases?" — Pearson between two event
+    // types' daily counts at every lag in ±3 days, for every type pair.
+    // Collapse-then-compute: the raw stream reduces to |types|×|days|
+    // daily counts ONCE; the lag join is (bounded pairs) × (7 lags) on
+    // the day key, and the correlation is assembled from integer sums
+    // (n, Σx, Σy, Σxy, Σx², Σy² — exact in BIGINT at this scale; a
+    // 100 TB deployment would widen the Σ products to DECIMAL(38,0))
+    // with one double division over a product of IEEE sqrts — both
+    // engines evaluate the identical exact operands, so the doubles
+    // match bitwise. Zero-variance and short-overlap series are gated
+    // out by integer predicates. Days observed for only one of the two
+    // types drop out of that pair's overlap (inner join by design).
+    QueryDef("q248_xcorr_leadlag",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .select(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .groupBy("event_type", "day")
+          .agg(count(lit(1)).as("c"))
+          .localCheckpoint() // both sides of every lag join
+        val lags = s.range(-3, 4).select(col("id").as("lag"))
+        val a = daily.select(col("event_type").as("type_a"),
+          col("day"), col("c").as("x"))
+        val b = daily.select(col("event_type").as("type_b"),
+          col("day").as("day_b"), col("c").as("y"))
+        a.crossJoin(broadcast(lags))
+          .join(b, col("day_b") === col("day") + col("lag") &&
+            col("type_a") < col("type_b"))
+          .groupBy("type_a", "type_b", "lag")
+          .agg(count(lit(1)).as("n_days"),
+            sum("x").as("sx"), sum("y").as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+          .filter(col("n_days") >= 10 &&
+            col("n_days") * col("sxx") > col("sx") * col("sx") &&
+            col("n_days") * col("syy") > col("sy") * col("sy"))
+          .select(col("type_a"), col("type_b"), col("lag"), col("n_days"),
+            ((col("n_days") * col("sxy") - col("sx") * col("sy"))
+              .cast("double") /
+              (sqrt((col("n_days") * col("sxx") - col("sx") * col("sx"))
+                .cast("double")) *
+               sqrt((col("n_days") * col("syy") - col("sy") * col("sy"))
+                 .cast("double")))).as("xcorr"))
+          .orderBy("type_a", "type_b", "lag")
+      },
+      Some("""WITH daily AS (SELECT event_type,
+            epoch_us(ts) // 86400000000 AS day,
+            CAST(COUNT(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2),
+        lags AS (SELECT CAST(l AS BIGINT) AS lag
+          FROM unnest([-3, -2, -1, 0, 1, 2, 3]) AS t(l)),
+        m AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+            lag, a.c AS x, b.c AS y
+          FROM daily a CROSS JOIN lags
+            JOIN daily b ON b.day = a.day + lag
+              AND a.event_type < b.event_type),
+        agg AS (SELECT type_a, type_b, lag, COUNT(*) AS n_days,
+            CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+            CAST(SUM(x * y) AS BIGINT) AS sxy,
+            CAST(SUM(x * x) AS BIGINT) AS sxx,
+            CAST(SUM(y * y) AS BIGINT) AS syy
+          FROM m GROUP BY 1, 2, 3)
+        SELECT type_a, type_b, lag, n_days,
+          CAST(n_days * sxy - sx * sy AS DOUBLE) /
+            (sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE)) *
+             sqrt(CAST(n_days * syy - sy * sy AS DOUBLE))) AS xcorr
+        FROM agg
+        WHERE n_days >= 10 AND n_days * sxx > sx * sx
+          AND n_days * syy > sy * sy
+        ORDER BY type_a, type_b, lag""")),
+
     // ── Empirical-Bayes rate shrinkage (q247) ──────────────────────────
     // The shrunken-CTR estimator every ranking/ads stack runs: per-user
     // purchase conversion x/n is noisy at small n, so fit a beta prior
