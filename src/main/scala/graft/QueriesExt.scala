@@ -9035,6 +9035,114 @@ object QueriesExt {
         ORDER BY d.source"""
       }),
 
+    // ── Column-profile drift report (q250) ─────────────────────────────
+    // Profiling-tool drift detection (the whylogs/deequ report): for
+    // each monitored column, compare its first-half vs second-half
+    // profile — row count, null count, exact distinct count — and emit
+    // null-rate delta and the distinct-count ratio. ONE pass over the
+    // stream: per-half distinct counts are conditional
+    // COUNT(DISTINCT CASE ...) aggregates (Catalyst's Expand handles
+    // the 6 distinct branches map-side), then the single profile row
+    // fans out to one row per column via an exploded struct array —
+    // no per-column rescans. All counts are exact integers; the two
+    // derived doubles are single divisions of exact operands.
+    QueryDef("q250_profile_drift",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("value"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+        val split = ev.agg(min("day").as("mind"), max("day").as("maxd"))
+          .select(expr("(mind + maxd) div 2").as("split"))
+        def half(a: Boolean) =
+          if (a) col("day") < col("split") else col("day") >= col("split")
+        def cnt(a: Boolean) = sum(when(half(a), 1L).otherwise(0L))
+        def nulls(c: String, a: Boolean) =
+          sum(when(half(a) && col(c).isNull, 1L).otherwise(0L))
+        def dist(c: String, a: Boolean) =
+          countDistinct(when(half(a), col(c)))
+        val prof = ev.crossJoin(broadcast(split)).agg(
+          cnt(true).as("n_a"), cnt(false).as("n_b"),
+          nulls("user_id", true).as("nu_a"),
+          nulls("user_id", false).as("nu_b"),
+          dist("user_id", true).as("du_a"),
+          dist("user_id", false).as("du_b"),
+          nulls("event_type", true).as("nt_a"),
+          nulls("event_type", false).as("nt_b"),
+          dist("event_type", true).as("dt_a"),
+          dist("event_type", false).as("dt_b"),
+          nulls("value", true).as("nv_a"), nulls("value", false).as("nv_b"),
+          dist("value", true).as("dv_a"), dist("value", false).as("dv_b"))
+        def rowOf(name: String, nl: String, d: String) =
+          struct(lit(name).as("column_name"),
+            col("n_a"), col("n_b"),
+            col(s"${nl}_a").as("null_a"), col(s"${nl}_b").as("null_b"),
+            col(s"${d}_a").as("distinct_a"), col(s"${d}_b").as("distinct_b"))
+        prof.select(explode(array(
+            rowOf("event_type", "nt", "dt"),
+            rowOf("user_id", "nu", "du"),
+            rowOf("value", "nv", "dv"))).as("r"))
+          .select(col("r.column_name").as("column_name"),
+            col("r.n_a").as("n_a"), col("r.n_b").as("n_b"),
+            col("r.null_a").as("null_a"), col("r.null_b").as("null_b"),
+            col("r.distinct_a").as("distinct_a"),
+            col("r.distinct_b").as("distinct_b"),
+            (col("r.null_b").cast("double") / col("r.n_b").cast("double") -
+              col("r.null_a").cast("double") / col("r.n_a").cast("double"))
+              .as("null_rate_delta"),
+            (col("r.distinct_b").cast("double") /
+              col("r.distinct_a").cast("double")).as("distinct_ratio"))
+          .orderBy("column_name")
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type, value,
+            epoch_us(ts) // 86400000000 AS day FROM events),
+        sp AS (SELECT (MIN(day) + MAX(day)) // 2 AS split FROM ev),
+        prof AS (SELECT
+            CAST(SUM(CASE WHEN day < split THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_a,
+            CAST(SUM(CASE WHEN day >= split THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_b,
+            CAST(SUM(CASE WHEN day < split AND user_id IS NULL
+              THEN 1 ELSE 0 END) AS BIGINT) AS nu_a,
+            CAST(SUM(CASE WHEN day >= split AND user_id IS NULL
+              THEN 1 ELSE 0 END) AS BIGINT) AS nu_b,
+            CAST(COUNT(DISTINCT CASE WHEN day < split THEN user_id END)
+              AS BIGINT) AS du_a,
+            CAST(COUNT(DISTINCT CASE WHEN day >= split THEN user_id END)
+              AS BIGINT) AS du_b,
+            CAST(SUM(CASE WHEN day < split AND event_type IS NULL
+              THEN 1 ELSE 0 END) AS BIGINT) AS nt_a,
+            CAST(SUM(CASE WHEN day >= split AND event_type IS NULL
+              THEN 1 ELSE 0 END) AS BIGINT) AS nt_b,
+            CAST(COUNT(DISTINCT CASE WHEN day < split THEN event_type END)
+              AS BIGINT) AS dt_a,
+            CAST(COUNT(DISTINCT CASE WHEN day >= split THEN event_type END)
+              AS BIGINT) AS dt_b,
+            CAST(SUM(CASE WHEN day < split AND value IS NULL
+              THEN 1 ELSE 0 END) AS BIGINT) AS nv_a,
+            CAST(SUM(CASE WHEN day >= split AND value IS NULL
+              THEN 1 ELSE 0 END) AS BIGINT) AS nv_b,
+            CAST(COUNT(DISTINCT CASE WHEN day < split THEN value END)
+              AS BIGINT) AS dv_a,
+            CAST(COUNT(DISTINCT CASE WHEN day >= split THEN value END)
+              AS BIGINT) AS dv_b
+          FROM ev CROSS JOIN sp),
+        rows_ AS (
+          SELECT 'event_type' AS column_name, n_a, n_b,
+            nt_a AS null_a, nt_b AS null_b,
+            dt_a AS distinct_a, dt_b AS distinct_b FROM prof
+          UNION ALL
+          SELECT 'user_id', n_a, n_b, nu_a, nu_b, du_a, du_b FROM prof
+          UNION ALL
+          SELECT 'value', n_a, n_b, nv_a, nv_b, dv_a, dv_b FROM prof)
+        SELECT column_name, n_a, n_b, null_a, null_b,
+          distinct_a, distinct_b,
+          CAST(null_b AS DOUBLE) / CAST(n_b AS DOUBLE) -
+            CAST(null_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+            AS null_rate_delta,
+          CAST(distinct_b AS DOUBLE) / CAST(distinct_a AS DOUBLE)
+            AS distinct_ratio
+        FROM rows_ ORDER BY column_name""")),
+
     // ── CUPED variance reduction (q249) ────────────────────────────────
     // The experimentation-platform estimator (Deng et al., WSDM'13):
     // adjust each user's post-period metric Y by their PRE-period
