@@ -9035,6 +9035,93 @@ object QueriesExt {
         ORDER BY d.source"""
       }),
 
+    // ── Shapley channel attribution (q251) ─────────────────────────────
+    // Data-driven multi-touch attribution: per (user, day) journey the
+    // SET of touch channels and whether it converted; v(S) = observed
+    // conversion rate of journeys with exactly coalition S (0 when
+    // unobserved); φ_c = Σ_{S ⊆ C\{c}} w(|S|)·(v(S∪{c}) − v(S)) with
+    // the exact Shapley kernel w(s) = s!(|C|−1−s)!/|C|!. The |C| = 4
+    // channels give 32 (channel, subset) terms — generated ONCE in
+    // Scala and interpolated into BOTH the Spark literal frame and the
+    // oracle's VALUES list, so the coalition table cannot drift
+    // between engines. Collapse-then-compute: journeys reduce to ≤16
+    // observed coalition rows; everything after is O(32). Float
+    // parity: v is a single division of exact integers, w is a shared
+    // double literal, and φ rides the decimal-sum discipline.
+    QueryDef("q251_shapley_attribution",
+      (s, dir) => {
+        val chs = Seq("click", "error", "signup", "view")
+        def subsets(xs: Seq[String]): Seq[Seq[String]] =
+          xs.foldLeft(Seq(Seq.empty[String])) { (acc, x) =>
+            acc ++ acc.map(_ :+ x) }
+        val wAt = Map(0 -> 0.25, 1 -> 0.083333333333,
+          2 -> 0.083333333333, 3 -> 0.25)
+        val pairs = for {
+          c <- chs
+          sub <- subsets(chs.filterNot(_ == c))
+        } yield (c, sub.sorted.mkString(","),
+          (c +: sub).sorted.mkString(","), wAt(sub.size))
+        val sp2 = s
+        import sp2.implicits._
+        val pairDf = pairs.toDF("channel", "s_wo", "s_w", "w")
+        val j = t(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .groupBy("user_id", "day")
+          .agg(array_join(sort_array(collect_set(
+            when(col("event_type").isin(chs: _*), col("event_type")))),
+            ",").as("sset"),
+            max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("conv"))
+          .groupBy("sset")
+          .agg(count(lit(1)).as("n"), sum("conv").as("c"))
+          .select(col("sset"),
+            (col("c").cast("double") / col("n").cast("double")).as("v"))
+        broadcast(pairDf)
+          .join(j.select(col("sset").as("s_wo"), col("v").as("v0")),
+            Seq("s_wo"), "left")
+          .join(j.select(col("sset").as("s_w"), col("v").as("v1")),
+            Seq("s_w"), "left")
+          .groupBy("channel")
+          .agg(dsum((coalesce(col("v1"), lit(0.0)) -
+            coalesce(col("v0"), lit(0.0))) * col("w")).as("phi"))
+          .orderBy("channel")
+      },
+      Some {
+        val chs = Seq("click", "error", "signup", "view")
+        def subsets(xs: Seq[String]): Seq[Seq[String]] =
+          xs.foldLeft(Seq(Seq.empty[String])) { (acc, x) =>
+            acc ++ acc.map(_ :+ x) }
+        val wAt = Map(0 -> 0.25, 1 -> 0.083333333333,
+          2 -> 0.083333333333, 3 -> 0.25)
+        val values = (for {
+          c <- chs
+          sub <- subsets(chs.filterNot(_ == c))
+        } yield s"('$c', '${sub.sorted.mkString(",")}', " +
+          s"'${(c +: sub).sorted.mkString(",")}', ${wAt(sub.size)})")
+          .mkString(",\n          ")
+        s"""WITH pairs(channel, s_wo, s_w, w) AS (VALUES
+          $values),
+        j AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+            COALESCE(array_to_string(list_sort(list_distinct(
+              list(event_type) FILTER (event_type IN
+                ('click', 'error', 'signup', 'view')))), ','), '')
+              AS sset,
+            MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS conv
+          FROM events GROUP BY 1, 2),
+        cr AS (SELECT sset,
+            CAST(SUM(conv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS v
+          FROM j GROUP BY 1)
+        SELECT channel,
+          ${dsumSql("(COALESCE(b.v, 0.0) - COALESCE(a.v, 0.0)) * w")}
+            AS phi
+        FROM pairs
+          LEFT JOIN cr a ON pairs.s_wo = a.sset
+          LEFT JOIN cr b ON pairs.s_w = b.sset
+        GROUP BY channel ORDER BY channel"""
+      }),
+
     // ── Column-profile drift report (q250) ─────────────────────────────
     // Profiling-tool drift detection (the whylogs/deequ report): for
     // each monitored column, compare its first-half vs second-half
