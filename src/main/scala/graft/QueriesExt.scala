@@ -9035,6 +9035,177 @@ object QueriesExt {
         ORDER BY d.source"""
       }),
 
+    // ── Difference-in-differences (q252) ───────────────────────────────
+    // The panel estimator: per-user purchase counts in the pre and
+    // post halves (q249's integer midpoint split), arms from the q222
+    // user-level hash; DiD = (ȳT,post − ȳT,pre) − (ȳC,post − ȳC,pre),
+    // with the standard error from the per-user DIFF variance (the
+    // paired formulation, robust to user-level autocorrelation). One
+    // per-user conditional aggregation; the panel is 2 arms × exact
+    // BIGINT moment sums, so every mean/variance is a single double
+    // division of exact operands and the t-statistic is the same
+    // literal chain on both engines (sqrt is IEEE-portable).
+    QueryDef("q252_did",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+        val split = ev.agg(min("day").as("mind"), max("day").as("maxd"))
+          .select(expr("(mind + maxd) div 2").as("split"))
+        val per = ev.crossJoin(broadcast(split))
+          .groupBy("user_id")
+          .agg(sum(when(col("day") < col("split") &&
+            col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("y_pre"),
+            sum(when(col("day") >= col("split") &&
+              col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("y_post"))
+          .select((Shingles.baseHash(col("user_id").cast("string")) % 2)
+            .as("arm"), col("y_pre"), col("y_post"),
+            (col("y_post") - col("y_pre")).as("d"))
+        val arms = per.groupBy("arm")
+          .agg(count(lit(1)).as("n"),
+            sum("y_pre").as("sp"), sum("y_post").as("so"),
+            sum("d").as("sd"), sum(col("d") * col("d")).as("sdd"))
+          .select(col("arm"), col("n"),
+            (col("sp").cast("double") / col("n").cast("double"))
+              .as("mean_pre"),
+            (col("so").cast("double") / col("n").cast("double"))
+              .as("mean_post"),
+            ((col("n") * col("sdd") - col("sd") * col("sd"))
+              .cast("double") /
+              (col("n") * (col("n") - 1)).cast("double")).as("var_d"))
+        val t0 = arms.filter(col("arm") === 0)
+          .select(col("n").as("n_c"), col("mean_pre").as("pre_c"),
+            col("mean_post").as("post_c"), col("var_d").as("vd_c"))
+        val t1 = arms.filter(col("arm") === 1)
+          .select(col("n").as("n_t"), col("mean_pre").as("pre_t"),
+            col("mean_post").as("post_t"), col("var_d").as("vd_t"))
+        t1.crossJoin(t0)
+          .select(col("n_t"), col("n_c"),
+            col("pre_t"), col("post_t"), col("pre_c"), col("post_c"),
+            ((col("post_t") - col("pre_t")) -
+              (col("post_c") - col("pre_c"))).as("did"),
+            sqrt(col("vd_t") / col("n_t") + col("vd_c") / col("n_c"))
+              .as("se"))
+          .withColumn("t_stat", col("did") / col("se"))
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type,
+            epoch_us(ts) // 86400000000 AS day FROM events),
+        sp AS (SELECT (MIN(day) + MAX(day)) // 2 AS split FROM ev),
+        per AS (SELECT
+            ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 7))::BIGINT
+              % 2 AS arm,
+            CAST(SUM(CASE WHEN day < split AND event_type = 'purchase'
+              THEN 1 ELSE 0 END) AS BIGINT) AS y_pre,
+            CAST(SUM(CASE WHEN day >= split AND event_type = 'purchase'
+              THEN 1 ELSE 0 END) AS BIGINT) AS y_post
+          FROM ev CROSS JOIN sp GROUP BY user_id),
+        pd AS (SELECT arm, y_pre, y_post, y_post - y_pre AS d FROM per),
+        arms AS (SELECT arm, COUNT(*) AS n,
+            CAST(SUM(y_pre) AS BIGINT) AS spr,
+            CAST(SUM(y_post) AS BIGINT) AS so,
+            CAST(SUM(d) AS BIGINT) AS sd,
+            CAST(SUM(d * d) AS BIGINT) AS sdd
+          FROM pd GROUP BY arm),
+        am AS (SELECT arm, n,
+            CAST(spr AS DOUBLE) / CAST(n AS DOUBLE) AS mean_pre,
+            CAST(so AS DOUBLE) / CAST(n AS DOUBLE) AS mean_post,
+            CAST(n * sdd - sd * sd AS DOUBLE) /
+              CAST(n * (n - 1) AS DOUBLE) AS var_d
+          FROM arms)
+        SELECT t.n AS n_t, c.n AS n_c,
+          t.mean_pre AS pre_t, t.mean_post AS post_t,
+          c.mean_pre AS pre_c, c.mean_post AS post_c,
+          (t.mean_post - t.mean_pre) - (c.mean_post - c.mean_pre)
+            AS did,
+          sqrt(t.var_d / t.n + c.var_d / c.n) AS se,
+          ((t.mean_post - t.mean_pre) - (c.mean_post - c.mean_pre)) /
+            sqrt(t.var_d / t.n + c.var_d / c.n) AS t_stat
+        FROM (SELECT * FROM am WHERE arm = 1) t
+          CROSS JOIN (SELECT * FROM am WHERE arm = 0) c""")),
+
+    // ── Required sample size / power calculator (q253) ─────────────────
+    // Experiment-design closure of the A/B family: from the two arms'
+    // observed (user, day)-grain conversion rates (q222's framing),
+    // the standard two-proportion sample size per arm to detect the
+    // OBSERVED lift at α = 0.05 (two-sided) and 80% power:
+    // n = (z_α·sqrt(2·p̄·q̄) + z_β·sqrt(p1q1 + p2q2))² / δ². The normal
+    // quantiles are PRECOMPUTED literals (1.959963984540,
+    // 0.841621233573) — the q209 discount-table rule: no libm inverse
+    // CDF on either engine. All inputs are exact-integer ratios, so
+    // the formula chain and final CEIL are bit-identical.
+    QueryDef("q253_power_calc",
+      (s, dir) => {
+        val za = lit(1.959963984540)
+        val zb = lit(0.841621233573)
+        val per = t(s, dir, "events")
+          .groupBy(col("user_id"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(max(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("viewed"),
+            max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("purchased"))
+          .filter(col("viewed") === 1)
+          .select((Shingles.baseHash(col("user_id").cast("string")) % 2)
+            .as("arm"), col("purchased"))
+        val ab = per.agg(
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("arm") === 0, col("purchased")).otherwise(0L))
+            .as("c1"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n2"),
+          sum(when(col("arm") === 1, col("purchased")).otherwise(0L))
+            .as("c2"))
+        ab.select(
+            (col("c1").cast("double") / col("n1").cast("double")).as("p1"),
+            (col("c2").cast("double") / col("n2").cast("double")).as("p2"),
+            ((col("c1") + col("c2")).cast("double") /
+              (col("n1") + col("n2")).cast("double")).as("pbar"))
+          .select(col("p1"), col("p2"), (col("p2") - col("p1")).as("delta"),
+            col("pbar"),
+            ((za * sqrt(lit(2.0) * col("pbar") * (lit(1.0) - col("pbar")))
+              + zb * sqrt(col("p1") * (lit(1.0) - col("p1")) +
+                col("p2") * (lit(1.0) - col("p2")))) /
+              (col("p2") - col("p1"))).as("root"))
+          .select(col("p1"), col("p2"), col("delta"),
+            ceil(col("root") * col("root")).cast("long")
+              .as("n_per_arm"))
+      },
+      Some("""WITH per AS (SELECT user_id,
+            epoch_us(ts) // 86400000000 AS day,
+            MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS viewed,
+            MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS purchased
+          FROM events GROUP BY 1, 2),
+        armd AS (SELECT
+            ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 7))::BIGINT
+              % 2 AS arm, purchased
+          FROM per WHERE viewed = 1),
+        ab AS (SELECT
+            CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n1,
+            CAST(SUM(CASE WHEN arm = 0 THEN purchased ELSE 0 END)
+              AS BIGINT) AS c1,
+            CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n2,
+            CAST(SUM(CASE WHEN arm = 1 THEN purchased ELSE 0 END)
+              AS BIGINT) AS c2
+          FROM armd),
+        p AS (SELECT
+            CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+            CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS p2,
+            CAST(c1 + c2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) AS pbar
+          FROM ab),
+        r AS (SELECT p1, p2, p2 - p1 AS delta,
+            (1.959963984540 * sqrt(2.0 * pbar * (1.0 - pbar))
+              + 0.841621233573 * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)))
+              / (p2 - p1) AS root
+          FROM p)
+        SELECT p1, p2, delta,
+          CAST(CEIL(root * root) AS BIGINT) AS n_per_arm
+        FROM r""")),
+
     // ── Shapley channel attribution (q251) ─────────────────────────────
     // Data-driven multi-touch attribution: per (user, day) journey the
     // SET of touch channels and whether it converted; v(S) = observed
