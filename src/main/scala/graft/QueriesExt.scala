@@ -9035,6 +9035,58 @@ object QueriesExt {
         ORDER BY d.source"""
       }),
 
+    // ── Quantile treatment effect (q254) ───────────────────────────────
+    // Experiments move DISTRIBUTIONS, not just means: per-user total
+    // purchase value (decimal-exact so the sample values are
+    // bit-identical cross-engine before any quantile logic), arms from
+    // the q222 hash split, and the exact per-arm quantiles at
+    // P25/P50/P75 on the distributed refinement engine (q144's
+    // machinery — never a global sort). QTE(p) = q_T(p) − q_C(p).
+    QueryDef("q254_qte",
+      (s, dir) => {
+        val per = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy("user_id")
+          .agg(sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("metric"))
+          .select((Shingles.baseHash(col("user_id").cast("string")) % 2)
+            .as("arm"), col("metric"))
+        val q = graft.ext.Stats.exactQuantilesByGroup(
+          per, "arm", "metric", Seq(0.25, 0.5, 0.75),
+          buckets = 64, tail = 64)
+        val qt = q.filter(col("arm") === 1)
+          .select(col("p"), col("n").as("n_t"),
+            col("quantile").as("q_t"))
+        val qc = q.filter(col("arm") === 0)
+          .select(col("p").as("p_c"), col("n").as("n_c"),
+            col("quantile").as("q_c"))
+        qt.join(qc, col("p") === col("p_c"))
+          .select(col("p"), col("n_t"), col("n_c"), col("q_t"),
+            col("q_c"), (col("q_t") - col("q_c")).as("qte"))
+          .orderBy("p")
+      },
+      Some("""WITH per AS (SELECT
+            ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 7))::BIGINT
+              % 2 AS arm,
+            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS metric
+          FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        q AS (SELECT arm, COUNT(metric) AS n,
+            quantile_cont(metric, 0.25) AS p25,
+            quantile_cont(metric, 0.5) AS p50,
+            quantile_cont(metric, 0.75) AS p75
+          FROM per GROUP BY arm),
+        un AS (SELECT arm, n, x.p,
+            CASE x.p WHEN 0.25::DOUBLE THEN p25
+                     WHEN 0.5::DOUBLE THEN p50 ELSE p75 END AS quantile
+          FROM q CROSS JOIN (VALUES (0.25::DOUBLE), (0.5::DOUBLE),
+            (0.75::DOUBLE)) x(p))
+        SELECT t.p, t.n AS n_t, c.n AS n_c,
+          t.quantile AS q_t, c.quantile AS q_c,
+          t.quantile - c.quantile AS qte
+        FROM (SELECT * FROM un WHERE arm = 1) t
+          JOIN (SELECT * FROM un WHERE arm = 0) c ON t.p = c.p
+        ORDER BY t.p""")),
+
     // ── Difference-in-differences (q252) ───────────────────────────────
     // The panel estimator: per-user purchase counts in the pre and
     // post halves (q249's integer midpoint split), arms from the q222
