@@ -9819,5 +9819,274 @@ object QueriesExt {
           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         FROM f GROUP BY 1, 2 HAVING COUNT(*) > 1
         ORDER BY source, bucket""")),
+
+    // ── Duplicate-span token coverage (q255) ───────────────────────────
+    // q103 counts how many of a doc's k-token spans are duplicated
+    // elsewhere; this reports how much of the doc those spans BLANKET —
+    // the Lee et al. accounting metric that decides whether dedup is
+    // worth a rewrite pass ("X% of the corpus' tokens sit inside
+    // cross-doc duplicate substrings"). Overlapping spans must not
+    // double-count, so the duplicated intervals [pos, pos+k−1] are
+    // unioned per doc by the classic sweep (sort by start, running max
+    // of prior ends) — a window PARTITIONED BY doc, frame bounded by
+    // doc length, never global. Integer arithmetic end to end; the one
+    // double is the reported fraction.
+    QueryDef("q255_dup_span_coverage",
+      (s, dir) => Dedup.duplicateSpanCoverage(tPar(s, dir, "documents"),
+          "doc_id", "text", spanK)
+        .orderBy("doc_id"),
+      Some(s"""WITH tk AS (SELECT doc_id,
+            $dTok AS a FROM documents),
+        d AS (SELECT doc_id, len(a) AS n, a FROM tk),
+        pos AS (SELECT doc_id, n, a,
+            unnest(range(0, greatest(n - $spanK + 1, 1))) AS p FROM d),
+        spans AS (SELECT doc_id, p,
+            CASE WHEN n <= $spanK THEN n - 1 ELSE p + $spanK - 1 END
+              AS endp,
+            CASE WHEN n <= $spanK THEN array_to_string(a, ' ')
+                 ELSE array_to_string(a[p+1:p+$spanK], ' ') END AS sh
+          FROM pos),
+        nd AS (SELECT sh FROM spans GROUP BY sh
+          HAVING COUNT(DISTINCT doc_id) > 1),
+        dup AS (SELECT doc_id, p, endp FROM spans JOIN nd USING (sh)),
+        cov AS (SELECT doc_id, p, endp,
+            MAX(endp) OVER (PARTITION BY doc_id ORDER BY p
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS prevmax
+          FROM dup),
+        per AS (SELECT doc_id,
+            SUM(greatest(endp - greatest(coalesce(prevmax, -1), p - 1),
+              0)) AS covered
+          FROM cov GROUP BY doc_id)
+        SELECT d.doc_id, CAST(d.n AS BIGINT) AS n_tokens,
+          CAST(COALESCE(per.covered, 0) AS BIGINT) AS covered_tokens,
+          CAST(COALESCE(per.covered, 0) AS DOUBLE) / CAST(d.n AS DOUBLE)
+            AS coverage_frac
+        FROM d LEFT JOIN per USING (doc_id) ORDER BY doc_id""")),
+
+    // ── l-diversity audit (q256) ───────────────────────────────────────
+    // The release-gate companion to q213's k-anonymity: a k-anonymous
+    // group is still disclosive when every member shares the SAME
+    // sensitive value, so each quasi-identifier group (nation, segment,
+    // order year) must carry ≥ l distinct sensitive values (order
+    // priority). Machanavajjhala et al.'s distinct-l-diversity as one
+    // aggregation over the joined fact — group count + COUNT(DISTINCT
+    // sensitive), integers only. At 100 TB the QI table is the
+    // aggregation output (bounded by the QI domain), never the fact.
+    QueryDef("q256_l_diversity",
+      (s, dir) => {
+        val j = t(s, dir, "orders").join(t(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_nationkey").as("nation"),
+            col("c_mktsegment").as("segment"),
+            year(col("o_orderdate")).as("yr"),
+            col("o_orderpriority").as("pri"))
+        j.groupBy("nation", "segment", "yr")
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct("pri").as("l_div"))
+          .select(col("nation"), col("segment"), col("yr"),
+            col("n_rows"), col("l_div"),
+            when(col("l_div") < 3, 1L).otherwise(0L).as("below_l"))
+          .orderBy("nation", "segment", "yr")
+      },
+      Some("""WITH j AS (SELECT c.c_nationkey AS nation,
+            c.c_mktsegment AS segment, year(o.o_orderdate) AS yr,
+            o.o_orderpriority AS pri
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+        SELECT nation, segment, yr, COUNT(*) AS n_rows,
+          CAST(COUNT(DISTINCT pri) AS BIGINT) AS l_div,
+          CAST(CASE WHEN COUNT(DISTINCT pri) < 3 THEN 1 ELSE 0 END
+            AS BIGINT) AS below_l
+        FROM j GROUP BY 1, 2, 3 ORDER BY nation, segment, yr""")),
+
+    // ── t-closeness audit (q257) ───────────────────────────────────────
+    // The third privacy gate (Li et al. ICDE'07): even an l-diverse
+    // group leaks when its sensitive-value DISTRIBUTION skews far from
+    // the table's. For the ordinal sensitive attribute (order priority,
+    // ordered by its literal '1-URGENT' < … < '5-LOW') the Earth
+    // Mover's Distance is the mean |ΔCDF|: per group g,
+    // EMD = Σ_i |cum_g(i)/n_g − cum(i)/N| / (m−1). Cross-multiplied to
+    // the integer numerator |cum_g·N − cum·n_g| so the only doubles are
+    // the final division — exact while n_g·N < 2⁶³ (document scale:
+    // fine to ~10⁹ rows/group vs 10⁹ total; beyond that cast the
+    // products to DECIMAL(38,0)). The grid is (QI domain × m), both
+    // bounded dims, so every shuffle after the first aggregation is
+    // over a dimension table, never the fact.
+    QueryDef("q257_t_closeness",
+      (s, dir) => {
+        val j = t(s, dir, "orders").join(t(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_nationkey").as("nation"),
+            col("o_orderpriority").as("pri"))
+        val cell = j.groupBy("nation", "pri").agg(count(lit(1)).as("c"))
+          .localCheckpoint() // grp + gl + the grid probe all read it
+        val grp = cell.groupBy("nation").agg(sum("c").as("ng"))
+        val gl = cell.groupBy("pri").agg(sum("c").as("cg"))
+        val tot = gl.agg(sum("cg").as("n"), count(lit(1)).as("m"))
+        val wv = Window.partitionBy("nation").orderBy("pri")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val grid = grp.crossJoin(broadcast(gl))
+          .join(cell, Seq("nation", "pri"), "left")
+          .select(col("nation"), col("pri"), col("ng"), col("cg"),
+            coalesce(col("c"), lit(0L)).as("c"))
+        val cum = grid
+          .withColumn("cumg", sum("c").over(wv))
+          .withColumn("cumall", sum("cg").over(wv))
+        cum.crossJoin(broadcast(tot))
+          .groupBy("nation", "ng", "n", "m")
+          .agg(sum(abs(col("cumg") * col("n") - col("cumall") * col("ng")))
+            .as("num"))
+          .select(col("nation"), col("ng").as("n_rows"),
+            (col("num").cast("double") /
+              (col("ng") * col("n") * (col("m") - 1)).cast("double"))
+              .as("t_emd"))
+          .orderBy("nation")
+      },
+      Some("""WITH j AS (SELECT c.c_nationkey AS nation,
+            o.o_orderpriority AS pri
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        cell AS (SELECT nation, pri, COUNT(*) AS c FROM j GROUP BY 1, 2),
+        grp AS (SELECT nation, SUM(c) AS ng FROM cell GROUP BY nation),
+        gl AS (SELECT pri, SUM(c) AS cg FROM cell GROUP BY pri),
+        tot AS (SELECT SUM(cg) AS n, COUNT(*) AS m FROM gl),
+        grid AS (SELECT g.nation, p.pri, g.ng, p.cg,
+            COALESCE(c.c, 0) AS c
+          FROM grp g CROSS JOIN gl p
+          LEFT JOIN cell c ON c.nation = g.nation AND c.pri = p.pri),
+        cum AS (SELECT nation, pri, ng,
+            SUM(c) OVER (PARTITION BY nation ORDER BY pri
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumg,
+            SUM(cg) OVER (PARTITION BY nation ORDER BY pri
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumall
+          FROM grid),
+        emd AS (SELECT nation, ng,
+            SUM(ABS(cumg * n - cumall * ng)) AS num
+          FROM cum CROSS JOIN tot GROUP BY nation, ng, n)
+        SELECT e.nation, CAST(e.ng AS BIGINT) AS n_rows,
+          CAST(e.num AS DOUBLE) /
+            (CAST(e.ng AS DOUBLE) * tot.n * (tot.m - 1)) AS t_emd
+        FROM emd e CROSS JOIN tot ORDER BY e.nation""")),
+
+    // ── Fleiss' kappa rater agreement (q258) ───────────────────────────
+    // Do the corpus' junk heuristics AGREE? Three deterministic
+    // "raters" each vote junk/ok per document — word count < 40, top
+    // unigram > ⅛ of tokens (cross-multiplied, q234's trick), distinct
+    // vocab < ⅓ of tokens — and Fleiss' kappa measures their chance-
+    // corrected agreement. With n=3 raters and 2 categories the whole
+    // statistic reduces to three corpus integers (N docs, J junk votes,
+    // S = Σ_doc [n_j(n_j−1)+n_o(n_o−1)]):
+    //   P̄ = S/6N, P_e = (J²+(3N−J)²)/9N²,
+    //   κ = (3N·S − 2(J²+(3N−J)²)) / (18N² − 2(J²+(3N−J)²)),
+    // one aggregation cascade, three exact double divisions at the end.
+    // Low κ (~0 on this corpus) is the actionable answer: the gates
+    // fire on DIFFERENT documents, so stacking them multiplies loss.
+    QueryDef("q258_fleiss_kappa",
+      (s, dir) => {
+        val votes = tPar(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(TextStats.tokens(col("text"))).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(sum("c").as("w"), max("c").as("maxc"),
+            count(lit(1)).as("dv"))
+          .select((when(col("w") < 40, 1L).otherwise(0L) +
+            when(col("maxc") * 8 > col("w"), 1L).otherwise(0L) +
+            when(col("dv") * 3 < col("w"), 1L).otherwise(0L)).as("nj"))
+        votes.agg(count(lit(1)).as("nd"), sum("nj").as("j"),
+            sum(col("nj") * (col("nj") - 1) +
+              (lit(3L) - col("nj")) * (lit(2L) - col("nj"))).as("sp"))
+          .select(col("nd").as("n_docs"), col("j").as("n_junk_votes"),
+            (col("sp").cast("double") / (col("nd") * 6).cast("double"))
+              .as("p_bar"),
+            ((col("j") * col("j") +
+              (col("nd") * 3 - col("j")) * (col("nd") * 3 - col("j")))
+              .cast("double") /
+              (col("nd") * col("nd") * 9).cast("double")).as("p_e"),
+            ((col("nd") * 3 * col("sp") -
+              (col("j") * col("j") + (col("nd") * 3 - col("j")) *
+                (col("nd") * 3 - col("j"))) * 2).cast("double") /
+              (col("nd") * col("nd") * 18 -
+                (col("j") * col("j") + (col("nd") * 3 - col("j")) *
+                  (col("nd") * 3 - col("j"))) * 2).cast("double"))
+              .as("kappa"))
+      },
+      Some(s"""WITH pc AS (SELECT doc_id, tok, COUNT(*) AS c
+          FROM (SELECT doc_id, unnest($dTok) AS tok FROM documents)
+          GROUP BY 1, 2),
+        pd AS (SELECT doc_id, SUM(c) AS w, MAX(c) AS maxc,
+            COUNT(*) AS dv FROM pc GROUP BY doc_id),
+        votes AS (SELECT doc_id,
+            (CASE WHEN w < 40 THEN 1 ELSE 0 END) +
+            (CASE WHEN maxc * 8 > w THEN 1 ELSE 0 END) +
+            (CASE WHEN dv * 3 < w THEN 1 ELSE 0 END) AS nj
+          FROM pd),
+        st AS (SELECT COUNT(*) AS nd, CAST(SUM(nj) AS BIGINT) AS j,
+            CAST(SUM(nj*(nj-1) + (3-nj)*(2-nj)) AS BIGINT) AS sp
+          FROM votes)
+        SELECT CAST(nd AS BIGINT) AS n_docs, j AS n_junk_votes,
+          CAST(sp AS DOUBLE) / CAST(6*nd AS DOUBLE) AS p_bar,
+          CAST(j*j + (3*nd-j)*(3*nd-j) AS DOUBLE)
+            / CAST(9*nd*nd AS DOUBLE) AS p_e,
+          CAST(3*nd*sp - 2*(j*j + (3*nd-j)*(3*nd-j)) AS DOUBLE)
+            / CAST(18*nd*nd - 2*(j*j + (3*nd-j)*(3*nd-j)) AS DOUBLE)
+            AS kappa
+        FROM st""")),
+
+    // ── Temperature-weighted sampling budget (q259) ────────────────────
+    // The corpus-mixing apportionment step (GPT-3/PaLM style): a
+    // 100 000-doc sampling budget split across sources by DAMPED token
+    // mass w_s = ⌊√tokens_s⌋ (temperature α = ½ — big sources damped,
+    // small sources boosted), allocated by largest-remainder so the
+    // integer allocations sum EXACTLY to the budget. ⌊√n⌋ of an exact
+    // integer and the div/mod apportionment are integer-exact on both
+    // engines — no float quota anywhere. The ranking window is over
+    // the SOURCE dimension (bounded, here 20), never the corpus.
+    QueryDef("q259_temperature_budget",
+      (s, dir) => {
+        val budget = 100000L
+        val wts = tPar(s, dir, "documents")
+          .select(col("source"),
+            size(TextStats.tokens(col("text"))).cast("long").as("nt"))
+          .groupBy("source").agg(sum("nt").as("tokens"))
+          .select(col("source"), col("tokens"),
+            floor(sqrt(col("tokens"))).cast("long").as("wt"))
+        val tot = wts.agg(sum("wt").as("tw"))
+        val q = wts.crossJoin(broadcast(tot))
+          .select(col("source"), col("tokens"), col("wt"),
+            expr(s"($budget * wt) div tw").as("base"),
+            expr(s"($budget * wt) % tw").as("rem"))
+          .localCheckpoint() // leftover fold + the ranked projection
+        val lo = q.agg((lit(budget) - sum("base")).as("leftover"))
+        val wr = Window.orderBy(col("rem").desc, col("source"))
+        q.withColumn("rk", row_number().over(wr))
+          .crossJoin(broadcast(lo))
+          .select(col("source"), col("tokens"), col("wt").as("weight"),
+            col("base").as("base_alloc"),
+            when(col("rk") <= col("leftover"), 1L).otherwise(0L)
+              .as("extra"),
+            (col("base") + when(col("rk") <= col("leftover"), 1L)
+              .otherwise(0L)).as("alloc"))
+          .orderBy("source")
+      },
+      Some(s"""WITH st AS (SELECT source,
+            CAST(SUM(len($dTok)) AS BIGINT) AS tokens
+          FROM documents GROUP BY source),
+        w AS (SELECT source, tokens,
+            CAST(floor(sqrt(tokens)) AS BIGINT) AS wt FROM st),
+        tot AS (SELECT CAST(SUM(wt) AS BIGINT) AS tw FROM w),
+        q AS (SELECT source, tokens, wt,
+            (100000 * wt) // tw AS base, (100000 * wt) % tw AS rem
+          FROM w CROSS JOIN tot),
+        lo AS (SELECT CAST(100000 - SUM(base) AS BIGINT) AS leftover
+          FROM q),
+        r AS (SELECT q.*, ROW_NUMBER()
+            OVER (ORDER BY rem DESC, source) AS rk FROM q)
+        SELECT source, tokens, wt AS weight,
+          CAST(base AS BIGINT) AS base_alloc,
+          CAST(CASE WHEN rk <= lo.leftover THEN 1 ELSE 0 END AS BIGINT)
+            AS extra,
+          CAST(base + CASE WHEN rk <= lo.leftover THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc
+        FROM r CROSS JOIN lo ORDER BY source""")),
   )
 }

@@ -576,6 +576,64 @@ object Dedup {
         col("n_dup_spans").cast("double") / col("n_spans").cast("double"))
   }
 
+  /** Duplicate-span TOKEN COVERAGE (the Lee et al. dedup accounting
+    * metric): the fraction of each document's token POSITIONS that lie
+    * inside at least one k-token span occurring in ≥2 distinct
+    * documents. [[duplicatedSpanStats]] counts duplicated spans; this
+    * measures how much of the doc they actually blanket — overlapping
+    * spans must not double-count, so the duplicated spans' intervals
+    * `[pos, pos+k-1]` are UNIONed per doc with the classic sweep: sort
+    * by start, running max of prior ends, each interval contributes
+    * `max(0, end − max(prev_max, start−1))`. Output per doc: `n_tokens`,
+    * `covered_tokens`, `coverage_frac`.
+    *
+    * Shape: q103's two span-key shuffles plus ONE window partitioned by
+    * doc id (frame bounded by doc length, never global) and a final
+    * doc-keyed left join for the zero-coverage docs. Pure integer
+    * arithmetic until the single reported division. Docs shorter than k
+    * tokens are one whole-doc span (`[[Shingles.wordShingles]]`
+    * convention), so exact short-doc duplicates reach coverage 1.0.
+    */
+  def duplicateSpanCoverage(docs: DataFrame, idCol: String,
+                            textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tk = docs.select(col(idCol), TextStats.tokens(col(textCol)).as("tk"))
+    val spans = tk
+      .select(col(idCol), explode(
+        when(size(col("tk")) <= k,
+          array(struct(lit(0).as("pos"),
+            (size(col("tk")) - 1).as("endp"),
+            array_join(col("tk"), " ").as("sh"))))
+          .otherwise(transform(
+            sequence(lit(0), size(col("tk")) - k),
+            p => struct(p.as("pos"), (p + k - 1).as("endp"),
+              array_join(slice(col("tk"), p + 1, lit(k)), " ")
+                .as("sh"))))).as("sp"))
+      .select(col(idCol), col("sp.pos").as("pos"),
+        col("sp.endp").as("endp"), col("sp.sh").as("sh"))
+    val dupSh = spans.groupBy("sh")
+      .agg(countDistinct(idCol).as("ndocs"))
+      .filter(col("ndocs") > 1)
+      .select("sh")
+    val w = Window.partitionBy(idCol).orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val per = spans.join(dupSh, "sh")
+      .withColumn("prevmax", max("endp").over(w))
+      .withColumn("contrib",
+        greatest(col("endp") -
+          greatest(coalesce(col("prevmax"), lit(-1)), col("pos") - 1),
+          lit(0)))
+      .groupBy(idCol).agg(sum("contrib").as("covered"))
+    tk.select(col(idCol), size(col("tk")).cast("long").as("n_tokens"))
+      .join(per, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("covered"), lit(0L)).cast("long")
+          .as("covered_tokens"))
+      .withColumn("coverage_frac",
+        col("covered_tokens").cast("double") /
+          col("n_tokens").cast("double"))
+  }
+
   /** Blocked fuzzy self-join (entity resolution / near-match pairs):
     * candidate pairs only WITHIN equal `blockCols` blocks, scored by
     * Levenshtein edit distance over a fixed `prefixLen`-char prefix,

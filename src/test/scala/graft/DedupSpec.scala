@@ -271,6 +271,28 @@ class DedupSpec extends AnyFunSuite {
     assert(out(3L) === ((1L, 0L)))
   }
 
+  test("duplicateSpanCoverage: overlapping duplicated spans union " +
+       "(no double-count), full copies 1.0, unique docs 0.0") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),      // copied verbatim as doc 2
+      (2L, "a b c d e f g h"),
+      (3L, "q r s t u v w x"),      // entirely unique
+      (4L, "x a b c d e y z"),      // shares "a b c d" @1 and "b c d e" @2
+      (5L, "tiny doc"),             // short-doc whole-span case
+      (6L, "tiny doc"))
+      .toDF("doc_id", "text")
+    val out = Dedup.duplicateSpanCoverage(docs, "doc_id", "text", k = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) === ((8L, 8L, 1.0)))
+    assert(out(2L) === ((8L, 8L, 1.0)))
+    assert(out(3L) === ((8L, 0L, 0.0)))
+    // doc 4: duplicated intervals [1,4] and [2,5] union to [1,5] —
+    // 5 covered tokens, NOT 8 (the naive per-span sum)
+    assert(out(4L) === ((8L, 5L, 0.625)))
+    assert(out(5L) === ((2L, 2L, 1.0)) && out(6L) === ((2L, 2L, 1.0)))
+  }
+
   test("fuzzyBlockedPairs: no cross-block pairs, exact distances, " +
        "threshold inclusive, a<b canonical order") {
     val docs = Seq(
