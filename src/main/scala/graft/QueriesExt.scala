@@ -10088,5 +10088,304 @@ object QueriesExt {
           CAST(base + CASE WHEN rk <= lo.leftover THEN 1 ELSE 0 END
             AS BIGINT) AS alloc
         FROM r CROSS JOIN lo ORDER BY source""")),
+
+    // ── Post-stratified ATE (q260) ─────────────────────────────────────
+    // The causal-family companion to q252/q254: the treatment effect on
+    // per-user purchase count, post-stratified on a pre-treatment
+    // covariate (the user's NON-purchase activity, integer-binned into
+    // 5 fixed strata) — the standard bias-reduction estimator when
+    // simple randomization leaves covariate imbalance. Per stratum:
+    // arm means (exact BIGINT sums / counts), their difference, and the
+    // stratum weight n_h/N; the weighted diffs sum to the ATE. Strata
+    // missing either arm are dropped (no estimable contrast), exactly
+    // like the oracle's HAVING. Everything is one per-user aggregation
+    // + one 5-row pivot — no window over users anywhere.
+    QueryDef("q260_stratified_ate",
+      (s, dir) => {
+        val per = t(s, dir, "events")
+          .groupBy("user_id")
+          .agg(sum(when(col("event_type") =!= "purchase", 1L)
+            .otherwise(0L)).as("cov"),
+            sum(when(col("event_type") === "purchase", 1L)
+              .otherwise(0L)).as("y"))
+          .select((Shingles.baseHash(col("user_id").cast("string")) % 2)
+            .as("arm"),
+            expr("least(greatest(cov - 35, 0) div 10, 4)").as("stratum"),
+            col("y"))
+        val wide = per.groupBy("stratum", "arm")
+          .agg(count(lit(1)).as("n"), sum("y").as("sy"))
+          .groupBy("stratum")
+          .agg(max(when(col("arm") === 1, col("n"))).as("n_t"),
+            max(when(col("arm") === 1, col("sy"))).as("sy_t"),
+            max(when(col("arm") === 0, col("n"))).as("n_c"),
+            max(when(col("arm") === 0, col("sy"))).as("sy_c"))
+          .filter(col("n_t").isNotNull && col("n_c").isNotNull)
+          .localCheckpoint() // total fold + the weighted projection
+        val tot = wide.agg(sum(col("n_t") + col("n_c")).as("nn"))
+        wide.crossJoin(broadcast(tot))
+          .select(col("stratum"), col("n_t"), col("n_c"),
+            (col("sy_t").cast("double") / col("n_t")).as("mean_t"),
+            (col("sy_c").cast("double") / col("n_c")).as("mean_c"),
+            (col("sy_t").cast("double") / col("n_t") -
+              col("sy_c").cast("double") / col("n_c")).as("diff"),
+            ((col("n_t") + col("n_c")).cast("double") / col("nn"))
+              .as("w"),
+            (((col("n_t") + col("n_c")).cast("double") / col("nn")) *
+              (col("sy_t").cast("double") / col("n_t") -
+                col("sy_c").cast("double") / col("n_c"))).as("wdiff"))
+          .orderBy("stratum")
+      },
+      Some("""WITH per AS (SELECT user_id,
+            ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 7))::BIGINT
+              % 2 AS arm,
+            CAST(SUM(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0
+              END) AS BIGINT) AS cov,
+            CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+              END) AS BIGINT) AS y
+          FROM events GROUP BY user_id),
+        st AS (SELECT arm, least(greatest(cov - 35, 0) // 10, 4)
+            AS stratum, y FROM per),
+        cellc AS (SELECT stratum, arm, COUNT(*) AS n,
+            CAST(SUM(y) AS BIGINT) AS sy FROM st GROUP BY 1, 2),
+        wide AS (SELECT stratum,
+            MAX(CASE WHEN arm = 1 THEN n END) AS n_t,
+            MAX(CASE WHEN arm = 1 THEN sy END) AS sy_t,
+            MAX(CASE WHEN arm = 0 THEN n END) AS n_c,
+            MAX(CASE WHEN arm = 0 THEN sy END) AS sy_c
+          FROM cellc GROUP BY stratum
+          HAVING MAX(CASE WHEN arm = 1 THEN n END) IS NOT NULL
+             AND MAX(CASE WHEN arm = 0 THEN n END) IS NOT NULL),
+        tot AS (SELECT CAST(SUM(n_t + n_c) AS BIGINT) AS nn FROM wide)
+        SELECT CAST(stratum AS BIGINT) AS stratum,
+          CAST(n_t AS BIGINT) AS n_t, CAST(n_c AS BIGINT) AS n_c,
+          CAST(sy_t AS DOUBLE) / n_t AS mean_t,
+          CAST(sy_c AS DOUBLE) / n_c AS mean_c,
+          CAST(sy_t AS DOUBLE) / n_t - CAST(sy_c AS DOUBLE) / n_c
+            AS diff,
+          CAST(n_t + n_c AS DOUBLE) / nn AS w,
+          (CAST(n_t + n_c AS DOUBLE) / nn) *
+            (CAST(sy_t AS DOUBLE) / n_t - CAST(sy_c AS DOUBLE) / n_c)
+            AS wdiff
+        FROM wide CROSS JOIN tot ORDER BY stratum""")),
+
+    // ── Peak concurrency per day (q261) ────────────────────────────────
+    // The capacity-planning sweep-line: each event opens a 30-minute
+    // activity window; the report is each day's PEAK number of
+    // simultaneously-open windows. The classic +1/−1 delta sweep, but
+    // PARTITIONED BY DAY so no global-order window exists: windows
+    // crossing midnight (≤ one boundary, since the window is shorter
+    // than a day — documented precondition) are handed to the next day
+    // as an aggregated carry-in count, and each day's peak is
+    // carry + max running delta sum. Ties at the same microsecond order
+    // ends (−1) before starts (half-open intervals); reordering equal
+    // deltas can't change any prefix extremum, so the peak is
+    // deterministic. Integer arithmetic end to end.
+    QueryDef("q261_peak_concurrency",
+      (s, dir) => {
+        val iv = t(s, dir, "events")
+          .select(unix_micros(col("ts")).as("st"),
+            (unix_micros(col("ts")) + 1800000000L).as("en"))
+          .localCheckpoint() // both delta legs + the carry fold
+        val deltas = iv.select(expr("st div 86400000000").as("day"),
+            col("st").as("t"), lit(1).as("delta"))
+          .union(iv.select(expr("en div 86400000000").as("day"),
+            col("en").as("t"), lit(-1).as("delta")))
+        val carry = iv
+          .filter(expr("en div 86400000000 > st div 86400000000"))
+          .groupBy(expr("en div 86400000000").as("day"))
+          .agg(count(lit(1)).as("c"))
+        val wv = Window.partitionBy("day").orderBy("t", "delta")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        deltas.withColumn("rs", sum("delta").over(wv))
+          .groupBy("day")
+          .agg(max("rs").as("peak0"),
+            sum(when(col("delta") === 1, 1L).otherwise(0L))
+              .as("n_starts"))
+          .join(carry, Seq("day"), "left")
+          .select(col("day"), col("n_starts"),
+            coalesce(col("c"), lit(0L)).as("carry_in"),
+            (col("peak0") + coalesce(col("c"), lit(0L)))
+              .as("peak_concurrent"))
+          .orderBy("day")
+      },
+      Some("""WITH iv AS (SELECT epoch_us(ts) AS st,
+            epoch_us(ts) + 1800000000 AS en FROM events),
+        deltas AS (
+          SELECT st // 86400000000 AS day, st AS t, 1 AS delta FROM iv
+          UNION ALL
+          SELECT en // 86400000000 AS day, en AS t, -1 AS delta FROM iv),
+        carry AS (SELECT en // 86400000000 AS day, COUNT(*) AS c FROM iv
+          WHERE en // 86400000000 > st // 86400000000 GROUP BY 1),
+        run AS (SELECT day, t, delta,
+            SUM(delta) OVER (PARTITION BY day ORDER BY t, delta
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rs
+          FROM deltas),
+        pk AS (SELECT day, MAX(rs) AS peak0,
+            CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_starts
+          FROM run GROUP BY day)
+        SELECT pk.day, n_starts,
+          CAST(COALESCE(carry.c, 0) AS BIGINT) AS carry_in,
+          CAST(peak0 + COALESCE(carry.c, 0) AS BIGINT)
+            AS peak_concurrent
+        FROM pk LEFT JOIN carry USING (day) ORDER BY day""")),
+
+    // ── Grouped-jackknife SE of a ratio metric (q262) ──────────────────
+    // The A/B-platform standard for RATIO metrics (q194's bootstrap
+    // covers means): mean purchase value = Σvalue/Σcount is a ratio of
+    // sums, so its naive SE is biased; the delete-one-GROUP jackknife
+    // over 32 user-hash buckets is the published fix (users, not
+    // events, are the independent unit). θ_i drops bucket i;
+    // SE² = (g−1)/g · Σ(θ_i − θ̄)². Every sum rides the DECIMAL(30,8)
+    // parity rail so the 32 θ doubles — and hence θ̄, formed from their
+    // re-rounded decimal sum — are bit-identical cross-engine. The
+    // whole statistic is one bucket aggregation + O(g) folds.
+    QueryDef("q262_jackknife_ratio_se",
+      (s, dir) => {
+        val bg = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy((Shingles.baseHash(col("user_id").cast("string")) % 32)
+            .as("g"))
+          .agg(sum(col("value").cast("decimal(30,8)"))
+            .cast("decimal(30,8)").as("sv"),
+            count(lit(1)).as("nv"))
+          .localCheckpoint() // totals fold + the per-bucket θ projection
+        val tot = bg.agg(sum("sv").cast("decimal(30,8)").as("stot"),
+          sum("nv").as("ntot"), count(lit(1)).as("ngrp"))
+        val th = bg.crossJoin(broadcast(tot))
+          .select(col("ngrp"), col("stot"), col("ntot"),
+            ((col("stot") - col("sv")).cast("double") /
+              (col("ntot") - col("nv")).cast("double")).as("theta"))
+          .localCheckpoint() // θ̄ fold + the squared-deviation fold
+        val tb = th.groupBy("ngrp", "stot", "ntot")
+          .agg((sum(col("theta").cast("decimal(30,8)")).cast("double") /
+            col("ngrp")).as("theta_bar"))
+        th.join(broadcast(tb), Seq("ngrp", "stot", "ntot"))
+          .groupBy("ngrp", "stot", "ntot", "theta_bar")
+          .agg(sum(((col("theta") - col("theta_bar")) *
+            (col("theta") - col("theta_bar"))).cast("decimal(30,8)"))
+            .cast("double").as("ssq"))
+          .select(col("ngrp").as("n_groups"),
+            (col("stot").cast("double") / col("ntot")).as("theta_full"),
+            col("theta_bar"),
+            sqrt((col("ngrp") - lit(1.0)) / col("ngrp") * col("ssq"))
+              .as("se_jack"))
+      },
+      Some("""WITH pe AS (SELECT
+            ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 7))::BIGINT
+              % 32 AS g,
+            value FROM events WHERE event_type = 'purchase'),
+        bg AS (SELECT g,
+            CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DECIMAL(30,8))
+              AS sv,
+            COUNT(*) AS nv FROM pe GROUP BY g),
+        tot AS (SELECT CAST(SUM(sv) AS DECIMAL(30,8)) AS stot,
+            CAST(SUM(nv) AS BIGINT) AS ntot, COUNT(*) AS ngrp FROM bg),
+        th AS (SELECT g,
+            CAST(stot - sv AS DOUBLE) / CAST(ntot - nv AS DOUBLE)
+              AS theta
+          FROM bg CROSS JOIN tot),
+        tb AS (SELECT CAST(CAST(SUM(CAST(theta AS DECIMAL(30,8)))
+              AS VARCHAR) AS DOUBLE) / (SELECT ngrp FROM tot)
+            AS theta_bar FROM th),
+        sq AS (SELECT CAST(CAST(SUM(CAST((theta - theta_bar) *
+              (theta - theta_bar) AS DECIMAL(30,8))) AS VARCHAR)
+            AS DOUBLE) AS ssq FROM th CROSS JOIN tb)
+        SELECT CAST(tot.ngrp AS BIGINT) AS n_groups,
+          CAST(tot.stot AS DOUBLE) / tot.ntot AS theta_full,
+          tb.theta_bar,
+          sqrt((tot.ngrp - 1.0) / tot.ngrp * sq.ssq) AS se_jack
+        FROM tot CROSS JOIN tb CROSS JOIN sq""")),
+
+    // ── Deadline funnel with Wilson intervals (q263) ───────────────────
+    // q149's strict ordered funnel plus the two things a growth report
+    // actually needs: a CONVERSION DEADLINE (next step within 24 h of
+    // the previous step's completion — without it this corpus converts
+    // everyone) and UNCERTAINTY on each step's rate. The Wilson score
+    // interval needs only +, ×, ÷ and one sqrt of exact-integer-derived
+    // doubles — every operand chain is written identically in both
+    // engines, so the bounds are bit-identical (the reason Wilson is
+    // chosen over Clopper–Pearson, which needs Beta quantiles). Two
+    // sequential min-aggregation joins, then an O(steps) fold.
+    QueryDef("q263_funnel_wilson",
+      (s, dir) => {
+        val dl = 86400000000L // 24 h in micros
+        val ev = t(s, dir, "events")
+        def typed(tp: String, as: String) =
+          ev.filter(col("event_type") === tp)
+            .select(col("user_id"), unix_micros(col("ts")).as(as))
+        val t1 = typed("view", "us1").groupBy("user_id")
+          .agg(min(col("us1")).as("t1"))
+        val t2 = t1.join(typed("click", "us2"), Seq("user_id"), "left")
+          .groupBy("user_id")
+          .agg(min(col("t1")).as("t1"),
+            min(when(col("us2") >= col("t1") &&
+              col("us2") < col("t1") + dl, col("us2"))).as("t2"))
+        val t3 = t2.join(typed("purchase", "us3"), Seq("user_id"), "left")
+          .groupBy("user_id")
+          .agg(min(col("t2")).as("t2"),
+            min(when(col("us3") >= col("t2") &&
+              col("us3") < col("t2") + dl, col("us3"))).as("t3"))
+        val cnt = t3.agg(count(lit(1)).as("n1"),
+          sum(col("t2").isNotNull.cast("long")).as("n2"),
+          sum(col("t3").isNotNull.cast("long")).as("n3"))
+        val steps = cnt.select(explode(array(
+            struct(lit("view_to_click").as("step"),
+              col("n1").as("n_prev"), col("n2").as("n_next")),
+            struct(lit("click_to_purchase").as("step"),
+              col("n2").as("n_prev"), col("n3").as("n_next")))).as("r"))
+          .select(col("r.step").as("step"), col("r.n_prev").as("n_prev"),
+            col("r.n_next").as("n_next"))
+          .withColumn("p",
+            col("n_next").cast("double") / col("n_prev"))
+        val z = lit(1.96)
+        val center = (col("p") + z * z / (lit(2) * col("n_prev"))) /
+          (lit(1) + z * z / col("n_prev"))
+        val half = z * sqrt(col("p") * (lit(1) - col("p")) / col("n_prev")
+          + z * z / (lit(4) * col("n_prev") * col("n_prev"))) /
+          (lit(1) + z * z / col("n_prev"))
+        steps.select(col("step"), col("n_prev"), col("n_next"), col("p"),
+            (center - half).as("wilson_lo"),
+            (center + half).as("wilson_hi"))
+          .orderBy("step")
+      },
+      Some("""WITH t1 AS (SELECT user_id, MIN(epoch_us(ts)) AS t1
+            FROM events WHERE event_type = 'view' GROUP BY user_id),
+        c AS (SELECT user_id, epoch_us(ts) AS us2 FROM events
+          WHERE event_type = 'click'),
+        t2 AS (SELECT t1.user_id, MIN(t1.t1) AS t1,
+            MIN(CASE WHEN c.us2 >= t1.t1
+              AND c.us2 < t1.t1 + 86400000000 THEN c.us2 END) AS t2
+          FROM t1 LEFT JOIN c ON t1.user_id = c.user_id
+          GROUP BY t1.user_id),
+        p AS (SELECT user_id, epoch_us(ts) AS us3 FROM events
+          WHERE event_type = 'purchase'),
+        t3 AS (SELECT t2.user_id, MIN(t2.t2) AS t2,
+            MIN(CASE WHEN p.us3 >= t2.t2
+              AND p.us3 < t2.t2 + 86400000000 THEN p.us3 END) AS t3
+          FROM t2 LEFT JOIN p ON t2.user_id = p.user_id
+          GROUP BY t2.user_id),
+        cnt AS (SELECT COUNT(*) AS n1,
+            CAST(SUM(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n2,
+            CAST(SUM(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n3 FROM t3),
+        steps AS (
+          SELECT 'view_to_click' AS step, n1 AS n_prev, n2 AS n_next
+          FROM cnt
+          UNION ALL
+          SELECT 'click_to_purchase', n2, n3 FROM cnt),
+        wil AS (SELECT step, n_prev, n_next,
+            CAST(n_next AS DOUBLE) / n_prev AS p FROM steps)
+        SELECT step, CAST(n_prev AS BIGINT) AS n_prev, n_next, p,
+          (p + 1.96*1.96/(2*n_prev)) / (1 + 1.96*1.96/n_prev)
+            - 1.96 * sqrt(p*(1-p)/n_prev
+                + 1.96*1.96/(4*n_prev*n_prev))
+              / (1 + 1.96*1.96/n_prev) AS wilson_lo,
+          (p + 1.96*1.96/(2*n_prev)) / (1 + 1.96*1.96/n_prev)
+            + 1.96 * sqrt(p*(1-p)/n_prev
+                + 1.96*1.96/(4*n_prev*n_prev))
+              / (1 + 1.96*1.96/n_prev) AS wilson_hi
+        FROM wil ORDER BY step""")),
   )
 }
