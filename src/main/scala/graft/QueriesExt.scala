@@ -10387,5 +10387,175 @@ object QueriesExt {
                 + 1.96*1.96/(4*n_prev*n_prev))
               / (1 + 1.96*1.96/n_prev) AS wilson_hi
         FROM wil ORDER BY step""")),
+
+    // ── Half-life decayed engagement score (q264) ──────────────────────
+    // Recency-weighted per-user value with EXACT arithmetic: the usual
+    // exp(−age/τ) decay is libm-dependent, but a half-life on the
+    // integer WEEK age — weight 2^−⌊age/7⌋ — is a power of two, so
+    // value·weight is exact double SCALING (mantissa untouched), and
+    // the per-user sum rides the DECIMAL(30,8) parity rail. The shape
+    // is one map + one aggregation; the newest week counts full, five
+    // weeks back counts 1/32 — the classic engagement-decay curve with
+    // none of the transcendental drift.
+    QueryDef("q264_decay_score",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("user_id"),
+            expr("unix_micros(ts) div 86400000000").as("day"),
+            col("value"))
+        val mx = ev.agg(max("day").as("maxd"))
+        ev.crossJoin(broadcast(mx))
+          .select(col("user_id"),
+            (col("value") /
+              pow(lit(2.0), expr("(maxd - day) div 7").cast("double")))
+              .as("wval"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            dsum(col("wval")).as("decayed_score"))
+          .orderBy("user_id")
+      },
+      Some(s"""WITH ev AS (SELECT user_id,
+            epoch_us(ts) // 86400000000 AS day, value FROM events),
+        mx AS (SELECT MAX(day) AS maxd FROM ev),
+        wv AS (SELECT user_id,
+            value / power(2, (maxd - day) // 7) AS wval
+          FROM ev CROSS JOIN mx)
+        SELECT user_id, COUNT(*) AS n_events,
+          ${dsumSql("wval")} AS decayed_score
+        FROM wv GROUP BY user_id ORDER BY user_id""")),
+
+    // ── Nelson–Aalen cumulative hazard (q265) ──────────────────────────
+    // The survival-analysis twin of q179's Kaplan–Meier retention:
+    // time-to-first-purchase in HOURS from corpus start, observed for
+    // 12 hours — users without a purchase by then are right-censored
+    // (type I), which is exactly what the estimator exists to handle.
+    // Ĥ(t) = Σ_{s≤t} d_s/n_s with the risk set from a REVERSE
+    // cumulative count over the bounded distinct-time axis (≤13 rows —
+    // the unpartitioned windows run over that axis, never over users).
+    // Each hazard term is one division of exact integers; the running
+    // cum_hazard adds them in time order, the same left-to-right chain
+    // in both engines.
+    QueryDef("q265_nelson_aalen",
+      (s, dir) => {
+        val hrs = t(s, dir, "events")
+          .select(col("user_id"),
+            expr("unix_micros(ts) div 3600000000").as("hr"),
+            col("event_type"))
+        val start = hrs.agg(min("hr").as("h0"))
+        val per = hrs.crossJoin(broadcast(start))
+          .groupBy("user_id")
+          .agg(min(when(col("event_type") === "purchase",
+            col("hr") - col("h0"))).as("fp"))
+        val obs = per.select(
+          when(col("fp").isNotNull && col("fp") < 12, col("fp"))
+            .otherwise(12L).as("t"),
+          when(col("fp").isNotNull && col("fp") < 12, 1L)
+            .otherwise(0L).as("ev"))
+        val dd = obs.groupBy("t")
+          .agg(sum("ev").as("d"), sum(lit(1L) - col("ev")).as("c"))
+        val wDesc = Window.orderBy(col("t").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAsc = Window.orderBy(col("t").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        dd.withColumn("n_risk", sum(col("d") + col("c")).over(wDesc))
+          .filter(col("d") > 0)
+          .withColumn("hazard",
+            col("d").cast("double") / col("n_risk"))
+          .withColumn("cum_hazard", sum("hazard").over(wAsc))
+          .select("t", "n_risk", "d", "hazard", "cum_hazard")
+          .orderBy("t")
+      },
+      Some("""WITH hrs AS (SELECT user_id,
+            epoch_us(ts) // 3600000000 AS hr, event_type FROM events),
+        start AS (SELECT MIN(hr) AS h0 FROM hrs),
+        per AS (SELECT h.user_id,
+            MIN(CASE WHEN h.event_type = 'purchase'
+              THEN h.hr - s.h0 END) AS fp
+          FROM hrs h CROSS JOIN start s GROUP BY h.user_id),
+        obs AS (SELECT user_id,
+            CASE WHEN fp IS NOT NULL AND fp < 12 THEN fp ELSE 12 END
+              AS t,
+            CASE WHEN fp IS NOT NULL AND fp < 12 THEN 1 ELSE 0 END
+              AS ev
+          FROM per),
+        dd AS (SELECT t, CAST(SUM(ev) AS BIGINT) AS d,
+            CAST(SUM(1 - ev) AS BIGINT) AS c FROM obs GROUP BY t),
+        rk AS (SELECT t, d, c,
+            CAST(SUM(d + c) OVER (ORDER BY t DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS n_risk
+          FROM dd)
+        SELECT t, n_risk, d, CAST(d AS DOUBLE) / n_risk AS hazard,
+          SUM(CAST(d AS DOUBLE) / n_risk) OVER (ORDER BY t
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS cum_hazard
+        FROM rk WHERE d > 0 ORDER BY t""")),
+
+    // ── Page–Hinkley drift detector (q266) ─────────────────────────────
+    // The third change detector next to CUSUM (q155) and Pettitt
+    // (q211): per event type, the daily-mean series x_t, its running
+    // mean x̄_t, the drift statistic m_t = Σ(x_i − x̄_i − δ), and
+    // — because DuckDB's windowed SUM combines by segment TREE while
+    // Spark accumulates left-to-right (a 1-ulp divergence observed at
+    // sf0.1) — both running sums of doubles ride the DECIMAL(30,8)
+    // rail, making them association-order-free. Then
+    // PH_t = m_t − min_{s≤t} m_s; the report is each type's peak PH,
+    // its day, and the λ=30 alarm verdict (mixed on this corpus by
+    // construction). All windows are PARTITIONED BY event type and
+    // ordered by day — bounded series, no global window.
+    QueryDef("q266_page_hinkley",
+      (s, dir) => {
+        val wv = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val dly = t(s, dir, "events")
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(davg(col("value")).as("x"))
+        val ph = dly
+          .withColumn("xb",
+            sum(col("x").cast("decimal(30,8)")).over(wv).cast("double") /
+              count(lit(1)).over(wv))
+          .withColumn("m",
+            sum((col("x") - col("xb") - lit(0.005))
+              .cast("decimal(30,8)")).over(wv).cast("double"))
+          .withColumn("ph", col("m") - min("m").over(wv))
+        val best = Window.partitionBy("event_type")
+          .orderBy(col("ph").desc, col("day"))
+        ph.withColumn("rk", row_number().over(best))
+          .filter(col("rk") === 1)
+          .select(col("event_type"), col("day").as("peak_day"),
+            col("ph").as("ph_max"),
+            (col("ph") > 30.0).cast("int").as("alarm"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH dly AS (SELECT event_type,
+            epoch_us(ts) // 86400000000 AS day,
+            ${dsumSql("value")} / COUNT(*) AS x
+          FROM events GROUP BY 1, 2),
+        cm AS (SELECT event_type, day, x,
+            CAST(CAST(SUM(CAST(x AS DECIMAL(30,8)))
+                OVER (PARTITION BY event_type ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS VARCHAR) AS DOUBLE)
+            / COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS xb
+          FROM dly),
+        u AS (SELECT event_type, day,
+            CAST(CAST(SUM(CAST((x - xb - 0.005) AS DECIMAL(30,8)))
+                OVER (PARTITION BY event_type ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS VARCHAR) AS DOUBLE) AS m
+          FROM cm),
+        ph AS (SELECT event_type, day, m,
+            m - MIN(m) OVER (PARTITION BY event_type ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph
+          FROM u),
+        best AS (SELECT event_type, day, ph,
+            ROW_NUMBER() OVER (PARTITION BY event_type
+              ORDER BY ph DESC, day) AS rk
+          FROM ph)
+        SELECT event_type, day AS peak_day, ph AS ph_max,
+          CAST(ph > 30.0 AS INT) AS alarm
+        FROM best WHERE rk = 1 ORDER BY event_type""")),
   )
 }

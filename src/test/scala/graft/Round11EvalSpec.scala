@@ -59,6 +59,47 @@ class Round11EvalSpec extends AnyFunSuite {
       10 * (r.getDouble(3) + 1e-9))
   }
 
+  test("q264: decay weights only shrink — score is positive and never " +
+       "exceeds the undecayed per-user value sum") {
+    val raw = TestSpark.spark.read
+      .parquet(TestSpark.sf0001 + "/events.parquet")
+      .groupBy("user_id")
+      .agg(sum("value").as("rawsum"))
+    val out = run("q264_decay_score").join(raw, "user_id")
+      .select("decayed_score", "rawsum").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getDouble(0) > 0.0 && r.getDouble(0) <= r.getDouble(1) + 1e-6)
+    }
+  }
+
+  test("q265: risk set shrinks and cumulative hazard grows with t") {
+    val rows = run("q265_nelson_aalen")
+      .select("t", "n_risk", "hazard", "cum_hazard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    rows.sliding(2).foreach {
+      case Array((_, n1, _, ch1), (_, n2, _, ch2)) =>
+        assert(n2 < n1, "risk set must strictly shrink across event times")
+        assert(ch2 > ch1, "cumulative hazard must strictly grow")
+      case _ => ()
+    }
+    rows.foreach { case (_, _, hz, _) => assert(hz > 0.0 && hz <= 1.0) }
+  }
+
+  test("q266: PH statistic is non-negative and alarm matches the " +
+       "lambda=30 threshold") {
+    val rows = run("q266_page_hinkley")
+      .select("ph_max", "alarm").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(0) >= 0.0)
+      assert((r.getDouble(0) > 30.0) === (r.getInt(1) === 1))
+    }
+  }
+
   test("q263: Wilson bounds bracket the point rate inside [0, 1] and " +
        "step counts are monotone") {
     val rows = run("q263_funnel_wilson")
