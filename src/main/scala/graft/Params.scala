@@ -92,6 +92,39 @@ object Params {
         (m & (1 << (fsFields.size - 1 - i))) != 0)
       (bits.map(b => if (b) "1" else "0").mkString, fsScore(bits))
     }
+  /** Fellegi–Sunter EM (q267): prior match probability P(M) = 1/20. */
+  val fsEmPriorNum = 1
+  val fsEmPriorDen = 20
+
+  /** One EM E-step per agreement pattern: the posterior match weight
+    * w(γ) = p·P(γ|M) / (p·P(γ|M) + (1−p)·P(γ|U)) is a RATIONAL of the
+    * configured [[fsFields]] (m, u) rationals and the [[fsEmPriorNum]]
+    * prior, computed here once in exact BigInt arithmetic and rounded
+    * HALF_EVEN to 12 dp — both engines then interpolate the identical
+    * decimal literals, so the only data-dependent arithmetic left in
+    * q267 is integer counts × fixed-point literals (exact) and the
+    * final M-step divisions. Yields (pattern, w, 1−w) as plain strings.
+    */
+  val fsEmWeights: Seq[(String, String, String)] =
+    fsPatterns.map(_._1).map { p =>
+      val bits = p.map(_ == '1')
+      var aN = BigInt(fsEmPriorNum); var aD = BigInt(fsEmPriorDen)
+      var bN = BigInt(fsEmPriorDen - fsEmPriorNum)
+      var bD = BigInt(fsEmPriorDen)
+      fsFields.zip(bits).foreach { case ((_, mN, mD, uN, uD), g) =>
+        if (g) { aN *= mN; aD *= mD; bN *= uN; bD *= uD }
+        else { aN *= (mD - mN); aD *= mD; bN *= (uD - uN); bD *= uD }
+      }
+      // w = (aN/aD) / (aN/aD + bN/bD) = aN·bD / (aN·bD + bN·aD)
+      val num = aN * bD
+      val den = num + bN * aD
+      val w = new java.math.BigDecimal(num.bigInteger).divide(
+        new java.math.BigDecimal(den.bigInteger), 12,
+        java.math.RoundingMode.HALF_EVEN)
+      (p, w.toPlainString, java.math.BigDecimal.ONE.subtract(w)
+        .toPlainString)
+    }
+
   /** Containment near-dup pairs (q119): |sub ∩ sup| / |sub| ≥ 4/5. */
   val containNum = 4
   val containDen = 5

@@ -10557,5 +10557,224 @@ object QueriesExt {
         SELECT event_type, day AS peak_day, ph AS ph_max,
           CAST(ph > 30.0 AS INT) AS alarm
         FROM best WHERE rk = 1 ORDER BY event_type""")),
+
+    // ── Fellegi–Sunter EM parameter update (q267) ──────────────────────
+    // q164 scores pairs with CONFIGURED (m, u); this is the missing
+    // training step — one full EM iteration re-estimating them from
+    // the data. The E-step posterior w(γ) is a RATIONAL of the
+    // configured rationals and the 1/20 prior, precomputed once in
+    // BigInt arithmetic and interpolated into both engines as the same
+    // 12-dp decimal literals ([[Params.fsEmWeights]]); the data's only
+    // job is the 8 pattern counts, so the M-step is
+    //   m_f' = Σ_{γ_f=1} n_γ·w_γ / Σ n_γ·w_γ   (u_f' with 1−w)
+    // — integer × fixed-point products (exact), decimal sums (exact),
+    // and a handful of final double divisions. The whole update is
+    // O(2^fields) state however many pairs the block join yields.
+    QueryDef("q267_fs_em_step",
+      (s, dir) => {
+        val counts = fsScoredPairs(s, dir)
+          .groupBy("pattern").agg(count(lit(1)).as("n"))
+        val wtab = counts.sparkSession.range(1)
+          .select(explode(array(fsEmWeights.map { case (p, w, wc) =>
+            struct(lit(p).as("pattern"),
+              lit(new java.math.BigDecimal(w)).as("w"),
+              lit(new java.math.BigDecimal(wc)).as("wc"))
+          }: _*)).as("r"))
+          .select(col("r.pattern").as("pattern"), col("r.w").as("w"),
+            col("r.wc").as("wc"))
+        val j = counts.join(broadcast(wtab), "pattern")
+        val fieldSums = fsFields.zipWithIndex.flatMap { case (_, i) =>
+          Seq(sum(when(substring(col("pattern"), i + 1, 1) === "1",
+            col("n") * col("w"))).as(s"swf$i"),
+            sum(when(substring(col("pattern"), i + 1, 1) === "1",
+              col("n") * col("wc"))).as(s"swcf$i"))
+        }
+        val aggCols = Seq(sum(col("n") * col("w")).as("sw"),
+          sum(col("n") * col("wc")).as("swc")) ++ fieldSums
+        val agg = j.agg(sum("n").as("sn"), aggCols: _*)
+        agg.select(explode(array(fsFields.zipWithIndex.map {
+            case ((f, mN, mD, uN, uD), i) =>
+              struct(lit(f).as("field"),
+                lit(mN.toDouble / mD).as("m0"),
+                lit(uN.toDouble / uD).as("u0"),
+                (col(s"swf$i").cast("double") /
+                  col("sw").cast("double")).as("m1"),
+                (col(s"swcf$i").cast("double") /
+                  col("swc").cast("double")).as("u1"))
+          }: _*)).as("r"),
+          (col("sw").cast("double") / col("sn")).as("p1"))
+          .select(col("r.field").as("field"), col("r.m0").as("m0"),
+            col("r.u0").as("u0"), col("r.m1").as("m1"),
+            col("r.u1").as("u1"), col("p1"))
+          .orderBy("field")
+      },
+      Some {
+        val wRows = fsEmWeights.map { case (p, w, wc) =>
+          s"('$p', CAST('$w' AS DECIMAL(14,12)), " +
+            s"CAST('$wc' AS DECIMAL(14,12)))"
+        }.mkString(",\n          ")
+        val fSums = fsFields.zipWithIndex.map { case (_, i) =>
+          s"""SUM(CASE WHEN substr(pattern, ${i + 1}, 1) = '1'
+             THEN n * w END) AS swf$i,
+           SUM(CASE WHEN substr(pattern, ${i + 1}, 1) = '1'
+             THEN n * wc END) AS swcf$i"""
+        }.mkString(",\n          ")
+        val fRows = fsFields.zipWithIndex.map {
+          case ((f, mN, mD, uN, uD), i) =>
+            s"""SELECT '$f' AS field,
+             CAST(${mN.toDouble / mD} AS DOUBLE) AS m0,
+             CAST(${uN.toDouble / uD} AS DOUBLE) AS u0,
+             CAST(CAST(swf$i AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(sw AS VARCHAR) AS DOUBLE) AS m1,
+             CAST(CAST(swcf$i AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(swc AS VARCHAR) AS DOUBLE) AS u1,
+             CAST(CAST(sw AS VARCHAR) AS DOUBLE) / sn AS p1
+           FROM agg"""
+        }.mkString("\n          UNION ALL\n          ")
+        s"""WITH $dFsCtes,
+        cnt AS (SELECT pattern, COUNT(*) AS n FROM scored
+          GROUP BY pattern),
+        wt(pattern, w, wc) AS (VALUES
+          $wRows),
+        j AS (SELECT cnt.n, wt.pattern, wt.w, wt.wc
+          FROM cnt JOIN wt USING (pattern)),
+        agg AS (SELECT CAST(SUM(n) AS BIGINT) AS sn,
+            SUM(n * w) AS sw, SUM(n * wc) AS swc,
+            $fSums
+          FROM j)
+        $fRows
+        ORDER BY field"""
+      }),
+
+    // ── Jaccard threshold sensitivity curve (q268) ─────────────────────
+    // The dedup release knob: how many pairs (and how many documents)
+    // survive at each candidate similarity cutoff, from q106's exact
+    // prefix-filtered pair set at its ½ floor. One fan-out of the pair
+    // table over the 5-threshold spine, then pair and distinct-doc
+    // counts; thresholds below the generating floor are out of scope
+    // by construction (the curve starts where the pair set is exact).
+    // Comparisons are on the identical IEEE jaccard doubles both
+    // engines already hash-agree on (q106), so the curve is exact.
+    QueryDef("q268_jaccard_threshold_curve",
+      (s, dir) => {
+        val thr = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+        val pairs = Dedup.prefixFilterJaccardPairs(
+          tPar(s, dir, "documents"), "doc_id", "text", shingleK,
+          ppjTNum, ppjTDen)
+        val fan = pairs
+          .select(explode(array(thr.map(lit(_)): _*)).as("threshold"),
+            col("id_a"), col("id_b"), col("jaccard"))
+          .filter(col("jaccard") >= col("threshold"))
+          .localCheckpoint() // pair counts + doc counts both read it
+        val np = fan.groupBy("threshold").agg(count(lit(1)).as("n_pairs"))
+        val nd = fan.select(col("threshold"),
+            explode(array(col("id_a"), col("id_b"))).as("d"))
+          .groupBy("threshold").agg(countDistinct("d").as("n_docs"))
+        fan.sparkSession.range(1)
+          .select(explode(array(thr.map(lit(_)): _*)).as("threshold"))
+          .join(np, Seq("threshold"), "left")
+          .join(nd, Seq("threshold"), "left")
+          .select(col("threshold"),
+            coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+            coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+          .orderBy("threshold")
+      },
+      Some(s"""WITH sh AS (SELECT doc_id, unnest(list_distinct(
+            ${dShingles(dTok, shingleK)})) AS tok FROM documents),
+          sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+          p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              COUNT(*) AS shared
+            FROM sh a JOIN sh b USING (tok)
+            WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+          jac AS (SELECT id_a, id_b, CAST(shared AS DOUBLE)
+              / CAST(x.n + y.n - shared AS DOUBLE) AS jaccard
+            FROM p JOIN sz x ON p.id_a = x.doc_id
+              JOIN sz y ON p.id_b = y.doc_id
+            WHERE shared * $ppjTDen >= $ppjTNum * (x.n + y.n - shared)),
+          thr AS (SELECT CAST(t AS DOUBLE) AS threshold
+            FROM (VALUES (0.5), (0.6), (0.7), (0.8), (0.9)) v(t)),
+          fan AS (SELECT threshold, id_a, id_b FROM jac JOIN thr
+            ON jaccard >= threshold),
+          np AS (SELECT threshold, COUNT(*) AS n_pairs FROM fan
+            GROUP BY 1),
+          nd AS (SELECT threshold, COUNT(DISTINCT d) AS n_docs
+            FROM (SELECT threshold, unnest([id_a, id_b]) AS d FROM fan)
+            GROUP BY 1)
+        SELECT t.threshold,
+          CAST(COALESCE(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+          CAST(COALESCE(nd.n_docs, 0) AS BIGINT) AS n_docs
+        FROM thr t LEFT JOIN np USING (threshold)
+          LEFT JOIN nd USING (threshold)
+        ORDER BY threshold""")),
+
+    // ── ANN recall@k evaluation (q269) ─────────────────────────────────
+    // The eval harness as a first-class operator: per probe, how much
+    // of the EXACT cosine top-k (q30's brute force) does the sign-LSH
+    // bucketed search (q31) recover? recall = |approx ∩ exact| / k.
+    // Both sides reuse the locked q30/q31 machinery verbatim, so this
+    // measures the production index's quality with zero new similarity
+    // arithmetic; at scale the exact side runs on a bounded probe
+    // sample (here vec_id < 20) — the standard recall-audit shape.
+    QueryDef("q269_ann_recall",
+      (s, dir) => {
+        val e = tPar(s, dir, "embeddings")
+        val probes = e.filter(col("vec_id") < 20)
+        val exact = Similarity.bruteForceTopK(e, probes, "vec_id",
+            "embedding", topK)
+          .select(col("probe_id"), col("nn_id"))
+          .localCheckpoint() // spine + the hit join both read it
+        val approx = Similarity.bucketedTopK(e, probes, "vec_id",
+            "embedding", topK, annBits, annDims, annSeed, annTables)
+          .select(col("probe_id"), col("nn_id"))
+        val hits = exact.join(approx, Seq("probe_id", "nn_id"))
+          .groupBy("probe_id").agg(count(lit(1)).as("n_hits"))
+        exact.groupBy("probe_id").agg(count(lit(1)).as("k"))
+          .join(hits, Seq("probe_id"), "left")
+          .select(col("probe_id"), col("k"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+          .withColumn("recall",
+            col("n_hits").cast("double") / col("k"))
+          .orderBy("probe_id")
+      },
+      Some(s"""WITH expairs AS (
+          SELECT a.vec_id AS probe_id, b.vec_id AS nn_id,
+            (${dDot("a.embedding", "b.embedding")})
+              / (sqrt(${dDot("a.embedding", "a.embedding")})
+                 * sqrt(${dDot("b.embedding", "b.embedding")})) AS cos
+          FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+          WHERE a.vec_id < 20),
+        ex AS (SELECT probe_id, nn_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY probe_id
+              ORDER BY cos DESC, nn_id ASC) AS rank FROM expairs)
+          WHERE rank <= $topK),
+        v AS (SELECT vec_id,
+            unnest(${dBucketTables("embedding")}) AS bk FROM embeddings),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS probe_id, b.vec_id AS nn_id
+          FROM v a JOIN v b ON a.bk = b.bk AND a.vec_id <> b.vec_id
+          WHERE a.vec_id < 20),
+        appairs AS (
+          SELECT probe_id, nn_id,
+            (${dDot("pa.embedding", "pb.embedding")})
+              / (sqrt(${dDot("pa.embedding", "pa.embedding")})
+                 * sqrt(${dDot("pb.embedding", "pb.embedding")})) AS cos
+          FROM cand
+          JOIN embeddings pa ON cand.probe_id = pa.vec_id
+          JOIN embeddings pb ON cand.nn_id = pb.vec_id),
+        ap AS (SELECT probe_id, nn_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY probe_id
+              ORDER BY cos DESC, nn_id ASC) AS rank FROM appairs)
+          WHERE rank <= $topK),
+        hits AS (SELECT ex.probe_id, COUNT(*) AS n_hits
+          FROM ex JOIN ap ON ex.probe_id = ap.probe_id
+            AND ex.nn_id = ap.nn_id
+          GROUP BY ex.probe_id),
+        spine AS (SELECT probe_id, COUNT(*) AS k FROM ex
+          GROUP BY probe_id)
+        SELECT s.probe_id, s.k,
+          CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+          CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / s.k AS recall
+        FROM spine s LEFT JOIN hits h ON s.probe_id = h.probe_id
+        ORDER BY s.probe_id""")),
   )
 }

@@ -100,6 +100,48 @@ class Round11EvalSpec extends AnyFunSuite {
     }
   }
 
+  test("q267: EM-updated (m, u, p) stay in (0,1) and every field " +
+       "agrees more under match than under non-match") {
+    val rows = run("q267_fs_em_step")
+      .select("field", "m1", "u1", "p1").collect()
+    assert(rows.length === Params.fsFields.length)
+    rows.foreach { r =>
+      val (m1, u1, p1) =
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(m1 > 0.0 && m1 <= 1.0 && u1 > 0.0 && u1 <= 1.0)
+      assert(p1 > 0.0 && p1 < 1.0)
+      // equality only when the sf0.001 sample leaves a field
+      // uninformative (every blocked pair agrees on it)
+      assert(m1 >= u1, s"field ${r.getString(0)}: m' must not be " +
+        "below u'")
+    }
+  }
+
+  test("q268: pair and doc survivor counts are non-increasing in the " +
+       "threshold") {
+    val rows = run("q268_jaccard_threshold_curve")
+      .select("threshold", "n_pairs", "n_docs").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(rows.length === 5)
+    rows.sliding(2).foreach {
+      case Array((_, p1, d1), (_, p2, d2)) =>
+        assert(p2 <= p1 && d2 <= d1)
+      case _ => ()
+    }
+  }
+
+  test("q269: recall sits in [0,1] over a full exact top-k per probe") {
+    val rows = run("q269_ann_recall")
+      .select("k", "n_hits", "recall").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) === Params.topK.toLong)
+      assert(r.getLong(1) >= 0L && r.getLong(1) <= r.getLong(0))
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+    }
+  }
+
   test("q263: Wilson bounds bracket the point rate inside [0, 1] and " +
        "step counts are monotone") {
     val rows = run("q263_funnel_wilson")
