@@ -10776,5 +10776,226 @@ object QueriesExt {
           CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / s.k AS recall
         FROM spine s LEFT JOIN hits h ON s.probe_id = h.probe_id
         ORDER BY s.probe_id""")),
+
+    // ── Data-scaling curve (q270) ──────────────────────────────────────
+    // "How much data do we need?" — the metric recomputed on nested
+    // deterministic hash subsamples (10/25/50/100% of USERS, so each
+    // smaller sample is a strict subset of the larger: the curve is
+    // monotone in information, not resampling noise). One per-user
+    // aggregation, then a 4-way fan against the bounded fraction
+    // spine; per-user value sums ride the decimal rail so every
+    // sample's mean is layout-independent.
+    QueryDef("q270_data_scaling_curve",
+      (s, dir) => {
+        val per = t(s, dir, "events")
+          .groupBy("user_id")
+          .agg(sum(when(col("event_type") === "purchase", 1L)
+            .otherwise(0L)).as("np"),
+            sum(when(col("event_type") === "purchase",
+              col("value").cast("decimal(30,8)"))
+              .otherwise(lit(java.math.BigDecimal.ZERO)
+                .cast("decimal(30,8)")))
+              .cast("decimal(30,8)").as("sv"))
+          .select((Shingles.baseHash(col("user_id").cast("string")) % 100)
+            .as("h"), col("np"), col("sv"))
+        val fr = per.sparkSession.range(1)
+          .select(explode(array(Seq(10L, 25L, 50L, 100L)
+            .map(lit(_)): _*)).as("pct"))
+        per.join(broadcast(fr), col("h") < col("pct"))
+          .groupBy("pct")
+          .agg(count(lit(1)).as("n_users"),
+            sum("np").as("n_purchases"),
+            sum(col("sv")).cast("decimal(30,8)").as("svtot"))
+          .select(col("pct"), col("n_users"), col("n_purchases"),
+            (col("n_purchases").cast("double") / col("n_users"))
+              .as("purchases_per_user"),
+            (col("svtot").cast("double") / col("n_purchases"))
+              .as("mean_purchase"))
+          .orderBy("pct")
+      },
+      Some("""WITH per AS (SELECT user_id,
+            ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 7))::BIGINT
+              % 100 AS h,
+            CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+              END) AS BIGINT) AS np,
+            CAST(SUM(CASE WHEN event_type = 'purchase'
+                THEN CAST(value AS DECIMAL(30,8))
+                ELSE CAST(0 AS DECIMAL(30,8)) END) AS DECIMAL(30,8))
+              AS sv
+          FROM events GROUP BY user_id),
+        fr AS (SELECT CAST(f AS BIGINT) AS pct
+          FROM (VALUES (10), (25), (50), (100)) v(f)),
+        fan AS (SELECT pct, np, sv FROM per JOIN fr ON per.h < fr.pct)
+        SELECT pct, COUNT(*) AS n_users,
+          CAST(SUM(np) AS BIGINT) AS n_purchases,
+          CAST(SUM(np) AS DOUBLE) / COUNT(*) AS purchases_per_user,
+          CAST(CAST(SUM(sv) AS VARCHAR) AS DOUBLE)
+            / CAST(SUM(np) AS BIGINT) AS mean_purchase
+        FROM fan GROUP BY pct ORDER BY pct""")),
+
+    // ── Group-sequential monitoring, O'Brien–Fleming (q271) ────────────
+    // The peeking-safe A/B readout: the two-proportion z (q222's exact
+    // chain) evaluated at 4 interim looks over the experiment's
+    // timeline, against the O'Brien–Fleming-shaped boundary
+    // c·√(K/k) with c = 2.024 (the K=4, two-sided α≈0.05 final-look
+    // critical value) — conservative early, nominal late. Conversion
+    // is first premium purchase (value > 95) by the look cutoff so the
+    // rate never saturates. Look cutoffs are integer day quantiles of
+    // the observed span; all counts are exact, z and boundary are
+    // identical literal chains in both engines.
+    QueryDef("q271_group_sequential",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("value"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+        val looks = ev.agg(min("day").as("d0"), max("day").as("d1"))
+          .select(explode(array((1L to 4L).map(lit(_)): _*)).as("k"),
+            col("d0"), col("d1"))
+          .select(col("k"),
+            expr("d0 + ((d1 - d0 + 1) * k) div 4 - 1").as("cut"))
+        val per = ev.groupBy("user_id")
+          .agg(min(when(col("event_type") === "purchase" &&
+            col("value") > 95, col("day"))).as("fp"))
+          .select((Shingles.baseHash(col("user_id").cast("string")) % 2)
+            .as("arm"), col("fp"))
+        val cum = per.crossJoin(broadcast(looks))
+          .groupBy("k", "cut", "arm")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("fp").isNotNull && col("fp") <= col("cut"), 1L)
+              .otherwise(0L)).as("x"))
+        val wide = cum.groupBy("k", "cut")
+          .agg(max(when(col("arm") === 1, col("n"))).as("n_t"),
+            max(when(col("arm") === 1, col("x"))).as("x_t"),
+            max(when(col("arm") === 0, col("n"))).as("n_c"),
+            max(when(col("arm") === 0, col("x"))).as("x_c"))
+        val pT = col("x_t").cast("double") / col("n_t")
+        val pC = col("x_c").cast("double") / col("n_c")
+        val pp = (col("x_t") + col("x_c")).cast("double") /
+          (col("n_t") + col("n_c"))
+        val zv = (pT - pC) / sqrt(pp * (lit(1) - pp) *
+          (lit(1.0) / col("n_t") + lit(1.0) / col("n_c")))
+        val bd = lit(2.024) * sqrt(lit(4.0) / col("k"))
+        wide.select(col("k"), col("cut"), col("n_t"), col("n_c"),
+            col("x_t"), col("x_c"), zv.as("z"), bd.as("boundary"),
+            (abs(zv) > bd).cast("int").as("crossed"))
+          .orderBy("k")
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type, value,
+            epoch_us(ts) // 86400000000 AS day FROM events),
+        b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev),
+        looks AS (SELECT k, d0 + ((d1 - d0 + 1) * k) // 4 - 1 AS cut
+          FROM b CROSS JOIN (SELECT unnest(range(1, 5)) AS k)),
+        per AS (SELECT user_id,
+            ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 7))::BIGINT
+              % 2 AS arm,
+            MIN(CASE WHEN event_type = 'purchase' AND value > 95
+              THEN day END) AS fp
+          FROM ev GROUP BY user_id),
+        cum AS (SELECT k, cut, arm, COUNT(*) AS n,
+            CAST(SUM(CASE WHEN fp IS NOT NULL AND fp <= cut
+              THEN 1 ELSE 0 END) AS BIGINT) AS x
+          FROM per CROSS JOIN looks GROUP BY 1, 2, 3),
+        wide AS (SELECT k, cut,
+            MAX(CASE WHEN arm = 1 THEN n END) AS n_t,
+            MAX(CASE WHEN arm = 1 THEN x END) AS x_t,
+            MAX(CASE WHEN arm = 0 THEN n END) AS n_c,
+            MAX(CASE WHEN arm = 0 THEN x END) AS x_c
+          FROM cum GROUP BY 1, 2),
+        z AS (SELECT k, cut, n_t, n_c, x_t, x_c,
+            CAST(x_t AS DOUBLE) / n_t AS p_t,
+            CAST(x_c AS DOUBLE) / n_c AS p_c,
+            CAST(x_t + x_c AS DOUBLE) / (n_t + n_c) AS pp FROM wide)
+        SELECT k, cut, CAST(n_t AS BIGINT) AS n_t,
+          CAST(n_c AS BIGINT) AS n_c, x_t, x_c,
+          (p_t - p_c) / sqrt(pp * (1 - pp) * (1.0/n_t + 1.0/n_c)) AS z,
+          2.024 * sqrt(4.0 / k) AS boundary,
+          CAST(abs((p_t - p_c) /
+            sqrt(pp * (1 - pp) * (1.0/n_t + 1.0/n_c)))
+            > 2.024 * sqrt(4.0 / k) AS INT) AS crossed
+        FROM z ORDER BY k""")),
+
+    // ── Sample-ratio-mismatch check (q272) ─────────────────────────────
+    // The experiment health gate that runs BEFORE any readout: with a
+    // 50/50 split, the 2-cell χ² against equal expected counts
+    // collapses to (n_t − n_c)²/n; flag when it clears the df=1
+    // α=0.05 critical value 3.841 (a literal — no CDF). An SRM flag
+    // means assignment itself is broken and every downstream metric
+    // is suspect. One distinct-user aggregation, O(1) output.
+    QueryDef("q272_srm_check",
+      (s, dir) => {
+        val chi = col("n_t").minus(col("n_c"))
+          .multiply(col("n_t").minus(col("n_c"))).cast("double") /
+          (col("n_t") + col("n_c"))
+        t(s, dir, "events")
+          .select(col("user_id")).distinct()
+          .select((Shingles.baseHash(col("user_id").cast("string")) % 2)
+            .as("arm"))
+          .agg(sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_t"),
+            sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_c"))
+          .select(col("n_t"), col("n_c"), chi.as("chi2"),
+            (chi > 3.841).cast("int").as("srm_flag"))
+      },
+      Some("""WITH per AS (SELECT DISTINCT user_id,
+            ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 7))::BIGINT
+              % 2 AS arm
+          FROM events),
+        c AS (SELECT
+            CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_t,
+            CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_c
+          FROM per)
+        SELECT n_t, n_c,
+          CAST((n_t - n_c) * (n_t - n_c) AS DOUBLE) / (n_t + n_c)
+            AS chi2,
+          CAST(CAST((n_t - n_c) * (n_t - n_c) AS DOUBLE) / (n_t + n_c)
+            > 3.841 AS INT) AS srm_flag
+        FROM c""")),
+
+    // ── Vocabulary coverage cut (q273) ─────────────────────────────────
+    // Tokenizer sizing: the smallest frequency-ranked vocabulary
+    // covering ≥90% of token mass (the keep rule `(cum − c)·10 <
+    // total·9` admits exactly the types whose PRECEDING mass is under
+    // the bar — integer cross-multiplication, no float threshold).
+    // The ranking window runs over the VOCABULARY (types, not tokens
+    // — the q76/q161 shape); output is one row of corpus constants.
+    QueryDef("q273_vocab_coverage",
+      (s, dir) => {
+        val vf = tPar(s, dir, "documents")
+          .select(explode(TextStats.tokens(col("text"))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("c"))
+        val w = Window.orderBy(col("c").desc, col("tok"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        vf.withColumn("cumc", sum("c").over(w))
+          .withColumn("total", sum("c").over(
+            Window.rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)))
+          .withColumn("n_types", count(lit(1)).over(
+            Window.rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)))
+          .filter((col("cumc") - col("c")) * 10 < col("total") * 9)
+          .agg(max("n_types").as("n_types"),
+            count(lit(1)).as("types_kept"),
+            max("total").as("tokens_total"),
+            max("cumc").as("tokens_covered"))
+          .select(col("n_types"), col("types_kept"),
+            col("tokens_total"), col("tokens_covered"),
+            (col("tokens_covered").cast("double") / col("tokens_total"))
+              .as("coverage"))
+      },
+      Some(s"""WITH tk AS (SELECT unnest($dTok) AS tok FROM documents),
+        vf AS (SELECT tok, COUNT(*) AS c FROM tk GROUP BY tok),
+        cum AS (SELECT tok, c,
+            SUM(c) OVER (ORDER BY c DESC, tok
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc,
+            SUM(c) OVER () AS total, COUNT(*) OVER () AS n_types
+          FROM vf),
+        kept AS (SELECT * FROM cum WHERE (cumc - c) * 10 < total * 9)
+        SELECT CAST(MAX(n_types) AS BIGINT) AS n_types,
+          CAST(COUNT(*) AS BIGINT) AS types_kept,
+          CAST(MAX(total) AS BIGINT) AS tokens_total,
+          CAST(MAX(cumc) AS BIGINT) AS tokens_covered,
+          CAST(MAX(cumc) AS DOUBLE) / MAX(total) AS coverage
+        FROM kept""")),
   )
 }

@@ -142,6 +142,57 @@ class Round11EvalSpec extends AnyFunSuite {
     }
   }
 
+  test("q270: nested hash subsamples grow monotonically in users and " +
+       "purchases") {
+    val rows = run("q270_data_scaling_curve")
+      .select("pct", "n_users", "n_purchases").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(rows.length === 4)
+    rows.sliding(2).foreach {
+      case Array((_, u1, p1), (_, u2, p2)) =>
+        assert(u2 >= u1 && p2 >= p1,
+          "larger fractions must contain the smaller samples")
+      case _ => ()
+    }
+  }
+
+  test("q271: four looks, widening information, shrinking boundary") {
+    val rows = run("q271_group_sequential")
+      .select(col("k").cast("long"), col("cut"), col("x_t"), col("x_c"),
+        col("boundary")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+      .sortBy(_._1)
+    assert(rows.length === 4)
+    rows.sliding(2).foreach {
+      case Array((_, c1, xt1, xc1, b1), (_, c2, xt2, xc2, b2)) =>
+        assert(c2 > c1 && xt2 >= xt1 && xc2 >= xc1)
+        assert(b2 < b1, "O'Brien-Fleming boundary must shrink")
+      case _ => ()
+    }
+    assert(math.abs(rows.last._5 - 2.024) < 1e-12)
+  }
+
+  test("q272: chi2 is consistent with the arm counts") {
+    val r = run("q272_srm_check").head()
+    val (nt, nc, chi2) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    assert(nt + nc > 0)
+    val expect = (nt - nc).toDouble * (nt - nc) / (nt + nc)
+    assert(math.abs(chi2 - expect) < 1e-12)
+    assert((chi2 > 3.841) === (r.getInt(3) === 1))
+  }
+
+  test("q273: the 90% vocabulary cut actually covers >= 90% with the " +
+       "minimal prefix") {
+    val r = run("q273_vocab_coverage").head()
+    val (nTypes, kept, total, covered) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(kept >= 1L && kept <= nTypes)
+    assert(covered * 10 >= total * 9, "kept prefix must reach the bar")
+    assert(r.getDouble(4) >= 0.9 && r.getDouble(4) <= 1.0)
+  }
+
   test("q263: Wilson bounds bracket the point rate inside [0, 1] and " +
        "step counts are monotone") {
     val rows = run("q263_funnel_wilson")
