@@ -10997,5 +10997,197 @@ object QueriesExt {
           CAST(MAX(cumc) AS BIGINT) AS tokens_covered,
           CAST(MAX(cumc) AS DOUBLE) / MAX(total) AS coverage
         FROM kept""")),
+
+    // ── Permutation test + Benjamini–Hochberg FDR (q274) ───────────────
+    // Exact p-values WITHOUT any CDF: per event type, the observed
+    // |arm mean-value difference| (user-hash arms, seed b=0) is ranked
+    // against B=32 re-randomized replicas (seeds 1..32, q194's
+    // replicate-fan shape), giving the permutation p = (1+#{T_b ≥
+    // T_obs})/(B+1) — a RATIONAL. BH then rejects p(i) ≤ α·i/m via the
+    // all-integer test 20·m·k ≤ i·(B+1) (α=1/20), so the whole
+    // multiple-testing pipeline is arithmetic both engines do exactly.
+    // On this null corpus zero rejections IS the correct answer — the
+    // machinery is what ships. Value sums ride the decimal rail.
+    QueryDef("q274_permutation_fdr",
+      (s, dir) => {
+        val B = 32
+        val dec0 = lit(java.math.BigDecimal.ZERO).cast("decimal(30,8)")
+        val asg = t(s, dir, "events")
+          .select(col("event_type"), col("user_id"), col("value"),
+            explode(array((0 to B).map(lit(_)): _*)).as("b"))
+          .withColumn("arm", Shingles.baseHash(
+            concat(col("b").cast("string"), lit("|"),
+              col("user_id").cast("string"))) % 2)
+        val agg = asg.groupBy("event_type", "b")
+          .agg(sum(when(col("arm") === 1,
+            col("value").cast("decimal(30,8)")).otherwise(dec0))
+            .cast("double").as("s1"),
+            sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+            sum(when(col("arm") === 0,
+              col("value").cast("decimal(30,8)")).otherwise(dec0))
+              .cast("double").as("s0"),
+            sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"))
+          .select(col("event_type"), col("b"),
+            abs(col("s1") / col("n1") - col("s0") / col("n0"))
+              .as("tstat"))
+          .localCheckpoint() // observed row + replica ranking
+        val obs = agg.filter(col("b") === 0)
+          .select(col("event_type"), col("tstat").as("tobs"))
+        val p = agg.join(obs, "event_type")
+          .groupBy("event_type")
+          .agg((lit(1L) + sum(when(col("b") > 0 &&
+            col("tstat") >= col("tobs"), 1L).otherwise(0L))).as("k"))
+        val wr = Window.orderBy("k", "event_type")
+        p.withColumn("i", row_number().over(wr))
+          .crossJoin(broadcast(p.agg(count(lit(1)).as("m"))))
+          .select(col("event_type"), col("k").as("p_num"),
+            lit((B + 1).toLong).as("p_den"),
+            (col("k").cast("double") / (B + 1)).as("p_value"),
+            (lit(20L) * col("m") * col("k") <=
+              col("i") * (B + 1)).cast("int").as("bh_reject"))
+          .orderBy("event_type")
+      },
+      Some("""WITH reps AS (SELECT unnest(range(0, 33)) AS b),
+        asg AS (SELECT event_type, b, value,
+            ('0x' || substr(md5(CAST(b AS VARCHAR) || '|' ||
+              CAST(user_id AS VARCHAR)), 1, 7))::BIGINT % 2 AS arm
+          FROM events CROSS JOIN reps),
+        agg AS (SELECT event_type, b,
+            CAST(CAST(SUM(CASE WHEN arm = 1
+              THEN CAST(value AS DECIMAL(30,8))
+              ELSE CAST(0 AS DECIMAL(30,8)) END) AS VARCHAR) AS DOUBLE)
+              AS s1,
+            CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n1,
+            CAST(CAST(SUM(CASE WHEN arm = 0
+              THEN CAST(value AS DECIMAL(30,8))
+              ELSE CAST(0 AS DECIMAL(30,8)) END) AS VARCHAR) AS DOUBLE)
+              AS s0,
+            CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n0
+          FROM asg GROUP BY 1, 2),
+        t AS (SELECT event_type, b, abs(s1/n1 - s0/n0) AS tstat
+          FROM agg),
+        obs AS (SELECT event_type, tstat AS tobs FROM t WHERE b = 0),
+        p AS (SELECT t.event_type,
+            CAST(1 + SUM(CASE WHEN t.b > 0 AND t.tstat >= obs.tobs
+              THEN 1 ELSE 0 END) AS BIGINT) AS k
+          FROM t JOIN obs USING (event_type) GROUP BY t.event_type),
+        rk AS (SELECT event_type, k,
+            ROW_NUMBER() OVER (ORDER BY k, event_type) AS i,
+            COUNT(*) OVER () AS m FROM p)
+        SELECT event_type, k AS p_num, CAST(33 AS BIGINT) AS p_den,
+          CAST(k AS DOUBLE) / 33 AS p_value,
+          CAST(CASE WHEN 20 * m * k <= i * 33 THEN 1 ELSE 0 END AS INT)
+            AS bh_reject
+        FROM rk ORDER BY event_type""")),
+
+    // ── HITS authority on the order–part bipartite graph (q275) ────────
+    // Kleinberg's hubs-and-authorities next to the PPR/BFS/k-core
+    // family: orders are hubs, parts authorities, edges the DISTINCT
+    // lineitem pairs. Two UNROLLED unnormalized iterations (a¹ =
+    // in-degree, h¹ = Σ a¹, a² = Σ h¹) keep every score an exact
+    // BIGINT — normalization only rescales the ranking, so the top-20
+    // authority parts are identical to the normalized variant's. Each
+    // iteration is one join + one aggregation on the edge key: the
+    // textbook iterate-as-relational-pass shape that runs at any edge
+    // count.
+    QueryDef("q275_hits_bipartite",
+      (s, dir) => {
+        val e = t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+          .localCheckpoint() // three iteration passes re-read the edges
+        val a1 = e.groupBy("p").agg(count(lit(1)).as("a"))
+        val h1 = e.join(a1, "p").groupBy("o").agg(sum("a").as("h"))
+        val a2 = e.join(h1, "o").groupBy("p").agg(sum("h").as("a"))
+        graft.plans.TopKPerKey.topKPerKey(
+            a2.withColumn("g", lit(1)), Seq("g"),
+            Seq(graft.plans.TopKPerKey.Sort("a", asc = false),
+              graft.plans.TopKPerKey.Sort("p")), 20)
+          .select(col("p").as("partkey"), col("a").as("authority2"))
+          .orderBy(desc("authority2"), col("partkey"))
+      },
+      Some("""WITH e AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+            FROM lineitem),
+        a1 AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS a FROM e
+          GROUP BY p),
+        h1 AS (SELECT o, CAST(SUM(a) AS BIGINT) AS h
+          FROM e JOIN a1 USING (p) GROUP BY o),
+        a2 AS (SELECT p, CAST(SUM(h) AS BIGINT) AS a
+          FROM e JOIN h1 USING (o) GROUP BY p)
+        SELECT p AS partkey, a AS authority2 FROM a2
+        ORDER BY a DESC, p LIMIT 20""")),
+
+    // ── Bipartite degree assortativity (q276) ──────────────────────────
+    // Do busy orders buy popular parts? Pearson correlation of the
+    // endpoint degrees over every edge — the graph-health scalar that
+    // distinguishes hub-concentrated from flat topologies. All five
+    // moments are exact BIGINTs in one pass over the degree-joined
+    // edges (n·sxy-style products stay under 2⁶³ to ~10⁶ edges ×
+    // 10³ degrees; past that the moments cast to DECIMAL(38,0)
+    // without changing shape), then one literal double chain.
+    QueryDef("q276_degree_assortativity",
+      (s, dir) => {
+        val e = t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+          .localCheckpoint() // two degree passes + the moment join
+        val dgo = e.groupBy("o").agg(count(lit(1)).as("x"))
+        val dgp = e.groupBy("p").agg(count(lit(1)).as("y"))
+        e.join(dgo, "o").join(dgp, "p")
+          .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+            sum("y").as("sy"), sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+          .select(col("n"),
+            ((col("n") * col("sxy") - col("sx") * col("sy"))
+              .cast("double") /
+              (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+                .cast("double")) *
+               sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+                 .cast("double")))).as("assortativity"))
+      },
+      Some("""WITH e AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+            FROM lineitem),
+        dgo AS (SELECT o, CAST(COUNT(*) AS BIGINT) AS x FROM e
+          GROUP BY o),
+        dgp AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS y FROM e
+          GROUP BY p),
+        j AS (SELECT x, y FROM e JOIN dgo USING (o) JOIN dgp USING (p)),
+        m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+            CAST(SUM(x*y) AS BIGINT) AS sxy,
+            CAST(SUM(x*x) AS BIGINT) AS sxx,
+            CAST(SUM(y*y) AS BIGINT) AS syy FROM j)
+        SELECT n, CAST(n*sxy - sx*sy AS DOUBLE) /
+            (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) *
+             sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS assortativity
+        FROM m""")),
+
+    // ── Effective sample size of a weighted design (q277) ──────────────
+    // The sampling diagnostic for q114/q259-style weighted draws:
+    // Kish's ESS = (Σw)²/Σw² — how many EQUAL-weight samples the
+    // length-weighted document design is actually worth. ESS/n near 1
+    // means weighting costs little variance; a heavy-tailed corpus
+    // drives it down and argues for weight clipping before sampling.
+    // Two exact integer moments, one row out.
+    QueryDef("q277_ess_weights",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("n_chars").cast("long").as("w"))
+        .agg(count(lit(1)).as("n"), sum("w").as("sw"),
+          sum(col("w") * col("w")).as("sww"))
+        .select(col("n"), col("sw"),
+          ((col("sw") * col("sw")).cast("double") / col("sww"))
+            .as("ess"),
+          ((col("sw") * col("sw")).cast("double") / col("sww") /
+            col("n")).as("ess_ratio")),
+      Some("""WITH m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(n_chars) AS BIGINT) AS sw,
+            CAST(SUM(n_chars * n_chars) AS BIGINT) AS sww
+          FROM documents)
+        SELECT n, sw, CAST(sw*sw AS DOUBLE) / sww AS ess,
+          CAST(sw*sw AS DOUBLE) / sww / n AS ess_ratio
+        FROM m""")),
   )
 }

@@ -193,6 +193,42 @@ class Round11EvalSpec extends AnyFunSuite {
     assert(r.getDouble(4) >= 0.9 && r.getDouble(4) <= 1.0)
   }
 
+  test("q274: permutation p-values are valid rationals and BH " +
+       "respects the step-up order") {
+    val rows = run("q274_permutation_fdr")
+      .select("p_num", "p_den", "p_value", "bh_reject").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (k, d, p, _) =>
+      assert(k >= 1L && k <= d)
+      assert(math.abs(p - k.toDouble / d) < 1e-15)
+    }
+    // BH rejections, if any, must be a prefix of the p-value order
+    val sorted = rows.sortBy(_._1)
+    val firstKeep = sorted.indexWhere(_._4 == 0)
+    if (firstKeep >= 0)
+      assert(sorted.drop(firstKeep).forall(_._4 == 0),
+        "a rejection may not follow an acceptance in p-order")
+  }
+
+  test("q275: two unrolled HITS iterations rank by exact integer " +
+       "authority, descending") {
+    val rows = run("q275_hits_bipartite")
+      .select("authority2").collect().map(_.getLong(0))
+    assert(rows.length === 20)
+    assert(rows.sliding(2).forall(a => a.length < 2 || a(0) >= a(1)))
+    assert(rows.forall(_ > 0L))
+  }
+
+  test("q276/q277: assortativity is a correlation, ESS is in (0, n]") {
+    val a = run("q276_degree_assortativity").head().getDouble(1)
+    assert(a >= -1.0 && a <= 1.0)
+    val r = run("q277_ess_weights").head()
+    assert(r.getDouble(2) > 0.0 && r.getDouble(2) <= r.getLong(0))
+    assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
+  }
+
   test("q263: Wilson bounds bracket the point rate inside [0, 1] and " +
        "step counts are monotone") {
     val rows = run("q263_funnel_wilson")
