@@ -139,6 +139,33 @@ object QueriesExt {
        + (CAST(1.0 AS DOUBLE) - least(($punct) * CAST(10.0 AS DOUBLE), CAST(1.0 AS DOUBLE))) * CAST(0.2 AS DOUBLE)"""
   }
 
+  /** Oracle twin of [[TextStats.langId]] as a derived-table expression
+    * `(SELECT doc_id, lang, …, lang_pred FROM …)` replicating the Spark
+    * fold (strict `>` switches the running best, declaration-order
+    * tie-break). Shared by q22 and the q278 confusion matrix.
+    */
+  private lazy val dLangPredFrom: String = {
+    val tkl = dTokLower
+    def score(markers: Seq[String]) = {
+      val lst = markers.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter($tkl, t -> list_contains($lst, t)))"
+    }
+    val ms = TextStats.langMarkers
+    val inner = s"""SELECT doc_id, lang,
+      ${ms.zipWithIndex.map { case ((_, m), i) => s"${score(m)} AS s$i" }
+        .mkString(", ")} FROM documents"""
+    val folded = ms.zipWithIndex.drop(1).foldLeft(
+      (s"'${ms.head._1}'", "s0", s"($inner)")) {
+      case ((bestL, bestS, from), ((lang, _), i)) =>
+        (s"CASE WHEN s$i > __v THEN '$lang' ELSE __b END",
+          s"CASE WHEN s$i > __v THEN s$i ELSE __v END",
+          s"(SELECT doc_id, lang, ${ms.indices.map(j => s"s$j")
+            .mkString(", ")}, $bestL AS __b, $bestS AS __v FROM $from)")
+    }
+    val (lastL, _, from) = folded
+    s"(SELECT doc_id, lang, $lastL AS lang_pred FROM $from)"
+  }
+
   /** Per-doc LSH band keys for the `documents` rows matching `where` —
     * the oracle twin of [[Dedup.minhashSignatures]] + band-key explode.
     * Yields rows (doc_id, bk).
@@ -360,29 +387,8 @@ object QueriesExt {
         col("doc_id"), col("lang"),
         TextStats.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id"),
-      Some {
-        val tkl = dTokLower
-        def score(markers: Seq[String]) = {
-          val lst = markers.map(w => s"'$w'").mkString("[", ", ", "]")
-          s"len(list_filter($tkl, t -> list_contains($lst, t)))"
-        }
-        val ms = TextStats.langMarkers
-        val inner = s"""SELECT doc_id, lang,
-          ${ms.zipWithIndex.map { case ((_, m), i) => s"${score(m)} AS s$i" }
-            .mkString(", ")} FROM documents"""
-        // replicate the Spark fold: strict > switches the running best
-        val folded = ms.zipWithIndex.drop(1).foldLeft(
-          (s"'${ms.head._1}'", "s0", s"($inner)")) {
-          case ((bestL, bestS, from), ((lang, _), i)) =>
-            (s"CASE WHEN s$i > __v THEN '$lang' ELSE __b END",
-              s"CASE WHEN s$i > __v THEN s$i ELSE __v END",
-              s"(SELECT doc_id, lang, ${ms.indices.map(j => s"s$j")
-                .mkString(", ")}, $bestL AS __b, $bestS AS __v FROM $from)")
-        }
-        val (lastL, _, from) = folded
-        s"""SELECT doc_id, lang, $lastL AS lang_pred
-          FROM $from ORDER BY doc_id"""
-      }),
+      Some(s"""SELECT doc_id, lang, lang_pred FROM $dLangPredFrom
+          ORDER BY doc_id""")),
 
     // ── Document fingerprints (content md5 + 1-hash MinHash rolling) ───
     QueryDef("q23_fingerprint",
@@ -11189,5 +11195,189 @@ object QueriesExt {
         SELECT n, sw, CAST(sw*sw AS DOUBLE) / sww AS ess,
           CAST(sw*sw AS DOUBLE) / sww / n AS ess_ratio
         FROM m""")),
+
+    // ── Language-ID confusion matrix (q278) ────────────────────────────
+    // q22 predicts; this grades it against the labeled `lang` column —
+    // the eval loop every classifier in the curation stack needs. Full
+    // (label, prediction) matrix with each row's share of its true
+    // label (row-normalized recall view), bounded by |langs|². Counts
+    // are exact; the one double per row is n / label total.
+    QueryDef("q278_langid_confusion",
+      (s, dir) => {
+        val pred = tPar(s, dir, "documents")
+          .select(col("lang"), TextStats.langId(col("text")).as("lang_pred"))
+        val m = pred.groupBy("lang", "lang_pred")
+          .agg(count(lit(1)).as("n"))
+        val tot = m.groupBy("lang").agg(sum("n").as("n_label"))
+        m.join(tot, "lang")
+          .select(col("lang"), col("lang_pred"), col("n"),
+            col("n_label"),
+            (col("n").cast("double") / col("n_label")).as("row_frac"))
+          .orderBy("lang", "lang_pred")
+      },
+      Some(s"""WITH pred AS (SELECT lang, lang_pred FROM $dLangPredFrom),
+        m AS (SELECT lang, lang_pred, COUNT(*) AS n FROM pred
+          GROUP BY 1, 2),
+        tot AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_label FROM m
+          GROUP BY lang)
+        SELECT m.lang, m.lang_pred, m.n, tot.n_label,
+          CAST(m.n AS DOUBLE) / tot.n_label AS row_frac
+        FROM m JOIN tot USING (lang)
+        ORDER BY m.lang, m.lang_pred""")),
+
+    // ── Hash-sample bias audit (q279) ──────────────────────────────────
+    // Before trusting any 10% dev sample: the total-variation distance
+    // between the sample's and the corpus's source mix, TV = ½·Σ|p_s −
+    // q_s|, cross-multiplied to the integer Σ|n_s·N − m_s·M| over
+    // 2·M·N — plus the worst-deviating source for the drill-down. One
+    // conditional aggregation per source; the audit costs one corpus
+    // pass whatever the corpus size.
+    QueryDef("q279_sample_bias_tv",
+      (s, dir) => {
+        val per = t(s, dir, "documents")
+          .select(col("source"),
+            (Shingles.baseHash(col("doc_id").cast("string")) % 10 === 0)
+              .as("insamp"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("nf"),
+            sum(when(col("insamp"), 1L).otherwise(0L)).as("ns"))
+          .localCheckpoint() // totals fold + the deviation projection
+        val tot = per.agg(sum("nf").as("bigN"), sum("ns").as("bigM"))
+        val dev = per.crossJoin(broadcast(tot))
+          .select(col("source"),
+            abs(col("ns") * col("bigN") - col("nf") * col("bigM"))
+              .as("devnum"), col("bigN"), col("bigM"))
+          .localCheckpoint() // TV fold + the worst-source ranking
+        val wr = Window.orderBy(col("devnum").desc, col("source"))
+        val worst = dev.withColumn("rk", row_number().over(wr))
+          .filter(col("rk") === 1)
+          .select(col("source").as("worst_source"),
+            col("devnum").as("worst_devnum"))
+        dev.groupBy("bigN", "bigM")
+          .agg(count(lit(1)).as("n_sources"),
+            sum("devnum").as("tvnum"))
+          .crossJoin(broadcast(worst))
+          .select(col("n_sources"), col("bigN").as("n_full"),
+            col("bigM").as("n_sample"),
+            (col("tvnum").cast("double") /
+              (lit(2L) * col("bigM") * col("bigN")).cast("double"))
+              .as("tv_distance"),
+            col("worst_source"),
+            (col("worst_devnum").cast("double") /
+              (col("bigM") * col("bigN")).cast("double"))
+              .as("worst_share_gap"))
+      },
+      Some("""WITH per AS (SELECT source, COUNT(*) AS nf,
+            CAST(SUM(CASE WHEN ('0x' || substr(md5(CAST(doc_id AS
+              VARCHAR)), 1, 7))::BIGINT % 10 = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS ns
+          FROM documents GROUP BY source),
+        tot AS (SELECT CAST(SUM(nf) AS BIGINT) AS bigN,
+            CAST(SUM(ns) AS BIGINT) AS bigM FROM per),
+        dev AS (SELECT source,
+            CAST(abs(ns * bigN - nf * bigM) AS BIGINT) AS devnum,
+            bigN, bigM
+          FROM per CROSS JOIN tot),
+        worst AS (SELECT source AS worst_source,
+            devnum AS worst_devnum
+          FROM dev ORDER BY devnum DESC, source LIMIT 1),
+        agg AS (SELECT bigN, bigM, COUNT(*) AS n_sources,
+            CAST(SUM(devnum) AS BIGINT) AS tvnum
+          FROM dev GROUP BY bigN, bigM)
+        SELECT n_sources, bigN AS n_full, bigM AS n_sample,
+          CAST(tvnum AS DOUBLE) / (CAST(2 * bigM * bigN AS DOUBLE))
+            AS tv_distance,
+          worst_source,
+          CAST(worst_devnum AS DOUBLE) / CAST(bigM * bigN AS DOUBLE)
+            AS worst_share_gap
+        FROM agg CROSS JOIN worst""")),
+
+    // ── Binary-segmentation changepoints, all-integer (q280) ───────────
+    // The detector family's recursive member (CUSUM q155 → Pettitt
+    // q211 → Page–Hinkley q266 → binseg): on each event type's daily
+    // COUNT series the CUSUM statistic is cross-multiplied to
+    // C_i = cum_i·T − i·total — pure BIGINTs, so the split argmax is
+    // integer-exact with a deterministic day tie-break; the second
+    // level reruns the identical pass inside each half. All windows
+    // are partitioned by (type[, segment]) over the bounded calendar.
+    QueryDef("q280_binary_segmentation",
+      (s, dir) => {
+        def pass(df: DataFrame, part: Seq[String]): DataFrame = {
+          val wo = Window.partitionBy(part.map(col): _*).orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val wa = Window.partitionBy(part.map(col): _*)
+            .rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)
+          val scored = df
+            .withColumn("i", count(lit(1)).over(wo))
+            .withColumn("cum", sum("c").over(wo))
+            .withColumn("bigT", count(lit(1)).over(wa))
+            .withColumn("total", sum("c").over(wa))
+            .withColumn("score",
+              abs(col("cum") * col("bigT") - col("i") * col("total")))
+          val wr = Window.partitionBy(part.map(col): _*)
+            .orderBy(col("score").desc, col("day"))
+          scored.withColumn("rk", row_number().over(wr))
+        }
+        val dly = t(s, dir, "events")
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(count(lit(1)).as("c"))
+          .localCheckpoint() // level-1 pass + the segmented level-2 pass
+        val l1 = pass(dly, Seq("event_type"))
+        val cp1 = l1.filter(col("rk") === 1)
+          .select(col("event_type"), col("day").as("cp1"),
+            col("score").as("s1"))
+        val l2 = pass(dly.join(cp1.select("event_type", "cp1"),
+            "event_type")
+          .withColumn("segment",
+            when(col("day") <= col("cp1"), "left").otherwise("right")),
+          Seq("event_type", "segment"))
+        cp1.select(col("event_type"), lit("all").as("segment"),
+            col("cp1").as("cp_day"), col("s1").as("score"))
+          .union(l2.filter(col("rk") === 1)
+            .select(col("event_type"), col("segment"),
+              col("day").as("cp_day"), col("score")))
+          .orderBy("event_type", "segment")
+      },
+      Some("""WITH dly AS (SELECT event_type,
+            epoch_us(ts) // 86400000000 AS day, COUNT(*) AS c
+          FROM events GROUP BY 1, 2),
+        l1 AS (SELECT event_type, day,
+            abs(SUM(c) OVER (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              * COUNT(*) OVER (PARTITION BY event_type)
+              - (ROW_NUMBER() OVER (PARTITION BY event_type
+                  ORDER BY day))
+                * SUM(c) OVER (PARTITION BY event_type)) AS score
+          FROM dly),
+        cp1 AS (SELECT event_type, day AS cp1, score AS s1 FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+              ORDER BY score DESC, day) AS rk FROM l1)
+          WHERE rk = 1),
+        seg AS (SELECT d.event_type, d.day, d.c,
+            CASE WHEN d.day <= cp1.cp1 THEN 'left' ELSE 'right' END
+              AS segment
+          FROM dly d JOIN cp1 ON d.event_type = cp1.event_type),
+        l2 AS (SELECT event_type, segment, day,
+            abs(SUM(c) OVER (PARTITION BY event_type, segment
+                ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              * COUNT(*) OVER (PARTITION BY event_type, segment)
+              - (ROW_NUMBER() OVER (PARTITION BY event_type, segment
+                  ORDER BY day))
+                * SUM(c) OVER (PARTITION BY event_type, segment))
+              AS score
+          FROM seg),
+        cp2 AS (SELECT event_type, segment, day AS cp_day, score FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type,
+              segment ORDER BY score DESC, day) AS rk FROM l2)
+          WHERE rk = 1)
+        SELECT event_type, 'all' AS segment, cp1 AS cp_day,
+          CAST(s1 AS BIGINT) AS score FROM cp1
+        UNION ALL
+        SELECT event_type, segment, cp_day, CAST(score AS BIGINT)
+        FROM cp2
+        ORDER BY event_type, segment""")),
   )
 }

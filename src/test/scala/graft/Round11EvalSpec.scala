@@ -229,6 +229,40 @@ class Round11EvalSpec extends AnyFunSuite {
     assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
   }
 
+  test("q278: confusion-matrix rows partition each true label") {
+    val rows = run("q278_langid_confusion")
+      .select("lang", "n", "n_label").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.map(_._2).sum === g.head._3,
+        "per-label cell counts must sum to the label total")
+    }
+  }
+
+  test("q279: TV distance is a distance and the worst source bounds " +
+       "its own contribution") {
+    val r = run("q279_sample_bias_tv").head()
+    val (tv, gap) = (r.getDouble(3), r.getDouble(5))
+    assert(tv >= 0.0 && tv <= 1.0)
+    assert(gap >= 0.0 && gap <= 2 * tv + 1e-15)
+  }
+
+  test("q280: binseg emits all/left/right per type with ordered " +
+       "changepoints") {
+    val rows = run("q280_binary_segmentation")
+      .select("event_type", "segment", "cp_day").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val byType = rows.groupBy(_._1)
+    assert(byType.nonEmpty)
+    byType.foreach { case (_, g) =>
+      val m = g.map(x => x._2 -> x._3).toMap
+      assert(m.keySet === Set("all", "left", "right"))
+      assert(m("left") <= m("all") && m("all") < m("right"),
+        "left split inside [.., cp1], right split after cp1")
+    }
+  }
+
   test("q263: Wilson bounds bracket the point rate inside [0, 1] and " +
        "step counts are monotone") {
     val rows = run("q263_funnel_wilson")
