@@ -11018,21 +11018,30 @@ object QueriesExt {
       (s, dir) => {
         val B = 32
         val dec0 = lit(java.math.BigDecimal.ZERO).cast("decimal(30,8)")
-        val asg = t(s, dir, "events")
-          .select(col("event_type"), col("user_id"), col("value"),
-            explode(array((0 to B).map(lit(_)): _*)).as("b"))
+        // Pre-aggregate to (type, USER) once — arms are a function of
+        // (user, seed), so the ×(B+1) fan multiplies the bounded
+        // user-type table, not the event stream; decimal partials make
+        // the regrouped sums bit-identical to the naive per-event fan.
+        val per = t(s, dir, "events")
+          .groupBy("event_type", "user_id")
+          .agg(sum(col("value").cast("decimal(30,8)"))
+            .cast("decimal(30,8)").as("sv"),
+            count(lit(1)).as("nv"))
+        val asg = per
+          .select(col("event_type"), col("user_id"), col("sv"),
+            col("nv"), explode(array((0 to B).map(lit(_)): _*)).as("b"))
           .withColumn("arm", Shingles.baseHash(
             concat(col("b").cast("string"), lit("|"),
               col("user_id").cast("string"))) % 2)
         val agg = asg.groupBy("event_type", "b")
-          .agg(sum(when(col("arm") === 1,
-            col("value").cast("decimal(30,8)")).otherwise(dec0))
+          .agg(sum(when(col("arm") === 1, col("sv")).otherwise(dec0))
             .cast("double").as("s1"),
-            sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
-            sum(when(col("arm") === 0,
-              col("value").cast("decimal(30,8)")).otherwise(dec0))
+            sum(when(col("arm") === 1, col("nv")).otherwise(0L))
+              .as("n1"),
+            sum(when(col("arm") === 0, col("sv")).otherwise(dec0))
               .cast("double").as("s0"),
-            sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"))
+            sum(when(col("arm") === 0, col("nv")).otherwise(0L))
+              .as("n0"))
           .select(col("event_type"), col("b"),
             abs(col("s1") / col("n1") - col("s0") / col("n0"))
               .as("tstat"))
@@ -11054,22 +11063,25 @@ object QueriesExt {
           .orderBy("event_type")
       },
       Some("""WITH reps AS (SELECT unnest(range(0, 33)) AS b),
-        asg AS (SELECT event_type, b, value,
+        per AS (SELECT event_type, user_id,
+            CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DECIMAL(30,8))
+              AS sv,
+            COUNT(*) AS nv
+          FROM events GROUP BY 1, 2),
+        asg AS (SELECT event_type, b, sv, nv,
             ('0x' || substr(md5(CAST(b AS VARCHAR) || '|' ||
               CAST(user_id AS VARCHAR)), 1, 7))::BIGINT % 2 AS arm
-          FROM events CROSS JOIN reps),
+          FROM per CROSS JOIN reps),
         agg AS (SELECT event_type, b,
-            CAST(CAST(SUM(CASE WHEN arm = 1
-              THEN CAST(value AS DECIMAL(30,8))
+            CAST(CAST(SUM(CASE WHEN arm = 1 THEN sv
               ELSE CAST(0 AS DECIMAL(30,8)) END) AS VARCHAR) AS DOUBLE)
               AS s1,
-            CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            CAST(SUM(CASE WHEN arm = 1 THEN nv ELSE 0 END) AS BIGINT)
               AS n1,
-            CAST(CAST(SUM(CASE WHEN arm = 0
-              THEN CAST(value AS DECIMAL(30,8))
+            CAST(CAST(SUM(CASE WHEN arm = 0 THEN sv
               ELSE CAST(0 AS DECIMAL(30,8)) END) AS VARCHAR) AS DOUBLE)
               AS s0,
-            CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+            CAST(SUM(CASE WHEN arm = 0 THEN nv ELSE 0 END) AS BIGINT)
               AS n0
           FROM asg GROUP BY 1, 2),
         t AS (SELECT event_type, b, abs(s1/n1 - s0/n0) AS tstat
