@@ -11391,5 +11391,169 @@ object QueriesExt {
         SELECT event_type, segment, cp_day, CAST(score AS BIGINT)
         FROM cp2
         ORDER BY event_type, segment""")),
+
+    // ── One-way ANOVA: weekday effect on daily volume (q281) ───────────
+    // Does day-of-week move traffic? Fisher's F over the 7 weekday
+    // groups of the daily event-count series: SSB/SSW from exact
+    // integer moments (the only non-integer steps are the textbook
+    // double chain and the 7 decimal-railed Σ s_g²/n_g terms), judged
+    // against the literal F(6, 23) ≈ 2.53 critical value — no CDF.
+    // Weekday = (epoch_day + 4) % 7 (1970-01-01 was a Thursday). On
+    // this uniform synthetic corpus "no effect" is the right answer;
+    // the machinery is the deliverable.
+    QueryDef("q281_anova_weekday",
+      (s, dir) => {
+        val g = t(s, dir, "events")
+          .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(expr("(day + 4) % 7").as("weekday"))
+          .agg(count(lit(1)).as("ng"), sum("c").as("sg"),
+            sum(col("c") * col("c")).as("sgg"))
+          .localCheckpoint() // totals fold + the SSB term fold
+        val tot = g.agg(sum("ng").as("n"), sum("sg").as("st"),
+          sum("sgg").as("stt"), count(lit(1)).as("k"))
+        val ssbTerm = g
+          .agg(sum((col("sg").cast("double") * col("sg") / col("ng"))
+            .cast("decimal(30,8)")).cast("double").as("sgsq"))
+        val sst = col("stt").cast("double") -
+          col("st").cast("double") * col("st") / col("n")
+        val ssb = col("sgsq") -
+          col("st").cast("double") * col("st") / col("n")
+        val f = (ssb / (col("k") - 1)) / ((sst - ssb) / (col("n") - col("k")))
+        tot.crossJoin(broadcast(ssbTerm))
+          .select(col("n"), col("k"), ssb.as("ssb"),
+            (sst - ssb).as("ssw"), f.as("f_stat"),
+            (f > 2.53).cast("int").as("reject"))
+      },
+      Some("""WITH dly AS (SELECT epoch_us(ts) // 86400000000 AS day,
+            COUNT(*) AS c FROM events GROUP BY 1),
+        g AS (SELECT (day + 4) % 7 AS weekday, COUNT(*) AS ng,
+            CAST(SUM(c) AS BIGINT) AS sg,
+            CAST(SUM(c*c) AS BIGINT) AS sgg
+          FROM dly GROUP BY 1),
+        tot AS (SELECT CAST(SUM(ng) AS BIGINT) AS n,
+            CAST(SUM(sg) AS BIGINT) AS st,
+            CAST(SUM(sgg) AS BIGINT) AS stt, COUNT(*) AS k FROM g),
+        term AS (SELECT CAST(CAST(SUM(CAST(
+              CAST(sg AS DOUBLE) * sg / ng AS DECIMAL(30,8)))
+            AS VARCHAR) AS DOUBLE) AS sgsq FROM g),
+        ss AS (SELECT n, k,
+            CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * st / n AS sst,
+            sgsq - CAST(st AS DOUBLE) * st / n AS ssb
+          FROM tot CROSS JOIN term)
+        SELECT n, k, ssb, sst - ssb AS ssw,
+          (ssb / (k - 1)) / ((sst - ssb) / (n - k)) AS f_stat,
+          CAST((ssb / (k - 1)) / ((sst - ssb) / (n - k)) > 2.53 AS INT)
+            AS reject
+        FROM ss""")),
+
+    // ── Partial autocorrelation to lag 3 (q282) ────────────────────────
+    // The AR-order diagnostic q168's ACF can't give: Durbin–Levinson
+    // UNROLLED to level 3, so each φ_kk is a literal arithmetic chain
+    // over r₁..r₃ — no recursion, no linear solver. The r_k themselves
+    // are exact-integer ratios: with w_t = n·x_t − Σx (cross-
+    // multiplied centering), r_k = Σ w_t·w_{t+k} / Σ w_t² — BIGINTs
+    // end to end, one division per lag. Per event type; the lag
+    // windows run over the bounded calendar.
+    QueryDef("q282_pacf",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(count(lit(1)).as("c"))
+        val m = daily.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("c").as("s"))
+        val wv = Window.partitionBy("event_type").orderBy("day")
+        val w = daily.join(broadcast(m), "event_type")
+          .withColumn("w", col("n") * col("c") - col("s"))
+        val lagged = (1 to 3).foldLeft(w) { (df, k) =>
+          df.withColumn(s"w$k", lag(col("w"), k).over(wv))
+        }
+        val num = lagged.groupBy("event_type")
+          .agg(sum(col("w") * col("w")).as("den"),
+            sum(col("w") * col("w1")).as("num1"),
+            sum(col("w") * col("w2")).as("num2"),
+            sum(col("w") * col("w3")).as("num3"))
+        val r1 = col("num1").cast("double") / col("den")
+        val r2 = col("num2").cast("double") / col("den")
+        val r3 = col("num3").cast("double") / col("den")
+        val p22 = (r2 - r1 * r1) / (lit(1) - r1 * r1)
+        val p21 = r1 - p22 * r1
+        val p33 = (r3 - p21 * r2 - p22 * r1) /
+          (lit(1) - p21 * r1 - p22 * r2)
+        num.select(col("event_type"), r1.as("r1"), r2.as("r2"),
+            r3.as("r3"), r1.as("pacf1"), p22.as("pacf2"),
+            p33.as("pacf3"))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (SELECT event_type,
+            epoch_us(ts) // 86400000000 AS day, CAST(COUNT(*) AS BIGINT)
+              AS c
+          FROM events GROUP BY 1, 2),
+        m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(c) AS BIGINT) AS s FROM daily GROUP BY 1),
+        w AS (SELECT d.event_type, d.day, m.n * d.c - m.s AS w
+          FROM daily d JOIN m ON d.event_type = m.event_type),
+        lagged AS (SELECT event_type, w,
+            lag(w, 1) OVER (PARTITION BY event_type ORDER BY day) AS w1,
+            lag(w, 2) OVER (PARTITION BY event_type ORDER BY day) AS w2,
+            lag(w, 3) OVER (PARTITION BY event_type ORDER BY day) AS w3
+          FROM w),
+        num AS (SELECT event_type, CAST(SUM(w*w) AS BIGINT) AS den,
+            CAST(SUM(w*w1) AS BIGINT) AS num1,
+            CAST(SUM(w*w2) AS BIGINT) AS num2,
+            CAST(SUM(w*w3) AS BIGINT) AS num3
+          FROM lagged GROUP BY 1),
+        r AS (SELECT event_type,
+            CAST(num1 AS DOUBLE) / den AS r1,
+            CAST(num2 AS DOUBLE) / den AS r2,
+            CAST(num3 AS DOUBLE) / den AS r3 FROM num),
+        p AS (SELECT event_type, r1, r2, r3,
+            (r2 - r1*r1) / (1 - r1*r1) AS p22 FROM r),
+        p2 AS (SELECT event_type, r1, r2, r3, p22,
+            r1 - p22 * r1 AS p21 FROM p)
+        SELECT event_type, r1, r2, r3, r1 AS pacf1, p22 AS pacf2,
+          (r3 - p21*r2 - p22*r1) / (1 - p21*r1 - p22*r2) AS pacf3
+        FROM p2 ORDER BY event_type""")),
+
+    // ── Range-partition planner audit (q283) ───────────────────────────
+    // The global-sort/write planner's core decision: 7 boundary keys
+    // at the exact eighths of o_totalprice (the distributed quantile
+    // refinement engine — no global sort, no driver data), then the
+    // realized bucket histogram and each bucket's share. Balanced
+    // shares certify the boundaries before a repartitionByRange write;
+    // ties land in the lower bucket (strict `boundary < v` count) on
+    // both engines' identical quantile doubles.
+    QueryDef("q283_range_partition_plan",
+      (s, dir) => {
+        val ps = (1 to 7).map(_ / 8.0)
+        val o = t(s, dir, "orders")
+          .select(lit(1).as("g"), col("o_totalprice"))
+        val bounds = graft.ext.Stats.exactQuantilesByGroup(
+            o, "g", "o_totalprice", ps)
+          .agg(sort_array(collect_list("quantile")).as("barr"))
+        val tot = o.agg(count(lit(1)).as("n_total"))
+        o.crossJoin(broadcast(bounds))
+          .select(size(filter(col("barr"),
+            b => b < col("o_totalprice"))).as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("n_orders"))
+          .crossJoin(broadcast(tot))
+          .select(col("bucket").cast("long").as("bucket"),
+            col("n_orders"),
+            (col("n_orders").cast("double") * 8 / col("n_total"))
+              .as("balance"))
+          .orderBy("bucket")
+      },
+      Some("""WITH q AS (SELECT quantile_cont(o_totalprice,
+            [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS barr
+          FROM orders),
+        tot AS (SELECT COUNT(*) AS n_total FROM orders),
+        b AS (SELECT len(list_filter(q.barr,
+            x -> x < o.o_totalprice)) AS bucket
+          FROM orders o CROSS JOIN q)
+        SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_orders,
+          CAST(COUNT(*) AS DOUBLE) * 8 / tot.n_total AS balance
+        FROM b CROSS JOIN tot GROUP BY bucket, tot.n_total
+        ORDER BY bucket""")),
   )
 }

@@ -263,6 +263,41 @@ class Round11EvalSpec extends AnyFunSuite {
     }
   }
 
+  test("q281: ANOVA sums of squares decompose and F is non-negative") {
+    val r = run("q281_anova_weekday").head()
+    val (ssb, ssw, f) =
+      (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(ssb >= -1e-9 && ssw >= -1e-9)
+    assert(f >= 0.0)
+    assert((f > 2.53) === (r.getInt(5) === 1))
+  }
+
+  test("q282: autocorrelations and partials stay in [-1, 1] and " +
+       "pacf1 equals r1") {
+    val rows = run("q282_pacf").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      (1 to 6).foreach { i =>
+        assert(math.abs(r.getDouble(i)) <= 1.0 + 1e-12)
+      }
+      assert(r.getDouble(1) === r.getDouble(4), "pacf1 must be r1")
+    }
+  }
+
+  test("q283: eight range buckets cover every order with near-even " +
+       "shares") {
+    val rows = run("q283_range_partition_plan")
+      .select("bucket", "n_orders", "balance").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSet === (0L to 7L).toSet)
+    val n = rows.map(_._2).sum
+    rows.foreach { case (_, c, bal) =>
+      assert(math.abs(bal - c.toDouble * 8 / n) < 1e-12)
+      assert(bal > 0.5 && bal < 1.5,
+        "exact-quantile boundaries must keep buckets near-even")
+    }
+  }
+
   test("q263: Wilson bounds bracket the point rate inside [0, 1] and " +
        "step counts are monotone") {
     val rows = run("q263_funnel_wilson")
