@@ -456,6 +456,65 @@ object Streams {
       }
       .start()
 
+  /** Continuously-maintained half-life decay state — the streaming twin
+    * of q264's recency-weighted engagement score. The maintained table
+    * is the per (user, day) DECIMAL(30,8) value sum + count: because
+    * the q264 weight 2^−⌊age/7⌋ depends on "age", an eagerly-decayed
+    * accumulator would need rewriting every time the clock advances;
+    * keying state by day instead makes maintenance a pure additive fold
+    * (bit-identical to a one-shot aggregate under ANY micro-batching —
+    * decimal addition is associative) and defers the weighting to
+    * [[decayScoresFromState]] at read time, where "now" is actually
+    * known. State size is active users × active days — the standard
+    * cube grain a warehouse already keeps.
+    */
+  def streamingDecayMaintenance(events: DataFrame, path: String,
+                                checkpoint: String)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val delta = decayPartial(batch)
+        val merged = readStateBefore(spark, path, batchId)
+          .map(st => st.unionByName(delta).groupBy("user_id", "day")
+            .agg(sum("sv").cast("decimal(30,8)").as("sv"),
+              sum("nv").as("nv")))
+          .getOrElse(delta)
+        commitState(merged, path, batchId)
+      }
+      .start()
+
+  /** One micro-batch's (user, day) decimal partials — also the one-shot
+    * batch fold the maintenance lock compares against.
+    */
+  def decayPartial(events: DataFrame): DataFrame =
+    events.select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        col("value").cast("decimal(30,8)").as("v"))
+      .groupBy("user_id", "day")
+      .agg(sum("v").cast("decimal(30,8)").as("sv"),
+        count(lit(1)).as("nv"))
+
+  /** Finalize [[streamingDecayMaintenance]] state into per-user decay
+    * scores: weight each day bucket by 2^−⌊(maxday−day)/7⌋ (exact
+    * double scaling) against the state's own newest day and fold per
+    * user on the decimal rail — the read-side half of q264, run
+    * against maintained state instead of raw history.
+    */
+  def decayScoresFromState(state: DataFrame): DataFrame = {
+    val mx = state.agg(max("day").as("maxd"))
+    state.crossJoin(broadcast(mx))
+      .select(col("user_id"), col("nv"),
+        (col("sv").cast("double") /
+          pow(lit(2.0), expr("(maxd - day) div 7").cast("double")))
+          .as("wval"))
+      .groupBy("user_id")
+      .agg(sum("nv").as("n_events"),
+        sum(col("wval").cast("decimal(30,8)")).cast("double")
+          .as("decayed_score"))
+  }
+
   /** Streaming running aggregate per user — `mapGroupsWithState`
     * keeping (count, sum) state and emitting the updated totals each
     * micro-batch (C2-style latest-state tracking, streaming twin of

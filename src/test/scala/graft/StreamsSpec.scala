@@ -234,6 +234,38 @@ class StreamsSpec extends AnyFunSuite {
     assert(maintained.nonEmpty)
   }
 
+  test("streaming decay-state maintenance: maintained (user, day) " +
+       "partials and finalized scores equal the one-shot fold, " +
+       "bit-exact") {
+    val ev = Tables.load(spark, TestSpark.sf0001, "events")
+      .select("event_id", "user_id", "ts", "value")
+    val srcDir = java.nio.file.Files.createTempDirectory("dc_src").toString
+    val stateDir =
+      java.nio.file.Files.createTempDirectory("dc_state").toString + "/state"
+    val cp = java.nio.file.Files.createTempDirectory("dc_cp").toString
+    (0 until 3).foreach { i =>
+      ev.filter(abs(hash(col("event_id"))) % 3 === i).coalesce(1)
+        .write.mode("append").parquet(srcDir)
+    }
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val q = Streams.streamingDecayMaintenance(stream, stateDir, cp)
+    q.processAllAvailable(); q.stop()
+
+    val state = Streams.readState(spark, stateDir).get
+    val oneShot = Streams.decayPartial(ev)
+    assert(state.exceptAll(oneShot).isEmpty &&
+      oneShot.exceptAll(state).isEmpty,
+      "maintained (user, day) partials must equal the one-shot fold")
+    val maintained = Streams.decayScoresFromState(state)
+      .orderBy("user_id").collect().toSeq
+    val recompute = Streams.decayScoresFromState(oneShot)
+      .orderBy("user_id").collect().toSeq
+    assert(maintained === recompute && maintained.nonEmpty,
+      "finalized decay scores must match the batch fold bit-exactly")
+  }
+
   test("streaming count-min maintenance: maintained sketch equals the " +
        "one-shot sketch over the whole input, bit-exact") {
     import graft.ext.Sketches
