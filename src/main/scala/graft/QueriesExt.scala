@@ -11555,5 +11555,155 @@ object QueriesExt {
           CAST(COUNT(*) AS DOUBLE) * 8 / tot.n_total AS balance
         FROM b CROSS JOIN tot GROUP BY bucket, tot.n_total
         ORDER BY bucket""")),
+
+    // ── Quantile-sketch error audit (q284) ─────────────────────────────
+    // The last sketch family's accuracy loop (CMS has q113's overcount,
+    // HLL has q246's exact-overlap column): per event type, the
+    // bottom-k-by-hash sketch median (q116's mergeable estimator)
+    // against the EXACT median from the distributed refinement engine,
+    // with absolute and relative error. Sketch machinery and exact
+    // machinery are both already locked; this query is the standing
+    // regression bound between them.
+    QueryDef("q284_quantile_sketch_error",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val sk = graft.ext.Sketches.quantileFinish(
+          graft.ext.Sketches.quantilePartial(ev, Seq("event_type"),
+            col("value"), col("event_id"), quantileK),
+          Seq("event_type"))
+          .select(col("event_type"), col("n"), col("n_sampled"),
+            col("median_est"))
+        val ex = graft.ext.Stats.exactMedianByGroup(
+          ev.select("event_type", "value"), "event_type", "value")
+          .select(col("event_type"), col("median").as("median_exact"))
+        sk.join(ex, "event_type")
+          .select(col("event_type"), col("n"), col("n_sampled"),
+            col("median_exact"), col("median_est"),
+            abs(col("median_est") - col("median_exact")).as("abs_err"),
+            (abs(col("median_est") - col("median_exact")) /
+              col("median_exact")).as("rel_err"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH h AS (SELECT event_type, CAST(value AS DOUBLE) AS v,
+            ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 7))::BIGINT
+              AS h
+          FROM events),
+        tot AS (SELECT event_type, COUNT(*) AS n FROM h
+          GROUP BY event_type),
+        samp AS (SELECT event_type, v FROM (
+            SELECT event_type, v, row_number() OVER (
+              PARTITION BY event_type ORDER BY h, v) AS rh
+            FROM h) WHERE rh <= $quantileK),
+        ranked AS (SELECT event_type, v, row_number() OVER (
+              PARTITION BY event_type ORDER BY v) AS rn,
+            COUNT(*) OVER (PARTITION BY event_type) AS m
+          FROM samp),
+        sk AS (SELECT r.event_type, MAX(t.n) AS n,
+            CAST(MAX(m) AS BIGINT) AS n_sampled,
+            (MAX(CASE WHEN rn = floor((m + 1) / 2.0) THEN v END)
+             + MAX(CASE WHEN rn = floor((m + 2) / 2.0) THEN v END)) / 2
+              AS median_est
+          FROM ranked r JOIN tot t ON r.event_type = t.event_type
+          GROUP BY r.event_type),
+        ex AS (SELECT event_type, median(CAST(value AS DOUBLE))
+            AS median_exact
+          FROM events GROUP BY event_type)
+        SELECT sk.event_type, sk.n, sk.n_sampled, ex.median_exact,
+          sk.median_est,
+          abs(sk.median_est - ex.median_exact) AS abs_err,
+          abs(sk.median_est - ex.median_exact) / ex.median_exact
+            AS rel_err
+        FROM sk JOIN ex USING (event_type)
+        ORDER BY sk.event_type""")),
+
+    // ── Dedup cluster stability: adjusted Rand index (q285) ────────────
+    // How much does the dedup partition move when the similarity bar
+    // rises from ½ to 0.9? Both clusterings come from the SAME exact
+    // prefix-filtered pair set (q106) via the label-prop components
+    // engine; unpaired docs are their own singleton clusters. ARI from
+    // the contingency's pair counts — every C(x,2) is x(x−1) div 2 in
+    // BIGINTs, so the only doubles are the textbook final chain. ARI
+    // near 1 says the dedup decision is threshold-robust; a low value
+    // flags a corpus whose duplicate structure is borderline.
+    QueryDef("q285_cluster_stability_ari",
+      (s, dir) => {
+        val pairs = Dedup.prefixFilterJaccardPairs(
+            tPar(s, dir, "documents"), "doc_id", "text", shingleK,
+            ppjTNum, ppjTDen)
+          .localCheckpoint() // both threshold clusterings read it
+        val docsAll = t(s, dir, "documents").select(col("doc_id"))
+        def labeled(p: DataFrame, as: String) =
+          docsAll.join(Dedup.dedupClusters(p.select("id_a", "id_b"))
+            .select(col("id").as("doc_id"), col("cluster")),
+            Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              coalesce(col("cluster"), col("doc_id")).as(as))
+        val a = labeled(pairs, "ca")
+        val b = labeled(pairs.filter(col("jaccard") >= 0.9), "cb")
+        val cont = a.join(b, "doc_id").groupBy("ca", "cb")
+          .agg(count(lit(1)).as("nij"))
+          .localCheckpoint() // three marginal folds read it
+        val sij = cont.agg(sum(expr("(nij * (nij - 1)) div 2")).as("sij"),
+          sum("nij").as("n"))
+        val sa = cont.groupBy("ca").agg(sum("nij").as("ai"))
+          .agg(sum(expr("(ai * (ai - 1)) div 2")).as("sa"),
+            count(lit(1)).as("ka"))
+        val sb = cont.groupBy("cb").agg(sum("nij").as("bj"))
+          .agg(sum(expr("(bj * (bj - 1)) div 2")).as("sb"),
+            count(lit(1)).as("kb"))
+        val expct = col("sa").cast("double") * col("sb") /
+          expr("(n * (n - 1)) div 2")
+        val maxi = (col("sa").cast("double") + col("sb")) / 2
+        sij.crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
+          .select(col("n").as("n_docs"), col("ka").as("clusters_half"),
+            col("kb").as("clusters_ninety"),
+            ((col("sij") - expct) / (maxi - expct)).as("ari"))
+      },
+      Some(s"""WITH RECURSIVE sh AS (SELECT doc_id, unnest(list_distinct(
+            ${dShingles(dTok, shingleK)})) AS tok FROM documents),
+        sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        p0 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            COUNT(*) AS shared
+          FROM sh a JOIN sh b USING (tok)
+          WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        jac AS (SELECT id_a, id_b, CAST(shared AS DOUBLE)
+            / CAST(x.n + y.n - shared AS DOUBLE) AS jaccard
+          FROM p0 JOIN sz x ON p0.id_a = x.doc_id
+            JOIN sz y ON p0.id_b = y.doc_id
+          WHERE shared * $ppjTDen >= $ppjTNum * (x.n + y.n - shared)),
+        eA AS (SELECT id_a AS u, id_b AS v FROM jac
+          UNION SELECT id_b, id_a FROM jac),
+        nA AS (SELECT DISTINCT u AS id FROM eA),
+        rA(id, r) AS (SELECT id, id FROM nA
+          UNION SELECT rr.id, e.v FROM rA rr JOIN eA e ON rr.r = e.u),
+        cA AS (SELECT id, MIN(r) AS cluster FROM rA GROUP BY id),
+        eB AS (SELECT id_a AS u, id_b AS v FROM jac WHERE jaccard >= 0.9
+          UNION SELECT id_b, id_a FROM jac WHERE jaccard >= 0.9),
+        nB AS (SELECT DISTINCT u AS id FROM eB),
+        rB(id, r) AS (SELECT id, id FROM nB
+          UNION SELECT rr.id, e.v FROM rB rr JOIN eB e ON rr.r = e.u),
+        cB AS (SELECT id, MIN(r) AS cluster FROM rB GROUP BY id),
+        lab AS (SELECT d.doc_id,
+            COALESCE(cA.cluster, d.doc_id) AS ca,
+            COALESCE(cB.cluster, d.doc_id) AS cb
+          FROM documents d
+            LEFT JOIN cA ON d.doc_id = cA.id
+            LEFT JOIN cB ON d.doc_id = cB.id),
+        cont AS (SELECT ca, cb, COUNT(*) AS nij FROM lab GROUP BY 1, 2),
+        sij AS (SELECT CAST(SUM(nij * (nij - 1) // 2) AS BIGINT) AS sij,
+            CAST(SUM(nij) AS BIGINT) AS n FROM cont),
+        sa AS (SELECT CAST(SUM(ai * (ai - 1) // 2) AS BIGINT) AS sa,
+            COUNT(*) AS ka
+          FROM (SELECT ca, CAST(SUM(nij) AS BIGINT) AS ai FROM cont
+            GROUP BY ca)),
+        sb AS (SELECT CAST(SUM(bj * (bj - 1) // 2) AS BIGINT) AS sb,
+            COUNT(*) AS kb
+          FROM (SELECT cb, CAST(SUM(nij) AS BIGINT) AS bj FROM cont
+            GROUP BY cb))
+        SELECT n AS n_docs, ka AS clusters_half, kb AS clusters_ninety,
+          (sij - CAST(sa AS DOUBLE) * sb / (n * (n - 1) // 2))
+            / ((CAST(sa AS DOUBLE) + sb) / 2
+               - CAST(sa AS DOUBLE) * sb / (n * (n - 1) // 2)) AS ari
+        FROM sij CROSS JOIN sa CROSS JOIN sb""")),
   )
 }

@@ -298,6 +298,26 @@ class Round11EvalSpec extends AnyFunSuite {
     }
   }
 
+  test("q284: sketch medians land within the bottom-k error envelope " +
+       "of the exact medians") {
+    val rows = run("q284_quantile_sketch_error")
+      .select("median_exact", "median_est", "rel_err").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(0) > 0.0)
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) < 0.5,
+        "a k=256 hash sample's median must not be off by 50%")
+    }
+  }
+
+  test("q285: ARI of a partition with itself is 1; across thresholds " +
+       "it stays in [-1, 1] with at least as many strict clusters") {
+    val r = run("q285_cluster_stability_ari").head()
+    val (ka, kb, ari) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+    assert(kb >= ka, "raising the bar can only split clusters")
+    assert(ari >= -1.0 && ari <= 1.0)
+  }
+
   test("q263: Wilson bounds bracket the point rate inside [0, 1] and " +
        "step counts are monotone") {
     val rows = run("q263_funnel_wilson")
