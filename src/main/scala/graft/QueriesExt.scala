@@ -11705,5 +11705,128 @@ object QueriesExt {
             / ((CAST(sa AS DOUBLE) + sb) / 2
                - CAST(sa AS DOUBLE) * sb / (n * (n - 1) // 2)) AS ari
         FROM sij CROSS JOIN sa CROSS JOIN sb""")),
+
+    // ── U-shaped (position-based) attribution (q286) ───────────────────
+    // The fourth attribution model beside last-touch funnels (q149),
+    // Markov removal (q123) and Shapley (q251): 40% to the first
+    // touch, 40% to the last, 20% split across the middles — all
+    // RATIONAL shares (1, ½, 2/5, 1/5(m−2)), each a single division
+    // of exact integers, folded per channel on the decimal rail so
+    // total credit ≡ converting users (to the rail's 8 dp). Touches
+    // are pre-conversion view/click events; the position window is
+    // per USER, bounded by that user's journey length.
+    QueryDef("q286_position_attribution",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+        val conv = ev.groupBy("user_id")
+          .agg(min(when(col("event_type") === "purchase", col("us")))
+            .as("cu"))
+        val wp = Window.partitionBy("user_id")
+          .orderBy("us", "event_type")
+        val wm = Window.partitionBy("user_id")
+        val tch = ev.join(conv, "user_id")
+          .filter(col("cu").isNotNull && col("us") < col("cu") &&
+            col("event_type").isin("view", "click"))
+          .withColumn("pos", row_number().over(wp))
+          .withColumn("m", count(lit(1)).over(wm))
+        val sh = tch.select(col("user_id"), col("event_type"),
+          when(col("m") === 1, lit(1.0))
+            .when(col("m") === 2, lit(0.5))
+            .when(col("pos") === 1 || col("pos") === col("m"), lit(0.4))
+            .otherwise(lit(0.2) / (col("m") - 2)).as("s"))
+        sh.groupBy("event_type")
+          .agg(countDistinct("user_id").as("n_users"),
+            sum(col("s").cast("decimal(30,8)")).cast("double")
+              .as("credit"))
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us
+          FROM events),
+        conv AS (SELECT user_id,
+            MIN(CASE WHEN event_type = 'purchase' THEN us END) AS cu
+          FROM ev GROUP BY user_id),
+        tch AS (SELECT e.user_id, e.event_type, e.us,
+            ROW_NUMBER() OVER (PARTITION BY e.user_id
+              ORDER BY e.us, e.event_type) AS pos,
+            COUNT(*) OVER (PARTITION BY e.user_id) AS m
+          FROM ev e JOIN conv c ON e.user_id = c.user_id
+          WHERE c.cu IS NOT NULL AND e.us < c.cu
+            AND e.event_type IN ('view', 'click')),
+        sh AS (SELECT user_id, event_type,
+            CASE WHEN m = 1 THEN 1.0
+                 WHEN m = 2 THEN 0.5
+                 WHEN pos = 1 OR pos = m THEN 0.4
+                 ELSE 0.2 / (m - 2) END AS s
+          FROM tch)
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+          CAST(CAST(SUM(CAST(s AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)
+            AS credit
+        FROM sh GROUP BY event_type ORDER BY event_type""")),
+
+    // ── Time-decay attribution (q287) ──────────────────────────────────
+    // The recency-weighted attribution model: pre-conversion touches
+    // within 7 days earn weight 2^−⌊Δdays/3⌋ (q264's exact power-of-
+    // two trick — no libm decay), each user's credit normalizes to 1,
+    // and per-channel credit folds on the decimal rail. With position
+    // (q286), Markov (q123) and Shapley (q251) this completes the
+    // standard attribution-model suite over one journey extraction
+    // shape: per-user aggregation + bounded channel output.
+    QueryDef("q287_time_decay_attribution",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+        val conv = ev.groupBy("user_id")
+          .agg(min(when(col("event_type") === "purchase", col("day")))
+            .as("cd"))
+        val peru = ev.join(conv, "user_id")
+          .filter(col("cd").isNotNull &&
+            col("event_type").isin("view", "click") &&
+            col("day") <= col("cd") && col("cd") - col("day") <= 7)
+          .select(col("user_id"), col("event_type"),
+            (lit(1.0) / pow(lit(2.0),
+              expr("(cd - day) div 3").cast("double"))).as("w"))
+          .groupBy("user_id", "event_type")
+          .agg(sum(col("w").cast("decimal(30,8)")).cast("double")
+            .as("wt"))
+          .localCheckpoint() // user totals + the share projection
+        val tot = peru.groupBy("user_id")
+          .agg(sum(col("wt").cast("decimal(30,8)")).cast("double")
+            .as("W"))
+        peru.join(tot, "user_id")
+          .select(col("event_type"), (col("wt") / col("W")).as("sh"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_users"),
+            sum(col("sh").cast("decimal(30,8)")).cast("double")
+              .as("credit"))
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type,
+            epoch_us(ts) // 86400000000 AS day FROM events),
+        conv AS (SELECT user_id,
+            MIN(CASE WHEN event_type = 'purchase' THEN day END) AS cd
+          FROM ev GROUP BY user_id),
+        tch AS (SELECT e.user_id, e.event_type,
+            1.0 / power(2, (c.cd - e.day) // 3) AS w
+          FROM ev e JOIN conv c ON e.user_id = c.user_id
+          WHERE c.cd IS NOT NULL
+            AND e.event_type IN ('view', 'click')
+            AND e.day <= c.cd AND c.cd - e.day <= 7),
+        peru AS (SELECT user_id, event_type,
+            CAST(CAST(SUM(CAST(w AS DECIMAL(30,8))) AS VARCHAR)
+              AS DOUBLE) AS wt
+          FROM tch GROUP BY 1, 2),
+        tot AS (SELECT user_id,
+            CAST(CAST(SUM(CAST(wt AS DECIMAL(30,8))) AS VARCHAR)
+              AS DOUBLE) AS W
+          FROM peru GROUP BY user_id),
+        share AS (SELECT p.event_type, p.wt / t.W AS sh
+          FROM peru p JOIN tot t USING (user_id))
+        SELECT event_type, COUNT(*) AS n_users,
+          CAST(CAST(SUM(CAST(sh AS DECIMAL(30,8))) AS VARCHAR)
+            AS DOUBLE) AS credit
+        FROM share GROUP BY event_type ORDER BY event_type""")),
   )
 }

@@ -318,6 +318,19 @@ class Round11EvalSpec extends AnyFunSuite {
     assert(ari >= -1.0 && ari <= 1.0)
   }
 
+  test("q286/q287: attribution credit is conserved — channel credits " +
+       "sum to the number of credited users (to the 8-dp rail)") {
+    Seq("q286_position_attribution", "q287_time_decay_attribution")
+      .foreach { name =>
+        val rows = run(name).select("event_type", "credit").collect()
+        assert(rows.nonEmpty, name)
+        val total = rows.map(_.getDouble(1)).sum
+        assert(math.abs(total - math.rint(total)) < 1e-5,
+          s"$name: total credit $total must be ~the integer user count")
+        rows.foreach(r => assert(r.getDouble(1) > 0.0))
+      }
+  }
+
   test("q263: Wilson bounds bracket the point rate inside [0, 1] and " +
        "step counts are monotone") {
     val rows = run("q263_funnel_wilson")
