@@ -11828,5 +11828,167 @@ object QueriesExt {
           CAST(CAST(SUM(CAST(sh AS DECIMAL(30,8))) AS VARCHAR)
             AS DOUBLE) AS credit
         FROM share GROUP BY event_type ORDER BY event_type""")),
+
+    // ── Hot-key churn report (q288) ────────────────────────────────────
+    // Which heavy hitters ENTERED or EXITED the top-10 between the
+    // corpus's first and second halves? The drift view rank-only
+    // monitors miss: full outer join of the two per-half top-10s
+    // (TopKPerKey heaps keyed by half) with ranks, counts, and
+    // entry/exit flags. Exact counts; output bounded by 2k rows.
+    QueryDef("q288_hot_key_churn",
+      (s, dir) => {
+        val mid = t(s, dir, "documents")
+          .agg(expr("(min(doc_id) + max(doc_id)) div 2").as("mid"))
+        val cnt = tPar(s, dir, "documents")
+          .crossJoin(broadcast(mid))
+          .select(when(col("doc_id") <= col("mid"), 0L).otherwise(1L)
+            .as("half"), explode(TextStats.tokens(col("text")))
+            .as("tok"))
+          .groupBy("half", "tok").agg(count(lit(1)).as("c"))
+        val top = graft.plans.TopKPerKey.topKPerKey(cnt, Seq("half"),
+          Seq(graft.plans.TopKPerKey.Sort("c", asc = false),
+            graft.plans.TopKPerKey.Sort("tok")), 10)
+        val t0 = top.filter(col("half") === 0)
+          .select(col("tok"), col("c").as("c0"), col("rank").as("r0"))
+        val t1 = top.filter(col("half") === 1)
+          .select(col("tok"), col("c").as("c1"), col("rank").as("r1"))
+        t0.join(t1, Seq("tok"), "full_outer")
+          .select(col("tok"),
+            coalesce(col("r0"), lit(0L)).as("rank_first"),
+            coalesce(col("r1"), lit(0L)).as("rank_second"),
+            coalesce(col("c0"), lit(0L)).as("n_first"),
+            coalesce(col("c1"), lit(0L)).as("n_second"),
+            col("r0").isNull.cast("long").as("entered"),
+            col("r1").isNull.cast("long").as("exited"))
+          .orderBy("tok")
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, unnest($dTok) AS tok
+            FROM documents),
+        mx AS (SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS mid
+          FROM documents),
+        cnt AS (SELECT tok,
+            CASE WHEN doc_id <= mid THEN 0 ELSE 1 END AS half,
+            COUNT(*) AS c
+          FROM tk CROSS JOIN mx GROUP BY 1, 2),
+        rk AS (SELECT tok, half, c, ROW_NUMBER() OVER (
+            PARTITION BY half ORDER BY c DESC, tok) AS r FROM cnt),
+        t0 AS (SELECT tok, c AS c0, r AS r0 FROM rk
+          WHERE half = 0 AND r <= 10),
+        t1 AS (SELECT tok, c AS c1, r AS r1 FROM rk
+          WHERE half = 1 AND r <= 10)
+        SELECT COALESCE(t0.tok, t1.tok) AS tok,
+          CAST(COALESCE(r0, 0) AS BIGINT) AS rank_first,
+          CAST(COALESCE(r1, 0) AS BIGINT) AS rank_second,
+          CAST(COALESCE(c0, 0) AS BIGINT) AS n_first,
+          CAST(COALESCE(c1, 0) AS BIGINT) AS n_second,
+          CAST(CASE WHEN t0.tok IS NULL THEN 1 ELSE 0 END AS BIGINT)
+            AS entered,
+          CAST(CASE WHEN t1.tok IS NULL THEN 1 ELSE 0 END AS BIGINT)
+            AS exited
+        FROM t0 FULL OUTER JOIN t1 ON t0.tok = t1.tok
+        ORDER BY tok""")),
+
+    // ── Dedup token-yield accounting (q289) ────────────────────────────
+    // Training-data planning's bottom line: after near-dup removal
+    // (drop the HIGHER doc of every exact prefix-filtered pair — the
+    // keep-first rule on q106's pair set), how many tokens per source
+    // actually survive? One semi-join against the dropped-id set +
+    // one source-grouped fold; yield is the single division. The
+    // pair machinery is the locked q106 plan, so this report prices
+    // the dedup decision without new similarity arithmetic.
+    QueryDef("q289_dedup_token_yield",
+      (s, dir) => {
+        val dropped = Dedup.prefixFilterJaccardPairs(
+            tPar(s, dir, "documents"), "doc_id", "text", shingleK,
+            ppjTNum, ppjTDen)
+          .select(col("id_b").as("doc_id")).distinct()
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            size(TextStats.tokens(col("text"))).cast("long").as("nt"))
+          .join(dropped.withColumn("isdrop", lit(1L)),
+            Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("nt").as("tokens_raw"),
+            sum(when(col("isdrop").isNull, 1L).otherwise(0L))
+              .as("n_survivors"),
+            sum(when(col("isdrop").isNull, col("nt")).otherwise(0L))
+              .as("tokens_kept"))
+          .withColumn("yield",
+            col("tokens_kept").cast("double") / col("tokens_raw"))
+          .orderBy("source")
+      },
+      Some(s"""WITH sh AS (SELECT doc_id, unnest(list_distinct(
+            ${dShingles(dTok, shingleK)})) AS tok FROM documents),
+        sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            COUNT(*) AS shared
+          FROM sh a JOIN sh b USING (tok)
+          WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        dropped AS (SELECT DISTINCT id_b AS doc_id
+          FROM p JOIN sz x ON p.id_a = x.doc_id
+            JOIN sz y ON p.id_b = y.doc_id
+          WHERE shared * $ppjTDen >= $ppjTNum * (x.n + y.n - shared)),
+        d AS (SELECT doc_id, source, CAST(len($dTok) AS BIGINT) AS nt
+          FROM documents)
+        SELECT d.source, COUNT(*) AS n_docs,
+          CAST(SUM(nt) AS BIGINT) AS tokens_raw,
+          CAST(SUM(CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_survivors,
+          CAST(SUM(CASE WHEN dr.doc_id IS NULL THEN nt ELSE 0 END)
+            AS BIGINT) AS tokens_kept,
+          CAST(SUM(CASE WHEN dr.doc_id IS NULL THEN nt ELSE 0 END)
+            AS DOUBLE) / SUM(nt) AS yield
+        FROM d LEFT JOIN dropped dr ON d.doc_id = dr.doc_id
+        GROUP BY d.source ORDER BY d.source""")),
+
+    // ── Daily p95 SLO burn report (q290) ───────────────────────────────
+    // The observability staple: per event type, each day's DISCRETE
+    // p95 of value (rank ⌈0.95·n⌉ inside a (type, day)-partitioned
+    // window — an actual data value, rank-exact on both engines), the
+    // mean p95 on the decimal rail, and the fraction of days breaching
+    // the 145 SLO line. The window partition is one day of one series
+    // — the bounded unit an SLO pipeline already processes per tick.
+    QueryDef("q290_slo_burn",
+      (s, dir) => {
+        val wv = Window.partitionBy("event_type", "day").orderBy("v")
+        val wn = Window.partitionBy("event_type", "day")
+        val p95 = t(s, dir, "events")
+          .select(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("day"),
+            col("value").cast("double").as("v"))
+          .withColumn("r", row_number().over(wv))
+          .withColumn("n", count(lit(1)).over(wn))
+          .filter(col("r") === ceil(col("n") * 0.95).cast("long"))
+          .select(col("event_type"), col("day"), col("v").as("p95"))
+        p95.groupBy("event_type")
+          .agg(count(lit(1)).as("n_days"),
+            (sum(col("p95").cast("decimal(30,8)")).cast("double") /
+              count(lit(1))).as("mean_p95"),
+            sum(when(col("p95") > 145.0, 1L).otherwise(0L))
+              .as("breach_days"))
+          .withColumn("burn_rate",
+            col("breach_days").cast("double") / col("n_days"))
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (SELECT event_type,
+            epoch_us(ts) // 86400000000 AS day,
+            CAST(value AS DOUBLE) AS v FROM events),
+        rk AS (SELECT event_type, day, v,
+            ROW_NUMBER() OVER (PARTITION BY event_type, day
+              ORDER BY v) AS r,
+            COUNT(*) OVER (PARTITION BY event_type, day) AS n
+          FROM ev),
+        p95 AS (SELECT event_type, day,
+            MAX(CASE WHEN r = CAST(ceil(n * 0.95) AS BIGINT) THEN v
+              END) AS p95
+          FROM rk GROUP BY 1, 2)
+        SELECT event_type, COUNT(*) AS n_days,
+          CAST(CAST(SUM(CAST(p95 AS DECIMAL(30,8))) AS VARCHAR)
+            AS DOUBLE) / COUNT(*) AS mean_p95,
+          CAST(SUM(CASE WHEN p95 > 145.0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS breach_days,
+          CAST(SUM(CASE WHEN p95 > 145.0 THEN 1 ELSE 0 END) AS DOUBLE)
+            / COUNT(*) AS burn_rate
+        FROM p95 GROUP BY event_type ORDER BY event_type""")),
   )
 }

@@ -331,6 +331,40 @@ class Round11EvalSpec extends AnyFunSuite {
       }
   }
 
+  test("q288: churn report has exactly 10 keys per half and flags " +
+       "are consistent with the missing side") {
+    val rows = run("q288_hot_key_churn")
+      .select("rank_first", "rank_second", "entered", "exited")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.count(_._1 > 0) === 10 && rows.count(_._2 > 0) === 10)
+    rows.foreach { case (r0, r1, ent, ext) =>
+      assert((ent === 1L) === (r0 === 0L))
+      assert((ext === 1L) === (r1 === 0L))
+    }
+  }
+
+  test("q289: yields are in (0, 1] and kept never exceeds raw") {
+    val rows = run("q289_dedup_token_yield")
+      .select("tokens_raw", "tokens_kept", "yield").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(0))
+      assert(r.getDouble(2) > 0.0 && r.getDouble(2) <= 1.0)
+    }
+  }
+
+  test("q290: burn rate is breach_days / n_days exactly") {
+    val rows = run("q290_slo_burn")
+      .select("n_days", "breach_days", "burn_rate").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(0))
+      assert(math.abs(r.getDouble(2) -
+        r.getLong(1).toDouble / r.getLong(0)) < 1e-15)
+    }
+  }
+
   test("q263: Wilson bounds bracket the point rate inside [0, 1] and " +
        "step counts are monotone") {
     val rows = run("q263_funnel_wilson")
