@@ -11990,5 +11990,299 @@ object QueriesExt {
           CAST(SUM(CASE WHEN p95 > 145.0 THEN 1 ELSE 0 END) AS DOUBLE)
             / COUNT(*) AS burn_rate
         FROM p95 GROUP BY event_type ORDER BY event_type""")),
+
+    // ── Seasonal strength (q291) ───────────────────────────────────────
+    // One scalar from q197's decomposition: F = 1 − Var(residual) /
+    // Var(detrended) — how much of the de-trended variation the
+    // weekly profile explains (Hyndman's STL strength measure). All
+    // sums ride the decimal rail; the variances are the usual exact-
+    // operand chains over the bounded trend-complete day set.
+    QueryDef("q291_seasonal_strength",
+      (s, dir) => {
+        val pd = t(s, dir, "events")
+          .select(expr("unix_micros(ts) div 86400000000").as("day"))
+          .groupBy("day").agg(count(lit(1)).as("volume"))
+        val w7 = Window.orderBy("day").rowsBetween(-3, 3)
+        val tr = pd
+          .withColumn("trend",
+            when(count(lit(1)).over(w7) === 7,
+              sum("volume").over(w7).cast("double") / 7))
+          .withColumn("wd", pmod(col("day"), lit(7L)))
+          .filter(col("trend").isNotNull)
+          .localCheckpoint() // seasonal means + the variance fold
+        val se = tr.groupBy("wd")
+          .agg(davg(col("volume") - col("trend")).as("seasonal"))
+        val d = tr.join(broadcast(se), "wd")
+          .select((col("volume") - col("trend")).as("detr"),
+            (col("volume") - col("trend") - col("seasonal"))
+              .as("resid"))
+        d.agg(count(lit(1)).as("n"),
+            sum(col("detr").cast("decimal(30,8)")).cast("double")
+              .as("sd"),
+            sum((col("detr") * col("detr")).cast("decimal(30,8)"))
+              .cast("double").as("sdd"),
+            sum(col("resid").cast("decimal(30,8)")).cast("double")
+              .as("sr"),
+            sum((col("resid") * col("resid")).cast("decimal(30,8)"))
+              .cast("double").as("srr"))
+          .select(col("n"),
+            (col("sdd") - col("sd") * col("sd") / col("n"))
+              .as("ss_detrended"),
+            (col("srr") - col("sr") * col("sr") / col("n"))
+              .as("ss_residual"),
+            (lit(1) - (col("srr") - col("sr") * col("sr") / col("n")) /
+              (col("sdd") - col("sd") * col("sd") / col("n")))
+              .as("seasonal_strength"))
+      },
+      Some("""WITH pd AS (SELECT epoch_us(ts) // 86400000000 AS day,
+            COUNT(*) AS volume FROM events GROUP BY 1),
+        tr AS (SELECT day, volume,
+            CASE WHEN COUNT(*) OVER w = 7
+              THEN CAST(SUM(volume) OVER w AS DOUBLE) / 7 END AS trend,
+            day % 7 AS wd
+          FROM pd WINDOW w AS (ORDER BY day
+            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        trc AS (SELECT * FROM tr WHERE trend IS NOT NULL),
+        se AS (SELECT wd, CAST(CAST(SUM(CAST(volume - trend
+              AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)
+            / COUNT(*) AS seasonal
+          FROM trc GROUP BY wd),
+        d AS (SELECT trc.volume - trc.trend AS detr,
+            trc.volume - trc.trend - se.seasonal AS resid
+          FROM trc JOIN se USING (wd)),
+        m AS (SELECT COUNT(*) AS n,
+            CAST(CAST(SUM(CAST(detr AS DECIMAL(30,8))) AS VARCHAR)
+              AS DOUBLE) AS sd,
+            CAST(CAST(SUM(CAST(detr*detr AS DECIMAL(30,8)))
+              AS VARCHAR) AS DOUBLE) AS sdd,
+            CAST(CAST(SUM(CAST(resid AS DECIMAL(30,8))) AS VARCHAR)
+              AS DOUBLE) AS sr,
+            CAST(CAST(SUM(CAST(resid*resid AS DECIMAL(30,8)))
+              AS VARCHAR) AS DOUBLE) AS srr
+          FROM d)
+        SELECT n, sdd - sd*sd/n AS ss_detrended,
+          srr - sr*sr/n AS ss_residual,
+          1 - (srr - sr*sr/n) / (sdd - sd*sd/n) AS seasonal_strength
+        FROM m""")),
+
+    // ── Cramér's V association (q292) ──────────────────────────────────
+    // The effect-size companion to the chi-square tests: how strongly
+    // does customer nation associate with order priority? χ² over the
+    // full r×k grid (zero cells included via the dimension cross
+    // join), then V = √(χ²/(n·(min(r,k)−1))). Per-cell terms ride the
+    // decimal rail; expected counts are the identical double chain on
+    // both engines. Near-zero V on this synthetic join is correct.
+    QueryDef("q292_cramers_v",
+      (s, dir) => {
+        val cell = t(s, dir, "orders").join(t(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey").as("nation"),
+            col("o_orderpriority").as("pri"))
+          .agg(count(lit(1)).as("o"))
+          .localCheckpoint() // marginals + the grid probe
+        val rt = cell.groupBy("nation").agg(sum("o").as("rn"))
+        val ct = cell.groupBy("pri").agg(sum("o").as("cn"))
+        val nt = cell.agg(sum("o").as("n"),
+          countDistinct("nation").as("r"), countDistinct("pri").as("k"))
+        val e = col("rn").cast("double") * col("cn") / col("n")
+        val chi = rt.crossJoin(broadcast(ct))
+          .join(cell, Seq("nation", "pri"), "left")
+          .select(col("nation"), col("pri"), col("rn"), col("cn"),
+            coalesce(col("o"), lit(0L)).as("o"))
+          .crossJoin(broadcast(nt))
+          .agg(sum(((col("o").cast("double") - e) *
+            (col("o").cast("double") - e) / e).cast("decimal(30,8)"))
+            .cast("double").as("chi2"))
+        chi.crossJoin(broadcast(nt))
+          .select(col("n"), col("r"), col("k"), col("chi2"),
+            sqrt(col("chi2") / (col("n") * (least(col("r"), col("k"))
+              - 1))).as("cramers_v"))
+      },
+      Some("""WITH j AS (SELECT c.c_nationkey AS nation,
+            o.o_orderpriority AS pri
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        cell AS (SELECT nation, pri, COUNT(*) AS o FROM j GROUP BY 1, 2),
+        rt AS (SELECT nation, CAST(SUM(o) AS BIGINT) AS rn FROM cell
+          GROUP BY 1),
+        ct AS (SELECT pri, CAST(SUM(o) AS BIGINT) AS cn FROM cell
+          GROUP BY 1),
+        nt AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+            COUNT(DISTINCT nation) AS r, COUNT(DISTINCT pri) AS k
+          FROM cell),
+        grid AS (SELECT rt.nation, ct.pri, rt.rn, ct.cn,
+            COALESCE(cell.o, 0) AS o
+          FROM rt CROSS JOIN ct
+          LEFT JOIN cell ON cell.nation = rt.nation
+            AND cell.pri = ct.pri),
+        chi AS (SELECT CAST(CAST(SUM(CAST(
+            (CAST(o AS DOUBLE) - CAST(rn AS DOUBLE)*cn/nt.n)
+            * (CAST(o AS DOUBLE) - CAST(rn AS DOUBLE)*cn/nt.n)
+            / (CAST(rn AS DOUBLE)*cn/nt.n) AS DECIMAL(30,8)))
+            AS VARCHAR) AS DOUBLE) AS chi2
+          FROM grid CROSS JOIN nt GROUP BY nt.n)
+        SELECT nt.n, nt.r, nt.k, chi.chi2,
+          sqrt(chi.chi2 / (nt.n * (least(nt.r, nt.k) - 1)))
+            AS cramers_v
+        FROM chi CROSS JOIN nt""")),
+
+    // ── Hoover (Robin Hood) index of revenue concentration (q293) ─────
+    // The log-free inequality scalar beside Gini (q165): the share of
+    // total revenue that would have to move between users to equalize
+    // them, ½·Σ|rev_i/T − 1/n|. Revenue sums are decimal-exact; each
+    // user's deviation is one identical double chain; the fold rides
+    // the rail. One per-user aggregation + one O(1) broadcast.
+    QueryDef("q293_hoover_index",
+      (s, dir) => {
+        val per = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy("user_id")
+          .agg(sum(col("value").cast("decimal(30,8)"))
+            .cast("decimal(30,8)").as("rev"))
+        val tot = per.agg(sum("rev").cast("decimal(30,8)").as("t"),
+          count(lit(1)).as("n"))
+        per.crossJoin(broadcast(tot))
+          .select(col("n"), col("t"),
+            abs(col("rev").cast("double") / col("t").cast("double") -
+              lit(1.0) / col("n")).as("dev"))
+          .groupBy("n", "t")
+          .agg((lit(0.5) *
+            sum(col("dev").cast("decimal(30,8)")).cast("double"))
+            .as("hoover"))
+          .select(col("n"), col("t").cast("double").as("total_rev"),
+            col("hoover"))
+      },
+      Some("""WITH per AS (SELECT user_id,
+            CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DECIMAL(30,8))
+              AS rev
+          FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        tot AS (SELECT CAST(SUM(rev) AS DECIMAL(30,8)) AS t,
+            COUNT(*) AS n FROM per),
+        dev AS (SELECT tot.n, tot.t,
+            abs(CAST(CAST(rev AS VARCHAR) AS DOUBLE)
+              / CAST(CAST(t AS VARCHAR) AS DOUBLE) - 1.0 / n) AS dev
+          FROM per CROSS JOIN tot)
+        SELECT n, CAST(CAST(t AS VARCHAR) AS DOUBLE) AS total_rev,
+          0.5 * CAST(CAST(SUM(CAST(dev AS DECIMAL(30,8))) AS VARCHAR)
+            AS DOUBLE) AS hoover
+        FROM dev GROUP BY n, t""")),
+
+    // ── Markov stationary distribution (q294) ──────────────────────────
+    // Where does the q111 behavior chain settle? Four unrolled power
+    // iterations π ← π·P from the uniform start on the bounded
+    // |types|² transition matrix, next to the EMPIRICAL type share
+    // for comparison. Each iteration's 5-term sums ride the decimal
+    // rail (deterministic re-rounding beats a 5-row aggregation's
+    // nondeterministic double order); the whole chain is joins over
+    // dimension-bounded tables.
+    QueryDef("q294_markov_stationary",
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("user_id"),
+          unix_micros(col("ts")).as("us"), col("event_id"),
+          col("event_type"))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("us"), col("event_id"))
+        val tr = ev.withColumn("next_type",
+            lead("event_type", 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("src"),
+            col("next_type").as("dst"))
+          .agg(count(lit(1)).as("c"))
+          .localCheckpoint() // row totals + 4 iteration joins
+        val p = tr.join(broadcast(
+            tr.groupBy("src").agg(sum("c").as("rt"))), "src")
+          .select(col("src"), col("dst"),
+            (col("c").cast("double") / col("rt")).as("p"))
+          .localCheckpoint() // reused by every iteration
+        val k = ev.select(countDistinct("event_type")).head().getLong(0)
+        val pi0 = p.select(col("src").as("state")).distinct()
+          .withColumn("pi", lit(1.0) / k)
+        val pi4 = (1 to 4).foldLeft(pi0) { (pi, _) =>
+          pi.join(p, pi("state") === p("src"))
+            .groupBy(col("dst").as("s2"))
+            .agg(sum((col("pi") * col("p")).cast("decimal(30,8)"))
+              .cast("double").as("pi2"))
+            .select(col("s2").as("state"), col("pi2").as("pi"))
+        }
+        val emp = ev.groupBy(col("event_type").as("state"))
+          .agg(count(lit(1)).as("n"))
+        val nt = ev.agg(count(lit(1)).as("ntot"))
+        pi4.join(emp, "state").crossJoin(broadcast(nt))
+          .select(col("state"), col("pi").as("pi_stationary"),
+            (col("n").cast("double") / col("ntot"))
+              .as("empirical_share"))
+          .orderBy("state")
+      },
+      Some {
+        val iters = (1 to 4).map { i =>
+          s"""pi$i AS (SELECT p.dst AS state,
+             CAST(CAST(SUM(CAST(pi${i - 1}.pi * p.p AS DECIMAL(30,8)))
+               AS VARCHAR) AS DOUBLE) AS pi
+           FROM pi${i - 1} JOIN p ON pi${i - 1}.state = p.src
+           GROUP BY p.dst)"""
+        }.mkString(",\n        ")
+        s"""WITH o AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+            event_id FROM events),
+        trn AS (SELECT event_type AS src,
+            lead(event_type) OVER (PARTITION BY user_id
+              ORDER BY us, event_id) AS dst FROM o),
+        c AS (SELECT src, dst, COUNT(*) AS c FROM trn
+          WHERE dst IS NOT NULL GROUP BY 1, 2),
+        rt AS (SELECT src, CAST(SUM(c) AS BIGINT) AS rt FROM c
+          GROUP BY 1),
+        p AS (SELECT c.src, c.dst,
+            CAST(c.c AS DOUBLE) / rt.rt AS p
+          FROM c JOIN rt USING (src)),
+        k AS (SELECT COUNT(DISTINCT event_type) AS k FROM events),
+        pi0 AS (SELECT DISTINCT src AS state, 1.0 / (SELECT k FROM k)
+            AS pi FROM p),
+        $iters,
+        emp AS (SELECT event_type AS state, COUNT(*) AS n FROM events
+          GROUP BY 1),
+        nt AS (SELECT COUNT(*) AS ntot FROM events)
+        SELECT pi4.state, pi4.pi AS pi_stationary,
+          CAST(emp.n AS DOUBLE) / nt.ntot AS empirical_share
+        FROM pi4 JOIN emp USING (state) CROSS JOIN nt
+        ORDER BY pi4.state"""
+      }),
+
+    // ── Ship-lag profile per priority (q295) ───────────────────────────
+    // The fulfillment SLA view over the star: order-to-ship lag in
+    // days per priority class with exact P50/P90 from the distributed
+    // quantile refinement engine — NOT a per-class rank window, which
+    // at 100 TB would funnel a fifth of the fact through each of five
+    // sort partitions. One broadcast-dim fact pass, then engine
+    // refinement plus a min/max fold.
+    QueryDef("q295_ship_lag",
+      (s, dir) => {
+        val l = t(s, dir, "lineitem").join(t(s, dir, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_orderpriority").as("pri"),
+            datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
+              .as("lag"))
+          .localCheckpoint() // engine rounds + the min/max fold
+        val q = graft.ext.Stats.exactQuantilesByGroup(
+          l, "pri", "lag", Seq(0.5, 0.9), buckets = 64, tail = 1024)
+        val p50 = q.filter(col("p") === 0.5)
+          .select(col("pri"), col("n").as("n_items"),
+            col("quantile").as("p50_lag"))
+        val p90 = q.filter(col("p") === 0.9)
+          .select(col("pri"), col("quantile").as("p90_lag"))
+        val mm = l.groupBy("pri")
+          .agg(min("lag").as("min_lag"), max("lag").as("max_lag"))
+        p50.join(p90, "pri").join(mm, "pri")
+          .select(col("pri"), col("n_items"), col("min_lag"),
+            col("p50_lag"), col("p90_lag"), col("max_lag"))
+          .orderBy("pri")
+      },
+      Some("""WITH l AS (SELECT o.o_orderpriority AS pri,
+            CAST(date_diff('day', o.o_orderdate, l.l_shipdate)
+              AS BIGINT) AS lag
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        SELECT pri, COUNT(*) AS n_items,
+          CAST(MIN(lag) AS BIGINT) AS min_lag,
+          quantile_cont(CAST(lag AS DOUBLE), 0.5) AS p50_lag,
+          quantile_cont(CAST(lag AS DOUBLE), 0.9) AS p90_lag,
+          CAST(MAX(lag) AS BIGINT) AS max_lag
+        FROM l GROUP BY pri ORDER BY pri""")),
   )
 }

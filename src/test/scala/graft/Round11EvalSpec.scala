@@ -365,6 +365,40 @@ class Round11EvalSpec extends AnyFunSuite {
     }
   }
 
+  test("q291-q293: seasonal strength, Cramer's V and Hoover are all " +
+       "valid normalized scalars") {
+    val st = run("q291_seasonal_strength").head()
+    assert(st.getDouble(1) > 0.0, "detrended SS must be positive")
+    assert(st.getDouble(3) <= 1.0)
+    val v = run("q292_cramers_v").head()
+    assert(v.getDouble(3) >= 0.0, "chi2 is non-negative")
+    assert(v.getDouble(4) >= 0.0 && v.getDouble(4) <= 1.0)
+    val h = run("q293_hoover_index").head()
+    assert(h.getDouble(2) >= 0.0 && h.getDouble(2) <= 1.0)
+  }
+
+  test("q294: the stationary vector is a probability distribution") {
+    val rows = run("q294_markov_stationary")
+      .select("pi_stationary", "empirical_share").collect()
+    assert(rows.nonEmpty)
+    val piSum = rows.map(_.getDouble(0)).sum
+    assert(math.abs(piSum - 1.0) < 1e-6,
+      s"stationary mass must sum to ~1, got $piSum")
+    rows.foreach(r => assert(r.getDouble(0) > 0.0 &&
+      r.getDouble(1) > 0.0))
+  }
+
+  test("q295: lag percentiles are ordered min <= p50 <= p90 <= max") {
+    val rows = run("q295_ship_lag")
+      .select("min_lag", "p50_lag", "p90_lag", "max_lag").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) <= r.getDouble(1) &&
+        r.getDouble(1) <= r.getDouble(2) &&
+        r.getDouble(2) <= r.getLong(3))
+    }
+  }
+
   test("q263: Wilson bounds bracket the point rate inside [0, 1] and " +
        "step counts are monotone") {
     val rows = run("q263_funnel_wilson")
