@@ -12284,5 +12284,193 @@ object QueriesExt {
           quantile_cont(CAST(lag AS DOUBLE), 0.9) AS p90_lag,
           CAST(MAX(lag) AS BIGINT) AS max_lag
         FROM l GROUP BY pri ORDER BY pri""")),
+
+    // ── Paired-classifier McNemar test (q296) ──────────────────────────
+    // The significance companion of q204's kappa: do the hashed linear
+    // classifier (q176) and the heuristic quality gate (q21) disagree
+    // ASYMMETRICALLY? Only the discordant cells matter — b = n10
+    // (classifier-only positives), c = n01 (gate-only positives);
+    // chi² = (b−c)²/(b+c), continuity-corrected (|b−c|−1)²/(b+c).
+    // Numerators are exact integers from the same single map-only scan
+    // + 2-cell aggregate as q204; each statistic is ONE double
+    // division. Scale shape: map-side partial agg, 2 longs total.
+    QueryDef("q296_mcnemar",
+      (s, dir) => {
+        def score(toks: Column): Column = aggregate(toks, lit(0L),
+          (acc, tk) => {
+            val b = Shingles.baseHash(tk) % fhDim
+            acc + (Shingles.baseHash(concat(lit("w|"), b.cast("string")))
+              % fhWMod - fhWOff)
+          })
+        val d = tPar(s, dir, "documents").select(
+          (score(TextStats.tokens(col("text"))) >= 0).as("a"),
+          (TextStats.qualityScore(col("text"), stopwords) >= 0.5)
+            .as("b"))
+        d.agg(
+          sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("n10"),
+          sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("n01"))
+          .select(col("n10"), col("n01"),
+            (((col("n10") - col("n01")) * (col("n10") - col("n01")))
+              .cast("double") /
+              (col("n10") + col("n01")).cast("double")).as("chi2"),
+            (((abs(col("n10") - col("n01")) - 1) *
+              (abs(col("n10") - col("n01")) - 1)).cast("double") /
+              (col("n10") + col("n01")).cast("double")).as("chi2_cc"))
+      },
+      Some(s"""WITH lab AS (SELECT
+            CAST(COALESCE(list_sum(list_transform($dTok, t ->
+              ('0x' || substr(md5('w|' ||
+                  (('0x' || substr(md5(t), 1, 7))::BIGINT % $fhDim)
+                    ::VARCHAR), 1, 7))::BIGINT % $fhWMod - $fhWOff)), 0)
+              AS BIGINT) >= 0 AS a,
+            $dQualityExpr >= 0.5 AS b
+          FROM documents),
+        c AS (SELECT
+            CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+              AS n10,
+            CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT)
+              AS n01
+          FROM lab)
+        SELECT n10, n01,
+          CAST((n10 - n01) * (n10 - n01) AS DOUBLE)
+            / CAST(n10 + n01 AS DOUBLE) AS chi2,
+          CAST((abs(n10 - n01) - 1) * (abs(n10 - n01) - 1) AS DOUBLE)
+            / CAST(n10 + n01 AS DOUBLE) AS chi2_cc
+        FROM c""")),
+
+    // ── Ranking eval: mean-average-precision AP@10 per source (q297) ───
+    // Completes the retrieval-eval family (nDCG q209, MRR q245): the
+    // rank-sensitive precision average over the same deterministic
+    // hash-score ranking with quality-gate relevance. Float
+    // discipline: precision at rank i is an integer count over i, so
+    // AP@10's numerator is carried as Σ y_i·cum_i·(2520/i) — 2520 =
+    // lcm(1..10) clears every denominator — and AP is ONE double
+    // division by 2520·min(np,10). Top-10 per group via the TopKPerKey
+    // heap (no global sort); the cum window touches ≤10 rows/source.
+    QueryDef("q297_map_at10",
+      (s, dir) => {
+        val d = tPar(s, dir, "documents").select(
+          col("source"), col("doc_id"),
+          (Shingles.baseHash(col("text")) % 999).as("m"),
+          when(TextStats.qualityScore(col("text"), stopwords) >= 0.5,
+            1L).otherwise(0L).as("y"))
+          .localCheckpoint()
+        val top = graft.plans.TopKPerKey.topKPerKey(d, Seq("source"),
+          Seq(graft.plans.TopKPerKey.Sort("m", asc = false),
+            graft.plans.TopKPerKey.Sort("doc_id")), 10)
+        val w = Window.partitionBy("source").orderBy("rank")
+        val apNum = top.withColumn("cum", sum("y").over(w))
+          .groupBy("source")
+          .agg(sum(col("y") * col("cum") * expr("2520 div rank"))
+            .as("ap_num"))
+        val np = d.groupBy("source").agg(sum("y").as("np"))
+          .filter(col("np") >= 1)
+        apNum.join(np, "source")
+          .select(col("source"), col("np"),
+            (col("ap_num").cast("double") /
+              (lit(2520L) * least(col("np"), lit(10L))).cast("double"))
+              .as("ap10"))
+          .orderBy("source")
+      },
+      Some(s"""WITH d AS (SELECT source, doc_id,
+            ('0x' || substr(md5(text), 1, 7))::BIGINT % 999 AS m,
+            CASE WHEN $dQualityExpr >= 0.5 THEN 1 ELSE 0 END AS y
+          FROM documents),
+        ranked AS (SELECT source, y, row_number() OVER (
+            PARTITION BY source ORDER BY m DESC, doc_id) AS rank FROM d),
+        t AS (SELECT source, y, rank,
+            SUM(y) OVER (PARTITION BY source ORDER BY rank) AS cum
+          FROM ranked WHERE rank <= 10),
+        a AS (SELECT source, SUM(y * cum * (2520 // rank)) AS ap_num
+          FROM t GROUP BY source),
+        np AS (SELECT source, CAST(SUM(y) AS BIGINT) AS np FROM d
+          GROUP BY source HAVING SUM(y) >= 1)
+        SELECT a.source, np,
+          CAST(ap_num AS DOUBLE) / CAST(2520 * least(np, 10) AS DOUBLE)
+            AS ap10
+        FROM a JOIN np ON a.source = np.source ORDER BY a.source""")),
+
+    // ── Two-group log-rank test on the churn lifetimes (q298) ──────────
+    // Completes the survival suite (Kaplan–Meier q179, Nelson–Aalen
+    // q265): is retention different between the even- and odd-user_id
+    // arms? Same lifetime/censoring construction as q179; per distinct
+    // death time the hypergeometric expectation E1 = d·n1/n and
+    // variance V = d·n1·(n−n1)·(n−d) / (n²·(n−1)) are each a handful
+    // of correctly-rounded IEEE ops on exact integer at-risk counts,
+    // and the ≤|distinct lifetimes| term sums run through the
+    // Parity.dsum decimal contract, so chi² = (O1−E1)²/ΣV is
+    // engine-identical. Heavy work is one per-user aggregation; the
+    // life table and its two suffix-sum windows are bounded by
+    // construction. n² stays in long up to ~3·10⁹ at-risk users.
+    QueryDef("q298_logrank",
+      (s, dir) => {
+        val day = 86400000000L
+        val u = t(s, dir, "events").groupBy("user_id")
+          .agg(min(unix_micros(col("ts"))).as("fu"),
+            max(unix_micros(col("ts"))).as("lu"))
+          .localCheckpoint()
+        val p = u.crossJoin(broadcast(u.agg(max("lu").as("gmax"))))
+          .select(expr("(lu - fu) div 86400000000").as("t"),
+            (col("lu") <= col("gmax") - lit(7L * day)).as("died"),
+            (col("user_id") % 2 === 0).as("g1"))
+        val lt = p.groupBy("t").agg(
+          sum(when(col("died"), 1L).otherwise(0L)).as("d"),
+          sum(when(col("died") && col("g1"), 1L).otherwise(0L)).as("d1"),
+          count(lit(1)).as("c"),
+          sum(when(col("g1"), 1L).otherwise(0L)).as("c1"))
+        val w = Window.orderBy("t")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val risk = lt
+          .withColumn("n", sum("c").over(w))
+          .withColumn("n1", sum("c1").over(w))
+          .filter(col("d") > 0 && col("n") > 1)
+        val terms = risk.select(col("d1"),
+          ((col("d") * col("n1")).cast("double") / col("n").cast("double"))
+            .as("e1"),
+          ((col("d") * col("n1")).cast("double") *
+            (col("n") - col("n1")).cast("double") *
+            (col("n") - col("d")).cast("double") /
+            ((col("n") * col("n")).cast("double") *
+              (col("n") - 1).cast("double"))).as("v"))
+        terms.agg(sum("d1").as("o1"),
+            graft.functions.Parity.dsum(col("e1")).as("e1"),
+            graft.functions.Parity.dsum(col("v")).as("v"))
+          .select(col("o1"), col("e1"), col("v"),
+            ((col("o1").cast("double") - col("e1")) *
+              (col("o1").cast("double") - col("e1")) / col("v"))
+              .as("chi2"))
+      },
+      Some(s"""WITH u AS (SELECT user_id, MIN(epoch_us(ts)) AS fu,
+            MAX(epoch_us(ts)) AS lu
+          FROM events GROUP BY 1),
+        p AS (SELECT (lu - fu) // 86400000000 AS t,
+            (lu <= (SELECT MAX(lu) FROM u) - 7 * 86400000000) AS died,
+            user_id % 2 = 0 AS g1
+          FROM u),
+        lt AS (SELECT t,
+            SUM(CASE WHEN died THEN 1 ELSE 0 END) AS d,
+            SUM(CASE WHEN died AND g1 THEN 1 ELSE 0 END) AS d1,
+            COUNT(*) AS c,
+            SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS c1
+          FROM p GROUP BY t),
+        w AS (SELECT t, d, d1,
+            SUM(c) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW AND
+              UNBOUNDED FOLLOWING) AS n,
+            SUM(c1) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW AND
+              UNBOUNDED FOLLOWING) AS n1
+          FROM lt),
+        terms AS (SELECT d1,
+            CAST(d * n1 AS DOUBLE) / CAST(n AS DOUBLE) AS e1,
+            CAST(d * n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE)
+              * CAST(n - d AS DOUBLE)
+              / (CAST(n * n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS v
+          FROM w WHERE d > 0 AND n > 1),
+        agg AS (SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+            ${dsumSql("e1")} AS e1, ${dsumSql("v")} AS v
+          FROM terms)
+        SELECT o1, e1, v,
+          (CAST(o1 AS DOUBLE) - e1) * (CAST(o1 AS DOUBLE) - e1) / v
+            AS chi2
+        FROM agg""")),
   )
 }
