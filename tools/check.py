@@ -57,23 +57,33 @@ def decimal_types(rel_sql):
 
 def decimal_parity(name, spark_src, oracle_sql):
     """Spark's silent scale reduction at the precision-38 cap has shipped
-    two hash-red queries (q212 in-round, q225 in r10) that rows/schema
-    checks can't see. SCALE mismatch on a decimal column is an instant
-    FAIL: the driver's value hash renders decimals at their scale, so
-    differing scales hash-diverge even on equal numbers. Precision is
-    advisory only — DuckDB widens every decimal aggregate to precision
-    38 while Spark keeps the minimal width, and rendered values (hence
-    hashes) don't depend on it."""
+    two hash-red queries (q212 in-round, q225 in r10/r11) that rows/schema
+    checks can't see. ANY (precision, scale) mismatch on a decimal column
+    is an instant FAIL: the driver's hash proved sensitive to the declared
+    decimal TYPE (r11: bit-identical values, DECIMAL(30,8) vs (38,8),
+    hash-red), not just the rendered value — precision is NOT advisory."""
     ds, do = decimal_types(f"SELECT * FROM '{spark_src}'"), decimal_types(oracle_sql)
     errs = []
     for c in sorted(set(ds) & set(do)):
         (ps, ss), (po, so) = ds[c], do[c]
-        if ss != so:
+        if (ps, ss) != (po, so):
             errs.append(f"{c}: spark DECIMAL({ps},{ss}) vs oracle DECIMAL({po},{so})")
     for c in sorted(set(ds) ^ set(do)):
         side = "spark" if c in ds else "oracle"
         errs.append(f"{c}: decimal on {side} side only")
     return errs
+
+def exact_df(rel_sql):
+    """Fetch a query with decimal columns cast to VARCHAR so the hash sees
+    the exact decimal rendering, not duckdb.df()'s decimal->float64
+    conversion (the blind spot that let q225 pass locally while driver-red
+    two rounds running)."""
+    dec = decimal_types(rel_sql)
+    cols = [r["column_name"] for _, r in con.sql(f"DESCRIBE {rel_sql}").df().iterrows()]
+    sel = ", ".join(
+        f'CAST("{c}" AS VARCHAR) AS "{c}"' if c.lower() in dec else f'"{c}"'
+        for c in cols)
+    return con.sql(f"SELECT {sel} FROM ({rel_sql})").df()
 
 for name in sorted(oracle):
     if not selected(name):
@@ -82,8 +92,8 @@ for name in sorted(oracle):
     if not files:
         print(f"FAIL {name}: no spark output"); bad += 1; continue
     try:
-        spark_df = con.sql(f"SELECT * FROM '{out}/{name}/*.parquet'").df()
-        duck_df = con.sql(oracle[name]).df()
+        spark_df = exact_df(f"SELECT * FROM '{out}/{name}/*.parquet'")
+        duck_df = exact_df(oracle[name])
         dec_errs = decimal_parity(name, f"{out}/{name}/*.parquet", oracle[name])
     except Exception as e:
         print(f"FAIL {name}: {e}"); bad += 1; continue
