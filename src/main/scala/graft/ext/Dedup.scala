@@ -442,11 +442,23 @@ object Dedup {
     // across rounds would grow the ANALYZED plan exponentially and hang
     // the driver around round 10 even with caching (the cache
     // short-circuits execution, not analysis).
+    // Per-phase wall logging: the sf1.0 sweep measured q166/q198 at
+    // 239/308 s vs ~6 s at sf0.1 (40-50x on 10x data) and the breakdown
+    // between data-intrinsic pair growth and per-round contraction
+    // overhead was unknowable from the total alone. A few stderr lines
+    // per call make the round structure observable in any run.
+    def logPhase(phase: String, t0: Long, extra: String = ""): Unit =
+      System.err.println(f"[ccstar] $phase ${(System.nanoTime() - t0) / 1e9}%.2fs$extra")
+    val tInit = System.nanoTime()
     var edges = canon(pairs.select(col(aCol).as("u"), col(bCol).as("v")))
       .localCheckpoint(eager = true)
     var edgeCount = edges.count()
+    logPhase("init", tInit, s" edges=$edgeCount")
     var converged = edgeCount == 0L
+    var round = 0
     while (!converged) {
+      round += 1
+      val tRound = System.nanoTime()
       val ls = largeStar(edges).localCheckpoint(eager = true)
       val next = smallStar(ls).localCheckpoint(eager = true)
       val nextCount = next.count()
@@ -455,6 +467,8 @@ object Dedup {
         next.join(edges, Seq("u", "v"), "left_anti").isEmpty
       edges = next
       edgeCount = nextCount
+      logPhase(s"round $round", tRound,
+        s" edges=$edgeCount converged=$converged")
     }
     // star graph: every non-root points straight at its component min
     edges.select(col("u").as("id"), col("v").as("cluster"))
