@@ -13126,5 +13126,333 @@ object QueriesExt {
               / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2) * (n1 + n2 - 1)))
             AS z
         FROM runs""")),
+
+    // ── Cochran's Q: three matched binary judges (q309) ────────────────
+    // Generalizes McNemar (q296) to k=3 judges per document — the
+    // hashed linear classifier, the heuristic quality gate, and the
+    // lang-ID 'en' call. Q = k(k−1)·[kΣCⱼ² − (ΣCⱼ)²] / (k·ΣRᵢ −
+    // ΣRᵢ²): column totals Cⱼ and the row-sum moments ΣRᵢ, ΣRᵢ² all
+    // come from ONE map-only scan + a 5-cell aggregate; Q is one
+    // double division, NULL-guarded for the all-agreeing denominator.
+    QueryDef("q309_cochran_q",
+      (s, dir) => {
+        def score(toks: Column): Column = aggregate(toks, lit(0L),
+          (acc, tk) => {
+            val b = Shingles.baseHash(tk) % fhDim
+            acc + (Shingles.baseHash(concat(lit("w|"), b.cast("string")))
+              % fhWMod - fhWOff)
+          })
+        val lab = tPar(s, dir, "documents").select(
+          when(score(TextStats.tokens(col("text"))) >= 0, 1L)
+            .otherwise(0L).as("a"),
+          when(TextStats.qualityScore(col("text"), stopwords) >= 0.5,
+            1L).otherwise(0L).as("b"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("c"))
+        lab.agg(sum("a").as("c1"), sum("b").as("c2"), sum("c").as("c3"),
+            count(lit(1)).as("n"),
+            sum(col("a") + col("b") + col("c")).as("sr"),
+            sum((col("a") + col("b") + col("c")) *
+              (col("a") + col("b") + col("c"))).as("srr"))
+          .select(col("n"), col("c1"), col("c2"), col("c3"),
+            when(lit(3) * col("sr") - col("srr") > 0,
+              (lit(2) * (lit(3) * (col("c1") * col("c1") +
+                col("c2") * col("c2") + col("c3") * col("c3")) -
+                col("sr") * col("sr"))).cast("double") /
+                (lit(3) * col("sr") - col("srr")).cast("double"))
+              .as("q_stat"))
+      },
+      Some(s"""WITH lab AS (SELECT
+            CASE WHEN CAST(COALESCE(list_sum(list_transform($dTok, t ->
+                ('0x' || substr(md5('w|' ||
+                    (('0x' || substr(md5(t), 1, 7))::BIGINT % $fhDim)
+                      ::VARCHAR), 1, 7))::BIGINT % $fhWMod - $fhWOff)),
+                0) AS BIGINT) >= 0 THEN 1 ELSE 0 END AS a,
+            CASE WHEN $dQualityExpr >= 0.5 THEN 1 ELSE 0 END AS b,
+            CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS c
+          FROM documents),
+        agg AS (SELECT CAST(SUM(a) AS BIGINT) AS c1,
+            CAST(SUM(b) AS BIGINT) AS c2,
+            CAST(SUM(c) AS BIGINT) AS c3,
+            CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(a + b + c) AS BIGINT) AS sr,
+            CAST(SUM((a + b + c) * (a + b + c)) AS BIGINT) AS srr
+          FROM lab)
+        SELECT n, c1, c2, c3,
+          CASE WHEN 3*sr - srr > 0 THEN
+            CAST(2 * (3*(c1*c1 + c2*c2 + c3*c3) - sr*sr) AS DOUBLE)
+              / CAST(3*sr - srr AS DOUBLE) END AS q_stat
+        FROM agg""")),
+
+    // ── Friedman test: weekday effect across week blocks (q310) ────────
+    // The rank-based repeated-measures ANOVA the parametric q281
+    // assumes away: blocks are complete weeks, treatments the 7
+    // weekdays, and ranks live INSIDE a 7-row block window — never a
+    // data-sized sort. Average ranks over ties carried as 2×rank
+    // integers; on that scale the tie-corrected statistic collapses to
+    // χ²_F = (k−1)·Σⱼ(Sⱼ − n(k+1))² / (Σs² − nk(k+1)²) — exact long
+    // arithmetic end to end, one final division, NULL-guarded for the
+    // all-tied denominator.
+    QueryDef("q310_friedman",
+      (s, dir) => {
+        val k = 7
+        val days = t(s, dir, "events")
+          .select(expr("unix_micros(ts) div 86400000000").as("day"))
+          .groupBy("day").agg(count(lit(1)).as("volume"))
+          .withColumn("week", expr("day div 7"))
+          .withColumn("wd", pmod(col("day"), lit(7L)))
+        val full = days
+          .withColumn("nw", count(lit(1))
+            .over(Window.partitionBy("week")))
+          .filter(col("nw") === k)
+        val wB = Window.partitionBy("week").orderBy("volume")
+        val wT = Window.partitionBy("week", "volume")
+        val ranked = full.select(col("week"), col("wd"),
+          (rank().over(wB) * 2 + count(lit(1)).over(wT) - 1)
+            .cast("long").as("s2"))
+          .localCheckpoint()
+        val perWd = ranked.groupBy("wd").agg(sum("s2").as("sj"))
+        val moments = ranked.agg(
+          (countDistinct(col("week"))).as("n"),
+          sum(col("s2") * col("s2")).as("ssq"))
+        perWd.crossJoin(broadcast(moments))
+          .agg(max("n").as("n_weeks"), max("ssq").as("ssq"),
+            sum((col("sj") - col("n") * lit(k + 1)) *
+              (col("sj") - col("n") * lit(k + 1))).as("dev"))
+          .select(col("n_weeks"),
+            when(col("ssq") - col("n_weeks") * lit(k) * lit((k + 1) *
+              (k + 1)) > 0,
+              (lit(k - 1) * col("dev")).cast("double") /
+                (col("ssq") - col("n_weeks") * lit(k) *
+                  lit((k + 1) * (k + 1))).cast("double"))
+              .as("chi2_f"))
+      },
+      Some("""WITH days AS (SELECT day, COUNT(*) AS volume,
+            day // 7 AS week, day % 7 AS wd
+          FROM (SELECT epoch_us(ts) // 86400000000 AS day FROM events)
+          GROUP BY day),
+        fw AS (SELECT * FROM (SELECT day, volume, week, wd,
+            COUNT(*) OVER (PARTITION BY week) AS nw FROM days)
+          WHERE nw = 7),
+        ranked AS (SELECT week, wd,
+            CAST(rank() OVER (PARTITION BY week ORDER BY volume) * 2
+              + COUNT(*) OVER (PARTITION BY week, volume) - 1
+              AS BIGINT) AS s2
+          FROM fw),
+        perwd AS (SELECT wd, CAST(SUM(s2) AS BIGINT) AS sj
+          FROM ranked GROUP BY wd),
+        mom AS (SELECT CAST(COUNT(DISTINCT week) AS BIGINT) AS n,
+            CAST(SUM(s2*s2) AS BIGINT) AS ssq FROM ranked),
+        agg AS (SELECT MAX(n) AS n_weeks, MAX(ssq) AS ssq,
+            CAST(SUM((sj - n*8) * (sj - n*8)) AS BIGINT) AS dev
+          FROM perwd, mom)
+        SELECT n_weeks,
+          CASE WHEN ssq - n_weeks*7*64 > 0 THEN
+            CAST(6 * dev AS DOUBLE)
+              / CAST(ssq - n_weeks*7*64 AS DOUBLE) END AS chi2_f
+        FROM agg""")),
+
+    // ── Cliff's delta: ordinal effect size between arms (q311) ─────────
+    // The distribution-free companion of Cohen's d (q305) and the MWU
+    // (q144): P(X>Y) − P(X<Y) for per-user purchase counts between the
+    // even/odd arms. All n₁·n₂ comparisons collapse to the bounded
+    // count-value grid × grid (counts are small integers), so the
+    // quadratic pass is grid², never users² — exact integer products,
+    // one final division.
+    QueryDef("q311_cliffs_delta",
+      (s, dir) => {
+        val pc = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy("user_id").agg(count(lit(1)).as("v"))
+          .select((col("user_id") % 2 === 0).as("g"), col("v"))
+        val g1 = pc.filter(col("g")).groupBy(col("v").as("v1"))
+          .agg(count(lit(1)).as("f1"))
+        val g2 = pc.filter(!col("g")).groupBy(col("v").as("v2"))
+          .agg(count(lit(1)).as("f2"))
+        val cross = g1.crossJoin(g2)
+        cross.agg(
+            sum(when(col("v1") > col("v2"), col("f1") * col("f2"))
+              .otherwise(0L)).as("gt"),
+            sum(when(col("v1") < col("v2"), col("f1") * col("f2"))
+              .otherwise(0L)).as("lt"),
+            sum(col("f1") * col("f2")).as("tot"))
+          .select(
+            (col("gt") - col("lt")).as("net_pairs"), col("tot")
+              .as("n_pairs"),
+            ((col("gt") - col("lt")).cast("double") /
+              col("tot").cast("double")).as("cliffs_delta"))
+      },
+      Some("""WITH pc AS (SELECT user_id % 2 = 0 AS g, COUNT(*) AS v
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id),
+        g1 AS (SELECT v, COUNT(*) AS f1 FROM pc WHERE g GROUP BY v),
+        g2 AS (SELECT v, COUNT(*) AS f2 FROM pc WHERE NOT g GROUP BY v),
+        agg AS (SELECT
+            CAST(SUM(CASE WHEN g1.v > g2.v THEN f1*f2 ELSE 0 END)
+              AS BIGINT) AS gt,
+            CAST(SUM(CASE WHEN g1.v < g2.v THEN f1*f2 ELSE 0 END)
+              AS BIGINT) AS lt,
+            CAST(SUM(f1*f2) AS BIGINT) AS tot
+          FROM g1 CROSS JOIN g2)
+        SELECT gt - lt AS net_pairs, tot AS n_pairs,
+          CAST(gt - lt AS DOUBLE) / CAST(tot AS DOUBLE) AS cliffs_delta
+        FROM agg""")),
+
+    // ── Two-sample Poisson rate comparison (q312) ──────────────────────
+    // The error-budget question: is the error RATE (errors per event)
+    // different between the arms? One map-side 4-cell aggregate (error
+    // counts + exposures per arm), then the standard large-sample
+    // z = (r₁−r₂)/√(c₁/e₁² + c₂/e₂²) as one identical IEEE chain,
+    // NULL-guarded when both arms are error-free.
+    QueryDef("q312_poisson_rate",
+      (s, dir) => {
+        val agg = t(s, dir, "events")
+          .select((col("user_id") % 2 === 0).as("g"),
+            when(col("event_type") === "error", 1L).otherwise(0L)
+              .as("e"))
+          .agg(sum(when(col("g"), col("e")).otherwise(0L)).as("c1"),
+            sum(when(col("g"), 1L).otherwise(0L)).as("e1"),
+            sum(when(!col("g"), col("e")).otherwise(0L)).as("c2"),
+            sum(when(!col("g"), 1L).otherwise(0L)).as("e2"))
+        agg.select(col("c1"), col("e1"), col("c2"), col("e2"),
+          (col("c1").cast("double") / col("e1") -
+            col("c2").cast("double") / col("e2")).as("rate_diff"),
+          when(col("c1") + col("c2") > 0,
+            (col("c1").cast("double") / col("e1") -
+              col("c2").cast("double") / col("e2")) /
+              sqrt(col("c1").cast("double") /
+                (col("e1").cast("double") * col("e1")) +
+                col("c2").cast("double") /
+                  (col("e2").cast("double") * col("e2")))).as("z"))
+      },
+      Some("""WITH agg AS (SELECT
+            CAST(SUM(CASE WHEN user_id % 2 = 0 AND event_type = 'error'
+              THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+            CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS e1,
+            CAST(SUM(CASE WHEN user_id % 2 <> 0 AND event_type = 'error'
+              THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+            CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS e2
+          FROM events)
+        SELECT c1, e1, c2, e2,
+          CAST(c1 AS DOUBLE)/e1 - CAST(c2 AS DOUBLE)/e2 AS rate_diff,
+          CASE WHEN c1 + c2 > 0 THEN
+            (CAST(c1 AS DOUBLE)/e1 - CAST(c2 AS DOUBLE)/e2)
+            / sqrt(CAST(c1 AS DOUBLE)/(CAST(e1 AS DOUBLE)*e1)
+                   + CAST(c2 AS DOUBLE)/(CAST(e2 AS DOUBLE)*e2))
+          END AS z
+        FROM agg""")),
+
+    // ── Capture–recapture audit of the near-dup population (q313) ──────
+    // How many near-dup pairs exist that NO single detector sees? Two
+    // independent "captures" — the MinHash-LSH candidate pairs (q26)
+    // and the exact shingle-Jaccard pairs ≥ threshold (q28) — plus
+    // their overlap give the Chapman estimator N̂ = (n₁+1)(n₂+1)/(m+1)
+    // − 1 of the true pair population, the standard ecology trick
+    // repurposed as a dedup-recall audit. Both pair sets come from the
+    // locked bucketed machinery (never all-pairs); the overlap is one
+    // pair-key join.
+    QueryDef("q313_capture_recapture",
+      (s, dir) => {
+        val docs = tPar(s, dir, "documents")
+        val mh = Dedup.minhashCandidates(docs, "doc_id", "text",
+          shingleK, minhashHashes, minhashBandRows)
+          .select(col("id_a"), col("id_b")).localCheckpoint()
+        val jc = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          shingleK, jaccardMin)
+          .select(col("id_a"), col("id_b")).localCheckpoint()
+        val n1 = mh.agg(count(lit(1)).as("n1"))
+        val n2 = jc.agg(count(lit(1)).as("n2"))
+        val m = mh.join(jc, Seq("id_a", "id_b")).agg(count(lit(1))
+          .as("m"))
+        n1.crossJoin(broadcast(n2)).crossJoin(broadcast(m))
+          .select(col("n1"), col("n2"), col("m"),
+            ((col("n1") + 1) * (col("n2") + 1)).cast("double")
+              ./((col("m") + 1).cast("double")).minus(lit(1.0))
+              .as("n_hat"))
+      },
+      Some(s"""WITH $dMinhashCandCtes,
+        sh AS (SELECT doc_id, unnest(list_distinct(
+            ${dShingles(dTok, shingleK)})) AS shingle FROM documents),
+        sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        jp AS (SELECT id_a, id_b FROM (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+          FROM sh a JOIN sh b USING (shingle)
+          WHERE a.doc_id < b.doc_id GROUP BY 1, 2) p
+          JOIN sz x ON p.id_a = x.doc_id JOIN sz y ON p.id_b = y.doc_id
+          WHERE CAST(shared AS DOUBLE)
+            / CAST(x.n + y.n - shared AS DOUBLE) >= $jaccardMin),
+        c1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1 FROM cand),
+        c2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n2 FROM jp),
+        ov AS (SELECT CAST(COUNT(*) AS BIGINT) AS m
+          FROM cand JOIN jp USING (id_a, id_b))
+        SELECT n1, n2, m,
+          CAST((n1 + 1) * (n2 + 1) AS DOUBLE) / CAST(m + 1 AS DOUBLE)
+            - 1.0 AS n_hat
+        FROM c1, c2, ov""")),
+
+    // ── Matthews correlation coefficient of the judge pair (q314) ──────
+    // The balanced single-number agreement score for the q296 judge
+    // pair — unlike raw accuracy it punishes both error directions
+    // even under class imbalance. Full 2×2 confusion from the same
+    // map-only scan; MCC = (TP·TN − FP·FN)/√((TP+FP)(TP+FN)(TN+FP)
+    // (TN+FN)), products on the decimal rail (four marginals multiply
+    // past long at corpus scale), NULL-guarded degenerate marginals.
+    QueryDef("q314_mcc",
+      (s, dir) => {
+        def score(toks: Column): Column = aggregate(toks, lit(0L),
+          (acc, tk) => {
+            val b = Shingles.baseHash(tk) % fhDim
+            acc + (Shingles.baseHash(concat(lit("w|"), b.cast("string")))
+              % fhWMod - fhWOff)
+          })
+        val d = tPar(s, dir, "documents").select(
+          (score(TextStats.tokens(col("text"))) >= 0).as("a"),
+          (TextStats.qualityScore(col("text"), stopwords) >= 0.5)
+            .as("b"))
+        val agg = d.agg(
+          sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("tp"),
+          sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("fp"),
+          sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("fn"),
+          sum(when(!col("a") && !col("b"), 1L).otherwise(0L)).as("tn"))
+        agg.select(col("tp"), col("fp"), col("fn"), col("tn"),
+          when((col("tp") + col("fp")) * (col("tp") + col("fn")) *
+            (col("tn") + col("fp")) * (col("tn") + col("fn")) > 0,
+            (col("tp").cast("decimal(38,0)") *
+              col("tn").cast("decimal(38,0)") -
+              col("fp").cast("decimal(38,0)") *
+                col("fn").cast("decimal(38,0)")).cast("double") /
+              sqrt(((col("tp") + col("fp")).cast("decimal(38,0)") *
+                (col("tp") + col("fn")).cast("decimal(38,0)") *
+                (col("tn") + col("fp")).cast("decimal(38,0)") *
+                (col("tn") + col("fn")).cast("decimal(38,0)"))
+                .cast("double"))).as("mcc"))
+      },
+      Some(s"""WITH lab AS (SELECT
+            CAST(COALESCE(list_sum(list_transform($dTok, t ->
+              ('0x' || substr(md5('w|' ||
+                  (('0x' || substr(md5(t), 1, 7))::BIGINT % $fhDim)
+                    ::VARCHAR), 1, 7))::BIGINT % $fhWMod - $fhWOff)), 0)
+              AS BIGINT) >= 0 AS a,
+            $dQualityExpr >= 0.5 AS b
+          FROM documents),
+        agg AS (SELECT
+            CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT)
+              AS tp,
+            CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+              AS fp,
+            CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT)
+              AS fn,
+            CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)
+              AS BIGINT) AS tn
+          FROM lab)
+        SELECT tp, fp, fn, tn,
+          CASE WHEN CAST(tp+fp AS HUGEINT)*(tp+fn)*(tn+fp)*(tn+fn) > 0
+            THEN CAST(CAST(tp AS HUGEINT)*tn - CAST(fp AS HUGEINT)*fn
+                AS DOUBLE)
+              / sqrt(CAST(CAST(tp+fp AS HUGEINT)*(tp+fn)*(tn+fp)
+                  *(tn+fn) AS DOUBLE))
+          END AS mcc
+        FROM agg""")),
   )
 }

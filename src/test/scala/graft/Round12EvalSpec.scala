@@ -110,6 +110,58 @@ class Round12EvalSpec extends AnyFunSuite {
     }
   }
 
+  test("q309: Cochran's Q is non-negative (Cauchy–Schwarz numerator) " +
+       "and column totals are bounded by n") {
+    val r = run("q309_cochran_q").head()
+    val n = r.getLong(0)
+    Seq(1, 2, 3).foreach(i => assert(r.getLong(i) >= 0 &&
+      r.getLong(i) <= n))
+    if (!r.isNullAt(4)) assert(r.getDouble(4) >= 0.0)
+  }
+
+  test("q310: Friedman chi2 is non-negative over complete week blocks") {
+    val r = run("q310_friedman").head()
+    assert(r.getLong(0) > 0, "needs at least one complete week")
+    if (!r.isNullAt(1)) assert(r.getDouble(1) >= 0.0)
+  }
+
+  test("q311: Cliff's delta lies in [-1, 1] and net pairs within total") {
+    val r = run("q311_cliffs_delta").head()
+    val (net, tot) = (r.getLong(0), r.getLong(1))
+    assert(tot > 0 && math.abs(net) <= tot)
+    val d = r.getDouble(2)
+    assert(d >= -1.0 && d <= 1.0, s"delta=$d")
+  }
+
+  test("q312: per-arm error counts bounded by exposures; z shares " +
+       "rate_diff's sign") {
+    val r = run("q312_poisson_rate").head()
+    assert(r.getLong(0) <= r.getLong(1) && r.getLong(2) <= r.getLong(3))
+    if (!r.isNullAt(5) && r.getDouble(4) != 0.0)
+      assert(math.signum(r.getDouble(4)) == math.signum(r.getDouble(5)))
+  }
+
+  test("q313: overlap bounded by both captures and Chapman estimate " +
+       "dominates each single detector") {
+    val r = run("q313_capture_recapture").head()
+    val (n1, n2, m) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(m <= math.min(n1, n2), s"overlap $m exceeds a capture")
+    assert(m > 0, "detectors should agree on at least one pair here")
+    assert(r.getDouble(3) >= math.max(n1, n2) - 1e-9,
+      "N-hat must dominate each single detector's catch")
+  }
+
+  test("q314: MCC lies in [-1, 1] and the confusion cells partition " +
+       "the corpus") {
+    val r = run("q314_mcc").head()
+    val total = r.getLong(0) + r.getLong(1) + r.getLong(2) + r.getLong(3)
+    assert(total > 0)
+    if (!r.isNullAt(4)) {
+      val mcc = r.getDouble(4)
+      assert(mcc >= -1.0 - 1e-12 && mcc <= 1.0 + 1e-12, s"mcc=$mcc")
+    }
+  }
+
   test("q308: runs count is within its exact combinatorial range") {
     val r = run("q308_runs_test").head()
     val (runs, n1, n2) = (r.getLong(0), r.getLong(1), r.getLong(2))

@@ -19,10 +19,11 @@
 #   q185,q206 cell-local pairwise / kNN-graph (corpus-sized cells)
 #   q218    dedup-savings (components over the pair graph)
 #   q302    blocked Levenshtein pairs (block-quadratic oracle join)
+#   q313    capture-recapture (quadratic shingle-join oracle)
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-EXCL="-q25_,-q26_,-q27_,-q28_,-q29_,-q45_,-q103_,-q105_,-q106_,-q119_,-q130_,-q137_,-q164_,-q166_,-q185_,-q198_,-q206_,-q218_,-q302_"
+EXCL="-q25_,-q26_,-q27_,-q28_,-q29_,-q45_,-q103_,-q105_,-q106_,-q119_,-q130_,-q137_,-q164_,-q166_,-q185_,-q198_,-q206_,-q218_,-q302_,-q313_"
 
 if [ ! -f target/sf1.0/lineitem.parquet ]; then
   python3 tools/make_sf1.py /root/testdata/sf0.1 target/sf1.0 10
