@@ -386,9 +386,18 @@ object PairSweep {
     // ── run ────────────────────────────────────────────────────────────
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\")
       .replace("\"", "\\\"") + "\""
+    // Optional dev filter (same grammar as Bench's): rerun one suite
+    // after a fix or a contended wall-cap breach without paying the
+    // other 17 (the full sweep is ~50 min).
+    val suiteFilter = sys.env.get("SPARK_GRAFT_PAIR_FILTER")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    val selected = suites.filter { case (n, _) =>
+      suiteFilter.isEmpty || suiteFilter.exists(n.contains)
+    }
     val lines = scala.collection.mutable.ArrayBuffer.empty[String]
     var failures = 0
-    for ((name, checksOf) <- suites) {
+    for ((name, checksOf) <- selected) {
       if (spark.sparkContext.isStopped) {
         // a previous suite's fatal error took the local-mode context
         // down; start fresh so this suite reports its own result
@@ -449,8 +458,8 @@ object PairSweep {
     }
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
       lines.mkString("[\n", ",\n", "\n]\n"))
-    println(s"\n${suites.size - lines.count(_.contains("\"pass\": false"))} " +
-      s"of ${suites.size} queries green -> $outPath")
+    println(s"\n${selected.size - lines.count(_.contains("\"pass\": false"))} " +
+      s"of ${selected.size} queries green -> $outPath")
     spark.stop()
     if (failures > 0) sys.exit(1)
   }

@@ -12888,16 +12888,18 @@ object QueriesExt {
           .agg(
             sum(when(col("g"), 1L).otherwise(0L)).as("n1"),
             dsum(when(col("g"), col("value"))).as("s1"),
-            dsum(when(col("g"), col("value") * col("value"))).as("ss1"),
+            dsum(when(col("g"), (col("value") / 100) *
+              (col("value") / 100))).as("ss1"),
             sum(when(!col("g"), 1L).otherwise(0L)).as("n2"),
             dsum(when(!col("g"), col("value"))).as("s2"),
-            dsum(when(!col("g"), col("value") * col("value"))).as("ss2"))
+            dsum(when(!col("g"), (col("value") / 100) *
+              (col("value") / 100))).as("ss2"))
         agg.select(col("n1"), col("n2"),
             (col("s1") / col("n1") - col("s2") / col("n2"))
               .as("mean_diff"),
-            ((col("ss1") - col("s1") * col("s1") / col("n1")) /
+            ((col("ss1") * 10000 - col("s1") * col("s1") / col("n1")) /
               (col("n1") - 1)).as("v1"),
-            ((col("ss2") - col("s2") * col("s2") / col("n2")) /
+            ((col("ss2") * 10000 - col("s2") * col("s2") / col("n2")) /
               (col("n2") - 1)).as("v2"))
           .select(col("n1"), col("n2"), col("mean_diff"),
             (col("mean_diff") / sqrt(
@@ -12916,15 +12918,17 @@ object QueriesExt {
         agg AS (SELECT
             CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS n1,
             ${dsumSql("CASE WHEN g THEN value END")} AS s1,
-            ${dsumSql("CASE WHEN g THEN value * value END")} AS ss1,
+            ${dsumSql("CASE WHEN g THEN (value / 100) * (value / 100) END")}
+              AS ss1,
             CAST(SUM(CASE WHEN NOT g THEN 1 ELSE 0 END) AS BIGINT)
               AS n2,
             ${dsumSql("CASE WHEN NOT g THEN value END")} AS s2,
-            ${dsumSql("CASE WHEN NOT g THEN value * value END")} AS ss2
+            ${dsumSql(
+      "CASE WHEN NOT g THEN (value / 100) * (value / 100) END")} AS ss2
           FROM p),
         m AS (SELECT n1, n2, s1/n1 - s2/n2 AS mean_diff,
-            (ss1 - s1*s1/n1) / (n1 - 1) AS v1,
-            (ss2 - s2*s2/n2) / (n2 - 1) AS v2
+            (ss1 * 10000 - s1*s1/n1) / (n1 - 1) AS v1,
+            (ss2 * 10000 - s2*s2/n2) / (n2 - 1) AS v2
           FROM agg)
         SELECT n1, n2, mean_diff,
           mean_diff / sqrt(((n1-1)*v1 + (n2-1)*v2) / (n1+n2-2))
@@ -13454,5 +13458,362 @@ object QueriesExt {
                   *(tn+fn) AS DOUBLE))
           END AS mcc
         FROM agg""")),
+
+    // ── Precision–recall AUC (average precision) (q315) ────────────────
+    // The imbalance-robust companion of q207's ROC-AUC: step-wise
+    // average precision AP = (1/P)·Σᵢ posᵢ·(cum_posᵢ/cum_nᵢ) over the
+    // distinct-score grid in descending score order. The grid is the
+    // classifier's integer score domain (one groupBy), cumulative
+    // windows run over the grid — never per-document — and each term
+    // is one exact rational division summed on the decimal rail.
+    QueryDef("q315_pr_auc",
+      (s, dir) => {
+        def score(toks: Column): Column = aggregate(toks, lit(0L),
+          (acc, tk) => {
+            val b = Shingles.baseHash(tk) % fhDim
+            acc + (Shingles.baseHash(concat(lit("w|"), b.cast("string")))
+              % fhWMod - fhWOff)
+          })
+        val d = tPar(s, dir, "documents").select(
+          score(TextStats.tokens(col("text"))).as("sc"),
+          when(TextStats.qualityScore(col("text"), stopwords) >= 0.5,
+            1L).otherwise(0L).as("y"))
+        val grid = d.groupBy("sc")
+          .agg(count(lit(1)).as("n"), sum("y").as("pos"))
+        val w = Window.orderBy(desc("sc"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid
+          .withColumn("cum_n", sum("n").over(w))
+          .withColumn("cum_pos", sum("pos").over(w))
+          .agg(max("cum_n").as("n_docs"), max("cum_pos").as("n_pos"),
+            dsum(col("pos").cast("double") * col("cum_pos") /
+              col("cum_n")).as("ap_num"))
+          .select(col("n_docs"), col("n_pos"),
+            (col("ap_num") / col("n_pos")).as("pr_auc"))
+      },
+      Some(s"""WITH d AS (SELECT
+            CAST(COALESCE(list_sum(list_transform($dTok, t ->
+              ('0x' || substr(md5('w|' ||
+                  (('0x' || substr(md5(t), 1, 7))::BIGINT % $fhDim)
+                    ::VARCHAR), 1, 7))::BIGINT % $fhWMod - $fhWOff)), 0)
+              AS BIGINT) AS sc,
+            CASE WHEN $dQualityExpr >= 0.5 THEN 1 ELSE 0 END AS y
+          FROM documents),
+        grid AS (SELECT sc, COUNT(*) AS n, SUM(y) AS pos
+          FROM d GROUP BY sc),
+        cum AS (SELECT pos,
+            SUM(n) OVER w AS cum_n, SUM(pos) OVER w AS cum_pos
+          FROM grid WINDOW w AS (ORDER BY sc DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        agg AS (SELECT CAST(MAX(cum_n) AS BIGINT) AS n_docs,
+            CAST(MAX(cum_pos) AS BIGINT) AS n_pos,
+            ${dsumSql("CAST(pos AS DOUBLE) * cum_pos / cum_n")}
+              AS ap_num
+          FROM cum)
+        SELECT n_docs, n_pos, ap_num / n_pos AS pr_auc FROM agg""")),
+
+    // ── Durbin–Watson residual autocorrelation (q316) ──────────────────
+    // The regression-diagnostic the OLS family (q201) was missing: fit
+    // daily revenue on daily volume, DW = Σ(eᵢ−eᵢ₋₁)²/Σeᵢ² over the
+    // day-ordered residuals. Float discipline (learned the hard way in
+    // this query): the OLS moments are EXACT integers — x is the day
+    // count, y is the day's decimal(30,8) revenue lifted to 1e-8
+    // integer units — cross-multiplied on HUGEINT/decimal(38,0) and
+    // cast to double ONCE, because rail-quantizing data-sized double
+    // products (x·y ~ 1e15·quantum) lets Spark's shortest-string
+    // double→decimal rounding and DuckDB's exact-value rounding
+    // disagree by a quantum. Residuals then descend a deterministic
+    // pure-IEEE chain; only the two FINAL sums ride the decimal rail,
+    // at thousandth scale so their term ulp sits far below the
+    // quantum. The lag window runs on the BOUNDED day grid.
+    QueryDef("q316_durbin_watson",
+      (s, dir) => {
+        val grid = t(s, dir, "events")
+          .select(expr("unix_micros(ts) div 86400000000").as("day"),
+            col("value").cast("decimal(30,8)").as("v"))
+          .groupBy("day")
+          .agg(count(lit(1)).as("x"),
+            (sum(col("v")) * 100000000L).cast("long").as("yi"))
+          .localCheckpoint()
+        val mom = grid.agg(count(lit(1)).as("n"),
+          sum("x").as("sx"), sum("yi").as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x").cast("decimal(38,0)") *
+            col("yi").cast("decimal(38,0)")).as("sxy"))
+        val wd = Window.orderBy("day")
+        val res = grid.crossJoin(broadcast(mom))
+          .withColumn("b",
+            (col("n").cast("decimal(38,0)") * col("sxy") -
+              col("sx").cast("decimal(38,0)") *
+                col("sy").cast("decimal(38,0)")).cast("double") /
+              (col("n") * col("sxx") - col("sx") * col("sx"))
+                .cast("double"))
+          .withColumn("a", (col("sy").cast("double") -
+            col("b") * col("sx").cast("double")) / col("n"))
+          .select(col("day"),
+            ((col("yi").cast("double") - col("a") -
+              col("b") * col("x").cast("double")) / 1.0e8).as("e"))
+          .withColumn("ep", lag("e", 1).over(wd))
+        res.agg(count(lit(1)).as("n_days"),
+            dsum(when(col("ep").isNotNull,
+              ((col("e") - col("ep")) / 1000) *
+                ((col("e") - col("ep")) / 1000))).as("num"),
+            dsum((col("e") / 1000) * (col("e") / 1000)).as("den"))
+          .select(col("n_days"),
+            when(col("den") > 0, col("num") / col("den")).as("dw"))
+      },
+      Some(s"""WITH grid AS (SELECT epoch_us(ts) // 86400000000 AS day,
+            CAST(COUNT(*) AS BIGINT) AS x,
+            CAST(SUM(CAST(value AS DECIMAL(30,8))) * 100000000
+              AS BIGINT) AS yi
+          FROM events GROUP BY 1),
+        mom AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(yi) AS BIGINT) AS sy,
+            CAST(SUM(x * x) AS BIGINT) AS sxx,
+            SUM(CAST(x AS HUGEINT) * yi) AS sxy
+          FROM grid),
+        fit AS (SELECT day,
+            (CAST(yi AS DOUBLE) - a - b * CAST(x AS DOUBLE)) / 1.0e8
+              AS e
+          FROM (SELECT day, x, yi, b,
+              (CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE)) / n AS a
+            FROM (SELECT day, x, yi, n, sx, sy,
+                CAST(CAST(n AS HUGEINT) * sxy
+                    - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE) AS b
+              FROM grid, mom))),
+        lagd AS (SELECT e, lag(e) OVER (ORDER BY day) AS ep FROM fit)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+          CASE WHEN ${dsumSql("(e / 1000) * (e / 1000)")} > 0 THEN
+            ${dsumSql(
+      "CASE WHEN ep IS NOT NULL THEN ((e - ep) / 1000) * ((e - ep) / 1000) END")}
+              / ${dsumSql("(e / 1000) * (e / 1000)")} END AS dw
+        FROM lagd""")),
+
+    // ── OLS influence diagnostics: leverage + Cook's D (q317) ──────────
+    // Which DAYS drive the q316 fit? Leverage hᵢ = 1/n + (xᵢ−x̄)²/Sxx
+    // and Cook's Dᵢ = eᵢ²hᵢ/(p·s²·(1−hᵢ)²), p = 2. Same exact-integer
+    // moment discipline as q316 (this query OUTPUTS raw residual
+    // doubles, so even 1-ulp cross-engine drift in the fit is a hash
+    // failure — the sf0.1 sweep caught exactly that under the earlier
+    // double-moment rail). s² rides the thousandth-scaled rail; the
+    // 1e-6 factors cancel in Cook's D. Top-5 by (D, day) keeps the
+    // output deterministic under double ties.
+    QueryDef("q317_ols_influence",
+      (s, dir) => {
+        val grid = t(s, dir, "events")
+          .select(expr("unix_micros(ts) div 86400000000").as("day"),
+            col("value").cast("decimal(30,8)").as("v"))
+          .groupBy("day")
+          .agg(count(lit(1)).as("x"),
+            (sum(col("v")) * 100000000L).cast("long").as("yi"))
+          .localCheckpoint()
+        val mom = grid.agg(count(lit(1)).as("n"),
+          sum("x").as("sx"), sum("yi").as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x").cast("decimal(38,0)") *
+            col("yi").cast("decimal(38,0)")).as("sxy"))
+        val withE = grid.crossJoin(broadcast(mom))
+          .withColumn("b",
+            (col("n").cast("decimal(38,0)") * col("sxy") -
+              col("sx").cast("decimal(38,0)") *
+                col("sy").cast("decimal(38,0)")).cast("double") /
+              (col("n") * col("sxx") - col("sx") * col("sx"))
+                .cast("double"))
+          .withColumn("a", (col("sy").cast("double") -
+            col("b") * col("sx").cast("double")) / col("n"))
+          .withColumn("e", (col("yi").cast("double") - col("a") -
+            col("b") * col("x").cast("double")) / 1.0e8)
+          .withColumn("h", lit(1.0) / col("n") +
+            (col("x").cast("double") -
+              col("sx").cast("double") / col("n")) *
+              (col("x").cast("double") -
+                col("sx").cast("double") / col("n")) /
+              (col("sxx").cast("double") -
+                col("sx").cast("double") *
+                  col("sx").cast("double") / col("n")))
+          .localCheckpoint()
+        val s2 = withE.agg((dsum((col("e") / 1000) * (col("e") / 1000)) /
+          (max("n") - lit(2))).as("s2"))
+        withE.crossJoin(broadcast(s2))
+          .select(col("day"), col("e"), col("h"),
+            ((col("e") / 1000) * (col("e") / 1000) * col("h") /
+              (lit(2.0) * col("s2") * (lit(1.0) - col("h")) *
+                (lit(1.0) - col("h")))).as("cooks_d"))
+          .orderBy(desc("cooks_d"), col("day"))
+          .limit(5)
+      },
+      Some(s"""WITH grid AS (SELECT epoch_us(ts) // 86400000000 AS day,
+            CAST(COUNT(*) AS BIGINT) AS x,
+            CAST(SUM(CAST(value AS DECIMAL(30,8))) * 100000000
+              AS BIGINT) AS yi
+          FROM events GROUP BY 1),
+        mom AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(yi) AS BIGINT) AS sy,
+            CAST(SUM(x * x) AS BIGINT) AS sxx,
+            SUM(CAST(x AS HUGEINT) * yi) AS sxy
+          FROM grid),
+        we AS (SELECT day,
+            (CAST(yi AS DOUBLE) - ((CAST(sy AS DOUBLE)
+                - b * CAST(sx AS DOUBLE)) / n)
+              - b * CAST(x AS DOUBLE)) / 1.0e8 AS e,
+            1.0 / n + (CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / n)
+              * (CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / n)
+              / (CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) AS h,
+            n
+          FROM (SELECT day, x, yi, n, sx, sy, sxx,
+              CAST(CAST(n AS HUGEINT) * sxy
+                  - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE) AS b
+            FROM grid, mom)),
+        s2 AS (SELECT ${dsumSql("(e / 1000) * (e / 1000)")}
+            / (MAX(n) - 2) AS s2 FROM we)
+        SELECT day, e, h,
+          (e / 1000) * (e / 1000) * h
+            / (2.0 * s2 * (1.0 - h) * (1.0 - h)) AS cooks_d
+        FROM we, s2
+        ORDER BY cooks_d DESC, day LIMIT 5""")),
+
+    // ── Overdispersion / zero-inflation report per event type (q318) ───
+    // The count-model sanity check before any Poisson assumption
+    // (q312): per event type, the variance/mean ratio over ALL users —
+    // including the zeros, reconstructed arithmetically from the
+    // distinct-user total rather than materialized — plus the zero
+    // fraction. One (type, user) aggregation is the only data-sized
+    // shuffle; per-type moments are exact integers.
+    QueryDef("q318_dispersion",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val u = ev.agg(countDistinct(col("user_id")).as("us"))
+        val per = ev.groupBy("event_type", "user_id")
+          .agg(count(lit(1)).as("c"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("active"), sum("c").as("n"),
+            sum(col("c") * col("c")).as("scc"))
+        per.crossJoin(broadcast(u))
+          .select(col("event_type"), col("n").as("n_events"),
+            col("active").as("n_active_users"),
+            (col("n").cast("double") / col("us")).as("mean"),
+            ((col("scc").cast("double") -
+              col("n").cast("double") * col("n") / col("us")) /
+              col("us")).as("variance"),
+            ((col("scc").cast("double") -
+              col("n").cast("double") * col("n") / col("us")) /
+              col("us") / (col("n").cast("double") / col("us")))
+              .as("dispersion"),
+            ((col("us") - col("active")).cast("double") / col("us"))
+              .as("zero_frac"))
+          .orderBy("event_type")
+      },
+      Some("""WITH u AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT)
+            AS us FROM events),
+        per AS (SELECT event_type,
+            CAST(COUNT(*) AS BIGINT) AS active,
+            CAST(SUM(c) AS BIGINT) AS n,
+            CAST(SUM(c * c) AS BIGINT) AS scc
+          FROM (SELECT event_type, user_id, COUNT(*) AS c
+                FROM events GROUP BY 1, 2)
+          GROUP BY event_type)
+        SELECT event_type, n AS n_events, active AS n_active_users,
+          CAST(n AS DOUBLE) / us AS mean,
+          (CAST(scc AS DOUBLE) - CAST(n AS DOUBLE) * n / us) / us
+            AS variance,
+          (CAST(scc AS DOUBLE) - CAST(n AS DOUBLE) * n / us) / us
+            / (CAST(n AS DOUBLE) / us) AS dispersion,
+          CAST(us - active AS DOUBLE) / us AS zero_frac
+        FROM per, u ORDER BY event_type""")),
+
+    // ── Herfindahl–Hirschman concentration of source token mass (q319)
+    // The antitrust index as a corpus-mix monitor: HHI = Σ shareᵢ² of
+    // per-source token mass — an exact rational Σcᵢ²/T² (HUGEINT /
+    // decimal products: c² overflows long past ~3·10⁹ tokens/source) —
+    // with the 1/n-floor normalization. Complements Gini (q165) and
+    // Hoover (q293) with the square-weighted view that punishes a
+    // single dominant source hardest.
+    QueryDef("q319_hhi",
+      (s, dir) => {
+        val per = tPar(s, dir, "documents")
+          .select(col("source"),
+            size(TextStats.tokens(col("text"))).cast("long").as("tk"))
+          .groupBy("source").agg(sum("tk").as("c"))
+        per.agg(count(lit(1)).as("n_sources"),
+            sum("c").as("total_tokens"),
+            sum(col("c").cast("decimal(38,0)") *
+              col("c").cast("decimal(38,0)")).as("scc"))
+          .select(col("n_sources"), col("total_tokens"),
+            (col("scc").cast("double") /
+              (col("total_tokens").cast("decimal(38,0)") *
+                col("total_tokens").cast("decimal(38,0)"))
+                .cast("double")).as("hhi"),
+            ((col("scc").cast("double") /
+              (col("total_tokens").cast("decimal(38,0)") *
+                col("total_tokens").cast("decimal(38,0)"))
+                .cast("double") -
+              lit(1.0) / col("n_sources")) /
+              (lit(1.0) - lit(1.0) / col("n_sources")))
+              .as("hhi_normalized"))
+      },
+      Some(s"""WITH per AS (SELECT source,
+            CAST(SUM(len($dTok)) AS BIGINT) AS c
+          FROM documents GROUP BY source),
+        agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+            CAST(SUM(c) AS BIGINT) AS total_tokens,
+            SUM(CAST(c AS HUGEINT) * c) AS scc
+          FROM per)
+        SELECT n_sources, total_tokens,
+          CAST(scc AS DOUBLE)
+            / CAST(CAST(total_tokens AS HUGEINT) * total_tokens
+                AS DOUBLE) AS hhi,
+          (CAST(scc AS DOUBLE)
+            / CAST(CAST(total_tokens AS HUGEINT) * total_tokens
+                AS DOUBLE) - 1.0 / n_sources)
+            / (1.0 - 1.0 / n_sources) AS hhi_normalized
+        FROM agg""")),
+
+    // ── Flesch readability per source (q320) ───────────────────────────
+    // The classic quality heuristic the Gopher-rule report (q234)
+    // omits: 206.835 − 1.015·(W/S) − 84.6·(Y/W) with words = tokens,
+    // sentences = [.!?]+ runs (floored at 1), syllables ≈ vowel-group
+    // runs — all three are regexp COUNTS (identical simple regex
+    // class on both engines, no ln anywhere), each doc's score is a
+    // literal-coefficient double chain, and the per-source mean rides
+    // the decimal rail. Pure map-side + one aggregate.
+    QueryDef("q320_readability",
+      (s, dir) => {
+        val d = tPar(s, dir, "documents").select(
+          col("source"),
+          size(TextStats.tokens(col("text"))).cast("long").as("w"),
+          greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1))
+            .cast("long").as("st"),
+          regexp_count(lower(col("text")), lit("[aeiouy]+"))
+            .cast("long").as("sy"))
+          .filter(col("w") > 0)
+        d.select(col("source"), col("w"),
+            (lit(206.835) -
+              lit(1.015) * col("w").cast("double") / col("st") -
+              lit(84.6) * col("sy").cast("double") / col("w"))
+              .as("flesch"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            davg(col("w").cast("double")).as("avg_words"),
+            davg(col("flesch")).as("avg_flesch"))
+          .orderBy("source")
+      },
+      Some(s"""WITH d AS (SELECT source,
+            CAST(len($dTok) AS BIGINT) AS w,
+            CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+              AS BIGINT) AS st,
+            CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+              AS BIGINT) AS sy
+          FROM documents),
+        f AS (SELECT source, w,
+            206.835 - 1.015 * CAST(w AS DOUBLE) / st
+              - 84.6 * CAST(sy AS DOUBLE) / w AS flesch
+          FROM d WHERE w > 0)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          ${dsumSql("CAST(w AS DOUBLE)")} / COUNT(*) AS avg_words,
+          ${dsumSql("flesch")} / COUNT(*) AS avg_flesch
+        FROM f GROUP BY source ORDER BY source""")),
   )
 }
