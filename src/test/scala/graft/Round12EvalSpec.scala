@@ -162,6 +162,68 @@ class Round12EvalSpec extends AnyFunSuite {
     }
   }
 
+  test("q315: PR-AUC lies in (0, 1] and positives within docs") {
+    val r = run("q315_pr_auc").head()
+    val (n, p) = (r.getLong(0), r.getLong(1))
+    assert(p > 0 && p <= n)
+    val auc = r.getDouble(2)
+    // AP is bounded below by the prevalence of a random ranker only in
+    // expectation; the hard bounds are (0, 1]
+    assert(auc > 0.0 && auc <= 1.0 + 1e-12, s"pr_auc=$auc")
+  }
+
+  test("q316: Durbin-Watson lies in the hard [0, 4] range") {
+    val r = run("q316_durbin_watson").head()
+    assert(r.getLong(0) > 2)
+    if (!r.isNullAt(1)) {
+      val dw = r.getDouble(1)
+      assert(dw >= 0.0 && dw <= 4.0, s"dw=$dw")
+    }
+  }
+
+  test("q317: leverage in (0, 1], Cook's D non-negative, 5 rows " +
+       "descending") {
+    val rows = run("q317_ols_influence")
+      .collect().map(r => (r.getDouble(2), r.getDouble(3)))
+    assert(rows.length == 5)
+    rows.foreach { case (h, d) =>
+      assert(h > 0.0 && h <= 1.0, s"leverage $h")
+      assert(d >= 0.0, s"cooks_d $d")
+    }
+    rows.sliding(2).foreach {
+      case Array((_, d1), (_, d2)) => assert(d1 >= d2, "not descending")
+      case _ => ()
+    }
+  }
+
+  test("q318: active users bounded by total, zero_frac consistent, " +
+       "variance non-negative") {
+    val rows = run("q318_dispersion").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0 && r.getLong(2) > 0)
+      assert(r.getDouble(6) >= 0.0 && r.getDouble(6) < 1.0)
+      assert(r.getDouble(4) >= 0.0, "variance must be >= 0")
+    }
+  }
+
+  test("q319: HHI lies in [1/n, 1] and its normalization in [0, 1]") {
+    val r = run("q319_hhi").head()
+    val n = r.getLong(0)
+    val hhi = r.getDouble(2)
+    assert(hhi >= 1.0 / n - 1e-12 && hhi <= 1.0 + 1e-12, s"hhi=$hhi")
+    val hn = r.getDouble(3)
+    assert(hn >= -1e-12 && hn <= 1.0 + 1e-12, s"hhi_norm=$hn")
+  }
+
+  test("q320: every source reports and word averages are positive") {
+    val rows = run("q320_readability").collect()
+    assert(rows.length == 20, s"expected 20 sources, got ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0 && r.getDouble(2) > 0.0)
+    }
+  }
+
   test("q308: runs count is within its exact combinatorial range") {
     val r = run("q308_runs_test").head()
     val (runs, n1, n2) = (r.getLong(0), r.getLong(1), r.getLong(2))
