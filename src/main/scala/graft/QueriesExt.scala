@@ -13815,5 +13815,369 @@ object QueriesExt {
           ${dsumSql("CAST(w AS DOUBLE)")} / COUNT(*) AS avg_words,
           ${dsumSql("flesch")} / COUNT(*) AS avg_flesch
         FROM f GROUP BY source ORDER BY source""")),
+
+    // ── Partial correlation: purchases vs clicks, given views (q321) ───
+    // The confounder-adjusted companion of the Pearson machinery
+    // (q148/q228): r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²))
+    // answers "do purchases and clicks co-move beyond what overall
+    // traffic explains?". Daily volumes are exact integer COUNTs, so
+    // all ten moment sums (Σx, Σx², Σxy, …) are exact longs from ONE
+    // bounded day-grid aggregate; each pairwise r takes one
+    // literal-mirrored double chain (sqrt per factor keeps every
+    // intermediate inside long range). Map-side partials all the way —
+    // no window, no self-join.
+    QueryDef("q321_partial_correlation",
+      (s, dir) => {
+        val d = t(s, dir, "events")
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("x"),
+            sum(when(col("event_type") === "click", 1L).otherwise(0L))
+              .as("y"),
+            sum(when(col("event_type") === "view", 1L).otherwise(0L))
+              .as("z"))
+        val m = d.agg(count(lit(1)).as("n"),
+          sum("x").as("sx"), sum("y").as("sy"), sum("z").as("sz"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("z") * col("z")).as("szz"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("z")).as("sxz"),
+          sum(col("y") * col("z")).as("syz"))
+        def r(sab: Column, sa: Column, sb: Column,
+              saa: Column, sbb: Column, n: Column): Column =
+          (n * sab - sa * sb).cast("double") /
+            (sqrt((n * saa - sa * sa).cast("double")) *
+              sqrt((n * sbb - sb * sb).cast("double")))
+        val rxy = r(col("sxy"), col("sx"), col("sy"),
+          col("sxx"), col("syy"), col("n"))
+        val rxz = r(col("sxz"), col("sx"), col("sz"),
+          col("sxx"), col("szz"), col("n"))
+        val ryz = r(col("syz"), col("sy"), col("sz"),
+          col("syy"), col("szz"), col("n"))
+        m.select(col("n").as("n_days"), rxy.as("r_xy"), rxz.as("r_xz"),
+          ryz.as("r_yz"),
+          ((rxy - rxz * ryz) /
+            sqrt((lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz)))
+            .as("r_xy_given_z"))
+      },
+      Some("""WITH d AS (SELECT CAST(ts AS DATE) AS day,
+            CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x,
+            CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS y,
+            CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS z
+          FROM events GROUP BY 1),
+        m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+            CAST(SUM(z) AS BIGINT) AS sz,
+            CAST(SUM(x * x) AS BIGINT) AS sxx,
+            CAST(SUM(y * y) AS BIGINT) AS syy,
+            CAST(SUM(z * z) AS BIGINT) AS szz,
+            CAST(SUM(x * y) AS BIGINT) AS sxy,
+            CAST(SUM(x * z) AS BIGINT) AS sxz,
+            CAST(SUM(y * z) AS BIGINT) AS syz
+          FROM d),
+        c AS (SELECT n,
+            CAST(n * sxy - sx * sy AS DOUBLE) /
+              (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+                sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r_xy,
+            CAST(n * sxz - sx * sz AS DOUBLE) /
+              (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+                sqrt(CAST(n * szz - sz * sz AS DOUBLE))) AS r_xz,
+            CAST(n * syz - sy * sz AS DOUBLE) /
+              (sqrt(CAST(n * syy - sy * sy AS DOUBLE)) *
+                sqrt(CAST(n * szz - sz * sz AS DOUBLE))) AS r_yz
+          FROM m)
+        SELECT n AS n_days, r_xy, r_xz, r_yz,
+          (r_xy - r_xz * r_yz) /
+            sqrt((1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz))
+            AS r_xy_given_z
+        FROM c""")),
+
+    // ── Cochran–Armitage trend test: finish rate vs priority (q322) ────
+    // Does order completion trend monotonically across the ORDERED
+    // priority ladder? The dose-response test the pairwise χ² (q232
+    // family) can't ask. Scores w = the priority's leading digit; the
+    // statistic Z² = N·(N·Σwr − R·Σw)² / (R(N−R)(N·Σw² − (Σw)²)) is
+    // assembled from five map-side integer sums; the square rides
+    // decimal(38,0)/HUGEINT (N·Σwr ≈ 10¹⁰ at sf1.0 and its square
+    // overflows BIGINT long before 100 TB). One scan, one 1-row agg.
+    QueryDef("q322_cochran_armitage",
+      (s, dir) => {
+        val o = t(s, dir, "orders").select(
+          substring(col("o_orderpriority"), 1, 1).cast("long").as("w"),
+          when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("r"))
+        o.agg(count(lit(1)).as("n"), sum("r").as("rr"),
+            sum(col("w") * col("r")).as("swr"), sum("w").as("sw"),
+            sum(col("w") * col("w")).as("sw2"))
+          .withColumn("num",
+            (col("n") * col("swr") - col("rr") * col("sw"))
+              .cast("decimal(38,0)"))
+          .select(col("n").as("n_orders"), col("rr").as("n_finished"),
+            signum((col("n") * col("swr") - col("rr") * col("sw"))
+              .cast("double")).cast("long").as("trend_sign"),
+            ((col("n").cast("decimal(38,0)") * col("num") * col("num"))
+              .cast("double") /
+              ((col("rr") * (col("n") - col("rr"))).cast("decimal(38,0)") *
+                (col("n") * col("sw2") - col("sw") * col("sw"))
+                  .cast("decimal(38,0)")).cast("double")).as("ca_z2"))
+      },
+      Some("""WITH o AS (SELECT
+            CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS w,
+            CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS r
+          FROM orders),
+        a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(r) AS BIGINT) AS rr,
+            CAST(SUM(w * r) AS BIGINT) AS swr,
+            CAST(SUM(w) AS BIGINT) AS sw,
+            CAST(SUM(w * w) AS BIGINT) AS sw2
+          FROM o)
+        SELECT n AS n_orders, rr AS n_finished,
+          CAST(sign(CAST(n * swr - rr * sw AS DOUBLE)) AS BIGINT)
+            AS trend_sign,
+          CAST(CAST(n AS HUGEINT) * (n * swr - rr * sw)
+              * (n * swr - rr * sw) AS DOUBLE) /
+            CAST(CAST(rr * (n - rr) AS HUGEINT)
+              * (n * sw2 - sw * sw) AS DOUBLE) AS ca_z2
+        FROM a""")),
+
+    // ── Atkinson inequality index (ε = 2) of customer spend (q323) ─────
+    // The welfare-weighted companion to Gini (q165) / Hoover (q293) /
+    // HHI (q319): A₂ = 1 − harmonic-mean/mean needs NO logarithm —
+    // exactly the log-free discipline q307 set. Per-customer spend is a
+    // decimal-railed SUM; its reciprocal (scaled ×10⁶ so the rail's
+    // 1e-8 quantum sits ≪ every term) rides the same rail, so both
+    // engines sum identical quantized values in any order. Two
+    // aggregations, both with map-side partials — no sort, no window.
+    QueryDef("q323_atkinson",
+      (s, dir) => {
+        val sp = t(s, dir, "orders").groupBy("o_custkey")
+          .agg(dsum(col("o_totalprice")).as("spend"))
+        sp.select(col("spend"), (lit(1.0e6) / col("spend")).as("inv"))
+          .agg(count(lit(1)).as("n"), dsum(col("spend")).as("stot"),
+            dsum(col("inv")).as("sinv"))
+          .select(col("n").as("n_customers"),
+            (col("stot") / col("n")).as("mean_spend"),
+            (col("n").cast("double") * lit(1.0e6) / col("sinv"))
+              .as("harmonic_mean_spend"),
+            (lit(1.0) -
+              (col("n").cast("double") * lit(1.0e6) / col("sinv")) /
+                (col("stot") / col("n"))).as("atkinson2"))
+      },
+      Some(s"""WITH sp AS (SELECT o_custkey,
+            ${dsumSql("o_totalprice")} AS spend
+          FROM orders GROUP BY 1),
+        i AS (SELECT spend, 1000000.0 / spend AS inv FROM sp),
+        a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            ${dsumSql("spend")} AS stot, ${dsumSql("inv")} AS sinv
+          FROM i)
+        SELECT n AS n_customers, stot / n AS mean_spend,
+          CAST(n AS DOUBLE) * 1000000.0 / sinv AS harmonic_mean_spend,
+          1.0 - (CAST(n AS DOUBLE) * 1000000.0 / sinv) / (stot / n)
+            AS atkinson2
+        FROM a""")),
+
+    // ── Lorenz curve deciles of customer spend (q324) ──────────────────
+    // The curve BEHIND the q165 Gini scalar: per spend-decile customer
+    // count, decile mass and cumulative share — what a mix report
+    // actually plots. Spend rides INTEGER micro-units (floor ×1e6, the
+    // q151 quantization) end to end: sums and cumulative sums are exact
+    // BIGINTs and each output takes ONE correctly-rounded int→double
+    // conversion. (A DECIMAL(38,8) rail here is NOT portable: DuckDB
+    // casts scaled decimals to double via hugeint→double then /1e8 —
+    // two roundings — and diverges from Spark's correctly-rounded
+    // BigDecimal path once the unscaled value passes 2^53.) ntile(10)
+    // over the (units, custkey) total order is deterministic under
+    // ties; the global ntile ranks the bounded CUSTOMER dimension — at
+    // warehouse scale the same report comes from a two-pass
+    // quantile-boundary split (SCALE.md).
+    QueryDef("q324_lorenz_deciles",
+      (s, dir) => {
+        val sp = t(s, dir, "orders").groupBy("o_custkey")
+          .agg(sum(floor(col("o_totalprice") * lit(1.0e6)).cast("long"))
+            .as("units"))
+        val d = sp.withColumn("decile",
+          ntile(10).over(Window.orderBy(col("units"), col("o_custkey")))
+            .cast("long"))
+        val g = d.groupBy("decile")
+          .agg(count(lit(1)).as("n_customers"), sum("units").as("du"))
+        val wc = Window.orderBy("decile")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wt = Window.orderBy("decile")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        g.select(col("decile"), col("n_customers"),
+            (col("du").cast("double") / lit(1.0e6)).as("decile_spend"),
+            (sum("du").over(wc).cast("double") /
+              sum("du").over(wt).cast("double")).as("cum_share"))
+          .orderBy("decile")
+      },
+      Some("""WITH sp AS (SELECT o_custkey,
+            CAST(SUM(CAST(floor(o_totalprice * 1000000.0) AS BIGINT))
+              AS BIGINT) AS units
+          FROM orders GROUP BY 1),
+        d AS (SELECT units, NTILE(10) OVER (ORDER BY units, o_custkey)
+            AS decile FROM sp),
+        g AS (SELECT CAST(decile AS BIGINT) AS decile,
+            CAST(COUNT(*) AS BIGINT) AS n_customers,
+            CAST(SUM(units) AS BIGINT) AS du
+          FROM d GROUP BY 1)
+        SELECT decile, n_customers,
+          CAST(du AS DOUBLE) / 1000000.0 AS decile_spend,
+          CAST(SUM(du) OVER (ORDER BY decile
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+            / CAST(SUM(du) OVER () AS DOUBLE) AS cum_share
+        FROM g ORDER BY decile""")),
+
+    // ── Inclusion-dependency discovery (FK-candidate audit) (q325) ─────
+    // Schema archaeology for an inherited lake: for each candidate
+    // (child ⊆ parent) column pair, the distinct-value containment
+    // fraction and an exact-IND flag. Each probe is one distinct on the
+    // child + a BROADCAST left join against the distinct parent (all
+    // parents here are key/dimension columns); candidates that fail
+    // loudly (p_size ⊆ n_nationkey) prove the audit discriminates. At
+    // 100 TB the exact distinct swaps for a bloom-gated two-pass check
+    // per SCALE.md — the report shape is unchanged.
+    QueryDef("q325_ind_discovery",
+      (s, dir) => {
+        def probe(child: DataFrame, cc: String, parent: DataFrame,
+                  pc: String, label: String): DataFrame = {
+          val cd = child.select(col(cc).cast("long").as("v")).distinct()
+          val pd = parent.select(col(pc).cast("long").as("v")).distinct()
+            .withColumn("hit", lit(1L))
+          cd.join(broadcast(pd), Seq("v"), "left")
+            .agg(count(lit(1)).as("n_child_distinct"),
+              sum(when(col("hit").isNotNull, 1L).otherwise(0L))
+                .as("n_contained"))
+            .select(lit(label).as("candidate"), col("n_child_distinct"),
+              col("n_contained"))
+        }
+        val li = t(s, dir, "lineitem"); val or = t(s, dir, "orders")
+        val pa = t(s, dir, "part"); val su = t(s, dir, "supplier")
+        val cu = t(s, dir, "customer"); val ev = t(s, dir, "events")
+        val na = t(s, dir, "nation")
+        probe(li, "l_orderkey", or, "o_orderkey",
+            "lineitem.l_orderkey IN orders.o_orderkey")
+          .unionAll(probe(li, "l_partkey", pa, "p_partkey",
+            "lineitem.l_partkey IN part.p_partkey"))
+          .unionAll(probe(li, "l_suppkey", su, "s_suppkey",
+            "lineitem.l_suppkey IN supplier.s_suppkey"))
+          .unionAll(probe(or, "o_custkey", cu, "c_custkey",
+            "orders.o_custkey IN customer.c_custkey"))
+          .unionAll(probe(cu, "c_custkey", or, "o_custkey",
+            "customer.c_custkey IN orders.o_custkey"))
+          .unionAll(probe(ev, "user_id", cu, "c_custkey",
+            "events.user_id IN customer.c_custkey"))
+          .unionAll(probe(pa, "p_size", na, "n_nationkey",
+            "part.p_size IN nation.n_nationkey"))
+          .select(col("candidate"), col("n_child_distinct"),
+            col("n_contained"),
+            (col("n_contained").cast("double") /
+              col("n_child_distinct").cast("double")).as("containment"),
+            (col("n_contained") === col("n_child_distinct")).as("is_ind"))
+          .orderBy("candidate")
+      },
+      Some("""WITH probes AS (
+          SELECT 'lineitem.l_orderkey IN orders.o_orderkey' AS candidate,
+            CAST(COUNT(*) AS BIGINT) AS n_child_distinct,
+            CAST(COUNT(p.v) AS BIGINT) AS n_contained
+          FROM (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS v
+                FROM lineitem) c
+          LEFT JOIN (SELECT DISTINCT CAST(o_orderkey AS BIGINT) AS v
+                FROM orders) p ON c.v = p.v
+          UNION ALL
+          SELECT 'lineitem.l_partkey IN part.p_partkey',
+            CAST(COUNT(*) AS BIGINT), CAST(COUNT(p.v) AS BIGINT)
+          FROM (SELECT DISTINCT CAST(l_partkey AS BIGINT) AS v
+                FROM lineitem) c
+          LEFT JOIN (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS v
+                FROM part) p ON c.v = p.v
+          UNION ALL
+          SELECT 'lineitem.l_suppkey IN supplier.s_suppkey',
+            CAST(COUNT(*) AS BIGINT), CAST(COUNT(p.v) AS BIGINT)
+          FROM (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS v
+                FROM lineitem) c
+          LEFT JOIN (SELECT DISTINCT CAST(s_suppkey AS BIGINT) AS v
+                FROM supplier) p ON c.v = p.v
+          UNION ALL
+          SELECT 'orders.o_custkey IN customer.c_custkey',
+            CAST(COUNT(*) AS BIGINT), CAST(COUNT(p.v) AS BIGINT)
+          FROM (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS v
+                FROM orders) c
+          LEFT JOIN (SELECT DISTINCT CAST(c_custkey AS BIGINT) AS v
+                FROM customer) p ON c.v = p.v
+          UNION ALL
+          SELECT 'customer.c_custkey IN orders.o_custkey',
+            CAST(COUNT(*) AS BIGINT), CAST(COUNT(p.v) AS BIGINT)
+          FROM (SELECT DISTINCT CAST(c_custkey AS BIGINT) AS v
+                FROM customer) c
+          LEFT JOIN (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS v
+                FROM orders) p ON c.v = p.v
+          UNION ALL
+          SELECT 'events.user_id IN customer.c_custkey',
+            CAST(COUNT(*) AS BIGINT), CAST(COUNT(p.v) AS BIGINT)
+          FROM (SELECT DISTINCT CAST(user_id AS BIGINT) AS v
+                FROM events) c
+          LEFT JOIN (SELECT DISTINCT CAST(c_custkey AS BIGINT) AS v
+                FROM customer) p ON c.v = p.v
+          UNION ALL
+          SELECT 'part.p_size IN nation.n_nationkey',
+            CAST(COUNT(*) AS BIGINT), CAST(COUNT(p.v) AS BIGINT)
+          FROM (SELECT DISTINCT CAST(p_size AS BIGINT) AS v FROM part) c
+          LEFT JOIN (SELECT DISTINCT CAST(n_nationkey AS BIGINT) AS v
+                FROM nation) p ON c.v = p.v)
+        SELECT candidate, n_child_distinct, n_contained,
+          CAST(n_contained AS DOUBLE) / CAST(n_child_distinct AS DOUBLE)
+            AS containment,
+          n_contained = n_child_distinct AS is_ind
+        FROM probes ORDER BY candidate""")),
+
+    // ── Hosmer–Lemeshow calibration test (q326) ────────────────────────
+    // The TEST STATISTIC behind the q208 reliability table: decile bins
+    // of the deterministic 999-bucket predicted score, per-bin observed
+    // positives O vs expected E = Σm/999, and
+    // HL = Σ (O−E)² / (E·(1−Σm/(999n))). Every per-bin input is an
+    // exact integer (O, Σm, n) — the double chain is literal-mirrored
+    // so both engines round identically. Bin key is integer floor-div
+    // (m·10 div 999): no quantile pass, one scan, a 10-key aggregate.
+    QueryDef("q326_hosmer_lemeshow",
+      (s, dir) => {
+        val d = tPar(s, dir, "documents").select(
+          (Shingles.baseHash(col("text")) % 999).as("m"),
+          when(TextStats.qualityScore(col("text"), stopwords) >= 0.5,
+            1L).otherwise(0L).as("y"))
+        val b = d.groupBy(expr("m * 10 div 999").as("bin"))
+          .agg(count(lit(1)).as("n"), sum("y").as("o"), sum("m").as("em"))
+          .filter(col("em") > 0 && col("em") < lit(999) * col("n"))
+        b.select(col("n"), col("o"), col("em"),
+            ((col("o").cast("double") - col("em").cast("double") / 999.0) *
+              (col("o").cast("double") - col("em").cast("double") / 999.0) /
+              ((col("em").cast("double") / 999.0) *
+                (lit(1.0) - col("em").cast("double") /
+                  (lit(999.0) * col("n"))))).as("contrib"))
+          .agg(sum("n").as("n_scored"), count(lit(1)).as("n_bins"),
+            dsum(col("contrib")).as("hl_stat"))
+      },
+      Some(s"""WITH d AS (SELECT
+            ('0x' || substr(md5(text), 1, 7))::BIGINT % 999 AS m,
+            CASE WHEN $dQualityExpr >= 0.5 THEN 1 ELSE 0 END AS y
+          FROM documents),
+        b AS (SELECT m * 10 // 999 AS bin,
+            CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS o,
+            CAST(SUM(m) AS BIGINT) AS em
+          FROM d GROUP BY 1
+          HAVING SUM(m) > 0 AND SUM(m) < 999 * COUNT(*)),
+        c AS (SELECT n, o, em,
+            (CAST(o AS DOUBLE) - CAST(em AS DOUBLE) / 999.0) *
+              (CAST(o AS DOUBLE) - CAST(em AS DOUBLE) / 999.0) /
+              ((CAST(em AS DOUBLE) / 999.0) *
+                (1.0 - CAST(em AS DOUBLE) / (999.0 * n))) AS contrib
+          FROM b)
+        SELECT CAST(SUM(n) AS BIGINT) AS n_scored,
+          CAST(COUNT(*) AS BIGINT) AS n_bins,
+          ${dsumSql("contrib")} AS hl_stat
+        FROM c""")),
   )
 }

@@ -224,6 +224,62 @@ class Round12EvalSpec extends AnyFunSuite {
     }
   }
 
+  test("q321: all three pairwise r and the partial r lie in [-1, 1]") {
+    val r = run("q321_partial_correlation").head()
+    assert(r.getLong(0) > 2)
+    (1 to 4).foreach { i =>
+      val v = r.getDouble(i)
+      assert(v >= -1.0 - 1e-12 && v <= 1.0 + 1e-12, s"col $i = $v")
+    }
+  }
+
+  test("q322: trend Z^2 non-negative, sign in {-1,0,1}, finished " +
+       "bounded by total") {
+    val r = run("q322_cochran_armitage").head()
+    assert(r.getLong(1) > 0 && r.getLong(1) <= r.getLong(0))
+    assert(math.abs(r.getLong(2)) <= 1)
+    assert(r.getDouble(3) >= 0.0, s"z2=${r.getDouble(3)}")
+  }
+
+  test("q323: AM-HM inequality holds and Atkinson index in [0, 1)") {
+    val r = run("q323_atkinson").head()
+    val (mean, hm, a2) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(hm > 0.0 && hm <= mean + 1e-9, s"hm=$hm mean=$mean")
+    assert(a2 >= -1e-12 && a2 < 1.0, s"atkinson2=$a2")
+  }
+
+  test("q324: cumulative share is monotone, ends at 1, deciles 1..10") {
+    val rows = run("q324_lorenz_deciles").collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 10L))
+    val cum = rows.map(_.getDouble(3))
+    cum.sliding(2).foreach {
+      case Array(a, b) => assert(a <= b + 1e-12, "cum_share not monotone")
+      case _ => ()
+    }
+    assert(math.abs(cum.last - 1.0) < 1e-12)
+    rows.foreach(r => assert(r.getDouble(2) >= 0.0))
+  }
+
+  test("q325: true FKs flagged as INDs, the planted negative is not") {
+    val rows = run("q325_ind_discovery").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(4))).toMap
+    assert(rows.size == 7)
+    assert(rows("lineitem.l_orderkey IN orders.o_orderkey")._3)
+    assert(rows("lineitem.l_partkey IN part.p_partkey")._3)
+    assert(!rows("part.p_size IN nation.n_nationkey")._3)
+    rows.values.foreach { case (nd, nc, _) =>
+      assert(nc >= 0 && nc <= nd)
+    }
+  }
+
+  test("q326: HL statistic non-negative over at most 10 score bins") {
+    val r = run("q326_hosmer_lemeshow").head()
+    assert(r.getLong(0) > 0)
+    assert(r.getLong(1) >= 1 && r.getLong(1) <= 10)
+    assert(r.getDouble(2) >= 0.0, s"hl=${r.getDouble(2)}")
+  }
+
   test("q308: runs count is within its exact combinatorial range") {
     val r = run("q308_runs_test").head()
     val (runs, n1, n2) = (r.getLong(0), r.getLong(1), r.getLong(2))
