@@ -128,6 +128,12 @@ object Params {
   /** Containment near-dup pairs (q119): |sub ∩ sup| / |sub| ≥ 4/5. */
   val containNum = 4
   val containDen = 5
+  /** Link prediction (q328): strong-edge relative support — tokens
+    * must co-occur in MORE than supNum/supDen of all documents (the
+    * corpus-size-portable alternative to an absolute count floor).
+    */
+  val linkSupNum = 63
+  val linkSupDen = 100
   /** User-path analysis (q120): journey length (first K events). */
   val pathK = 5
   /** Event de-bounce (q123): same-key duplicate-suppression gap. */

@@ -9146,7 +9146,7 @@ object QueriesExt {
         val t1 = arms.filter(col("arm") === 1)
           .select(col("n").as("n_t"), col("mean_pre").as("pre_t"),
             col("mean_post").as("post_t"), col("var_d").as("vd_t"))
-        t1.crossJoin(t0)
+        t1.crossJoin(broadcast(t0))
           .select(col("n_t"), col("n_c"),
             col("pre_t"), col("post_t"), col("pre_c"), col("post_c"),
             ((col("post_t") - col("pre_t")) -
@@ -14179,5 +14179,131 @@ object QueriesExt {
           CAST(COUNT(*) AS BIGINT) AS n_bins,
           ${dsumSql("contrib")} AS hl_stat
         FROM c""")),
+
+    // ── Modularity of the source partition on the near-dup graph (q327)
+    // Does duplication structure ALIGN with sources? Newman modularity
+    // of the `source` grouping over the exact shingle-Jaccard pair
+    // graph (the q28 edge set): per source c, Q_c = e_c/m − (d_c/2m)²
+    // from three exact integer aggregates (intra-edge count, endpoint
+    // degree mass, edge total); ΣQ_c near 0 ⇒ near-dups ignore source
+    // boundaries (cross-source contamination, the q242 signal), high ⇒
+    // duplication is source-local. The only full-data pass is the pair
+    // generator; everything after lives on the pair table and a
+    // source-cardinality-bounded aggregate.
+    QueryDef("q327_dedup_modularity",
+      (s, dir) => {
+        val docs = tPar(s, dir, "documents")
+        val src = docs.select(col("doc_id"), col("source"))
+        val e = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+            shingleK, jaccardMin)
+          .join(src.select(col("doc_id").as("id_a"),
+            col("source").as("sa")), Seq("id_a"))
+          .join(src.select(col("doc_id").as("id_b"),
+            col("source").as("sb")), Seq("id_b"))
+          .select("sa", "sb").localCheckpoint()
+        val m = e.agg(count(lit(1)).as("m"))
+        val intra = e.filter(col("sa") === col("sb"))
+          .groupBy(col("sa").as("source"))
+          .agg(count(lit(1)).as("intra_edges"))
+        val degs = e.select(col("sa").as("source"))
+          .unionAll(e.select(col("sb").as("source")))
+          .groupBy("source").agg(count(lit(1)).as("degree_sum"))
+        val nd = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        nd.join(intra, Seq("source"), "left")
+          .join(degs, Seq("source"), "left")
+          .crossJoin(broadcast(m))
+          .select(col("source"), col("n_docs"),
+            coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+            coalesce(col("degree_sum"), lit(0L)).as("degree_sum"),
+            (coalesce(col("intra_edges"), lit(0L)).cast("double") /
+              col("m").cast("double") -
+              (coalesce(col("degree_sum"), lit(0L)).cast("double") /
+                (lit(2.0) * col("m").cast("double"))) *
+              (coalesce(col("degree_sum"), lit(0L)).cast("double") /
+                (lit(2.0) * col("m").cast("double"))))
+              .as("modularity_term"))
+          .orderBy("source")
+      },
+      Some(s"""WITH sh AS (SELECT doc_id, unnest(list_distinct(
+            ${dShingles(dTok, shingleK)})) AS shingle FROM documents),
+        sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+          FROM sh a JOIN sh b USING (shingle)
+          WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        e AS (SELECT da.source AS sa, db.source AS sb
+          FROM p JOIN sz x ON p.id_a = x.doc_id
+            JOIN sz y ON p.id_b = y.doc_id
+            JOIN documents da ON p.id_a = da.doc_id
+            JOIN documents db ON p.id_b = db.doc_id
+          WHERE CAST(shared AS DOUBLE) / CAST(x.n + y.n - shared AS DOUBLE)
+            >= $jaccardMin),
+        m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+        intra AS (SELECT sa AS source,
+            CAST(COUNT(*) AS BIGINT) AS intra_edges
+          FROM e WHERE sa = sb GROUP BY 1),
+        degs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS degree_sum
+          FROM (SELECT sa AS source FROM e
+                UNION ALL SELECT sb FROM e) GROUP BY 1),
+        nd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+          FROM documents GROUP BY source)
+        SELECT nd.source, nd.n_docs,
+          COALESCE(intra.intra_edges, 0) AS intra_edges,
+          COALESCE(degs.degree_sum, 0) AS degree_sum,
+          CAST(COALESCE(intra.intra_edges, 0) AS DOUBLE)
+              / CAST(m.m AS DOUBLE) -
+            (CAST(COALESCE(degs.degree_sum, 0) AS DOUBLE)
+              / (2.0 * CAST(m.m AS DOUBLE))) *
+            (CAST(COALESCE(degs.degree_sum, 0) AS DOUBLE)
+              / (2.0 * CAST(m.m AS DOUBLE))) AS modularity_term
+        FROM nd LEFT JOIN intra ON nd.source = intra.source
+          LEFT JOIN degs ON nd.source = degs.source
+          CROSS JOIN m
+        ORDER BY nd.source""")),
+
+    // ── Link prediction on the token co-occurrence graph (q328) ────────
+    // "Which vocabulary pairs SHOULD co-occur but don't yet?" — the
+    // graph-completion twin of the q118/q110 centrality stack, on the
+    // STRONG-edge graph (relative support > linkSupNum/linkSupDen of
+    // all docs; the raw graph is complete, and an absolute floor would
+    // not port across corpus sizes): for every two-hop non-edge,
+    // common-neighbour count, neighbourhood Jaccard and preferential
+    // attachment, top-20 by (cn, a, b). All post-scan work is
+    // vocab²-bounded and broadcast (Search.linkPrediction); scores are
+    // exact integers + one mirrored division.
+    QueryDef("q328_link_prediction",
+      (s, dir) => graft.ext.Search.linkPrediction(
+        tPar(s, dir, "documents"), "doc_id", "text", trVocab,
+        linkSupNum, linkSupDen, 20),
+      Some(s"""WITH dt AS (SELECT DISTINCT doc_id, tok AS token
+            FROM (SELECT doc_id, unnest($dTok) AS tok FROM documents)),
+        ndt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+        v AS (SELECT token FROM (SELECT token, COUNT(*) AS df FROM dt
+          GROUP BY 1 ORDER BY df DESC, token LIMIT $trVocab)),
+        vt AS (SELECT dt.doc_id, dt.token FROM dt JOIN v USING (token)),
+        co AS (SELECT a.token AS src, b.token AS dst,
+            CAST(COUNT(*) AS BIGINT) AS c
+          FROM vt a JOIN vt b
+            ON a.doc_id = b.doc_id AND a.token < b.token
+          GROUP BY 1, 2),
+        half AS (SELECT src, dst FROM co, ndt
+          WHERE c * $linkSupDen > $linkSupNum * nd),
+        nb AS (SELECT src, dst FROM half
+          UNION ALL SELECT dst, src FROM half),
+        deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+          FROM nb GROUP BY 1),
+        cn AS (SELECT x.src AS a, y.src AS b,
+            CAST(COUNT(*) AS BIGINT) AS cn
+          FROM nb x JOIN nb y ON x.dst = y.dst AND x.src < y.src
+          GROUP BY 1, 2),
+        cand AS (SELECT cn.* FROM cn
+          LEFT JOIN half h ON cn.a = h.src AND cn.b = h.dst
+          WHERE h.src IS NULL)
+        SELECT a, b, cn,
+          CAST(cn AS DOUBLE) / CAST(da.deg + db.deg - cn AS DOUBLE)
+            AS nb_jaccard,
+          da.deg * db.deg AS pref_attach
+        FROM cand JOIN deg da ON cand.a = da.src
+          JOIN deg db ON cand.b = db.src
+        ORDER BY cn DESC, a, b LIMIT 20""")),
   )
 }

@@ -297,6 +297,51 @@ object Search {
           col("n_wedges").cast("double")).as("global_clustering"))
   }
 
+  /** Topological link prediction over the vocab-capped co-occurrence
+    * graph, thinned to STRONG edges (tokens co-occurring in more than
+    * supNum/supDen of all documents — an absolute threshold would not
+    * port across corpus sizes): for every NON-edge (a,b) reachable in
+    * two hops, the three classic log-free scores — common-neighbour
+    * count, neighbourhood Jaccard cn/(deg a + deg b − cn), and
+    * preferential attachment deg a · deg b — ranked by (cn desc, a, b),
+    * top `topK`.
+    *
+    * Everything after the one corpus scan inside [[cooccurGraph]] lives
+    * on the ≤ vocab²-bounded edge table: the support gate (integer
+    * cross-multiplication against the broadcast doc count), the
+    * two-hop candidate join, the existing-edge anti-join and the
+    * degree lookups are all broadcastable at any corpus scale, so the
+    * only full-data cost is the scan the graph itself needs.
+    */
+  def linkPrediction(docs: DataFrame, idCol: String, textCol: String,
+                     vocab: Int, supNum: Int, supDen: Int,
+                     topK: Int): DataFrame = {
+    val (_, edges) = cooccurGraph(docs, idCol, textCol, vocab)
+    val ndocs = docs.agg(count(lit(1)).as("nd"))
+    val nb = edges.crossJoin(broadcast(ndocs))
+      .filter(col("c") * supDen > lit(supNum) * col("nd"))
+      .select("src", "dst").localCheckpoint()
+    val deg = nb.groupBy("src").agg(count(lit(1)).as("deg"))
+    val cn = nb.select(col("src").as("a"), col("dst").as("w"))
+      .join(nb.select(col("src").as("b"), col("dst").as("w")), Seq("w"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cn"))
+    val existing = nb.filter(col("src") < col("dst"))
+      .select(col("src").as("a"), col("dst").as("b"))
+    cn.join(broadcast(existing), Seq("a", "b"), "left_anti")
+      .join(broadcast(deg.select(col("src").as("a"), col("deg").as("da"))),
+        Seq("a"))
+      .join(broadcast(deg.select(col("src").as("b"), col("deg").as("db"))),
+        Seq("b"))
+      .select(col("a"), col("b"), col("cn"),
+        (col("cn").cast("double") /
+          (col("da") + col("db") - col("cn")).cast("double"))
+          .as("nb_jaccard"),
+        (col("da") * col("db")).as("pref_attach"))
+      .orderBy(desc("cn"), col("a"), col("b"))
+      .limit(topK)
+  }
+
   /** k-core subgraph of the vocab-capped co-occurrence graph: `rounds`
     * synchronized peel iterations (drop every node whose degree < k,
     * recompute, repeat), returning each surviving node with its degree

@@ -280,6 +280,34 @@ class Round12EvalSpec extends AnyFunSuite {
     assert(r.getDouble(2) >= 0.0, s"hl=${r.getDouble(2)}")
   }
 
+  test("q327: degree mass is twice the edge count and Q lies in " +
+       "[-0.5, 1]") {
+    val rows = run("q327_dedup_modularity").collect()
+    assert(rows.length == 20)
+    val m2 = rows.map(_.getLong(3)).sum
+    assert(m2 % 2 == 0 && m2 > 0, s"degree mass $m2")
+    val intra = rows.map(_.getLong(2)).sum
+    assert(intra <= m2 / 2, "intra edges exceed total edges")
+    val q = rows.map(_.getDouble(4)).sum
+    assert(q >= -0.5 - 1e-12 && q <= 1.0 + 1e-12, s"Q=$q")
+  }
+
+  test("q328: candidates are true non-edges with consistent scores, " +
+       "cn non-increasing") {
+    val rows = run("q328_link_prediction").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      val (cn, j, pa) = (r.getLong(2), r.getDouble(3), r.getLong(4))
+      assert(cn >= 1)
+      assert(j > 0.0 && j <= 1.0 + 1e-12, s"jaccard $j")
+      assert(pa >= cn, s"pref_attach $pa < cn $cn")
+    }
+    rows.map(_.getLong(2)).sliding(2).foreach {
+      case Array(a, b) => assert(a >= b, "cn ranking not monotone")
+      case _ => ()
+    }
+  }
+
   test("q308: runs count is within its exact combinatorial range") {
     val r = run("q308_runs_test").head()
     val (runs, n1, n2) = (r.getLong(0), r.getLong(1), r.getLong(2))
