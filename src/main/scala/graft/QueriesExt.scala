@@ -14305,5 +14305,294 @@ object QueriesExt {
         FROM cand JOIN deg da ON cand.a = da.src
           JOIN deg db ON cand.b = db.src
         ORDER BY cn DESC, a, b LIMIT 20""")),
+
+    // ── Best Gini-impurity split of a feature vs label (q329) ──────────
+    // The decision-stump primitive behind feature-importance audits
+    // (and the log-free sibling of information gain): bucket the first
+    // embedding coordinate on the integer 1/100 grid, build per-label
+    // cumulative counts over the bounded (bucket × label) DENSE grid,
+    // and score every candidate threshold with weighted Gini
+    // (n − Σcl²/nl − Σcr²/nr)/n — all-integer inputs, one mirrored
+    // double chain, argmin with deterministic (impurity, bucket)
+    // tie-break. One scan; everything downstream is grid-bounded. At
+    // petabyte label counts the cum² products move to decimal(38,0).
+    QueryDef("q329_gini_split",
+      (s, dir) => {
+        val e = tPar(s, dir, "embeddings").select(
+          floor(element_at(col("embedding"), 1).cast("double") *
+            lit(100.0)).cast("long").as("b"),
+          col("label").cast("long").as("lab"))
+        val c = e.groupBy("b", "lab").agg(count(lit(1)).as("c"))
+          .localCheckpoint()
+        val dense = c.select("b").distinct()
+          .crossJoin(c.select("lab").distinct())
+          .join(c, Seq("b", "lab"), "left")
+          .select(col("b"), col("lab"),
+            coalesce(col("c"), lit(0L)).as("c"))
+        val cum = dense.withColumn("cum",
+          sum("c").over(Window.partitionBy("lab").orderBy("b")))
+        val tot = c.groupBy("lab").agg(sum("c").as("tot"))
+        val per = cum.join(broadcast(tot), Seq("lab"))
+          .groupBy("b")
+          .agg(sum("cum").as("nl"),
+            sum(col("cum") * col("cum")).as("sl2"),
+            sum((col("tot") - col("cum")) * (col("tot") - col("cum")))
+              .as("sr2"))
+        val stats = tot.agg(sum("tot").as("n"),
+          sum(col("tot") * col("tot")).as("st2"))
+        per.crossJoin(broadcast(stats))
+          .filter(col("nl") > 0 && col("nl") < col("n"))
+          .select(col("b").as("split_bucket"), col("nl").as("n_left"),
+            (col("n") - col("nl")).as("n_right"),
+            ((col("n").cast("double") -
+              col("sl2").cast("double") / col("nl").cast("double") -
+              col("sr2").cast("double") /
+                (col("n") - col("nl")).cast("double")) /
+              col("n").cast("double")).as("gini_split"),
+            (lit(1.0) - col("st2").cast("double") /
+              (col("n").cast("double") * col("n").cast("double")))
+              .as("gini_root"))
+          .withColumn("gini_gain", col("gini_root") - col("gini_split"))
+          .orderBy(col("gini_split"), col("split_bucket"))
+          .limit(1)
+      },
+      Some("""WITH e AS (SELECT
+            CAST(floor(CAST(embedding[1] AS DOUBLE) * 100.0) AS BIGINT)
+              AS b,
+            CAST(label AS BIGINT) AS lab
+          FROM embeddings),
+        c AS (SELECT b, lab, CAST(COUNT(*) AS BIGINT) AS c
+          FROM e GROUP BY 1, 2),
+        dense AS (SELECT g.b, g.lab, COALESCE(c.c, 0) AS c
+          FROM (SELECT DISTINCT x.b, y.lab
+                FROM (SELECT DISTINCT b FROM c) x,
+                  (SELECT DISTINCT lab FROM c) y) g
+          LEFT JOIN c ON g.b = c.b AND g.lab = c.lab),
+        cum AS (SELECT b, lab, c,
+            SUM(c) OVER (PARTITION BY lab ORDER BY b) AS cum
+          FROM dense),
+        tot AS (SELECT lab, CAST(SUM(c) AS BIGINT) AS tot
+          FROM c GROUP BY 1),
+        per AS (SELECT b, CAST(SUM(cum) AS BIGINT) AS nl,
+            CAST(SUM(cum * cum) AS BIGINT) AS sl2,
+            CAST(SUM((tot - cum) * (tot - cum)) AS BIGINT) AS sr2
+          FROM cum JOIN tot USING (lab) GROUP BY b),
+        stats AS (SELECT CAST(SUM(tot) AS BIGINT) AS n,
+            CAST(SUM(tot * tot) AS BIGINT) AS st2 FROM tot)
+        SELECT b AS split_bucket, nl AS n_left, n - nl AS n_right,
+          (CAST(n AS DOUBLE) - CAST(sl2 AS DOUBLE) / CAST(nl AS DOUBLE)
+            - CAST(sr2 AS DOUBLE) / CAST(n - nl AS DOUBLE))
+            / CAST(n AS DOUBLE) AS gini_split,
+          1.0 - CAST(st2 AS DOUBLE)
+            / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS gini_root,
+          (1.0 - CAST(st2 AS DOUBLE)
+            / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) -
+          ((CAST(n AS DOUBLE) - CAST(sl2 AS DOUBLE) / CAST(nl AS DOUBLE)
+            - CAST(sr2 AS DOUBLE) / CAST(n - nl AS DOUBLE))
+            / CAST(n AS DOUBLE)) AS gini_gain
+        FROM per CROSS JOIN stats
+        WHERE nl > 0 AND nl < n
+        ORDER BY gini_split, split_bucket LIMIT 1""")),
+
+    // ── Croston intermittent-demand forecast per user (q330) ───────────
+    // Purchase demand is INTERMITTENT (most user-days are zero), where
+    // a plain moving average chases zeros; Croston's method maintains
+    // two α=½ EWMAs — nonzero demand SIZE and inter-demand INTERVAL —
+    // and forecasts their ratio. Both recursions unroll to the q155
+    // power-of-two closed form (weights 2^(rn−n−1), seed row doubled;
+    // per-term floor ×1e8 makes the sums order-independent), so the
+    // whole method is two window passes over the per-user demand-day
+    // table + one aggregate. User-partitioned shuffles only.
+    QueryDef("q330_croston",
+      (s, dir) => {
+        val dem = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(count(lit(1)).as("z"))
+        val w = Window.partitionBy("user_id").orderBy("day")
+        val r = dem
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("n",
+            count(lit(1)).over(Window.partitionBy("user_id"))
+              .cast("long"))
+          .withColumn("gap", col("day") - lag("day", 1).over(w))
+        r.filter(col("n") >= 2)
+          .groupBy("user_id")
+          .agg(max("n").as("n_demand_days"),
+            (sum(floor(col("z") *
+              pow(lit(2.0), col("rn") - col("n") - lit(1) +
+                when(col("rn") === 1, 1).otherwise(0)) *
+              lit(1.0e8)).cast("long")).cast("double") / lit(1.0e8))
+              .as("z_hat"),
+            (sum(when(col("rn") >= 2,
+              floor(col("gap") *
+                pow(lit(2.0), col("rn") - col("n") - lit(1) +
+                  when(col("rn") === 2, 1).otherwise(0)) *
+                lit(1.0e8)).cast("long"))).cast("double") / lit(1.0e8))
+              .as("p_hat"))
+          .withColumn("demand_rate", col("z_hat") / col("p_hat"))
+          .orderBy("user_id")
+      },
+      Some("""WITH dem AS (SELECT user_id,
+            epoch_us(ts) // 86400000000 AS day,
+            CAST(COUNT(*) AS BIGINT) AS z
+          FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        r AS (SELECT user_id, z,
+            ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+              AS rn,
+            COUNT(*) OVER (PARTITION BY user_id) AS n,
+            day - lag(day) OVER (PARTITION BY user_id ORDER BY day)
+              AS gap
+          FROM dem)
+        SELECT user_id, CAST(MAX(n) AS BIGINT) AS n_demand_days,
+          CAST(SUM(CAST(floor(z * pow(2.0, rn - n - 1 +
+              CASE WHEN rn = 1 THEN 1 ELSE 0 END) * 100000000.0)
+            AS BIGINT)) AS DOUBLE) / 100000000.0 AS z_hat,
+          CAST(SUM(CASE WHEN rn >= 2 THEN
+              CAST(floor(gap * pow(2.0, rn - n - 1 +
+                CASE WHEN rn = 2 THEN 1 ELSE 0 END) * 100000000.0)
+              AS BIGINT) END) AS DOUBLE) / 100000000.0 AS p_hat,
+          (CAST(SUM(CAST(floor(z * pow(2.0, rn - n - 1 +
+              CASE WHEN rn = 1 THEN 1 ELSE 0 END) * 100000000.0)
+            AS BIGINT)) AS DOUBLE) / 100000000.0)
+          / (CAST(SUM(CASE WHEN rn >= 2 THEN
+              CAST(floor(gap * pow(2.0, rn - n - 1 +
+                CASE WHEN rn = 2 THEN 1 ELSE 0 END) * 100000000.0)
+              AS BIGINT) END) AS DOUBLE) / 100000000.0)
+            AS demand_rate
+        FROM r WHERE n >= 2 GROUP BY user_id ORDER BY user_id""")),
+
+    // ── 10% trimmed mean of order value (q331) ─────────────────────────
+    // The outlier-robust location estimate that DROPS the tails (the
+    // complement of q139's winsorize, which caps them): rank orders on
+    // exact integer micro-units with a deterministic (units, orderkey)
+    // total order, discard floor(n/10) rows from each end, and average
+    // the interior — kept sums are exact BIGINTs with one int→double
+    // conversion (the q324 portability rule). The global rank is the
+    // documented exact-order-statistics contract (q141); at warehouse
+    // scale the two cut ranks come from a quantile-boundary pre-pass.
+    QueryDef("q331_trimmed_mean",
+      (s, dir) => {
+        val u = t(s, dir, "orders").select(
+          floor(col("o_totalprice") * lit(1.0e6)).cast("long").as("u"),
+          col("o_orderkey"))
+        val r = u.withColumn("rn",
+          row_number().over(Window.orderBy(col("u"), col("o_orderkey")))
+            .cast("long"))
+        val nAgg = u.agg(count(lit(1)).as("n"), sum("u").as("su_all"))
+        r.crossJoin(broadcast(nAgg))
+          .withColumn("k", expr("n div 10"))
+          .filter(col("rn") > col("k") && col("rn") <= col("n") - col("k"))
+          .agg(max("n").as("n_orders"), max("k").as("k_each_side"),
+            count(lit(1)).as("n_kept"), sum("u").as("su"),
+            max("su_all").as("sa"))
+          .select(col("n_orders"), col("k_each_side"),
+            (col("su").cast("double") / col("n_kept").cast("double") /
+              lit(1.0e6)).as("trimmed_mean"),
+            (col("sa").cast("double") / col("n_orders").cast("double") /
+              lit(1.0e6)).as("raw_mean"))
+      },
+      Some("""WITH u AS (SELECT
+            CAST(floor(o_totalprice * 1000000.0) AS BIGINT) AS u,
+            o_orderkey
+          FROM orders),
+        r AS (SELECT u,
+            ROW_NUMBER() OVER (ORDER BY u, o_orderkey) AS rn
+          FROM u),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(u) AS BIGINT) AS sa FROM u),
+        kept AS (SELECT r.u, n.n, n.n // 10 AS k, n.sa
+          FROM r CROSS JOIN n
+          WHERE r.rn > n.n // 10 AND r.rn <= n.n - n.n // 10)
+        SELECT MAX(n) AS n_orders, MAX(k) AS k_each_side,
+          CAST(SUM(u) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+            / 1000000.0 AS trimmed_mean,
+          CAST(MAX(sa) AS DOUBLE) / CAST(MAX(n) AS DOUBLE)
+            / 1000000.0 AS raw_mean
+        FROM kept""")),
+
+    // ── Jonckheere–Terpstra ordered-alternative test (q332) ────────────
+    // "Does order value SHIFT monotonically up the priority ladder?" —
+    // the ordered-group companion of Mann–Whitney (q144) that a
+    // pairwise χ² can't ask with one statistic. Never pairs rows:
+    // values land on the bounded floor(price/1000) grid, per-group
+    // cumulative counts over the DENSE (bucket × group) grid turn the
+    // 2J statistic into Σ c_i·above_j (+ ties) exact-integer products
+    // for the 10 ordered group pairs; mean and variance are
+    // closed-form moments on decimal(38,0)/HUGEINT (n²(2n+3) nears
+    // BIGINT range at sf1.0). One scan + grid-bounded joins.
+    QueryDef("q332_jonckheere",
+      (s, dir) => {
+        val o = t(s, dir, "orders").select(
+          substring(col("o_orderpriority"), 1, 1).cast("long").as("g"),
+          floor(col("o_totalprice") / lit(1000.0)).cast("long").as("b"))
+        val c = o.groupBy("g", "b").agg(count(lit(1)).as("c"))
+          .localCheckpoint()
+        val dense = c.select("b").distinct()
+          .crossJoin(c.select("g").distinct())
+          .join(c, Seq("g", "b"), "left")
+          .select(col("g"), col("b"),
+            coalesce(col("c"), lit(0L)).as("c"))
+        val cum = dense.withColumn("cum",
+          sum("c").over(Window.partitionBy("g").orderBy("b")))
+        val tot = c.groupBy("g").agg(sum("c").as("tot"))
+        val withTot = cum.join(broadcast(tot), Seq("g"))
+          .select(col("g"), col("b"), col("c"),
+            (col("tot") - col("cum")).as("above"))
+        val terms = withTot.as("i")
+          .join(broadcast(withTot).as("j"),
+            col("i.b") === col("j.b") && col("i.g") < col("j.g"))
+          .agg(sum(lit(2L) * col("i.c") * col("j.above") +
+            col("i.c") * col("j.c")).as("j2"))
+        val moments = tot.agg(sum("tot").as("n"),
+          sum(col("tot") * col("tot")).as("sn2"),
+          sum(col("tot").cast("decimal(38,0)") * col("tot") *
+            (lit(2) * col("tot") + lit(3))).as("sn23"))
+        terms.crossJoin(broadcast(moments))
+          .select(col("n").as("n_orders"),
+            (col("j2").cast("double") / lit(2.0)).as("j_stat"),
+            ((col("n") * col("n") - col("sn2")).cast("double") / lit(4.0))
+              .as("e_j"),
+            (((col("n").cast("decimal(38,0)") * col("n") *
+              (lit(2) * col("n") + lit(3))) - col("sn23"))
+              .cast("double") / lit(72.0)).as("var_j"))
+          .withColumn("z",
+            (col("j_stat") - col("e_j")) / sqrt(col("var_j")))
+      },
+      Some("""WITH o AS (SELECT
+            CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS g,
+            CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS b
+          FROM orders),
+        c AS (SELECT g, b, CAST(COUNT(*) AS BIGINT) AS c
+          FROM o GROUP BY 1, 2),
+        dense AS (SELECT gr.g, gr.b, COALESCE(c.c, 0) AS c
+          FROM (SELECT DISTINCT x.b, y.g
+                FROM (SELECT DISTINCT b FROM c) x,
+                  (SELECT DISTINCT g FROM c) y) gr
+          LEFT JOIN c ON gr.g = c.g AND gr.b = c.b),
+        cum AS (SELECT g, b, c,
+            SUM(c) OVER (PARTITION BY g ORDER BY b) AS cum
+          FROM dense),
+        tot AS (SELECT g, CAST(SUM(c) AS BIGINT) AS tot
+          FROM c GROUP BY 1),
+        wt AS (SELECT cum.g, cum.b, cum.c, tot.tot - cum.cum AS above
+          FROM cum JOIN tot USING (g)),
+        terms AS (SELECT CAST(SUM(2 * i.c * j.above + i.c * j.c)
+            AS BIGINT) AS j2
+          FROM wt i JOIN wt j ON i.b = j.b AND i.g < j.g),
+        m AS (SELECT CAST(SUM(tot) AS BIGINT) AS n,
+            CAST(SUM(tot * tot) AS BIGINT) AS sn2,
+            SUM(CAST(tot AS HUGEINT) * tot * (2 * tot + 3)) AS sn23
+          FROM tot)
+        SELECT n AS n_orders,
+          CAST(j2 AS DOUBLE) / 2.0 AS j_stat,
+          CAST(n * n - sn2 AS DOUBLE) / 4.0 AS e_j,
+          CAST(CAST(n AS HUGEINT) * n * (2 * n + 3) - sn23 AS DOUBLE)
+            / 72.0 AS var_j,
+          (CAST(j2 AS DOUBLE) / 2.0 - CAST(n * n - sn2 AS DOUBLE) / 4.0)
+            / sqrt(CAST(CAST(n AS HUGEINT) * n * (2 * n + 3) - sn23
+                AS DOUBLE) / 72.0) AS z
+        FROM terms CROSS JOIN m""")),
   )
 }

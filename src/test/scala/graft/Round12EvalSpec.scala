@@ -308,6 +308,41 @@ class Round12EvalSpec extends AnyFunSuite {
     }
   }
 
+  test("q329: split impurity at most root impurity, gain non-negative") {
+    val r = run("q329_gini_split").head()
+    assert(r.getLong(1) > 0 && r.getLong(2) > 0)
+    val (gs, gr, gg) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    assert(gs >= 0.0 && gs <= gr + 1e-12, s"split $gs root $gr")
+    assert(gr <= 0.9 + 1e-12, "root Gini exceeds 1 - 1/k for k=10")
+    assert(gg >= -1e-12 && math.abs(gg - (gr - gs)) < 1e-12)
+  }
+
+  test("q330: interval EWMA >= 1 day and rate = size/interval") {
+    val rows = run("q330_croston").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 2)
+      val (z, p, rate) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(z > 0.0 && p >= 1.0 - 1e-6, s"z=$z p=$p")
+      assert(math.abs(rate - z / p) < 1e-12)
+    }
+  }
+
+  test("q331: trim count is n/10 and the trimmed mean is positive") {
+    val r = run("q331_trimmed_mean").head()
+    val (n, k) = (r.getLong(0), r.getLong(1))
+    assert(k == n / 10, s"k=$k n=$n")
+    assert(r.getDouble(2) > 0.0 && r.getDouble(3) > 0.0)
+  }
+
+  test("q332: J within [0, 2E], variance positive") {
+    val r = run("q332_jonckheere").head()
+    assert(r.getLong(0) > 0)
+    val (j, e, v) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(j >= 0.0 && j <= 2.0 * e + 1e-6, s"J=$j E=$e")
+    assert(v > 0.0, s"var=$v")
+  }
+
   test("q308: runs count is within its exact combinatorial range") {
     val r = run("q308_runs_test").head()
     val (runs, n1, n2) = (r.getLong(0), r.getLong(1), r.getLong(2))
