@@ -139,6 +139,40 @@ object QueriesExt {
        + (CAST(1.0 AS DOUBLE) - least(($punct) * CAST(10.0 AS DOUBLE), CAST(1.0 AS DOUBLE))) * CAST(0.2 AS DOUBLE)"""
   }
 
+  /** DuckDB twin of the [[TextStats.bpeLoop]] ENCODE half as CTE text
+    * (v0 … v`bpeSteps`, each round's best merge greedily folded over
+    * every word's symbol list) — shared by q169 and the q338 fertility
+    * report so the tokenizer replica lives in exactly one place.
+    */
+  private lazy val dBpeVocabCtes: String = {
+    def fold(b: String) =
+      s"""string_split(substr(list_reduce(list_prepend('', syms),
+         (acc, x) -> CASE
+           WHEN ends_with(acc, ' ' || $b.m_left) AND x = $b.m_right
+           THEN substr(acc, 1,
+               strlen(acc) - strlen($b.m_left) - 1)
+             || ' ' || $b.m_left || $b.m_right
+           ELSE acc || ' ' || x END), 2), ' ')"""
+    def bestCte(k: Int) =
+      s"""b$k AS MATERIALIZED (SELECT p.l AS m_left, p.r AS m_right
+       FROM (SELECT wc, unnest(list_transform(range(1, len(syms)),
+           i -> {'l': syms[CAST(i AS INT)],
+                 'r': syms[CAST(i AS INT) + 1]})) AS p
+         FROM v${k - 1}) q
+       GROUP BY 1, 2
+       ORDER BY SUM(wc) DESC, m_left, m_right LIMIT 1)"""
+    def vocabCte(k: Int) =
+      s"""v$k AS MATERIALIZED (SELECT word, wc, ${fold(s"b$k")} AS syms
+       FROM v${k - 1}, b$k)"""
+    (s"""v0 AS MATERIALIZED (SELECT word, COUNT(*) AS wc,
+        list_transform(range(1, strlen(word) + 1),
+          i -> substr(word, CAST(i AS INT), 1)) AS syms
+      FROM (SELECT unnest($dTok) AS word FROM documents)
+      GROUP BY word)""" +:
+      (1 to bpeSteps).flatMap(k => Seq(bestCte(k), vocabCte(k))))
+      .mkString(",\n        ")
+  }
+
   /** Oracle twin of [[TextStats.langId]] as a derived-table expression
     * `(SELECT doc_id, lang, …, lang_pred FROM …)` replicating the Spark
     * fold (strict `>` switches the running best, declaration-order
@@ -5092,40 +5126,12 @@ object QueriesExt {
     QueryDef("q169_bpe_encode",
       (s, dir) => graft.ext.TextStats.bpeEncode(
         tPar(s, dir, "documents"), "doc_id", col("text"), bpeSteps),
-      Some {
-        def fold(b: String) =
-          s"""string_split(substr(list_reduce(list_prepend('', syms),
-             (acc, x) -> CASE
-               WHEN ends_with(acc, ' ' || $b.m_left) AND x = $b.m_right
-               THEN substr(acc, 1,
-                   strlen(acc) - strlen($b.m_left) - 1)
-                 || ' ' || $b.m_left || $b.m_right
-               ELSE acc || ' ' || x END), 2), ' ')"""
-        def bestCte(k: Int) =
-          s"""b$k AS MATERIALIZED (SELECT p.l AS m_left, p.r AS m_right
-           FROM (SELECT wc, unnest(list_transform(range(1, len(syms)),
-               i -> {'l': syms[CAST(i AS INT)],
-                     'r': syms[CAST(i AS INT) + 1]})) AS p
-             FROM v${k - 1}) q
-           GROUP BY 1, 2
-           ORDER BY SUM(wc) DESC, m_left, m_right LIMIT 1)"""
-        def vocabCte(k: Int) =
-          s"""v$k AS MATERIALIZED (SELECT word, wc, ${fold(s"b$k")} AS syms
-           FROM v${k - 1}, b$k)"""
-        val ctes = (s"""v0 AS MATERIALIZED (SELECT word, COUNT(*) AS wc,
-            list_transform(range(1, strlen(word) + 1),
-              i -> substr(word, CAST(i AS INT), 1)) AS syms
-          FROM (SELECT unnest($dTok) AS word FROM documents)
-          GROUP BY word)""" +:
-          (1 to bpeSteps).flatMap(k => Seq(bestCte(k), vocabCte(k))))
-          .mkString(",\n        ")
-        s"""WITH $ctes,
+      Some(s"""WITH $dBpeVocabCtes,
         tok AS (SELECT doc_id, unnest($dTok) AS word FROM documents)
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
           CAST(SUM(len(v$bpeSteps.syms)) AS BIGINT) AS n_subwords
         FROM tok JOIN v$bpeSteps USING (word)
-        GROUP BY doc_id ORDER BY doc_id"""
-      }),
+        GROUP BY doc_id ORDER BY doc_id""")),
 
     // ── SCD type 3: previous-value shadow columns (q170) ───────────────
     // Completes the SCD family (type 1 = D5 upsert, type 2 = q15's
@@ -14594,5 +14600,657 @@ object QueriesExt {
             / sqrt(CAST(CAST(n AS HUGEINT) * n * (2 * n + 3) - sn23
                 AS DOUBLE) / 72.0) AS z
         FROM terms CROSS JOIN m""")),
+
+    // ── RAKE keyword extraction (q333) ─────────────────────────────────
+    // Rapid Automatic Keyword Extraction over the corpus: candidate
+    // phrases are maximal stopword-free token runs (run id = cumulative
+    // stopword count per doc), each word scores degree/frequency
+    // (degree = Σ length of phrases containing it), and a phrase scores
+    // the sum of its words. The per-word score is floored ×1e6 to an
+    // exact long BEFORE the per-phrase sum, so phrase scores are
+    // order-independent integers; identical phrase texts share one
+    // global score (word stats are corpus-global), so the final
+    // dedup-and-count is exact. Doc-partitioned windows + two bounded
+    // vocabulary aggregates; top-20 by (score, phrase).
+    QueryDef("q333_rake_keywords",
+      (s, dir) => {
+        val tok = tPar(s, dir, "documents")
+          .select(col("doc_id"),
+            posexplode(TextStats.tokens(lower(col("text")))))
+          .withColumnRenamed("col", "tok")
+          .withColumn("stop", col("tok").isInCollection(stopwords))
+        val runs = tok.withColumn("run",
+            sum(when(col("stop"), 1L).otherwise(0L))
+              .over(Window.partitionBy("doc_id").orderBy("pos")))
+          .filter(!col("stop"))
+        val members = runs.groupBy("doc_id", "run")
+          .agg(expr("transform(array_sort(collect_list(" +
+            "struct(pos, tok))), x -> x.tok)").as("words"))
+          .select(col("doc_id"), col("run"),
+            array_join(col("words"), " ").as("phrase"),
+            size(col("words")).cast("long").as("plen"),
+            col("words"))
+          .localCheckpoint()
+        val mr = members.select(col("doc_id"), col("run"), col("phrase"),
+          col("plen"), explode(col("words")).as("tok"))
+        val ws = mr.groupBy("tok").agg(count(lit(1)).as("freq"),
+          sum("plen").as("deg"))
+        val occ = mr.join(ws, Seq("tok"))
+          .groupBy("doc_id", "run", "phrase", "plen")
+          .agg(sum(floor(col("deg").cast("double") /
+            col("freq").cast("double") * lit(1.0e6)).cast("long"))
+            .as("sc"))
+        occ.groupBy("phrase", "plen")
+          .agg(count(lit(1)).as("n_occurrences"), max("sc").as("msc"))
+          .orderBy(desc("msc"), col("phrase"))
+          .limit(20)
+          .select(col("phrase"), col("plen").as("n_words"),
+            col("n_occurrences"),
+            (col("msc").cast("double") / lit(1.0e6)).as("rake_score"))
+      },
+      Some {
+        val stopList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"""WITH d AS (SELECT doc_id, $dTokLower AS tk FROM documents),
+        tp AS (SELECT doc_id, tk,
+            unnest(range(1, len(tk) + 1)) AS pos FROM d),
+        t2 AS (SELECT doc_id, pos, tk[CAST(pos AS INT)] AS tok FROM tp),
+        f AS (SELECT doc_id, pos, tok,
+            list_contains($stopList, tok) AS stop FROM t2),
+        r AS (SELECT doc_id, pos, tok, stop,
+            SUM(CASE WHEN stop THEN 1 ELSE 0 END) OVER (
+              PARTITION BY doc_id ORDER BY pos) AS run
+          FROM f),
+        nr AS (SELECT doc_id, run, pos, tok FROM r WHERE NOT stop),
+        mem AS (SELECT doc_id, run,
+            array_to_string(list(tok ORDER BY pos), ' ') AS phrase,
+            CAST(COUNT(*) AS BIGINT) AS plen
+          FROM nr GROUP BY 1, 2),
+        mr AS (SELECT nr.doc_id, nr.run, nr.tok, mem.phrase, mem.plen
+          FROM nr JOIN mem USING (doc_id, run)),
+        ws AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq,
+            CAST(SUM(plen) AS BIGINT) AS deg
+          FROM mr GROUP BY 1),
+        occ AS (SELECT mr.doc_id, mr.run, mr.phrase, mr.plen,
+            CAST(SUM(CAST(floor(CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE)
+              * 1000000.0) AS BIGINT)) AS BIGINT) AS sc
+          FROM mr JOIN ws USING (tok) GROUP BY 1, 2, 3, 4)
+        SELECT phrase, plen AS n_words,
+          CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+          CAST(MAX(sc) AS DOUBLE) / 1000000.0 AS rake_score
+        FROM occ GROUP BY phrase, plen
+        ORDER BY MAX(sc) DESC, phrase LIMIT 20"""
+      }),
+
+    // ── Cramér–von Mises two-sample test (q334) ────────────────────────
+    // The whole-distribution companion of KS (q151): do finished and
+    // open orders draw the same price distribution? The pooled- and
+    // within-group ranks come from the exact (micro-units, orderkey)
+    // total order (the q141 order-statistics contract); (rᵢ−i)² sums
+    // ride decimal(38,0)/HUGEINT (n·Σ(r−i)² passes BIGINT at sf1.0),
+    // and T = U/(nmN) − (4mn−1)/(6N) is one literal-mirrored chain
+    // from exact integers.
+    QueryDef("q334_cramer_von_mises",
+      (s, dir) => {
+        val u = t(s, dir, "orders").select(
+          when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("grp"),
+          floor(col("o_totalprice") * lit(1.0e6)).cast("long").as("u"),
+          col("o_orderkey"))
+        val r = u
+          .withColumn("pr", row_number()
+            .over(Window.orderBy(col("u"), col("o_orderkey")))
+            .cast("long"))
+          .withColumn("gr", row_number()
+            .over(Window.partitionBy("grp")
+              .orderBy(col("u"), col("o_orderkey"))).cast("long"))
+        val a = r.groupBy("grp").agg(count(lit(1)).as("c"),
+          sum(((col("pr") - col("gr")) * (col("pr") - col("gr")))
+            .cast("decimal(38,0)")).as("sq"))
+        a.agg(
+            sum(when(col("grp") === 1, col("c"))).as("n1"),
+            sum(when(col("grp") === 0, col("c"))).as("n0"),
+            sum(when(col("grp") === 1, col("sq"))).as("s1"),
+            sum(when(col("grp") === 0, col("sq"))).as("s0"))
+          .select(col("n1").as("n_finished"), col("n0").as("n_open"),
+            ((col("n1").cast("decimal(38,0)") * col("s1") +
+              col("n0").cast("decimal(38,0)") * col("s0"))
+              .cast("double") /
+              (col("n1").cast("double") * col("n0").cast("double") *
+                (col("n1") + col("n0")).cast("double"))).as("u_scaled"))
+          .withColumn("cvm_t", col("u_scaled") -
+            (lit(4.0) * col("n_finished").cast("double") *
+              col("n_open").cast("double") - lit(1.0)) /
+            (lit(6.0) *
+              (col("n_finished") + col("n_open")).cast("double")))
+      },
+      Some("""WITH u AS (SELECT
+            CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS grp,
+            CAST(floor(o_totalprice * 1000000.0) AS BIGINT) AS u,
+            o_orderkey
+          FROM orders),
+        r AS (SELECT grp,
+            ROW_NUMBER() OVER (ORDER BY u, o_orderkey) AS pr,
+            ROW_NUMBER() OVER (PARTITION BY grp
+              ORDER BY u, o_orderkey) AS gr
+          FROM u),
+        a AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS c,
+            SUM(CAST(pr - gr AS HUGEINT) * (pr - gr)) AS sq
+          FROM r GROUP BY 1),
+        w AS (SELECT
+            CAST(SUM(CASE WHEN grp = 1 THEN c END) AS BIGINT) AS n1,
+            CAST(SUM(CASE WHEN grp = 0 THEN c END) AS BIGINT) AS n0,
+            SUM(CASE WHEN grp = 1 THEN sq END) AS s1,
+            SUM(CASE WHEN grp = 0 THEN sq END) AS s0
+          FROM a)
+        SELECT n1 AS n_finished, n0 AS n_open,
+          CAST(CAST(n1 AS HUGEINT) * s1 + CAST(n0 AS HUGEINT) * s0
+              AS DOUBLE) /
+            (CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)
+              * CAST(n1 + n0 AS DOUBLE)) AS u_scaled,
+          CAST(CAST(n1 AS HUGEINT) * s1 + CAST(n0 AS HUGEINT) * s0
+              AS DOUBLE) /
+            (CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)
+              * CAST(n1 + n0 AS DOUBLE))
+            - (4.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE) - 1.0)
+              / (6.0 * CAST(n1 + n0 AS DOUBLE)) AS cvm_t
+        FROM w""")),
+
+    // ── Expected calibration error per source (q335) ───────────────────
+    // The SCALAR the q208 reliability table plots and q326 tests: over
+    // decile bins of the deterministic 999-bucket score,
+    // ECE = Σ_b (n_b/N)·|p̄_b − ō_b| collapses to the EXACT integer
+    // form Σ_b |Σm − 999·Σy| / (999·N) — zero float discipline needed;
+    // MCE is the max per-bin gap from the same integers. One scan into
+    // a (source × 10)-key aggregate.
+    QueryDef("q335_ece",
+      (s, dir) => {
+        val d = tPar(s, dir, "documents").select(
+          col("source"),
+          (Shingles.baseHash(col("text")) % 999).as("m"),
+          when(TextStats.qualityScore(col("text"), stopwords) >= 0.5,
+            1L).otherwise(0L).as("y"))
+        d.groupBy(col("source"), expr("m div 100").as("bin"))
+          .agg(count(lit(1)).as("n"), sum("m").as("sm"), sum("y").as("sy"))
+          .groupBy("source")
+          .agg(sum("n").as("n_docs"),
+            (sum(abs(col("sm") - lit(999L) * col("sy"))).cast("double") /
+              (lit(999.0) * sum("n").cast("double"))).as("ece"),
+            max(abs(col("sm") - lit(999L) * col("sy")).cast("double") /
+              (lit(999.0) * col("n").cast("double"))).as("mce"))
+          .orderBy("source")
+      },
+      Some(s"""WITH d AS (SELECT source,
+            ('0x' || substr(md5(text), 1, 7))::BIGINT % 999 AS m,
+            CASE WHEN $dQualityExpr >= 0.5 THEN 1 ELSE 0 END AS y
+          FROM documents),
+        b AS (SELECT source, m // 100 AS bin,
+            CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(m) AS BIGINT) AS sm,
+            CAST(SUM(y) AS BIGINT) AS sy
+          FROM d GROUP BY 1, 2)
+        SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs,
+          CAST(SUM(ABS(sm - 999 * sy)) AS DOUBLE)
+            / (999.0 * CAST(SUM(n) AS DOUBLE)) AS ece,
+          MAX(CAST(ABS(sm - 999 * sy) AS DOUBLE)
+            / (999.0 * CAST(n AS DOUBLE))) AS mce
+        FROM b GROUP BY source ORDER BY source""")),
+
+    // ── Skyline (Pareto front) of parts: cheap AND large (q336) ────────
+    // The dominance operator the TopK/ntile family can't express: a
+    // part is on the (min price, max size) skyline iff no other part is
+    // ≤ price and ≥ size with one strict. One pass over the (price
+    // micro-units asc, size desc, partkey) total order keeps rows whose
+    // size strictly exceeds the running max — exact integers, ties
+    // resolved to the first representative by partkey (documented
+    // canonical-skyline rule). Output is bounded by |distinct sizes|.
+    // At warehouse scale the same sweep runs per range-partition with
+    // a boundary-merge pass.
+    QueryDef("q336_skyline",
+      (s, dir) => {
+        val p = t(s, dir, "part").select(col("p_partkey"),
+          floor(col("p_retailprice") * lit(1.0e6)).cast("long").as("pu"),
+          col("p_size").cast("long").as("size"), col("p_retailprice"))
+        val w = Window.orderBy(col("pu"), col("size").desc,
+            col("p_partkey"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        p.withColumn("prevmax", max("size").over(w))
+          .filter(col("prevmax").isNull || col("size") > col("prevmax"))
+          .select(col("p_partkey"), col("p_retailprice").as("price"),
+            col("size").as("p_size"))
+          .orderBy("p_partkey")
+      },
+      Some("""WITH p AS (SELECT p_partkey,
+            CAST(floor(p_retailprice * 1000000.0) AS BIGINT) AS pu,
+            CAST(p_size AS BIGINT) AS size, p_retailprice
+          FROM part),
+        r AS (SELECT p_partkey, p_retailprice, size,
+            MAX(size) OVER (ORDER BY pu, size DESC, p_partkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS prevmax
+          FROM p)
+        SELECT p_partkey, p_retailprice AS price, size AS p_size
+        FROM r WHERE prevmax IS NULL OR size > prevmax
+        ORDER BY p_partkey""")),
+
+    // ── Mood's median test: purchase vs view values (q337) ─────────────
+    // The quick-and-robust two-sample location test (the 2×2 cousin of
+    // MWU q144): pooled exact median from the (micro-units, event_id)
+    // total order, per-group above/at-or-below counts, and the 1-df
+    // χ² = N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) with the square on
+    // decimal(38,0)/HUGEINT. One ranked pass + one 4-cell aggregate.
+    QueryDef("q337_mood_median",
+      (s, dir) => {
+        val v = t(s, dir, "events")
+          .filter(col("event_type").isin("purchase", "view"))
+          .select(
+            when(col("event_type") === "purchase", 1L).otherwise(0L)
+              .as("grp"),
+            floor(col("value") * lit(1.0e6)).cast("long").as("u"),
+            col("event_id"))
+        val r = v.withColumn("rn", row_number()
+          .over(Window.orderBy(col("u"), col("event_id"))).cast("long"))
+        val med = r.crossJoin(broadcast(v.agg(count(lit(1)).as("n"))))
+          .filter(col("rn") === expr("(n + 1) div 2"))
+          .select(col("u").as("mu"))
+        val cells = v.crossJoin(broadcast(med)).agg(
+          sum(when(col("grp") === 1 && col("u") > col("mu"), 1L)
+            .otherwise(0L)).as("a"),
+          sum(when(col("grp") === 1 && col("u") <= col("mu"), 1L)
+            .otherwise(0L)).as("b"),
+          sum(when(col("grp") === 0 && col("u") > col("mu"), 1L)
+            .otherwise(0L)).as("c"),
+          sum(when(col("grp") === 0 && col("u") <= col("mu"), 1L)
+            .otherwise(0L)).as("d"))
+        cells.crossJoin(broadcast(med))
+          .select((col("a") + col("b")).as("n_purchase"),
+            (col("c") + col("d")).as("n_view"),
+            (col("mu").cast("double") / lit(1.0e6)).as("pooled_median"),
+            (((col("a") + col("b") + col("c") + col("d"))
+              .cast("decimal(38,0)") *
+              ((col("a") * col("d") - col("b") * col("c"))
+                .cast("decimal(38,0)") *
+               (col("a") * col("d") - col("b") * col("c"))
+                .cast("decimal(38,0)"))).cast("double") /
+              ((col("a") + col("b")).cast("decimal(38,0)") *
+                (col("c") + col("d")).cast("decimal(38,0)") *
+                (col("a") + col("c")).cast("decimal(38,0)") *
+                (col("b") + col("d")).cast("decimal(38,0)"))
+                .cast("double")).as("chi2"))
+      },
+      Some("""WITH v AS (SELECT
+            CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS grp,
+            CAST(floor(value * 1000000.0) AS BIGINT) AS u, event_id
+          FROM events WHERE event_type IN ('purchase', 'view')),
+        r AS (SELECT grp, u,
+            ROW_NUMBER() OVER (ORDER BY u, event_id) AS rn FROM v),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+        med AS (SELECT u AS mu FROM r, n WHERE rn = (n + 1) // 2),
+        cells AS (SELECT
+            CAST(SUM(CASE WHEN grp = 1 AND u > mu THEN 1 ELSE 0 END)
+              AS BIGINT) AS a,
+            CAST(SUM(CASE WHEN grp = 1 AND u <= mu THEN 1 ELSE 0 END)
+              AS BIGINT) AS b,
+            CAST(SUM(CASE WHEN grp = 0 AND u > mu THEN 1 ELSE 0 END)
+              AS BIGINT) AS c,
+            CAST(SUM(CASE WHEN grp = 0 AND u <= mu THEN 1 ELSE 0 END)
+              AS BIGINT) AS d
+          FROM v, med)
+        SELECT a + b AS n_purchase, c + d AS n_view,
+          CAST(mu AS DOUBLE) / 1000000.0 AS pooled_median,
+          CAST(CAST(a + b + c + d AS HUGEINT)
+              * (CAST(a * d - b * c AS HUGEINT) * (a * d - b * c))
+              AS DOUBLE) /
+            CAST(CAST(a + b AS HUGEINT) * (c + d) * (a + c) * (b + d)
+              AS DOUBLE) AS chi2
+        FROM cells, med""")),
+
+    // ── BPE fertility per language (q338) ──────────────────────────────
+    // THE tokenizer-quality number a multilingual corpus report leads
+    // with: subwords-per-word (fertility) and characters-per-subword
+    // under the q161/q169 trained BPE, per language. Reuses the
+    // bpeEncode machinery (vocab-bounded greedy merges, broadcast
+    // encode join) + one lang-keyed aggregate; ratios are single
+    // divisions of exact BIGINT sums. A fertility gap across langs is
+    // the standard signal the merge budget under-serves a language.
+    QueryDef("q338_bpe_fertility",
+      (s, dir) => {
+        val docs = tPar(s, dir, "documents")
+        val enc = graft.ext.TextStats.bpeEncode(
+          docs, "doc_id", col("text"), bpeSteps)
+        val chars = docs.select(col("doc_id"), col("lang"),
+          size(TextStats.tokens(col("text"))).cast("long").as("nw"),
+          aggregate(TextStats.tokens(col("text")), lit(0L),
+            (acc, x) => acc + length(x).cast("long")).as("nchars"))
+        enc.join(chars, Seq("doc_id"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_words").as("n_words"),
+            sum("n_subwords").as("n_subwords"),
+            sum("nchars").as("n_chars"))
+          .select(col("lang"), col("n_docs"), col("n_words"),
+            col("n_subwords"),
+            (col("n_subwords").cast("double") /
+              col("n_words").cast("double")).as("fertility"),
+            (col("n_chars").cast("double") /
+              col("n_subwords").cast("double")).as("chars_per_subword"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH $dBpeVocabCtes,
+        tok AS (SELECT doc_id, unnest($dTok) AS word FROM documents),
+        enc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+            CAST(SUM(len(v$bpeSteps.syms)) AS BIGINT) AS n_subwords
+          FROM tok JOIN v$bpeSteps USING (word)
+          GROUP BY doc_id),
+        ch AS (SELECT doc_id, lang,
+            CAST(list_sum(list_transform($dTok, w -> strlen(w)))
+              AS BIGINT) AS nchars
+          FROM documents)
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(n_words) AS BIGINT) AS n_words,
+          CAST(SUM(n_subwords) AS BIGINT) AS n_subwords,
+          CAST(SUM(n_subwords) AS DOUBLE) / CAST(SUM(n_words) AS DOUBLE)
+            AS fertility,
+          CAST(SUM(nchars) AS DOUBLE) / CAST(SUM(n_subwords) AS DOUBLE)
+            AS chars_per_subword
+        FROM enc JOIN ch USING (doc_id)
+        GROUP BY lang ORDER BY lang""")),
+
+    // ── Competing-risks cumulative incidence (Aalen–Johansen) (q339) ───
+    // Completes the survival suite (KM q179, Nelson–Aalen q265,
+    // log-rank q298) with the estimator those can't replace when TWO
+    // events compete: per user, the FIRST of purchase (cause 1) vs
+    // error (cause 2) after entry, censored at last activity.
+    // CIF_k(t) = Σ_{s≤t} S(s−)·d_k(s)/n(s) runs as the q179
+    // integer-scaled fold extended to a 3-field accumulator
+    // (surv, cif1, cif2), each step one floor-div — the oracle replays
+    // the identical recurrence as a recursive CTE, so every scaled
+    // value is bit-equal. Life table ≤ |distinct days|; the heavy work
+    // is one per-user aggregation. (1e12·users needs DECIMAL past ~9M
+    // at-risk users, as q179 documents.)
+    QueryDef("q339_competing_risks",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val u = ev.groupBy("user_id")
+          .agg(min(unix_micros(col("ts"))).as("fu"),
+            max(unix_micros(col("ts"))).as("lu"),
+            min(when(col("event_type") === "purchase",
+              unix_micros(col("ts")))).as("fp"),
+            min(when(col("event_type") === "error",
+              unix_micros(col("ts")))).as("fe"))
+          .localCheckpoint()
+        val p = u.select(
+          when(col("fp").isNotNull &&
+            (col("fe").isNull || col("fp") <= col("fe")),
+            expr("(fp - fu) div 86400000000"))
+            .when(col("fe").isNotNull,
+              expr("(fe - fu) div 86400000000"))
+            .otherwise(expr("(lu - fu) div 86400000000")).as("t"),
+          when(col("fp").isNotNull &&
+            (col("fe").isNull || col("fp") <= col("fe")), 1L)
+            .when(col("fe").isNotNull, 2L).otherwise(0L).as("cause"))
+        val lt = p.groupBy("t").agg(
+          sum(when(col("cause") === 1, 1L).otherwise(0L)).as("d1"),
+          sum(when(col("cause") === 2, 1L).otherwise(0L)).as("d2"),
+          sum(when(col("cause") === 0, 1L).otherwise(0L)).as("cc"))
+        val w = Window.orderBy("t")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val withRisk = lt.withColumn("n",
+          sum(col("d1") + col("d2") + col("cc")).over(w))
+        withRisk.agg(sort_array(collect_list(
+            struct(col("t"), col("d1"), col("d2"), col("cc"), col("n"))))
+            .as("arr"))
+          .select(posexplode(expr(
+            """transform(sequence(1, size(arr)), i -> struct(
+               arr[i - 1].t as t, arr[i - 1].d1 as d_purchase,
+               arr[i - 1].d2 as d_error, arr[i - 1].cc as censored,
+               arr[i - 1].n as at_risk,
+               aggregate(slice(arr, 1, i), named_struct(
+                   's', CAST(1000000000000 AS BIGINT),
+                   'c1', CAST(0 AS BIGINT), 'c2', CAST(0 AS BIGINT)),
+                 (acc, x) -> named_struct(
+                   's', (acc.s * (x.n - x.d1 - x.d2)) div x.n,
+                   'c1', acc.c1 + (acc.s * x.d1) div x.n,
+                   'c2', acc.c2 + (acc.s * x.d2) div x.n)) as f))"""))
+            .as(Seq("i", "row")))
+          .select(col("row.t"), col("row.d_purchase"), col("row.d_error"),
+            col("row.censored"), col("row.at_risk"),
+            col("row.f.s").as("surv_scaled"),
+            col("row.f.c1").as("cif_purchase_scaled"),
+            col("row.f.c2").as("cif_error_scaled"))
+          .orderBy("t")
+      },
+      Some("""WITH RECURSIVE u AS (SELECT user_id,
+            MIN(epoch_us(ts)) AS fu, MAX(epoch_us(ts)) AS lu,
+            MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+              AS fp,
+            MIN(CASE WHEN event_type = 'error' THEN epoch_us(ts) END)
+              AS fe
+          FROM events GROUP BY 1),
+        p AS (SELECT
+            CASE WHEN fp IS NOT NULL AND (fe IS NULL OR fp <= fe)
+              THEN (fp - fu) // 86400000000
+              WHEN fe IS NOT NULL THEN (fe - fu) // 86400000000
+              ELSE (lu - fu) // 86400000000 END AS t,
+            CASE WHEN fp IS NOT NULL AND (fe IS NULL OR fp <= fe) THEN 1
+              WHEN fe IS NOT NULL THEN 2 ELSE 0 END AS cause
+          FROM u),
+        lt AS (SELECT t,
+            SUM(CASE WHEN cause = 1 THEN 1 ELSE 0 END) AS d1,
+            SUM(CASE WHEN cause = 2 THEN 1 ELSE 0 END) AS d2,
+            SUM(CASE WHEN cause = 0 THEN 1 ELSE 0 END) AS cc
+          FROM p GROUP BY t),
+        w AS (SELECT t, d1, d2, cc,
+            SUM(d1 + d2 + cc) OVER (ORDER BY t
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n,
+            row_number() OVER (ORDER BY t) AS rn FROM lt),
+        rec AS (
+          SELECT rn, t, d1, d2, cc, n,
+            (1000000000000 * (n - d1 - d2)) // n AS surv,
+            (1000000000000 * d1) // n AS c1,
+            (1000000000000 * d2) // n AS c2
+          FROM w WHERE rn = 1
+          UNION ALL
+          SELECT w.rn, w.t, w.d1, w.d2, w.cc, w.n,
+            (rec.surv * (w.n - w.d1 - w.d2)) // w.n,
+            rec.c1 + (rec.surv * w.d1) // w.n,
+            rec.c2 + (rec.surv * w.d2) // w.n
+          FROM rec JOIN w ON w.rn = rec.rn + 1)
+        SELECT t, CAST(d1 AS BIGINT) AS d_purchase,
+          CAST(d2 AS BIGINT) AS d_error, CAST(cc AS BIGINT) AS censored,
+          CAST(n AS BIGINT) AS at_risk,
+          CAST(surv AS BIGINT) AS surv_scaled,
+          CAST(c1 AS BIGINT) AS cif_purchase_scaled,
+          CAST(c2 AS BIGINT) AS cif_error_scaled
+        FROM rec ORDER BY t""")),
+
+    // ── Ljung–Box white-noise test on daily purchases (q340) ───────────
+    // The PORTMANTEAU companion of the per-lag ACF (q148) and PACF
+    // (q282): one statistic for "is the daily purchase series white
+    // noise through lag 7?". Centered products stay exact by the n-
+    // scaling trick — y_t = n·x_t − Σx makes every ρ_k an exact
+    // integer ratio Σy_t y_{t+k} / Σy_t² — and Q = n(n+2)Σρ_k²/(n−k)
+    // is a literal-mirrored chain over 7 bounded-lag terms. Day-grid
+    // bounded: the lag join is |days|×7.
+    QueryDef("q340_ljung_box",
+      (s, dir) => {
+        val d = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(count(lit(1)).as("x"))
+        val m = d.agg(count(lit(1)).as("n"), sum("x").as("sx"))
+        val y = d.crossJoin(broadcast(m))
+          .select(col("day"), (col("n") * col("x") - col("sx")).as("y"),
+            col("n"))
+          .localCheckpoint()
+        val den = y.agg(sum(col("y") * col("y")).as("dy"),
+          max("n").as("n"))
+        val lags = y.as("a")
+          .join(broadcast(y).as("b"),
+            col("b.day") > col("a.day") &&
+              col("b.day") <= col("a.day") + 7)
+          .select((col("b.day") - col("a.day")).as("k"),
+            (col("a.y") * col("b.y")).as("p"))
+          .groupBy("k").agg(sum("p").as("sk"))
+        lags.crossJoin(broadcast(den))
+          .select(col("k"), col("n"),
+            (col("sk").cast("double") / col("dy").cast("double"))
+              .as("rho"))
+          .agg(max("n").as("n_days"),
+            dsum((col("rho") * col("rho")) /
+              (col("n") - col("k")).cast("double")).as("srho"))
+          .select(col("n_days"),
+            (col("n_days").cast("double") *
+              (col("n_days") + lit(2)).cast("double") * col("srho"))
+              .as("lb_q"), lit(7L).as("df"))
+      },
+      Some("""WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+            CAST(COUNT(*) AS BIGINT) AS x
+          FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(x) AS BIGINT) AS sx FROM d),
+        y AS (SELECT day, n * x - sx AS y, n FROM d CROSS JOIN m),
+        den AS (SELECT CAST(SUM(y * y) AS BIGINT) AS dy,
+            MAX(n) AS n FROM y),
+        lags AS (SELECT b.day - a.day AS k,
+            CAST(SUM(a.y * b.y) AS BIGINT) AS sk
+          FROM y a JOIN y b
+            ON b.day > a.day AND b.day <= a.day + 7
+          GROUP BY 1),
+        rho AS (SELECT k, den.n,
+            CAST(sk AS DOUBLE) / CAST(dy AS DOUBLE) AS rho
+          FROM lags CROSS JOIN den)
+        SELECT CAST(MAX(n) AS BIGINT) AS n_days,
+          CAST(MAX(n) AS DOUBLE) * CAST(MAX(n) + 2 AS DOUBLE) *
+            (CAST(SUM(CAST(rho * rho / CAST(n - k AS DOUBLE)
+              AS DECIMAL(30,8))) AS VARCHAR)::DOUBLE) AS lb_q,
+          CAST(7 AS BIGINT) AS df
+        FROM rho""")),
+
+    // ── Grubbs outlier test on daily revenue (q341) ────────────────────
+    // "Is the most extreme day a statistical outlier?" — the formal
+    // single-outlier test behind the q142 anomaly flags. Daily revenue
+    // rides exact micro-unit longs; centered extremes use the q340
+    // n-scaling (|n·u_t − Σu| is an exact integer), the variance
+    // argument n·Σu² − (Σu)² rides decimal(38,0)/HUGEINT, and
+    // G = max|u−ū|/s takes ONE sqrt. Argmax day is the exact-integer
+    // tie-broken (deviation desc, day) head. One day aggregate + one
+    // bounded-grid pass.
+    QueryDef("q341_grubbs",
+      (s, dir) => {
+        val d = t(s, dir, "events")
+          .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(sum(floor(col("value") * lit(1.0e6)).cast("long"))
+            .as("u"))
+        val m = d.agg(count(lit(1)).as("n"), sum("u").as("su"),
+          sum(col("u").cast("decimal(38,0)") * col("u")).as("su2"))
+        d.crossJoin(broadcast(m))
+          .select(col("day"), col("n"),
+            abs(col("n") * col("u") - col("su")).as("dev"),
+            ((col("n").cast("decimal(38,0)") * col("su2") -
+              col("su").cast("decimal(38,0)") * col("su"))
+              .cast("double")).as("nvar"))
+          .orderBy(desc("dev"), col("day"))
+          .limit(1)
+          .select(col("day").as("suspect_day"), col("n").as("n_days"),
+            (col("dev").cast("double") /
+              (col("n").cast("double") *
+                sqrt(col("nvar") /
+                  (col("n").cast("double") *
+                    (col("n") - lit(1)).cast("double")))))
+              .as("g_stat"))
+      },
+      Some("""WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+            CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT))
+              AS BIGINT) AS u
+          FROM events GROUP BY 1),
+        m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(u) AS BIGINT) AS su,
+            SUM(CAST(u AS HUGEINT) * u) AS su2 FROM d),
+        e AS (SELECT day, n, ABS(n * u - su) AS dev,
+            CAST(CAST(n AS HUGEINT) * su2 - CAST(su AS HUGEINT) * su
+              AS DOUBLE) AS nvar
+          FROM d CROSS JOIN m
+          ORDER BY dev DESC, day LIMIT 1)
+        SELECT day AS suspect_day, n AS n_days,
+          CAST(dev AS DOUBLE) /
+            (CAST(n AS DOUBLE) * sqrt(nvar /
+              (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))) AS g_stat
+        FROM e""")),
+
+    // ── Rank-biased overlap of two rankers @10 (q342) ──────────────────
+    // How much do the hash-score ranker and the quality ranker AGREE? —
+    // the top-weighted list-similarity metric that MRR/MAP/nDCG
+    // (q245/q297/q209) can't express because it compares two RANKINGS,
+    // not a ranking against labels. RBO@10(p=0.9) =
+    // (1−p)·Σ_d p^(d−1)·|A_d∩B_d|/d with the p-powers PRECOMPUTED as
+    // exact decimal literals (the q209 discount discipline — no pow()
+    // at query time); depth overlaps come from one ≤10×≤10 rank join
+    // and the 10-term sum rides the decimal rail. Both top-10s are
+    // TakeOrderedAndProject heaps, never a global sort.
+    QueryDef("q342_rbo",
+      (s, dir) => {
+        val base = tPar(s, dir, "documents").select(col("doc_id"),
+          (Shingles.baseHash(col("text")) % 999).as("m"),
+          TextStats.qualityScore(col("text"), stopwords).as("q"))
+          .localCheckpoint()
+        val ra = base.orderBy(desc("m"), col("doc_id")).limit(10)
+          .select(col("doc_id"),
+            row_number().over(Window.orderBy(desc("m"), col("doc_id")))
+              .cast("long").as("ra"))
+        val rb = base.orderBy(desc("q"), col("doc_id")).limit(10)
+          .select(col("doc_id"),
+            row_number().over(Window.orderBy(desc("q"), col("doc_id")))
+              .cast("long").as("rb"))
+        val joined = ra.join(rb, Seq("doc_id")).localCheckpoint()
+        val depths = (1 to 10).map { dd =>
+          val pPow = java.math.BigDecimal.valueOf(9, 1).pow(dd - 1)
+            .toPlainString
+          (dd, pPow)
+        }
+        val dTab = depths.map { case (dd, _) => (dd.toLong, dd.toLong) }
+        import s.implicits._
+        val dDf = dTab.toDF("d", "dd").select(col("d"))
+        val ov = dDf.join(joined,
+            col("ra") <= col("d") && col("rb") <= col("d"), "left")
+          .groupBy("d")
+          .agg(sum(when(col("doc_id").isNotNull, 1L).otherwise(0L))
+            .as("ov"))
+        val pCase = depths.tail.foldLeft(
+          when(col("d") === depths.head._1,
+            lit(depths.head._2).cast("decimal(20,18)"))) {
+          case (acc, (dd, pw)) =>
+            acc.when(col("d") === dd, lit(pw).cast("decimal(20,18)"))
+        }
+        ov.select(col("d"), col("ov"),
+            (pCase.cast("double") * col("ov").cast("double") /
+              col("d").cast("double")).as("term"))
+          .agg(max(when(col("d") === 10, col("ov"))).as("overlap_at_10"),
+            (lit(0.1) * dsum(col("term"))).as("rbo"))
+      },
+      Some {
+        val pows = (1 to 10).map(dd =>
+          s"WHEN d = $dd THEN CAST('${java.math.BigDecimal.valueOf(9, 1)
+            .pow(dd - 1).toPlainString}' AS DOUBLE)").mkString(" ")
+        s"""WITH base AS (SELECT doc_id,
+            ('0x' || substr(md5(text), 1, 7))::BIGINT % 999 AS m,
+            $dQualityExpr AS q
+          FROM documents),
+        ra AS (SELECT doc_id, row_number() OVER (ORDER BY m DESC, doc_id)
+            AS ra FROM base ORDER BY m DESC, doc_id LIMIT 10),
+        rb AS (SELECT doc_id, row_number() OVER (ORDER BY q DESC, doc_id)
+            AS rb FROM base ORDER BY q DESC, doc_id LIMIT 10),
+        j AS (SELECT ra.doc_id, ra.ra, rb.rb FROM ra JOIN rb USING (doc_id)),
+        depths AS (SELECT unnest(range(1, 11)) AS d),
+        ov AS (SELECT d, CAST(SUM(CASE WHEN j.doc_id IS NOT NULL
+              THEN 1 ELSE 0 END) AS BIGINT) AS ov
+          FROM depths LEFT JOIN j ON j.ra <= d AND j.rb <= d
+          GROUP BY d),
+        terms AS (SELECT d, ov,
+            (CASE $pows END) * CAST(ov AS DOUBLE) / CAST(d AS DOUBLE)
+              AS term
+          FROM ov)
+        SELECT MAX(CASE WHEN d = 10 THEN ov END) AS overlap_at_10,
+          0.1 * (CAST(SUM(CAST(term AS DECIMAL(30,8))) AS VARCHAR)::DOUBLE)
+            AS rbo
+        FROM terms"""
+      }),
   )
 }

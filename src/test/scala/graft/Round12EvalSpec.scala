@@ -343,6 +343,112 @@ class Round12EvalSpec extends AnyFunSuite {
     assert(v > 0.0, s"var=$v")
   }
 
+  test("q333: phrases are stopword-free, scores positive and ranked") {
+    val rows = run("q333_rake_keywords").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val stop = Params.stopwords.toSet
+    rows.foreach { r =>
+      val words = r.getString(0).split(" ")
+      assert(words.length == r.getLong(1))
+      assert(words.forall(w => !stop.contains(w)), "stopword in phrase")
+      assert(r.getLong(2) >= 1)
+      assert(r.getDouble(3) > 0.0)
+    }
+  }
+
+  test("q334: T >= -1/6 (its analytic floor) and groups partition " +
+       "the orders") {
+    val r = run("q334_cramer_von_mises").head()
+    assert(r.getLong(0) > 0 && r.getLong(1) > 0)
+    assert(r.getDouble(2) >= 0.0)
+    assert(r.getDouble(3) >= -1.0 / 6.0 - 1e-9,
+      s"T=${r.getDouble(3)}")
+  }
+
+  test("q335: ECE bounded by MCE, both in [0, 1]") {
+    val rows = run("q335_ece").collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val (ece, mce) = (r.getDouble(2), r.getDouble(3))
+      assert(ece >= 0.0 && ece <= 1.0 + 1e-12)
+      assert(mce >= ece - 1e-12 && mce <= 1.0 + 1e-12,
+        s"ece=$ece mce=$mce")
+    }
+  }
+
+  test("q336: skyline is mutually non-dominated and strictly " +
+       "anti-chain ordered") {
+    val rows = run("q336_skyline").collect()
+      .map(r => (r.getDouble(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.nonEmpty)
+    // along increasing price the surviving sizes must strictly rise —
+    // otherwise the pricier part is dominated by a cheaper one
+    rows.sliding(2).foreach {
+      case Array((p1, s1), (p2, s2)) =>
+        assert(p1 < p2 && s1 < s2,
+          s"($p1,$s1) vs ($p2,$s2) not an anti-chain")
+      case _ => ()
+    }
+  }
+
+  test("q337: chi-square non-negative and median within value range") {
+    val r = run("q337_mood_median").head()
+    assert(r.getLong(0) > 0 && r.getLong(1) > 0)
+    assert(r.getDouble(2) >= 0.0)
+    assert(r.getDouble(3) >= 0.0, s"chi2=${r.getDouble(3)}")
+  }
+
+  test("q338: fertility >= 1 (a word is at least one subword)") {
+    val rows = run("q338_bpe_fertility").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) > 0 && r.getLong(3) >= r.getLong(2))
+      assert(r.getDouble(4) >= 1.0 - 1e-12)
+      assert(r.getDouble(5) > 0.0)
+    }
+  }
+
+  test("q339: survival + both incidences conserve mass at every step") {
+    val rows = run("q339_competing_risks").collect()
+    assert(rows.nonEmpty)
+    var prevSurv = 1000000000000L
+    var prevC1 = 0L
+    var prevC2 = 0L
+    rows.foreach { r =>
+      val (s, c1, c2) = (r.getLong(5), r.getLong(6), r.getLong(7))
+      assert(s <= prevSurv, "survival must be non-increasing")
+      assert(c1 >= prevC1 && c2 >= prevC2, "CIFs must be non-decreasing")
+      // floor-div loses at most 1 unit per step per component
+      assert(s + c1 + c2 <= 1000000000000L + 1,
+        s"mass ${s + c1 + c2} exceeds 1")
+      prevSurv = s; prevC1 = c1; prevC2 = c2
+    }
+  }
+
+  test("q340: Ljung-Box Q non-negative with 7 df") {
+    val r = run("q340_ljung_box").head()
+    assert(r.getLong(0) > 8, "need more days than max lag")
+    assert(r.getDouble(1) >= 0.0, s"Q=${r.getDouble(1)}")
+    assert(r.getLong(2) == 7)
+  }
+
+  test("q341: Grubbs G within its algebraic bound (n-1)/sqrt(n)") {
+    val r = run("q341_grubbs").head()
+    val n = r.getLong(1)
+    val g = r.getDouble(2)
+    assert(n > 2)
+    assert(g >= 0.0 && g <= (n - 1).toDouble / math.sqrt(n.toDouble),
+      s"G=$g n=$n")
+  }
+
+  test("q342: RBO in [0, 1] and overlap@10 at most 10") {
+    val r = run("q342_rbo").head()
+    val ov = r.getLong(0)
+    assert(ov >= 0 && ov <= 10)
+    val rbo = r.getDouble(1)
+    assert(rbo >= 0.0 && rbo <= 1.0 + 1e-12, s"rbo=$rbo")
+  }
+
   test("q308: runs count is within its exact combinatorial range") {
     val r = run("q308_runs_test").head()
     val (runs, n1, n2) = (r.getLong(0), r.getLong(1), r.getLong(2))
