@@ -15252,5 +15252,198 @@ object QueriesExt {
             AS rbo
         FROM terms"""
       }),
+
+    // ── X̄-R control chart over weekly revenue subgroups (q343) ────────
+    // Classic Shewhart SPC — the subgroup chart CUSUM/EWMA/Page-
+    // Hinkley (q153/q155/q280) don't cover: complete calendar weeks
+    // are rational subgroups of daily revenue; the chart needs only
+    // each week's mean and range plus the n=7 control constants
+    // (A2=0.419, D3=0.076, D4=1.924 — table literals on both engines).
+    // Daily revenue rides exact micro-units, so means are single
+    // int→double divisions and every limit is a literal-mirrored
+    // chain; out-of-control flags compare identical doubles. One day
+    // aggregate + a |weeks|-bounded pass.
+    QueryDef("q343_xbar_r_chart",
+      (s, dir) => {
+        val d = t(s, dir, "events")
+          .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(sum(floor(col("value") * lit(1.0e6)).cast("long"))
+            .as("u"))
+          .withColumn("week", expr("day div 7"))
+        val full = d
+          .withColumn("nw", count(lit(1)).over(Window.partitionBy("week")))
+          .filter(col("nw") === 7)
+        val wk = full.groupBy("week")
+          .agg(sum("u").as("su"), (max("u") - min("u")).as("ru"))
+          .localCheckpoint()
+        val g = wk.agg(count(lit(1)).as("nweeks"), sum("su").as("tsu"),
+          sum("ru").as("tru"))
+        wk.crossJoin(broadcast(g))
+          .select(col("week"), col("nweeks"),
+            (col("su").cast("double") / lit(7.0) / lit(1.0e6))
+              .as("xbar"),
+            (col("ru").cast("double") / lit(1.0e6)).as("r"),
+            (col("tsu").cast("double") /
+              (lit(7.0) * col("nweeks").cast("double")) / lit(1.0e6))
+              .as("x_center"),
+            (col("tru").cast("double") / col("nweeks").cast("double") /
+              lit(1.0e6)).as("r_center"))
+          .withColumn("ucl_x", col("x_center") +
+            lit(0.419) * col("r_center"))
+          .withColumn("lcl_x", col("x_center") -
+            lit(0.419) * col("r_center"))
+          .withColumn("ucl_r", lit(1.924) * col("r_center"))
+          .withColumn("lcl_r", lit(0.076) * col("r_center"))
+          .withColumn("out_x",
+            col("xbar") > col("ucl_x") || col("xbar") < col("lcl_x"))
+          .withColumn("out_r",
+            col("r") > col("ucl_r") || col("r") < col("lcl_r"))
+          .drop("nweeks")
+          .orderBy("week")
+      },
+      Some("""WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+            CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT))
+              AS BIGINT) AS u
+          FROM events GROUP BY 1),
+        wd AS (SELECT day, u, day // 7 AS week FROM d),
+        wful AS (SELECT week, u,
+            COUNT(*) OVER (PARTITION BY week) AS nw FROM wd),
+        wk AS (SELECT week, CAST(SUM(u) AS BIGINT) AS su,
+            CAST(MAX(u) - MIN(u) AS BIGINT) AS ru
+          FROM wful WHERE nw = 7 GROUP BY week),
+        g AS (SELECT CAST(COUNT(*) AS BIGINT) AS nweeks,
+            CAST(SUM(su) AS BIGINT) AS tsu,
+            CAST(SUM(ru) AS BIGINT) AS tru FROM wk),
+        b AS (SELECT week,
+            CAST(su AS DOUBLE) / 7.0 / 1000000.0 AS xbar,
+            CAST(ru AS DOUBLE) / 1000000.0 AS r,
+            CAST(tsu AS DOUBLE) / (7.0 * CAST(nweeks AS DOUBLE))
+              / 1000000.0 AS x_center,
+            CAST(tru AS DOUBLE) / CAST(nweeks AS DOUBLE) / 1000000.0
+              AS r_center
+          FROM wk CROSS JOIN g)
+        SELECT week, xbar, r, x_center, r_center,
+          x_center + 0.419 * r_center AS ucl_x,
+          x_center - 0.419 * r_center AS lcl_x,
+          1.924 * r_center AS ucl_r,
+          0.076 * r_center AS lcl_r,
+          xbar > x_center + 0.419 * r_center
+            OR xbar < x_center - 0.419 * r_center AS out_x,
+          r > 1.924 * r_center OR r < 0.076 * r_center AS out_r
+        FROM b ORDER BY week""")),
+
+    // ── Holt linear (double exponential) smoothing (q344) ──────────────
+    // The trend-aware step past q155's EWMA: level and trend recursions
+    // (α = β = ½) over daily revenue. The coupled recursion can't
+    // unroll to one closed form, so it runs as the q179/q339
+    // integer-scaled fold — state (level, trend) in 1/100 micro-units,
+    // each step two floor-divs — over the ≤|days| bounded grid; the
+    // oracle replays the identical recurrence as a recursive CTE, so
+    // every scaled value is bit-equal. One-step-ahead forecast =
+    // level + trend. (State·100 wants DECIMAL past ~9e16 daily
+    // micro-units — petabyte-day revenue — as q179 documents.)
+    QueryDef("q344_holt_forecast",
+      (s, dir) => {
+        val d = t(s, dir, "events")
+          .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(sum(floor(col("value") * lit(1.0e6)).cast("long"))
+            .as("u"))
+        d.agg(sort_array(collect_list(struct(col("day"), col("u"))))
+            .as("arr"))
+          .select(posexplode(expr(
+            """transform(sequence(1, size(arr)), i -> struct(
+               arr[i - 1].day as day, arr[i - 1].u as u,
+               aggregate(slice(arr, 2, i - 1), named_struct(
+                   'l', arr[0].u * CAST(100 AS BIGINT),
+                   'b', CAST(0 AS BIGINT)),
+                 (acc, x) -> named_struct(
+                   'l', (x.u * 100 + acc.l + acc.b) div 2,
+                   'b', ((x.u * 100 + acc.l + acc.b) div 2 - acc.l
+                     + acc.b) div 2)) as st))"""))
+            .as(Seq("i", "row")))
+          .select(col("row.day").as("day"), col("row.u").as("units"),
+            col("row.st.l").as("level_scaled"),
+            col("row.st.b").as("trend_scaled"),
+            (col("row.st.l") + col("row.st.b")).as("forecast_scaled"))
+          .orderBy("day")
+      },
+      Some("""WITH RECURSIVE d AS (SELECT
+            epoch_us(ts) // 86400000000 AS day,
+            CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT))
+              AS BIGINT) AS u
+          FROM events GROUP BY 1),
+        r AS (SELECT day, u,
+            row_number() OVER (ORDER BY day) AS rn FROM d),
+        rec AS (
+          SELECT rn, day, u, u * 100 AS l, CAST(0 AS BIGINT) AS b
+          FROM r WHERE rn = 1
+          UNION ALL
+          SELECT r.rn, r.day, r.u,
+            (r.u * 100 + rec.l + rec.b) // 2,
+            ((r.u * 100 + rec.l + rec.b) // 2 - rec.l + rec.b) // 2
+          FROM rec JOIN r ON r.rn = rec.rn + 1)
+        SELECT day, CAST(u AS BIGINT) AS units,
+          CAST(l AS BIGINT) AS level_scaled,
+          CAST(b AS BIGINT) AS trend_scaled,
+          CAST(l + b AS BIGINT) AS forecast_scaled
+        FROM rec ORDER BY day""")),
+
+    // ── Page's trend test for ordered weekday effect (q345) ────────────
+    // The ORDERED-alternative refinement of Friedman (q310): does
+    // volume trend monotonically across the week? Same complete-week
+    // midrank machinery on the exact 2× integer scale; L = Σ_j j·R_j
+    // against its closed-form null moments (tie correction omitted —
+    // documented, volumes essentially never tie across a week). One
+    // day aggregate + |weeks|-bounded windows; z is a literal-mirrored
+    // chain on exact longs.
+    QueryDef("q345_page_trend",
+      (s, dir) => {
+        val k = 7
+        val days = t(s, dir, "events")
+          .select(expr("unix_micros(ts) div 86400000000").as("day"))
+          .groupBy("day").agg(count(lit(1)).as("volume"))
+          .withColumn("week", expr("day div 7"))
+          .withColumn("wd", pmod(col("day"), lit(7L)))
+        val full = days
+          .withColumn("nw", count(lit(1)).over(Window.partitionBy("week")))
+          .filter(col("nw") === k)
+        val wB = Window.partitionBy("week").orderBy("volume")
+        val wT = Window.partitionBy("week", "volume")
+        val ranked = full.select(col("week"), col("wd"),
+          (rank().over(wB) * 2 + count(lit(1)).over(wT) - 1)
+            .cast("long").as("s2"))
+        val l2 = ranked.agg(
+          countDistinct(col("week")).as("n"),
+          sum((col("wd") + 1) * col("s2")).as("l2"))
+        l2.select(col("n").as("n_weeks"),
+            (col("l2").cast("double") / lit(2.0)).as("l_stat"),
+            (col("n").cast("double") * lit((k * (k + 1) * (k + 1))
+              .toDouble) / lit(4.0)).as("e_l"))
+          .withColumn("z",
+            (col("l_stat") - col("e_l")) /
+              sqrt(col("n_weeks").cast("double") *
+                lit((k.toDouble * k * (k + 1) * (k * k - 1)) / 144.0)))
+      },
+      Some(s"""WITH days AS (SELECT day, COUNT(*) AS volume,
+            day // 7 AS week, day % 7 AS wd
+          FROM (SELECT epoch_us(ts) // 86400000000 AS day FROM events)
+          GROUP BY day),
+        wful AS (SELECT week, wd, volume,
+            COUNT(*) OVER (PARTITION BY week) AS nw FROM days),
+        ranked AS (SELECT week, wd,
+            CAST(rank() OVER (PARTITION BY week ORDER BY volume) * 2
+              + COUNT(*) OVER (PARTITION BY week, volume) - 1
+              AS BIGINT) AS s2
+          FROM wful WHERE nw = 7),
+        a AS (SELECT CAST(COUNT(DISTINCT week) AS BIGINT) AS n,
+            CAST(SUM((wd + 1) * s2) AS BIGINT) AS l2 FROM ranked)
+        SELECT n AS n_weeks,
+          CAST(l2 AS DOUBLE) / 2.0 AS l_stat,
+          CAST(n AS DOUBLE) * ${7 * 8 * 8}.0 / 4.0 AS e_l,
+          (CAST(l2 AS DOUBLE) / 2.0
+            - CAST(n AS DOUBLE) * ${7 * 8 * 8}.0 / 4.0)
+            / sqrt(CAST(n AS DOUBLE)
+              * ${(7.0 * 7 * 8 * (7 * 7 - 1)) / 144.0}) AS z
+        FROM a""")),
   )
 }

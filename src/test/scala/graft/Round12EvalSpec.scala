@@ -449,6 +449,41 @@ class Round12EvalSpec extends AnyFunSuite {
     assert(rbo >= 0.0 && rbo <= 1.0 + 1e-12, s"rbo=$rbo")
   }
 
+  test("q343: control limits bracket the center and D3/D4 order holds") {
+    val rows = run("q343_xbar_r_chart").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (xc, ucl, lcl) = (r.getDouble(3), r.getDouble(5), r.getDouble(6))
+      assert(lcl < xc && xc < ucl, s"limits $lcl $xc $ucl")
+      val (uclR, lclR, rc) = (r.getDouble(7), r.getDouble(8), r.getDouble(4))
+      assert(lclR < rc && rc < uclR)
+      assert(r.getDouble(2) >= 0.0)
+    }
+  }
+
+  test("q344: first-day state seeds at u*100 with zero trend; " +
+       "forecast = level + trend") {
+    val rows = run("q344_holt_forecast").collect()
+    assert(rows.length > 2)
+    val first = rows.head
+    assert(first.getLong(2) == first.getLong(1) * 100)
+    assert(first.getLong(3) == 0L)
+    rows.foreach { r =>
+      assert(r.getLong(4) == r.getLong(2) + r.getLong(3))
+    }
+  }
+
+  test("q345: L lies within its exact rank-sum bounds") {
+    val r = run("q345_page_trend").head()
+    val n = r.getLong(0)
+    assert(n >= 2)
+    val l = r.getDouble(1)
+    // per week Σ j·r_j over a permutation of ranks 1..7 lies in
+    // [Σ j·(8-j), Σ j·j] = [84, 140]
+    assert(l >= 84.0 * n - 1e-9 && l <= 140.0 * n + 1e-9,
+      s"L=$l n=$n")
+  }
+
   test("q308: runs count is within its exact combinatorial range") {
     val r = run("q308_runs_test").head()
     val (runs, n1, n2) = (r.getLong(0), r.getLong(1), r.getLong(2))
