@@ -68,6 +68,14 @@ object PairSweep {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // The pair suites are the repo's biggest shufflers (q106 writes
+      // tens of GB of candidate-pair shuffle at sf1.0) and this host's
+      // buffered disk writeback is throttled to ~25 MB/s (measured:
+      // dd buffered 24.9 MB/s vs O_DIRECT 376 MB/s) — shuffle I/O, not
+      // CPU, caps the wall. zstd halves shuffle bytes vs lz4 for these
+      // text-heavy rows; the same setting is the standard call on
+      // IO-constrained clusters at 100 TB.
+      .config("spark.io.compression.codec", "zstd")
       .getOrCreate()
     // var, not val: a fatal per-query error (executor OOM) can take the
     // whole local-mode SparkContext down with it — without a fresh

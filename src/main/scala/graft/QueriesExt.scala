@@ -15445,5 +15445,201 @@ object QueriesExt {
             / sqrt(CAST(n AS DOUBLE)
               * ${(7.0 * 7 * 8 * (7 * 7 - 1)) / 144.0}) AS z
         FROM a""")),
+
+    // ── Kruskal–Wallis k-group rank test (q346) ────────────────────────
+    // The UNPAIRED k-group companion of MWU (q144) / Friedman (q310):
+    // does order value differ across the five priorities, rank-based?
+    // Pooled MIDRANKS live on the exact 2× integer scale via the
+    // distinct-value count grid (midrank2 = 2·cum_below + ties + 1 —
+    // one cumulative window over |distinct values|, the documented
+    // order-statistics contract); per-group rank sums are exact
+    // decimal(38,0) products, the tie correction Σ(t³−t) exact longs,
+    // and H is one literal-mirrored chain. Never ranks raw rows twice:
+    // the (group × value) grid carries all counts.
+    QueryDef("q346_kruskal_wallis",
+      (s, dir) => {
+        val o = t(s, dir, "orders").select(
+          substring(col("o_orderpriority"), 1, 1).cast("long").as("g"),
+          floor(col("o_totalprice") * lit(1.0e6)).cast("long").as("u"))
+        val gv = o.groupBy("g", "u").agg(count(lit(1)).as("c"))
+          .localCheckpoint()
+        val v = gv.groupBy("u").agg(sum("c").as("t"))
+        val vm = v.withColumn("cb",
+            coalesce(sum("t").over(Window.orderBy("u")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("u"),
+            (lit(2L) * col("cb") + col("t") + 1L).as("mr2"), col("t"))
+        val rg = gv.join(vm.select("u", "mr2"), Seq("u"))
+          .groupBy("g")
+          .agg(sum("c").as("ng"),
+            sum(col("c").cast("decimal(38,0)") * col("mr2")).as("r2g"))
+        val ties = v.agg(
+          sum(col("t") * col("t") * col("t") - col("t")).as("t3"),
+          sum("t").as("n"))
+        val num = rg.agg(
+          dsum((col("r2g") * col("r2g")).cast("double") /
+            (lit(4.0) * col("ng").cast("double"))).as("srq"),
+          count(lit(1)).as("k"))
+        num.crossJoin(broadcast(ties))
+          .select(col("n").as("n_orders"), col("k").as("n_groups"),
+            (lit(12.0) /
+              (col("n").cast("double") * (col("n") + 1).cast("double")) *
+              col("srq") -
+              lit(3.0) * (col("n") + 1).cast("double")).as("h"),
+            (lit(1.0) - col("t3").cast("double") /
+              (col("n").cast("decimal(38,0)") * col("n") * col("n") -
+                col("n").cast("decimal(38,0)")).cast("double"))
+              .as("tie_c"))
+          .withColumn("h_corrected", col("h") / col("tie_c"))
+          .drop("tie_c")
+      },
+      Some(s"""WITH o AS (SELECT
+            CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS g,
+            CAST(floor(o_totalprice * 1000000.0) AS BIGINT) AS u
+          FROM orders),
+        gv AS (SELECT g, u, CAST(COUNT(*) AS BIGINT) AS c
+          FROM o GROUP BY 1, 2),
+        v AS (SELECT u, CAST(SUM(c) AS BIGINT) AS t
+          FROM gv GROUP BY 1),
+        vm AS (SELECT u,
+            2 * COALESCE(SUM(t) OVER (ORDER BY u
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + t + 1 AS mr2, t
+          FROM v),
+        rg AS (SELECT g, CAST(SUM(c) AS BIGINT) AS ng,
+            SUM(CAST(c AS HUGEINT) * mr2) AS r2g
+          FROM gv JOIN vm USING (u) GROUP BY g),
+        ties AS (SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS t3,
+            CAST(SUM(t) AS BIGINT) AS n FROM v),
+        num AS (SELECT ${dsumSql(
+          "CAST(r2g * r2g AS DOUBLE) / (4.0 * CAST(ng AS DOUBLE))")}
+            AS srq, CAST(COUNT(*) AS BIGINT) AS k FROM rg),
+        fin AS (SELECT n, k,
+            12.0 / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)) * srq
+              - 3.0 * CAST(n + 1 AS DOUBLE) AS h,
+            1.0 - CAST(t3 AS DOUBLE)
+              / CAST(CAST(n AS HUGEINT) * n * n - n AS DOUBLE) AS tie_c
+          FROM num CROSS JOIN ties)
+        SELECT n AS n_orders, k AS n_groups, h, h / tie_c AS h_corrected
+        FROM fin""")),
+
+    // ── Brown–Forsythe variance-homogeneity test (q347) ────────────────
+    // Do event types differ in SPREAD, not just location? — the robust
+    // Levene variant: per-group deviations from the per-group exact
+    // MEDIAN (micro-units; per-group row_number rank cut), then a
+    // one-way ANOVA F on |z|. Group sums of z are exact longs, Σz²
+    // rides decimal(38,0)/HUGEINT, and the two ANOVA pieces share one
+    // railed Σ(S_g²/n_g) term so both engines assemble F from
+    // identical doubles. Per-group windows only — no global sort.
+    QueryDef("q347_brown_forsythe",
+      (s, dir) => {
+        val e = t(s, dir, "events").select(col("event_type").as("g"),
+          floor(col("value") * lit(1.0e6)).cast("long").as("u"),
+          col("event_id"))
+        val w = Window.partitionBy("g").orderBy(col("u"), col("event_id"))
+        val r = e.withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("ng",
+            count(lit(1)).over(Window.partitionBy("g")).cast("long"))
+        val med = r.filter(col("rn") === expr("(ng + 1) div 2"))
+          .select(col("g"), col("u").as("med"))
+        val z = e.join(broadcast(med), Seq("g"))
+          .select(col("g"), abs(col("u") - col("med")).as("z"))
+        val grp = z.groupBy("g").agg(count(lit(1)).as("ng"),
+          sum("z").as("sg"),
+          sum(col("z").cast("decimal(38,0)") * col("z")).as("qg"))
+        val agg = grp.agg(count(lit(1)).as("k"), sum("ng").as("n"),
+          sum("sg").as("s"), sum("qg").as("q"),
+          dsum((col("sg").cast("decimal(38,0)") * col("sg"))
+            .cast("double") / col("ng").cast("double")).as("sq"))
+        agg.select(col("k").as("n_groups"), col("n").as("n_events"),
+            (((col("sq") -
+              (col("s").cast("decimal(38,0)") * col("s")).cast("double") /
+                col("n").cast("double")) /
+              (col("k") - 1).cast("double")) /
+              ((col("q").cast("double") - col("sq")) /
+                (col("n") - col("k")).cast("double"))).as("bf_f"))
+      },
+      Some(s"""WITH e AS (SELECT event_type AS g,
+            CAST(floor(value * 1000000.0) AS BIGINT) AS u, event_id
+          FROM events),
+        r AS (SELECT g, u,
+            ROW_NUMBER() OVER (PARTITION BY g ORDER BY u, event_id)
+              AS rn,
+            COUNT(*) OVER (PARTITION BY g) AS ng
+          FROM e),
+        med AS (SELECT g, u AS med FROM r WHERE rn = (ng + 1) // 2),
+        z AS (SELECT e.g, ABS(e.u - med.med) AS z
+          FROM e JOIN med USING (g)),
+        grp AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS ng,
+            CAST(SUM(z) AS BIGINT) AS sg,
+            SUM(CAST(z AS HUGEINT) * z) AS qg
+          FROM z GROUP BY g),
+        agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+            CAST(SUM(ng) AS BIGINT) AS n,
+            CAST(SUM(sg) AS BIGINT) AS s,
+            SUM(qg) AS q,
+            ${dsumSql(
+          "CAST(CAST(sg AS HUGEINT) * sg AS DOUBLE) / CAST(ng AS DOUBLE)")}
+              AS sq
+          FROM grp)
+        SELECT k AS n_groups, n AS n_events,
+          ((sq - CAST(CAST(s AS HUGEINT) * s AS DOUBLE)
+              / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+            / ((CAST(q AS DOUBLE) - sq) / CAST(n - k AS DOUBLE)) AS bf_f
+        FROM agg""")),
+
+    // ── Cohort LTV accumulation curve (q348) ───────────────────────────
+    // The VALUE companion of q117's count-retention matrix: per signup
+    // cohort (first-activity week) and age, cumulative spend per
+    // cohort member — the curve an LTV model is fit to. Spend rides
+    // exact micro-units; the cumulative window runs over the bounded
+    // (cohort × age) grid, cohort sizes are one distinct-count, and
+    // each output is a single int→double division. Two user-keyed
+    // shuffles (cohort assignment, grid aggregation) regardless of
+    // corpus size.
+    QueryDef("q348_cohort_ltv",
+      (s, dir) => {
+        val e = t(s, dir, "events").select(col("user_id"),
+          expr("unix_micros(ts) div 604800000000").as("wk"),
+          floor(col("value") * lit(1.0e6)).cast("long").as("u"))
+        val c = e.withColumn("cohort",
+          min("wk").over(Window.partitionBy("user_id")))
+        val sizes = c.groupBy("cohort")
+          .agg(countDistinct(col("user_id")).as("n_users"))
+        val grid = c.groupBy(col("cohort"), (col("wk") - col("cohort"))
+            .as("age_weeks"))
+          .agg(sum("u").as("su"))
+        val wc = Window.partitionBy("cohort").orderBy("age_weeks")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.withColumn("cum", sum("su").over(wc))
+          .join(broadcast(sizes), Seq("cohort"))
+          .select(col("cohort").as("cohort_week"), col("age_weeks"),
+            col("n_users"),
+            (col("cum").cast("double") / col("n_users").cast("double") /
+              lit(1.0e6)).as("ltv_per_user"))
+          .orderBy("cohort_week", "age_weeks")
+      },
+      Some("""WITH e AS (SELECT user_id,
+            epoch_us(ts) // 604800000000 AS wk,
+            CAST(floor(value * 1000000.0) AS BIGINT) AS u
+          FROM events),
+        c AS (SELECT user_id, wk, u,
+            MIN(wk) OVER (PARTITION BY user_id) AS cohort FROM e),
+        sizes AS (SELECT cohort,
+            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+          FROM c GROUP BY 1),
+        grid AS (SELECT cohort, wk - cohort AS age_weeks,
+            CAST(SUM(u) AS BIGINT) AS su
+          FROM c GROUP BY 1, 2),
+        cum AS (SELECT cohort, age_weeks,
+            CAST(SUM(su) OVER (PARTITION BY cohort ORDER BY age_weeks
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum
+          FROM grid)
+        SELECT cum.cohort AS cohort_week, cum.age_weeks, sizes.n_users,
+          CAST(cum.cum AS DOUBLE) / CAST(sizes.n_users AS DOUBLE)
+            / 1000000.0 AS ltv_per_user
+        FROM cum JOIN sizes USING (cohort)
+        ORDER BY cohort_week, age_weeks""")),
   )
 }

@@ -515,6 +515,60 @@ object Streams {
           .as("decayed_score"))
   }
 
+  /** Continuously-maintained calibration bins — the streaming twin of
+    * the q208/q326/q335 calibration stack: each micro-batch of scored
+    * documents reduces to (source, score-decile) INTEGER counters
+    * (n, Σm, Σy) of the deterministic 999-bucket prediction vs the
+    * quality label. Counter addition is associative and commutative,
+    * so the maintained state is bit-identical to a one-shot aggregate
+    * under ANY micro-batching, and ECE / MCE / Hosmer–Lemeshow read
+    * off the ≤ |sources|×10-row state without re-scanning history —
+    * live calibration-drift monitoring at 100 TB for the price of a
+    * tiny integer table.
+    */
+  def streamingCalibrationMaintenance(docs: DataFrame, path: String,
+                                      checkpoint: String)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val delta = calibrationPartial(batch)
+        val merged = readStateBefore(spark, path, batchId)
+          .map(st => st.unionByName(delta).groupBy("source", "bin")
+            .agg(sum("n").as("n"), sum("sm").as("sm"),
+              sum("sy").as("sy")))
+          .getOrElse(delta)
+        commitState(merged, path, batchId)
+      }
+      .start()
+
+  /** One micro-batch's (source, bin) integer calibration counters —
+    * also the one-shot batch fold the maintenance lock compares
+    * against.
+    */
+  def calibrationPartial(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+        (graft.ext.Shingles.baseHash(col("text")) % 999).as("m"),
+        when(graft.ext.TextStats.qualityScore(col("text"),
+          graft.Params.stopwords) >= 0.5, 1L).otherwise(0L).as("y"))
+      .groupBy(col("source"), expr("m div 100").as("bin"))
+      .agg(count(lit(1)).as("n"), sum("m").as("sm"), sum("y").as("sy"))
+
+  /** Finalize [[streamingCalibrationMaintenance]] state into the q335
+    * per-source report — the exact integer ECE Σ|Σm−999Σy|/(999N) and
+    * the max per-bin gap — so the spec can pin maintained-state output
+    * against the batch q335 query bit-for-bit.
+    */
+  def eceFromState(state: DataFrame): DataFrame =
+    state.groupBy("source")
+      .agg(sum("n").as("n_docs"),
+        (sum(abs(col("sm") - lit(999L) * col("sy"))).cast("double") /
+          (lit(999.0) * sum("n").cast("double"))).as("ece"),
+        max(abs(col("sm") - lit(999L) * col("sy")).cast("double") /
+          (lit(999.0) * col("n").cast("double"))).as("mce"))
+      .orderBy("source")
+
   /** Streaming running aggregate per user — `mapGroupsWithState`
     * keeping (count, sum) state and emitting the updated totals each
     * micro-batch (C2-style latest-state tracking, streaming twin of

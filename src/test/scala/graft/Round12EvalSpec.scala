@@ -484,6 +484,32 @@ class Round12EvalSpec extends AnyFunSuite {
       s"L=$l n=$n")
   }
 
+  test("q346: H non-negative, tie-corrected H at least H, 5 groups") {
+    val r = run("q346_kruskal_wallis").head()
+    assert(r.getLong(0) > 0 && r.getLong(1) == 5)
+    val (h, hc) = (r.getDouble(2), r.getDouble(3))
+    assert(h >= -1e-9, s"H=$h")
+    assert(hc >= h - 1e-9, "tie correction must not shrink H")
+  }
+
+  test("q347: Brown-Forsythe F non-negative over the 5 event types") {
+    val r = run("q347_brown_forsythe").head()
+    assert(r.getLong(0) == 5 && r.getLong(1) > 10)
+    assert(r.getDouble(2) >= 0.0, s"F=${r.getDouble(2)}")
+  }
+
+  test("q348: LTV is non-decreasing in age within every cohort") {
+    val rows = run("q348_cohort_ltv").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val byAge = rs.sortBy(_.getLong(1)).map(_.getDouble(3))
+      byAge.sliding(2).foreach {
+        case Array(a, b) => assert(b >= a - 1e-9, "LTV decreased")
+        case _ => ()
+      }
+    }
+  }
+
   test("q308: runs count is within its exact combinatorial range") {
     val r = run("q308_runs_test").head()
     val (runs, n1, n2) = (r.getLong(0), r.getLong(1), r.getLong(2))

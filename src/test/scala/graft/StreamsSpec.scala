@@ -561,6 +561,37 @@ class StreamsSpec extends AnyFunSuite {
       batchDim.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming calibration maintenance: state finishes to the " +
+       "batch q335 ECE report bit-exactly under 3-way micro-batching") {
+    val docs = Tables.load(spark, TestSpark.sf0001, "documents")
+    val srcDir = java.nio.file.Files.createTempDirectory("cal_src").toString
+    val stateDir =
+      java.nio.file.Files.createTempDirectory("cal_state").toString + "/state"
+    val cp = java.nio.file.Files.createTempDirectory("cal_cp").toString
+    // three arbitrary micro-batches (one file per drop)
+    (0 to 2).foreach { i =>
+      docs.filter(abs(hash(col("doc_id"))) % 3 === i).coalesce(1)
+        .write.mode("append").parquet(srcDir)
+    }
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val q = Streams.streamingCalibrationMaintenance(stream, stateDir, cp)
+    q.processAllAvailable(); q.stop()
+
+    val maintained = Streams.eceFromState(
+      Streams.readState(spark, stateDir).get).collect().toSeq
+    val batch = SparkEntry.queries("q335_ece")(spark, TestSpark.sf0001)
+      .collect().toSeq
+    assert(maintained === batch,
+      "maintained calibration state must finish to the batch q335 " +
+        "report bit-for-bit")
+    assert(maintained.nonEmpty)
+    // state is the tiny (source x 10) integer table, not history
+    val stateRows = Streams.readState(spark, stateDir).get.count()
+    assert(stateRows <= 20 * 10, s"state has $stateRows rows")
+  }
+
   test("mapGroupsWithState running totals equal batch aggregation") {
     import spark.implicits._
     val batchEvents = Tables.load(spark, TestSpark.sf0001, "events")
