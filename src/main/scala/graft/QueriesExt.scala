@@ -15641,5 +15641,377 @@ object QueriesExt {
             / 1000000.0 AS ltv_per_user
         FROM cum JOIN sizes USING (cohort)
         ORDER BY cohort_week, age_weeks""")),
+
+    // ── Welch's heteroscedastic one-way ANOVA (q349) ───────────────────
+    // The k-group version of the Welch t (q122), closing the ANOVA
+    // triptych: classic F assumes equal variances (q281), Brown–
+    // Forsythe TESTS the variances (q347), Welch compares MEANS without
+    // the equal-variance assumption. Everything assembles from five
+    // per-group exact integer moments (n, Σu, Σu² on micro-units;
+    // squares on decimal(38,0)/HUGEINT); the weighted grand mean and
+    // Σh ride the decimal rail so both engines fold the five group
+    // terms in identical order-independence. One scan, one 5-row
+    // aggregate, literal-mirrored double chains.
+    QueryDef("q349_welch_anova",
+      (s, dir) => {
+        val o = t(s, dir, "orders").select(
+          substring(col("o_orderpriority"), 1, 1).cast("long").as("g"),
+          floor(col("o_totalprice") * lit(1.0e6)).cast("long").as("u"))
+        val grp = o.groupBy("g").agg(count(lit(1)).as("ng"),
+            sum("u").as("sg"),
+            sum(col("u").cast("decimal(38,0)") * col("u")).as("qg"))
+          // per-group sample variance and weight w = n/s², all from
+          // exact moments; mean in micro-units stays a single division
+          .select(col("g"), col("ng"),
+            (col("sg").cast("double") / col("ng").cast("double") /
+              lit(1.0e6)).as("mg"),
+            ((col("ng").cast("decimal(38,0)") * col("qg") -
+              col("sg").cast("decimal(38,0)") * col("sg"))
+              .cast("double") /
+              (col("ng").cast("decimal(38,0)") *
+                (col("ng") - 1).cast("decimal(38,0)")).cast("double") /
+              lit(1.0e12)).as("s2"))
+          .select(col("g"), col("ng"), col("mg"),
+            (col("ng").cast("double") / col("s2")).as("w"))
+          .localCheckpoint()
+        val tot = grp.agg(count(lit(1)).as("k"), sum("ng").as("n"),
+          dsum(col("w")).as("sw"), dsum(col("w") * col("mg")).as("swm"))
+        val h = grp.crossJoin(broadcast(tot))
+          .select(col("k"), col("n"), col("sw"), col("swm"),
+            ((lit(1.0) - col("w") / col("sw")) *
+              (lit(1.0) - col("w") / col("sw")) /
+              (col("ng") - 1).cast("double")).as("hg"),
+            (col("w") * (col("mg") - col("swm") / col("sw")) *
+              (col("mg") - col("swm") / col("sw"))).as("num_g"))
+        h.groupBy("k", "n")
+          .agg(dsum(col("hg")).as("sh"), dsum(col("num_g")).as("snum"))
+          .select(col("n").as("n_orders"), col("k").as("n_groups"),
+            ((col("snum") / (col("k") - 1).cast("double")) /
+              (lit(1.0) +
+                lit(2.0) * (col("k") - 2).cast("double") /
+                ((col("k") * col("k") - 1).cast("double")) * col("sh")))
+              .as("welch_f"),
+            (((col("k") * col("k") - 1).cast("double")) /
+              (lit(3.0) * col("sh"))).as("df2"))
+      },
+      Some(s"""WITH o AS (SELECT
+            CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS g,
+            CAST(floor(o_totalprice * 1000000.0) AS BIGINT) AS u
+          FROM orders),
+        grp0 AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS ng,
+            CAST(SUM(u) AS BIGINT) AS sg,
+            SUM(CAST(u AS HUGEINT) * u) AS qg
+          FROM o GROUP BY g),
+        grp1 AS (SELECT g, ng,
+            CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) / 1000000.0 AS mg,
+            CAST(CAST(ng AS HUGEINT) * qg - CAST(sg AS HUGEINT) * sg
+                AS DOUBLE) /
+              CAST(CAST(ng AS HUGEINT) * (ng - 1) AS DOUBLE)
+              / 1000000000000.0 AS s2
+          FROM grp0),
+        grp AS (SELECT g, ng, mg,
+            CAST(ng AS DOUBLE) / s2 AS w FROM grp1),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+            CAST(SUM(ng) AS BIGINT) AS n,
+            ${dsumSql("w")} AS sw, ${dsumSql("w * mg")} AS swm
+          FROM grp),
+        h AS (SELECT k, n, sw, swm,
+            (1.0 - w / sw) * (1.0 - w / sw) / CAST(ng - 1 AS DOUBLE)
+              AS hg,
+            w * (mg - swm / sw) * (mg - swm / sw) AS num_g
+          FROM grp CROSS JOIN tot),
+        f AS (SELECT k, n, ${dsumSql("hg")} AS sh,
+            ${dsumSql("num_g")} AS snum
+          FROM h GROUP BY k, n)
+        SELECT n AS n_orders, k AS n_groups,
+          (snum / CAST(k - 1 AS DOUBLE)) /
+            (1.0 + 2.0 * CAST(k - 2 AS DOUBLE)
+              / CAST(k * k - 1 AS DOUBLE) * sh) AS welch_f,
+          CAST(k * k - 1 AS DOUBLE) / (3.0 * sh) AS df2
+        FROM f""")),
+
+    // ── Qini uplift curve and coefficient (q350) ───────────────────────
+    // Uplift evaluation the plain gains curve (q205) can't do: with
+    // hash-randomized arms (the q252 assignment), rank users by the
+    // deterministic 999-bucket score, and per score-decile accumulate
+    // Qini(k) = Y_t(k) − Y_c(k)·N_t(k)/N_c(k) — incremental
+    // conversions vs the control baseline at equal depth. All inputs
+    // are exact integer counts on the bounded decile grid; the random
+    // baseline is Qini(10)·k/10 and the coefficient sums the per-depth
+    // gaps on the decimal rail. One user-level aggregate + a 10-row
+    // pass.
+    QueryDef("q350_qini",
+      (s, dir) => {
+        val u = t(s, dir, "events").groupBy("user_id")
+          .agg(max(when(col("event_type") === "purchase", 1L)
+            .otherwise(0L)).as("y"))
+          .select(col("user_id"), col("y"),
+            (Shingles.baseHash(col("user_id").cast("string")) % 2)
+              .as("arm"),
+            (Shingles.baseHash(concat(lit("s|"),
+              col("user_id").cast("string"))) % 999).as("m"))
+        val d = u.groupBy(expr("m * 10 div 999").as("decile"))
+          .agg(sum(when(col("arm") === 1, 1L).otherwise(0L)).as("nt"),
+            sum(when(col("arm") === 1, col("y")).otherwise(0L)).as("yt"),
+            sum(when(col("arm") === 0, 1L).otherwise(0L)).as("nc"),
+            sum(when(col("arm") === 0, col("y")).otherwise(0L)).as("yc"))
+        val wc = Window.orderBy(desc("decile"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = d
+          .withColumn("cnt", sum("nt").over(wc))
+          .withColumn("cyt", sum("yt").over(wc))
+          .withColumn("cnc", sum("nc").over(wc))
+          .withColumn("cyc", sum("yc").over(wc))
+          .withColumn("qini",
+            when(col("cnc") > 0,
+              col("cyt").cast("double") -
+                col("cyc").cast("double") * col("cnt").cast("double") /
+                  col("cnc").cast("double")))
+          .withColumn("depth",
+            row_number().over(Window.orderBy(desc("decile")))
+              .cast("long"))
+          .localCheckpoint()
+        val last = cum.orderBy(desc("depth")).limit(1)
+          .select(col("qini").as("q_final"),
+            col("depth").as("max_depth"))
+        cum.crossJoin(broadcast(last))
+          .select(col("depth"), col("decile"), col("cnt").as("n_treated"),
+            col("cyt").as("y_treated"), col("cnc").as("n_control"),
+            col("cyc").as("y_control"), col("qini"),
+            (col("qini") - col("q_final") * col("depth").cast("double") /
+              col("max_depth").cast("double")).as("qini_above_random"))
+          .orderBy("depth")
+      },
+      Some(s"""WITH u AS (SELECT user_id,
+            CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS y
+          FROM events GROUP BY 1),
+        ua AS (SELECT y,
+            ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 7))::BIGINT
+              % 2 AS arm,
+            ('0x' || substr(md5('s|' || CAST(user_id AS VARCHAR)), 1, 7))
+              ::BIGINT % 999 AS m
+          FROM u),
+        d AS (SELECT m * 10 // 999 AS decile,
+            CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS nt,
+            CAST(SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT)
+              AS yt,
+            CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS nc,
+            CAST(SUM(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT)
+              AS yc
+          FROM ua GROUP BY 1),
+        cum AS (SELECT decile,
+            CAST(SUM(nt) OVER w AS BIGINT) AS cnt,
+            CAST(SUM(yt) OVER w AS BIGINT) AS cyt,
+            CAST(SUM(nc) OVER w AS BIGINT) AS cnc,
+            CAST(SUM(yc) OVER w AS BIGINT) AS cyc,
+            CAST(row_number() OVER (ORDER BY decile DESC) AS BIGINT)
+              AS depth
+          FROM d WINDOW w AS (ORDER BY decile DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        q AS (SELECT depth, decile, cnt, cyt, cnc, cyc,
+            CASE WHEN cnc > 0 THEN CAST(cyt AS DOUBLE)
+              - CAST(cyc AS DOUBLE)
+              * CAST(cnt AS DOUBLE) / CAST(cnc AS DOUBLE) END AS qini
+          FROM cum),
+        last AS (SELECT qini AS q_final, depth AS max_depth FROM q
+          ORDER BY depth DESC LIMIT 1)
+        SELECT depth, decile, cnt AS n_treated, cyt AS y_treated,
+          cnc AS n_control, cyc AS y_control, qini,
+          qini - q_final * CAST(depth AS DOUBLE)
+            / CAST(max_depth AS DOUBLE) AS qini_above_random
+        FROM q CROSS JOIN last ORDER BY depth""")),
+
+    // ── Holt–Winters additive triple smoothing (q351) ──────────────────
+    // The seasonal step past q344's Holt: level + trend + a 7-slot
+    // additive weekly seasonal, α = β = γ = ½, zero-seeded seasonal
+    // state (documented init — the recursion washes seeds out at ½ per
+    // cycle). The three coupled recursions run as the q179/q339/q344
+    // integer-scaled fold with a (l, b, s0…s6) accumulator — each step
+    // three floor-divs on 1/100-micro-unit state — and the oracle
+    // replays the identical recurrence as a recursive CTE carrying the
+    // seven seasonal columns, so every scaled value is bit-equal.
+    // One-step forecast = l + b + s[(day+1) mod 7]. One scan onto the
+    // bounded day grid; the fold is expression work on one row.
+    QueryDef("q351_holt_winters",
+      (s, dir) => {
+        val d = t(s, dir, "events")
+          .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(count(lit(1)).as("x"))
+          .withColumn("wd", pmod(col("day"), lit(7L)))
+        val sPick = "CASE e.wd WHEN 0 THEN acc.s0 WHEN 1 THEN acc.s1 " +
+          "WHEN 2 THEN acc.s2 WHEN 3 THEN acc.s3 WHEN 4 THEN acc.s4 " +
+          "WHEN 5 THEN acc.s5 ELSE acc.s6 END"
+        val lNew = s"(e.x * 100 - ($sPick) + acc.l + acc.b) div 2"
+        def sUpd(k: Int) =
+          s"CASE WHEN e.wd = $k THEN (e.x * 100 - ($lNew) + acc.s$k) " +
+            s"div 2 ELSE acc.s$k END"
+        val foldExpr =
+          s"""transform(sequence(1, size(arr)), i -> struct(
+             arr[i - 1].day as day, arr[i - 1].x as x,
+             arr[i - 1].wd as wd,
+             aggregate(slice(arr, 2, i - 1), named_struct(
+                 'l', arr[0].x * CAST(100 AS BIGINT),
+                 'b', CAST(0 AS BIGINT),
+                 's0', CAST(0 AS BIGINT), 's1', CAST(0 AS BIGINT),
+                 's2', CAST(0 AS BIGINT), 's3', CAST(0 AS BIGINT),
+                 's4', CAST(0 AS BIGINT), 's5', CAST(0 AS BIGINT),
+                 's6', CAST(0 AS BIGINT)),
+               (acc, e) -> named_struct(
+                 'l', $lNew,
+                 'b', (($lNew) - acc.l + acc.b) div 2,
+                 's0', ${sUpd(0)}, 's1', ${sUpd(1)}, 's2', ${sUpd(2)},
+                 's3', ${sUpd(3)}, 's4', ${sUpd(4)}, 's5', ${sUpd(5)},
+                 's6', ${sUpd(6)})) as st))"""
+        val nextS = "CASE pmod(row.day + 1, 7) WHEN 0 THEN row.st.s0 " +
+          "WHEN 1 THEN row.st.s1 WHEN 2 THEN row.st.s2 " +
+          "WHEN 3 THEN row.st.s3 WHEN 4 THEN row.st.s4 " +
+          "WHEN 5 THEN row.st.s5 ELSE row.st.s6 END"
+        d.agg(sort_array(collect_list(
+            struct(col("day"), col("x"), col("wd")))).as("arr"))
+          .select(posexplode(expr(foldExpr)).as(Seq("i", "row")))
+          .select(col("row.day").as("day"), col("row.x").as("x"),
+            col("row.st.l").as("level_scaled"),
+            col("row.st.b").as("trend_scaled"),
+            expr(nextS).as("next_seasonal_scaled"),
+            (col("row.st.l") + col("row.st.b") + expr(nextS))
+              .as("forecast_next_scaled"))
+          .orderBy("day")
+      },
+      Some("""WITH RECURSIVE d AS (SELECT
+            epoch_us(ts) // 86400000000 AS day,
+            CAST(COUNT(*) AS BIGINT) AS x
+          FROM events GROUP BY 1),
+        r AS (SELECT day, x, day % 7 AS wd,
+            row_number() OVER (ORDER BY day) AS rn FROM d),
+        rec AS (
+          SELECT rn, day, x, wd, x * 100 AS l, CAST(0 AS BIGINT) AS b,
+            CAST(0 AS BIGINT) AS s0, CAST(0 AS BIGINT) AS s1,
+            CAST(0 AS BIGINT) AS s2, CAST(0 AS BIGINT) AS s3,
+            CAST(0 AS BIGINT) AS s4, CAST(0 AS BIGINT) AS s5,
+            CAST(0 AS BIGINT) AS s6
+          FROM r WHERE rn = 1
+          UNION ALL
+          SELECT r.rn, r.day, r.x, r.wd,
+            (r.x * 100 - (CASE r.wd WHEN 0 THEN rec.s0 WHEN 1 THEN rec.s1
+              WHEN 2 THEN rec.s2 WHEN 3 THEN rec.s3 WHEN 4 THEN rec.s4
+              WHEN 5 THEN rec.s5 ELSE rec.s6 END) + rec.l + rec.b) // 2,
+            (((r.x * 100 - (CASE r.wd WHEN 0 THEN rec.s0
+              WHEN 1 THEN rec.s1 WHEN 2 THEN rec.s2 WHEN 3 THEN rec.s3
+              WHEN 4 THEN rec.s4 WHEN 5 THEN rec.s5 ELSE rec.s6 END)
+              + rec.l + rec.b) // 2) - rec.l + rec.b) // 2,
+            CASE WHEN r.wd = 0 THEN (r.x * 100 - ((r.x * 100
+              - rec.s0 + rec.l + rec.b) // 2) + rec.s0) // 2
+              ELSE rec.s0 END,
+            CASE WHEN r.wd = 1 THEN (r.x * 100 - ((r.x * 100
+              - rec.s1 + rec.l + rec.b) // 2) + rec.s1) // 2
+              ELSE rec.s1 END,
+            CASE WHEN r.wd = 2 THEN (r.x * 100 - ((r.x * 100
+              - rec.s2 + rec.l + rec.b) // 2) + rec.s2) // 2
+              ELSE rec.s2 END,
+            CASE WHEN r.wd = 3 THEN (r.x * 100 - ((r.x * 100
+              - rec.s3 + rec.l + rec.b) // 2) + rec.s3) // 2
+              ELSE rec.s3 END,
+            CASE WHEN r.wd = 4 THEN (r.x * 100 - ((r.x * 100
+              - rec.s4 + rec.l + rec.b) // 2) + rec.s4) // 2
+              ELSE rec.s4 END,
+            CASE WHEN r.wd = 5 THEN (r.x * 100 - ((r.x * 100
+              - rec.s5 + rec.l + rec.b) // 2) + rec.s5) // 2
+              ELSE rec.s5 END,
+            CASE WHEN r.wd = 6 THEN (r.x * 100 - ((r.x * 100
+              - rec.s6 + rec.l + rec.b) // 2) + rec.s6) // 2
+              ELSE rec.s6 END
+          FROM rec JOIN r ON r.rn = rec.rn + 1)
+        SELECT day, x,
+          CAST(l AS BIGINT) AS level_scaled,
+          CAST(b AS BIGINT) AS trend_scaled,
+          CAST(CASE (day + 1) % 7 WHEN 0 THEN s0 WHEN 1 THEN s1
+            WHEN 2 THEN s2 WHEN 3 THEN s3 WHEN 4 THEN s4
+            WHEN 5 THEN s5 ELSE s6 END AS BIGINT)
+            AS next_seasonal_scaled,
+          CAST(l + b + CASE (day + 1) % 7 WHEN 0 THEN s0 WHEN 1 THEN s1
+            WHEN 2 THEN s2 WHEN 3 THEN s3 WHEN 4 THEN s4
+            WHEN 5 THEN s5 ELSE s6 END AS BIGINT)
+            AS forecast_next_scaled
+        FROM rec ORDER BY day""")),
+
+    // ── Dynamic time warping between two daily series (q352) ───────────
+    // Alignment-tolerant series similarity the lead–lag matrix (q248)
+    // can't express: the full DTW dynamic program between the daily
+    // purchase and view volume curves, exact integer |Δ| costs, run as
+    // a nested fold over the bounded day grid — outer fold over rows,
+    // inner fold building each DP row left-to-right (the q179 fold
+    // idiom squared; |days|² lambda steps on one driver-free row). The
+    // oracle replays the identical DP with DuckDB's list_reduce using
+    // the seed-by-prepend + singleton-list-element trick (its 2-arg
+    // reduce requires accumulator and element types to match). DTW on
+    // same-length grids; normalized by path length 2n−1.
+    QueryDef("q352_dtw",
+      (s, dir) => {
+        val g = t(s, dir, "events")
+          .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(sum(when(col("event_type") === "purchase", 1L)
+            .otherwise(0L)).as("pa"),
+            sum(when(col("event_type") === "view", 1L).otherwise(0L))
+              .as("pv"))
+        val dp =
+          """aggregate(slice(ax, 2, size(ax) - 1),
+             aggregate(sequence(1, size(bx)),
+               cast(array() as array<bigint>),
+               (r, j) -> concat(r, array(
+                 abs(ax[0] - bx[j - 1]) +
+                   coalesce(try_element_at(r, -1), CAST(0 AS BIGINT))))),
+             (prev, ai) -> aggregate(sequence(1, size(bx)),
+               cast(array() as array<bigint>),
+               (r, j) -> concat(r, array(abs(ai - bx[j - 1]) +
+                 CASE WHEN j = 1 THEN element_at(prev, 1)
+                 ELSE least(element_at(prev, j),
+                   element_at(prev, j - 1), element_at(r, -1))
+                 END))))"""
+        g.agg(sort_array(collect_list(
+            struct(col("day"), col("pa"), col("pv")))).as("arr"))
+          .select(size(col("arr")).cast("long").as("n_days"),
+            expr("transform(arr, e -> e.pa)").as("ax"),
+            expr("transform(arr, e -> e.pv)").as("bx"))
+          .select(col("n_days"),
+            expr(s"element_at($dp, -1)").as("dtw_distance"))
+          .select(col("n_days"), col("dtw_distance"),
+            (col("dtw_distance").cast("double") /
+              (lit(2) * col("n_days") - 1).cast("double"))
+              .as("dtw_per_step"))
+      },
+      Some("""WITH g AS (SELECT epoch_us(ts) // 86400000000 AS day,
+            CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS pa,
+            CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS pv
+          FROM events GROUP BY 1),
+        arrs AS (SELECT
+            list(pa ORDER BY day) AS ax, list(pv ORDER BY day) AS bx,
+            CAST(COUNT(*) AS BIGINT) AS n_days
+          FROM g),
+        dp AS (SELECT n_days,
+            list_reduce(
+              list_prepend(
+                list_reduce(
+                  list_prepend(CAST([] AS BIGINT[]),
+                    list_transform(range(1, len(bx) + 1), j -> [j])),
+                  (r, x) -> list_append(r,
+                    abs(ax[1] - bx[x[1]]) + COALESCE(r[-1], 0))),
+                list_transform(ax[2:], v -> [v])),
+              (prev, e) -> list_reduce(
+                list_prepend(CAST([] AS BIGINT[]),
+                  list_transform(range(1, len(bx) + 1), j -> [j])),
+                (r, x) -> list_append(r, abs(e[1] - bx[x[1]]) +
+                  CASE WHEN x[1] = 1 THEN prev[1]
+                  ELSE least(prev[x[1]], prev[x[1] - 1], r[-1])
+                  END))) AS row
+          FROM arrs)
+        SELECT n_days, CAST(row[-1] AS BIGINT) AS dtw_distance,
+          CAST(row[-1] AS DOUBLE) / CAST(2 * n_days - 1 AS DOUBLE)
+            AS dtw_per_step
+        FROM dp""")),
   )
 }

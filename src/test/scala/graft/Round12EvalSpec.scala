@@ -510,6 +510,59 @@ class Round12EvalSpec extends AnyFunSuite {
     }
   }
 
+  test("q349: Welch F non-negative with positive Welch-Satterthwaite " +
+       "df") {
+    val r = run("q349_welch_anova").head()
+    assert(r.getLong(0) > 0 && r.getLong(1) == 5)
+    assert(r.getDouble(2) >= 0.0, s"F=${r.getDouble(2)}")
+    assert(r.getDouble(3) > 0.0, s"df2=${r.getDouble(3)}")
+  }
+
+  test("q350: cumulative arms are monotone in depth and the random " +
+       "line is hit exactly at full depth") {
+    val rows = run("q350_qini").collect().sortBy(_.getLong(0))
+    assert(rows.nonEmpty && rows.length <= 10)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getLong(2) <= b.getLong(2) && a.getLong(4) <= b.getLong(4))
+      case _ => ()
+    }
+    assert(math.abs(rows.last.getDouble(7)) < 1e-9,
+      "qini_above_random must vanish at full depth")
+  }
+
+  test("q351: zero-seeded state — day-1 forecast is level plus a zero " +
+       "seasonal; every forecast = l + b + s_next") {
+    val rows = run("q351_holt_winters").collect()
+    assert(rows.length > 7)
+    val first = rows.head
+    assert(first.getLong(2) == first.getLong(1) * 100)
+    assert(first.getLong(3) == 0L && first.getLong(4) == 0L)
+    rows.foreach { r =>
+      assert(r.getLong(5) == r.getLong(2) + r.getLong(3) + r.getLong(4))
+    }
+  }
+
+  test("q352: DTW bounded above by the diagonal path and below by " +
+       "the corner cells") {
+    import org.apache.spark.sql.functions._
+    val g = Tables.load(spark, TestSpark.sf0001, "events")
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("pa"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          .as("pv"))
+      .orderBy("day").collect()
+    val a = g.map(_.getLong(1)); val b = g.map(_.getLong(2))
+    val diag = a.zip(b).map { case (x, y) => math.abs(x - y) }.sum
+    val r = run("q352_dtw").head()
+    assert(r.getLong(0) == a.length.toLong)
+    val dtw = r.getLong(1)
+    assert(dtw <= diag, s"DTW $dtw exceeds diagonal path $diag")
+    assert(dtw >= math.abs(a.head - b.head) + math.abs(a.last - b.last),
+      "DTW below its corner-cell floor")
+  }
+
   test("q308: runs count is within its exact combinatorial range") {
     val r = run("q308_runs_test").head()
     val (runs, n1, n2) = (r.getLong(0), r.getLong(1), r.getLong(2))
