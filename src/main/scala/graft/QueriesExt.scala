@@ -16013,5 +16013,141 @@ object QueriesExt {
           CAST(row[-1] AS DOUBLE) / CAST(2 * n_days - 1 AS DOUBLE)
             AS dtw_per_step
         FROM dp""")),
+
+    // ── Kernel two-sample test: MMD², quadratic kernel (q353) ──────────
+    // Do the two embedding label halves come from the same
+    // distribution? Maximum mean discrepancy with k(x,y) = (1+⟨x,y⟩)²
+    // — chosen because the V-statistic COLLAPSES TO MOMENTS (no ln, no
+    // exp, no pairs): Σᵢⱼ⟨xᵢ,xⱼ⟩ = Σ_a s_a² and Σᵢⱼ⟨xᵢ,xⱼ⟩² = Σ_ab
+    // m_ab² with s the per-dim sum vector and m the d×d second-moment
+    // matrix. So a kernel test over ANY corpus size is two bounded
+    // moment tables (d + d² railed sums per group — the outer product
+    // is generated map-side per row, no self-join) plus a literal
+    // chain. The float→double element casts are exact; every
+    // cross-row sum rides the decimal rail.
+    QueryDef("q353_mmd",
+      (s, dir) => {
+        val e = tPar(s, dir, "embeddings").select(
+          when(col("label") < 5, lit("x")).otherwise(lit("y")).as("grp"),
+          col("embedding"))
+        val dims = e.select(col("grp"),
+          posexplode(col("embedding")).as(Seq("a", "va")))
+          .select(col("grp"), col("a"), col("va").cast("double").as("va"))
+        val sVec = dims.groupBy("grp", "a")
+          .agg(dsum(col("va")).as("sa")).localCheckpoint()
+        val pairs = e.select(col("grp"), explode(expr(
+          """flatten(transform(sequence(0, size(embedding) - 1),
+             a -> transform(sequence(0, size(embedding) - 1),
+               b -> struct(a as a, b as b,
+                 CAST(embedding[a] AS DOUBLE) *
+                   CAST(embedding[b] AS DOUBLE) as p))))""")).as("e"))
+          .select(col("grp"), col("e.a"), col("e.b"), col("e.p"))
+        val mMat = pairs.groupBy("grp", "a", "b")
+          .agg(dsum(col("p")).as("m")).localCheckpoint()
+        val ns = e.groupBy("grp").agg(count(lit(1)).as("n"))
+        val nx = ns.filter(col("grp") === "x").select(col("n").as("nx"))
+        val ny = ns.filter(col("grp") === "y").select(col("n").as("ny"))
+        val s2 = sVec.groupBy("grp")
+          .agg(dsum(col("sa") * col("sa")).as("ss"))
+        val sCross = sVec.filter(col("grp") === "x").select(col("a"),
+            col("sa").as("sx"))
+          .join(sVec.filter(col("grp") === "y").select(col("a"),
+            col("sa").as("sy")), Seq("a"))
+          .agg(dsum(col("sx") * col("sy")).as("sxy"))
+        val m2 = mMat.groupBy("grp")
+          .agg(dsum(col("m") * col("m")).as("mm"))
+        val mCross = mMat.filter(col("grp") === "x").select(col("a"),
+            col("b"), col("m").as("mx"))
+          .join(mMat.filter(col("grp") === "y").select(col("a"),
+            col("b"), col("m").as("my")), Seq("a", "b"))
+          .agg(dsum(col("mx") * col("my")).as("mxy"))
+        def pick(d: DataFrame, g: String, c: String, as: String) =
+          broadcast(d.filter(col("grp") === g).select(col(c).as(as)))
+        nx.crossJoin(broadcast(ny))
+          .crossJoin(pick(s2, "x", "ss", "ssx"))
+          .crossJoin(pick(s2, "y", "ss", "ssy"))
+          .crossJoin(broadcast(sCross))
+          .crossJoin(pick(m2, "x", "mm", "mmx"))
+          .crossJoin(pick(m2, "y", "mm", "mmy"))
+          .crossJoin(broadcast(mCross))
+          .select(col("nx").as("n_x"), col("ny").as("ny0"),
+            (lit(1.0) + lit(2.0) * col("ssx") /
+              (col("nx").cast("double") * col("nx").cast("double")) +
+              col("mmx") /
+              (col("nx").cast("double") * col("nx").cast("double")))
+              .as("e_xx"),
+            (lit(1.0) + lit(2.0) * col("ssy") /
+              (col("ny").cast("double") * col("ny").cast("double")) +
+              col("mmy") /
+              (col("ny").cast("double") * col("ny").cast("double")))
+              .as("e_yy"),
+            (lit(1.0) + lit(2.0) * col("sxy") /
+              (col("nx").cast("double") * col("ny").cast("double")) +
+              col("mxy") /
+              (col("nx").cast("double") * col("ny").cast("double")))
+              .as("e_xy"))
+          .select(col("n_x"), col("ny0").as("n_y"), col("e_xx"),
+            col("e_yy"), col("e_xy"),
+            (col("e_xx") + col("e_yy") - lit(2.0) * col("e_xy"))
+              .as("mmd2"))
+      },
+      Some(s"""WITH e AS (SELECT
+            CASE WHEN label < 5 THEN 'x' ELSE 'y' END AS grp,
+            embedding
+          FROM embeddings),
+        t1 AS (SELECT grp, embedding,
+            unnest(range(1, len(embedding) + 1)) AS a FROM e),
+        dims AS (SELECT grp, a - 1 AS a,
+            CAST(embedding[CAST(a AS INT)] AS DOUBLE) AS va FROM t1),
+        svec AS (SELECT grp, a, ${dsumSql("va")} AS sa
+          FROM dims GROUP BY 1, 2),
+        p1 AS (SELECT grp, embedding, a,
+            unnest(range(1, len(embedding) + 1)) AS b FROM t1),
+        pairs AS (SELECT grp, a - 1 AS a, b - 1 AS b,
+            CAST(embedding[CAST(a AS INT)] AS DOUBLE) *
+              CAST(embedding[CAST(b AS INT)] AS DOUBLE) AS p
+          FROM p1),
+        mmat AS (SELECT grp, a, b, ${dsumSql("p")} AS m
+          FROM pairs GROUP BY 1, 2, 3),
+        ns AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n
+          FROM e GROUP BY 1),
+        s2 AS (SELECT grp, ${dsumSql("sa * sa")} AS ss
+          FROM svec GROUP BY 1),
+        scross AS (SELECT ${dsumSql("x.sa * y.sa")} AS sxy
+          FROM (SELECT a, sa FROM svec WHERE grp = 'x') x
+          JOIN (SELECT a, sa FROM svec WHERE grp = 'y') y USING (a)),
+        m2 AS (SELECT grp, ${dsumSql("m * m")} AS mm
+          FROM mmat GROUP BY 1),
+        mcross AS (SELECT ${dsumSql("x.m * y.m")} AS mxy
+          FROM (SELECT a, b, m FROM mmat WHERE grp = 'x') x
+          JOIN (SELECT a, b, m FROM mmat WHERE grp = 'y') y
+            USING (a, b)),
+        fin AS (SELECT
+            (SELECT n FROM ns WHERE grp = 'x') AS n_x,
+            (SELECT n FROM ns WHERE grp = 'y') AS n_y,
+            1.0 + 2.0 * (SELECT ss FROM s2 WHERE grp = 'x')
+              / (CAST((SELECT n FROM ns WHERE grp = 'x') AS DOUBLE)
+                * CAST((SELECT n FROM ns WHERE grp = 'x') AS DOUBLE))
+              + (SELECT mm FROM m2 WHERE grp = 'x')
+              / (CAST((SELECT n FROM ns WHERE grp = 'x') AS DOUBLE)
+                * CAST((SELECT n FROM ns WHERE grp = 'x') AS DOUBLE))
+              AS e_xx,
+            1.0 + 2.0 * (SELECT ss FROM s2 WHERE grp = 'y')
+              / (CAST((SELECT n FROM ns WHERE grp = 'y') AS DOUBLE)
+                * CAST((SELECT n FROM ns WHERE grp = 'y') AS DOUBLE))
+              + (SELECT mm FROM m2 WHERE grp = 'y')
+              / (CAST((SELECT n FROM ns WHERE grp = 'y') AS DOUBLE)
+                * CAST((SELECT n FROM ns WHERE grp = 'y') AS DOUBLE))
+              AS e_yy,
+            1.0 + 2.0 * (SELECT sxy FROM scross)
+              / (CAST((SELECT n FROM ns WHERE grp = 'x') AS DOUBLE)
+                * CAST((SELECT n FROM ns WHERE grp = 'y') AS DOUBLE))
+              + (SELECT mxy FROM mcross)
+              / (CAST((SELECT n FROM ns WHERE grp = 'x') AS DOUBLE)
+                * CAST((SELECT n FROM ns WHERE grp = 'y') AS DOUBLE))
+              AS e_xy)
+        SELECT n_x, n_y, e_xx, e_yy, e_xy,
+          e_xx + e_yy - 2.0 * e_xy AS mmd2
+        FROM fin""")),
   )
 }

@@ -563,6 +563,16 @@ class Round12EvalSpec extends AnyFunSuite {
       "DTW below its corner-cell floor")
   }
 
+  test("q353: kernel means are means of squares (>= 0) and the " +
+       "V-statistic MMD^2 is non-negative") {
+    val r = run("q353_mmd").head()
+    assert(r.getLong(0) > 0 && r.getLong(1) > 0)
+    (2 to 4).foreach { i =>
+      assert(r.getDouble(i) >= 0.0, s"kernel mean $i negative")
+    }
+    assert(r.getDouble(5) >= -1e-9, s"mmd2=${r.getDouble(5)}")
+  }
+
   test("q308: runs count is within its exact combinatorial range") {
     val r = run("q308_runs_test").head()
     val (runs, n1, n2) = (r.getLong(0), r.getLong(1), r.getLong(2))
