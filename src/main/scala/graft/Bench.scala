@@ -13,13 +13,21 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // A/B hook for shuffle/spill compression (SPARK_GRAFT_IO_CODEC):
+    // this host's buffered write-back is throttled to ~25 MB/s, so
+    // shuffle bytes — not CPU — cap the heavy walls; zstd halves them
+    // vs lz4 on text-heavy rows. Default follows GraftSession.profile.
+    val ioCodec = sys.env.getOrElse("SPARK_GRAFT_IO_CODEC",
+      GraftSession.profile.getOrElse("spark.io.compression.codec", "lz4"))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.io.compression.codec", ioCodec)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    BoundedWindows.quietWindowWarnings()
     // warm the JVM/codegen paths once so per-query numbers measure the
     // engine, not first-use classloading
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
@@ -46,14 +54,18 @@ object Bench {
     // producing duplicate keys in the errors JSON object (most parsers
     // silently keep one arbitrary value)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    // Optional dev filter: SPARK_GRAFT_BENCH_FILTER=q26,q45 runs only the
-    // queries whose name contains one of the comma-separated substrings.
+    // Optional dev filter (same grammar as Verify/check.py/PairSweep):
+    // SPARK_GRAFT_BENCH_FILTER=q26,q45 runs only the queries whose name
+    // contains one of the comma-separated substrings; a "-" prefix
+    // excludes, and an only-negative filter runs everything else.
     // The driver never sets it, so driver runs always bench the full set.
-    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+    val filterTerms = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
+    val (negTerms, posTerms) = filterTerms.partition(_.startsWith("-"))
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
-      filter.isEmpty || filter.exists(n.contains)
+      (posTerms.isEmpty || posTerms.exists(n.contains)) &&
+        !negTerms.exists(t => n.contains(t.stripPrefix("-")))
     }
     // 1-minute load average before/after: a polluted run (another process
     // hogging the box mid-bench) is then self-identifying from the JSON
@@ -165,8 +177,31 @@ object Bench {
       }
     }
     val line = artifactLine(samplesDone)
+    // Full artifact first (for humans reading the whole log and as a
+    // stdout copy of the durable file), COMPACT summary line LAST.
+    // The driver tail-captures stdout and parses the final line; with 353
+    // queries the full line is ~17 KB and overflows the tail window —
+    // r12's official artifact came back `parsed: null` with the captured
+    // fragment starting mid-map. The last line must therefore always fit
+    // a small tail: total + sample count + a pointer to the durable
+    // per-query file + a fixed headline subset of per-query timings (so
+    // the documented {"metric","value","unit","queries","sf"} shape still
+    // holds), never the full map.
     println(line)
     persist(line)
+    val headline = Seq(
+      "q01_pricing_summary", "q03_region_revenue", "q25_minhash_signature",
+      "q28_ngram_jaccard", "q45_dedup_clusters", "q56_ann_ivf_kmeans",
+      "q62_range_join", "q147_incremental_join", "q166_linkage_clusters",
+      "q194_bootstrap_ci", "q198_golden_record", "q285_cluster_stability_ari",
+      "q353_mmd")
+    val headJson = headline.flatMap(k => sampled.get(k).map(v => "\"" + k + "\":" + v))
+      .mkString("{", ",", "}")
+    val total = selected.flatMap { case (n, _) => sampled.get(n) }.sum
+    val sfName = new java.io.File(sfDir).getName
+    val summary =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$headJson,"samples":$samplesDone,"n_queries":${sampled.size},"n_errors":${errors.size},"queries_file":"target/bench_$sfName.json","sf":"$sfDir"}"""
+    println(summary)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -84,6 +84,7 @@ object PairSweep {
     // sf1.0 run: q164's OOM cascaded into 5 spurious failures).
     var spark = newSession()
     spark.sparkContext.setLogLevel("WARN")
+    BoundedWindows.quietWindowWarnings()
 
     def maxOf(dir: String, table: String, c: String): Long =
       spark.read.parquet(s"$dir/$table.parquet")
@@ -394,14 +395,18 @@ object PairSweep {
     // ── run ────────────────────────────────────────────────────────────
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\")
       .replace("\"", "\\\"") + "\""
-    // Optional dev filter (same grammar as Bench's): rerun one suite
-    // after a fix or a contended wall-cap breach without paying the
-    // other 17 (the full sweep is ~50 min).
-    val suiteFilter = sys.env.get("SPARK_GRAFT_PAIR_FILTER")
+    // Optional dev filter (same grammar as Bench/Verify/check.py):
+    // comma-separated substrings, bare term includes, "-" prefix
+    // excludes, only-negative filters run everything else. Lets one
+    // suite rerun after a fix or a contended wall-cap breach without
+    // paying the other 17 (the full sweep is ~50 min).
+    val suiteTerms = sys.env.get("SPARK_GRAFT_PAIR_FILTER")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
+    val (suiteNeg, suitePos) = suiteTerms.partition(_.startsWith("-"))
     val selected = suites.filter { case (n, _) =>
-      suiteFilter.isEmpty || suiteFilter.exists(n.contains)
+      (suitePos.isEmpty || suitePos.exists(n.contains)) &&
+        !suiteNeg.exists(t => n.contains(t.stripPrefix("-")))
     }
     val lines = scala.collection.mutable.ArrayBuffer.empty[String]
     var failures = 0
@@ -413,6 +418,7 @@ object PairSweep {
         SparkSession.clearDefaultSession()
         spark = newSession()
         spark.sparkContext.setLogLevel("WARN")
+        BoundedWindows.quietWindowWarnings()
       }
       val t0 = System.nanoTime()
       val res =

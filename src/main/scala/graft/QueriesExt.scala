@@ -5,6 +5,7 @@ import java.sql.Date
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.BoundedWindows.boundedWindow
 import graft.etl.Scd2
 import graft.ext.{Curation, Dedup, Multimodal, Shingles, Similarity, TextStats}
 import graft.functions.Parity._
@@ -91,6 +92,121 @@ object QueriesExt {
     }
     j.select(col("a.p_partkey").as("id_a"), col("b.p_partkey").as("id_b"),
       pattern.as("pattern"), score.as("score"))
+  }
+
+  /** The structural fact that makes tighter blocking EXACT for the
+    * threshold consumers (q164/q166/q198): with the configured
+    * [[Params.fsFields]] rationals, score ≥ [[Params.fsMinScore]] holds
+    * for precisely the patterns agreeing on ≥2 of the 3 fields (the
+    * weakest 2-agreement pattern scores ≈342 vs the strongest
+    * 1-agreement ≈4.2 against the 100 floor). Verified at runtime from
+    * [[Params.fsPatterns]] itself, so a future (m,u) re-configuration
+    * that breaks the equivalence falls back to the exhaustive
+    * brand-block path instead of silently dropping pairs.
+    */
+  private lazy val fsTwoFieldBlockingExact: Boolean = {
+    val accepted = fsPatterns.filter(_._2 >= fsMinScore).map(_._1).toSet
+    val twoPlus = fsPatterns.map(_._1).filter(_.count(_ == '1') >= 2).toSet
+    accepted == twoPlus
+  }
+  /** Comparison columns in [[Params.fsFields]] bit order. */
+  private val fsFieldCols = Seq("p_type", "p_size", "pb")
+  private val fsPassPairs: Seq[(Int, Int)] =
+    for { i <- fsFieldCols.indices; j <- i + 1 until fsFieldCols.size }
+      yield (i, j)
+  /** Owning pass of an accepted pattern = its lexicographically-first
+    * agreeing field pair — the disjointness rule that lets the
+    * multi-pass union skip the dedup shuffle entirely.
+    */
+  private def fsPassOf(p: String): Option[(Int, Int)] =
+    fsPassPairs.find { case (i, j) => p(i) == '1' && p(j) == '1' }
+
+  private def fsBlockedDim(s: org.apache.spark.sql.SparkSession,
+                           dir: String): DataFrame =
+    t(s, dir, "part").select(
+      col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"),
+      floor(col("p_retailprice") / lit(100.0)).cast("long").as("pb"))
+      .localCheckpoint()
+
+  /** Accepted Fellegi–Sunter pairs ONLY (score ≥ fsMinScore), generated
+    * by three DISJOINT 2-field-blocked passes instead of the exhaustive
+    * brand block + post-filter. Each pass hash-joins on
+    * (brand, field_i, field_j), so every produced candidate already
+    * agrees on ≥2 fields and is accepted — zero rejected candidates are
+    * ever materialized (the sf1.0 profile showed 1.6B brand-block probe
+    * visits producing 147.6M accepted pairs; the passes visit only the
+    * accepted pairs, ~3.6× fewer rows, with 111-pattern triples
+    * deduplicated by the owning-pass rule rather than a distinct
+    * shuffle). Output ≡ fsScoredPairs.filter(score ≥ fsMinScore).
+    */
+  private def fsAcceptedPairs(s: org.apache.spark.sql.SparkSession,
+                              dir: String): DataFrame = {
+    if (!fsTwoFieldBlockingExact)
+      fsScoredPairs(s, dir).filter(col("score") >= fsMinScore)
+    else {
+      val d = fsBlockedDim(s, dir)
+      val probe = d.repartition(s.sparkContext.defaultParallelism)
+      val passes = fsPassPairs.map { case (i, j) =>
+        val kept = fsPatterns.map(_._1)
+          .filter(p => fsPassOf(p).contains((i, j)))
+        val keys = Seq("p_brand", fsFieldCols(i), fsFieldCols(j))
+        val joined = probe.as("a").join(broadcast(d).as("b"),
+          keys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
+            col("a.p_partkey") < col("b.p_partkey"))
+        val bits = fsFieldCols.map(c => col(s"a.$c") === col(s"b.$c"))
+        val pattern = concat(bits.map(b =>
+          when(b, lit("1")).otherwise(lit("0"))): _*)
+        joined.select(col("a.p_partkey").as("id_a"),
+            col("b.p_partkey").as("id_b"), pattern.as("pattern"))
+          .filter(col("pattern").isin(kept: _*))
+      }
+      val all = passes.reduce(_ unionAll _)
+      val score = fsPatterns.tail.foldLeft(
+        when(col("pattern") === fsPatterns.head._1,
+          lit(fsPatterns.head._2))) {
+        case (acc, (p, sc)) => acc.when(col("pattern") === p, lit(sc))
+      }
+      all.withColumn("score", score)
+    }
+  }
+
+  /** Connectivity-preserving compression of the accepted match graph
+    * for the CLUSTER consumers (q166/q198): inside one
+    * (brand, field_i, field_j) block every pair is accepted, i.e. the
+    * block is a CLIQUE — and a clique has the same transitive closure
+    * as a star to its minimum member. Emitting per-block star edges
+    * (min_member → member) across the three passes yields an edge set
+    * whose connected components (and node set — a part has an accepted
+    * pair iff it shares a full 2-field block with another part) are
+    * IDENTICAL to the 147.6M-edge accepted pair set, at ~3·|part|
+    * edges. The sf1.0 profile showed 177 s of the 246 s q166 wall was
+    * generating + checkpointing those pairs before contraction; this
+    * replaces that head with three bounded groupBy shuffles.
+    */
+  private def fsMatchStarEdges(s: org.apache.spark.sql.SparkSession,
+                               dir: String): DataFrame = {
+    if (!fsTwoFieldBlockingExact)
+      fsScoredPairs(s, dir).filter(col("score") >= fsMinScore)
+        .select("id_a", "id_b")
+    else {
+      val d = fsBlockedDim(s, dir)
+      val passes = fsPassPairs.map { case (i, j) =>
+        val keys = Seq("p_brand", fsFieldCols(i), fsFieldCols(j))
+        // groupBy + join back (not a window min): the roots table is
+        // bounded by |blocks| and AQE broadcasts it, while a window
+        // would buffer each block — clique blocks are exactly where
+        // skew lives.
+        val roots = d.groupBy(keys.map(col): _*)
+          .agg(min("p_partkey").as("root"),
+            count(lit(1)).as("bn"))
+          .filter(col("bn") > 1)
+          .drop("bn")
+        d.join(roots, keys)
+          .filter(col("p_partkey") =!= col("root"))
+          .select(col("root").as("id_a"), col("p_partkey").as("id_b"))
+      }
+      passes.reduce(_ unionAll _)
+    }
   }
 
   /** DuckDB twin of [[fsScoredPairs]] as CTE text ending in `scored`.
@@ -951,7 +1067,7 @@ object QueriesExt {
           .filter(col("n_terms") === searchTerms.size)
           .orderBy(desc("tf"), col("doc_id")).limit(rrfDepth)
           .withColumn("kw_rank", row_number().over(
-            Window.orderBy(desc("tf"), col("doc_id"))).cast("long"))
+            boundedWindow(desc("tf"), col("doc_id"))).cast("long"))
           .select(col("doc_id").as("id"), col("kw_rank"))
         val vec = Similarity.bruteForceTopK(tPar(s, dir, "embeddings"),
             t(s, dir, "embeddings").filter(col("vec_id") === 0),
@@ -1153,7 +1269,7 @@ object QueriesExt {
           .withColumn("z",
             graft.functions.NativeExprs.zValue(col("xn"), col("yn"), 10))
           .withColumn("file_id", ntile(64).over(
-            Window.orderBy(col("z"), col("o_orderkey"))).cast("long"))
+            boundedWindow(col("z"), col("o_orderkey"))).cast("long"))
         n.groupBy("file_id").agg(
             count(lit(1)).as("n_rows"),
             min("z").as("min_z"), max("z").as("max_z"),
@@ -1507,7 +1623,7 @@ object QueriesExt {
             .as("rev_dec"))
         // a daily series is tiny after aggregation (thousands of rows at
         // any source scale), so the global-order window is deliberate
-        val w = Window.orderBy("order_date").rowsBetween(-6, 0)
+        val w = boundedWindow("order_date").rowsBetween(-6, 0)
         daily.select(
           col("order_date"),
           col("rev_dec").cast("double").as("revenue"),
@@ -4926,8 +5042,7 @@ object QueriesExt {
     // on either engine. Candidates come brand-blocked (the q105
     // contract: block key = shuffle key, never all-pairs).
     QueryDef("q164_record_linkage",
-      (s, dir) => fsScoredPairs(s, dir)
-        .filter(col("score") >= fsMinScore)
+      (s, dir) => fsAcceptedPairs(s, dir)
         .orderBy("id_a", "id_b"),
       Some(s"""WITH $dFsCtes
         SELECT id_a, id_b, pattern, score FROM scored
@@ -4941,9 +5056,11 @@ object QueriesExt {
     // reachability + min-label over the same scored pairs.
     QueryDef("q166_linkage_clusters",
       (s, dir) => {
-        val pairs = fsScoredPairs(s, dir)
-          .filter(col("score") >= fsMinScore)
-          .select("id_a", "id_b")
+        // clique-collapsed star edges, not the raw accepted pairs: the
+        // transitive closure (and so every output row) is identical,
+        // but the edge set is ~3·|part| instead of quadratic-in-block
+        // (147.6M pairs at sf1.0) — see fsMatchStarEdges.
+        val pairs = fsMatchStarEdges(s, dir)
         // threshold graphs inside a brand block can chain arbitrarily
         // deep — star contraction converges in O(log n) rounds where
         // min-label propagation pays one round per hop of diameter
@@ -5555,7 +5672,7 @@ object QueriesExt {
             sum(when(col("died"), 0L).otherwise(1L)).as("cc"))
         // Suffix sum over the bounded life table (global window is fine:
         // ≤ |distinct lifetime days| rows by construction).
-        val w = Window.orderBy("t")
+        val w = boundedWindow("t")
           .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         val withRisk = lt.withColumn("n", sum(col("d") + col("cc")).over(w))
         withRisk.agg(sort_array(collect_list(
@@ -6469,7 +6586,7 @@ object QueriesExt {
           .select(expr("unix_micros(ts) div 86400000000").as("day"))
           .groupBy("day").agg(count(lit(1)).as("volume"))
           .localCheckpoint()
-        val w7 = Window.orderBy("day").rowsBetween(-3, 3)
+        val w7 = boundedWindow("day").rowsBetween(-3, 3)
         val withTrend = pd
           .withColumn("trend",
             when(count(lit(1)).over(w7) === 7,
@@ -6511,9 +6628,9 @@ object QueriesExt {
     // parts (pair scoring, clustering) reuse the linkage machinery.
     QueryDef("q198_golden_record",
       (s, dir) => {
-        val pairs = fsScoredPairs(s, dir)
-          .filter(col("score") >= fsMinScore)
-          .select("id_a", "id_b")
+        // same clique-collapsed edge set as q166 — identical closure,
+        // ~3·|part| edges instead of the quadratic accepted pair set
+        val pairs = fsMatchStarEdges(s, dir)
         val members = Dedup.dedupClustersStar(pairs)
           .select(col("id").as("p_partkey"), col("cluster"))
           .join(t(s, dir, "part"), "p_partkey")
@@ -6955,7 +7072,7 @@ object QueriesExt {
           .foldLeft(lit(1))(_ + _).cast("long")
         val per = d.groupBy(decile.as("decile"))
           .agg(count(lit(1)).as("n_docs"), sum("resp").as("n_resp"))
-        val w = Window.orderBy(desc("decile"))
+        val w = boundedWindow(desc("decile"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         per
           .withColumn("cum_docs", sum("n_docs").over(w))
@@ -10076,7 +10193,7 @@ object QueriesExt {
             expr(s"($budget * wt) % tw").as("rem"))
           .localCheckpoint() // leftover fold + the ranked projection
         val lo = q.agg((lit(budget) - sum("base")).as("leftover"))
-        val wr = Window.orderBy(col("rem").desc, col("source"))
+        val wr = boundedWindow(col("rem").desc, col("source"))
         q.withColumn("rk", row_number().over(wr))
           .crossJoin(broadcast(lo))
           .select(col("source"), col("tokens"), col("wt").as("weight"),
@@ -10472,9 +10589,9 @@ object QueriesExt {
             .otherwise(0L).as("ev"))
         val dd = obs.groupBy("t")
           .agg(sum("ev").as("d"), sum(lit(1L) - col("ev")).as("c"))
-        val wDesc = Window.orderBy(col("t").desc)
+        val wDesc = boundedWindow(col("t").desc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val wAsc = Window.orderBy(col("t").asc)
+        val wAsc = boundedWindow(col("t").asc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         dd.withColumn("n_risk", sum(col("d") + col("c")).over(wDesc))
           .filter(col("d") > 0)
@@ -10983,7 +11100,7 @@ object QueriesExt {
         val vf = tPar(s, dir, "documents")
           .select(explode(TextStats.tokens(col("text"))).as("tok"))
           .groupBy("tok").agg(count(lit(1)).as("c"))
-        val w = Window.orderBy(col("c").desc, col("tok"))
+        val w = boundedWindow(col("c").desc, col("tok"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         vf.withColumn("cumc", sum("c").over(w))
           .withColumn("total", sum("c").over(
@@ -11065,7 +11182,7 @@ object QueriesExt {
           .groupBy("event_type")
           .agg((lit(1L) + sum(when(col("b") > 0 &&
             col("tstat") >= col("tobs"), 1L).otherwise(0L))).as("k"))
-        val wr = Window.orderBy("k", "event_type")
+        val wr = boundedWindow("k", "event_type")
         p.withColumn("i", row_number().over(wr))
           .crossJoin(broadcast(p.agg(count(lit(1)).as("m"))))
           .select(col("event_type"), col("k").as("p_num"),
@@ -11273,7 +11390,7 @@ object QueriesExt {
             abs(col("ns") * col("bigN") - col("nf") * col("bigM"))
               .as("devnum"), col("bigN"), col("bigM"))
           .localCheckpoint() // TV fold + the worst-source ranking
-        val wr = Window.orderBy(col("devnum").desc, col("source"))
+        val wr = boundedWindow(col("devnum").desc, col("source"))
         val worst = dev.withColumn("rk", row_number().over(wr))
           .filter(col("rk") === 1)
           .select(col("source").as("worst_source"),
@@ -12015,7 +12132,7 @@ object QueriesExt {
         val pd = t(s, dir, "events")
           .select(expr("unix_micros(ts) div 86400000000").as("day"))
           .groupBy("day").agg(count(lit(1)).as("volume"))
-        val w7 = Window.orderBy("day").rowsBetween(-3, 3)
+        val w7 = boundedWindow("day").rowsBetween(-3, 3)
         val tr = pd
           .withColumn("trend",
             when(count(lit(1)).over(w7) === 7,
@@ -12443,7 +12560,7 @@ object QueriesExt {
           sum(when(col("died") && col("g1"), 1L).otherwise(0L)).as("d1"),
           count(lit(1)).as("c"),
           sum(when(col("g1"), 1L).otherwise(0L)).as("c1"))
-        val w = Window.orderBy("t")
+        val w = boundedWindow("t")
           .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         val risk = lt
           .withColumn("n", sum("c").over(w))
@@ -12522,9 +12639,9 @@ object QueriesExt {
             col("value"))
           .groupBy("day")
           .agg(count(lit(1)).as("x"), dsum(col("value")).as("y"))
-        val rx = rank().over(Window.orderBy("x")) * 2 +
+        val rx = rank().over(boundedWindow("x")) * 2 +
           count(lit(1)).over(Window.partitionBy("x")) - 1
-        val ry = rank().over(Window.orderBy("y")) * 2 +
+        val ry = rank().over(boundedWindow("y")) * 2 +
           count(lit(1)).over(Window.partitionBy("y")) - 1
         grid.select(rx.cast("long").as("rx"), ry.cast("long").as("ry"))
           .agg(count(lit(1)).as("n"), sum("rx").as("sx"),
@@ -12651,7 +12768,7 @@ object QueriesExt {
         val grid = d.groupBy(abs(col("d")).as("a"))
           .agg(count(lit(1)).as("cnt"),
             sum(when(col("d") > 0, 1L).otherwise(0L)).as("pos"))
-        val wl = Window.orderBy("a")
+        val wl = boundedWindow("a")
           .rowsBetween(Window.unboundedPreceding, -1)
         val agg = grid
           .withColumn("cum_less", coalesce(sum("cnt").over(wl), lit(0L)))
@@ -12843,7 +12960,7 @@ object QueriesExt {
           .select(col("bucket"), explode(col("toks")).as("token"))
           .groupBy("token").agg(min("bucket").as("bucket"))
           .groupBy("bucket").agg(count(lit(1)).as("vnew"))
-        val wc = Window.orderBy("bucket")
+        val wc = boundedWindow("bucket")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         perB.join(vocabNew, Seq("bucket"), "left")
           .select(col("bucket"), col("docs"), col("toks"),
@@ -12965,7 +13082,7 @@ object QueriesExt {
             col("fp") >= col("fs"))
           .select(expr("(fp - fs) div 86400000000").as("days"))
         val grid = u.groupBy("days").agg(count(lit(1)).as("cnt"))
-        val wc = Window.orderBy("days")
+        val wc = boundedWindow("days")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val cum = grid.withColumn("cum", sum("cnt").over(wc))
         val n = u.agg(count(lit(1)).as("n"))
@@ -13090,7 +13207,7 @@ object QueriesExt {
         val grid = t(s, dir, "events")
           .select(expr("unix_micros(ts) div 86400000000").as("day"))
           .groupBy("day").agg(count(lit(1)).as("volume"))
-        val wd = Window.orderBy("day")
+        val wd = boundedWindow("day")
         val sgn = grid
           .withColumn("prev", lag("volume", 1).over(wd))
           .filter(col("prev").isNotNull && col("volume") =!= col("prev"))
@@ -13486,7 +13603,7 @@ object QueriesExt {
             1L).otherwise(0L).as("y"))
         val grid = d.groupBy("sc")
           .agg(count(lit(1)).as("n"), sum("y").as("pos"))
-        val w = Window.orderBy(desc("sc"))
+        val w = boundedWindow(desc("sc"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         grid
           .withColumn("cum_n", sum("n").over(w))
@@ -13546,7 +13663,7 @@ object QueriesExt {
           sum(col("x") * col("x")).as("sxx"),
           sum(col("x").cast("decimal(38,0)") *
             col("yi").cast("decimal(38,0)")).as("sxy"))
-        val wd = Window.orderBy("day")
+        val wd = boundedWindow("day")
         val res = grid.crossJoin(broadcast(mom))
           .withColumn("b",
             (col("n").cast("decimal(38,0)") * col("sxy") -
@@ -14006,13 +14123,13 @@ object QueriesExt {
           .agg(sum(floor(col("o_totalprice") * lit(1.0e6)).cast("long"))
             .as("units"))
         val d = sp.withColumn("decile",
-          ntile(10).over(Window.orderBy(col("units"), col("o_custkey")))
+          ntile(10).over(boundedWindow(col("units"), col("o_custkey")))
             .cast("long"))
         val g = d.groupBy("decile")
           .agg(count(lit(1)).as("n_customers"), sum("units").as("du"))
-        val wc = Window.orderBy("decile")
+        val wc = boundedWindow("decile")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val wt = Window.orderBy("decile")
+        val wt = boundedWindow("decile")
           .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
         g.select(col("decile"), col("n_customers"),
             (col("du").cast("double") / lit(1.0e6)).as("decile_spend"),
@@ -14484,7 +14601,7 @@ object QueriesExt {
           floor(col("o_totalprice") * lit(1.0e6)).cast("long").as("u"),
           col("o_orderkey"))
         val r = u.withColumn("rn",
-          row_number().over(Window.orderBy(col("u"), col("o_orderkey")))
+          row_number().over(boundedWindow(col("u"), col("o_orderkey")))
             .cast("long"))
         val nAgg = u.agg(count(lit(1)).as("n"), sum("u").as("su_all"))
         r.crossJoin(broadcast(nAgg))
@@ -14697,7 +14814,7 @@ object QueriesExt {
           col("o_orderkey"))
         val r = u
           .withColumn("pr", row_number()
-            .over(Window.orderBy(col("u"), col("o_orderkey")))
+            .over(boundedWindow(col("u"), col("o_orderkey")))
             .cast("long"))
           .withColumn("gr", row_number()
             .over(Window.partitionBy("grp")
@@ -14808,7 +14925,7 @@ object QueriesExt {
         val p = t(s, dir, "part").select(col("p_partkey"),
           floor(col("p_retailprice") * lit(1.0e6)).cast("long").as("pu"),
           col("p_size").cast("long").as("size"), col("p_retailprice"))
-        val w = Window.orderBy(col("pu"), col("size").desc,
+        val w = boundedWindow(col("pu"), col("size").desc,
             col("p_partkey"))
           .rowsBetween(Window.unboundedPreceding, -1)
         p.withColumn("prevmax", max("size").over(w))
@@ -14846,7 +14963,7 @@ object QueriesExt {
             floor(col("value") * lit(1.0e6)).cast("long").as("u"),
             col("event_id"))
         val r = v.withColumn("rn", row_number()
-          .over(Window.orderBy(col("u"), col("event_id"))).cast("long"))
+          .over(boundedWindow(col("u"), col("event_id"))).cast("long"))
         val med = r.crossJoin(broadcast(v.agg(count(lit(1)).as("n"))))
           .filter(col("rn") === expr("(n + 1) div 2"))
           .select(col("u").as("mu"))
@@ -14990,7 +15107,7 @@ object QueriesExt {
           sum(when(col("cause") === 1, 1L).otherwise(0L)).as("d1"),
           sum(when(col("cause") === 2, 1L).otherwise(0L)).as("d2"),
           sum(when(col("cause") === 0, 1L).otherwise(0L)).as("cc"))
-        val w = Window.orderBy("t")
+        val w = boundedWindow("t")
           .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         val withRisk = lt.withColumn("n",
           sum(col("d1") + col("d2") + col("cc")).over(w))
@@ -15080,14 +15197,20 @@ object QueriesExt {
           .select(col("day"), (col("n") * col("x") - col("sx")).as("y"),
             col("n"))
           .localCheckpoint()
-        val den = y.agg(sum(col("y") * col("y")).as("dy"),
+        // y = n·x − Σx, so y·y scales as n²·dev² — plain 64-bit wraps
+        // SILENTLY in Spark while the oracle's BIGINT multiply throws
+        // (r12 advice). Route the squares/cross-products through
+        // decimal(38,0)/HUGEINT like q341; the ratio ρ_k = sk/dy is
+        // still the same exact-integer quotient, just on a wider rail.
+        val den = y.agg(sum(col("y").cast("decimal(38,0)") * col("y"))
+            .as("dy"),
           max("n").as("n"))
         val lags = y.as("a")
           .join(broadcast(y).as("b"),
             col("b.day") > col("a.day") &&
               col("b.day") <= col("a.day") + 7)
           .select((col("b.day") - col("a.day")).as("k"),
-            (col("a.y") * col("b.y")).as("p"))
+            (col("a.y").cast("decimal(38,0)") * col("b.y")).as("p"))
           .groupBy("k").agg(sum("p").as("sk"))
         lags.crossJoin(broadcast(den))
           .select(col("k"), col("n"),
@@ -15107,10 +15230,10 @@ object QueriesExt {
         m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
             CAST(SUM(x) AS BIGINT) AS sx FROM d),
         y AS (SELECT day, n * x - sx AS y, n FROM d CROSS JOIN m),
-        den AS (SELECT CAST(SUM(y * y) AS BIGINT) AS dy,
+        den AS (SELECT SUM(CAST(y AS HUGEINT) * y) AS dy,
             MAX(n) AS n FROM y),
         lags AS (SELECT b.day - a.day AS k,
-            CAST(SUM(a.y * b.y) AS BIGINT) AS sk
+            SUM(CAST(a.y AS HUGEINT) * b.y) AS sk
           FROM y a JOIN y b
             ON b.day > a.day AND b.day <= a.day + 7
           GROUP BY 1),
@@ -15193,11 +15316,11 @@ object QueriesExt {
           .localCheckpoint()
         val ra = base.orderBy(desc("m"), col("doc_id")).limit(10)
           .select(col("doc_id"),
-            row_number().over(Window.orderBy(desc("m"), col("doc_id")))
+            row_number().over(boundedWindow(desc("m"), col("doc_id")))
               .cast("long").as("ra"))
         val rb = base.orderBy(desc("q"), col("doc_id")).limit(10)
           .select(col("doc_id"),
-            row_number().over(Window.orderBy(desc("q"), col("doc_id")))
+            row_number().over(boundedWindow(desc("q"), col("doc_id")))
               .cast("long").as("rb"))
         val joined = ra.join(rb, Seq("doc_id")).localCheckpoint()
         val depths = (1 to 10).map { dd =>
@@ -15465,7 +15588,7 @@ object QueriesExt {
           .localCheckpoint()
         val v = gv.groupBy("u").agg(sum("c").as("t"))
         val vm = v.withColumn("cb",
-            coalesce(sum("t").over(Window.orderBy("u")
+            coalesce(sum("t").over(boundedWindow("u")
               .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
           .select(col("u"),
             (lit(2L) * col("cb") + col("t") + 1L).as("mr2"), col("t"))
@@ -15755,7 +15878,7 @@ object QueriesExt {
             sum(when(col("arm") === 1, col("y")).otherwise(0L)).as("yt"),
             sum(when(col("arm") === 0, 1L).otherwise(0L)).as("nc"),
             sum(when(col("arm") === 0, col("y")).otherwise(0L)).as("yc"))
-        val wc = Window.orderBy(desc("decile"))
+        val wc = boundedWindow(desc("decile"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val cum = d
           .withColumn("cnt", sum("nt").over(wc))
@@ -15768,7 +15891,7 @@ object QueriesExt {
                 col("cyc").cast("double") * col("cnt").cast("double") /
                   col("cnc").cast("double")))
           .withColumn("depth",
-            row_number().over(Window.orderBy(desc("decile")))
+            row_number().over(boundedWindow(desc("decile")))
               .cast("long"))
           .localCheckpoint()
         val last = cum.orderBy(desc("depth")).limit(1)

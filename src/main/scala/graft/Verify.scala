@@ -26,6 +26,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    BoundedWindows.quietWindowWarnings()
     new java.io.File(outDir).mkdirs()
     // A query that throws must stay VISIBLE: write an _ERROR sentinel in
     // its output slot (so the driver's compare reports `err` for the row

@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.BoundedWindows.boundedWindow
 import org.apache.spark.storage.StorageLevel
 
 /** Distribution-comparison statistics over event streams: two-sample
@@ -29,7 +30,7 @@ object Hypothesis {
 
   /** Exact prefix sums of `valueCol` in `orderCol` order, distributed.
     *
-    * A bare `Window.orderBy(x)` (no partitionBy) collapses the input
+    * A bare `boundedWindow(x)` (no partitionBy) collapses the input
     * into ONE task — the classic cumulative-sum scale trap. This is the
     * standard two-pass fix, kept entirely in the DataFrame API:
     *
@@ -76,7 +77,7 @@ object Hypothesis {
     val local = valueCols.foldLeft(ranged) { (d, v) =>
       d.withColumn(s"_local_$v", sum(col(v)).over(wLoc))
     }
-    val wPrev = Window.orderBy("_pid")
+    val wPrev = boundedWindow("_pid")
       .rowsBetween(Window.unboundedPreceding, -1)
     val ptots = valueCols.map(v => sum(col(v)).as(s"_ptot_$v"))
     val offsets = ranged.groupBy("_pid")
@@ -104,7 +105,7 @@ object Hypothesis {
     *
     * CONTRACT — BOUNDED GROUP COUNT REQUIRED. The DATA path is fully
     * range-partitioned, but the OFFSETS path is one row per group fed
-    * through an unpartitioned `Window.orderBy(group)` and then a
+    * through an unpartitioned `boundedWindow(group)` and then a
     * broadcast join: both are O(|groups|) in a single task / on the
     * driver. This is the right trade while |groups| is small (a
     * dimension-like column: event_type, source, shard) and WRONG for a
@@ -122,7 +123,7 @@ object Hypothesis {
       struct(col(groupCol), col(orderCol)))
     val cum = prefixSumsByRange(keyed, "_gord", valueCols, partitions)
     val gtots = valueCols.map(v => sum(col(v)).as(s"_gt_$v"))
-    val wg = Window.orderBy(groupCol)
+    val wg = boundedWindow(groupCol)
       .rowsBetween(Window.unboundedPreceding, -1)
     val offs = df.groupBy(groupCol).agg(gtots.head, gtots.tail: _*)
       .select(col(groupCol) +: valueCols.map(v =>
