@@ -13,12 +13,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // A/B hook for shuffle/spill compression (SPARK_GRAFT_IO_CODEC):
-    // this host's buffered write-back is throttled to ~25 MB/s, so
-    // shuffle bytes — not CPU — cap the heavy walls; zstd halves them
-    // vs lz4 on text-heavy rows. Default follows GraftSession.profile.
-    val ioCodec = sys.env.getOrElse("SPARK_GRAFT_IO_CODEC",
-      GraftSession.profile.getOrElse("spark.io.compression.codec", "lz4"))
+    // Shuffle/spill compression (A/B hook: SPARK_GRAFT_IO_CODEC).
+    // Pinned to lz4, NOT GraftSession.profile's zstd: the 3-sample
+    // sf0.1 A/B measured zstd a net loss here (401 s vs 393 s; q106
+    // 4.7→9.3 s) because local small-SF shuffles sit in page cache and
+    // the better ratio buys no IO back, only CPU. The at-scale paths
+    // (sf1.0 sweeps, GraftSession deployments) keep zstd, where
+    // shuffle bytes are the binding constraint — see SCALE.md.
+    val ioCodec = sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "lz4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -145,15 +145,16 @@ object GeneralSweep {
             s"$dupRank duplicated (probe, rank) slots"))
       },
       "q62_range_join" -> { df =>
-        // dates are copied verbatim ⇒ same window grid, each window
-        // catching exactly 10× the shipments
-        val b = base("q62_range_join").select(col("window_id"),
-          col("n_shipments").as("n0"))
-        val joined = df.join(b, Seq("window_id"), "full_outer")
-        val bad = joined.filter(col("n_shipments").isNull || col("n0").isNull ||
-          col("n_shipments") =!= lit(reps) * col("n0")).count()
-        Seq(Check("windows_10x", bad == 0,
-          s"$bad windows missing or not exactly 10× the sf0.1 count"))
+        // window anchors are hash-selected on the SHIFTED order keys,
+        // so the window set re-rolls per copy — but ship DATES are
+        // duplicated verbatim, so any [lo, hi) window catches exactly
+        // 10 copies of every base lineitem: every count is divisible
+        // by 10, and a silent drop in the bucketized rewrite breaks
+        // divisibility before it breaks any aggregate
+        val bad = df.filter(col("n_shipments") % reps =!= 0).count()
+        val rows = df.count()
+        Seq(Check("counts_divisible", bad == 0 && rows > 0,
+          s"$rows windows, $bad with n_shipments not divisible by $reps"))
       }
     )
 

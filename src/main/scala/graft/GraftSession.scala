@@ -38,7 +38,16 @@ object GraftSession {
     "spark.sql.adaptive.skewJoin.enabled" -> "true",
     "spark.sql.files.maxPartitionBytes" -> (128L * 1024 * 1024).toString,
     "spark.sql.session.timeZone" -> "UTC",
-    "spark.serializer" -> "org.apache.spark.serializer.KryoSerializer")
+    "spark.serializer" -> "org.apache.spark.serializer.KryoSerializer",
+    // zstd shuffle/spill compression: at deployment scale shuffles are
+    // network/disk-bound and zstd's ~2× better ratio on text-heavy rows
+    // is nearly free throughput (measured on the sf1.0 sweeps of this
+    // repo, where the host's 25 MB/s writeback made it a clear win).
+    // Deliberately scale-dependent: the sf0.1 LOCAL bench measured the
+    // opposite (401 s zstd vs 393 s lz4, 3-sample A/B — small shuffles
+    // sit in page cache, so the extra CPU buys nothing), which is why
+    // Bench pins lz4 and only the at-scale paths take this default.
+    "spark.io.compression.codec" -> "zstd")
 
   /** Builder pre-loaded with [[profile]]; `shufflePartitions` should be
     * sized to the cluster (see scaladoc), `master` left unset on a
