@@ -58,6 +58,68 @@ object QueriesExt {
   private val dNorm =
     "trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'), '\\s+', ' ', 'g'))"
 
+  /** cos/sin(2π·h·r/7) for h∈1..3, r∈0..6 as SHARED decimal literal
+    * strings (q360 weekly DFT): the Spark when-chain and the DuckDB
+    * CASE both parse the same text into the same IEEE double, so no
+    * engine-computed trig ever touches the data path — the literal-
+    * chain discipline the transcendental queries follow.
+    */
+  private val weeklyTrig: Seq[(Int, Int, String, String)] = Seq(
+    (1, 0, "1.0", "0.0"),
+    (1, 1, "0.6234898018587336", "0.7818314824680298"),
+    (1, 2, "-0.22252093395631434", "0.9749279121818236"),
+    (1, 3, "-0.900968867902419", "0.43388373911755823"),
+    (1, 4, "-0.9009688679024191", "-0.433883739117558"),
+    (1, 5, "-0.2225209339563146", "-0.9749279121818236"),
+    (1, 6, "0.6234898018587334", "-0.7818314824680299"),
+    (2, 0, "1.0", "0.0"),
+    (2, 1, "-0.22252093395631434", "0.9749279121818236"),
+    (2, 2, "-0.9009688679024191", "-0.433883739117558"),
+    (2, 3, "0.6234898018587334", "-0.7818314824680299"),
+    (2, 4, "0.6234898018587337", "0.7818314824680296"),
+    (2, 5, "-0.9009688679024189", "0.43388373911755845"),
+    (2, 6, "-0.2225209339563148", "-0.9749279121818235"),
+    (3, 0, "1.0", "0.0"),
+    (3, 1, "-0.900968867902419", "0.43388373911755823"),
+    (3, 2, "0.6234898018587334", "-0.7818314824680299"),
+    (3, 3, "-0.2225209339563141", "0.9749279121818237"),
+    (3, 4, "-0.2225209339563148", "-0.9749279121818235"),
+    (3, 5, "0.6234898018587354", "0.7818314824680284"),
+    (3, 6, "-0.9009688679024194", "-0.43388373911755757"))
+
+  private def trigSpark(h: Int, sin: Boolean): Column =
+    weeklyTrig.filter(_._1 == h).foldLeft(lit(0.0): Column) {
+      case (acc, (_, r, cs, ss)) =>
+        when(col("r") === r, lit((if (sin) ss else cs).toDouble))
+          .otherwise(acc)
+    }
+
+  private def trigSql(h: Int, sin: Boolean): String =
+    "CASE r " + weeklyTrig.filter(_._1 == h).map {
+      case (_, r, cs, ss) => s"WHEN $r THEN ${if (sin) ss else cs}"
+    }.mkString(" ") + " ELSE 0.0 END"
+
+  /** Unrolled k-truss peeling rounds for the q359 oracle — the DuckDB
+    * twin of [[graft.ext.Search.kTruss]]'s bounded loop (recursive CTEs
+    * can't shrink a set, so the cap is unrolled textually). Every
+    * round's edge set is AS MATERIALIZED: each e_i is referenced ~4×
+    * by round i+1, so DuckDB's default CTE inlining re-evaluates e0
+    * O(4^rounds) times — materializing turns the unroll back into the
+    * linear peel the Spark loop (localCheckpoint per round) runs.
+    */
+  private def kTrussOracleRounds(rounds: Int, minSup: Int): String =
+    (0 until rounds).map { i =>
+      s"""nb$i AS MATERIALIZED (SELECT src, dst FROM e$i
+           UNION ALL SELECT dst, src FROM e$i),
+         s$i AS MATERIALIZED (SELECT x.src AS a, y.src AS b,
+             CAST(COUNT(*) AS BIGINT) AS sup
+           FROM nb$i x JOIN nb$i y ON x.dst = y.dst AND x.src < y.src
+           GROUP BY 1, 2),
+         e${i + 1} AS MATERIALIZED (SELECT e.src, e.dst
+           FROM e$i e JOIN s$i s
+           ON e.src = s.a AND e.dst = s.b WHERE s.sup >= $minSup)"""
+    }.mkString(",\n")
+
   /** Fellegi–Sunter scored candidate pairs (q164/q166): brand-blocked
     * part pairs with their agreement pattern over (type, size,
     * price-bucket) and its precomputed likelihood-ratio score — the
@@ -16272,5 +16334,1055 @@ object QueriesExt {
         SELECT n_x, n_y, e_xx, e_yy, e_xy,
           e_xx + e_yy - 2.0 * e_xy AS mmd2
         FROM fin""")),
+
+    // ── Hodges–Lehmann shift + pseudo-median (q354) ─────────────────────
+    // The ROBUST effect-size companion of Mann–Whitney (q152) and the
+    // Wilcoxon signed-rank (q301): those answer "is there a shift?",
+    // this answers "HOW BIG is it, in the data's own units" — the
+    // median of all pairwise purchase−view daily-value differences
+    // (two-sample HL shift) and the median of Walsh averages of the
+    // purchase series (one-sample pseudo-median). Day-grid bounded:
+    // both pair sets are ≤|days|², micro-unit longs end to end, and
+    // the order statistic is picked by row_number with a full
+    // deterministic (value, day, day) tie-break; even counts average
+    // the two middle longs — one exact sum/count division per engine.
+    QueryDef("q354_hodges_lehmann",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .filter(col("event_type").isin("purchase", "view"))
+          .groupBy(expr("unix_micros(ts) div 86400000000").as("day"),
+            col("event_type"))
+          .agg(sum(floor(col("value") * lit(1.0e6)).cast("long")).as("u"))
+          .localCheckpoint()
+        val x = daily.filter(col("event_type") === "purchase")
+          .select(col("day").as("dx"), col("u").as("ux"))
+        val y = daily.filter(col("event_type") === "view")
+          .select(col("day").as("dy"), col("u").as("uy"))
+        val ns = x.agg(count(lit(1)).as("nx"))
+          .crossJoin(y.agg(count(lit(1)).as("ny")))
+        val diffs = x.crossJoin(broadcast(y))
+          .select((col("ux") - col("uy")).as("d"), col("dx"), col("dy"))
+          .withColumn("rk", row_number()
+            .over(boundedWindow(col("d"), col("dx"), col("dy")))
+            .cast("long"))
+        val hl = diffs.crossJoin(broadcast(ns))
+          .filter(col("rk") === expr("(nx * ny + 1) div 2") ||
+            col("rk") === expr("nx * ny div 2 + 1"))
+          .agg((sum("d") / count(lit(1)) / lit(1.0e6)).as("hl_shift"))
+        val walsh = x.as("a")
+          .join(broadcast(x).as("b"), col("a.dx") <= col("b.dx"))
+          .select((col("a.ux") + col("b.ux")).as("w"),
+            col("a.dx").as("da"), col("b.dx").as("db"))
+          .withColumn("rk", row_number()
+            .over(boundedWindow(col("w"), col("da"), col("db")))
+            .cast("long"))
+        val pm = walsh.crossJoin(broadcast(ns))
+          .filter(col("rk") === expr("(nx * (nx + 1) div 2 + 1) div 2") ||
+            col("rk") === expr("nx * (nx + 1) div 2 div 2 + 1"))
+          .agg((sum("w") / count(lit(1)) / lit(2.0e6))
+            .as("pseudo_median"))
+        ns.crossJoin(broadcast(hl)).crossJoin(broadcast(pm))
+          .select(col("nx").as("n_purchase_days"),
+            col("ny").as("n_view_days"), col("hl_shift"),
+            col("pseudo_median"))
+      },
+      Some("""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+            event_type,
+            CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT)
+              AS u
+          FROM events WHERE event_type IN ('purchase', 'view')
+          GROUP BY 1, 2),
+        x AS (SELECT day AS dx, u AS ux FROM daily
+          WHERE event_type = 'purchase'),
+        y AS (SELECT day AS dy, u AS uy FROM daily
+          WHERE event_type = 'view'),
+        ns AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM x) AS nx,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM y) AS ny),
+        diffs AS (SELECT ux - uy AS d, dx, dy,
+            CAST(ROW_NUMBER() OVER (ORDER BY ux - uy, dx, dy) AS BIGINT)
+              AS rk
+          FROM x CROSS JOIN y),
+        hl AS (SELECT SUM(d) / COUNT(*) / 1000000.0 AS hl_shift
+          FROM diffs CROSS JOIN ns
+          WHERE rk = (nx * ny + 1) // 2 OR rk = nx * ny // 2 + 1),
+        walsh AS (SELECT a.ux + b.ux AS w, a.dx AS da, b.dx AS db,
+            CAST(ROW_NUMBER() OVER (ORDER BY a.ux + b.ux, a.dx, b.dx)
+              AS BIGINT) AS rk
+          FROM x a JOIN x b ON a.dx <= b.dx),
+        pm AS (SELECT SUM(w) / COUNT(*) / 2000000.0 AS pseudo_median
+          FROM walsh CROSS JOIN ns
+          WHERE rk = (nx * (nx + 1) // 2 + 1) // 2
+            OR rk = nx * (nx + 1) // 2 // 2 + 1)
+        SELECT nx AS n_purchase_days, ny AS n_view_days, hl_shift,
+          pseudo_median
+        FROM ns CROSS JOIN hl CROSS JOIN pm""")),
+
+    // ── Two-sample Anderson–Darling on daily revenue (q355) ─────────────
+    // The TAIL-sensitive sibling of KS (q151) and Cramér–von Mises
+    // (q334): the 1/(B(N−B)) weight makes A² catch distribution
+    // differences in the extremes that KS's sup-norm misses — exactly
+    // where revenue anomalies live. Weekday vs weekend daily purchase
+    // totals (micro-unit longs); the DISCRETE ties form (Pettitt 1976):
+    // over pooled distinct values with block-end cumulative counts M
+    // (weekday side) and B (pooled), A² = Σ t·(N·M − m·B)²/(m·n·B·(N−B))
+    // excluding the last block. Squared terms ride decimal(38,0)/
+    // HUGEINT; each block's quotient is one mirrored double; the sum
+    // takes the dsum rail. |distinct values| ≤ |days| — grid-bounded.
+    QueryDef("q355_anderson_darling",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(sum(floor(col("value") * lit(1.0e6)).cast("long")).as("u"))
+          .select(col("u"),
+            (expr("(day + 4) % 7").isin(0, 6)).cast("long").as("we"))
+        val blocks = daily.groupBy("u")
+          .agg(count(lit(1)).as("t"), sum(lit(1L) - col("we")).as("a"))
+        val cum = blocks
+          .withColumn("bb", sum("t").over(boundedWindow("u")))
+          .withColumn("mm", sum("a").over(boundedWindow("u")))
+          .localCheckpoint()
+        val ms = cum.agg(max("bb").as("nn"), max("mm").as("m"))
+        cum.crossJoin(broadcast(ms))
+          .filter(col("bb") < col("nn"))
+          .select(col("t"), col("bb"), col("nn"), col("m"),
+            (col("nn").cast("decimal(38,0)") * col("mm") -
+              col("m").cast("decimal(38,0)") * col("bb")).as("num"))
+          .agg(max("m").as("m_weekday"),
+            (max("nn") - max("m")).as("n_weekend"),
+            dsum(col("t").cast("double") *
+              (col("num") * col("num")).cast("double") /
+              (col("m").cast("double") *
+                (col("nn") - col("m")).cast("double") *
+                col("bb").cast("double") *
+                (col("nn") - col("bb")).cast("double"))).as("a2"))
+      },
+      Some(s"""WITH daily AS (SELECT
+            CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT)
+              AS u,
+            CASE WHEN (epoch_us(ts) // 86400000000 + 4) % 7 IN (0, 6)
+              THEN 1 ELSE 0 END AS we
+          FROM events WHERE event_type = 'purchase'
+          GROUP BY epoch_us(ts) // 86400000000,
+            CASE WHEN (epoch_us(ts) // 86400000000 + 4) % 7 IN (0, 6)
+              THEN 1 ELSE 0 END),
+        blocks AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS t,
+            CAST(SUM(1 - we) AS BIGINT) AS a
+          FROM daily GROUP BY 1),
+        cum AS (SELECT t,
+            CAST(SUM(t) OVER (ORDER BY u) AS BIGINT) AS bb,
+            CAST(SUM(a) OVER (ORDER BY u) AS BIGINT) AS mm
+          FROM blocks),
+        ms AS (SELECT MAX(bb) AS nn, MAX(mm) AS m FROM cum),
+        terms AS (SELECT t, bb, nn, m,
+            CAST(nn AS HUGEINT) * mm - CAST(m AS HUGEINT) * bb AS num
+          FROM cum CROSS JOIN ms WHERE bb < nn)
+        SELECT MAX(m) AS m_weekday, MAX(nn) - MAX(m) AS n_weekend,
+          ${dsumSql("""CAST(t AS DOUBLE) * CAST(num * num AS DOUBLE)
+            / (CAST(m AS DOUBLE) * CAST(nn - m AS DOUBLE)
+              * CAST(bb AS DOUBLE) * CAST(nn - bb AS DOUBLE))""")} AS a2
+        FROM terms""")),
+
+    // ── Goodman–Kruskal gamma: priority vs price quintile (q356) ────────
+    // The ORDINAL-ASSOCIATION member the family still lacked: Kendall
+    // τ-b (q300) penalizes ties, Cramér's V (q292) ignores order —
+    // gamma measures monotone association among UNTIED pairs only,
+    // the right statistic for two ordered categoricals. Priority digit
+    // (1–5) × deterministic price quintile: global rank = cumulative
+    // count over the DISTINCT micro-unit price grid (the q346 rank
+    // shape — never a raw-row global window) + row_number inside each
+    // tie group (per-key window, parallel by price), then (rank−1)·5
+    // div n. Everything after the 25-cell contingency fold is a
+    // bounded 25×25 self-join of exact integer products on the
+    // decimal(38,0)/HUGEINT rail.
+    QueryDef("q356_goodman_kruskal_gamma",
+      (s, dir) => {
+        val o = t(s, dir, "orders").select(
+          substring(col("o_orderpriority"), 1, 1).cast("long").as("g"),
+          floor(col("o_totalprice") * lit(1.0e6)).cast("long").as("u"),
+          col("o_orderkey"))
+          .localCheckpoint()
+        val n = o.agg(count(lit(1)).as("n"))
+        val v = o.groupBy("u").agg(count(lit(1)).as("t"))
+        val vm = v.withColumn("cb",
+          coalesce(sum("t").over(boundedWindow("u")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        val q = o.withColumn("rw", row_number()
+            .over(Window.partitionBy("u").orderBy("o_orderkey"))
+            .cast("long"))
+          .join(vm.select("u", "cb"), Seq("u"))
+          .crossJoin(broadcast(n))
+          .select(col("g"), expr("(cb + rw - 1) * 5 div n").as("q"),
+            col("n"))
+        val cells = q.groupBy("g", "q").agg(count(lit(1)).as("c"))
+          .localCheckpoint()
+        val pairs = cells.as("a").join(broadcast(cells).as("b"),
+          col("b.g") > col("a.g"))
+        val cd = pairs.agg(
+          sum(when(col("b.q") > col("a.q"),
+            col("a.c").cast("decimal(38,0)") * col("b.c"))
+            .otherwise(lit(0).cast("decimal(38,0)"))).as("cc"),
+          sum(when(col("b.q") < col("a.q"),
+            col("a.c").cast("decimal(38,0)") * col("b.c"))
+            .otherwise(lit(0).cast("decimal(38,0)"))).as("dd"))
+        cd.crossJoin(broadcast(n))
+          .select(col("n").as("n_orders"),
+            col("cc").cast("long").as("concordant"),
+            col("dd").cast("long").as("discordant"),
+            ((col("cc") - col("dd")).cast("double") /
+              (col("cc") + col("dd")).cast("double")).as("gamma"))
+      },
+      Some("""WITH o AS (SELECT
+            CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS g,
+            CAST(floor(o_totalprice * 1000000.0) AS BIGINT) AS u,
+            o_orderkey
+          FROM orders),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM o),
+        v AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS t FROM o GROUP BY 1),
+        vm AS (SELECT u, COALESCE(SUM(t) OVER (ORDER BY u
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+          FROM v),
+        q AS (SELECT g,
+            (cb + CAST(ROW_NUMBER() OVER (PARTITION BY o.u
+              ORDER BY o_orderkey) AS BIGINT) - 1) * 5 // n AS q
+          FROM o JOIN vm ON o.u = vm.u CROSS JOIN n),
+        cells AS (SELECT g, q, CAST(COUNT(*) AS BIGINT) AS c
+          FROM q GROUP BY 1, 2),
+        cd AS (SELECT
+            SUM(CASE WHEN b.q > a.q
+              THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END) AS cc,
+            SUM(CASE WHEN b.q < a.q
+              THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END) AS dd
+          FROM cells a JOIN cells b ON b.g > a.g)
+        SELECT n AS n_orders, CAST(cc AS BIGINT) AS concordant,
+          CAST(dd AS BIGINT) AS discordant,
+          CAST(cc - dd AS DOUBLE) / CAST(cc + dd AS DOUBLE) AS gamma
+        FROM cd CROSS JOIN n""")),
+
+    // ── Hoeffding's D: purchases vs clicks dependence (q357) ────────────
+    // The NONLINEAR dependence test the correlation stack can't see:
+    // Spearman (q299) and Kendall (q300) are blind to non-monotone
+    // coupling (a U-shape scores 0); Hoeffding's D tests P(X≤x,Y≤y) =
+    // P(X≤x)·P(Y≤y) directly. Daily purchase count vs click count on
+    // the shared day grid; one |days|²-bounded self-join yields the
+    // per-day lt/eq census, from which doubled midranks R2/S2 and the
+    // quarter-scaled bivariate count Q4 are EXACT integers. D1/D2/D3
+    // share the uniform /16 rational, so D = 30·((n−2)(n−3)E1 + E2 −
+    // 2(n−2)E3) / (16·n(n−1)(n−2)(n−3)(n−4)) with E-sums on the
+    // decimal(38,0)/HUGEINT rail — one mirrored final double chain.
+    // Ties convention documented here: Q_i = 1 + c_i with c_i the
+    // u-function count (1 strict / ½ one-tied / ¼ both-tied, j≠i).
+    QueryDef("q357_hoeffding_d",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .filter(col("event_type").isin("purchase", "click"))
+          .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(sum(when(col("event_type") === "purchase", 1L)
+            .otherwise(0L)).as("x"),
+            sum(when(col("event_type") === "click", 1L).otherwise(0L))
+              .as("y"))
+          .localCheckpoint()
+        val cen = daily.as("a").join(broadcast(daily).as("b"),
+            col("a.day") =!= col("b.day"))
+          .groupBy(col("a.day").as("day"))
+          .agg(
+            sum(when(col("b.x") < col("a.x"), 1L).otherwise(0L))
+              .as("ltx"),
+            sum(when(col("b.x") === col("a.x"), 1L).otherwise(0L))
+              .as("eqx"),
+            sum(when(col("b.y") < col("a.y"), 1L).otherwise(0L))
+              .as("lty"),
+            sum(when(col("b.y") === col("a.y"), 1L).otherwise(0L))
+              .as("eqy"),
+            sum(when(col("b.x") < col("a.x") && col("b.y") < col("a.y"),
+              4L).otherwise(0L) +
+              when(col("b.x") === col("a.x") && col("b.y") < col("a.y"),
+                2L).otherwise(0L) +
+              when(col("b.x") < col("a.x") && col("b.y") === col("a.y"),
+                2L).otherwise(0L) +
+              when(col("b.x") === col("a.x") && col("b.y") === col("a.y"),
+                1L).otherwise(0L)).as("q4"))
+          .select(
+            (lit(2L) * col("ltx") + col("eqx") + 2L).as("r2"),
+            (lit(2L) * col("lty") + col("eqy") + 2L).as("s2"),
+            col("q4"))
+        val e = cen.agg(count(lit(1)).as("n"),
+          sum(col("q4").cast("decimal(38,0)") * (col("q4") - 4L))
+            .as("e1"),
+          sum((col("r2") - 2L).cast("decimal(38,0)") * (col("r2") - 4L) *
+            (col("s2") - 2L) * (col("s2") - 4L)).as("e2"),
+          sum((col("r2") - 4L).cast("decimal(38,0)") * (col("s2") - 4L) *
+            col("q4")).as("e3"))
+        e.select(col("n").as("n_days"),
+          (lit(30.0) *
+            ((col("n") - 2L).cast("double") *
+              (col("n") - 3L).cast("double") * col("e1").cast("double") +
+              col("e2").cast("double") -
+              lit(2.0) * (col("n") - 2L).cast("double") *
+                col("e3").cast("double")) /
+            (lit(16.0) * col("n").cast("double") *
+              (col("n") - 1L).cast("double") *
+              (col("n") - 2L).cast("double") *
+              (col("n") - 3L).cast("double") *
+              (col("n") - 4L).cast("double"))).as("hoeffding_d"))
+      },
+      Some("""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+            CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x,
+            CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS y
+          FROM events WHERE event_type IN ('purchase', 'click')
+          GROUP BY 1),
+        cen AS (SELECT a.day,
+            CAST(SUM(CASE WHEN b.x < a.x THEN 1 ELSE 0 END) AS BIGINT)
+              AS ltx,
+            CAST(SUM(CASE WHEN b.x = a.x THEN 1 ELSE 0 END) AS BIGINT)
+              AS eqx,
+            CAST(SUM(CASE WHEN b.y < a.y THEN 1 ELSE 0 END) AS BIGINT)
+              AS lty,
+            CAST(SUM(CASE WHEN b.y = a.y THEN 1 ELSE 0 END) AS BIGINT)
+              AS eqy,
+            CAST(SUM(
+              CASE WHEN b.x < a.x AND b.y < a.y THEN 4 ELSE 0 END +
+              CASE WHEN b.x = a.x AND b.y < a.y THEN 2 ELSE 0 END +
+              CASE WHEN b.x < a.x AND b.y = a.y THEN 2 ELSE 0 END +
+              CASE WHEN b.x = a.x AND b.y = a.y THEN 1 ELSE 0 END)
+              AS BIGINT) AS q4
+          FROM daily a JOIN daily b ON a.day <> b.day
+          GROUP BY 1),
+        r AS (SELECT 2 * ltx + eqx + 2 AS r2, 2 * lty + eqy + 2 AS s2,
+            q4
+          FROM cen),
+        e AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            SUM(CAST(q4 AS HUGEINT) * (q4 - 4)) AS e1,
+            SUM(CAST(r2 - 2 AS HUGEINT) * (r2 - 4) * (s2 - 2) * (s2 - 4))
+              AS e2,
+            SUM(CAST(r2 - 4 AS HUGEINT) * (s2 - 4) * q4) AS e3
+          FROM r)
+        SELECT n AS n_days,
+          30.0 * (CAST(n - 2 AS DOUBLE) * CAST(n - 3 AS DOUBLE)
+              * CAST(e1 AS DOUBLE) + CAST(e2 AS DOUBLE)
+              - 2.0 * CAST(n - 2 AS DOUBLE) * CAST(e3 AS DOUBLE))
+            / (16.0 * CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)
+              * CAST(n - 2 AS DOUBLE) * CAST(n - 3 AS DOUBLE)
+              * CAST(n - 4 AS DOUBLE)) AS hoeffding_d
+        FROM e""")),
+
+    // ── Harrell's C: does engagement predict time-to-purchase? (q358) ───
+    // The CENSORING-AWARE ranking metric the survival stack (KM q179,
+    // Nelson–Aalen q265, log-rank q298, competing risks q339) still
+    // lacked: AUC (q207) needs a binary label NOW; Harrell's C scores a
+    // predictor against time-to-event WITH right-censored subjects.
+    // Subject = user-week; time = hours from week start to first
+    // purchase, censored at 168; risk score = that week's view count
+    // capped at 20 (a fixed cap, not a global quantile — no corpus-wide
+    // sort at 100 TB). Pairs never materialize per subject: the
+    // (time × score × event) contingency grid is ≤169·21·2 cells, and
+    // permissible pairs (t_a<t_b with event a, or t_a=t_b event-vs-
+    // censored) are counted from the grid self-join in half units —
+    // ties in score count ½. Products ride decimal(38,0)/HUGEINT.
+    QueryDef("q358_survival_concordance",
+      (s, dir) => {
+        val e = t(s, dir, "events").select(col("user_id"),
+          expr("unix_micros(ts) div 604800000000").as("wk"),
+          expr("unix_micros(ts) div 3600000000").as("hr"),
+          col("event_type"))
+        val uw = e.groupBy("user_id", "wk").agg(
+          min(when(col("event_type") === "purchase",
+            col("hr") - col("wk") * 168L)).as("tp"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("nv"))
+        val cells = uw.select(
+            coalesce(col("tp"), lit(168L)).as("tt"),
+            col("tp").isNotNull.cast("long").as("ev"),
+            least(col("nv"), lit(20L)).as("p"))
+          .groupBy("tt", "ev", "p").agg(count(lit(1)).as("c"))
+          .localCheckpoint()
+        val ns = cells.agg(sum("c").as("n"))
+        val cd = cells.filter(col("ev") === 1L).as("a")
+          .join(broadcast(cells).as("b"),
+            col("b.tt") > col("a.tt") ||
+              (col("b.tt") === col("a.tt") && col("b.ev") === 0L))
+          .agg(
+            sum(col("a.c").cast("decimal(38,0)") * col("b.c")).as("np"),
+            sum(col("a.c").cast("decimal(38,0)") * col("b.c") *
+              (when(col("a.p") > col("b.p"), 2L)
+                .when(col("a.p") === col("b.p"), 1L)
+                .otherwise(0L))).as("conc2"))
+        cd.crossJoin(broadcast(ns))
+          .select(col("n").as("n_subjects"),
+            col("np").cast("long").as("n_pairs"),
+            (col("conc2").cast("double") /
+              (lit(2.0) * col("np").cast("double"))).as("c_index"))
+      },
+      Some("""WITH e AS (SELECT user_id,
+            epoch_us(ts) // 604800000000 AS wk,
+            epoch_us(ts) // 3600000000 AS hr, event_type
+          FROM events),
+        uw AS (SELECT user_id, wk,
+            MIN(CASE WHEN event_type = 'purchase'
+              THEN hr - wk * 168 END) AS tp,
+            CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS nv
+          FROM e GROUP BY 1, 2),
+        cells AS (SELECT COALESCE(tp, 168) AS tt,
+            CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev,
+            LEAST(nv, 20) AS p, CAST(COUNT(*) AS BIGINT) AS c
+          FROM uw GROUP BY 1, 2, 3),
+        ns AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+        cd AS (SELECT
+            SUM(CAST(a.c AS HUGEINT) * b.c) AS np,
+            SUM(CAST(a.c AS HUGEINT) * b.c *
+              (CASE WHEN a.p > b.p THEN 2
+                WHEN a.p = b.p THEN 1 ELSE 0 END)) AS conc2
+          FROM cells a JOIN cells b
+            ON b.tt > a.tt OR (b.tt = a.tt AND b.ev = 0)
+          WHERE a.ev = 1)
+        SELECT n AS n_subjects, CAST(np AS BIGINT) AS n_pairs,
+          CAST(conc2 AS DOUBLE) / (2.0 * CAST(np AS DOUBLE)) AS c_index
+        FROM cd CROSS JOIN ns""")),
+
+    // ── Maximal 4-truss of the strong co-occurrence graph (q359) ────────
+    // The triangle-reinforced cohesion certificate completing the graph
+    // suite: k-core (q162) keeps an edge while its ENDPOINTS stay busy;
+    // a 4-truss keeps it only while the edge itself closes ≥2 triangles
+    // with surviving edges — the community-detection primitive that
+    // separates genuinely clique-y vocabulary from hub-and-spoke. Four
+    // peeling rounds (removal is monotone; the strong graph converges
+    // in ≤2 at the tested SFs), surviving edges with their final
+    // support. Spark loop in Search.kTruss (vocab²-bounded rounds,
+    // broadcast wedge joins); the oracle unrolls the same rounds
+    // textually — recursive CTEs cannot shrink a set.
+    QueryDef("q359_ktruss",
+      (s, dir) => graft.ext.Search.kTruss(
+        tPar(s, dir, "documents"), "doc_id", "text", trVocab,
+        linkSupNum, linkSupDen, 4, 4),
+      Some(s"""WITH dt AS (SELECT DISTINCT doc_id, tok AS token
+            FROM (SELECT doc_id, unnest($dTok) AS tok FROM documents)),
+        ndt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+        v AS (SELECT token FROM (SELECT token, COUNT(*) AS df FROM dt
+          GROUP BY 1 ORDER BY df DESC, token LIMIT $trVocab)),
+        vt AS (SELECT dt.doc_id, dt.token FROM dt JOIN v USING (token)),
+        co AS (SELECT a.token AS src, b.token AS dst,
+            CAST(COUNT(*) AS BIGINT) AS c
+          FROM vt a JOIN vt b
+            ON a.doc_id = b.doc_id AND a.token < b.token
+          GROUP BY 1, 2),
+        e0 AS MATERIALIZED (SELECT src, dst FROM co, ndt
+          WHERE c * $linkSupDen > $linkSupNum * nd),
+        ${kTrussOracleRounds(4, 2)},
+        nbf AS (SELECT src, dst FROM e4
+          UNION ALL SELECT dst, src FROM e4),
+        sf AS (SELECT x.src AS a, y.src AS b,
+            CAST(COUNT(*) AS BIGINT) AS sup
+          FROM nbf x JOIN nbf y ON x.dst = y.dst AND x.src < y.src
+          GROUP BY 1, 2)
+        SELECT e.src, e.dst, COALESCE(s.sup, 0) AS support
+        FROM e4 e LEFT JOIN sf s ON e.src = s.a AND e.dst = s.b
+        ORDER BY src, dst""")),
+
+    // ── Weekly-frequency DFT power of daily purchases (q360) ────────────
+    // The SPECTRAL twin of the rank/sign seasonality stack: seasonal
+    // strength (q291), Friedman (q310) and Page (q345) test FOR a
+    // weekly pattern; the DFT power at 1/7, 2/7, 3/7 cycles/day says
+    // WHERE the energy sits (fundamental vs harmonics — a spiky
+    // one-day-a-week series loads the harmonics, a smooth weekly wave
+    // only the fundamental). The angle grid is (day mod 7)·h/7, so the
+    // whole trig table is 21 SHARED literals ([[weeklyTrig]]) — both
+    // engines parse identical decimal strings, and the projections
+    // Σx·cos, Σx·sin take the dsum rail. One scan, one bounded agg; the
+    // 3-harmonic unpivot is a constant-size stack.
+    QueryDef("q360_weekly_spectrum",
+      (s, dir) => {
+        val d = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(count(lit(1)).as("x"))
+          .select((col("day") % 7L).as("r"), col("x").cast("double").as("x"))
+        val agg = d.agg(
+          dsum(col("x") * trigSpark(1, sin = false)).as("sc1"),
+          dsum(col("x") * trigSpark(1, sin = true)).as("ss1"),
+          dsum(col("x") * trigSpark(2, sin = false)).as("sc2"),
+          dsum(col("x") * trigSpark(2, sin = true)).as("ss2"),
+          dsum(col("x") * trigSpark(3, sin = false)).as("sc3"),
+          dsum(col("x") * trigSpark(3, sin = true)).as("ss3"))
+        agg.selectExpr(
+            "stack(3, 1L, sc1, ss1, 2L, sc2, ss2, 3L, sc3, ss3)" +
+              " as (h, sc, ss)")
+          .select(col("h"), col("sc"), col("ss"),
+            (col("sc") * col("sc") + col("ss") * col("ss")).as("power"))
+          .orderBy("h")
+      },
+      Some(s"""WITH d AS (SELECT day % 7 AS r,
+            CAST(COUNT(*) AS DOUBLE) AS x
+          FROM (SELECT epoch_us(ts) // 86400000000 AS day FROM events
+            WHERE event_type = 'purchase')
+          GROUP BY day),
+        agg AS (SELECT
+            ${dsumSql(s"x * (${trigSql(1, sin = false)})")} AS sc1,
+            ${dsumSql(s"x * (${trigSql(1, sin = true)})")} AS ss1,
+            ${dsumSql(s"x * (${trigSql(2, sin = false)})")} AS sc2,
+            ${dsumSql(s"x * (${trigSql(2, sin = true)})")} AS ss2,
+            ${dsumSql(s"x * (${trigSql(3, sin = false)})")} AS sc3,
+            ${dsumSql(s"x * (${trigSql(3, sin = true)})")} AS ss3
+          FROM d),
+        u AS (SELECT CAST(1 AS BIGINT) AS h, sc1 AS sc, ss1 AS ss
+            FROM agg
+          UNION ALL SELECT CAST(2 AS BIGINT), sc2, ss2 FROM agg
+          UNION ALL SELECT CAST(3 AS BIGINT), sc3, ss3 FROM agg)
+        SELECT h, sc, ss, sc * sc + ss * ss AS power
+        FROM u ORDER BY h""")),
+
+    // ── Lo–MacKinlay variance-ratio test on daily revenue (q361) ────────
+    // The RANDOM-WALK diagnostic the autocorrelation stack implies but
+    // never states: under independent daily shocks Var(q-day change) =
+    // q·Var(1-day change), so VR(q) ≷ 1 reads directly as momentum vs
+    // mean-reversion — the one-number summary of the q148/q282 ACF/PACF
+    // lags. Overlapping q-day differences via the day-grid self-join
+    // (b.day = a.day − q; grid-bounded, broadcast); Σd exact long, Σd²
+    // on decimal(38,0)/HUGEINT, unbiased variances assembled in one
+    // mirrored double chain, final ratio against the shared q=1 row.
+    QueryDef("q361_variance_ratio",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(sum(floor(col("value") * lit(1.0e6)).cast("long")).as("u"))
+          .localCheckpoint()
+        def diffs(q: Int): DataFrame = daily.as("a")
+          .join(broadcast(daily).as("b"),
+            col("a.day") === col("b.day") + q)
+          .select(lit(q.toLong).as("q"),
+            (col("a.u") - col("b.u")).as("d"))
+        val stats = diffs(1).union(diffs(2)).union(diffs(5))
+          .groupBy("q").agg(count(lit(1)).as("n"), sum("d").as("sd"),
+            sum(col("d").cast("decimal(38,0)") * col("d")).as("sdd"))
+          .select(col("q"), col("n"),
+            ((col("sdd").cast("double") -
+              (col("sd").cast("decimal(38,0)") * col("sd"))
+                .cast("double") / col("n").cast("double")) /
+              (col("n") - 1L).cast("double")).as("v"))
+          .localCheckpoint()
+        val base = stats.filter(col("q") === 1L)
+          .select(col("v").as("v1"))
+        stats.filter(col("q") =!= 1L).crossJoin(broadcast(base))
+          .select(col("q").as("lag_q"), col("n").as("n_diffs"),
+            (col("v") / col("q").cast("double") / col("v1")).as("vr"))
+          .orderBy("lag_q")
+      },
+      Some("""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+            CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT)
+              AS u
+          FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        d AS (SELECT q, a.u - b.u AS d
+          FROM (SELECT CAST(unnest([1, 2, 5]) AS BIGINT) AS q) qs
+          JOIN daily a ON true
+          JOIN daily b ON a.day = b.day + q),
+        stats AS (SELECT q, CAST(COUNT(*) AS BIGINT) AS n,
+            (CAST(SUM(CAST(d AS HUGEINT) * d) AS DOUBLE)
+              - CAST(CAST(SUM(d) AS HUGEINT) * SUM(d) AS DOUBLE)
+                / CAST(COUNT(*) AS DOUBLE))
+              / CAST(COUNT(*) - 1 AS DOUBLE) AS v
+          FROM d GROUP BY 1),
+        base AS (SELECT v AS v1 FROM stats WHERE q = 1)
+        SELECT q AS lag_q, n AS n_diffs,
+          v / CAST(q AS DOUBLE) / v1 AS vr
+        FROM stats CROSS JOIN base WHERE q <> 1
+        ORDER BY lag_q""")),
+
+    // ── Yule's K lexical richness per source (q362) ─────────────────────
+    // The log-free member of the vocabulary-richness family (Chao1
+    // q237, Good–Turing q238, Heaps q304, TTR q135): K = 10⁴(Σf² − N)/N²
+    // is scale-invariant repetitiveness — the collision probability of
+    // two random tokens, renormalized — so a templated source scores
+    // high-K at ANY corpus size where raw TTR just decays. Σf² rides
+    // decimal(38,0)/HUGEINT; K is one mirrored double chain. One corpus
+    // scan, one (source, token) fold, one per-source fold — the same
+    // two-shuffle shape as the other per-source text stats.
+    QueryDef("q362_yules_k",
+      (s, dir) => {
+        val f = tPar(s, dir, "documents")
+          .select(col("source"),
+            explode(TextStats.tokens(col("text"))).as("token"))
+          .groupBy("source", "token").agg(count(lit(1)).as("f"))
+        f.groupBy("source").agg(
+            sum("f").as("n"),
+            count(lit(1)).as("v"),
+            sum(col("f").cast("decimal(38,0)") * col("f")).as("s2"))
+          .select(col("source"), col("n").as("n_tokens"),
+            col("v").as("vocab"),
+            (lit(1.0e4) *
+              (col("s2").cast("double") - col("n").cast("double")) /
+              (col("n").cast("double") * col("n").cast("double")))
+              .as("yules_k"))
+          .orderBy("source")
+      },
+      Some(s"""WITH f AS (SELECT source, tok AS token,
+            CAST(COUNT(*) AS BIGINT) AS f
+          FROM (SELECT source, unnest($dTok) AS tok FROM documents)
+          GROUP BY 1, 2)
+        SELECT source, CAST(SUM(f) AS BIGINT) AS n_tokens,
+          CAST(COUNT(*) AS BIGINT) AS vocab,
+          10000.0 * (CAST(SUM(CAST(f AS HUGEINT) * f) AS DOUBLE)
+              - CAST(SUM(f) AS DOUBLE))
+            / (CAST(SUM(f) AS DOUBLE) * CAST(SUM(f) AS DOUBLE))
+            AS yules_k
+        FROM f GROUP BY source ORDER BY source""")),
+
+    // ── Quade test: weekday effect weighted by week volatility (q363) ───
+    // The BLOCKED rank test between Friedman (q310, equal block
+    // weights) and the plain ANOVA (q281, raw values): Quade weights
+    // each week-block by the rank of its RANGE, so high-variance weeks
+    // — where a weekday effect is actually visible — dominate. With
+    // k = 7 treatments, (k+1)/2 = 4 is exact, so doubled midranks make
+    // S_ij = Q2_i(r2_ij − 8)/4 quarter-unit INTEGERS; the uniform /16
+    // cancels in F = (n−1)·B/(A−B) = (n−1)·ΣSj²/(n·ΣSij² − ΣSj²) — the
+    // whole statistic is one integer ratio on the decimal(38,0)/HUGEINT
+    // rail. Complete weeks only (boundary part-weeks dropped); both
+    // rank censuses are grid-bounded self-joins.
+    QueryDef("q363_quade",
+      (s, dir) => {
+        val d = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(count(lit(1)).as("x"))
+          .select(expr("day div 7").as("wk"), (col("day") % 7L).as("wd"),
+            col("x"))
+        val full = d.groupBy("wk").agg(count(lit(1)).as("nd"),
+            max("x").as("mx"), min("x").as("mn"))
+          .filter(col("nd") === 7L)
+          .select(col("wk"), (col("mx") - col("mn")).as("rng"))
+          .localCheckpoint()
+        val cells = d.join(broadcast(full.select("wk")), Seq("wk"))
+          .localCheckpoint()
+        val r2 = cells.as("a")
+          .join(broadcast(cells).as("b"), col("a.wk") === col("b.wk"))
+          .groupBy(col("a.wk").as("wk"), col("a.wd").as("wd"))
+          .agg((lit(2L) * sum(when(col("b.x") < col("a.x"), 1L)
+              .otherwise(0L)) +
+            sum(when(col("b.x") === col("a.x"), 1L).otherwise(0L)))
+            .as("r2"))
+        val q2 = full.as("a").crossJoin(broadcast(full).as("b"))
+          .groupBy(col("a.wk").as("wk"))
+          .agg((lit(2L) * sum(when(col("b.rng") < col("a.rng"), 1L)
+              .otherwise(0L)) +
+            sum(when(col("b.rng") === col("a.rng"), 1L).otherwise(0L)))
+            .as("q2"))
+        val sij = r2.join(broadcast(q2), Seq("wk"))
+          .select(col("wk"), col("wd"),
+            (col("q2").cast("decimal(38,0)") * (col("r2") - 8L))
+              .as("sq"))
+        val a = sij.agg(count(lit(1)).as("nk"),
+          sum(col("sq") * col("sq")).as("aa"))
+        val b = sij.groupBy("wd").agg(sum("sq").as("sj"))
+          .agg(sum(col("sj") * col("sj")).as("bb"))
+        a.crossJoin(broadcast(b))
+          .select(expr("nk div 7").as("n_blocks"), lit(7L).as("k"),
+            ((expr("nk div 7") - 1L).cast("double") *
+              col("bb").cast("double") /
+              (expr("nk div 7").cast("decimal(38,0)") * col("aa") -
+                col("bb")).cast("double")).as("quade_f"))
+      },
+      Some("""WITH d AS (SELECT day // 7 AS wk, day % 7 AS wd,
+            CAST(COUNT(*) AS BIGINT) AS x
+          FROM (SELECT epoch_us(ts) // 86400000000 AS day FROM events
+            WHERE event_type = 'purchase')
+          GROUP BY day // 7, day % 7),
+        fw AS (SELECT wk, MAX(x) - MIN(x) AS rng
+          FROM d GROUP BY wk HAVING COUNT(*) = 7),
+        cells AS (SELECT d.wk, d.wd, d.x FROM d JOIN fw USING (wk)),
+        r2 AS (SELECT a.wk, a.wd,
+            2 * SUM(CASE WHEN b.x < a.x THEN 1 ELSE 0 END)
+              + SUM(CASE WHEN b.x = a.x THEN 1 ELSE 0 END) AS r2
+          FROM cells a JOIN cells b ON a.wk = b.wk
+          GROUP BY 1, 2),
+        q2 AS (SELECT a.wk,
+            2 * SUM(CASE WHEN b.rng < a.rng THEN 1 ELSE 0 END)
+              + SUM(CASE WHEN b.rng = a.rng THEN 1 ELSE 0 END) AS q2
+          FROM fw a CROSS JOIN fw b
+          GROUP BY 1),
+        sij AS (SELECT r2.wk, r2.wd,
+            CAST(q2.q2 AS HUGEINT) * (r2.r2 - 8) AS sq
+          FROM r2 JOIN q2 USING (wk)),
+        ta AS (SELECT CAST(COUNT(*) AS BIGINT) AS nk,
+            SUM(sq * sq) AS aa FROM sij),
+        tb AS (SELECT SUM(sj * sj) AS bb FROM
+          (SELECT SUM(sq) AS sj FROM sij GROUP BY wd) t)
+        SELECT nk // 7 AS n_blocks, CAST(7 AS BIGINT) AS k,
+          CAST(nk // 7 - 1 AS DOUBLE) * CAST(bb AS DOUBLE)
+            / CAST(CAST(nk // 7 AS HUGEINT) * aa - bb AS DOUBLE)
+            AS quade_f
+        FROM ta CROSS JOIN tb""")),
+
+    // ── Gumbel return level from weekly revenue maxima (q364) ───────────
+    // EXTREME-VALUE analysis — the missing tail member of the series
+    // stack: quantiles (q34/q116) describe the bulk; the Fisher–
+    // Tippett route fits the DISTRIBUTION OF BLOCK MAXIMA and
+    // extrapolates to events rarer than the observation window. Weekly
+    // maxima of daily purchase revenue (complete weeks), Gumbel fitted
+    // by method of moments — β = s·√6/π, μ = x̄ − γβ — and the 52-week
+    // return level μ + 3.9415…·β. All three shape constants are SHARED
+    // literals (√6/π, Euler γ, −ln(−ln(1−1/52))); moments ride exact
+    // longs/decimal(38,0), and sqrt is IEEE-correctly-rounded on both
+    // engines, so the chain mirrors bit-for-bit. One scan, grid folds.
+    QueryDef("q364_gumbel_return_level",
+      (s, dir) => {
+        val d = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(sum(floor(col("value") * lit(1.0e6)).cast("long")).as("u"))
+        val wkmax = d.select(expr("day div 7").as("wk"), col("u"))
+          .groupBy("wk").agg(count(lit(1)).as("nd"), max("u").as("m"))
+          .filter(col("nd") === 7L)
+        val mom = wkmax.agg(count(lit(1)).as("n"), sum("m").as("sm"),
+          sum(col("m").cast("decimal(38,0)") * col("m")).as("smm"))
+        mom.select(col("n").as("n_weeks"),
+            (col("sm").cast("double") / col("n").cast("double") /
+              lit(1.0e6)).as("mean_max"),
+            (sqrt((col("smm").cast("double") -
+              (col("sm").cast("decimal(38,0)") * col("sm"))
+                .cast("double") / col("n").cast("double")) /
+              (col("n") - 1L).cast("double")) *
+              lit(0.779696801233676) / lit(1.0e6)).as("beta"))
+          .select(col("n_weeks"), col("mean_max"), col("beta"),
+            (col("mean_max") - lit(0.5772156649015329) * col("beta"))
+              .as("mu"))
+          .select(col("n_weeks"), col("mu"), col("beta"),
+            (col("mu") + lit(3.9415503865226063) * col("beta"))
+              .as("return_level_52wk"))
+      },
+      Some("""WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+            CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT)
+              AS u
+          FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        wkmax AS (SELECT day // 7 AS wk, MAX(u) AS m
+          FROM d GROUP BY 1 HAVING COUNT(*) = 7),
+        mom AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(m) AS BIGINT) AS sm,
+            SUM(CAST(m AS HUGEINT) * m) AS smm FROM wkmax),
+        fit AS (SELECT n AS n_weeks,
+            CAST(sm AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0
+              AS mean_max,
+            sqrt((CAST(smm AS DOUBLE)
+                - CAST(CAST(sm AS HUGEINT) * sm AS DOUBLE)
+                  / CAST(n AS DOUBLE))
+              / CAST(n - 1 AS DOUBLE)) * 0.779696801233676 / 1000000.0
+              AS beta
+          FROM mom),
+        loc AS (SELECT n_weeks, beta,
+            mean_max - 0.5772156649015329 * beta AS mu FROM fit)
+        SELECT n_weeks, mu, beta,
+          mu + 3.9415503865226063 * beta AS return_level_52wk
+        FROM loc""")),
+
+    // ── Theil's U2: does seasonal-naive beat naive? (q365) ──────────────
+    // The FORECAST-VALUE ratio completing the eval family: MASE (q215)
+    // scores one model against in-sample naive error; U2 directly
+    // compares the seasonal-naive forecast (lag 7 — the pattern q360/
+    // q291 detect) against the naive benchmark (lag 1) on the SAME
+    // days: U2 < 1 means the weekly pattern has real predictive value.
+    // Day-grid self-joins for both lags (inner on day−1 and day−7, so
+    // n counts only days with both references); squared errors ride
+    // decimal(38,0)/HUGEINT; one IEEE sqrt of the mirrored ratio.
+    QueryDef("q365_theil_u2",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(sum(floor(col("value") * lit(1.0e6)).cast("long")).as("u"))
+          .localCheckpoint()
+        val j = daily.as("a")
+          .join(broadcast(daily).as("b"),
+            col("a.day") === col("b.day") + 1L)
+          .join(broadcast(daily).as("c"),
+            col("a.day") === col("c.day") + 7L)
+          .select((col("a.u") - col("c.u")).as("e7"),
+            (col("a.u") - col("b.u")).as("e1"))
+        j.agg(count(lit(1)).as("n_days"),
+            sum(col("e7").cast("decimal(38,0)") * col("e7")).as("s7"),
+            sum(col("e1").cast("decimal(38,0)") * col("e1")).as("s1"))
+          .select(col("n_days"),
+            (col("s7").cast("double") / lit(1.0e12)).as("sse_seasonal"),
+            (col("s1").cast("double") / lit(1.0e12)).as("sse_naive"),
+            sqrt(col("s7").cast("double") / col("s1").cast("double"))
+              .as("theil_u2"))
+      },
+      Some("""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+            CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT)
+              AS u
+          FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        j AS (SELECT a.u - c.u AS e7, a.u - b.u AS e1
+          FROM daily a JOIN daily b ON a.day = b.day + 1
+          JOIN daily c ON a.day = c.day + 7)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+          CAST(SUM(CAST(e7 AS HUGEINT) * e7) AS DOUBLE) / 1e12
+            AS sse_seasonal,
+          CAST(SUM(CAST(e1 AS HUGEINT) * e1) AS DOUBLE) / 1e12
+            AS sse_naive,
+          sqrt(CAST(SUM(CAST(e7 AS HUGEINT) * e7) AS DOUBLE)
+            / CAST(SUM(CAST(e1 AS HUGEINT) * e1) AS DOUBLE)) AS theil_u2
+        FROM j""")),
+
+    // ── Székely distance correlation: purchases vs clicks (q366) ────────
+    // The UNIVERSAL dependence coefficient closing the stack q299/q300/
+    // q357 opened: dCor = 0 ⟺ independence (against ANY alternative,
+    // not just monotone or quadrant coupling), the modern default for
+    // "are these series related at all?". Doubly-centered distance
+    // matrices scaled by n² are EXACT integers (Ã = n²|xi−xj| − n·rowi
+    // − n·rowj + tot), and the n⁶ normalizations cancel in dCor² =
+    // ΣÃB̃ / √(ΣÃ²·ΣB̃²) — so the whole statistic is three
+    // decimal(38,0) pair sums and two IEEE sqrts. Both pair passes are
+    // |days|²-bounded broadcast self-joins after the one full-data
+    // day fold.
+    QueryDef("q366_distance_correlation",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .filter(col("event_type").isin("purchase", "click"))
+          .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(sum(when(col("event_type") === "purchase", 1L)
+            .otherwise(0L)).as("x"),
+            sum(when(col("event_type") === "click", 1L).otherwise(0L))
+              .as("y"))
+          .localCheckpoint()
+        val rows0 = daily.as("a").crossJoin(broadcast(daily).as("b"))
+          .groupBy(col("a.day").as("day"))
+          .agg(sum(abs(col("a.x") - col("b.x"))).as("ra"),
+            sum(abs(col("a.y") - col("b.y"))).as("rb"))
+        val z = daily.join(broadcast(rows0), Seq("day")).localCheckpoint()
+        val tot = z.agg(count(lit(1)).as("n"), sum("ra").as("ta"),
+          sum("rb").as("tb"))
+        val at = col("n") * col("n") * abs(col("a.x") - col("b.x")) -
+          col("n") * col("a.ra") - col("n") * col("b.ra") + col("ta")
+        val bt = col("n") * col("n") * abs(col("a.y") - col("b.y")) -
+          col("n") * col("a.rb") - col("n") * col("b.rb") + col("tb")
+        val sums = z.as("a").crossJoin(broadcast(z).as("b"))
+          .crossJoin(broadcast(tot))
+          .select(at.as("at"), bt.as("bt"), col("n"))
+          .agg(max("n").as("n"),
+            sum(col("at").cast("decimal(38,0)") * col("bt")).as("sab"),
+            sum(col("at").cast("decimal(38,0)") * col("at")).as("saa"),
+            sum(col("bt").cast("decimal(38,0)") * col("bt")).as("sbb"))
+        sums.select(col("n").as("n_days"),
+          (col("sab").cast("double") /
+            (col("n").cast("double") * col("n") * col("n") * col("n") *
+              col("n") * col("n"))).as("dcov2"),
+          sqrt(col("sab").cast("double") /
+            sqrt(col("saa").cast("double") * col("sbb").cast("double")))
+            .as("dcor"))
+      },
+      Some("""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+            CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x,
+            CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS y
+          FROM events WHERE event_type IN ('purchase', 'click')
+          GROUP BY 1),
+        rows0 AS (SELECT a.day,
+            CAST(SUM(ABS(a.x - b.x)) AS BIGINT) AS ra,
+            CAST(SUM(ABS(a.y - b.y)) AS BIGINT) AS rb
+          FROM daily a CROSS JOIN daily b GROUP BY 1),
+        z AS (SELECT daily.day, x, y, ra, rb
+          FROM daily JOIN rows0 ON daily.day = rows0.day),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(ra) AS BIGINT) AS ta, CAST(SUM(rb) AS BIGINT) AS tb
+          FROM z),
+        p AS (SELECT
+            n * n * ABS(a.x - b.x) - n * a.ra - n * b.ra + ta AS at,
+            n * n * ABS(a.y - b.y) - n * a.rb - n * b.rb + tb AS bt, n
+          FROM z a CROSS JOIN z b CROSS JOIN tot),
+        sums AS (SELECT MAX(n) AS n,
+            SUM(CAST(at AS HUGEINT) * bt) AS sab,
+            SUM(CAST(at AS HUGEINT) * at) AS saa,
+            SUM(CAST(bt AS HUGEINT) * bt) AS sbb
+          FROM p)
+        SELECT n AS n_days,
+          CAST(sab AS DOUBLE) / (CAST(n AS DOUBLE) * n * n * n * n * n)
+            AS dcov2,
+          sqrt(CAST(sab AS DOUBLE)
+            / sqrt(CAST(saa AS DOUBLE) * CAST(sbb AS DOUBLE))) AS dcor
+        FROM sums""")),
+
+    // ── Seasonal Mann–Kendall trend on daily purchases (q367) ───────────
+    // The seasonality-proof upgrade of q232: a weekly cycle (which q360
+    // MEASURES) reads as spurious trend or masks a real one in the
+    // plain MK statistic — the seasonal variant compares only
+    // same-weekday observations across weeks and sums the per-season
+    // S and ties-adjusted variances, so the weekly pattern cancels
+    // identically. S and the 18·Var numerator are exact integers
+    // (pairs live on the bounded week×weekday grid); z applies the
+    // standard ±1 continuity correction via one mirrored chain.
+    QueryDef("q367_seasonal_mann_kendall",
+      (s, dir) => {
+        val d = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(count(lit(1)).as("x"))
+          .select((col("day") % 7L).as("wd"), expr("day div 7").as("wk"),
+            col("x"))
+          .localCheckpoint()
+        val sS = d.as("a")
+          .join(broadcast(d).as("b"),
+            col("a.wd") === col("b.wd") && col("b.wk") > col("a.wk"))
+          .agg(sum(signum(col("b.x") - col("a.x")).cast("long")).as("s"))
+        val nwd = d.groupBy("wd").agg(count(lit(1)).as("n"))
+          .agg(sum(col("n") * (col("n") - 1L) * (lit(2L) * col("n") + 5L))
+            .as("vn"))
+        val ties = d.groupBy("wd", "x").agg(count(lit(1)).as("t"))
+          .agg(sum(col("t") * (col("t") - 1L) * (lit(2L) * col("t") + 5L))
+            .as("vt"))
+        sS.crossJoin(broadcast(nwd)).crossJoin(broadcast(ties))
+          .select(col("s").as("s_total"),
+            ((col("vn") - col("vt")).cast("double") / lit(18.0))
+              .as("var_s"))
+          .select(col("s_total"), col("var_s"),
+            ((col("s_total") -
+              signum(col("s_total").cast("double")).cast("long"))
+              .cast("double") / sqrt(col("var_s"))).as("z"))
+      },
+      Some("""WITH d AS (SELECT day % 7 AS wd, day // 7 AS wk,
+            CAST(COUNT(*) AS BIGINT) AS x
+          FROM (SELECT epoch_us(ts) // 86400000000 AS day FROM events
+            WHERE event_type = 'purchase')
+          GROUP BY 1, 2),
+        s AS (SELECT CAST(SUM(CASE WHEN b.x > a.x THEN 1
+            WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s_total
+          FROM d a JOIN d b ON a.wd = b.wd AND b.wk > a.wk),
+        vn AS (SELECT CAST(SUM(n * (n - 1) * (2 * n + 5)) AS BIGINT)
+            AS vn
+          FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d
+            GROUP BY wd) t),
+        vt AS (SELECT CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+            AS vt
+          FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM d
+            GROUP BY wd, x) t)
+        SELECT s_total, CAST(vn - vt AS DOUBLE) / 18.0 AS var_s,
+          CAST(s_total - CASE WHEN s_total > 0 THEN 1
+              WHEN s_total < 0 THEN -1 ELSE 0 END AS DOUBLE)
+            / sqrt(CAST(vn - vt AS DOUBLE) / 18.0) AS z
+        FROM s CROSS JOIN vn CROSS JOIN vt""")),
+
+    // ── Burrows' Delta: stylometric distance between sources (q368) ─────
+    // AUTHORSHIP attribution — the classic forensic companion of the
+    // divergence stack (q303 TV/Bhattacharyya, q217 Hellinger): those
+    // compare raw vocabulary mass; Delta z-normalizes each of the top
+    // M=20 tokens ACROSS sources first, so one source's generic
+    // wordiness can't dominate, then averages |z₁ − z₂| — the measure
+    // that actually separates house styles. Dense (source × top-token)
+    // grid with zero fill; per-token mean/sd and the per-pair |Δz|
+    // fold both ride the dsum rail; sources² pairs are broadcast-
+    // bounded. Top-10 closest pairs (most confusable styles).
+    QueryDef("q368_burrows_delta",
+      (s, dir) => {
+        val tok = tPar(s, dir, "documents")
+          .select(col("source"),
+            explode(TextStats.tokens(col("text"))).as("token"))
+        val cnt = tok.groupBy("source", "token").agg(count(lit(1)).as("c"))
+          .localCheckpoint()
+        val top = cnt.groupBy("token").agg(sum("c").as("tc"))
+          .orderBy(desc("tc"), col("token")).limit(20).select("token")
+        val ns = cnt.groupBy("source").agg(sum("c").as("ntok"))
+        val dense = ns.select("source").crossJoin(broadcast(top))
+          .join(cnt, Seq("source", "token"), "left")
+          .join(ns, Seq("source"))
+          .select(col("source"), col("token"),
+            (coalesce(col("c"), lit(0L)).cast("double") /
+              col("ntok").cast("double")).as("f"))
+          .localCheckpoint()
+        val stats = dense.groupBy("token").agg(
+            count(lit(1)).as("k"), dsum(col("f")).as("sf"),
+            dsum(col("f") * col("f")).as("sff"))
+          .select(col("token"), (col("sf") / col("k")).as("mu"),
+            sqrt((col("sff") - col("sf") * col("sf") / col("k")) /
+              (col("k") - 1L).cast("double")).as("sd"))
+          .filter(col("sd") > 0.0)
+        val zs = dense.join(broadcast(stats), Seq("token"))
+          .select(col("source"), col("token"),
+            ((col("f") - col("mu")) / col("sd")).as("z"))
+          .localCheckpoint()
+        zs.as("a")
+          .join(broadcast(zs).as("b"),
+            col("a.token") === col("b.token") &&
+              col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("source_a"),
+            col("b.source").as("source_b"))
+          .agg((dsum(abs(col("a.z") - col("b.z"))) / count(lit(1)))
+            .as("delta"))
+          .orderBy(col("delta"), col("source_a"), col("source_b"))
+          .limit(10)
+      },
+      Some(s"""WITH tok AS (SELECT source, unnest($dTok) AS token
+          FROM documents),
+        cnt AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+          FROM tok GROUP BY 1, 2),
+        top AS (SELECT token FROM (SELECT token, SUM(c) AS tc FROM cnt
+          GROUP BY 1 ORDER BY tc DESC, token LIMIT 20)),
+        ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ntok FROM cnt
+          GROUP BY 1),
+        dense AS (SELECT ns.source, top.token,
+            CAST(COALESCE(cnt.c, 0) AS DOUBLE) / CAST(ns.ntok AS DOUBLE)
+              AS f
+          FROM ns CROSS JOIN top
+          LEFT JOIN cnt ON cnt.source = ns.source
+            AND cnt.token = top.token),
+        stats AS (SELECT token,
+            ${dsumSql("f")} / COUNT(*) AS mu,
+            sqrt((${dsumSql("f * f")}
+                - ${dsumSql("f")} * ${dsumSql("f")} / COUNT(*))
+              / CAST(COUNT(*) - 1 AS DOUBLE)) AS sd
+          FROM dense GROUP BY 1),
+        zs AS (SELECT source, dense.token, (f - mu) / sd AS z
+          FROM dense JOIN stats ON dense.token = stats.token
+          WHERE sd > 0.0)
+        SELECT a.source AS source_a, b.source AS source_b,
+          ${dsumSql("ABS(a.z - b.z)")} / COUNT(*) AS delta
+        FROM zs a JOIN zs b
+          ON a.token = b.token AND a.source < b.source
+        GROUP BY 1, 2 ORDER BY delta, source_a, source_b LIMIT 10""")),
+
+    // ── Turning-point randomness test on daily purchases (q369) ─────────
+    // The LOCAL-EXTREMA randomness check beside the runs test (q308,
+    // sign-vs-median) and Ljung–Box (q340, linear autocorrelation): an
+    // i.i.d. series has exactly 2/3 of interior triples as peaks or
+    // troughs, so too few turning points reads as smoothness/trend and
+    // too many as alternation — sensitive to structure the other two
+    // miss. Strict-inequality triples (ties break neither side,
+    // documented); the triple join lives on the bounded day grid;
+    // E[T] = 2m/3 and Var = (16n−29)/90 are one mirrored literal
+    // chain over exact counts.
+    QueryDef("q369_turning_point",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(count(lit(1)).as("x"))
+          .localCheckpoint()
+        val tri = daily.as("c")
+          .join(broadcast(daily).as("p"),
+            col("c.day") === col("p.day") + 1L)
+          .join(broadcast(daily).as("f"),
+            col("c.day") === col("f.day") - 1L)
+          .select(((col("c.x") > col("p.x") && col("c.x") > col("f.x")) ||
+            (col("c.x") < col("p.x") && col("c.x") < col("f.x")))
+            .cast("long").as("tp"))
+        tri.agg(count(lit(1)).as("m"), sum("tp").as("tt"))
+          .select((col("m") + 2L).as("n_days"), col("tt").as("n_turning"),
+            ((col("tt").cast("double") -
+              lit(2.0) * col("m").cast("double") / lit(3.0)) /
+              sqrt((lit(16.0) * (col("m") + 2L).cast("double") -
+                lit(29.0)) / lit(90.0))).as("z"))
+      },
+      Some("""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+            CAST(COUNT(*) AS BIGINT) AS x
+          FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        tri AS (SELECT CASE WHEN (c.x > p.x AND c.x > f.x)
+              OR (c.x < p.x AND c.x < f.x) THEN 1 ELSE 0 END AS tp
+          FROM daily c JOIN daily p ON c.day = p.day + 1
+          JOIN daily f ON c.day = f.day - 1),
+        agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+            CAST(SUM(tp) AS BIGINT) AS tt FROM tri)
+        SELECT m + 2 AS n_days, tt AS n_turning,
+          (CAST(tt AS DOUBLE) - 2.0 * CAST(m AS DOUBLE) / 3.0)
+            / sqrt((16.0 * CAST(m + 2 AS DOUBLE) - 29.0) / 90.0) AS z
+        FROM agg""")),
   )
 }

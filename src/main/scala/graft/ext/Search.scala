@@ -384,6 +384,57 @@ object Search {
       .orderBy("token")
   }
 
+  /** Maximal k-truss of the STRONG co-occurrence graph: the
+    * triangle-reinforced cousin of [[kCore]] — an edge survives only
+    * while it closes ≥ k−2 triangles with surviving edges, so a truss
+    * certifies COHESION (every retained tie is multiply witnessed)
+    * where a core only certifies degree. Strong edges are gated by
+    * relative support c·supDen > supNum·|docs| (the q328 gate — an
+    * absolute floor would not port across corpus sizes).
+    *
+    * Peeling loop: per round, common-neighbour support for every
+    * surviving edge via the wedge join on the undirected edge list,
+    * then drop edges below k−2; `rounds` caps the unrolled iterations
+    * (removal is monotone, so any fixpoint reached early just repeats).
+    * Output = surviving edges with their support in the FINAL edge set,
+    * token-ordered.
+    *
+    * Scale shape: one corpus pass inside [[cooccurGraph]]; every round
+    * runs on the ≤ vocab²-bounded edge table with a broadcast wedge
+    * join and one localCheckpoint (flat plan, no lineage growth) —
+    * the same at-scale contract as [[kCore]]/[[triangleStats]].
+    */
+  def kTruss(docs: DataFrame, idCol: String, textCol: String, vocab: Int,
+             supNum: Int, supDen: Int, k: Int, rounds: Int): DataFrame = {
+    require(k >= 3, s"k $k")
+    require(rounds >= 1, s"rounds $rounds")
+    val (_, edges) = cooccurGraph(docs, idCol, textCol, vocab)
+    val ndocs = docs.agg(count(lit(1)).as("nd"))
+    def support(half: DataFrame): DataFrame = {
+      val nb = half.select("src", "dst").union(
+        half.select(col("dst").as("src"), col("src").as("dst")))
+      half.join(
+        broadcast(nb.select(col("src").as("a"), col("dst").as("w"))
+          .join(nb.select(col("src").as("b"), col("dst").as("w")),
+            Seq("w"))
+          .filter(col("a") < col("b"))
+          .groupBy(col("a").as("src"), col("b").as("dst"))
+          .agg(count(lit(1)).as("support"))),
+        Seq("src", "dst"), "left")
+        .select(col("src"), col("dst"),
+          coalesce(col("support"), lit(0L)).as("support"))
+    }
+    var half = edges.crossJoin(broadcast(ndocs))
+      .filter(col("c") * supDen > lit(supNum) * col("nd"))
+      .filter(col("src") < col("dst")).select("src", "dst")
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to rounds) {
+      half = support(half).filter(col("support") >= k - 2)
+        .select("src", "dst").localCheckpoint(eager = true)
+    }
+    support(half).orderBy("src", "dst")
+  }
+
   /** Positional phrase search: documents containing `t1` immediately
     * followed by `t2`, with hit counts and the first match position
     * (1-based). The positional-inverted-index query: where [[bm25]] and

@@ -1,0 +1,174 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants of the round-13 statistics/graph/series
+  * additions (q354–q365) that the oracle hash can't express — range
+  * bounds, cross-statistic identities, and structural properties.
+  */
+class Round13EvalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, TestSpark.sf0001)
+
+  test("q354: HL shift and pseudo-median are finite and the pair " +
+       "counts are the full day grids") {
+    val r = run("q354_hodges_lehmann").head()
+    val (nx, ny) = (r.getLong(0), r.getLong(1))
+    assert(nx > 1 && ny > 1, s"nx=$nx ny=$ny")
+    val hl = r.getDouble(2)
+    val pm = r.getDouble(3)
+    assert(!hl.isNaN && !hl.isInfinite, s"hl=$hl")
+    // the pseudo-median of a positive daily-revenue series is positive
+    assert(pm > 0.0, s"pm=$pm")
+  }
+
+  test("q355: A-squared is non-negative and both samples non-empty") {
+    val r = run("q355_anderson_darling").head()
+    val (m, n) = (r.getLong(0), r.getLong(1))
+    assert(m > 0 && n > 0, s"m=$m n=$n")
+    assert(r.getDouble(2) >= 0.0, s"a2=${r.getDouble(2)}")
+  }
+
+  test("q356: gamma in [-1, 1] and C/D bounded by the cross-class " +
+       "pair count") {
+    val r = run("q356_goodman_kruskal_gamma").head()
+    val (n, c, d) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val g = r.getDouble(3)
+    assert(c >= 0 && d >= 0 && c + d <= n * (n - 1) / 2,
+      s"C=$c D=$d n=$n")
+    assert(g >= -1.0 - 1e-12 && g <= 1.0 + 1e-12, s"gamma=$g")
+  }
+
+  test("q357: Hoeffding's D lies in its exact range [-0.5, 1]") {
+    val r = run("q357_hoeffding_d").head()
+    assert(r.getLong(0) > 4, "need n > 4 days")
+    val d = r.getDouble(1)
+    assert(d >= -0.5 - 1e-12 && d <= 1.0 + 1e-12, s"D=$d")
+  }
+
+  test("q358: C-index in [0, 1] and the half-unit pair accounting " +
+       "is consistent") {
+    val r = run("q358_survival_concordance").head()
+    val (ns, np) = (r.getLong(0), r.getLong(1))
+    val c = r.getDouble(2)
+    assert(ns > 0 && np > 0, s"subjects=$ns pairs=$np")
+    assert(np <= ns * (ns - 1), s"pairs=$np subjects=$ns")
+    assert(c >= 0.0 && c <= 1.0, s"c=$c")
+  }
+
+  test("q359: every surviving 4-truss edge is canonical and closes " +
+       ">= 2 triangles within the surviving set") {
+    val rows = run("q359_ktruss").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.nonEmpty, "4-truss empty at sf0.001")
+    rows.foreach { case (u, v, sup) =>
+      assert(u < v, s"non-canonical edge ($u,$v)")
+      assert(sup >= 2, s"edge ($u,$v) support $sup < 2 at fixpoint")
+    }
+    assert(rows.map(e => (e._1, e._2)).distinct.length == rows.length)
+  }
+
+  test("q360: three harmonics, power = sc^2 + ss^2 >= 0 each") {
+    val rows = run("q360_weekly_spectrum").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    rows.foreach { r =>
+      val (sc, ss, p) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(math.abs(p - (sc * sc + ss * ss)) <= 1e-9 * (1 + p))
+      assert(p >= 0.0)
+    }
+  }
+
+  test("q361: VR(2) and VR(5) are positive and finite") {
+    val rows = run("q361_variance_ratio").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(2L, 5L))
+    rows.foreach { r =>
+      assert(r.getLong(1) > 2, s"n_diffs=${r.getLong(1)}")
+      val vr = r.getDouble(2)
+      assert(vr > 0.0 && !vr.isInfinite, s"vr=$vr")
+    }
+  }
+
+  test("q362: Yule's K >= 0 with vocab <= tokens, one row per source") {
+    val rows = run("q362_yules_k").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, v, k) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(v >= 1L && v <= n, s"vocab=$v tokens=$n")
+      // K = 1e4 (Σf² − N)/N² ≥ 0 since Σf² ≥ N always
+      assert(k >= 0.0, s"K=$k")
+    }
+    assert(rows.map(_.getString(0)).distinct.length == rows.length)
+  }
+
+  test("q363: Quade F is non-negative with k=7 and >= 2 complete " +
+       "blocks") {
+    val r = run("q363_quade").head()
+    val (n, k) = (r.getLong(0), r.getLong(1))
+    assert(n >= 2 && k == 7, s"n=$n k=$k")
+    assert(r.getDouble(2) >= 0.0, s"F=${r.getDouble(2)}")
+  }
+
+  test("q364: Gumbel mu < return level and beta > 0") {
+    val r = run("q364_gumbel_return_level").head()
+    val (n, mu, beta, rl) =
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(n >= 2, s"n_weeks=$n")
+    assert(beta > 0.0, s"beta=$beta")
+    assert(rl > mu, s"rl=$rl mu=$mu")
+    // the 52-week return level sits above the mean weekly max
+    assert(rl > mu + 3.0 * beta, "literal chain broken")
+  }
+
+  test("q365: U2 = sqrt(sse_seasonal / sse_naive) and both SSEs " +
+       "positive") {
+    val r = run("q365_theil_u2").head()
+    val (n, s7, s1, u2) =
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(n > 7, s"n=$n")
+    assert(s7 > 0.0 && s1 > 0.0)
+    assert(math.abs(u2 - math.sqrt(s7 / s1)) <= 1e-12 * (1 + u2))
+  }
+
+  test("q366: dCov2 >= 0 (double centering) and dCor in [0, 1]") {
+    val r = run("q366_distance_correlation").head()
+    assert(r.getLong(0) > 2)
+    val (dcov2, dcor) = (r.getDouble(1), r.getDouble(2))
+    assert(dcov2 >= -1e-12, s"dcov2=$dcov2")
+    assert(dcor >= 0.0 && dcor <= 1.0 + 1e-12, s"dcor=$dcor")
+  }
+
+  test("q367: |S| bounded by total same-weekday pair count and z " +
+       "finite") {
+    val r = run("q367_seasonal_mann_kendall").head()
+    val (s, v, z) = (r.getLong(0), r.getDouble(1), r.getDouble(2))
+    // 7 seasons of ceil(30/7) weeks: |S| <= 7 * C(5,2) = 70
+    assert(math.abs(s) <= 70, s"S=$s")
+    assert(v > 0.0, s"var=$v")
+    assert(!z.isNaN && !z.isInfinite, s"z=$z")
+  }
+
+  test("q368: deltas are non-negative, sorted ascending, pairs " +
+       "canonical and distinct") {
+    val rows = run("q368_burrows_delta").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, d) =>
+      assert(a < b, s"pair ($a,$b) not canonical")
+      assert(d >= 0.0, s"delta=$d")
+    }
+    assert(rows.map(_._3).sliding(2).forall(w =>
+      w.length < 2 || w(0) <= w(1)), "not sorted by delta")
+    assert(rows.map(p => (p._1, p._2)).distinct.length == rows.length)
+  }
+
+  test("q369: turning points bounded by interior count and E[T] " +
+       "sits inside [0, m]") {
+    val r = run("q369_turning_point").head()
+    val (n, tp) = (r.getLong(0), r.getLong(1))
+    assert(n > 3, s"n=$n")
+    assert(tp >= 0 && tp <= n - 2, s"T=$tp n=$n")
+    assert(!r.getDouble(2).isNaN)
+  }
+}
