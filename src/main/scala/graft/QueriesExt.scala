@@ -17384,5 +17384,189 @@ object QueriesExt {
           (CAST(tt AS DOUBLE) - 2.0 * CAST(m AS DOUBLE) / 3.0)
             / sqrt((16.0 * CAST(m + 2 AS DOUBLE) - 29.0) / 90.0) AS z
         FROM agg""")),
+
+    // ── Rich-club coefficient of the strong token graph (q370) ──────────
+    // Do the best-connected tokens tie to EACH OTHER or only to the
+    // periphery? φ(k) = 2E_k/(N_k(N_k−1)) over degree thresholds —
+    // the global complement of k-core (q162, per-node) and
+    // assortativity (q276, one mixing number): a rising φ(k) curve is
+    // the hub-club signature neither can see. All work after the one
+    // corpus pass is vocab²-bounded (Search.richClub).
+    QueryDef("q370_rich_club",
+      (s, dir) => graft.ext.Search.richClub(
+        tPar(s, dir, "documents"), "doc_id", "text", trVocab,
+        linkSupNum, linkSupDen, Seq(5, 10, 15, 20)),
+      Some(s"""WITH dt AS (SELECT DISTINCT doc_id, tok AS token
+            FROM (SELECT doc_id, unnest($dTok) AS tok FROM documents)),
+        ndt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+        v AS (SELECT token FROM (SELECT token, COUNT(*) AS df FROM dt
+          GROUP BY 1 ORDER BY df DESC, token LIMIT $trVocab)),
+        vt AS (SELECT dt.doc_id, dt.token FROM dt JOIN v USING (token)),
+        co AS (SELECT a.token AS src, b.token AS dst,
+            CAST(COUNT(*) AS BIGINT) AS c
+          FROM vt a JOIN vt b
+            ON a.doc_id = b.doc_id AND a.token < b.token
+          GROUP BY 1, 2),
+        half AS (SELECT src, dst FROM co, ndt
+          WHERE c * $linkSupDen > $linkSupNum * nd),
+        deg AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS deg FROM
+          (SELECT src AS t FROM half UNION ALL SELECT dst FROM half)
+          GROUP BY 1),
+        ks AS (SELECT CAST(unnest([5, 10, 15, 20]) AS BIGINT) AS k),
+        nk AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_nodes
+          FROM deg CROSS JOIN ks WHERE deg > k GROUP BY 1),
+        ek AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_edges
+          FROM half
+          JOIN deg ds ON half.src = ds.t
+          JOIN deg dd ON half.dst = dd.t
+          CROSS JOIN ks WHERE ds.deg > k AND dd.deg > k GROUP BY 1)
+        SELECT ks.k, COALESCE(nk.n_nodes, 0) AS n_nodes,
+          COALESCE(ek.n_edges, 0) AS n_edges,
+          CASE WHEN COALESCE(nk.n_nodes, 0) >= 2
+            THEN 2.0 * CAST(COALESCE(ek.n_edges, 0) AS DOUBLE)
+              / (CAST(nk.n_nodes AS DOUBLE)
+                * CAST(nk.n_nodes - 1 AS DOUBLE)) END AS phi
+        FROM ks LEFT JOIN nk ON ks.k = nk.k
+        LEFT JOIN ek ON ks.k = ek.k
+        ORDER BY ks.k""")),
+
+    // ── All-pairs shortest-path histogram (q371) ────────────────────────
+    // The GLOBAL distance structure of the strong token graph —
+    // diameter (max row) and mean path length in one bounded census —
+    // where q110 walks from a single source. Four min-plus relaxation
+    // rounds reach every distance ≤ 5 (measured diameter 3); the
+    // oracle unrolls the same rounds with MATERIALIZED CTEs (the q359
+    // inlining lesson). Every round is a broadcast join on the
+    // ≤ vocab² distance table.
+    QueryDef("q371_graph_distances",
+      (s, dir) => graft.ext.Search.distanceHistogram(
+        tPar(s, dir, "documents"), "doc_id", "text", trVocab,
+        linkSupNum, linkSupDen, 4),
+      Some(s"""WITH dt AS (SELECT DISTINCT doc_id, tok AS token
+            FROM (SELECT doc_id, unnest($dTok) AS tok FROM documents)),
+        ndt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+        v AS (SELECT token FROM (SELECT token, COUNT(*) AS df FROM dt
+          GROUP BY 1 ORDER BY df DESC, token LIMIT $trVocab)),
+        vt AS (SELECT dt.doc_id, dt.token FROM dt JOIN v USING (token)),
+        co AS (SELECT a.token AS src, b.token AS dst,
+            CAST(COUNT(*) AS BIGINT) AS c
+          FROM vt a JOIN vt b
+            ON a.doc_id = b.doc_id AND a.token < b.token
+          GROUP BY 1, 2),
+        half AS (SELECT src, dst FROM co, ndt
+          WHERE c * $linkSupDen > $linkSupNum * nd),
+        nb AS MATERIALIZED (SELECT src, dst FROM half
+          UNION ALL SELECT dst, src FROM half),
+        d0 AS MATERIALIZED (SELECT src AS u, dst AS v,
+          CAST(1 AS BIGINT) AS d FROM nb),
+        ${(0 until 4).map { i =>
+          s"""d${i + 1} AS MATERIALIZED (SELECT u, v, MIN(d) AS d FROM (
+               SELECT u, v, d FROM d$i
+               UNION ALL
+               SELECT d$i.u, nb.dst AS v, d$i.d + 1
+               FROM d$i JOIN nb ON d$i.v = nb.src) t
+             GROUP BY 1, 2)"""
+        }.mkString(",\n")}
+        SELECT d AS dist, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM d4 WHERE u < v GROUP BY 1 ORDER BY 1""")),
+
+    // ── Bounded-horizon Katz centrality (q372) ──────────────────────────
+    // The attenuated-WALK centrality between degree and the
+    // eigenvector family (PageRank q108/q196, HITS q275): Katz counts
+    // all walks, damped α^length, so it rewards being near hubs
+    // without PageRank's out-degree normalization. Walk counts p_r =
+    // A·p_{r−1} are EXACT integers; α^r coefficients are emitted from
+    // the SAME JVM math.pow on both sides (literal-chain discipline),
+    // and the 4-term per-node fold rides the dsum rail. Four broadcast
+    // matrix-vector rounds on the ≤ vocab² edge table.
+    QueryDef("q372_katz_centrality",
+      (s, dir) => graft.ext.Search.katzCentrality(
+        tPar(s, dir, "documents"), "doc_id", "text", trVocab,
+        linkSupNum, linkSupDen, 1, 10, 4),
+      Some(s"""WITH dt AS (SELECT DISTINCT doc_id, tok AS token
+            FROM (SELECT doc_id, unnest($dTok) AS tok FROM documents)),
+        ndt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+        v AS (SELECT token FROM (SELECT token, COUNT(*) AS df FROM dt
+          GROUP BY 1 ORDER BY df DESC, token LIMIT $trVocab)),
+        vt AS (SELECT dt.doc_id, dt.token FROM dt JOIN v USING (token)),
+        co AS (SELECT a.token AS src, b.token AS dst,
+            CAST(COUNT(*) AS BIGINT) AS c
+          FROM vt a JOIN vt b
+            ON a.doc_id = b.doc_id AND a.token < b.token
+          GROUP BY 1, 2),
+        half AS (SELECT src, dst FROM co, ndt
+          WHERE c * $linkSupDen > $linkSupNum * nd),
+        nb AS MATERIALIZED (SELECT src, dst FROM half
+          UNION ALL SELECT dst, src FROM half),
+        nodes AS MATERIALIZED (SELECT DISTINCT src AS t FROM nb),
+        p0 AS (SELECT t, CAST(1 AS BIGINT) AS w FROM nodes),
+        ${(1 to 4).map { r =>
+          s"""p$r AS MATERIALIZED (SELECT nb.dst AS t,
+               CAST(SUM(p.w) AS BIGINT) AS w
+             FROM nb JOIN p${r - 1} p ON nb.src = p.t GROUP BY 1)"""
+        }.mkString(",\n")},
+        terms AS (${(1 to 4).map { r =>
+          s"SELECT t, ${math.pow(0.1, r)} * CAST(w AS DOUBLE) AS x FROM p$r"
+        }.mkString("\n          UNION ALL ")}),
+        k AS (SELECT t, CAST(SUM(CAST(x AS DECIMAL(30,8))) AS DOUBLE)
+            AS katz
+          FROM terms GROUP BY 1)
+        SELECT nodes.t AS token, COALESCE(k.katz, 0.0) AS katz
+        FROM nodes LEFT JOIN k ON nodes.t = k.t
+        ORDER BY token""")),
+
+    // ── Sen's seasonal slope on daily purchases (q373) ──────────────────
+    // The ESTIMATOR to q367's test: seasonal Mann–Kendall says whether
+    // a weekly-cycle-proof trend exists; Sen's seasonal slope says how
+    // steep — the median of all within-weekday pairwise slopes
+    // (x_j − x_i)/(wk_j − wk_i), immune to both outliers and the
+    // weekly pattern (same-weekday pairs only). Slopes are one
+    // deterministic double division each; the order statistic is
+    // picked by row_number with the full (slope, wd, wk, wk) tie-break
+    // (the q354 selection shape); even counts average the two middle
+    // values. Pairs live on the bounded week×weekday grid.
+    QueryDef("q373_sens_seasonal_slope",
+      (s, dir) => {
+        val d = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(count(lit(1)).as("x"))
+          .select((col("day") % 7L).as("wd"), expr("day div 7").as("wk"),
+            col("x"))
+          .localCheckpoint()
+        val sl = d.as("a")
+          .join(broadcast(d).as("b"),
+            col("a.wd") === col("b.wd") && col("b.wk") > col("a.wk"))
+          .select(
+            ((col("b.x") - col("a.x")).cast("double") /
+              (col("b.wk") - col("a.wk")).cast("double")).as("slope"),
+            col("a.wd").as("wd"), col("a.wk").as("w1"),
+            col("b.wk").as("w2"))
+          .withColumn("rk", row_number().over(boundedWindow(
+            col("slope"), col("wd"), col("w1"), col("w2"))).cast("long"))
+        val n = sl.agg(count(lit(1)).as("np"))
+        sl.crossJoin(broadcast(n))
+          .filter(col("rk") === expr("(np + 1) div 2") ||
+            col("rk") === expr("np div 2 + 1"))
+          .agg(max("np").as("n_pairs"),
+            (sum("slope") / count(lit(1))).as("sen_slope"))
+      },
+      Some("""WITH d AS (SELECT day % 7 AS wd, day // 7 AS wk,
+            CAST(COUNT(*) AS BIGINT) AS x
+          FROM (SELECT epoch_us(ts) // 86400000000 AS day FROM events
+            WHERE event_type = 'purchase')
+          GROUP BY 1, 2),
+        sl AS (SELECT
+            CAST(b.x - a.x AS DOUBLE) / CAST(b.wk - a.wk AS DOUBLE)
+              AS slope,
+            a.wd AS wd, a.wk AS w1, b.wk AS w2,
+            CAST(ROW_NUMBER() OVER (ORDER BY
+              CAST(b.x - a.x AS DOUBLE) / CAST(b.wk - a.wk AS DOUBLE),
+              a.wd, a.wk, b.wk) AS BIGINT) AS rk
+          FROM d a JOIN d b ON a.wd = b.wd AND b.wk > a.wk),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS np FROM sl)
+        SELECT MAX(np) AS n_pairs, SUM(slope) / COUNT(*) AS sen_slope
+        FROM sl CROSS JOIN n
+        WHERE rk = (np + 1) // 2 OR rk = np // 2 + 1""")),
   )
 }

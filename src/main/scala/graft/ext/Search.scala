@@ -404,12 +404,28 @@ object Search {
     * join and one localCheckpoint (flat plan, no lineage growth) —
     * the same at-scale contract as [[kCore]]/[[triangleStats]].
     */
+  /** Canonical (src < dst) STRONG edges of the co-occurrence graph:
+    * tokens co-occurring in more than supNum/supDen of all documents
+    * (the shared q328/q359/q370/q371/q372 gate — relative so it ports
+    * across corpus sizes). One corpus pass inside [[cooccurGraph]];
+    * the result is ≤ vocab²-bounded and checkpointed for the iterative
+    * consumers.
+    */
+  private[ext] def strongHalf(docs: DataFrame, idCol: String,
+                              textCol: String, vocab: Int,
+                              supNum: Int, supDen: Int): DataFrame = {
+    val (_, edges) = cooccurGraph(docs, idCol, textCol, vocab)
+    val ndocs = docs.agg(count(lit(1)).as("nd"))
+    edges.crossJoin(broadcast(ndocs))
+      .filter(col("c") * supDen > lit(supNum) * col("nd"))
+      .filter(col("src") < col("dst")).select("src", "dst")
+      .localCheckpoint(eager = true)
+  }
+
   def kTruss(docs: DataFrame, idCol: String, textCol: String, vocab: Int,
              supNum: Int, supDen: Int, k: Int, rounds: Int): DataFrame = {
     require(k >= 3, s"k $k")
     require(rounds >= 1, s"rounds $rounds")
-    val (_, edges) = cooccurGraph(docs, idCol, textCol, vocab)
-    val ndocs = docs.agg(count(lit(1)).as("nd"))
     def support(half: DataFrame): DataFrame = {
       val nb = half.select("src", "dst").union(
         half.select(col("dst").as("src"), col("src").as("dst")))
@@ -424,15 +440,127 @@ object Search {
         .select(col("src"), col("dst"),
           coalesce(col("support"), lit(0L)).as("support"))
     }
-    var half = edges.crossJoin(broadcast(ndocs))
-      .filter(col("c") * supDen > lit(supNum) * col("nd"))
-      .filter(col("src") < col("dst")).select("src", "dst")
-      .localCheckpoint(eager = true)
+    var half = strongHalf(docs, idCol, textCol, vocab, supNum, supDen)
     for (_ <- 1 to rounds) {
       half = support(half).filter(col("support") >= k - 2)
         .select("src", "dst").localCheckpoint(eager = true)
     }
     support(half).orderBy("src", "dst")
+  }
+
+  /** Rich-club coefficient φ(k) = 2·E_k / (N_k(N_k−1)) of the strong
+    * co-occurrence graph for each degree threshold in `ks`: do the
+    * best-connected tokens preferentially tie to EACH OTHER (club) or
+    * only fan out to the periphery? The global complement of the
+    * per-node degree view ([[kCore]]) and the mixing view (q276
+    * assortativity). Everything after [[strongHalf]]'s corpus pass is
+    * vocab²-bounded: degree fold, threshold cross join, one filtered
+    * edge count per k. φ is NULL when fewer than 2 nodes clear k.
+    */
+  def richClub(docs: DataFrame, idCol: String, textCol: String,
+               vocab: Int, supNum: Int, supDen: Int,
+               ks: Seq[Int]): DataFrame = {
+    val half = strongHalf(docs, idCol, textCol, vocab, supNum, supDen)
+    val deg = half.select(col("src").as("t"))
+      .union(half.select(col("dst").as("t")))
+      .groupBy("t").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(eager = true)
+    val ksDf = half.sparkSession.range(1)
+      .select(explode(array(ks.map(k => lit(k.toLong)): _*)).as("k"))
+    val nk = deg.crossJoin(broadcast(ksDf))
+      .filter(col("deg") > col("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_nodes"))
+    val ek = half
+      .join(broadcast(deg.select(col("t").as("src"),
+        col("deg").as("ds"))), "src")
+      .join(broadcast(deg.select(col("t").as("dst"),
+        col("deg").as("dd"))), "dst")
+      .crossJoin(broadcast(ksDf))
+      .filter(col("ds") > col("k") && col("dd") > col("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_edges"))
+    ksDf.join(nk, Seq("k"), "left").join(ek, Seq("k"), "left")
+      .select(col("k"), coalesce(col("n_nodes"), lit(0L)).as("n_nodes"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"))
+      .withColumn("phi",
+        when(col("n_nodes") >= 2L,
+          lit(2.0) * col("n_edges").cast("double") /
+            (col("n_nodes").cast("double") *
+              (col("n_nodes") - 1L).cast("double"))))
+      .orderBy("k")
+  }
+
+  /** All-pairs shortest-path histogram of the strong co-occurrence
+    * graph: (distance, pair count) over canonical unordered pairs —
+    * the global-structure summary (diameter = max row, mean path
+    * length = weighted mean) completing single-source BFS (q110).
+    * Bounded min-plus relaxation: `rounds` frontier extensions reach
+    * every distance ≤ rounds+1 (the strong graph's diameter is 3 at
+    * the tested SFs; unreached pairs at the cap would simply be
+    * absent, documented). Each round runs on the ≤ vocab² distance
+    * table with a broadcast edge join + localCheckpoint.
+    */
+  def distanceHistogram(docs: DataFrame, idCol: String, textCol: String,
+                        vocab: Int, supNum: Int, supDen: Int,
+                        rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds $rounds")
+    val half = strongHalf(docs, idCol, textCol, vocab, supNum, supDen)
+    val nb = half.union(
+      half.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(eager = true)
+    var dist = nb.select(col("src").as("u"), col("dst").as("v"),
+      lit(1L).as("d")).localCheckpoint(eager = true)
+    for (_ <- 1 to rounds) {
+      val ext = dist
+        .join(broadcast(nb.select(col("src").as("v"),
+          col("dst").as("w"))), Seq("v"))
+        .select(col("u"), col("w").as("v"), (col("d") + 1L).as("d"))
+      dist = dist.union(ext).groupBy("u", "v").agg(min("d").as("d"))
+        .localCheckpoint(eager = true)
+    }
+    dist.filter(col("u") < col("v"))
+      .groupBy(col("d").as("dist")).agg(count(lit(1)).as("n_pairs"))
+      .orderBy("dist")
+  }
+
+  /** Bounded-horizon Katz centrality on the strong co-occurrence
+    * graph: katz(i) = Σ_{r=1..rounds} α^r · walks_r(i), the
+    * attenuated-walk member between degree (r=1 exactly) and the
+    * eigenvector family (PageRank q108/q196, HITS q275). Walk counts
+    * are EXACT integers (p_r = A·p_{r−1}, p_0 = 1), so the score is a
+    * literal chain of α powers over longs — both engines assemble
+    * identical doubles; α^r literals are emitted by the caller's
+    * oracle from the same constant. Each of the `rounds` products is
+    * a broadcast join on the ≤ vocab² edge table.
+    */
+  def katzCentrality(docs: DataFrame, idCol: String, textCol: String,
+                     vocab: Int, supNum: Int, supDen: Int,
+                     alphaNum: Int, alphaDen: Int,
+                     rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 8, s"rounds $rounds")
+    val half = strongHalf(docs, idCol, textCol, vocab, supNum, supDen)
+    val nb = half.union(
+      half.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(eager = true)
+    val nodes = nb.select(col("src").as("t")).distinct()
+      .localCheckpoint(eager = true)
+    var p = nodes.select(col("t"), lit(1L).as("w"))
+    var acc: DataFrame = null
+    val alpha = alphaNum.toDouble / alphaDen
+    for (r <- 1 to rounds) {
+      p = nb.join(broadcast(p.select(col("t").as("src"), col("w"))),
+          Seq("src"))
+        .groupBy(col("dst").as("t")).agg(sum("w").as("w"))
+        .localCheckpoint(eager = true)
+      val term = p.select(col("t"),
+        (lit(math.pow(alpha, r)) * col("w").cast("double")).as("x"))
+      acc = if (acc == null) term else acc.union(term)
+    }
+    nodes.join(acc.groupBy("t").agg(
+        sum(col("x").cast("decimal(30,8)")).cast("double").as("katz")),
+      Seq("t"), "left")
+      .select(col("t").as("token"),
+        coalesce(col("katz"), lit(0.0)).as("katz"))
+      .orderBy("token")
   }
 
   /** Positional phrase search: documents containing `t1` immediately

