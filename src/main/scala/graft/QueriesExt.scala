@@ -64,7 +64,7 @@ object QueriesExt {
     * engine-computed trig ever touches the data path — the literal-
     * chain discipline the transcendental queries follow.
     */
-  private val weeklyTrig: Seq[(Int, Int, String, String)] = Seq(
+  private[graft] val weeklyTrig: Seq[(Int, Int, String, String)] = Seq(
     (1, 0, "1.0", "0.0"),
     (1, 1, "0.6234898018587336", "0.7818314824680298"),
     (1, 2, "-0.22252093395631434", "0.9749279121818236"),
@@ -87,7 +87,7 @@ object QueriesExt {
     (3, 5, "0.6234898018587354", "0.7818314824680284"),
     (3, 6, "-0.9009688679024194", "-0.43388373911755757"))
 
-  private def trigSpark(h: Int, sin: Boolean): Column =
+  private[graft] def trigSpark(h: Int, sin: Boolean): Column =
     weeklyTrig.filter(_._1 == h).foldLeft(lit(0.0): Column) {
       case (acc, (_, r, cs, ss)) =>
         when(col("r") === r, lit((if (sin) ss else cs).toDouble))

@@ -555,6 +555,89 @@ object Streams {
       .groupBy(col("source"), expr("m div 100").as("bin"))
       .agg(count(lit(1)).as("n"), sum("m").as("sm"), sum("y").as("sy"))
 
+  /** One micro-batch's DAY-GRID partials — per-day purchase count and
+    * exact micro-unit revenue sum. The bounded grid is the SUFFICIENT
+    * STATISTIC for the round-13 series family: the weekly DFT power
+    * (q360), the variance-ratio test (q361), the Gumbel return level
+    * (q364), Theil's U2 (q365) and the turning-point test (q369) are
+    * all pure functions of (day, n, u), so maintaining THIS table
+    * maintains all five monitors. Long addition is associative and
+    * commutative — the maintained state is bit-identical to a one-shot
+    * fold under any micro-batching, and each batch shuffles only its
+    * own ≤|days| partials, never history.
+    */
+  def dailyGridPartial(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "purchase")
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * lit(1.0e6)).cast("long")).as("u"))
+
+  /** Continuously-maintained day grid (see [[dailyGridPartial]]). */
+  def streamingDailyGridMaintenance(events: DataFrame, path: String,
+                                    checkpoint: String)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val delta = dailyGridPartial(batch)
+        val merged = readStateBefore(spark, path, batchId)
+          .map(st => st.unionByName(delta).groupBy("day")
+            .agg(sum("n").as("n"), sum("u").as("u")))
+          .getOrElse(delta)
+        commitState(merged, path, batchId)
+      }
+      .start()
+
+  /** Finalize the maintained day grid into the q360 weekly spectrum —
+    * same per-day doubles into the same dsum rail, so StreamsSpec pins
+    * it against the batch query bit-for-bit.
+    */
+  def spectrumFromState(state: DataFrame): DataFrame = {
+    import graft.functions.Parity.dsum
+    val d = state.select((col("day") % 7L).as("r"),
+      col("n").cast("double").as("x"))
+    d.agg(
+        dsum(col("x") * graft.QueriesExt.trigSpark(1, sin = false)).as("sc1"),
+        dsum(col("x") * graft.QueriesExt.trigSpark(1, sin = true)).as("ss1"),
+        dsum(col("x") * graft.QueriesExt.trigSpark(2, sin = false)).as("sc2"),
+        dsum(col("x") * graft.QueriesExt.trigSpark(2, sin = true)).as("ss2"),
+        dsum(col("x") * graft.QueriesExt.trigSpark(3, sin = false)).as("sc3"),
+        dsum(col("x") * graft.QueriesExt.trigSpark(3, sin = true)).as("ss3"))
+      .selectExpr(
+        "stack(3, 1L, sc1, ss1, 2L, sc2, ss2, 3L, sc3, ss3)" +
+          " as (h, sc, ss)")
+      .select(col("h"), col("sc"), col("ss"),
+        (col("sc") * col("sc") + col("ss") * col("ss")).as("power"))
+      .orderBy("h")
+  }
+
+  /** Finalize the maintained day grid into the q364 Gumbel fit —
+    * identical weekly-maxima moments and literal chain, pinned
+    * bit-for-bit by StreamsSpec.
+    */
+  def gumbelFromState(state: DataFrame): DataFrame = {
+    val wkmax = state.select(expr("day div 7").as("wk"), col("u"))
+      .groupBy("wk").agg(count(lit(1)).as("nd"), max("u").as("m"))
+      .filter(col("nd") === 7L)
+    val mom = wkmax.agg(count(lit(1)).as("n"), sum("m").as("sm"),
+      sum(col("m").cast("decimal(38,0)") * col("m")).as("smm"))
+    mom.select(col("n").as("n_weeks"),
+        (col("sm").cast("double") / col("n").cast("double") /
+          lit(1.0e6)).as("mean_max"),
+        (sqrt((col("smm").cast("double") -
+          (col("sm").cast("decimal(38,0)") * col("sm"))
+            .cast("double") / col("n").cast("double")) /
+          (col("n") - 1L).cast("double")) *
+          lit(0.779696801233676) / lit(1.0e6)).as("beta"))
+      .select(col("n_weeks"), col("mean_max"), col("beta"),
+        (col("mean_max") - lit(0.5772156649015329) * col("beta"))
+          .as("mu"))
+      .select(col("n_weeks"), col("mu"), col("beta"),
+        (col("mu") + lit(3.9415503865226063) * col("beta"))
+          .as("return_level_52wk"))
+  }
+
   /** Finalize [[streamingCalibrationMaintenance]] state into the q335
     * per-source report — the exact integer ECE Σ|Σm−999Σy|/(999N) and
     * the max per-bin gap — so the spec can pin maintained-state output

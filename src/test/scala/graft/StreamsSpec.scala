@@ -616,4 +616,41 @@ class StreamsSpec extends AnyFunSuite {
         abs(col("g.sum_value") - col("e.sum_value")) > 1e-9)
     assert(joined.isEmpty)
   }
+
+  test("maintained day grid is the sufficient statistic: state equals " +
+       "the one-shot fold and finishes to the batch q360 spectrum AND " +
+       "q364 Gumbel fit bit-exactly under 3-way micro-batching") {
+    val events = Tables.load(spark, TestSpark.sf0001, "events")
+    val srcDir = java.nio.file.Files.createTempDirectory("dg_src").toString
+    val stateDir =
+      java.nio.file.Files.createTempDirectory("dg_state").toString + "/state"
+    val cp = java.nio.file.Files.createTempDirectory("dg_cp").toString
+    (0 to 2).foreach { i =>
+      events.filter(abs(hash(col("event_id"))) % 3 === i).coalesce(1)
+        .write.mode("append").parquet(srcDir)
+    }
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val q = Streams.streamingDailyGridMaintenance(stream, stateDir, cp)
+    q.processAllAvailable(); q.stop()
+
+    val state = Streams.readState(spark, stateDir).get
+    // 1) state ≡ one-shot fold, bit-exact, regardless of batching
+    val oneShot = Streams.dailyGridPartial(events)
+    assert(state.exceptAll(oneShot).isEmpty &&
+      oneShot.exceptAll(state).isEmpty,
+      "maintained day grid must equal the one-shot fold")
+    // 2) finalizers reproduce the batch queries bit-for-bit
+    val spec = Streams.spectrumFromState(state).collect().toSeq
+    val q360 = SparkEntry.queries("q360_weekly_spectrum")(
+      spark, TestSpark.sf0001).collect().toSeq
+    assert(spec === q360, "maintained spectrum != batch q360")
+    val gum = Streams.gumbelFromState(state).collect().toSeq
+    val q364 = SparkEntry.queries("q364_gumbel_return_level")(
+      spark, TestSpark.sf0001).collect().toSeq
+    assert(gum === q364, "maintained Gumbel fit != batch q364")
+    // 3) state is the tiny grid, not history
+    assert(state.count() <= 366, "state must stay grid-sized")
+  }
 }
