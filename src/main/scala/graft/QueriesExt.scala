@@ -99,6 +99,47 @@ object QueriesExt {
       case (_, r, cs, ss) => s"WHEN $r THEN ${if (sin) ss else cs}"
     }.mkString(" ") + " ELSE 0.0 END"
 
+  /** cos/sin(2π·h/24) for h∈0..23 as shared literal strings (q380
+    * circular hour statistics) — same literal-chain contract as
+    * [[weeklyTrig]].
+    */
+  private val hourTrig: Seq[(String, String, String)] = Seq(
+    ("0", "1.0", "0.0"),
+    ("1", "0.9659258262890683", "0.25881904510252074"),
+    ("2", "0.8660254037844387", "0.49999999999999994"),
+    ("3", "0.7071067811865476", "0.7071067811865475"),
+    ("4", "0.5000000000000001", "0.8660254037844386"),
+    ("5", "0.25881904510252074", "0.9659258262890683"),
+    ("6", "6.123233995736766e-17", "1.0"),
+    ("7", "-0.25881904510252063", "0.9659258262890683"),
+    ("8", "-0.4999999999999998", "0.8660254037844387"),
+    ("9", "-0.7071067811865475", "0.7071067811865476"),
+    ("10", "-0.8660254037844387", "0.49999999999999994"),
+    ("11", "-0.9659258262890682", "0.258819045102521"),
+    ("12", "-1.0", "1.2246467991473532e-16"),
+    ("13", "-0.9659258262890683", "-0.2588190451025208"),
+    ("14", "-0.8660254037844388", "-0.4999999999999997"),
+    ("15", "-0.7071067811865479", "-0.7071067811865471"),
+    ("16", "-0.5000000000000004", "-0.8660254037844384"),
+    ("17", "-0.25881904510252063", "-0.9659258262890683"),
+    ("18", "-1.8369701987210297e-16", "-1.0"),
+    ("19", "0.2588190451025203", "-0.9659258262890684"),
+    ("20", "0.5000000000000001", "-0.8660254037844386"),
+    ("21", "0.7071067811865474", "-0.7071067811865477"),
+    ("22", "0.8660254037844384", "-0.5000000000000004"),
+    ("23", "0.9659258262890681", "-0.25881904510252157"))
+
+  private def hourTrigSpark(sin: Boolean): Column =
+    hourTrig.foldLeft(lit(0.0): Column) { case (acc, (h, cs, ss)) =>
+      when(col("h") === h.toLong,
+        lit((if (sin) ss else cs).toDouble)).otherwise(acc)
+    }
+
+  private def hourTrigSql(sin: Boolean): String =
+    "CASE h " + hourTrig.map { case (h, cs, ss) =>
+      s"WHEN $h THEN ${if (sin) ss else cs}"
+    }.mkString(" ") + " ELSE 0.0 END"
+
   /** Unrolled k-truss peeling rounds for the q359 oracle — the DuckDB
     * twin of [[graft.ext.Search.kTruss]]'s bounded loop (recursive CTEs
     * can't shrink a set, so the cap is unrolled textually). Every
@@ -17568,5 +17609,457 @@ object QueriesExt {
         SELECT MAX(np) AS n_pairs, SUM(slope) / COUNT(*) AS sen_slope
         FROM sl CROSS JOIN n
         WHERE rk = (np + 1) // 2 OR rk = np // 2 + 1""")),
+
+    // ── Energy distance: weekday vs weekend revenue (q374) ──────────────
+    // The TWO-SAMPLE member of the q366 energy family: where AD (q355)
+    // and KS (q151) compare CDFs through ranks, the energy statistic
+    // 2E|X−Y| − E|X−X'| − E|Y−Y'| compares the distributions in their
+    // own metric — zero iff identical, consistent against every
+    // alternative, and exactly computable: all three expectation sums
+    // are integer |difference| folds over the bounded day grid
+    // (decimal(38,0)/HUGEINT), divided by exact pair counts in one
+    // mirrored chain. T = mn/(m+n)·D² is the permutation-test scale.
+    QueryDef("q374_energy_distance",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(sum(floor(col("value") * lit(1.0e6)).cast("long")).as("u"))
+          .select(col("u"),
+            (expr("(day + 4) % 7").isin(0, 6)).cast("long").as("we"))
+          .localCheckpoint()
+        val x = daily.filter(col("we") === 0L).select(col("u").as("ux"))
+        val y = daily.filter(col("we") === 1L).select(col("u").as("uy"))
+        val sxy = x.crossJoin(broadcast(y))
+          .agg(sum(abs(col("ux") - col("uy")).cast("decimal(38,0)"))
+            .as("sxy"), count(lit(1)).as("mn"))
+        val sxx = x.as("a").crossJoin(broadcast(x).as("b"))
+          .agg(sum(abs(col("a.ux") - col("b.ux")).cast("decimal(38,0)"))
+            .as("sxx"), count(lit(1)).as("mm"))
+        val syy = y.as("a").crossJoin(broadcast(y).as("b"))
+          .agg(sum(abs(col("a.uy") - col("b.uy")).cast("decimal(38,0)"))
+            .as("syy"), count(lit(1)).as("nn"))
+        val d2 = lit(2.0) * col("sxy").cast("double") /
+          col("mn").cast("double") -
+          col("sxx").cast("double") / col("mm").cast("double") -
+          col("syy").cast("double") / col("nn").cast("double")
+        sxy.crossJoin(broadcast(sxx)).crossJoin(broadcast(syy))
+          .select(
+            sqrt(col("mm").cast("double")).cast("long").as("m_weekday"),
+            sqrt(col("nn").cast("double")).cast("long").as("n_weekend"),
+            (d2 / lit(1.0e6)).as("energy_dist2"))
+          .select(col("m_weekday"), col("n_weekend"), col("energy_dist2"),
+            ((col("m_weekday") * col("n_weekend")).cast("double") /
+              (col("m_weekday") + col("n_weekend")).cast("double") *
+              col("energy_dist2")).as("t_stat"))
+      },
+      Some("""WITH daily AS (SELECT
+            CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT)
+              AS u,
+            CASE WHEN (epoch_us(ts) // 86400000000 + 4) % 7 IN (0, 6)
+              THEN 1 ELSE 0 END AS we
+          FROM events WHERE event_type = 'purchase'
+          GROUP BY epoch_us(ts) // 86400000000,
+            CASE WHEN (epoch_us(ts) // 86400000000 + 4) % 7 IN (0, 6)
+              THEN 1 ELSE 0 END),
+        x AS (SELECT u AS ux FROM daily WHERE we = 0),
+        y AS (SELECT u AS uy FROM daily WHERE we = 1),
+        sxy AS (SELECT SUM(CAST(ABS(ux - uy) AS HUGEINT)) AS sxy,
+            CAST(COUNT(*) AS BIGINT) AS mn FROM x CROSS JOIN y),
+        sxx AS (SELECT SUM(CAST(ABS(a.ux - b.ux) AS HUGEINT)) AS sxx,
+            CAST(COUNT(*) AS BIGINT) AS mm FROM x a CROSS JOIN x b),
+        syy AS (SELECT SUM(CAST(ABS(a.uy - b.uy) AS HUGEINT)) AS syy,
+            CAST(COUNT(*) AS BIGINT) AS nn FROM y a CROSS JOIN y b),
+        f AS (SELECT
+            CAST(sqrt(CAST(mm AS DOUBLE)) AS BIGINT) AS m_weekday,
+            CAST(sqrt(CAST(nn AS DOUBLE)) AS BIGINT) AS n_weekend,
+            (2.0 * CAST(sxy AS DOUBLE) / CAST(mn AS DOUBLE)
+              - CAST(sxx AS DOUBLE) / CAST(mm AS DOUBLE)
+              - CAST(syy AS DOUBLE) / CAST(nn AS DOUBLE)) / 1000000.0
+              AS energy_dist2
+          FROM sxy CROSS JOIN sxx CROSS JOIN syy)
+        SELECT m_weekday, n_weekend, energy_dist2,
+          CAST(m_weekday * n_weekend AS DOUBLE)
+            / CAST(m_weekday + n_weekend AS DOUBLE) * energy_dist2
+            AS t_stat
+        FROM f""")),
+
+    // ── Mantel–Haenszel common odds ratio across weeks (q375) ───────────
+    // The STRATIFIED 2×2 estimator the causal family lacked: q252 DiD
+    // and q260 stratified ATE handle continuous outcomes; MH pools
+    // binary exposure→outcome association (high-view user-weeks →
+    // multi-purchase) across week strata, immune to week-level
+    // confounding (campaign weeks inflate both). OR_MH = Σ(ad/n) /
+    // Σ(bc/n) and the MH χ² both fold per-stratum integer cells
+    // through the dsum rail — one grid-bounded contingency per week,
+    // subjects never pairwise.
+    QueryDef("q375_mantel_haenszel",
+      (s, dir) => {
+        val uw = t(s, dir, "events").groupBy(col("user_id"),
+            expr("unix_micros(ts) div 604800000000").as("wk"))
+          .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("v"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("p"))
+        val cells = uw.groupBy("wk").agg(
+            sum(when(col("v") >= 3L && col("p") >= 3L, 1L).otherwise(0L))
+              .as("a"),
+            sum(when(col("v") >= 3L && col("p") < 3L, 1L).otherwise(0L))
+              .as("b"),
+            sum(when(col("v") < 3L && col("p") >= 3L, 1L).otherwise(0L))
+              .as("c"),
+            sum(when(col("v") < 3L && col("p") < 3L, 1L).otherwise(0L))
+              .as("d"))
+          .select(col("wk"), col("a"), col("b"), col("c"), col("d"),
+            (col("a") + col("b") + col("c") + col("d")).as("n"))
+        cells.agg(count(lit(1)).as("n_strata"),
+            dsum((col("a") * col("d")).cast("double") /
+              col("n").cast("double")).as("sad"),
+            dsum((col("b") * col("c")).cast("double") /
+              col("n").cast("double")).as("sbc"),
+            sum("a").cast("long").as("sa"),
+            dsum(((col("a") + col("b")) * (col("a") + col("c")))
+              .cast("double") / col("n").cast("double")).as("sea"),
+            dsum(((col("a") + col("b")) * (col("c") + col("d")))
+              .cast("decimal(38,0)").cast("double") *
+              (col("a") + col("c")).cast("double") *
+              (col("b") + col("d")).cast("double") /
+              (col("n").cast("double") * col("n").cast("double") *
+                (col("n") - 1L).cast("double"))).as("sva"))
+          .select(col("n_strata"), (col("sad") / col("sbc")).as("or_mh"),
+            ((col("sa").cast("double") - col("sea")) *
+              (col("sa").cast("double") - col("sea")) / col("sva"))
+              .as("chi2_mh"))
+      },
+      Some(s"""WITH uw AS (SELECT user_id,
+            epoch_us(ts) // 604800000000 AS wk,
+            CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS v,
+            CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+              END) AS BIGINT) AS p
+          FROM events GROUP BY 1, 2),
+        cells AS (SELECT wk,
+            CAST(SUM(CASE WHEN v >= 3 AND p >= 3 THEN 1 ELSE 0 END)
+              AS BIGINT) AS a,
+            CAST(SUM(CASE WHEN v >= 3 AND p < 3 THEN 1 ELSE 0 END)
+              AS BIGINT) AS b,
+            CAST(SUM(CASE WHEN v < 3 AND p >= 3 THEN 1 ELSE 0 END)
+              AS BIGINT) AS c,
+            CAST(SUM(CASE WHEN v < 3 AND p < 3 THEN 1 ELSE 0 END)
+              AS BIGINT) AS d
+          FROM uw GROUP BY 1),
+        k AS (SELECT wk, a, b, c, d, a + b + c + d AS n FROM cells),
+        agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+            ${dsumSql("CAST(a * d AS DOUBLE) / CAST(n AS DOUBLE)")}
+              AS sad,
+            ${dsumSql("CAST(b * c AS DOUBLE) / CAST(n AS DOUBLE)")}
+              AS sbc,
+            CAST(SUM(a) AS BIGINT) AS sa,
+            ${dsumSql(
+              "CAST((a + b) * (a + c) AS DOUBLE) / CAST(n AS DOUBLE)")}
+              AS sea,
+            ${dsumSql("""CAST(CAST((a + b) * (c + d) AS HUGEINT)
+                AS DOUBLE) * CAST(a + c AS DOUBLE)
+                * CAST(b + d AS DOUBLE)
+                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                  * CAST(n - 1 AS DOUBLE))""")} AS sva
+          FROM k)
+        SELECT n_strata, sad / sbc AS or_mh,
+          (CAST(sa AS DOUBLE) - sea) * (CAST(sa AS DOUBLE) - sea) / sva
+            AS chi2_mh
+        FROM agg""")),
+
+    // ── IPF raking of the weekday × event-type table (q376) ─────────────
+    // The SURVEY-WEIGHTING primitive behind post-stratification: scale
+    // the observed (weekday × type) counts so weekday margins become
+    // UNIFORM while type margins stay observed — the "what would a
+    // seasonality-free mix look like" table that q59's domain mix and
+    // q279's bias-TV audit both presuppose. Three unrolled
+    // row-scale/column-scale rounds on the bounded 7×|types| grid;
+    // every within-round margin fold rides the dsum rail so both
+    // engines iterate identical doubles. Output = final weights +
+    // the achieved row margin (convergence is VISIBLE in the result).
+    QueryDef("q376_ipf_raking",
+      (s, dir) => {
+        val base = t(s, dir, "events")
+          .groupBy(expr("unix_micros(ts) div 86400000000 % 7").as("wd"),
+            col("event_type"))
+          .agg(count(lit(1)).as("c"))
+          .localCheckpoint()
+        val tot = base.agg(sum("c").as("nt"))
+        val colT = base.groupBy("event_type").agg(sum("c").as("ct"))
+        var w = base.crossJoin(broadcast(tot))
+          .select(col("wd"), col("event_type"), col("nt"),
+            col("c").cast("double").as("w"), col("c"))
+        for (_ <- 1 to 3) {
+          val rs = w.groupBy("wd").agg(dsum(col("w")).as("rsum"))
+          w = w.join(broadcast(rs), Seq("wd"))
+            .select(col("wd"), col("event_type"), col("nt"), col("c"),
+              (col("w") * (col("nt").cast("double") / lit(7.0)) /
+                col("rsum")).as("w"))
+          val cs = w.groupBy("event_type").agg(dsum(col("w")).as("csum"))
+          w = w.join(broadcast(cs), Seq("event_type"))
+            .join(broadcast(colT), Seq("event_type"))
+            .select(col("wd"), col("event_type"), col("nt"), col("c"),
+              (col("w") * col("ct").cast("double") / col("csum"))
+                .as("w"))
+        }
+        val rowAfter = w.groupBy("wd").agg(dsum(col("w")).as("row_margin"))
+        w.join(broadcast(rowAfter), Seq("wd"))
+          .select(col("wd"), col("event_type"), col("c").as("raw"),
+            col("w").as("weight"), col("row_margin"))
+          .orderBy("wd", "event_type")
+      },
+      Some(s"""WITH base AS (SELECT
+            epoch_us(ts) // 86400000000 % 7 AS wd, event_type,
+            CAST(COUNT(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2),
+        tot AS (SELECT CAST(SUM(c) AS BIGINT) AS nt FROM base),
+        colt AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS ct
+          FROM base GROUP BY 1),
+        w0 AS (SELECT wd, event_type, nt, c, CAST(c AS DOUBLE) AS w
+          FROM base CROSS JOIN tot),
+        ${(1 to 3).map { i =>
+          s"""r$i AS MATERIALIZED (SELECT w.wd, w.event_type, w.nt, w.c,
+               w.w * (CAST(w.nt AS DOUBLE) / 7.0) / rs.rsum AS w
+             FROM w${i - 1} w JOIN (SELECT wd, ${dsumSql("w")} AS rsum
+               FROM w${i - 1} GROUP BY 1) rs ON w.wd = rs.wd),
+           w$i AS MATERIALIZED (SELECT r.wd, r.event_type, r.nt, r.c,
+               r.w * CAST(colt.ct AS DOUBLE) / cs.csum AS w
+             FROM r$i r JOIN (SELECT event_type, ${dsumSql("w")} AS csum
+               FROM r$i GROUP BY 1) cs ON r.event_type = cs.event_type
+             JOIN colt ON r.event_type = colt.event_type)"""
+        }.mkString(",\n")},
+        ra AS (SELECT wd, ${dsumSql("w")} AS row_margin FROM w3
+          GROUP BY 1)
+        SELECT w3.wd, w3.event_type, w3.c AS raw, w3.w AS weight,
+          ra.row_margin
+        FROM w3 JOIN ra ON w3.wd = ra.wd
+        ORDER BY w3.wd, w3.event_type""")),
+
+    // ── SPRT: sequential purchase-share monitor (q377) ──────────────────
+    // The ANYTIME sequential test the experimentation stack stops
+    // short of: group-sequential OBF (q271) looks at a few planned
+    // interims; Wald's SPRT monitors EVERY day and stops the moment
+    // the evidence crosses a boundary, with guaranteed α/β. H0: share
+    // of purchases among events = 18% vs H1: 22%, α = β = 0.05. The
+    // log-likelihood increments x·ln(p1/p0) + (n−x)·ln(q1/q0) and the
+    // ±ln(19) boundaries are SHARED literals; the cumulative LLR walks
+    // the bounded day grid in one ordered window, and the verdict is
+    // the first boundary crossing (day + decision + final LLR).
+    QueryDef("q377_sprt",
+      (s, dir) => {
+        val d = t(s, dir, "events")
+          .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(sum(when(col("event_type") === "purchase", 1L)
+            .otherwise(0L)).as("x"), count(lit(1)).as("n"))
+        val llr = d.select(col("day"),
+            (col("x").cast("double") * lit(0.20067069546215124) +
+              (col("n") - col("x")).cast("double") *
+                lit(-0.050010420574661305)).as("inc"))
+          .withColumn("llr", sum(col("inc").cast("decimal(30,8)"))
+            .over(boundedWindow("day")).cast("double"))
+          .localCheckpoint()
+        val cross = llr
+          .filter(col("llr") >= lit(2.9444389791664403) ||
+            col("llr") <= lit(-2.9444389791664403))
+          .agg(min("day").as("crossing_day"))
+        val last = llr.orderBy(desc("day")).limit(1)
+          .select(col("llr").as("final_llr"))
+        val nd = llr.agg(count(lit(1)).as("n_days"))
+        nd.crossJoin(broadcast(cross)).crossJoin(broadcast(last))
+          .join(llr.select(col("day"), col("llr").as("cross_llr")),
+            col("crossing_day") === col("day"), "left")
+          .select(col("n_days"), col("crossing_day"),
+            when(col("cross_llr") >= 2.9444389791664403, "accept_h1")
+              .when(col("cross_llr") <= -2.9444389791664403, "accept_h0")
+              .otherwise("continue").as("decision"),
+            col("final_llr"))
+      },
+      Some("""WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+            CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+              END) AS BIGINT) AS x,
+            CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY 1),
+        llr AS (SELECT day,
+            CAST(SUM(CAST(CAST(x AS DOUBLE) * 0.20067069546215124
+                + CAST(n - x AS DOUBLE) * -0.050010420574661305
+              AS DECIMAL(30,8))) OVER (ORDER BY day) AS DOUBLE) AS llr
+          FROM d),
+        cross_ AS (SELECT MIN(day) AS crossing_day FROM llr
+          WHERE llr >= 2.9444389791664403
+            OR llr <= -2.9444389791664403),
+        lastr AS (SELECT llr AS final_llr FROM llr
+          ORDER BY day DESC LIMIT 1),
+        nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM llr)
+        SELECT n_days, crossing_day,
+          CASE WHEN c.llr >= 2.9444389791664403 THEN 'accept_h1'
+            WHEN c.llr <= -2.9444389791664403 THEN 'accept_h0'
+            ELSE 'continue' END AS decision, final_llr
+        FROM nd CROSS JOIN cross_ CROSS JOIN lastr
+        LEFT JOIN llr c ON c.day = cross_.crossing_day""")),
+
+    // ── 1-D Wasserstein distance: weekday vs weekend revenue (q378) ─────
+    // The OPTIMAL-TRANSPORT metric beside the sup-norm (KS q151), the
+    // rank forms (CvM q334, AD q355) and the energy metric (q374): W₁
+    // = ∫|F_x − F_y| is the minimal mass×distance to morph one daily-
+    // revenue distribution into the other — the number a cost model
+    // can use directly. On pooled DISTINCT values, W₁ = Σ Δv·|n·M −
+    // m·N|/(m·n) is EXACT: gap × cumulative-count determinant in
+    // decimal(38,0)/HUGEINT, one mirrored division. Same grid shapes
+    // as q355 (cumulative + lead over the bounded value grid).
+    QueryDef("q378_wasserstein_1d",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(sum(floor(col("value") * lit(1.0e6)).cast("long")).as("u"))
+          .select(col("u"),
+            (expr("(day + 4) % 7").isin(0, 6)).cast("long").as("we"))
+        val blocks = daily.groupBy("u")
+          .agg(sum(lit(1L) - col("we")).as("ax"), sum("we").as("ay"))
+        val cum = blocks
+          .withColumn("mm", sum("ax").over(boundedWindow("u")))
+          .withColumn("nn", sum("ay").over(boundedWindow("u")))
+          .withColumn("nx", lead("u", 1).over(boundedWindow("u")))
+          .localCheckpoint()
+        val ms = cum.agg(max("mm").as("m"), max("nn").as("n"))
+        val agg = cum.filter(col("nx").isNotNull)
+          .crossJoin(broadcast(ms))
+          .select(col("m"), col("n"),
+            ((col("nx") - col("u")).cast("decimal(38,0)") *
+              abs(col("n") * col("mm") - col("m") * col("nn")))
+              .as("term"))
+          .agg(max("m").as("m_weekday"), max("n").as("n_weekend"),
+            sum("term").as("st"))
+        agg.select(col("m_weekday"), col("n_weekend"),
+          (col("st").cast("double") /
+            (col("m_weekday") * col("n_weekend")).cast("double") /
+            lit(1.0e6)).as("w1"))
+      },
+      Some("""WITH daily AS (SELECT
+            CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT)
+              AS u,
+            CASE WHEN (epoch_us(ts) // 86400000000 + 4) % 7 IN (0, 6)
+              THEN 1 ELSE 0 END AS we
+          FROM events WHERE event_type = 'purchase'
+          GROUP BY epoch_us(ts) // 86400000000,
+            CASE WHEN (epoch_us(ts) // 86400000000 + 4) % 7 IN (0, 6)
+              THEN 1 ELSE 0 END),
+        blocks AS (SELECT u, CAST(SUM(1 - we) AS BIGINT) AS ax,
+            CAST(SUM(we) AS BIGINT) AS ay
+          FROM daily GROUP BY 1),
+        cum AS (SELECT u,
+            CAST(SUM(ax) OVER (ORDER BY u) AS BIGINT) AS mm,
+            CAST(SUM(ay) OVER (ORDER BY u) AS BIGINT) AS nn,
+            LEAD(u, 1) OVER (ORDER BY u) AS nx
+          FROM blocks),
+        ms AS (SELECT MAX(mm) AS m, MAX(nn) AS n FROM cum),
+        agg AS (SELECT MAX(m) AS m_weekday, MAX(n) AS n_weekend,
+            SUM(CAST(nx - u AS HUGEINT)
+              * ABS(n * mm - m * nn)) AS st
+          FROM cum CROSS JOIN ms WHERE nx IS NOT NULL)
+        SELECT m_weekday, n_weekend,
+          CAST(st AS DOUBLE)
+            / CAST(m_weekday * n_weekend AS DOUBLE) / 1000000.0 AS w1
+        FROM agg""")),
+
+    // ── Kuiper test: is the weekly purchase phase uniform? (q379) ───────
+    // The CIRCULAR goodness-of-fit member: KS (q151) depends on where
+    // the week "starts" — its D changes if the cycle is rotated —
+    // while Kuiper's V = D⁺ + D⁻ is rotation-invariant, the correct
+    // test for "are purchases uniform over the weekly cycle at all?"
+    // (q360 then says at which frequency the deviation lives). The
+    // 7-bin discrete form: V = max_r(F_r − U_r) − min_r(F_r − U_r)
+    // over cumulative shares vs the uniform ladder — exact rationals
+    // into one mirrored max/min fold, plus the standard √n finite-
+    // sample scaling (literals + IEEE sqrt).
+    QueryDef("q379_kuiper",
+      (s, dir) => {
+        val r = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy(expr("unix_micros(ts) div 86400000000 % 7").as("r"))
+          .agg(count(lit(1)).as("c"))
+        val cum = r.withColumn("cc", sum("c").over(boundedWindow("r")))
+        val nn = r.agg(sum("c").as("n"))
+        val dev = cum.crossJoin(broadcast(nn))
+          .select(col("n"),
+            (col("cc").cast("double") / col("n").cast("double") -
+              (col("r") + 1L).cast("double") / lit(7.0)).as("dev"))
+        dev.agg(max("n").as("n_purchases"),
+            (max("dev") - min("dev")).as("v_stat"))
+          .select(col("n_purchases"), col("v_stat"),
+            (col("v_stat") *
+              (sqrt(col("n_purchases").cast("double")) + lit(0.155) +
+                lit(0.24) / sqrt(col("n_purchases").cast("double"))))
+              .as("v_n"))
+      },
+      Some("""WITH r AS (SELECT
+            epoch_us(ts) // 86400000000 % 7 AS r,
+            CAST(COUNT(*) AS BIGINT) AS c
+          FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        cum AS (SELECT r, c,
+            CAST(SUM(c) OVER (ORDER BY r) AS BIGINT) AS cc
+          FROM r),
+        nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM r),
+        dev AS (SELECT n,
+            CAST(cc AS DOUBLE) / CAST(n AS DOUBLE)
+              - CAST(r + 1 AS DOUBLE) / 7.0 AS dev
+          FROM cum CROSS JOIN nn),
+        agg AS (SELECT MAX(n) AS n_purchases,
+            MAX(dev) - MIN(dev) AS v_stat FROM dev)
+        SELECT n_purchases, v_stat,
+          v_stat * (sqrt(CAST(n_purchases AS DOUBLE)) + 0.155
+            + 0.24 / sqrt(CAST(n_purchases AS DOUBLE))) AS v_n
+        FROM agg""")),
+
+    // ── Circular statistics of purchase hour-of-day (q380) ──────────────
+    // The HOUR axis the day-grid family never touches: the mean
+    // resultant vector of purchase times on the 24-hour circle —
+    // R̄ near 1 = tightly peaked hour, near 0 = uniform; circular
+    // variance 1 − R̄ is the right spread for a quantity where 23:00
+    // and 01:00 are 2 hours apart, not 22. Per-type rows (purchase vs
+    // view vs error — do failures cluster at different hours than
+    // revenue?). The 24-point trig table is shared literals
+    // ([[hourTrig]]); projections are hour-bucket counts × literals
+    // on the dsum rail — one scan, one bounded fold, no atan2 (both
+    // engines' atan2 are NOT guaranteed to agree; the (C, S) vector
+    // carries the direction exactly).
+    QueryDef("q380_circular_hours",
+      (s, dir) => {
+        val hb = t(s, dir, "events")
+          .filter(col("event_type").isin("purchase", "view", "error"))
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) div 3600000000 % 24").as("h"))
+          .agg(count(lit(1)).as("c"))
+        hb.groupBy("event_type")
+          .agg(sum("c").as("n"),
+            dsum(col("c").cast("double") *
+              hourTrigSpark(sin = false)).as("cs"),
+            dsum(col("c").cast("double") * hourTrigSpark(sin = true))
+              .as("ss"))
+          .select(col("event_type"), col("n").as("n_events"), col("cs"),
+            col("ss"),
+            (sqrt(col("cs") * col("cs") + col("ss") * col("ss")) /
+              col("n").cast("double")).as("r_bar"))
+          .withColumn("circ_var", lit(1.0) - col("r_bar"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH hb AS (SELECT event_type,
+            epoch_us(ts) // 3600000000 % 24 AS h,
+            CAST(COUNT(*) AS BIGINT) AS c
+          FROM events
+          WHERE event_type IN ('purchase', 'view', 'error')
+          GROUP BY 1, 2),
+        agg AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n,
+            ${dsumSql(s"CAST(c AS DOUBLE) * (${hourTrigSql(sin = false)})")}
+              AS cs,
+            ${dsumSql(s"CAST(c AS DOUBLE) * (${hourTrigSql(sin = true)})")}
+              AS ss
+          FROM hb GROUP BY 1)
+        SELECT event_type, n AS n_events, cs, ss,
+          sqrt(cs * cs + ss * ss) / CAST(n AS DOUBLE) AS r_bar,
+          1.0 - sqrt(cs * cs + ss * ss) / CAST(n AS DOUBLE) AS circ_var
+        FROM agg ORDER BY event_type""")),
   )
 }

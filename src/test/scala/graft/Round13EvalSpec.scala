@@ -224,4 +224,81 @@ class Round13EvalSpec extends AnyFunSuite {
     val sl = r.getDouble(1)
     assert(!sl.isNaN && !sl.isInfinite, s"slope=$sl")
   }
+
+  test("q374: energy distance >= 0 and t_stat = mn/(m+n) * D2") {
+    val r = run("q374_energy_distance").head()
+    val (m, n) = (r.getLong(0), r.getLong(1))
+    val (d2, t2) = (r.getDouble(2), r.getDouble(3))
+    assert(m > 1 && n > 1, s"m=$m n=$n")
+    assert(d2 >= -1e-9, s"D2=$d2")
+    val expected = m.toDouble * n / (m + n) * d2
+    assert(math.abs(t2 - expected) <= 1e-9 * (1 + math.abs(expected)))
+  }
+
+  test("q375: MH odds ratio positive and finite, chi2 >= 0, >= 2 " +
+       "strata") {
+    val r = run("q375_mantel_haenszel").head()
+    assert(r.getLong(0) >= 2, s"strata=${r.getLong(0)}")
+    val or = r.getDouble(1)
+    assert(or > 0.0 && !or.isInfinite, s"OR=$or")
+    assert(r.getDouble(2) >= 0.0, s"chi2=${r.getDouble(2)}")
+  }
+
+  test("q376: IPF weights positive, column margins hit their targets, " +
+       "row margins near uniform after 3 rounds") {
+    val rows = run("q376_ipf_raking").collect()
+    assert(rows.nonEmpty && rows.length <= 7 * 5)
+    val total = rows.map(_.getLong(2)).sum.toDouble
+    rows.foreach(r => assert(r.getDouble(3) > 0.0))
+    // col margins: sum of weights per type == raw type totals (the
+    // last IPF step was a column scale, so this holds to fp precision)
+    val byType = rows.groupBy(_.getString(1))
+    byType.foreach { case (tp, rs) =>
+      val w = rs.map(_.getDouble(3)).sum
+      val c = rs.map(_.getLong(2)).sum.toDouble
+      assert(math.abs(w - c) <= 1e-6 * c, s"$tp: w=$w raw=$c")
+    }
+    // row margins approach total/7 (convergence visible in result)
+    rows.foreach { r =>
+      val rm = r.getDouble(4)
+      assert(math.abs(rm - total / 7.0) <= 0.2 * total / 7.0,
+        s"wd=${r.getLong(0)} margin=$rm vs ${total / 7.0}")
+    }
+  }
+
+  test("q377: SPRT verdict is consistent with the crossing state") {
+    val r = run("q377_sprt").head()
+    assert(r.getLong(0) > 0)
+    val dec = r.getString(2)
+    assert(Set("accept_h1", "accept_h0", "continue").contains(dec))
+    if (r.isNullAt(1)) assert(dec == "continue")
+    else assert(dec != "continue")
+  }
+
+  test("q378: W1 >= 0 and bounded by the value range") {
+    val r = run("q378_wasserstein_1d").head()
+    assert(r.getLong(0) > 1 && r.getLong(1) > 1)
+    val w1 = r.getDouble(2)
+    assert(w1 >= 0.0, s"w1=$w1")
+  }
+
+  test("q379: Kuiper V in (0, 2] and the scaled statistic dominates") {
+    val r = run("q379_kuiper").head()
+    assert(r.getLong(0) > 0)
+    val (v, vn) = (r.getDouble(1), r.getDouble(2))
+    assert(v > 0.0 && v <= 2.0, s"V=$v")
+    assert(vn >= v, s"vn=$vn v=$v")
+  }
+
+  test("q380: per-type resultant length in [0, 1] and circ_var = " +
+       "1 - r_bar") {
+    val rows = run("q380_circular_hours").collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("error", "purchase", "view"))
+    rows.foreach { r =>
+      val (rb, cv) = (r.getDouble(4), r.getDouble(5))
+      assert(rb >= 0.0 && rb <= 1.0 + 1e-12, s"r_bar=$rb")
+      assert(math.abs(cv - (1.0 - rb)) <= 1e-12)
+    }
+  }
 }
