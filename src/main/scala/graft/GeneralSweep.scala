@@ -144,6 +144,60 @@ object GeneralSweep {
           Check("ranks_unique", dupRank == 0,
             s"$dupRank duplicated (probe, rank) slots"))
       },
+      "q366_distance_correlation" -> { df =>
+        // daily counts scale exactly 10× and dCor is scale-invariant:
+        // every Ã entry is ×10 the sf0.1 integer, so the ratio is the
+        // same real number — only double rounding of the larger sums
+        // can move it (≤ ulps)
+        val r1 = df.head()
+        val r0 = base("q366_distance_correlation").head()
+        Seq(Check("same_day_grid", r1.getLong(0) == r0.getLong(0),
+          s"n_days ${r1.getLong(0)} vs ${r0.getLong(0)}"),
+          Check("dcor_scale_invariant",
+            math.abs(r1.getDouble(2) - r0.getDouble(2)) <= 1e-9,
+            s"dcor ${r1.getDouble(2)} vs ${r0.getDouble(2)}"))
+      },
+      "q358_survival_concordance" -> { df =>
+        // user-week subjects are 10 verbatim behavioral clones ⇒ every
+        // grid cell ×10, permissible pairs ×100, C-index unchanged
+        val r1 = df.head()
+        val r0 = base("q358_survival_concordance").head()
+        Seq(Check("subjects_10x",
+          r1.getLong(0) == reps * r0.getLong(0),
+          s"subjects ${r1.getLong(0)}, expected ${reps * r0.getLong(0)}"),
+          Check("pairs_100x",
+            r1.getLong(1) == reps * reps * r0.getLong(1),
+            s"pairs ${r1.getLong(1)}, expected " +
+              s"${reps * reps * r0.getLong(1)}"),
+          Check("c_index_invariant",
+            math.abs(r1.getDouble(2) - r0.getDouble(2)) <= 1e-12,
+            s"c ${r1.getDouble(2)} vs ${r0.getDouble(2)}"))
+      },
+      "q368_burrows_delta" -> { df =>
+        // verbatim text clones: per-source relative frequencies are
+        // (10c)/(10N) = the SAME real number ⇒ identical doubles ⇒ the
+        // whole stylometric report is bit-equal to the sf0.1 run
+        val got = df.collect().toSeq
+        val want = base("q368_burrows_delta").collect().toSeq
+        Seq(Check("report_bit_equal", got == want,
+          s"${got.length} rows vs ${want.length}; first diff: " +
+            got.zip(want).find { case (a, b) => a != b }
+              .map(_.toString).getOrElse("none").take(200)))
+      },
+      "q376_ipf_raking" -> { df =>
+        // raw counts ×10 ⇒ IPF weights ×10 (same fixed point, scaled);
+        // column-margin exactness must survive the scale-up
+        val j = df.select(col("wd"), col("event_type"),
+            col("weight").as("w1"))
+          .join(base("q376_ipf_raking").select(col("wd"),
+            col("event_type"), col("weight").as("w0")),
+            Seq("wd", "event_type"))
+        val bad = j.filter(
+          abs(col("w1") - lit(reps) * col("w0")) >
+            lit(1e-6) * col("w1")).count()
+        Seq(Check("weights_10x", bad == 0,
+          s"$bad cells where sf1.0 weight != 10x the sf0.1 weight"))
+      },
       "q62_range_join" -> { df =>
         // window anchors are hash-selected on the SHIFTED order keys,
         // so the window set re-rolls per copy — but ship DATES are

@@ -18061,5 +18061,206 @@ object QueriesExt {
           sqrt(cs * cs + ss * ss) / CAST(n AS DOUBLE) AS r_bar,
           1.0 - sqrt(cs * cs + ss * ss) / CAST(n AS DOUBLE) AS circ_var
         FROM agg ORDER BY event_type""")),
+
+    // ── BWS test: weekday vs weekend revenue (q381) ─────────────────────
+    // The HIGH-POWER nonparametric two-sample member: KS (q151)
+    // weights all CDF gaps equally and AD (q355) reweights the tails;
+    // Baumgartner–Weiß–Schindler standardizes each rank gap by its own
+    // variance, which beats both in power across most alternatives —
+    // the modern default when only a few dozen observations exist
+    // (exactly the block-statistics regime). The day grid's (value,
+    // day) total order makes ranks unambiguous; each term is the exact
+    // integer square (m·R − (m+n)·i)² times an exact rational, folded
+    // through dsum. One grid sort, one per-group window.
+    QueryDef("q381_bws_test",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(sum(floor(col("value") * lit(1.0e6)).cast("long")).as("u"))
+          .select(col("day"), col("u"),
+            (expr("(day + 4) % 7").isin(0, 6)).cast("long").as("we"))
+        val ranked = daily
+          .withColumn("r", row_number()
+            .over(boundedWindow(col("u"), col("day"))).cast("long"))
+          .withColumn("i", row_number().over(Window.partitionBy("we")
+            .orderBy(col("u"), col("day"))).cast("long"))
+          .localCheckpoint()
+        val ms = ranked.groupBy("we").agg(count(lit(1)).as("sz"))
+        val m = ms.filter(col("we") === 0L).select(col("sz").as("m"))
+        val n = ms.filter(col("we") === 1L).select(col("sz").as("n"))
+        val wide = ranked.crossJoin(broadcast(m)).crossJoin(broadcast(n))
+          .select(col("we"), col("r"), col("i"), col("m"), col("n"),
+            when(col("we") === 0L, col("m")).otherwise(col("n"))
+              .as("sk"),
+            when(col("we") === 0L, col("n")).otherwise(col("m"))
+              .as("so"))
+        val terms = wide.select(col("we"), col("m"), col("n"),
+          ((col("sk") * col("r") - (col("m") + col("n")) * col("i"))
+            .cast("decimal(38,0)") *
+            (col("sk") * col("r") - (col("m") + col("n")) * col("i")))
+            .cast("double")
+            .multiply((col("sk") + 1L).cast("double") *
+              (col("sk") + 1L).cast("double"))
+            .divide(col("sk").cast("double") * col("so").cast("double") *
+              (col("m") + col("n")).cast("double") *
+              col("i").cast("double") *
+              (col("sk") + 1L - col("i")).cast("double")).as("term"))
+        terms.groupBy("we")
+          .agg(max("m").as("m"), max("n").as("n"),
+            dsum(col("term")).as("bsum"))
+          .select(col("we"), col("m"), col("n"),
+            (col("bsum") /
+              when(col("we") === 0L, col("m")).otherwise(col("n"))
+                .cast("double")).as("b"))
+          .agg(max("m").as("m_weekday"), max("n").as("n_weekend"),
+            (dsum(col("b")) / lit(2.0)).as("bws_b"))
+      },
+      Some(s"""WITH daily AS (SELECT day, u,
+            CASE WHEN (day + 4) % 7 IN (0, 6) THEN 1 ELSE 0 END AS we
+          FROM (SELECT epoch_us(ts) // 86400000000 AS day,
+              CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT))
+                AS BIGINT) AS u
+            FROM events WHERE event_type = 'purchase' GROUP BY 1)),
+        ranked AS (SELECT we,
+            CAST(ROW_NUMBER() OVER (ORDER BY u, day) AS BIGINT) AS r,
+            CAST(ROW_NUMBER() OVER (PARTITION BY we ORDER BY u, day)
+              AS BIGINT) AS i
+          FROM daily),
+        ms AS (SELECT
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM ranked WHERE we = 0)
+              AS m,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM ranked WHERE we = 1)
+              AS n),
+        wide AS (SELECT we, r, i, m, n,
+            CASE WHEN we = 0 THEN m ELSE n END AS sk,
+            CASE WHEN we = 0 THEN n ELSE m END AS so
+          FROM ranked CROSS JOIN ms),
+        terms AS (SELECT we, m, n,
+            CAST(CAST(sk * r - (m + n) * i AS HUGEINT)
+                * (sk * r - (m + n) * i) AS DOUBLE)
+              * (CAST(sk + 1 AS DOUBLE) * CAST(sk + 1 AS DOUBLE))
+              / (CAST(sk AS DOUBLE) * CAST(so AS DOUBLE)
+                * CAST(m + n AS DOUBLE) * CAST(i AS DOUBLE)
+                * CAST(sk + 1 - i AS DOUBLE)) AS term
+          FROM wide),
+        bs AS (SELECT we, MAX(m) AS m, MAX(n) AS n,
+            ${dsumSql("term")}
+              / CAST(CASE WHEN we = 0 THEN MAX(m) ELSE MAX(n) END
+                AS DOUBLE) AS b
+          FROM terms GROUP BY we)
+        SELECT MAX(m) AS m_weekday, MAX(n) AS n_weekend,
+          ${dsumSql("b")} / 2.0 AS bws_b
+        FROM bs""")),
+
+    // ── Runs-up-and-down randomness test (q382) ─────────────────────────
+    // The DIRECTION-ALTERNATION member beside the level runs test
+    // (q308, sign vs median) and turning points (q369, local extrema):
+    // it counts maximal monotone runs of the DIFFERENCE sequence, the
+    // classic check for slow drift (few long runs) vs overcorrection
+    // (many short runs). Zero diffs are dropped (strict signs,
+    // documented); runs = 1 + sign changes over the retained bounded
+    // sequence; E = (2n−1)/3 and Var = (16n−29)/90 in one mirrored
+    // chain.
+    QueryDef("q382_runs_up_down",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(count(lit(1)).as("x"))
+          .localCheckpoint()
+        val sg = daily.as("a")
+          .join(broadcast(daily).as("b"),
+            col("a.day") === col("b.day") + 1L)
+          .select(col("a.day").as("day"),
+            signum((col("a.x") - col("b.x")).cast("double"))
+              .cast("long").as("sg"))
+          .filter(col("sg") =!= 0L)
+        val runs = sg
+          .withColumn("prev", lag("sg", 1).over(boundedWindow("day")))
+          .select(when(col("prev").isNull || col("prev") =!= col("sg"),
+            1L).otherwise(0L).as("brk"))
+          .agg(count(lit(1)).as("nd"), sum("brk").as("runs"))
+        runs.select((col("nd") + 1L).as("n_days"), col("runs"),
+          ((col("runs").cast("double") -
+            (lit(2.0) * (col("nd") + 1L).cast("double") - lit(1.0)) /
+              lit(3.0)) /
+            sqrt((lit(16.0) * (col("nd") + 1L).cast("double") -
+              lit(29.0)) / lit(90.0))).as("z"))
+      },
+      Some("""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+            CAST(COUNT(*) AS BIGINT) AS x
+          FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        sg AS (SELECT a.day,
+            CAST(CASE WHEN a.x > b.x THEN 1 WHEN a.x < b.x THEN -1
+              ELSE 0 END AS BIGINT) AS sg
+          FROM daily a JOIN daily b ON a.day = b.day + 1),
+        nz AS (SELECT day, sg FROM sg WHERE sg <> 0),
+        brk AS (SELECT CASE WHEN LAG(sg, 1) OVER (ORDER BY day) IS NULL
+              OR LAG(sg, 1) OVER (ORDER BY day) <> sg
+            THEN 1 ELSE 0 END AS brk
+          FROM nz),
+        agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+            CAST(SUM(brk) AS BIGINT) AS runs FROM brk)
+        SELECT nd + 1 AS n_days, runs,
+          (CAST(runs AS DOUBLE)
+              - (2.0 * CAST(nd + 1 AS DOUBLE) - 1.0) / 3.0)
+            / sqrt((16.0 * CAST(nd + 1 AS DOUBLE) - 29.0) / 90.0) AS z
+        FROM agg""")),
+
+    // ── Records test for trend (q383) ───────────────────────────────────
+    // The EXTREME-VALUE trend test: under exchangeability the t-th
+    // observation is a running maximum with probability 1/t, so the
+    // record count has mean H_n and variance H_n − H_n⁽²⁾ — too many
+    // record-breaking revenue days IS the trend signal, detected
+    // without ranks or slopes (and the natural companion of the q364
+    // Gumbel fit, which models those records' magnitudes). Running max
+    // and the harmonic sums both live on the bounded ordered day grid;
+    // H_n folds 1/k through the dsum rail in the same k order on both
+    // engines.
+    QueryDef("q383_records_test",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(sum(floor(col("value") * lit(1.0e6)).cast("long")).as("u"))
+        val rec = daily
+          .withColumn("pmax", max("u").over(boundedWindow("day")
+            .rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("k", row_number().over(boundedWindow("day"))
+            .cast("long"))
+          .select(col("k"),
+            when(col("pmax").isNull || col("u") > col("pmax"), 1L)
+              .otherwise(0L).as("rec"))
+        rec.agg(count(lit(1)).as("n_days"),
+            sum("rec").as("n_records"),
+            dsum(lit(1.0) / col("k").cast("double")).as("h1"),
+            dsum(lit(1.0) / (col("k") * col("k")).cast("double"))
+              .as("h2"))
+          .select(col("n_days"), col("n_records"), col("h1").as("e_records"),
+            ((col("n_records").cast("double") - col("h1")) /
+              sqrt(col("h1") - col("h2"))).as("z"))
+      },
+      Some(s"""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+            CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT)
+              AS u
+          FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        rec AS (SELECT
+            CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS k,
+            CASE WHEN MAX(u) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                IS NULL
+              OR u > MAX(u) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS rec
+          FROM daily),
+        agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+            CAST(SUM(rec) AS BIGINT) AS n_records,
+            ${dsumSql("1.0 / CAST(k AS DOUBLE)")} AS h1,
+            ${dsumSql("1.0 / CAST(k * k AS DOUBLE)")} AS h2
+          FROM rec)
+        SELECT n_days, n_records, h1 AS e_records,
+          (CAST(n_records AS DOUBLE) - h1) / sqrt(h1 - h2) AS z
+        FROM agg""")),
   )
 }

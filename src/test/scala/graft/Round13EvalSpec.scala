@@ -301,4 +301,31 @@ class Round13EvalSpec extends AnyFunSuite {
       assert(math.abs(cv - (1.0 - rb)) <= 1e-12)
     }
   }
+
+  test("q381: BWS B is positive and both samples non-trivial") {
+    val r = run("q381_bws_test").head()
+    val (m, n) = (r.getLong(0), r.getLong(1))
+    assert(m > 2 && n > 2, s"m=$m n=$n")
+    val b = r.getDouble(2)
+    assert(b > 0.0 && !b.isInfinite, s"B=$b")
+  }
+
+  test("q382: run count lies in [1, n-1] and z is finite") {
+    val r = run("q382_runs_up_down").head()
+    val (n, runs) = (r.getLong(0), r.getLong(1))
+    assert(n > 3, s"n=$n")
+    assert(runs >= 1 && runs <= n - 1, s"runs=$runs n=$n")
+    assert(!r.getDouble(2).isNaN)
+  }
+
+  test("q383: record count in [1, n], expected count is the harmonic " +
+       "number (between ln n and ln n + 1)") {
+    val r = run("q383_records_test").head()
+    val (n, rec) = (r.getLong(0), r.getLong(1))
+    val h = r.getDouble(2)
+    assert(rec >= 1 && rec <= n, s"records=$rec n=$n")
+    assert(h > math.log(n.toDouble) && h <= math.log(n.toDouble) + 1.0,
+      s"H_n=$h n=$n")
+    assert(!r.getDouble(3).isNaN)
+  }
 }
