@@ -18262,5 +18262,191 @@ object QueriesExt {
         SELECT n_days, n_records, h1 AS e_records,
           (CAST(n_records AS DOUBLE) - h1) / sqrt(h1 - h2) AS z
         FROM agg""")),
+
+    // ── Lepage location–scale test: weekday vs weekend (q384) ───────────
+    // The COMBINED two-sample test: Mann–Whitney (q152) sees only
+    // location, Brown–Forsythe (q347) only spread — Lepage adds the
+    // standardized Wilcoxon and Ansari–Bradley squares, catching a
+    // distribution that shifted AND tightened (the classic promo-week
+    // signature) that either component alone under-rejects. The (u,
+    // day) total order makes ranks unambiguous; W, the end-rank AB
+    // scores min(r, N+1−r), and both exact-rational moment sets
+    // (N-parity split for AB) feed one mirrored chain.
+    QueryDef("q384_lepage",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(sum(floor(col("value") * lit(1.0e6)).cast("long")).as("u"))
+          .select(col("day"), col("u"),
+            (expr("(day + 4) % 7").isin(0, 6)).cast("long").as("we"))
+        val ranked = daily
+          .withColumn("r", row_number()
+            .over(boundedWindow(col("u"), col("day"))).cast("long"))
+          .localCheckpoint()
+        // least(r, N+1−r) needs N: fold the counts first, then score
+        // the checkpointed ranks with N broadcast
+        val ns = ranked.agg(count(lit(1)).as("nn"),
+          sum(lit(1L) - col("we")).as("m"))
+        val scored = ranked.crossJoin(broadcast(ns))
+          .select(col("we"), col("r"), col("nn"), col("m"),
+            least(col("r"), col("nn") + 1L - col("r")).as("a"))
+        val st = scored.agg(max("nn").as("nn"), max("m").as("m"),
+          sum(when(col("we") === 0L, col("r")).otherwise(0L)).as("w"),
+          sum(when(col("we") === 0L, col("a")).otherwise(0L)).as("ab"))
+        val nD = col("nn").cast("double")
+        val mD = col("m").cast("double")
+        val knD = (col("nn") - col("m")).cast("double")
+        val ew = mD * (nD + 1.0) / 2.0
+        val vw = mD * knD * (nD + 1.0) / 12.0
+        val ea = when(col("nn") % 2L === 0L, mD * (nD + 2.0) / 4.0)
+          .otherwise(mD * (nD + 1.0) * (nD + 1.0) / (nD * 4.0))
+        val va = when(col("nn") % 2L === 0L,
+          mD * knD * (nD + 2.0) * (nD - 2.0) / ((nD - 1.0) * 48.0))
+          .otherwise(mD * knD * (nD + 1.0) *
+            (nD * nD + 3.0) / (nD * nD * 48.0))
+        val zw = (col("w").cast("double") - ew) / sqrt(vw)
+        val za = (col("ab").cast("double") - ea) / sqrt(va)
+        st.select(col("m").as("m_weekday"),
+          (col("nn") - col("m")).as("n_weekend"),
+          (zw * zw + za * za).as("lepage_l"))
+      },
+      Some("""WITH daily AS (SELECT day, u,
+            CASE WHEN (day + 4) % 7 IN (0, 6) THEN 1 ELSE 0 END AS we
+          FROM (SELECT epoch_us(ts) // 86400000000 AS day,
+              CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT))
+                AS BIGINT) AS u
+            FROM events WHERE event_type = 'purchase' GROUP BY 1)),
+        ranked AS (SELECT we,
+            CAST(ROW_NUMBER() OVER (ORDER BY u, day) AS BIGINT) AS r
+          FROM daily),
+        ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+            CAST(SUM(1 - we) AS BIGINT) AS m FROM ranked),
+        scored AS (SELECT we, r, nn, m,
+            LEAST(r, nn + 1 - r) AS a
+          FROM ranked CROSS JOIN ns),
+        st AS (SELECT MAX(nn) AS nn, MAX(m) AS m,
+            CAST(SUM(CASE WHEN we = 0 THEN r ELSE 0 END) AS BIGINT)
+              AS w,
+            CAST(SUM(CASE WHEN we = 0 THEN a ELSE 0 END) AS BIGINT)
+              AS ab
+          FROM scored),
+        mo AS (SELECT nn, m, w, ab,
+            CAST(nn AS DOUBLE) AS nd, CAST(m AS DOUBLE) AS md,
+            CAST(nn - m AS DOUBLE) AS kd
+          FROM st),
+        fin AS (SELECT m, nn - m AS n_weekend,
+            (CAST(w AS DOUBLE) - md * (nd + 1.0) / 2.0)
+              / sqrt(md * kd * (nd + 1.0) / 12.0) AS zw,
+            (CAST(ab AS DOUBLE)
+              - CASE WHEN nn % 2 = 0 THEN md * (nd + 2.0) / 4.0
+                ELSE md * (nd + 1.0) * (nd + 1.0) / (4.0 * nd) END)
+              / sqrt(CASE WHEN nn % 2 = 0
+                THEN md * kd * (nd + 2.0) * (nd - 2.0)
+                  / (48.0 * (nd - 1.0))
+                ELSE md * kd * (nd + 1.0) * (nd * nd + 3.0)
+                  / (nd * nd * 48.0) END) AS za
+          FROM mo)
+        SELECT m AS m_weekday, n_weekend,
+          zw * zw + za * za AS lepage_l
+        FROM fin""")),
+
+    // ── Quadratic-weighted Cohen's kappa (q385) ─────────────────────────
+    // The ORDINAL agreement member: plain κ (q204) scores a 5-class
+    // disagreement of 1 step and 4 steps identically; quadratic
+    // weights w = (i−j)² make κ_w the standard metric for graded
+    // labels (quality tiers, star ratings). Raters = two independent
+    // fixed-grid views of each document (char-length tier vs
+    // token-count tier — fixed caps, no corpus-wide quantile sort).
+    // Multiplying through by N makes κ_w = 1 − N·ΣwO / Σw·(r_i·c_j)
+    // an EXACT integer ratio (decimal(38,0)/HUGEINT), one division.
+    QueryDef("q385_weighted_kappa",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(
+          least(col("n_chars") / lit(200), lit(4L)).cast("long")
+            .as("r1"),
+          least(size(TextStats.tokens(col("text"))) / lit(30),
+            lit(4L)).cast("long").as("r2"))
+        val o = d.groupBy("r1", "r2").agg(count(lit(1)).as("c"))
+          .localCheckpoint()
+        val rm = o.groupBy("r1").agg(sum("c").as("rc"))
+        val cm = o.groupBy("r2").agg(sum("c").as("cc"))
+        val num = o.agg(sum(col("c").cast("decimal(38,0)") *
+          (col("r1") - col("r2")) * (col("r1") - col("r2"))).as("swo"),
+          sum("c").as("n"))
+        val den = rm.crossJoin(broadcast(cm))
+          .agg(sum(col("rc").cast("decimal(38,0)") * col("cc") *
+            (col("r1") - col("r2")) * (col("r1") - col("r2")))
+            .as("swe"))
+        num.crossJoin(broadcast(den))
+          .select(col("n").as("n_docs"),
+            (lit(1.0) -
+              (col("n").cast("decimal(38,0)") * col("swo"))
+                .cast("double") / col("swe").cast("double"))
+              .as("kappa_w"))
+      },
+      Some(s"""WITH d AS (SELECT
+            LEAST(n_chars // 200, 4) AS r1,
+            LEAST(len($dTok) // 30, 4) AS r2
+          FROM documents),
+        o AS (SELECT r1, r2, CAST(COUNT(*) AS BIGINT) AS c
+          FROM d GROUP BY 1, 2),
+        rm AS (SELECT r1, CAST(SUM(c) AS BIGINT) AS rc FROM o
+          GROUP BY 1),
+        cm AS (SELECT r2, CAST(SUM(c) AS BIGINT) AS cc FROM o
+          GROUP BY 1),
+        num AS (SELECT SUM(CAST(c AS HUGEINT)
+              * (r1 - r2) * (r1 - r2)) AS swo,
+            CAST(SUM(c) AS BIGINT) AS n FROM o),
+        den AS (SELECT SUM(CAST(rc AS HUGEINT) * cc
+              * (r1 - r2) * (r1 - r2)) AS swe
+          FROM rm CROSS JOIN cm)
+        SELECT n AS n_docs,
+          1.0 - CAST(CAST(n AS HUGEINT) * swo AS DOUBLE)
+            / CAST(swe AS DOUBLE) AS kappa_w
+        FROM num CROSS JOIN den""")),
+
+    // ── Cochran's C variance-outlier test (q386) ────────────────────────
+    // "Is ONE group's variance carrying the heterogeneity?" — the
+    // targeted follow-up to Brown–Forsythe's omnibus answer (q347):
+    // C = max s²_g / Σ s²_g close to 1/k means homogeneous, close to
+    // 1 indicts a single group. Per-event-type micro-unit moments fold
+    // map-side; each s² is one mirrored rational; max and sum run
+    // over the bounded group table.
+    QueryDef("q386_cochrans_c",
+      (s, dir) => {
+        val g = t(s, dir, "events").select(col("event_type"),
+            floor(col("value") * lit(1.0e6)).cast("long").as("u"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("ng"), sum("u").as("su"),
+            sum(col("u").cast("decimal(38,0)") * col("u")).as("suu"))
+          .select(col("event_type"),
+            ((col("ng").cast("decimal(38,0)") * col("suu") -
+              col("su").cast("decimal(38,0)") * col("su"))
+              .cast("double") /
+              (col("ng").cast("decimal(38,0)") * (col("ng") - 1L))
+                .cast("double") / lit(1.0e12)).as("s2"))
+        g.agg(count(lit(1)).as("n_groups"), max("s2").as("max_s2"),
+            dsum(col("s2")).as("sum_s2"))
+          .select(col("n_groups"),
+            (col("max_s2") / col("sum_s2")).as("c_stat"))
+      },
+      Some(s"""WITH g AS (SELECT event_type,
+            CAST(COUNT(*) AS BIGINT) AS ng,
+            CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT))
+              AS BIGINT) AS su,
+            SUM(CAST(CAST(floor(value * 1000000.0) AS BIGINT)
+              AS HUGEINT)
+              * CAST(floor(value * 1000000.0) AS BIGINT)) AS suu
+          FROM events GROUP BY 1),
+        s AS (SELECT event_type,
+            CAST(CAST(ng AS HUGEINT) * suu
+                - CAST(su AS HUGEINT) * su AS DOUBLE)
+              / CAST(CAST(ng AS HUGEINT) * (ng - 1) AS DOUBLE)
+              / 1e12 AS s2
+          FROM g)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+          MAX(s2) / ${dsumSql("s2")} AS c_stat
+        FROM s""")),
   )
 }

@@ -328,4 +328,30 @@ class Round13EvalSpec extends AnyFunSuite {
       s"H_n=$h n=$n")
     assert(!r.getDouble(3).isNaN)
   }
+
+  test("q384: Lepage L is a sum of two squares — non-negative and " +
+       "finite") {
+    val r = run("q384_lepage").head()
+    assert(r.getLong(0) > 2 && r.getLong(1) > 2)
+    val l = r.getDouble(2)
+    assert(l >= 0.0 && !l.isInfinite, s"L=$l")
+  }
+
+  test("q385: weighted kappa lies in [-1, 1] and the raters agree " +
+       "better than chance on length-correlated tiers") {
+    val r = run("q385_weighted_kappa").head()
+    assert(r.getLong(0) > 0)
+    val k = r.getDouble(1)
+    assert(k >= -1.0 - 1e-12 && k <= 1.0 + 1e-12, s"kappa_w=$k")
+    // char-tier and token-tier of the same doc are strongly dependent
+    assert(k > 0.0, s"kappa_w=$k should beat chance")
+  }
+
+  test("q386: Cochran's C lies in [1/k, 1]") {
+    val r = run("q386_cochrans_c").head()
+    val k = r.getLong(0)
+    val c = r.getDouble(1)
+    assert(k >= 2, s"k=$k")
+    assert(c >= 1.0 / k - 1e-12 && c <= 1.0 + 1e-12, s"C=$c k=$k")
+  }
 }
