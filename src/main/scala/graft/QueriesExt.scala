@@ -18448,5 +18448,59 @@ object QueriesExt {
         SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
           MAX(s2) / ${dsumSql("s2")} AS c_stat
         FROM s""")),
+
+    // ── Madogram (first-order variogram) of daily revenue (q387) ────────
+    // The GEOSTATISTICS roughness summary the series family lacked:
+    // γ₁(h) = E|u_t − u_{t+h}| reads structure directly in lag space —
+    // γ₁ flat in h means white noise, growing means persistence, and a
+    // DIP at h=7 below h=1 is the weekly cycle stated as a distance
+    // (the robust, outlier-insensitive cousin of the squared
+    // variogram, and the time-axis sibling of q374's energy distance).
+    // Per-lag rows (h ∈ {1, 2, 7}) plus each lag's ratio to γ₁(1) as
+    // the smoothness index. Exact integer |difference| folds over the
+    // bounded day-grid lag joins; two mirrored divisions.
+    QueryDef("q387_madogram",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(sum(floor(col("value") * lit(1.0e6)).cast("long")).as("u"))
+          .localCheckpoint()
+        def lagAbs(h: Int): DataFrame = daily.as("a")
+          .join(broadcast(daily).as("b"),
+            col("a.day") === col("b.day") + h)
+          .select(lit(h.toLong).as("lag_h"),
+            abs(col("a.u") - col("b.u")).as("d"))
+        val g = lagAbs(1).union(lagAbs(2)).union(lagAbs(7))
+          .groupBy("lag_h")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("d").cast("decimal(38,0)")).as("sd"))
+          .select(col("lag_h"), col("n_pairs"),
+            (col("sd").cast("double") / col("n_pairs").cast("double") /
+              lit(1.0e6)).as("gamma1"))
+          .localCheckpoint()
+        val base = g.filter(col("lag_h") === 1L)
+          .select(col("gamma1").as("g1"))
+        g.crossJoin(broadcast(base))
+          .select(col("lag_h"), col("n_pairs"), col("gamma1"),
+            (col("gamma1") / col("g1")).as("ratio_to_lag1"))
+          .orderBy("lag_h")
+      },
+      Some("""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+            CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT)
+              AS u
+          FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        d AS (SELECT h AS lag_h, ABS(a.u - b.u) AS d
+          FROM (SELECT CAST(unnest([1, 2, 7]) AS BIGINT) AS h) hs
+          JOIN daily a ON true
+          JOIN daily b ON a.day = b.day + h),
+        g AS (SELECT lag_h, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+            CAST(SUM(CAST(d AS HUGEINT)) AS DOUBLE)
+              / CAST(COUNT(*) AS DOUBLE) / 1000000.0 AS gamma1
+          FROM d GROUP BY 1),
+        base AS (SELECT gamma1 AS g1 FROM g WHERE lag_h = 1)
+        SELECT lag_h, n_pairs, gamma1, gamma1 / g1 AS ratio_to_lag1
+        FROM g CROSS JOIN base
+        ORDER BY lag_h""")),
   )
 }

@@ -354,4 +354,16 @@ class Round13EvalSpec extends AnyFunSuite {
     assert(k >= 2, s"k=$k")
     assert(c >= 1.0 / k - 1e-12 && c <= 1.0 + 1e-12, s"C=$c k=$k")
   }
+
+  test("q387: madogram has the three lags, gamma >= 0, lag-1 ratio " +
+       "is exactly 1") {
+    val rows = run("q387_madogram").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 7L))
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0)
+      assert(r.getDouble(2) >= 0.0)
+      assert(r.getDouble(3) >= 0.0)
+    }
+    assert(rows.head.getDouble(3) == 1.0, "ratio(1) must be exactly 1")
+  }
 }
