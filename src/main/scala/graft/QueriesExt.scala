@@ -18502,5 +18502,56 @@ object QueriesExt {
         SELECT lag_h, n_pairs, gamma1, gamma1 / g1 AS ratio_to_lag1
         FROM g CROSS JOIN base
         ORDER BY lag_h""")),
+
+    // ── Peak-over-threshold mean excess of daily revenue (q388) ─────────
+    // The POT half of extreme-value analysis beside the block-maxima
+    // Gumbel fit (q364): everything above the exact empirical p90 day
+    // is an exceedance, and the mean-excess value E[u−t | u>t] is the
+    // GPD diagnostic (roughly flat ⇒ exponential tail, rising ⇒
+    // heavy). The threshold is an exact order statistic on the bounded
+    // day grid (row_number cut, q354 selection shape), exceedance sums
+    // are exact longs, and the two outputs are mirrored divisions —
+    // no distributional fitting, just the sufficient statistics a GPD
+    // fit would consume.
+    QueryDef("q388_pot_mean_excess",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(sum(floor(col("value") * lit(1.0e6)).cast("long")).as("u"))
+          .localCheckpoint()
+        val n = daily.agg(count(lit(1)).as("n"))
+        val thr = daily
+          .withColumn("rk", row_number()
+            .over(boundedWindow(col("u"), col("day"))).cast("long"))
+          .crossJoin(broadcast(n))
+          .filter(col("rk") === expr("(n * 9) div 10"))
+          .select(col("u").as("t"))
+        daily.crossJoin(broadcast(thr)).crossJoin(broadcast(n))
+          .filter(col("u") > col("t"))
+          .agg(max("n").as("n_days"), count(lit(1)).as("n_exceed"),
+            max(col("t")).as("tmax"),
+            sum(col("u") - col("t")).as("sx"))
+          .select(col("n_days"), col("n_exceed"),
+            (col("tmax").cast("double") / lit(1.0e6)).as("threshold"),
+            (col("sx").cast("double") / col("n_exceed").cast("double") /
+              lit(1.0e6)).as("mean_excess"))
+      },
+      Some("""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+            CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT)
+              AS u
+          FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+        thr AS (SELECT u AS t FROM (SELECT u,
+              CAST(ROW_NUMBER() OVER (ORDER BY u, day) AS BIGINT) AS rk
+            FROM daily) r CROSS JOIN n
+          WHERE rk = (n * 9) // 10),
+        e AS (SELECT n, t, u - t AS x
+          FROM daily CROSS JOIN thr CROSS JOIN n WHERE u > t)
+        SELECT MAX(n) AS n_days, CAST(COUNT(*) AS BIGINT) AS n_exceed,
+          CAST(MAX(t) AS DOUBLE) / 1000000.0 AS threshold,
+          CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000.0
+            AS mean_excess
+        FROM e""")),
   )
 }

@@ -366,4 +366,14 @@ class Round13EvalSpec extends AnyFunSuite {
     }
     assert(rows.head.getDouble(3) == 1.0, "ratio(1) must be exactly 1")
   }
+
+  test("q388: exceedance count is ~10% of days and the mean excess " +
+       "is positive with threshold below the max") {
+    val r = run("q388_pot_mean_excess").head()
+    val (n, ne) = (r.getLong(0), r.getLong(1))
+    assert(n > 0 && ne > 0, s"n=$n ne=$ne")
+    // rank cut at (9n/10) ⇒ exceedances = n − (9n div 10)
+    assert(ne == n - n * 9 / 10, s"ne=$ne n=$n")
+    assert(r.getDouble(2) > 0.0 && r.getDouble(3) > 0.0)
+  }
 }
