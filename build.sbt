@@ -11,6 +11,24 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run/runMain output inherits this process's stdout/stderr
+// VERBATIM instead of going through sbt's logger, which prefixes every
+// line with "[info] " — that prefix is what kept the driver's
+// BENCH parsed field null for 13 rounds (Bench's final line is valid
+// JSON but arrived as "[info] {...}"). With StdoutOutput the last
+// stdout line starts with '{' and parses directly.
+// (Compile/run scope feeds the forkOptions used by both run and runMain.)
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// …and suppress sbt's "[success] Total time" epilogue, which otherwise
+// lands AFTER the forked main's output and becomes the final stdout
+// line. With both settings, `sbt -batch "runMain graft.Bench"` ends
+// stdout with Bench's bare JSON summary. Success/failure is still
+// unambiguous via the exit code (sbt -batch exits non-zero on failure);
+// don't grep for "[success]".
+Global / showSuccess := false
+// showSuccess is read by sbt's command engine, not by a task — silence
+// the false-positive lintUnused warning.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -26,5 +44,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Heap guidance (measured, round 13): keep local drivers at 8–16g.
+  // A cold 64 GiB heap made the SAME query 5–18× slower on this host
+  // (G1 region/promotion pathology: q285 747 s at 64g vs 60 s at 8g,
+  // controlled singles) — more heap is NOT safer here. The sf1.0 sweep
+  // scripts pin 16g for the same reason; see SCALE.md "64g GC artifact".
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

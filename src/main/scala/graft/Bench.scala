@@ -204,6 +204,11 @@ object Bench {
     val summary =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$headJson,"samples":$samplesDone,"n_queries":${sampled.size},"n_errors":${errors.size},"queries_file":"target/bench_$sfName.json","sf":"$sfDir"}"""
     println(summary)
+    // Belt and braces for the driver's tail parser: the same summary on
+    // stderr too, in case the stdout channel picks up any logger prefix
+    // (build.sbt's StdoutOutput strategy should already make the stdout
+    // line prefix-free — this is the second independent delivery path).
+    System.err.println(summary)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -16976,7 +16976,11 @@ object QueriesExt {
     // each week-block by the rank of its RANGE, so high-variance weeks
     // — where a weekday effect is actually visible — dominate. With
     // k = 7 treatments, (k+1)/2 = 4 is exact, so doubled midranks make
-    // S_ij = Q2_i(r2_ij − 8)/4 quarter-unit INTEGERS; the uniform /16
+    // S_ij = Q2_i(r2_ij − 8)/4 quarter-unit INTEGERS — the doubled
+    // midrank from a self-INCLUSIVE tie join is 2·#less + #eq(incl) + 1
+    // (the +1 restores 2·midrank; r14 fix per ADVICE — without it both
+    // censuses sat at 2·midrank − 1 and ranks centered at 4.5, not 4);
+    // the uniform /16
     // cancels in F = (n−1)·B/(A−B) = (n−1)·ΣSj²/(n·ΣSij² − ΣSj²) — the
     // whole statistic is one integer ratio on the decimal(38,0)/HUGEINT
     // rail. Complete weeks only (boundary part-weeks dropped); both
@@ -17001,14 +17005,14 @@ object QueriesExt {
           .groupBy(col("a.wk").as("wk"), col("a.wd").as("wd"))
           .agg((lit(2L) * sum(when(col("b.x") < col("a.x"), 1L)
               .otherwise(0L)) +
-            sum(when(col("b.x") === col("a.x"), 1L).otherwise(0L)))
-            .as("r2"))
+            sum(when(col("b.x") === col("a.x"), 1L).otherwise(0L)) +
+            lit(1L)).as("r2"))
         val q2 = full.as("a").crossJoin(broadcast(full).as("b"))
           .groupBy(col("a.wk").as("wk"))
           .agg((lit(2L) * sum(when(col("b.rng") < col("a.rng"), 1L)
               .otherwise(0L)) +
-            sum(when(col("b.rng") === col("a.rng"), 1L).otherwise(0L)))
-            .as("q2"))
+            sum(when(col("b.rng") === col("a.rng"), 1L).otherwise(0L)) +
+            lit(1L)).as("q2"))
         val sij = r2.join(broadcast(q2), Seq("wk"))
           .select(col("wk"), col("wd"),
             (col("q2").cast("decimal(38,0)") * (col("r2") - 8L))
@@ -17034,12 +17038,12 @@ object QueriesExt {
         cells AS (SELECT d.wk, d.wd, d.x FROM d JOIN fw USING (wk)),
         r2 AS (SELECT a.wk, a.wd,
             2 * SUM(CASE WHEN b.x < a.x THEN 1 ELSE 0 END)
-              + SUM(CASE WHEN b.x = a.x THEN 1 ELSE 0 END) AS r2
+              + SUM(CASE WHEN b.x = a.x THEN 1 ELSE 0 END) + 1 AS r2
           FROM cells a JOIN cells b ON a.wk = b.wk
           GROUP BY 1, 2),
         q2 AS (SELECT a.wk,
             2 * SUM(CASE WHEN b.rng < a.rng THEN 1 ELSE 0 END)
-              + SUM(CASE WHEN b.rng = a.rng THEN 1 ELSE 0 END) AS q2
+              + SUM(CASE WHEN b.rng = a.rng THEN 1 ELSE 0 END) + 1 AS q2
           FROM fw a CROSS JOIN fw b
           GROUP BY 1),
         sij AS (SELECT r2.wk, r2.wd,

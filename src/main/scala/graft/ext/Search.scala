@@ -384,6 +384,24 @@ object Search {
       .orderBy("token")
   }
 
+  /** Canonical (src < dst) STRONG edges of the co-occurrence graph:
+    * tokens co-occurring in more than supNum/supDen of all documents
+    * (the shared q328/q359/q370/q371/q372 gate — relative so it ports
+    * across corpus sizes). One corpus pass inside [[cooccurGraph]];
+    * the result is ≤ vocab²-bounded and checkpointed for the iterative
+    * consumers.
+    */
+  private[ext] def strongHalf(docs: DataFrame, idCol: String,
+                              textCol: String, vocab: Int,
+                              supNum: Int, supDen: Int): DataFrame = {
+    val (_, edges) = cooccurGraph(docs, idCol, textCol, vocab)
+    val ndocs = docs.agg(count(lit(1)).as("nd"))
+    edges.crossJoin(broadcast(ndocs))
+      .filter(col("c") * supDen > lit(supNum) * col("nd"))
+      .filter(col("src") < col("dst")).select("src", "dst")
+      .localCheckpoint(eager = true)
+  }
+
   /** Maximal k-truss of the STRONG co-occurrence graph: the
     * triangle-reinforced cousin of [[kCore]] — an edge survives only
     * while it closes ≥ k−2 triangles with surviving edges, so a truss
@@ -404,24 +422,6 @@ object Search {
     * join and one localCheckpoint (flat plan, no lineage growth) —
     * the same at-scale contract as [[kCore]]/[[triangleStats]].
     */
-  /** Canonical (src < dst) STRONG edges of the co-occurrence graph:
-    * tokens co-occurring in more than supNum/supDen of all documents
-    * (the shared q328/q359/q370/q371/q372 gate — relative so it ports
-    * across corpus sizes). One corpus pass inside [[cooccurGraph]];
-    * the result is ≤ vocab²-bounded and checkpointed for the iterative
-    * consumers.
-    */
-  private[ext] def strongHalf(docs: DataFrame, idCol: String,
-                              textCol: String, vocab: Int,
-                              supNum: Int, supDen: Int): DataFrame = {
-    val (_, edges) = cooccurGraph(docs, idCol, textCol, vocab)
-    val ndocs = docs.agg(count(lit(1)).as("nd"))
-    edges.crossJoin(broadcast(ndocs))
-      .filter(col("c") * supDen > lit(supNum) * col("nd"))
-      .filter(col("src") < col("dst")).select("src", "dst")
-      .localCheckpoint(eager = true)
-  }
-
   def kTruss(docs: DataFrame, idCol: String, textCol: String, vocab: Int,
              supNum: Int, supDen: Int, k: Int, rounds: Int): DataFrame = {
     require(k >= 3, s"k $k")

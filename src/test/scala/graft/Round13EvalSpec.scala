@@ -372,8 +372,10 @@ class Round13EvalSpec extends AnyFunSuite {
     val r = run("q388_pot_mean_excess").head()
     val (n, ne) = (r.getLong(0), r.getLong(1))
     assert(n > 0 && ne > 0, s"n=$n ne=$ne")
-    // rank cut at (9n/10) ⇒ exceedances = n − (9n div 10)
-    assert(ne == n - n * 9 / 10, s"ne=$ne n=$n")
+    // rank cut at (9n/10) ⇒ exceedances ≤ n − (9n div 10); strictly
+    // fewer is legitimate when day sums TIE at the p90 threshold value
+    // (the filter is strict u > t), so upper-bound only (r14 per ADVICE)
+    assert(ne <= n - n * 9 / 10, s"ne=$ne n=$n")
     assert(r.getDouble(2) > 0.0 && r.getDouble(3) > 0.0)
   }
 }
