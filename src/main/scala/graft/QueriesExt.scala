@@ -11852,28 +11852,34 @@ object QueriesExt {
     // ── Dedup cluster stability: adjusted Rand index (q285) ────────────
     // How much does the dedup partition move when the similarity bar
     // rises from ½ to 0.9? Both clusterings come from the SAME exact
-    // prefix-filtered pair set (q106) via the label-prop components
-    // engine; unpaired docs are their own singleton clusters. ARI from
-    // the contingency's pair counts — every C(x,2) is x(x−1) div 2 in
-    // BIGINTs, so the only doubles are the textbook final chain. ARI
-    // near 1 says the dedup decision is threshold-robust; a low value
-    // flags a corpus whose duplicate structure is borderline.
+    // prefix-filtered pair set (q106), and — since r14 — from the SAME
+    // label-prop convergence: dedupClustersDual propagates the full-set
+    // and the ≥0.9-subgraph labels jointly (rounds = max of the two
+    // diameters, not the sum), and emits both labels on one row per
+    // node, so the contingency needs no second |docs| join. Unpaired
+    // docs are their own singleton clusters. ARI from the contingency's
+    // pair counts — every C(x,2) is x(x−1) div 2 in BIGINTs, so the
+    // only doubles are the textbook final chain. ARI near 1 says the
+    // dedup decision is threshold-robust; a low value flags a corpus
+    // whose duplicate structure is borderline.
     QueryDef("q285_cluster_stability_ari",
       (s, dir) => {
         val pairs = Dedup.prefixFilterJaccardPairs(
             tPar(s, dir, "documents"), "doc_id", "text", shingleK,
             ppjTNum, ppjTDen)
-          .localCheckpoint() // both threshold clusterings read it
+          .localCheckpoint() // both union directions of the edge build
+        val dual = Dedup.dedupClustersDual(
+          pairs.withColumn("hi", col("jaccard") >= 0.9)
+            .select("id_a", "id_b", "hi"))
         val docsAll = t(s, dir, "documents").select(col("doc_id"))
-        def labeled(p: DataFrame, as: String) =
-          docsAll.join(Dedup.dedupClusters(p.select("id_a", "id_b"))
-            .select(col("id").as("doc_id"), col("cluster")),
+        val lab = docsAll.join(
+            dual.select(col("id").as("doc_id"), col("cluster_all"),
+              col("cluster_hi")),
             Seq("doc_id"), "left")
-            .select(col("doc_id"),
-              coalesce(col("cluster"), col("doc_id")).as(as))
-        val a = labeled(pairs, "ca")
-        val b = labeled(pairs.filter(col("jaccard") >= 0.9), "cb")
-        val cont = a.join(b, "doc_id").groupBy("ca", "cb")
+          .select(col("doc_id"),
+            coalesce(col("cluster_all"), col("doc_id")).as("ca"),
+            coalesce(col("cluster_hi"), col("doc_id")).as("cb"))
+        val cont = lab.groupBy("ca", "cb")
           .agg(count(lit(1)).as("nij"))
           .localCheckpoint() // three marginal folds read it
         val sij = cont.agg(sum(expr("(nij * (nij - 1)) div 2")).as("sij"),

@@ -377,6 +377,66 @@ object Dedup {
     out
   }
 
+  /** Components of a pair graph AND of a flagged SUBGRAPH in one joint
+    * min-label convergence. The motivating consumer is threshold
+    * robustness (q285): the ≥0.9 edges are a subset of the ≥½ edges,
+    * so running [[dedupClusters]] twice pays two full convergences and
+    * two label joins for partitions that can ride the SAME rounds —
+    * here each round's neighbourhood fold emits two mins (all edges /
+    * flagged edges only), and the loop stops when NEITHER label moves.
+    * Rounds = max(diam_all, diam_flagged) instead of the sum, and the
+    * caller gets both labelings pre-aligned on one row per node (no
+    * second |docs| join to build a contingency).
+    *
+    * `cluster_hi` for a node with no flagged incident edge converges to
+    * the node's own id (a singleton of the subgraph) — the same value
+    * the caller's `coalesce(cluster, id)` would supply, so downstream
+    * semantics are identical to two independent runs (locked by
+    * DedupSpec against [[dedupClusters]] on both graphs).
+    *
+    * Scale shape: identical to [[dedupClusters]] — per-round
+    * localCheckpoint keeps the plan O(1), edges cached once; the only
+    * extra work per round is a second min in the same aggregation.
+    */
+  def dedupClustersDual(pairs: DataFrame, aCol: String = "id_a",
+                        bCol: String = "id_b",
+                        hiCol: String = "hi"): DataFrame = {
+    val edges = pairs
+      .select(col(aCol).as("u"), col(bCol).as("v"),
+        col(hiCol).cast("int").as("hi"))
+      .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v"),
+        col(hiCol).cast("int").as("hi")))
+      .groupBy("u", "v").agg(max(col("hi")).as("hi"))
+      .cache()
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("la", col("id")).withColumn("lb", col("id"))
+      .localCheckpoint(eager = true)
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("v"), col("la").as("vla"),
+          col("lb").as("vlb")), "v")
+        .groupBy(col("u").as("id"))
+        .agg(min(col("vla")).as("nla"),
+          min(when(col("hi") === 1, col("vlb"))).as("nlb"))
+      val updated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("la"), col("lb"),
+          least(col("la"), coalesce(col("nla"), col("la"))).as("ua"),
+          least(col("lb"), coalesce(col("nlb"), col("lb"))).as("ub"))
+        .localCheckpoint(eager = true)
+      changed = updated
+        .filter(col("ua") =!= col("la") || col("ub") =!= col("lb"))
+        .count()
+      labels = updated.select(col("id"), col("ua").as("la"),
+        col("ub").as("lb"))
+    }
+    val out = labels.select(col("id"), col("la").as("cluster_all"),
+        col("lb").as("cluster_hi"))
+      .localCheckpoint(eager = true) // independent of the edges cache
+    edges.unpersist()
+    out
+  }
+
   /** Connected components by alternating SMALL-STAR / LARGE-STAR
     * contraction (Kiveris et al., "Connected Components in MapReduce and
     * Beyond", SoCC'14) — O(log n) rounds on ANY graph, vs rounds ≈
@@ -809,7 +869,7 @@ object Dedup {
         slice(col("arr"), lit(1), expr(
           s"size(arr) - (($tNum * size(arr) + ${tDen - 1}) div $tDen) + 1"))
           .as("pfx"),
-        transform(col("arr"), e => e("tok")).as("toks"))
+        col("arr"))
       .localCheckpoint()
     val ranked = docAgg
       .select(col(idCol), col("n"), posexplode(col("pfx")).as(Seq("pos", "e")))
@@ -862,23 +922,28 @@ object Dedup {
       .filter(col("ok_first") && col("ok_last"))
       .select(col("id_a"), col("id_b"))
     // Exact verify by per-pair array intersection: the checkpointed
-    // per-doc table already holds each doc's distinct shingles sorted,
-    // so two id-keyed joins attach both token arrays and a codegen'd
-    // array_intersect counts the overlap in-place. This replaces the
-    // old shape — candidate pairs re-exploded against the full shingle
+    // per-doc table already holds each doc's distinct (df, shingle)
+    // structs sorted in the global order, so two id-keyed joins attach
+    // both arrays and the native SortedIntersectCountExpr counts the
+    // overlap by LINEAR MERGE — most comparisons resolve on the df
+    // long, strings are touched only on df ties, and no per-row hash
+    // set or result array is built (`size(array_intersect(...))` was
+    // the measured verify wall at sf1.0: ~16 s CPU-bound, identical
+    // under broadcast vs shuffled builds). This replaces the old
+    // shape — candidate pairs re-exploded against the full shingle
     // table twice, then a per-pair count aggregation and two more size
     // joins — with joins that shuffle only |cand| + |docs| rows and NO
     // post-join aggregation. Per-doc shingle arrays are bounded by
     // document length, so the widest row is a document, not a corpus
     // property.
     cand
-      .join(docAgg.select(col(idCol).as("id_a"), col("toks").as("ta"),
+      .join(docAgg.select(col(idCol).as("id_a"), col("arr").as("ta"),
         col("n").as("na")), "id_a")
-      .join(docAgg.select(col(idCol).as("id_b"), col("toks").as("tb"),
+      .join(docAgg.select(col(idCol).as("id_b"), col("arr").as("tb"),
         col("n").as("nb")), "id_b")
       .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("ta"), col("tb"))).cast("long")
-          .as("shared"),
+        graft.functions.NativeExprs.sortedIntersectCount(
+          col("ta"), col("tb")).as("shared"),
         col("na"), col("nb"))
       .filter(col("shared") * tDen >=
         lit(tNum) * (col("na") + col("nb") - col("shared")))

@@ -118,6 +118,29 @@ class DedupSpec extends AnyFunSuite {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("dedupClustersDual ≡ two independent dedupClusters runs " +
+       "(full graph + flagged subgraph), including flag-free nodes") {
+    // random graph with a random hi flag; nodes incident only to
+    // lo edges must come back as their own hi singletons
+    val rnd = new scala.util.Random(29)
+    val pairs = Seq.fill(300)((rnd.nextInt(120).toLong,
+        rnd.nextInt(120).toLong, rnd.nextInt(4) == 0))
+      .filter(p => p._1 != p._2).toDF("id_a", "id_b", "hi")
+    val dual = Dedup.dedupClustersDual(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val all = Dedup.dedupClusters(pairs.select("id_a", "id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val hi = Dedup.dedupClusters(
+        pairs.filter(col("hi")).select("id_a", "id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expected = all.keys.toSeq.sorted
+      .map(id => (id, all(id), hi.getOrElse(id, id)))
+    assert(dual === expected)
+    assert(dual.exists { case (id, _, ch) => ch == id && all(id) != id },
+      "fixture exercises a lo-edge-only node inside a nontrivial " +
+        "full-graph component")
+  }
+
   test("hot bucket: 1000 identical docs stream all pairs, no giant row") {
     // Every doc shares every band key → 4 buckets of size 1000. Round 1
     // materialized each bucket's 499,500 pairs as ONE array value; the

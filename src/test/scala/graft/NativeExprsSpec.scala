@@ -269,4 +269,42 @@ class NativeExprsSpec extends AnyFunSuite {
         UTF8String.fromString(b))).getLong(0) === ref(a, b))
     }
   }
+
+  test("SortedIntersectCountExpr ≡ size(array_intersect) on sorted " +
+       "(df, tok) struct arrays incl. df ties, empties, disjoint") {
+    // build sorted struct arrays the same way prefixFilterJaccardPairs
+    // does: sort_array over struct(df, tok) — df ties force the string
+    // branch of the merge
+    val rows = Seq(
+      (Seq((1L, "aa"), (1L, "bb"), (3L, "cc"), (7L, "dd")),
+       Seq((1L, "bb"), (3L, "cc"), (7L, "dd"), (9L, "zz"))), // overlap 3
+      (Seq((1L, "aa")), Seq((2L, "aa"))),                    // same tok, diff df
+      (Seq.empty[(Long, String)], Seq((1L, "aa"))),          // empty left
+      (Seq((5L, "x"), (5L, "y"), (5L, "z")),
+       Seq((5L, "y"), (5L, "z"))),                           // all-tie dfs
+      (Seq((1L, "a"), (2L, "b")), Seq((3L, "c"), (4L, "d"))) // disjoint
+    ).toDF("a", "b")
+      .select(
+        sort_array(expr(
+          "transform(a, e -> struct(e._1 as df, e._2 as tok))")).as("sa"),
+        sort_array(expr(
+          "transform(b, e -> struct(e._1 as df, e._2 as tok))")).as("sb"))
+    val out = rows.select(
+      NativeExprs.sortedIntersectCount(col("sa"), col("sb")).as("native"),
+      size(array_intersect(col("sa"), col("sb"))).cast("long").as("ref"))
+      .collect()
+    out.foreach(r => assert(r.getLong(0) === r.getLong(1), r.toString))
+    assert(out.map(_.getLong(0)).toSeq === Seq(3L, 0L, 0L, 2L, 0L))
+
+    // interpreted path must agree with codegen
+    val conf = "spark.sql.codegen.wholeStage"
+    val prev = spark.conf.get(conf)
+    try {
+      spark.conf.set(conf, "false")
+      val interp = rows.select(
+        NativeExprs.sortedIntersectCount(col("sa"), col("sb")))
+        .collect().map(_.getLong(0)).toSeq
+      assert(interp === Seq(3L, 0L, 0L, 2L, 0L))
+    } finally spark.conf.set(conf, prev)
+  }
 }
