@@ -638,6 +638,116 @@ object Streams {
           .as("return_level_52wk"))
   }
 
+  /** Continuously-maintained ENTITY RESOLUTION over a stream of
+    * dimension rows — the streaming twin of q166's blocked
+    * Fellegi–Sunter linkage, and the incremental-linkage shape the r13
+    * blocking rework makes natural: acceptance ⟺ sharing one of the
+    * caller's `blockKeySets` blocks (the fsTwoFieldBlockingExact fact),
+    * so a NEW row can only link inside the blocks it lands in, and each
+    * block is a CLIQUE whose closure is a star to its minimum member.
+    *
+    * Maintained state, two versioned tables under `path`:
+    *   `blocks`: (bkey, root=min id seen, n members seen) per block —
+    *     the per-block sufficient statistic (additive n, min-merge
+    *     root), NEVER the member list;
+    *   `labels`: (id, entity) — current components of every row that
+    *     has linked to something.
+    * Per batch: the batch's block membership rows generate star edges
+    * only for TOUCHED blocks (merged root → batch members, plus a
+    * (root → old root) bridge when the minimum moved), the previous
+    * labels re-enter as entity→member star edges — a component IS its
+    * star, so history never re-materializes pair sets — and one
+    * [[graft.ext.Dedup.dedupClustersStar]] pass over
+    * |labels| + O(|batch|) edges refreshes the labels. Exactly-once
+    * under replay via the versioned-state contract (both tables merge
+    * only versions < b). Scale shape: per-batch work is bounded by the
+    * batch plus the CURRENT entity count — no quadratic pair set, no
+    * history rescan; at 100 TB the labels table is dimension-sized.
+    *
+    * StreamsSpec locks the finished labels to the batch q166 clusters
+    * bit-exactly under 3-way micro-batching; if a Params change ever
+    * breaks the 2-field-blocking equivalence (q164's runtime-checked
+    * fallback), that spec fails loudly rather than this path silently
+    * diverging.
+    */
+  def streamingLinkageMaintenance(rows: DataFrame, path: String,
+                                  idCol: String,
+                                  blockKeySets: Seq[Seq[String]],
+                                  checkpoint: String)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.localCheckpoint() // read once per pass + members
+        // normalized (bkey, id) membership, one row per (pass, row) —
+        // the pass index disambiguates equal key VALUES across passes
+        val bm = blockKeySets.zipWithIndex.map { case (keys, p) =>
+          b.select(
+            concat_ws("\u0001",
+              lit(p.toString) +: keys.map(k => col(k).cast("string")): _*)
+              .as("bkey"),
+            col(idCol).cast("long").as("id"))
+        }.reduce(_ unionAll _).localCheckpoint()
+        val delta = bm.groupBy("bkey")
+          .agg(min("id").as("bmin"), count(lit(1)).as("bn"))
+        val merged = readStateBefore(spark, s"$path/blocks", batchId)
+          .map { st =>
+            st.select(col("bkey"), col("root").as("oroot"),
+                col("n").as("on"))
+              .join(delta, Seq("bkey"), "full_outer")
+              .select(col("bkey"),
+                least(coalesce(col("oroot"), col("bmin")),
+                  coalesce(col("bmin"), col("oroot"))).as("root"),
+                (coalesce(col("on"), lit(0L)) +
+                  coalesce(col("bn"), lit(0L))).as("n"),
+                col("oroot"), col("bn"))
+          }
+          .getOrElse(delta.select(col("bkey"), col("bmin").as("root"),
+            col("bn").as("n"), lit(null).cast("long").as("oroot"),
+            col("bn").as("bn")))
+          .localCheckpoint()
+        // star edges contributed by this batch: only blocks the batch
+        // touched, and only blocks that now hold > 1 member
+        val touched = merged.filter(col("bn").isNotNull && col("n") > 1)
+        val starToMembers = bm
+          .join(touched.select("bkey", "root"), "bkey")
+          .filter(col("id") =!= col("root"))
+          .select(col("root").as("id_a"), col("id").as("id_b"))
+        // the old members are reachable from the OLD root (via labels
+        // below, or it was the lone member) — one bridge edge per block
+        // whose minimum moved keeps them attached to the new root
+        val bridge = touched
+          .filter(col("oroot").isNotNull && col("oroot") =!= col("root"))
+          .select(col("root").as("id_a"), col("oroot").as("id_b"))
+        val labelEdges = readStateBefore(spark, s"$path/labels", batchId)
+          .map(_.select(col("entity").as("id_a"), col("id").as("id_b"))
+            .filter(col("id_a") =!= col("id_b")))
+        val allEdges = (Seq(starToMembers, bridge) ++ labelEdges)
+          .reduce(_ unionAll _)
+        val newLabels = graft.ext.Dedup.dedupClustersStar(allEdges)
+          .select(col("id"), col("cluster").as("entity"))
+        commitState(newLabels, s"$path/labels", batchId)
+        commitState(merged.select("bkey", "root", "n"),
+          s"$path/blocks", batchId)
+      }
+      .start()
+
+  /** Finalize [[streamingLinkageMaintenance]] labels into the q166
+    * report shape (p_partkey, cluster, cluster_size) so StreamsSpec
+    * can pin it against the batch query bit-for-bit.
+    */
+  def linkageClustersFromState(labels: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    labels
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("entity")))
+          .cast("long"))
+      .select(col("id").as("p_partkey"), col("entity").as("cluster"),
+        col("cluster_size"))
+      .orderBy("p_partkey")
+  }
+
   /** Finalize [[streamingCalibrationMaintenance]] state into the q335
     * per-source report — the exact integer ECE Σ|Σm−999Σy|/(999N) and
     * the max per-bin gap — so the spec can pin maintained-state output

@@ -653,4 +653,48 @@ class StreamsSpec extends AnyFunSuite {
     // 3) state is the tiny grid, not history
     assert(state.count() <= 366, "state must stay grid-sized")
   }
+
+  test("streaming linkage maintenance: maintained entity ids equal the " +
+       "batch q166 clusters bit-exactly under 3-way micro-batching") {
+    // the same blocked dimension q166 builds internally: a part links
+    // iff it agrees with another part on >= 2 of (type, size,
+    // price-bucket) within its brand == iff they share one of the three
+    // (brand, field_i, field_j) blocks
+    val parts = Tables.load(spark, TestSpark.sf0001, "part")
+      .select(col("p_partkey"), col("p_brand"), col("p_type"),
+        col("p_size"),
+        floor(col("p_retailprice") / lit(100.0)).cast("long").as("pb"))
+    val blockKeySets = Seq(
+      Seq("p_brand", "p_type", "p_size"),
+      Seq("p_brand", "p_type", "pb"),
+      Seq("p_brand", "p_size", "pb"))
+    val srcDir = java.nio.file.Files.createTempDirectory("lk_src").toString
+    val stateDir =
+      java.nio.file.Files.createTempDirectory("lk_state").toString + "/state"
+    val cp = java.nio.file.Files.createTempDirectory("lk_cp").toString
+    (0 to 2).foreach { i =>
+      parts.filter(abs(hash(col("p_partkey"))) % 3 === i).coalesce(1)
+        .write.mode("append").parquet(srcDir)
+    }
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val q = Streams.streamingLinkageMaintenance(stream, stateDir,
+      "p_partkey", blockKeySets, cp)
+    q.processAllAvailable(); q.stop()
+
+    val maintained = Streams.linkageClustersFromState(
+      Streams.readState(spark, s"$stateDir/labels").get).collect().toSeq
+    val batch = SparkEntry.queries("q166_linkage_clusters")(
+      spark, TestSpark.sf0001).collect().toSeq
+    assert(maintained === batch,
+      "maintained linkage labels must finish to the batch q166 " +
+        "clusters bit-for-bit")
+    assert(maintained.nonEmpty)
+    // block state is per-block sufficient statistics, never pair sets:
+    // bounded by 3 blocks per part
+    val blocks = Streams.readState(spark, s"$stateDir/blocks").get
+    assert(blocks.count() <= 3L * parts.count(),
+      "block state must stay dimension-bounded")
+  }
 }
