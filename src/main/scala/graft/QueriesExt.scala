@@ -18563,5 +18563,565 @@ object QueriesExt {
           CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000.0
             AS mean_excess
         FROM e""")),
+
+    // ── Durbin–Watson serial-correlation statistic (q389) ───────────────
+    // The RESIDUAL-space autocorrelation diagnostic beside Ljung–Box's
+    // correlogram (q340): DW = Σ(e_t − e_{t−1})²/Σe_t² over
+    // mean-centered daily purchase counts, near 2 for white noise,
+    // → 0 under positive serial correlation. Residuals are scaled by n
+    // (e·n = n·x_t − Σx) so EVERYTHING up to the final division is an
+    // exact integer on decimal(38,0)/HUGEINT — the n² factors cancel
+    // in the ratio. Adjacent means both calendar days present (the
+    // q387 lag-join convention); one scan, bounded-grid lag join.
+    QueryDef("q389_durbin_watson",
+      (s, dir) => {
+        val d = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(count(lit(1)).as("x"))
+        val tot = d.agg(count(lit(1)).as("n"), sum("x").as("sx"))
+        val e = d.crossJoin(broadcast(tot))
+          .select(col("day"),
+            (col("n").cast("decimal(38,0)") * col("x") - col("sx"))
+              .as("ee"))
+          .localCheckpoint()
+        val den = e.agg(count(lit(1)).as("n_days"),
+          sum(col("ee") * col("ee")).as("dd"))
+        val num = e.as("a")
+          .join(broadcast(e).as("b"), col("a.day") === col("b.day") + 1)
+          .agg(count(lit(1)).as("n_pairs"),
+            sum((col("a.ee") - col("b.ee")) * (col("a.ee") - col("b.ee")))
+              .as("nn"))
+        den.crossJoin(broadcast(num))
+          .select(col("n_days"), col("n_pairs"),
+            (col("nn").cast("double") / col("dd").cast("double"))
+              .as("dw"))
+      },
+      Some("""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+            CAST(COUNT(*) AS BIGINT) AS x
+          FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(x) AS BIGINT) AS sx FROM daily),
+        e AS (SELECT day, CAST(n AS HUGEINT) * x - sx AS ee
+          FROM daily CROSS JOIN tot),
+        den AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+            SUM(ee * ee) AS dd FROM e),
+        num AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+            SUM((a.ee - b.ee) * (a.ee - b.ee)) AS nn
+          FROM e a JOIN e b ON a.day = b.day + 1)
+        SELECT n_days, n_pairs,
+          CAST(nn AS DOUBLE) / CAST(dd AS DOUBLE) AS dw
+        FROM den CROSS JOIN num""")),
+
+    // ── Bartels rank von Neumann randomness test (q390) ─────────────────
+    // The RANK-based randomness test between the sign-pattern tests
+    // (runs-up-down q382, turning point q369) and the value-based DW
+    // (q389): RVN = Σ(R_t − R_{t+1})²/Σ(R_t − R̄)² on daily-count
+    // ranks, ≈2 under randomness, robust to outliers the value tests
+    // feel. Ranks are doubled midranks 2·#less + #eq(incl) + 1 (the
+    // corrected q363 convention), so R̄ = n+1 EXACTLY and both sums
+    // are exact integers — the uniform /4 cancels in the ratio.
+    QueryDef("q390_bartels_rvn",
+      (s, dir) => {
+        val d = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(count(lit(1)).as("x"))
+          .localCheckpoint()
+        val r = d.as("a").crossJoin(broadcast(d).as("b"))
+          .groupBy(col("a.day").as("day"))
+          .agg((lit(2L) * sum(when(col("b.x") < col("a.x"), 1L)
+              .otherwise(0L)) +
+            sum(when(col("b.x") === col("a.x"), 1L).otherwise(0L)) +
+            lit(1L)).as("rr"))
+          .localCheckpoint()
+        val den = r.crossJoin(broadcast(r.agg(count(lit(1)).as("n"))))
+          .agg(max("n").as("n_days"),
+            sum((col("rr") - col("n") - 1L).cast("decimal(38,0)") *
+              (col("rr") - col("n") - 1L)).as("dd"))
+        val num = r.as("a")
+          .join(broadcast(r).as("b"), col("a.day") === col("b.day") + 1)
+          .agg(count(lit(1)).as("n_pairs"),
+            sum((col("a.rr") - col("b.rr")).cast("decimal(38,0)") *
+              (col("a.rr") - col("b.rr"))).as("nn"))
+        den.crossJoin(broadcast(num))
+          .select(col("n_days"), col("n_pairs"),
+            (col("nn").cast("double") / col("dd").cast("double"))
+              .as("rvn"))
+      },
+      Some("""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+            CAST(COUNT(*) AS BIGINT) AS x
+          FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        r AS (SELECT a.day,
+            2 * SUM(CASE WHEN b.x < a.x THEN 1 ELSE 0 END)
+              + SUM(CASE WHEN b.x = a.x THEN 1 ELSE 0 END) + 1 AS rr
+          FROM daily a CROSS JOIN daily b GROUP BY 1),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM r),
+        den AS (SELECT MAX(n) AS n_days,
+            SUM(CAST(rr - n - 1 AS HUGEINT) * (rr - n - 1)) AS dd
+          FROM r CROSS JOIN n),
+        num AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+            SUM(CAST(a.rr - b.rr AS HUGEINT) * (a.rr - b.rr)) AS nn
+          FROM r a JOIN r b ON a.day = b.day + 1)
+        SELECT n_days, n_pairs,
+          CAST(nn AS DOUBLE) / CAST(dd AS DOUBLE) AS rvn
+        FROM den CROSS JOIN num""")),
+
+    // ── Cox–Stuart trend sign test (q391) ───────────────────────────────
+    // The distribution-free trend test that needs NOTHING but signs:
+    // pair the i-th day (rank order, gaps irrelevant) with the
+    // (i + ⌈n/2⌉)-th and count sign(later − earlier) — the sign-test
+    // reduction of trend, beside Mann–Kendall's all-pairs S (q232) and
+    // the seasonal variants (q367/q373). Counts are exact integers;
+    // the continuity-corrected normal z is one shared-shape chain with
+    // a single IEEE sqrt of an integer.
+    QueryDef("q391_cox_stuart",
+      (s, dir) => {
+        val d = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(count(lit(1)).as("x"))
+        val rk = d.withColumn("rk", row_number()
+            .over(boundedWindow(col("day"), col("day"))).cast("long"))
+          .localCheckpoint()
+        val n = rk.agg(count(lit(1)).as("n"))
+        val pairs = rk.as("a").crossJoin(broadcast(n))
+          .join(broadcast(rk).as("b"),
+            col("b.rk") === col("a.rk") + expr("(n + 1) div 2"))
+        val cnt = pairs.agg(max("n").as("n_days"),
+          count(lit(1)).as("n_pairs"),
+          sum(when(col("b.x") > col("a.x"), 1L).otherwise(0L))
+            .as("n_plus"),
+          sum(when(col("b.x") < col("a.x"), 1L).otherwise(0L))
+            .as("n_minus"))
+        cnt.select(col("n_days"), col("n_pairs"), col("n_plus"),
+          col("n_minus"),
+          (col("n_pairs") - col("n_plus") - col("n_minus")).as("n_ties"),
+          ((abs(col("n_plus") - col("n_minus")) - lit(1L)).cast("double") /
+            sqrt((col("n_plus") + col("n_minus")).cast("double")))
+            .as("z"))
+      },
+      Some("""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+            CAST(COUNT(*) AS BIGINT) AS x
+          FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        rk AS (SELECT day, x,
+            CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS rk
+          FROM daily),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM rk),
+        p AS (SELECT n, CASE WHEN b.x > a.x THEN 1 ELSE 0 END AS up,
+            CASE WHEN b.x < a.x THEN 1 ELSE 0 END AS dn
+          FROM rk a CROSS JOIN n
+          JOIN rk b ON b.rk = a.rk + (n + 1) // 2),
+        c AS (SELECT MAX(n) AS n_days, CAST(COUNT(*) AS BIGINT)
+              AS n_pairs,
+            CAST(SUM(up) AS BIGINT) AS n_plus,
+            CAST(SUM(dn) AS BIGINT) AS n_minus
+          FROM p)
+        SELECT n_days, n_pairs, n_plus, n_minus,
+          n_pairs - n_plus - n_minus AS n_ties,
+          CAST(ABS(n_plus - n_minus) - 1 AS DOUBLE)
+            / sqrt(CAST(n_plus + n_minus AS DOUBLE)) AS z
+        FROM c""")),
+
+    // ── L-moments of daily revenue (q392) ───────────────────────────────
+    // The ORDER-STATISTIC moment system (Hosking 1990) the extremes
+    // pair (q364 Gumbel, q388 POT) would standardize on at scale:
+    // ℓ1/ℓ2/τ2/τ3 are linear in the sorted sample, so they exist for
+    // heavy tails where classical skewness diverges. With probability
+    // weights b_r = Σ(rk−1)⋯(rk−r)·x the ratios collapse to EXACT
+    // integer fractions — τ3 = (6b2n − 6(n−2)b1n + (n−1)(n−2)b0n) /
+    // ((n−2)(2b1n − (n−1)b0n)) — on the decimal(38,0)/HUGEINT rail;
+    // tie blocks contribute permutation-invariant weight sums, so the
+    // row_number tie-break cannot move any output.
+    QueryDef("q392_l_moments",
+      (s, dir) => {
+        val d = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(sum(floor(col("value") * lit(1.0e6)).cast("long")).as("u"))
+        val rk = d.withColumn("rk", row_number()
+          .over(boundedWindow(col("u"), col("day"))).cast("long"))
+        val b = rk.agg(count(lit(1)).as("n"),
+          sum(col("u").cast("decimal(38,0)")).as("b0"),
+          sum((col("rk") - 1L).cast("decimal(38,0)") * col("u")).as("b1"),
+          sum(((col("rk") - 1L) * (col("rk") - 2L)).cast("decimal(38,0)") *
+            col("u")).as("b2"))
+        b.select(col("n").as("n_days"),
+            (col("b0").cast("double") / col("n").cast("double") /
+              lit(1.0e6)).as("l1"),
+            (lit(2L) * col("b1") - (col("n") - 1L) * col("b0")).as("l2n"),
+            col("n"), col("b0"), col("b1"), col("b2"))
+          .select(col("n_days"), col("l1"),
+            (col("l2n").cast("double") /
+              (col("n") * (col("n") - 1L)).cast("double") / lit(1.0e6))
+              .as("l2"),
+            (col("l2n").cast("double") /
+              ((col("n") - 1L).cast("decimal(38,0)") * col("b0"))
+                .cast("double")).as("l_cv"),
+            ((lit(6L) * col("b2") - lit(6L) * (col("n") - 2L) * col("b1") +
+              ((col("n") - 1L) * (col("n") - 2L)).cast("decimal(38,0)") *
+                col("b0")).cast("double") /
+              ((col("n") - 2L).cast("decimal(38,0)") * col("l2n"))
+                .cast("double")).as("l_skew"))
+      },
+      Some("""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+            CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT)
+              AS u
+          FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        rk AS (SELECT u,
+            CAST(ROW_NUMBER() OVER (ORDER BY u, day) AS BIGINT) AS rk
+          FROM daily),
+        b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            SUM(CAST(u AS HUGEINT)) AS b0,
+            SUM(CAST(rk - 1 AS HUGEINT) * u) AS b1,
+            SUM(CAST((rk - 1) * (rk - 2) AS HUGEINT) * u) AS b2
+          FROM rk),
+        l AS (SELECT n, b0, b1, b2,
+            2 * b1 - (n - 1) * b0 AS l2n FROM b)
+        SELECT n AS n_days,
+          CAST(b0 AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 AS l1,
+          CAST(l2n AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) / 1000000.0
+            AS l2,
+          CAST(l2n AS DOUBLE)
+            / CAST(CAST(n - 1 AS HUGEINT) * b0 AS DOUBLE) AS l_cv,
+          CAST(6 * b2 - 6 * (n - 2) * b1
+              + CAST((n - 1) * (n - 2) AS HUGEINT) * b0 AS DOUBLE)
+            / CAST(CAST(n - 2 AS HUGEINT) * l2n AS DOUBLE) AS l_skew
+        FROM l""")),
+
+    // ── Cronbach's alpha of the weekday "scale" (q393) ──────────────────
+    // Internal-consistency reliability with weekdays as the 7 items
+    // and complete weeks as subjects — the psychometric summary the
+    // blocked tests (Friedman q310, Quade q363) decompose: high α says
+    // weekdays co-vary (a week is "one construct"), low α says days
+    // move independently. The n(n−1) variance denominators cancel, so
+    // α = 7(B−A)/(6B) with A = Σ_j(nΣx² − (Σx)²) and B = nΣT² − (ΣT)²
+    // is ONE exact integer ratio on decimal(38,0)/HUGEINT.
+    QueryDef("q393_cronbach_alpha",
+      (s, dir) => {
+        val d = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(count(lit(1)).as("x"))
+          .select(expr("day div 7").as("wk"), (col("day") % 7L).as("wd"),
+            col("x"))
+        val full = d.groupBy("wk").agg(count(lit(1)).as("nd"),
+            sum("x").as("tw"))
+          .filter(col("nd") === 7L)
+          .localCheckpoint()
+        val n = full.agg(count(lit(1)).as("n"))
+        val a = d.join(broadcast(full.select("wk")), Seq("wk"))
+          .groupBy("wd")
+          .agg(sum("x").as("sj"),
+            sum(col("x").cast("decimal(38,0)") * col("x")).as("qj"))
+          .crossJoin(broadcast(n))
+          .agg(sum(col("n") * col("qj") -
+            col("sj").cast("decimal(38,0)") * col("sj")).as("aa"))
+        val b = full.crossJoin(broadcast(n))
+          .agg(max("n").as("n_weeks"),
+            (max("n") * sum(col("tw").cast("decimal(38,0)") * col("tw")))
+              .as("ntt"),
+            sum("tw").as("st"))
+          .select(col("n_weeks"),
+            (col("ntt") - col("st").cast("decimal(38,0)") * col("st"))
+              .as("bb"))
+        b.crossJoin(broadcast(a))
+          .select(col("n_weeks"), lit(7L).as("k"),
+            ((lit(7L) * (col("bb") - col("aa"))).cast("double") /
+              (lit(6L) * col("bb")).cast("double")).as("alpha"))
+      },
+      Some("""WITH d AS (SELECT day // 7 AS wk, day % 7 AS wd,
+            CAST(COUNT(*) AS BIGINT) AS x
+          FROM (SELECT epoch_us(ts) // 86400000000 AS day FROM events
+            WHERE event_type = 'purchase')
+          GROUP BY day // 7, day % 7),
+        fw AS (SELECT wk, CAST(SUM(x) AS BIGINT) AS tw
+          FROM d GROUP BY wk HAVING COUNT(*) = 7),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM fw),
+        a AS (SELECT SUM(n * qj - CAST(sj AS HUGEINT) * sj) AS aa FROM
+          (SELECT wd, CAST(SUM(x) AS BIGINT) AS sj,
+              SUM(CAST(x AS HUGEINT) * x) AS qj
+            FROM d JOIN fw USING (wk) GROUP BY wd) i CROSS JOIN n),
+        b AS (SELECT MAX(n) AS n_weeks,
+            MAX(n) * SUM(CAST(tw AS HUGEINT) * tw)
+              - CAST(CAST(SUM(tw) AS BIGINT) AS HUGEINT) * SUM(tw) AS bb
+          FROM fw CROSS JOIN n)
+        SELECT n_weeks, CAST(7 AS BIGINT) AS k,
+          CAST(7 * (bb - aa) AS DOUBLE) / CAST(6 * bb AS DOUBLE) AS alpha
+        FROM b CROSS JOIN a""")),
+
+    // ── Bray–Curtis & Morisita–Horn between sources (q394) ─────────────
+    // Community-ecology dissimilarity on token abundance profiles —
+    // the ABUNDANCE-aware companions of the set-overlap family
+    // (Jaccard q28, containment q?): Bray–Curtis reads shared MASS,
+    // Morisita–Horn is the dominance-weighted overlap that ignores
+    // rare-type noise. Both collapse to exact integer fractions —
+    // BC = (N1+N2−2Σmin)/(N1+N2), MH = 2·Σf1f2·N1N2 /
+    // (Σf1²·N2² + Σf2²·N1²) — on decimal(38,0)/HUGEINT; the pair join
+    // on token touches only tokens present in both sources (absent ⇒
+    // min/product 0). Sources are bounded, so the pair grid is too.
+    QueryDef("q394_community_dissimilarity",
+      (s, dir) => {
+        val f = tPar(s, dir, "documents")
+          .select(col("source"),
+            explode(TextStats.tokens(col("text"))).as("token"))
+          .groupBy("source", "token").agg(count(lit(1)).as("f"))
+          .localCheckpoint()
+        val stats = f.groupBy("source")
+          .agg(sum("f").as("nn"),
+            sum(col("f").cast("decimal(38,0)") * col("f")).as("f2"))
+          .localCheckpoint()
+        val p = f.as("a").join(f.as("b"),
+            col("a.token") === col("b.token") &&
+              col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("source_a"),
+            col("b.source").as("source_b"))
+          .agg(sum(least(col("a.f"), col("b.f"))).as("smin"),
+            sum(col("a.f").cast("decimal(38,0)") * col("b.f")).as("s12"))
+        p.join(broadcast(stats.select(col("source").as("source_a"),
+            col("nn").as("n1"), col("f2").as("f21"))), "source_a")
+          .join(broadcast(stats.select(col("source").as("source_b"),
+            col("nn").as("n2"), col("f2").as("f22"))), "source_b")
+          .select(col("source_a"), col("source_b"),
+            col("n1"), col("n2"),
+            ((col("n1") + col("n2") - lit(2L) * col("smin"))
+              .cast("double") /
+              (col("n1") + col("n2")).cast("double")).as("bray_curtis"),
+            ((lit(2L) * col("s12") *
+              (col("n1").cast("decimal(38,0)") * col("n2")))
+              .cast("double") /
+              (col("f21") * (col("n2").cast("decimal(38,0)") * col("n2")) +
+                col("f22") *
+                  (col("n1").cast("decimal(38,0)") * col("n1")))
+                .cast("double")).as("morisita_horn"))
+          .orderBy("source_a", "source_b")
+      },
+      Some(s"""WITH f AS (SELECT source, tok AS token,
+            CAST(COUNT(*) AS BIGINT) AS f
+          FROM (SELECT source, unnest($dTok) AS tok FROM documents)
+          GROUP BY 1, 2),
+        stats AS (SELECT source, CAST(SUM(f) AS BIGINT) AS nn,
+            SUM(CAST(f AS HUGEINT) * f) AS f2 FROM f GROUP BY source),
+        p AS (SELECT a.source AS source_a, b.source AS source_b,
+            CAST(SUM(LEAST(a.f, b.f)) AS BIGINT) AS smin,
+            SUM(CAST(a.f AS HUGEINT) * b.f) AS s12
+          FROM f a JOIN f b
+            ON a.token = b.token AND a.source < b.source
+          GROUP BY 1, 2)
+        SELECT source_a, source_b, x.nn AS n1, y.nn AS n2,
+          CAST(x.nn + y.nn - 2 * smin AS DOUBLE)
+            / CAST(x.nn + y.nn AS DOUBLE) AS bray_curtis,
+          CAST(2 * s12 * (CAST(x.nn AS HUGEINT) * y.nn) AS DOUBLE)
+            / CAST(x.f2 * (CAST(y.nn AS HUGEINT) * y.nn)
+                + y.f2 * (CAST(x.nn AS HUGEINT) * x.nn) AS DOUBLE)
+            AS morisita_horn
+        FROM p JOIN stats x ON p.source_a = x.source
+        JOIN stats y ON p.source_b = y.source
+        ORDER BY source_a, source_b""")),
+
+    // ── Degree assortativity of the strong token graph (q395) ───────────
+    // Newman's one-number mixing coefficient: do hubs tie to hubs
+    // (r > 0) or to the periphery (r < 0)? The scalar summary the
+    // rich-club CURVE (q370) refines and k-core/k-truss localize. Over
+    // the directed edge list Σj = Σk and Σj² = Σk², so Pearson's sqrt
+    // cancels and r = (mΣjk − (Σj)²)/(mΣj² − (Σj)²) is one exact
+    // integer ratio (Search.degreeAssortativity) — broadcast degree
+    // joins on the ≤vocab² edge table after the one corpus pass.
+    QueryDef("q395_degree_assortativity",
+      (s, dir) => graft.ext.Search.degreeAssortativity(
+        tPar(s, dir, "documents"), "doc_id", "text", trVocab,
+        linkSupNum, linkSupDen),
+      Some(s"""WITH dt AS (SELECT DISTINCT doc_id, tok AS token
+            FROM (SELECT doc_id, unnest($dTok) AS tok FROM documents)),
+        ndt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+        v AS (SELECT token FROM (SELECT token, COUNT(*) AS df FROM dt
+          GROUP BY 1 ORDER BY df DESC, token LIMIT $trVocab)),
+        vt AS (SELECT dt.doc_id, dt.token FROM dt JOIN v USING (token)),
+        co AS (SELECT a.token AS src, b.token AS dst,
+            CAST(COUNT(*) AS BIGINT) AS c
+          FROM vt a JOIN vt b
+            ON a.doc_id = b.doc_id AND a.token < b.token
+          GROUP BY 1, 2),
+        half AS (SELECT src, dst FROM co, ndt
+          WHERE c * $linkSupDen > $linkSupNum * nd),
+        nb AS (SELECT src, dst FROM half
+          UNION ALL SELECT dst, src FROM half),
+        deg AS (SELECT src AS t, CAST(COUNT(*) AS BIGINT) AS deg
+          FROM nb GROUP BY 1),
+        e AS (SELECT du.deg AS du, dv.deg AS dv
+          FROM nb JOIN deg du ON nb.src = du.t
+          JOIN deg dv ON nb.dst = dv.t),
+        m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+            SUM(CAST(du AS HUGEINT)) AS sj,
+            SUM(CAST(du AS HUGEINT) * dv) AS sjk,
+            SUM(CAST(du AS HUGEINT) * du) AS sjj FROM e),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg)
+        SELECT n_nodes, m // 2 AS n_edges,
+          CAST(m * sjk - sj * sj AS DOUBLE)
+            / CAST(m * sjj - sj * sj AS DOUBLE) AS assortativity
+        FROM m CROSS JOIN nn""")),
+
+    // ── Wiener index & global efficiency of the strong graph (q396) ─────
+    // The two closed-form summaries of the q371 distance census:
+    // Wiener = Σd·pairs (an exact long — chemistry's oldest topological
+    // index) and global efficiency = mean 1/d over reached pairs, the
+    // communication-capacity reading that tolerates disconnection
+    // where mean path length diverges. 1/d for the ≤5 reachable
+    // distances are SHARED literals (no data-path division per row);
+    // the efficiency fold rides the dsum rail. Same 4 min-plus rounds
+    // as q371, MATERIALIZED in the oracle.
+    QueryDef("q396_wiener_efficiency",
+      (s, dir) => {
+        val h = graft.ext.Search.distanceHistogram(
+            tPar(s, dir, "documents"), "doc_id", "text", trVocab,
+            linkSupNum, linkSupDen, 4)
+          .localCheckpoint()
+        val inv = when(col("dist") === 1L, lit(1.0))
+          .when(col("dist") === 2L, lit(0.5))
+          .when(col("dist") === 3L, lit(0.3333333333333333))
+          .when(col("dist") === 4L, lit(0.25))
+          .otherwise(lit(0.2))
+        h.agg(max("dist").as("diameter"),
+            sum("n_pairs").as("n_reached"),
+            sum(col("dist") * col("n_pairs")).as("wiener"),
+            dsum(col("n_pairs").cast("double") * inv).as("sinv"))
+          .select(col("diameter"), col("n_reached"), col("wiener"),
+            (col("wiener").cast("double") / col("n_reached").cast("double"))
+              .as("mean_path"),
+            (col("sinv") / col("n_reached").cast("double"))
+              .as("efficiency"))
+      },
+      Some(s"""WITH dt AS (SELECT DISTINCT doc_id, tok AS token
+            FROM (SELECT doc_id, unnest($dTok) AS tok FROM documents)),
+        ndt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+        v AS (SELECT token FROM (SELECT token, COUNT(*) AS df FROM dt
+          GROUP BY 1 ORDER BY df DESC, token LIMIT $trVocab)),
+        vt AS (SELECT dt.doc_id, dt.token FROM dt JOIN v USING (token)),
+        co AS (SELECT a.token AS src, b.token AS dst,
+            CAST(COUNT(*) AS BIGINT) AS c
+          FROM vt a JOIN vt b
+            ON a.doc_id = b.doc_id AND a.token < b.token
+          GROUP BY 1, 2),
+        half AS (SELECT src, dst FROM co, ndt
+          WHERE c * $linkSupDen > $linkSupNum * nd),
+        nb AS MATERIALIZED (SELECT src, dst FROM half
+          UNION ALL SELECT dst, src FROM half),
+        d0 AS MATERIALIZED (SELECT src AS u, dst AS v,
+          CAST(1 AS BIGINT) AS d FROM nb),
+        ${(0 until 4).map { i =>
+          s"""d${i + 1} AS MATERIALIZED (SELECT u, v, MIN(d) AS d FROM (
+               SELECT u, v, d FROM d$i
+               UNION ALL
+               SELECT d$i.u, nb.dst AS v, d$i.d + 1
+               FROM d$i JOIN nb ON d$i.v = nb.src) t
+             GROUP BY 1, 2)"""
+        }.mkString(",\n")},
+        hist AS (SELECT d AS dist, CAST(COUNT(*) AS BIGINT) AS n_pairs
+          FROM d4 WHERE u < v GROUP BY 1)
+        SELECT MAX(dist) AS diameter,
+          CAST(SUM(n_pairs) AS BIGINT) AS n_reached,
+          CAST(SUM(dist * n_pairs) AS BIGINT) AS wiener,
+          CAST(SUM(dist * n_pairs) AS DOUBLE)
+            / CAST(SUM(n_pairs) AS DOUBLE) AS mean_path,
+          ${dsumSql("""CAST(n_pairs AS DOUBLE) * (CASE
+            WHEN dist = 1 THEN 1.0 WHEN dist = 2 THEN 0.5
+            WHEN dist = 3 THEN 0.3333333333333333
+            WHEN dist = 4 THEN 0.25 ELSE 0.2 END)""")}
+            / CAST(SUM(n_pairs) AS DOUBLE) AS efficiency
+        FROM hist""")),
+
+    // ── Mean local clustering coefficient (q397) ────────────────────────
+    // The Watts–Strogatz LOCAL texture the single global transitivity
+    // (q328-family triangleStats) averages away: cc(v) = 2t(v) /
+    // (deg(v)(deg(v)−1)) over deg ≥ 2 nodes, mean + max reported. The
+    // two disagree with the global number exactly when triangles
+    // concentrate on hubs — the small-world diagnostic. One wedge join
+    // keyed on the centre vertex (Search.localClustering); each cc is
+    // one deterministic division and the mean rides the dsum rail.
+    QueryDef("q397_local_clustering",
+      (s, dir) => graft.ext.Search.localClustering(
+        tPar(s, dir, "documents"), "doc_id", "text", trVocab,
+        linkSupNum, linkSupDen),
+      Some(s"""WITH dt AS (SELECT DISTINCT doc_id, tok AS token
+            FROM (SELECT doc_id, unnest($dTok) AS tok FROM documents)),
+        ndt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+        v AS (SELECT token FROM (SELECT token, COUNT(*) AS df FROM dt
+          GROUP BY 1 ORDER BY df DESC, token LIMIT $trVocab)),
+        vt AS (SELECT dt.doc_id, dt.token FROM dt JOIN v USING (token)),
+        co AS (SELECT a.token AS src, b.token AS dst,
+            CAST(COUNT(*) AS BIGINT) AS c
+          FROM vt a JOIN vt b
+            ON a.doc_id = b.doc_id AND a.token < b.token
+          GROUP BY 1, 2),
+        half AS MATERIALIZED (SELECT src, dst FROM co, ndt
+          WHERE c * $linkSupDen > $linkSupNum * nd),
+        nb AS MATERIALIZED (SELECT src, dst FROM half
+          UNION ALL SELECT dst, src FROM half),
+        deg AS (SELECT src AS t, CAST(COUNT(*) AS BIGINT) AS deg
+          FROM nb GROUP BY 1),
+        tri AS (SELECT w.v AS t, CAST(COUNT(*) AS BIGINT) AS tv FROM
+          (SELECT x.src AS v, x.dst AS a, y.dst AS b
+            FROM nb x JOIN nb y ON x.src = y.src AND x.dst < y.dst) w
+          JOIN half h ON w.a = h.src AND w.b = h.dst
+          GROUP BY 1),
+        cc AS (SELECT deg.t,
+            2.0 * CAST(COALESCE(tv, 0) AS DOUBLE)
+              / (CAST(deg AS DOUBLE) * CAST(deg - 1 AS DOUBLE)) AS cc
+          FROM deg LEFT JOIN tri ON deg.t = tri.t WHERE deg >= 2)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+          ${dsumSql("cc")} / CAST(COUNT(*) AS DOUBLE) AS mean_local_cc,
+          MAX(cc) AS max_cc
+        FROM cc""")),
+
+    // ── Dixon's Q gap test for revenue outliers (q398) ──────────────────
+    // The GAP-based single-outlier verdict beside Grubbs' deviation
+    // test (q341): Q = (suspect − nearest neighbour)/range needs no
+    // variance at all, so one wild day cannot inflate its own
+    // denominator the way it inflates Grubbs' s. Both tails reported.
+    // Order statistics on the bounded day grid (row_number cut, the
+    // q354 selection shape), gaps exact micro-unit longs, two mirrored
+    // single divisions.
+    QueryDef("q398_dixon_q",
+      (s, dir) => {
+        val d = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(sum(floor(col("value") * lit(1.0e6)).cast("long")).as("u"))
+        val rk = d.withColumn("rk", row_number()
+          .over(boundedWindow(col("u"), col("day"))).cast("long"))
+        val n = rk.agg(count(lit(1)).as("n"))
+        rk.crossJoin(broadcast(n))
+          .agg(max("n").as("n_days"),
+            max(when(col("rk") === 1L, col("u"))).as("x1"),
+            max(when(col("rk") === 2L, col("u"))).as("x2"),
+            max(when(col("rk") === col("n") - 1L, col("u"))).as("xn1"),
+            max(when(col("rk") === col("n"), col("u"))).as("xn"))
+          .select(col("n_days"),
+            ((col("xn") - col("x1")).cast("double") / lit(1.0e6))
+              .as("range"),
+            ((col("x2") - col("x1")).cast("double") /
+              (col("xn") - col("x1")).cast("double")).as("q_min"),
+            ((col("xn") - col("xn1")).cast("double") /
+              (col("xn") - col("x1")).cast("double")).as("q_max"))
+      },
+      Some("""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+            CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT)
+              AS u
+          FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        rk AS (SELECT u,
+            CAST(ROW_NUMBER() OVER (ORDER BY u, day) AS BIGINT) AS rk
+          FROM daily),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM rk),
+        s AS (SELECT MAX(n) AS n_days,
+            MAX(CASE WHEN rk = 1 THEN u END) AS x1,
+            MAX(CASE WHEN rk = 2 THEN u END) AS x2,
+            MAX(CASE WHEN rk = n - 1 THEN u END) AS xn1,
+            MAX(CASE WHEN rk = n THEN u END) AS xn
+          FROM rk CROSS JOIN n)
+        SELECT n_days,
+          CAST(xn - x1 AS DOUBLE) / 1000000.0 AS range,
+          CAST(x2 - x1 AS DOUBLE) / CAST(xn - x1 AS DOUBLE) AS q_min,
+          CAST(xn - xn1 AS DOUBLE) / CAST(xn - x1 AS DOUBLE) AS q_max
+        FROM s""")),
   )
 }

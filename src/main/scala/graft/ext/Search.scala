@@ -563,6 +563,92 @@ object Search {
       .orderBy("token")
   }
 
+  /** Degree assortativity of the STRONG co-occurrence graph: the
+    * Pearson correlation of endpoint degrees over the DIRECTED edge
+    * list (each undirected edge counted in both orientations, Newman
+    * 2002). Hubs-link-to-hubs reads r > 0; a hub-and-spoke periphery
+    * reads r < 0 — the one-number mixing summary that rich-club
+    * (q370, a curve) refines. By the symmetry of the directed list
+    * Σj = Σk and Σj² = Σk², so the sqrt in Pearson's denominator
+    * cancels and r = (m·Σjk − (Σj)²) / (m·Σj² − (Σj)²) is ONE exact
+    * integer ratio (decimal(38,0) sums, one final double division).
+    *
+    * Scale shape: one corpus pass in [[cooccurGraph]]; degrees are a
+    * groupBy on the ≤ vocab²-bounded edge table and both joins
+    * broadcast the bounded degree table.
+    */
+  def degreeAssortativity(docs: DataFrame, idCol: String, textCol: String,
+                          vocab: Int, supNum: Int,
+                          supDen: Int): DataFrame = {
+    val half = strongHalf(docs, idCol, textCol, vocab, supNum, supDen)
+    val nb = half.union(
+      half.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(eager = true)
+    val deg = nb.groupBy(col("src").as("t"))
+      .agg(count(lit(1)).as("deg"))
+      .localCheckpoint(eager = true)
+    val e = nb
+      .join(broadcast(deg.select(col("t").as("src"), col("deg").as("du"))),
+        "src")
+      .join(broadcast(deg.select(col("t").as("dst"), col("deg").as("dv"))),
+        "dst")
+    val m = e.agg(count(lit(1)).as("m"),
+      sum(col("du").cast("decimal(38,0)")).as("sj"),
+      sum(col("du").cast("decimal(38,0)") * col("dv")).as("sjk"),
+      sum(col("du").cast("decimal(38,0)") * col("du")).as("sjj"))
+    val nn = deg.agg(count(lit(1)).as("n_nodes"))
+    m.crossJoin(broadcast(nn))
+      .select(col("n_nodes"), (expr("m div 2")).as("n_edges"),
+        ((col("m") * col("sjk") - col("sj") * col("sj")).cast("double") /
+          (col("m") * col("sjj") - col("sj") * col("sj")).cast("double"))
+          .as("assortativity"))
+  }
+
+  /** Per-node local clustering of the STRONG co-occurrence graph:
+    * cc(v) = 2·t(v) / (deg(v)·(deg(v)−1)) over nodes with deg ≥ 2,
+    * where t(v) counts edges AMONG v's neighbours — the local texture
+    * (Watts–Strogatz) that [[triangleStats]]' single global
+    * transitivity averages away (the two disagree exactly when
+    * triangles concentrate on hubs). One wedge join keyed on the
+    * centre vertex, each wedge closed against the canonical edge list;
+    * every cc is ONE deterministic double division, and the mean rides
+    * the dsum rail.
+    *
+    * Scale shape: one corpus pass in [[cooccurGraph]]; wedges and the
+    * closing join live on the ≤ vocab²-bounded edge table, edges
+    * broadcast.
+    */
+  def localClustering(docs: DataFrame, idCol: String, textCol: String,
+                      vocab: Int, supNum: Int, supDen: Int): DataFrame = {
+    val half = strongHalf(docs, idCol, textCol, vocab, supNum, supDen)
+      .localCheckpoint(eager = true) // wedge + closing joins re-read it
+    val nb = half.union(
+      half.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(eager = true)
+    val deg = nb.groupBy(col("src").as("t"))
+      .agg(count(lit(1)).as("deg"))
+    // wedges centred at v: unordered neighbour pairs (a < b), closed
+    // iff (a, b) is itself a canonical strong edge
+    val tri = nb.select(col("src").as("v"), col("dst").as("a"))
+      .join(nb.select(col("src").as("v"), col("dst").as("b")), "v")
+      .filter(col("a") < col("b"))
+      .join(broadcast(half.select(col("src").as("a"), col("dst").as("b"),
+        lit(1L).as("closed"))), Seq("a", "b"))
+      .groupBy(col("v").as("t")).agg(count(lit(1)).as("tv"))
+    val cc = deg.filter(col("deg") >= 2L)
+      .join(tri, Seq("t"), "left")
+      .select(col("t"),
+        (lit(2.0) * coalesce(col("tv"), lit(0L)).cast("double") /
+          (col("deg").cast("double") * (col("deg") - 1L).cast("double")))
+          .as("cc"))
+    cc.agg(count(lit(1)).as("n_nodes"),
+      Parity.dsum(col("cc")).as("sum_cc"),
+      max(col("cc")).as("max_cc"))
+      .select(col("n_nodes"),
+        (col("sum_cc") / col("n_nodes").cast("double")).as("mean_local_cc"),
+        col("max_cc"))
+  }
+
   /** Positional phrase search: documents containing `t1` immediately
     * followed by `t2`, with hit counts and the first match position
     * (1-based). The positional-inverted-index query: where [[bm25]] and
