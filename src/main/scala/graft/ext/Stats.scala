@@ -148,10 +148,19 @@ object Stats {
         k1, k2, frac, n, done = false)
     }).toMap
 
-    def widenDown(x: Double) =
-      if (x.isInfinite) x else Math.nextDown(Math.nextDown(x))
-    def widenUp(x: Double) =
-      if (x.isInfinite) x else Math.nextUp(Math.nextUp(x))
+    // Window-narrowing slack (r14 correctness fix, found by
+    // Round9PropertySpec): the reconstructed bucket boundary
+    // lo + width·k/B carries rounding error at the WIDTH's magnitude,
+    // not the boundary value's — measured: a + (b−a) landed 8 ulps
+    // BELOW b for (a, b) = (−705.12…, 39.23…), so the previous
+    // two-nextUp widening (2 ulps at the VALUE's magnitude) let the
+    // top rank silently fall out of the window and the finish
+    // interpolated min = max = x_(k1). Edge buckets need no
+    // reconstruction at all — bucket 0's lower bound IS w.lo and
+    // bucket B−1's upper bound IS w.hi — and interior boundaries get
+    // additive slack proportional to ulp(width) + ulp(max |bound|),
+    // which dominates the reconstruction error and is still ≪ width/B
+    // (convergence unaffected).
 
     var round = 0
     while (round < maxRounds && wins.values.exists(!_.done)) {
@@ -196,8 +205,12 @@ object Stats {
           val b1 = bucketOf(w.k1); val b2 = bucketOf(w.k2)
           val inWin = (b1 to b2).map(cnt).sum
           val oldWidth = w.hi - w.lo
-          val nLo = widenDown(w.lo + oldWidth * b1 / buckets)
-          val nHi = widenUp(w.lo + oldWidth * (b2 + 1) / buckets)
+          val slack = 4.0 * (Math.ulp(oldWidth) +
+            Math.ulp(math.max(math.abs(w.lo), math.abs(w.hi))))
+          val nLo = if (b1 == 0) w.lo
+            else w.lo + oldWidth * b1 / buckets - slack
+          val nHi = if (b2 == buckets - 1) w.hi
+            else w.lo + oldWidth * (b2 + 1) / buckets + slack
           val lo2 = math.max(w.lo, nLo); val hi2 = math.min(w.hi, nHi)
           val progressed = (hi2 - lo2) < oldWidth
           key -> w.copy(lo = lo2, hi = hi2,

@@ -124,6 +124,27 @@ class Round9PropertySpec extends AnyFunSuite {
     }, n = 25)
   }
 
+  test("exactQuantilesByGroup: bucket-boundary reconstruction keeps " +
+       "the top rank (r14 regression: a+(b-a) lands 8 ulps below b)") {
+    // found by the random property below: for this exact pair the
+    // reconstructed top boundary lo + width*(b2+1)/B rounds BELOW the
+    // true max (error scales with ulp(width), not ulp(value)), so the
+    // pre-fix two-nextUp widening let rank k2 fall out of the window
+    // and the finish returned x_(k1) for EVERY fractional p.
+    val a = -705.1213640922768
+    val b = 39.229689067201605
+    assert(a + (b - a) < b, "the pair must exhibit the cancellation")
+    val df = Seq(("g", a), ("g", b)).toDF("k", "v")
+    for (p <- Seq(0.5, 0.75, 0.99); tail <- Seq(1L, 1000L)) {
+      val want = a * (1.0 - p) + b * p // k1=0, frac=p for n=2
+      val got = graft.ext.Stats.exactQuantilesByGroup(df, "k", "v",
+        Seq(p), buckets = 8, tail = tail).collect()
+      assert(got.length == 1 && got(0).getDouble(3) == want,
+        s"p=$p tail=$tail got=${got.map(_.getDouble(3)).mkString(",")} " +
+          s"want=$want")
+    }
+  }
+
   test("exactQuantilesByGroup ≡ local quantile_cont on random data") {
     val genGroup = for {
       sz <- Gen.choose(1, 60)
