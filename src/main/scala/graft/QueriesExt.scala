@@ -19123,5 +19123,153 @@ object QueriesExt {
           CAST(x2 - x1 AS DOUBLE) / CAST(xn - x1 AS DOUBLE) AS q_min,
           CAST(xn - xn1 AS DOUBLE) / CAST(xn - x1 AS DOUBLE) AS q_max
         FROM s""")),
+
+    // ── Kendall's τ-b: part size vs price bucket (q399) ────────────────
+    // The BIVARIATE ordinal association between two part attributes —
+    // where Mann–Kendall (q232) reads τ against TIME and γ (q356)
+    // ignores ties entirely, τ-b's tie correction makes heavily-tied
+    // integer attributes comparable. All counting happens on the
+    // bounded (size × price-bucket) CONTINGENCY grid, never row pairs:
+    // concordant/discordant are grid² broadcast folds of cell-count
+    // products, tie terms come from the margins, everything rides
+    // decimal(38,0)/HUGEINT, and the denominator's one sqrt takes the
+    // same deterministically-rounded double on both engines.
+    QueryDef("q399_kendall_tau_b",
+      (s, dir) => {
+        val cells = t(s, dir, "part")
+          .select(col("p_size").cast("long").as("sz"),
+            // /10 buckets: the testdata's price span is [900, 1000),
+            // so the fs-linkage /100 bucket would be a single tied
+            // value and n0 = n2 (tau-b undefined, division by zero)
+            floor(col("p_retailprice") / lit(10.0)).cast("long").as("pb"))
+          .groupBy("sz", "pb").agg(count(lit(1)).as("c"))
+          .localCheckpoint()
+        val cd = cells.as("a").crossJoin(broadcast(cells).as("b"))
+          .filter(col("b.sz") > col("a.sz"))
+          .agg(
+            sum(when(col("b.pb") > col("a.pb"),
+              col("a.c").cast("decimal(38,0)") * col("b.c"))
+              .otherwise(lit(0).cast("decimal(38,0)"))).as("cc"),
+            sum(when(col("b.pb") < col("a.pb"),
+              col("a.c").cast("decimal(38,0)") * col("b.c"))
+              .otherwise(lit(0).cast("decimal(38,0)"))).as("dd"))
+        val tot = cells.agg(sum("c").as("n"))
+          .select(col("n"),
+            (col("n").cast("decimal(38,0)") * (col("n") - 1L) / 2)
+              .cast("decimal(38,0)").as("n0"))
+        val t1 = cells.groupBy("sz").agg(sum("c").as("m"))
+          .agg(sum((col("m").cast("decimal(38,0)") * (col("m") - 1L) / 2)
+            .cast("decimal(38,0)")).as("n1"))
+        val t2 = cells.groupBy("pb").agg(sum("c").as("m"))
+          .agg(sum((col("m").cast("decimal(38,0)") * (col("m") - 1L) / 2)
+            .cast("decimal(38,0)")).as("n2"))
+        cd.crossJoin(broadcast(tot)).crossJoin(broadcast(t1))
+          .crossJoin(broadcast(t2))
+          .select(col("n").as("n_parts"),
+            col("cc").cast("long").as("concordant"),
+            col("dd").cast("long").as("discordant"),
+            ((col("cc") - col("dd")).cast("double") /
+              sqrt((col("n0") - col("n1")).cast("double") *
+                (col("n0") - col("n2")).cast("double"))).as("tau_b"))
+      },
+      Some("""WITH cells AS (SELECT CAST(p_size AS BIGINT) AS sz,
+            CAST(floor(p_retailprice / 10.0) AS BIGINT) AS pb,
+            CAST(COUNT(*) AS BIGINT) AS c
+          FROM part GROUP BY 1, 2),
+        cd AS (SELECT
+            SUM(CASE WHEN b.pb > a.pb
+              THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END) AS cc,
+            SUM(CASE WHEN b.pb < a.pb
+              THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END) AS dd
+          FROM cells a CROSS JOIN cells b WHERE b.sz > a.sz),
+        tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+            CAST(SUM(c) AS HUGEINT) * (SUM(c) - 1) // 2 AS n0
+          FROM cells),
+        t1 AS (SELECT SUM(CAST(m AS HUGEINT) * (m - 1) // 2) AS n1 FROM
+          (SELECT CAST(SUM(c) AS BIGINT) AS m FROM cells GROUP BY sz)),
+        t2 AS (SELECT SUM(CAST(m AS HUGEINT) * (m - 1) // 2) AS n2 FROM
+          (SELECT CAST(SUM(c) AS BIGINT) AS m FROM cells GROUP BY pb))
+        SELECT n AS n_parts, CAST(cc AS BIGINT) AS concordant,
+          CAST(dd AS BIGINT) AS discordant,
+          CAST(cc - dd AS DOUBLE)
+            / sqrt(CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n2 AS DOUBLE))
+            AS tau_b
+        FROM cd CROSS JOIN tot CROSS JOIN t1 CROSS JOIN t2""")),
+
+    // ── Moran's I & Geary's C on the week×weekday lattice (q400) ───────
+    // SPATIAL autocorrelation of daily purchase counts laid out on the
+    // 2-D (week, weekday) grid with rook adjacency — a fundamentally
+    // different neighbourhood than the 1-D lag correlogram (q340/q389):
+    // the week-axis neighbour is the SAME weekday seven days apart, so
+    // I > 0 with small C reads "weekday structure repeats week over
+    // week" even when day-to-day correlation is weak. Residuals are
+    // n-scaled exact integers; the n² factors cancel in both ratios —
+    // I = n·Σ_u e_a e_b / (m·Σe²), C = (n−1)·Σ_u (e_a−e_b)² /
+    // (2m·Σe²) — so both statistics are single integer-ratio doubles.
+    // Adjacency = two composite-key broadcast equi-joins (no OR-join,
+    // no cartesian); no wrap across week boundaries by design.
+    QueryDef("q400_moran_geary",
+      (s, dir) => {
+        val d = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(count(lit(1)).as("x"))
+          .select(expr("day div 7").as("wk"), (col("day") % 7L).as("wd"),
+            col("x"))
+        val tot = d.agg(count(lit(1)).as("n"), sum("x").as("sx"))
+        val e = d.crossJoin(broadcast(tot))
+          .select(col("wk"), col("wd"),
+            (col("n").cast("decimal(38,0)") * col("x") - col("sx"))
+              .as("ee"))
+          .localCheckpoint()
+        val right = e.as("a").join(broadcast(e).as("b"),
+          col("a.wk") === col("b.wk") && col("b.wd") === col("a.wd") + 1)
+        val down = e.as("a").join(broadcast(e).as("b"),
+          col("b.wk") === col("a.wk") + 1 && col("b.wd") === col("a.wd"))
+        val pairs = right.select(col("a.ee").as("ea"), col("b.ee").as("eb"))
+          .unionAll(down.select(col("a.ee").as("ea"),
+            col("b.ee").as("eb")))
+        val w = pairs.agg(count(lit(1)).as("m"),
+          sum(col("ea") * col("eb")).as("sab"),
+          sum((col("ea") - col("eb")) * (col("ea") - col("eb")))
+            .as("sd2"))
+        val den = e.crossJoin(broadcast(tot))
+          .agg(max("n").as("n_cells"), sum(col("ee") * col("ee")).as("se2"))
+        den.crossJoin(broadcast(w))
+          .select(col("n_cells"), col("m").as("n_edges"),
+            ((col("n_cells").cast("decimal(38,0)") * col("sab"))
+              .cast("double") /
+              (col("m").cast("decimal(38,0)") * col("se2")).cast("double"))
+              .as("moran_i"),
+            (((col("n_cells") - 1L).cast("decimal(38,0)") * col("sd2"))
+              .cast("double") /
+              (lit(2L) * col("m").cast("decimal(38,0)") * col("se2"))
+                .cast("double")).as("geary_c"))
+      },
+      Some("""WITH d AS (SELECT day // 7 AS wk, day % 7 AS wd,
+            CAST(COUNT(*) AS BIGINT) AS x
+          FROM (SELECT epoch_us(ts) // 86400000000 AS day FROM events
+            WHERE event_type = 'purchase')
+          GROUP BY day // 7, day % 7),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(x) AS BIGINT) AS sx FROM d),
+        e AS (SELECT wk, wd, CAST(n AS HUGEINT) * x - sx AS ee
+          FROM d CROSS JOIN tot),
+        pairs AS (SELECT a.ee AS ea, b.ee AS eb FROM e a JOIN e b
+            ON a.wk = b.wk AND b.wd = a.wd + 1
+          UNION ALL
+          SELECT a.ee, b.ee FROM e a JOIN e b
+            ON b.wk = a.wk + 1 AND b.wd = a.wd),
+        w AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+            SUM(ea * eb) AS sab,
+            SUM((ea - eb) * (ea - eb)) AS sd2 FROM pairs),
+        den AS (SELECT MAX(n) AS n_cells, SUM(ee * ee) AS se2
+          FROM e CROSS JOIN tot)
+        SELECT n_cells, m AS n_edges,
+          CAST(CAST(n_cells AS HUGEINT) * sab AS DOUBLE)
+            / CAST(CAST(m AS HUGEINT) * se2 AS DOUBLE) AS moran_i,
+          CAST(CAST(n_cells - 1 AS HUGEINT) * sd2 AS DOUBLE)
+            / CAST(2 * CAST(m AS HUGEINT) * se2 AS DOUBLE) AS geary_c
+        FROM den CROSS JOIN w""")),
   )
 }

@@ -106,6 +106,26 @@ class Round14EvalSpec extends AnyFunSuite {
     assert(mx >= mean - 1e-12 && mx <= 1.0, s"max=$mx mean=$mean")
   }
 
+  test("q399: tau-b is a correlation, C+D bounded by untied pairs") {
+    val r = run("q399_kendall_tau_b").head()
+    val (n, c, d) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(n > 1 && c >= 0 && d >= 0, s"n=$n c=$c d=$d")
+    assert(c + d <= n * (n - 1) / 2, "C+D cannot exceed all pairs")
+    val t = r.getDouble(3)
+    assert(t >= -1.0 - 1e-12 && t <= 1.0 + 1e-12, s"tau_b=$t")
+  }
+
+  test("q400: rook lattice edge count is bounded by 2n and both " +
+       "coefficients are in their classic ranges") {
+    val r = run("q400_moran_geary").head()
+    val (n, m) = (r.getLong(0), r.getLong(1))
+    assert(n > 7 && m > 0 && m < 2 * n, s"n=$n m=$m")
+    val (i, c) = (r.getDouble(2), r.getDouble(3))
+    // I in [-1, 1] up to the row-standardization-free slack; C >= 0
+    assert(i >= -1.0 - 1e-9 && i <= 1.0 + 1e-9, s"I=$i")
+    assert(c >= 0.0 && c <= 3.0, s"C=$c")
+  }
+
   test("q398: Dixon gap ratios are in [0, 1] and sum to <= 1 " +
        "(disjoint gaps of the same range)") {
     val r = run("q398_dixon_q").head()
