@@ -2055,11 +2055,23 @@ object QueriesExt {
           ON p.user_id = v.user_id AND p.ts >= v.ts
         ORDER BY p.event_id""")),
 
-    // ── Range/interval join: bucketized rewrite of the theta join ──────
+    // ── Interval aggregation: 7-day shipment windows over orders ───────
     // Shipments falling inside 7-day windows anchored at a deterministic
-    // subset of orders. RangeJoin turns `pt >= lo AND pt < hi` (which
-    // Spark would plan as a BroadcastNestedLoopJoin) into an equi-join on
-    // a coarse time bucket + residual filter — one shuffle, linear work.
+    // subset of orders. r14 rewrite: because the PER-WINDOW answer is an
+    // aggregate (count + exact-decimal quantity sum), the point-window
+    // pairs never need to exist — both dates are day-anchored, so a
+    // gap-free daily grid of (count, decimal-sum) partials with
+    // cumulative prefixes turns every window into TWO equi-join lookups
+    // F(hi−1d) − F(lo−1d). Decimal addition is exact and associative,
+    // so the prefix DIFFERENCE is bit-identical to the direct dsum.
+    // The old bucketized-range-join plan enumerated every matched pair:
+    // at fixed calendar span that pair count grows QUADRATICALLY in SF
+    // (10× windows × 10× points/day ⇒ sf1.0 measured ~5G pairs, 53 s);
+    // this plan is one lineitem fold + a broadcast of the ~2,500-row
+    // grid — O(points + windows) at any SF. The materializing range
+    // JOIN itself remains a first-class operator
+    // (RangeJoin.pointInInterval: Mart dims, RangeJoinSpec,
+    // Round9PropertySpec brute-force equivalence).
     QueryDef("q62_range_join",
       (s, dir) => {
         val windows = t(s, dir, "orders")
@@ -2070,13 +2082,46 @@ object QueriesExt {
           .select(col("o_orderkey").as("window_id"),
             unix_seconds(col("o_orderdate").cast("timestamp")).as("lo"))
           .withColumn("hi", col("lo") + lit(7L * 86400))
-        val pts = t(s, dir, "lineitem")
-          .withColumn("pt", unix_seconds(col("l_shipdate").cast("timestamp")))
-        graft.ext.RangeJoin
-          .pointInInterval(pts, windows, "pt", "lo", "hi", 2L * 86400)
-          .groupBy("window_id")
-          .agg(count(lit(1)).as("n_shipments"),
-            dsum(col("l_quantity")).as("total_qty"))
+        val daily = t(s, dir, "lineitem")
+          .groupBy(unix_seconds(col("l_shipdate").cast("timestamp"))
+            .as("pt"))
+          .agg(count(lit(1)).as("c"),
+            sum(col("l_quantity").cast("decimal(30,8)")).as("q"))
+          .localCheckpoint() // bounds + grid completion read it
+        val bounds = daily.agg(min("pt").as("mn"), max("pt").as("mx"))
+        // complete (gap-free) day grid so day-anchored lookups are pure
+        // equi-joins; bounded by the calendar span, not by data volume
+        val cum = bounds
+          .select(explode(sequence(col("mn"), col("mx"), lit(86400L)))
+            .as("pt"))
+          .join(daily, Seq("pt"), "left")
+          .select(col("pt"), coalesce(col("c"), lit(0L)).as("c"),
+            coalesce(col("q"), lit(0).cast("decimal(30,8)")).as("q"))
+          .withColumn("cc",
+            sum("c").over(boundedWindow(col("pt"), col("pt"))))
+          .withColumn("cq",
+            sum("q").over(boundedWindow(col("pt"), col("pt"))))
+          .select("pt", "cc", "cq")
+          .localCheckpoint() // both lookup sides read it
+        // F(x) = inclusive cumulative at day x−1d; clamping BOTH keys to
+        // the grid max makes windows entirely past the data difference
+        // to zero, and keys before the grid min miss the join and
+        // coalesce to zero — exactly the inner-join-then-group semantics
+        val wk = windows.crossJoin(broadcast(bounds))
+          .select(col("window_id"),
+            least(col("lo") - lit(86400L), col("mx")).as("klo"),
+            least(col("hi") - lit(86400L), col("mx")).as("khi"))
+        wk.join(broadcast(cum.select(col("pt").as("klo"),
+            col("cc").as("clo"), col("cq").as("qlo"))), Seq("klo"), "left")
+          .join(broadcast(cum.select(col("pt").as("khi"),
+            col("cc").as("chi"), col("cq").as("qhi"))), Seq("khi"), "left")
+          .select(col("window_id"),
+            (coalesce(col("chi"), lit(0L)) - coalesce(col("clo"), lit(0L)))
+              .as("n_shipments"),
+            (coalesce(col("qhi"), lit(0).cast("decimal(30,8)")) -
+              coalesce(col("qlo"), lit(0).cast("decimal(30,8)")))
+              .cast("double").as("total_qty"))
+          .filter(col("n_shipments") > 0L)
           .orderBy("window_id")
       },
       Some(s"""WITH w AS (SELECT o_orderkey AS window_id,
