@@ -49,11 +49,18 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("partial_sum"), "expected partial aggregation")
   }
 
-  test("q62 range join is a bucketized equi-join, never a nested loop") {
+  test("q62 interval aggregation: prefix-grid lookups are broadcast " +
+       "equi-joins, no cartesian, no data-sized nested loop") {
+    // r14 plan: day-grid prefix sums + two equi-join lookups per
+    // window. The only nested-loop node allowed is the 1-row bounds
+    // scalar cross join (the house broadcast-scalar pattern) — the
+    // window→grid lookups themselves must be broadcast HASH joins.
     val p = plan("q62_range_join")
-    assert(!p.contains("CartesianProduct"), "range join fell back to cartesian")
-    assert(!p.contains("BroadcastNestedLoopJoin"),
-      "range join fell back to a nested loop")
+    assert(!p.contains("CartesianProduct"), "fell back to cartesian")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "prefix-grid lookups must be broadcast equi-joins")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      "only the 1-row bounds scalar may ride a nested loop")
   }
 
   test("mart star + reports: no cartesian, dimension joins broadcast") {
