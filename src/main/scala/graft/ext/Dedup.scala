@@ -765,15 +765,27 @@ object Dedup {
         "product — refuse loudly rather than run it by accident")
     val width = docs.sparkSession.conf
       .get("spark.sql.shuffle.partitions").toInt
-    val d = docs.select((col(idCol) +: blockCols.map(col)) :+
-      substring(col(textCol), 1, prefixLen).as("pfx"): _*)
+    // Per-ROW length, computed once before the quadratic join: the
+    // |len_a − len_b| ≤ maxDist lower bound (an insertion/deletion per
+    // missing character is unavoidable) then rides the join condition,
+    // so out-of-band candidates are dropped by an integer compare
+    // before any DP runs — pairs are quadratic in the block, lengths
+    // are linear in it.
+    val d = docs.select((col(idCol) +: blockCols.map(col)) ++ Seq(
+      substring(col(textCol), 1, prefixLen).as("pfx"),
+      length(substring(col(textCol), 1, prefixLen)).as("plen")): _*)
       .repartition(width, blockCols.map(col): _*)
     val cond = blockCols
       .map(c => col(s"a.$c") === col(s"b.$c"))
-      .reduce(_ && _) && (col(s"a.$idCol") < col(s"b.$idCol"))
+      .reduce(_ && _) && (col(s"a.$idCol") < col(s"b.$idCol")) &&
+      (abs(col("a.plen") - col("b.plen")) <= maxDist)
+    // Verify with the bit-parallel bounded Levenshtein (exact for every
+    // kept row — see BoundedLevenshteinExpr): one word of bit-ops per
+    // character instead of the built-in's O(len²) DP matrix.
     d.as("a").join(d.as("b"), cond)
       .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
-        levenshtein(col("a.pfx"), col("b.pfx")).cast("long").as("dist"))
+        graft.functions.NativeExprs.boundedLevenshtein(
+          col("a.pfx"), col("b.pfx"), maxDist).as("dist"))
       .filter(col("dist") <= maxDist)
   }
 

@@ -307,4 +307,54 @@ class NativeExprsSpec extends AnyFunSuite {
       assert(interp === Seq(3L, 0L, 0L, 2L, 0L))
     } finally spark.conf.set(conf, prev)
   }
+
+  test("BoundedLevenshteinExpr ≡ built-in levenshtein within bound; " +
+       "> bound rows are correctly classified (random, multi-byte, >64cp)") {
+    val rnd = new scala.util.Random(20260816L)
+    val ascii = "abcdefg 0123"
+    val viet = "abcxin chào thế giới" // multi-byte code points
+    val emoji = "ab😀😁c" // surrogate pairs = 1 cp each
+    def randStr(alpha: String, maxLen: Int): String =
+      (0 until rnd.nextInt(maxLen + 1)).map { _ =>
+        val i = rnd.nextInt(alpha.codePointCount(0, alpha.length))
+        val off = alpha.offsetByCodePoints(0, i)
+        new String(Character.toChars(alpha.codePointAt(off)))
+      }.mkString
+    // mutate-a-copy pairs land near the threshold; independent pairs land
+    // far above it — both classes exercised
+    val pairs =
+      (1 to 120).map { _ =>
+        val a = randStr(ascii, 45)
+        (a, randStr(ascii, 45))
+      } ++ (1 to 60).map { _ =>
+        val alpha = if (rnd.nextBoolean()) viet else emoji
+        (randStr(alpha, 40), randStr(alpha, 40))
+      } ++ (1 to 20).map { _ =>   // > 64 code points: DP fallback path
+        (randStr(ascii, 90), randStr(ascii, 90))
+      } ++ Seq(("", ""), ("", "abc"), ("abc", ""), ("same", "same"))
+    val bound = 8
+    val df = pairs.toDF("a", "b").select(col("a"), col("b"),
+      NativeExprs.boundedLevenshtein(col("a"), col("b"), bound).as("nat"),
+      levenshtein(col("a"), col("b")).cast("long").as("ref"))
+    val rows = df.collect()
+    rows.foreach { r =>
+      val (nat, ref) = (r.getLong(2), r.getLong(3))
+      if (ref <= bound)
+        assert(nat === ref, s"exact within bound: ${r.getString(0)} / " +
+          s"${r.getString(1)}")
+      else assert(nat > bound, s"over-bound must classify: " +
+        s"${r.getString(0)} / ${r.getString(1)} ref=$ref nat=$nat")
+    }
+    // interpreted path ≡ codegen path
+    val gen = rows.map(_.getLong(2)).toSeq
+    val conf = "spark.sql.codegen.wholeStage"
+    val prev = spark.conf.get(conf)
+    try {
+      spark.conf.set(conf, "false")
+      val interp = pairs.toDF("a", "b").select(
+        NativeExprs.boundedLevenshtein(col("a"), col("b"), bound))
+        .collect().map(_.getLong(0)).toSeq
+      assert(interp === gen)
+    } finally spark.conf.set(conf, prev)
+  }
 }
