@@ -222,6 +222,12 @@ object GeneralSweep {
       (posT.isEmpty || posT.exists(n.contains)) &&
         !negT.exists(t => n.contains(t.stripPrefix("-")))
     }
+    // list mode for the fork-per-suite driver — see PairSweep
+    if (sys.env.contains("SPARK_GRAFT_SWEEP_LIST")) {
+      selected.foreach { case (n, _) => println(n) }
+      spark.stop()
+      return
+    }
     val lines = scala.collection.mutable.ArrayBuffer.empty[String]
     var failures = 0
     for ((name, checksOf) <- selected) {
@@ -233,24 +239,28 @@ object GeneralSweep {
         BoundedWindows.quietWindowWarnings()
       }
       val t0 = System.nanoTime()
+      val suiteBefore = SweepSampling.persistentIds(spark.sparkContext)
       val res =
         try {
           // min-of-N wall (SPARK_GRAFT_SWEEP_SAMPLES, default 1) — the
           // same suite-order-noise antidote as PairSweep: sample 2+
           // never pays the previous suite's page-cache/GC debris.
-          val samples = sys.env.getOrElse("SPARK_GRAFT_SWEEP_SAMPLES", "1")
-            .toInt.max(1)
+          val samples = SweepSampling.samples()
           var mat: DataFrame = null
           var secs = Double.MaxValue
+          var prevSample = Set.empty[Int]
           for (i <- 1 to samples) {
-            if (i > 1 && !spark.sparkContext.isStopped)
-              spark.sparkContext.getPersistentRDDs.values
-                .foreach(_.unpersist(blocking = true))
+            if (i > 1)
+              SweepSampling.unpersistIds(spark.sparkContext, prevSample)
+            val sampleBefore =
+              SweepSampling.persistentIds(spark.sparkContext)
             val t1 = System.nanoTime()
             val df = SparkEntry.queries(name)(spark, sf1)
             mat = df.localCheckpoint(eager = true,
               org.apache.spark.storage.StorageLevel.DISK_ONLY)
             secs = math.min(secs, (System.nanoTime() - t1) / 1e9)
+            prevSample =
+              SweepSampling.persistentIds(spark.sparkContext) -- sampleBefore
           }
           val rows = mat.count()
           val checks = checksOf(mat)
@@ -264,9 +274,9 @@ object GeneralSweep {
                 Option(e.getMessage).getOrElse(e.getClass.getName).take(300))),
               Some(e.getClass.getName))
         }
-      if (!spark.sparkContext.isStopped)
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = true))
+      // scoped to the suite's own RDD ids — see PairSweep
+      SweepSampling.unpersistIds(spark.sparkContext,
+        SweepSampling.persistentIds(spark.sparkContext) -- suiteBefore)
       val (secs, rows, checks, err) = res
       val bad = checks.filterNot(_.pass)
       failures += bad.size

@@ -47,6 +47,43 @@ import org.apache.spark.sql.functions._
   * `SWEEP_SF1_PAIRS.json`; non-zero exit if any check fails or a query
   * exceeds the wall cap.
   */
+/** Shared sweep plumbing (PairSweep + GeneralSweep): min-of-N sampling
+  * and SCOPED unpersist — between samples and between suites, release
+  * exactly the persistent RDDs the finished work created, never the
+  * session's whole persistent set (a wholesale sweep would silently
+  * evict any cross-query shared cache a future suite might pin).
+  */
+private[graft] object SweepSampling {
+  /** SPARK_GRAFT_SWEEP_SAMPLES with a floor of 1; a malformed value
+    * falls back to 1 LOUDLY (stderr) instead of aborting a multi-hour
+    * sweep with an uncaught NumberFormatException.
+    */
+  def samples(): Int =
+    sys.env.get("SPARK_GRAFT_SWEEP_SAMPLES") match {
+      case None => 1
+      case Some(v) => v.trim.toIntOption match {
+        case Some(n) => n.max(1)
+        case None =>
+          System.err.println(
+            s"[sweep] SPARK_GRAFT_SWEEP_SAMPLES='$v' is not an int; " +
+              "using 1 sample")
+          1
+      }
+    }
+
+  def persistentIds(sc: org.apache.spark.SparkContext): Set[Int] =
+    if (sc.isStopped) Set.empty else sc.getPersistentRDDs.keySet.toSet
+
+  /** Unpersist exactly `ids` (blocking, so the storage memory is back
+    * before the next materialization starts).
+    */
+  def unpersistIds(sc: org.apache.spark.SparkContext,
+                   ids: Set[Int]): Unit =
+    if (!sc.isStopped) sc.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (ids.contains(id)) rdd.unpersist(blocking = true)
+    }
+}
+
 object PairSweep {
 
   private case class Check(name: String, pass: Boolean, detail: String)
@@ -408,6 +445,14 @@ object PairSweep {
       (suitePos.isEmpty || suitePos.exists(n.contains)) &&
         !suiteNeg.exists(t => n.contains(t.stripPrefix("-")))
     }
+    // list mode: print the selected suite names and exit — the
+    // fork-per-suite driver (tools/sweep_sf1_pairs_isolated.sh) uses it
+    // to enumerate suites without duplicating the registry in bash.
+    if (sys.env.contains("SPARK_GRAFT_SWEEP_LIST")) {
+      selected.foreach { case (n, _) => println(n) }
+      spark.stop()
+      return
+    }
     val lines = scala.collection.mutable.ArrayBuffer.empty[String]
     var failures = 0
     for ((name, checksOf) <- selected) {
@@ -421,6 +466,7 @@ object PairSweep {
         BoundedWindows.quietWindowWarnings()
       }
       val t0 = System.nanoTime()
+      val suiteBefore = SweepSampling.persistentIds(spark.sparkContext)
       val res =
         try {
           // SPARK_GRAFT_SWEEP_SAMPLES (default 1): re-materialize the
@@ -431,15 +477,16 @@ object PairSweep {
           // single — and a min-of-2 gives every suite one execution
           // that does not pay the predecessor's page-cache/GC debris.
           // Checks still run on one materialization (the last).
-          val samples = sys.env.getOrElse("SPARK_GRAFT_SWEEP_SAMPLES", "1")
-            .toInt.max(1)
+          val samples = SweepSampling.samples()
           var df: DataFrame = null
           var mat: DataFrame = null
           var secs = Double.MaxValue
+          var prevSample = Set.empty[Int]
           for (i <- 1 to samples) {
-            if (i > 1 && !spark.sparkContext.isStopped)
-              spark.sparkContext.getPersistentRDDs.values
-                .foreach(_.unpersist(blocking = true))
+            if (i > 1)
+              SweepSampling.unpersistIds(spark.sparkContext, prevSample)
+            val sampleBefore =
+              SweepSampling.persistentIds(spark.sparkContext)
             val t1 = System.nanoTime()
             df = SparkEntry.queries(name)(spark, sf1)
             // ONE materializing execution per sample, pinned to DISK:
@@ -451,6 +498,8 @@ object PairSweep {
             mat = df.localCheckpoint(eager = true,
               org.apache.spark.storage.StorageLevel.DISK_ONLY)
             secs = math.min(secs, (System.nanoTime() - t1) / 1e9)
+            prevSample =
+              SweepSampling.persistentIds(spark.sparkContext) -- sampleBefore
           }
           val rows = mat.count()
           val checks = checksOf(df, mat)
@@ -464,14 +513,15 @@ object PairSweep {
                 Option(e.getMessage).getOrElse(e.getClass.getName).take(300))),
               Some(e.getClass.getName))
         }
-      // Release every checkpointed RDD this suite pinned (the result
+      // Release every checkpointed RDD THIS SUITE pinned (the result
       // materialization plus the sf0.1 comparison frames and the
       // queries' internal prefix-sum checkpoints) — without this the
       // MemoryStore fills across the 18 queries and later suites die
       // of storage-starved execution memory, not of their own shape.
-      if (!spark.sparkContext.isStopped)
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = true))
+      // Scoped to the suite's own RDD ids: anything persistent before
+      // the suite started is someone else's cache and stays.
+      SweepSampling.unpersistIds(spark.sparkContext,
+        SweepSampling.persistentIds(spark.sparkContext) -- suiteBefore)
       val (secs, rows, checks, err) = res
       val bad = checks.filterNot(_.pass)
       failures += bad.size

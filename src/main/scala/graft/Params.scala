@@ -187,6 +187,15 @@ object Params {
   val ppjTDen = 2
   /** Robust outliers (q107): MAD multiplier (|v − med| > k·MAD). */
   val madK = 3
+  /** Winnowing fingerprints (q401/q402, Schleimer et al. SIGMOD'03):
+    * shingle width k, window w (guarantee: any shared token run of
+    * ≥ w + k − 1 tokens yields a shared fingerprint), document-
+    * frequency cap on candidate postings, and the min shared
+    * fingerprints for a reported pair. */
+  val winnowK = 4
+  val winnowW = 6
+  val winnowDfCap = 25
+  val winnowMinShared = 2
   /** TextRank (q108): vocabulary cap, damping as a rational, iteration
     * count, and the fixed-point scale (ranks held in integer units of
     * 10^-8 — floor division is bit-exact on every engine; decimal

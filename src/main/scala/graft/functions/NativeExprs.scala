@@ -390,16 +390,22 @@ object NativeExprs {
     override def dataType: DataType = LongType
     override def prettyName: String = "graft_sorted_intersect_count"
 
+    // containsNull must be FALSE: the merge dereferences each struct
+    // element unconditionally, so a nullable-element array would NPE at
+    // runtime — reject it at analysis time instead. (collect_list /
+    // sort_array output, the only engine callers, already satisfies it.)
     private def elemOk(e: Expression): Boolean = e.dataType match {
-      case ArrayType(StructType(Array(f0, f1)), _) =>
-        f0.dataType == LongType && f1.dataType == StringType
+      case ArrayType(StructType(Array(f0, f1)), containsNull) =>
+        !containsNull && f0.dataType == LongType &&
+          f1.dataType == StringType
       case _ => false
     }
 
     override def checkInputDataTypes(): TypeCheckResult =
       if (elemOk(left) && elemOk(right)) TypeCheckResult.TypeCheckSuccess
       else TypeCheckResult.TypeCheckFailure(
-        s"$prettyName: both operands must be array<struct<long,string>>, " +
+        s"$prettyName: both operands must be " +
+          s"array<struct<long,string>> with non-null elements, " +
           s"got ${left.dataType.catalogString} / " +
           s"${right.dataType.catalogString}")
 

@@ -682,12 +682,17 @@ object Streams {
         val b = batch.localCheckpoint() // read once per pass + members
         // normalized (bkey, id) membership, one row per (pass, row) —
         // the pass index disambiguates equal key VALUES across passes
+        // A NULL key never matches under the batch path's equality
+        // joins, so a row with any NULL key in a pass contributes no
+        // membership to that pass (concat_ws would silently DROP the
+        // null column and collide it with a shorter non-null key).
         val bm = blockKeySets.zipWithIndex.map { case (keys, p) =>
-          b.select(
-            concat_ws("\u0001",
-              lit(p.toString) +: keys.map(k => col(k).cast("string")): _*)
-              .as("bkey"),
-            col(idCol).cast("long").as("id"))
+          b.filter(keys.map(col(_).isNotNull).reduce(_ && _))
+            .select(
+              concat_ws("\u0001",
+                lit(p.toString) +: keys.map(k => col(k).cast("string")): _*)
+                .as("bkey"),
+              col(idCol).cast("long").as("id"))
         }.reduce(_ unionAll _).localCheckpoint()
         val delta = bm.groupBy("bkey")
           .agg(min("id").as("bmin"), count(lit(1)).as("bn"))
