@@ -19316,5 +19316,150 @@ object QueriesExt {
           CAST(CAST(n_cells - 1 AS HUGEINT) * sd2 AS DOUBLE)
             / CAST(2 * CAST(m AS HUGEINT) * se2 AS DOUBLE) AS geary_c
         FROM den CROSS JOIN w""")),
+
+    // ── Winnowing fingerprints (q401, Schleimer et al. SIGMOD'03) ──────
+    // The MOSS selection rule: per-window minimum shingle hash,
+    // rightmost on ties — a bounded-density sketch (expected 2/(w+1))
+    // with a DETECTION GUARANTEE (any shared run of ≥ w+k−1 tokens
+    // yields a shared fingerprint), which neither the 1-hash MinHash
+    // (q23, no locality) nor every-shingle spans (q103, no compression)
+    // give. The (hash, rightmost-pos) argmin is ONE integer min over
+    // the encoded key h·2³¹+(2³¹−1−pos) on a ROWS window — both engines
+    // run the identical integer arithmetic.
+    QueryDef("q401_winnowing",
+      (s, dir) => Dedup.winnowingFingerprints(
+        tPar(s, dir, "documents"), "doc_id", "text", winnowK, winnowW),
+      Some {
+        val shl = dShingles(dTok, winnowK)
+        s"""WITH tk AS (SELECT doc_id, $shl AS shl FROM documents),
+          ps AS (SELECT doc_id, unnest(shl) AS g,
+              CAST(generate_subscripts(shl, 1) AS BIGINT) - 1 AS pos,
+              CAST(len(shl) AS BIGINT) AS n FROM tk),
+          ky AS (SELECT doc_id, pos, n,
+              ('0x' || substr(md5(g), 1, 7))::BIGINT * 2147483648
+                + (2147483647 - pos) AS key FROM ps),
+          wm AS (SELECT doc_id, pos, n,
+              MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN CURRENT ROW AND ${winnowW - 1} FOLLOWING)
+                AS wkey FROM ky)
+        SELECT DISTINCT doc_id,
+            2147483647 - (wkey % 2147483648) AS fp_pos,
+            wkey // 2147483648 AS fp_hash
+        FROM wm WHERE pos <= GREATEST(n - $winnowW, 0)
+        ORDER BY doc_id, fp_pos"""
+      }),
+
+    // ── Winnowing near-dup candidates (q402) ───────────────────────────
+    // Pairs sharing ≥ minShared winnowed fingerprints, with the posting
+    // cap the other pair families carry: fingerprints in > dfCap docs
+    // are boilerplate and excluded BY CONTRACT (the oracle states the
+    // cap), so every posting list is bounded and candidates are
+    // output-linear — never all-pairs, never a hot-key join.
+    QueryDef("q402_winnow_pairs",
+      (s, dir) => Dedup.winnowingCandidates(
+        tPar(s, dir, "documents"), "doc_id", "text", winnowK, winnowW,
+        winnowDfCap, winnowMinShared),
+      Some {
+        val shl = dShingles(dTok, winnowK)
+        s"""WITH tk AS (SELECT doc_id, $shl AS shl FROM documents),
+          ps AS (SELECT doc_id, unnest(shl) AS g,
+              CAST(generate_subscripts(shl, 1) AS BIGINT) - 1 AS pos,
+              CAST(len(shl) AS BIGINT) AS n FROM tk),
+          ky AS (SELECT doc_id, pos, n,
+              ('0x' || substr(md5(g), 1, 7))::BIGINT * 2147483648
+                + (2147483647 - pos) AS key FROM ps),
+          wm AS (SELECT doc_id, pos, n,
+              MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN CURRENT ROW AND ${winnowW - 1} FOLLOWING)
+                AS wkey FROM ky),
+          sel AS (SELECT DISTINCT doc_id, wkey // 2147483648 AS fp
+            FROM wm WHERE pos <= GREATEST(n - $winnowW, 0)),
+          f AS (SELECT fp, COUNT(*) AS df FROM sel GROUP BY fp),
+          rare AS (SELECT sel.doc_id, sel.fp FROM sel JOIN f USING (fp)
+            WHERE f.df <= $winnowDfCap)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM rare a JOIN rare b USING (fp)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= $winnowMinShared
+        ORDER BY doc_a, doc_b"""
+      }),
+
+    // ── Stress centrality (q403, Shimbel 1953) ─────────────────────────
+    // stress(w) = Σ_{s<t} σ_st(w): the COUNT of shortest paths through
+    // each token of the strong graph — the all-integer member of the
+    // betweenness family (betweenness normalizes by σ_st and leaves
+    // exactness; stress keeps raw counts, BIGINT end to end). Path
+    // counts σ(s,v) from a 4-round level-synchronous multi-source BFS
+    // (σ sums over same-level parents, visited set anti-joined); the
+    // oracle unrolls the identical rounds as MATERIALIZED CTEs (the
+    // q359 inlining lesson) and composes σ_st(w) = σ(s,w)·σ(w,t) where
+    // distances add — a vocab³-bounded triple join.
+    QueryDef("q403_stress_centrality",
+      (s, dir) => graft.ext.Search.stressCentrality(
+        tPar(s, dir, "documents"), "doc_id", "text", trVocab,
+        linkSupNum, linkSupDen, 4),
+      Some(s"""WITH dt AS (SELECT DISTINCT doc_id, tok AS token
+            FROM (SELECT doc_id, unnest($dTok) AS tok FROM documents)),
+        ndt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+        v AS (SELECT token FROM (SELECT token, COUNT(*) AS df FROM dt
+          GROUP BY 1 ORDER BY df DESC, token LIMIT $trVocab)),
+        vt AS (SELECT dt.doc_id, dt.token FROM dt JOIN v USING (token)),
+        co AS (SELECT a.token AS src, b.token AS dst,
+            CAST(COUNT(*) AS BIGINT) AS c
+          FROM vt a JOIN vt b
+            ON a.doc_id = b.doc_id AND a.token < b.token
+          GROUP BY 1, 2),
+        half AS (SELECT src, dst FROM co, ndt
+          WHERE c * $linkSupDen > $linkSupNum * nd),
+        nb AS MATERIALIZED (SELECT src, dst FROM half
+          UNION ALL SELECT dst, src FROM half),
+        nodes AS MATERIALIZED (SELECT DISTINCT src AS t FROM nb),
+        v0 AS MATERIALIZED (SELECT t AS s, t AS v, CAST(0 AS BIGINT) AS d,
+          CAST(1 AS BIGINT) AS sigma FROM nodes),
+        ${(1 to 4).map { r =>
+          s"""f$r AS MATERIALIZED (SELECT f.s AS s, nb.dst AS v,
+               CAST($r AS BIGINT) AS d, CAST(SUM(f.sigma) AS BIGINT)
+                 AS sigma
+             FROM ${if (r == 1) "v0" else s"f${r - 1}"} f
+             JOIN nb ON f.v = nb.src
+             WHERE NOT EXISTS (SELECT 1 FROM v${r - 1} x
+               WHERE x.s = f.s AND x.v = nb.dst)
+             GROUP BY 1, 2),
+           v$r AS MATERIALIZED (SELECT * FROM v${r - 1}
+             UNION ALL SELECT * FROM f$r)"""
+        }.mkString(",\n")},
+        sp AS MATERIALIZED (SELECT s, v, d, sigma FROM v4 WHERE s <> v),
+        thru AS (SELECT a.v AS w,
+            CAST(SUM(a.sigma * b.sigma) AS BIGINT) AS stress
+          FROM sp a JOIN sp b ON b.s = a.v
+          JOIN sp c ON c.s = a.s AND c.v = b.v
+          WHERE a.s < b.v AND a.v <> b.v AND a.d + b.d = c.d
+          GROUP BY 1)
+        SELECT nodes.t AS token,
+          COALESCE(thru.stress, CAST(0 AS BIGINT)) AS stress
+        FROM nodes LEFT JOIN thru ON nodes.t = thru.w
+        ORDER BY token""")),
+
+    // ── Curriculum interleave (q404) ───────────────────────────────────
+    // A deterministic training ORDER: quality-descending within each
+    // source, source-proportional at every prefix — each source's
+    // rank-r document lands at schedule quantile f = (2r−1)/(2n), so no
+    // source clumps or exhausts early. f is one exact int→double
+    // conversion + one IEEE division (bit-equal on both engines);
+    // quality is q21's composite, ties break on doc_id. At 100 TB this
+    // is a per-source window + a range-partitioned sort — no global
+    // row-number, no driver-side sequencing.
+    QueryDef("q404_curriculum",
+      (s, dir) => Curation.curriculumInterleave(
+        tPar(s, dir, "documents"), "doc_id", "source", "text", stopwords),
+      Some(s"""SELECT doc_id, source, rk, n_src,
+          CAST(2 * rk - 1 AS DOUBLE) / CAST(2 * n_src AS DOUBLE) AS f
+        FROM (SELECT doc_id, source,
+            CAST(ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY $dQualityExpr DESC, doc_id) AS BIGINT) AS rk,
+            CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_src
+          FROM documents)
+        ORDER BY f, source, doc_id""")),
   )
 }

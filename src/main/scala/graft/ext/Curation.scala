@@ -340,6 +340,42 @@ object Curation {
     * One rank window per stratum (strata sort independently — parallel
     * by group key); the count rides the same exchange.
     */
+  /** Curriculum interleave: a deterministic TRAINING ORDER over the
+    * corpus that is (a) quality-descending within every source and
+    * (b) source-proportional at every prefix — each source's documents
+    * land at the quantile positions f = (2·rank−1)/(2·n_source) of the
+    * schedule (the midpoint rule), so a 10%-of-corpus source occupies
+    * ~10% of ANY training window instead of clumping, and no source is
+    * exhausted early. The deterministic complement of shuffle-based
+    * interleaving: same inputs ⇒ same order, bit for bit.
+    *
+    * Output: (doc id, source, `rk` quality rank within source, `n_src`,
+    * `f`), ordered by (`f`, source, id) — the row order IS the
+    * curriculum. `f` is one exact int→double conversion and one IEEE
+    * division per row (both engines agree bit-for-bit); quality ties
+    * break on document id.
+    *
+    * Scale shape: one window shuffle keyed on source (rank + count),
+    * then a global sort on `f` — exactly the shape of writing a
+    * training corpus in schedule order at 100 TB (range-partitioned
+    * sort, no global row-number, no driver-side sequencing).
+    */
+  def curriculumInterleave(docs: DataFrame, idCol: String,
+                           srcCol: String, textCol: String,
+                           stopwords: Seq[String]): DataFrame = {
+    val scored = docs.select(col(idCol), col(srcCol),
+      TextStats.qualityScore(col(textCol), stopwords).as("quality"))
+    scored
+      .withColumn("rk", row_number().over(Window.partitionBy(srcCol)
+        .orderBy(desc("quality"), col(idCol))).cast("long"))
+      .withColumn("n_src",
+        count(lit(1)).over(Window.partitionBy(srcCol)))
+      .withColumn("f", (col("rk") * 2 - 1).cast("double") /
+        (col("n_src") * 2).cast("double"))
+      .select(col(idCol), col(srcCol), col("rk"), col("n_src"), col("f"))
+      .orderBy(col("f"), col(srcCol), col(idCol))
+  }
+
   def winsorizeByRank(docs: DataFrame, groupCols: Seq[String],
                       metricCol: String, idCol: String,
                       pLoNum: Int, pHiNum: Int, pDen: Int): DataFrame = {

@@ -1022,4 +1022,91 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, "Winnowing:
+    * Local Algorithms for Document Fingerprinting", SIGMOD 2003 — the
+    * MOSS selection rule): hash every k-token shingle, slide a window
+    * of `w` consecutive shingle hashes over the document, and keep the
+    * window MINIMUM (rightmost position on hash ties — the paper's
+    * robust-winnowing rule). Guarantee: any token run of length
+    * ≥ w + k − 1 shared between two documents contributes at least one
+    * IDENTICAL selected fingerprint to both, while expected density is
+    * 2/(w+1) — a bounded-size sketch with a detection floor, which is
+    * what separates winnowing from "min of everything" (q23's 1-hash
+    * MinHash: no locality) and "every shingle" (q103's spans: no
+    * compression).
+    *
+    * Mechanics kept integer-exact and window-friendly: the
+    * (hash, position) argmin is ONE `min` over the encoded key
+    * `h·2³¹ + (2³¹−1−pos)` — smallest hash first, rightmost position
+    * on ties — on a ROWS window of the w following shingles; window
+    * starts are `pos ≤ max(n−w, 0)` so sub-window documents still emit
+    * exactly one fingerprint. Output: distinct (`doc_id`, `fp_pos`,
+    * `fp_hash`), position-ordered.
+    *
+    * Shape at 100 TB: one tokenize pass, one per-document ROWS window
+    * (shuffle keyed on doc id, frames never cross documents), one
+    * distinct — no joins, no data-sized broadcast.
+    */
+  def winnowingFingerprints(docs: DataFrame, idCol: String,
+                            textCol: String, k: Int, w: Int): DataFrame = {
+    require(w >= 1, s"window $w")
+    import org.apache.spark.sql.expressions.Window
+    val enc = 2147483648L // 2^31: pos fits below, 28-bit hash above
+    // tokenize+hash parallelism must not be capped by file splits
+    // (the q105 lesson) — widen only when narrower than the session
+    val width = docs.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val src = if (docs.rdd.getNumPartitions < width)
+      docs.repartition(width) else docs
+    val sh = src.select(col(idCol),
+      posexplode(Shingles.wordShingles(TextStats.tokens(col(textCol)), k))
+        .as(Seq("pos", "sh")))
+      .withColumn("key",
+        Shingles.baseHash(col("sh")) * enc + (lit(enc - 1) - col("pos")))
+    val byDoc = Window.partitionBy(idCol)
+    val frame = Window.partitionBy(idCol).orderBy("pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    sh.withColumn("n", count(lit(1)).over(byDoc))
+      .withColumn("wkey", min("key").over(frame))
+      .filter(col("pos") <= greatest(col("n") - w, lit(0)))
+      .select(col(idCol),
+        (lit(enc - 1) - pmod(col("wkey"), lit(enc))).as("fp_pos"),
+        expr(s"wkey div $enc").as("fp_hash"))
+      .distinct()
+      .orderBy(idCol, "fp_pos")
+  }
+
+  /** Near-duplicate CANDIDATES from winnowed fingerprints: document
+    * pairs sharing ≥ `minShared` distinct selected fingerprints, with
+    * the posting-list cap the other pair families carry — fingerprints
+    * held by more than `dfCap` documents are boilerplate (the corpus's
+    * hottest keys) and are excluded from candidate generation BY
+    * CONTRACT, not as a lossy shortcut. Output: (`doc_a` < `doc_b`,
+    * `n_shared`).
+    *
+    * Shape at 100 TB: [[winnowingFingerprints]]'s windows, one
+    * document-frequency aggregation, a capped self-join keyed on
+    * fingerprint (each posting list ≤ dfCap ⇒ candidate count is
+    * output-linear, never all-pairs), one pair aggregation.
+    */
+  def winnowingCandidates(docs: DataFrame, idCol: String, textCol: String,
+                          k: Int, w: Int, dfCap: Int,
+                          minShared: Int): DataFrame = {
+    val fp = winnowingFingerprints(docs, idCol, textCol, k, w)
+      .select(col(idCol), col("fp_hash")).distinct()
+      .localCheckpoint(eager = true) // one window pass feeds df + join
+    // df table is fingerprint-count sized (corpus-scale) — a plain
+    // shuffle join on fp_hash, never a broadcast build side
+    val rare = fp.join(
+      fp.groupBy("fp_hash").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= dfCap),
+      "fp_hash")
+    rare.select(col("fp_hash"), col(idCol).as("doc_a"))
+      .join(rare.select(col("fp_hash"), col(idCol).as("doc_b")), "fp_hash")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy("doc_a", "doc_b")
+  }
 }

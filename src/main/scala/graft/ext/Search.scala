@@ -684,4 +684,66 @@ object Search {
       .agg(count(lit(1)).as("n_hits"), min("pos").as("first_pos"))
       .orderBy("doc_id")
   }
+
+  /** Stress centrality of the strong co-occurrence graph (Shimbel
+    * 1953): stress(w) = Σ_{s<t, w∉{s,t}} σ_st(w), the NUMBER of
+    * shortest s–t paths passing through w — the all-integer member of
+    * the betweenness family (betweenness divides each term by σ_st;
+    * stress keeps the raw count, so the whole computation is exact
+    * BIGINT arithmetic end to end, no fraction accumulation).
+    *
+    * Path counts come from a level-synchronous multi-source BFS: the
+    * round-r frontier is (frontier ⋈ edges) minus everything already
+    * visited, with σ summed over same-level parents — the textbook
+    * σ(s,v) = Σ_{u ∈ pred(v)} σ(s,u) recurrence, unrolled `rounds`
+    * times (≥ the graph's diameter; q371 measured 3). Then
+    * σ_st(w) = σ(s,w)·σ(w,t) whenever d(s,w)+d(w,t) = d(s,t), summed
+    * by a three-way join over the shortest-path table.
+    *
+    * Scale shape: everything after [[strongHalf]]'s one corpus pass
+    * runs on ≤ vocab²-bounded tables (paths ≤ vocab² rows, the triple
+    * join ≤ vocab³ candidate rows), broadcast joins throughout, one
+    * localCheckpoint per BFS level (flat plans, no lineage growth).
+    */
+  def stressCentrality(docs: DataFrame, idCol: String, textCol: String,
+                       vocab: Int, supNum: Int, supDen: Int,
+                       rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 8, s"rounds $rounds")
+    val half = strongHalf(docs, idCol, textCol, vocab, supNum, supDen)
+    val nb = half.union(
+      half.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(eager = true)
+    val nodes = nb.select(col("src").as("t")).distinct()
+      .localCheckpoint(eager = true)
+    var vis = nodes.select(col("t").as("s"), col("t").as("v"),
+      lit(0L).as("d"), lit(1L).as("sigma")).localCheckpoint(eager = true)
+    var frontier = vis
+    for (r <- 1 to rounds) {
+      val nf = frontier
+        .join(broadcast(nb.select(col("src").as("v"), col("dst").as("w"))),
+          Seq("v"))
+        .groupBy(col("s"), col("w").as("v"))
+        .agg(sum("sigma").as("sigma"))
+        .join(vis.select("s", "v"), Seq("s", "v"), "left_anti")
+        .select(col("s"), col("v"), lit(r.toLong).as("d"), col("sigma"))
+        .localCheckpoint(eager = true)
+      vis = vis.unionByName(nf).localCheckpoint(eager = true)
+      frontier = nf
+    }
+    val sp = vis.filter(col("s") =!= col("v"))
+      .localCheckpoint(eager = true)
+    val thru = sp.select(col("s"), col("v").as("w"),
+        col("d").as("d1"), col("sigma").as("sig1"))
+      .join(broadcast(sp.select(col("s").as("w"), col("v").as("t2"),
+        col("d").as("d2"), col("sigma").as("sig2"))), Seq("w"))
+      .join(broadcast(sp.select(col("s"), col("v").as("t2"),
+        col("d").as("dst"))), Seq("s", "t2"))
+      .filter(col("s") < col("t2") && col("w") =!= col("s") &&
+        col("w") =!= col("t2") && col("d1") + col("d2") === col("dst"))
+      .groupBy("w").agg(sum(col("sig1") * col("sig2")).as("stress"))
+    nodes.join(broadcast(thru), nodes("t") === thru("w"), "left")
+      .select(col("t").as("token"),
+        coalesce(col("stress"), lit(0L)).as("stress"))
+      .orderBy("token")
+  }
 }
