@@ -19450,6 +19450,68 @@ object QueriesExt {
     // quality is q21's composite, ties break on doc_id. At 100 TB this
     // is a per-source window + a range-partitioned sort — no global
     // row-number, no driver-side sequencing.
+    // ── Borůvka maximum spanning forest (q405) ─────────────────────────
+    // Single-linkage's backbone over the strong graph: per round every
+    // component claims its best incident cross edge under the TOTAL
+    // order (c desc, src, dst) and components re-merge; 6 rounds span
+    // ≥ 2⁶ nodes. The tie-broken order is strict, so the forest is the
+    // UNIQUE lexicographic-max spanning forest — the oracle's
+    // independently-unrolled rounds (argmin via the same rank window,
+    // components via reachability squaring instead of star
+    // contraction) must agree edge-for-edge by THEOREM, making this a
+    // sharper cross-engine gate than any hash of derived numbers.
+    QueryDef("q405_boruvka_msf",
+      (s, dir) => graft.ext.Search.boruvkaForest(
+        tPar(s, dir, "documents"), "doc_id", "text", trVocab,
+        linkSupNum, linkSupDen, 6),
+      Some {
+        val rounds = (1 to 6).map { r =>
+          val sq = (1 to 6).map { q =>
+            s"""g${r}_$q AS MATERIALIZED (SELECT DISTINCT a.u, b.v
+               FROM g${r}_${q - 1} a JOIN g${r}_${q - 1} b ON a.v = b.u)"""
+          }.mkString(",\n")
+          s"""e$r AS (SELECT s.src, s.dst, s.c,
+               la.comp AS la, lb.comp AS lb
+             FROM strong s JOIN l${r - 1} la ON la.t = s.src
+             JOIN l${r - 1} lb ON lb.t = s.dst
+             WHERE la.comp <> lb.comp),
+           o$r AS (SELECT la AS comp, src, dst, c FROM e$r
+             UNION ALL SELECT lb AS comp, src, dst, c FROM e$r),
+           ch$r AS (SELECT src, dst, c FROM (SELECT src, dst, c,
+               ROW_NUMBER() OVER (PARTITION BY comp
+                 ORDER BY c DESC, src, dst) AS rn FROM o$r)
+             WHERE rn = 1),
+           f$r AS MATERIALIZED (SELECT DISTINCT src, dst, c FROM
+             (SELECT src, dst, c FROM f${r - 1}
+              UNION ALL SELECT src, dst, c FROM ch$r)),
+           g${r}_0 AS MATERIALIZED (SELECT t AS u, t AS v FROM nodes
+             UNION SELECT src, dst FROM f$r
+             UNION SELECT dst, src FROM f$r),
+           $sq,
+           l$r AS MATERIALIZED (SELECT u AS t, MIN(v) AS comp
+             FROM g${r}_6 GROUP BY u)"""
+        }.mkString(",\n")
+        s"""WITH dt AS (SELECT DISTINCT doc_id, tok AS token
+            FROM (SELECT doc_id, unnest($dTok) AS tok FROM documents)),
+          ndt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+          v AS (SELECT token FROM (SELECT token, COUNT(*) AS df FROM dt
+            GROUP BY 1 ORDER BY df DESC, token LIMIT $trVocab)),
+          vt AS (SELECT dt.doc_id, dt.token FROM dt JOIN v USING (token)),
+          co AS (SELECT a.token AS src, b.token AS dst,
+              CAST(COUNT(*) AS BIGINT) AS c
+            FROM vt a JOIN vt b
+              ON a.doc_id = b.doc_id AND a.token < b.token
+            GROUP BY 1, 2),
+          strong AS MATERIALIZED (SELECT src, dst, c FROM co, ndt
+            WHERE c * $linkSupDen > $linkSupNum * nd),
+          nodes AS MATERIALIZED (SELECT src AS t FROM strong
+            UNION SELECT dst FROM strong),
+          l0 AS MATERIALIZED (SELECT t, t AS comp FROM nodes),
+          f0 AS MATERIALIZED (SELECT src, dst, c FROM strong WHERE 1 = 0),
+          $rounds
+        SELECT src, dst, c FROM f6 ORDER BY src, dst"""
+      }),
+
     QueryDef("q404_curriculum",
       (s, dir) => Curation.curriculumInterleave(
         tPar(s, dir, "documents"), "doc_id", "source", "text", stopwords),

@@ -746,4 +746,73 @@ object Search {
         coalesce(col("stress"), lit(0L)).as("stress"))
       .orderBy("token")
   }
+
+  /** Borůvka maximum spanning forest of the strong co-occurrence graph
+    * (Borůvka 1926 — THE parallel MST algorithm): per round, every
+    * component claims its best incident cross-component edge under the
+    * TOTAL order (c desc, src, dst), claimed edges join the forest, and
+    * components re-merge by connected components of the forest so far;
+    * ⌈log₂ V⌉ rounds span every component. Because the tie-broken edge
+    * order is a strict total order, the forest is the UNIQUE
+    * lexicographic-maximum spanning forest — Borůvka, Kruskal and Prim
+    * all produce it, so the oracle's independently-unrolled rounds must
+    * agree edge-for-edge, not just in weight.
+    *
+    * This is single-linkage clustering's backbone: cutting the forest's
+    * lightest edges first replays the entire dendrogram of the
+    * similarity graph, which is why a dedup pipeline wants the MSF and
+    * not just fixed-threshold components (q45) — one artifact answers
+    * every threshold.
+    *
+    * Scale shape: each round is ONE per-component argmin (groupBy via a
+    * rank window on the component key) + one star-contraction CC pass
+    * ([[Dedup.dedupClustersStar]]) — both shuffle-native primitives
+    * with no sequential edge scan anywhere (Kruskal's sort-and-scan
+    * does not distribute; Borůvka is the textbook cluster MST). Here
+    * every table after the one corpus pass is ≤ vocab²-bounded.
+    */
+  def boruvkaForest(docs: DataFrame, idCol: String, textCol: String,
+                    vocab: Int, supNum: Int, supDen: Int,
+                    rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 8, s"rounds $rounds")
+    import org.apache.spark.sql.expressions.Window
+    val (_, edges) = cooccurGraph(docs, idCol, textCol, vocab)
+    val ndocs = docs.agg(count(lit(1)).as("nd"))
+    val strong = edges.crossJoin(broadcast(ndocs))
+      .filter(col("c") * supDen > lit(supNum) * col("nd"))
+      .filter(col("src") < col("dst")).select("src", "dst", "c")
+      .localCheckpoint(eager = true)
+    val nodes = strong.select(col("src").as("t"))
+      .union(strong.select(col("dst").as("t"))).distinct()
+      .localCheckpoint(eager = true)
+    var labels = nodes.select(col("t"), col("t").as("comp"))
+    var forest = strong.filter(lit(false)).localCheckpoint(eager = true)
+    for (_ <- 1 to rounds) {
+      val e = strong
+        .join(broadcast(labels.select(col("t").as("src"),
+          col("comp").as("la"))), "src")
+        .join(broadcast(labels.select(col("t").as("dst"),
+          col("comp").as("lb"))), "dst")
+        .filter(col("la") =!= col("lb"))
+      // each cross edge is offered to BOTH endpoint components; the
+      // rank window is the per-component argmin under the total order
+      val offers = e.select(col("la").as("comp"), col("src"), col("dst"),
+          col("c"))
+        .union(e.select(col("lb").as("comp"), col("src"), col("dst"),
+          col("c")))
+      val chosen = offers
+        .withColumn("rn", row_number().over(Window.partitionBy("comp")
+          .orderBy(desc("c"), col("src"), col("dst"))))
+        .filter(col("rn") === 1).select("src", "dst", "c")
+      forest = forest.union(chosen).distinct()
+        .localCheckpoint(eager = true)
+      val cc = Dedup.dedupClustersStar(
+        forest.select(col("src").as("id_a"), col("dst").as("id_b")))
+      labels = nodes
+        .join(broadcast(cc.withColumnRenamed("id", "t")), Seq("t"), "left")
+        .select(col("t"), coalesce(col("cluster"), col("t")).as("comp"))
+        .localCheckpoint(eager = true)
+    }
+    forest.orderBy("src", "dst")
+  }
 }

@@ -102,6 +102,49 @@ class Round15EvalSpec extends AnyFunSuite {
       "a connected 29-node graph of diameter >= 2 must route paths")
   }
 
+  test("q405 Borůvka: triangle keeps the two heaviest edges") {
+    // ab=3, bc=2, ac=1 co-occurrences; support gate passes all
+    val docs = (Seq.fill(3)("aa bb") ++ Seq.fill(2)("bb cc") ++ Seq("aa cc"))
+      .zipWithIndex.map { case (t, i) => (i + 1L, t) }.toDF("doc_id", "text")
+    val out = Search.boruvkaForest(docs, "doc_id", "text",
+      vocab = 3, supNum = 1, supDen = 7, rounds = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.toSet === Set(("aa", "bb", 3L), ("bb", "cc", 2L)),
+      out.toSeq.toString)
+  }
+
+  test("q405 Borůvka: weighted 4-cycle drops exactly the lightest edge") {
+    // ab=5, bc=4, cd=3, da=2 => forest {ab, bc, cd}
+    val texts = Seq.fill(5)("aa bb") ++ Seq.fill(4)("bb cc") ++
+      Seq.fill(3)("cc dd") ++ Seq.fill(2)("aa dd")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i + 1L, t) }
+      .toDF("doc_id", "text")
+    val out = Search.boruvkaForest(docs, "doc_id", "text",
+      vocab = 4, supNum = 1, supDen = 8, rounds = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.toSet === Set(("aa", "bb", 5L), ("bb", "cc", 4L),
+      ("cc", "dd", 3L)), out.toSeq.toString)
+  }
+
+  test("q405 on testdata: result is a spanning forest — acyclic " +
+       "(|E| = |V| - #components) and same components as the graph") {
+    val forest = run("q405_boruvka_msf").collect()
+    val fEdges = forest.map(r => (r.getString(0), r.getString(1)))
+    val nodes = fEdges.flatMap(e => Seq(e._1, e._2)).distinct
+    // union-find over the forest edges: acyclicity <=> every edge merges
+    val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+    def find(x: String): String =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    var merges = 0
+    fEdges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      assert(ra != rb, s"cycle via ($a,$b)")
+      parent(ra) = rb; merges += 1
+    }
+    assert(merges == fEdges.length)
+    assert(fEdges.nonEmpty && nodes.length - merges >= 1)
+  }
+
   test("q404 curriculum: f strictly increasing in rank within source, " +
        "f in (0,1), and every source fills ~half of the first half") {
     val rows = run("q404_curriculum").collect()
