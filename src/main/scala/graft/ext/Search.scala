@@ -787,7 +787,8 @@ object Search {
       .localCheckpoint(eager = true)
     var labels = nodes.select(col("t"), col("t").as("comp"))
     var forest = strong.filter(lit(false)).localCheckpoint(eager = true)
-    for (_ <- 1 to rounds) {
+    var done = false
+    for (_ <- 1 to rounds if !done) {
       val e = strong
         .join(broadcast(labels.select(col("t").as("src"),
           col("comp").as("la"))), "src")
@@ -797,21 +798,31 @@ object Search {
       // each cross edge is offered to BOTH endpoint components; the
       // rank window is the per-component argmin under the total order
       val offers = e.select(col("la").as("comp"), col("src"), col("dst"),
-          col("c"))
+          col("c"), col("la"), col("lb"))
         .union(e.select(col("lb").as("comp"), col("src"), col("dst"),
-          col("c")))
+          col("c"), col("la"), col("lb")))
       val chosen = offers
         .withColumn("rn", row_number().over(Window.partitionBy("comp")
           .orderBy(desc("c"), col("src"), col("dst"))))
-        .filter(col("rn") === 1).select("src", "dst", "c")
-      forest = forest.union(chosen).distinct()
+        .filter(col("rn") === 1)
+        .select("src", "dst", "c", "la", "lb").distinct()
         .localCheckpoint(eager = true)
-      val cc = Dedup.dedupClustersStar(
-        forest.select(col("src").as("id_a"), col("dst").as("id_b")))
-      labels = nodes
-        .join(broadcast(cc.withColumnRenamed("id", "t")), Seq("t"), "left")
-        .select(col("t"), coalesce(col("cluster"), col("t")).as("comp"))
-        .localCheckpoint(eager = true)
+      if (chosen.isEmpty) done = true // spanning: later rounds are no-ops
+      else {
+        forest = forest.union(chosen.select("src", "dst", "c")).distinct()
+          .localCheckpoint(eager = true)
+        // standard Borůvka contraction: components merge via the CHOSEN
+        // edges' endpoint-LABEL graph (≤ #components rows, halves per
+        // round) — never re-derive CC of the whole forest
+        val cc = Dedup.dedupClustersStar(
+          chosen.select(col("la").as("id_a"), col("lb").as("id_b")))
+        labels = labels
+          .join(broadcast(cc.withColumnRenamed("id", "comp")),
+            Seq("comp"), "left")
+          .select(col("t"), coalesce(col("cluster"), col("comp"))
+            .as("comp"))
+          .localCheckpoint(eager = true)
+      }
     }
     forest.orderBy("src", "dst")
   }
