@@ -58,6 +58,61 @@ object QueriesExt {
   private val dNorm =
     "trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'), '\\s+', ' ', 'g'))"
 
+  /** Unrolled-Borůvka CTE chain (shared by q405/q406): strong graph →
+    * 6 rounds of (cross edges → per-component rank-window argmin →
+    * forest union → components via reachability SQUARING) ending at
+    * `f6` (the forest) and `nodes`. The components here come from
+    * squaring, NOT star contraction — an independent algorithm whose
+    * edge-for-edge agreement with the Spark side is guaranteed only by
+    * the uniqueness of the tie-broken MSF.
+    */
+  private lazy val dBoruvkaChain: String = {
+    val rounds = (1 to 6).map { r =>
+      val sq = (1 to 6).map { q =>
+        s"""g${r}_$q AS MATERIALIZED (SELECT DISTINCT a.u, b.v
+           FROM g${r}_${q - 1} a JOIN g${r}_${q - 1} b ON a.v = b.u)"""
+      }.mkString(",\n")
+      s"""e$r AS (SELECT s.src, s.dst, s.c,
+           la.comp AS la, lb.comp AS lb
+         FROM strong s JOIN l${r - 1} la ON la.t = s.src
+         JOIN l${r - 1} lb ON lb.t = s.dst
+         WHERE la.comp <> lb.comp),
+       o$r AS (SELECT la AS comp, src, dst, c FROM e$r
+         UNION ALL SELECT lb AS comp, src, dst, c FROM e$r),
+       ch$r AS (SELECT src, dst, c FROM (SELECT src, dst, c,
+           ROW_NUMBER() OVER (PARTITION BY comp
+             ORDER BY c DESC, src, dst) AS rn FROM o$r)
+         WHERE rn = 1),
+       f$r AS MATERIALIZED (SELECT DISTINCT src, dst, c FROM
+         (SELECT src, dst, c FROM f${r - 1}
+          UNION ALL SELECT src, dst, c FROM ch$r)),
+       g${r}_0 AS MATERIALIZED (SELECT t AS u, t AS v FROM nodes
+         UNION SELECT src, dst FROM f$r
+         UNION SELECT dst, src FROM f$r),
+       $sq,
+       l$r AS MATERIALIZED (SELECT u AS t, MIN(v) AS comp
+         FROM g${r}_6 GROUP BY u)"""
+    }.mkString(",\n")
+    s"""dt AS (SELECT DISTINCT doc_id, tok AS token
+        FROM (SELECT doc_id, unnest($dTok) AS tok FROM documents)),
+      ndt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+      v AS (SELECT token FROM (SELECT token, COUNT(*) AS df FROM dt
+        GROUP BY 1 ORDER BY df DESC, token LIMIT $trVocab)),
+      vt AS (SELECT dt.doc_id, dt.token FROM dt JOIN v USING (token)),
+      co AS (SELECT a.token AS src, b.token AS dst,
+          CAST(COUNT(*) AS BIGINT) AS c
+        FROM vt a JOIN vt b
+          ON a.doc_id = b.doc_id AND a.token < b.token
+        GROUP BY 1, 2),
+      strong AS MATERIALIZED (SELECT src, dst, c FROM co, ndt
+        WHERE c * $linkSupDen > $linkSupNum * nd),
+      nodes AS MATERIALIZED (SELECT src AS t FROM strong
+        UNION SELECT dst FROM strong),
+      l0 AS MATERIALIZED (SELECT t, t AS comp FROM nodes),
+      f0 AS MATERIALIZED (SELECT src, dst, c FROM strong WHERE 1 = 0),
+      $rounds"""
+  }
+
   /** cos/sin(2π·h·r/7) for h∈1..3, r∈0..6 as SHARED decimal literal
     * strings (q360 weekly DFT): the Spark when-chain and the DuckDB
     * CASE both parse the same text into the same IEEE double, so no
@@ -19464,53 +19519,70 @@ object QueriesExt {
       (s, dir) => graft.ext.Search.boruvkaForest(
         tPar(s, dir, "documents"), "doc_id", "text", trVocab,
         linkSupNum, linkSupDen, 6),
-      Some {
-        val rounds = (1 to 6).map { r =>
-          val sq = (1 to 6).map { q =>
-            s"""g${r}_$q AS MATERIALIZED (SELECT DISTINCT a.u, b.v
-               FROM g${r}_${q - 1} a JOIN g${r}_${q - 1} b ON a.v = b.u)"""
-          }.mkString(",\n")
-          s"""e$r AS (SELECT s.src, s.dst, s.c,
-               la.comp AS la, lb.comp AS lb
-             FROM strong s JOIN l${r - 1} la ON la.t = s.src
-             JOIN l${r - 1} lb ON lb.t = s.dst
-             WHERE la.comp <> lb.comp),
-           o$r AS (SELECT la AS comp, src, dst, c FROM e$r
-             UNION ALL SELECT lb AS comp, src, dst, c FROM e$r),
-           ch$r AS (SELECT src, dst, c FROM (SELECT src, dst, c,
-               ROW_NUMBER() OVER (PARTITION BY comp
-                 ORDER BY c DESC, src, dst) AS rn FROM o$r)
-             WHERE rn = 1),
-           f$r AS MATERIALIZED (SELECT DISTINCT src, dst, c FROM
-             (SELECT src, dst, c FROM f${r - 1}
-              UNION ALL SELECT src, dst, c FROM ch$r)),
-           g${r}_0 AS MATERIALIZED (SELECT t AS u, t AS v FROM nodes
-             UNION SELECT src, dst FROM f$r
-             UNION SELECT dst, src FROM f$r),
-           $sq,
-           l$r AS MATERIALIZED (SELECT u AS t, MIN(v) AS comp
-             FROM g${r}_6 GROUP BY u)"""
-        }.mkString(",\n")
-        s"""WITH dt AS (SELECT DISTINCT doc_id, tok AS token
+      Some(s"WITH $dBoruvkaChain\n" +
+        "SELECT src, dst, c FROM f6 ORDER BY src, dst")),
+
+    // ── Single-linkage dendrogram levels (q406) ────────────────────────
+    // The payoff q405's scaladoc promises: per distinct forest weight,
+    // the cluster count at that similarity threshold — on a FOREST it
+    // is the CLOSED FORM |V| − |{edges ≥ t}| (one cumulative window
+    // over ≤ |V|−1 levels, no per-level CC pass). One artifact answers
+    // every dedup threshold where q45 answers one.
+    QueryDef("q406_dendrogram",
+      (s, dir) => graft.ext.Search.dendrogramLevels(
+        tPar(s, dir, "documents"), "doc_id", "text", trVocab,
+        linkSupNum, linkSupDen, 6),
+      Some(s"""WITH $dBoruvkaChain,
+          lv AS (SELECT c AS threshold, COUNT(*) AS n_at
+            FROM f6 GROUP BY c),
+          cum AS (SELECT threshold,
+            CAST(SUM(n_at) OVER (ORDER BY threshold DESC
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_edges_kept
+            FROM lv),
+          nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM nodes)
+        SELECT threshold, n_edges_kept, nn - n_edges_kept AS n_clusters
+        FROM cum CROSS JOIN nv ORDER BY threshold""")),
+
+    // ── Eccentricity / center–periphery profile (q407) ─────────────────
+    // The node-level decomposition of the q371 distance census: per
+    // token its eccentricity, plus integer flags for the graph CENTER
+    // (ecc = radius) and PERIPHERY (ecc = diameter). All integer; the
+    // two scalars broadcast onto the vocab-bounded table.
+    QueryDef("q407_eccentricity",
+      (s, dir) => graft.ext.Search.eccentricityProfile(
+        tPar(s, dir, "documents"), "doc_id", "text", trVocab,
+        linkSupNum, linkSupDen, 4),
+      Some(s"""WITH dt AS (SELECT DISTINCT doc_id, tok AS token
             FROM (SELECT doc_id, unnest($dTok) AS tok FROM documents)),
-          ndt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
-          v AS (SELECT token FROM (SELECT token, COUNT(*) AS df FROM dt
-            GROUP BY 1 ORDER BY df DESC, token LIMIT $trVocab)),
-          vt AS (SELECT dt.doc_id, dt.token FROM dt JOIN v USING (token)),
-          co AS (SELECT a.token AS src, b.token AS dst,
-              CAST(COUNT(*) AS BIGINT) AS c
-            FROM vt a JOIN vt b
-              ON a.doc_id = b.doc_id AND a.token < b.token
-            GROUP BY 1, 2),
-          strong AS MATERIALIZED (SELECT src, dst, c FROM co, ndt
-            WHERE c * $linkSupDen > $linkSupNum * nd),
-          nodes AS MATERIALIZED (SELECT src AS t FROM strong
-            UNION SELECT dst FROM strong),
-          l0 AS MATERIALIZED (SELECT t, t AS comp FROM nodes),
-          f0 AS MATERIALIZED (SELECT src, dst, c FROM strong WHERE 1 = 0),
-          $rounds
-        SELECT src, dst, c FROM f6 ORDER BY src, dst"""
-      }),
+        ndt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+        v AS (SELECT token FROM (SELECT token, COUNT(*) AS df FROM dt
+          GROUP BY 1 ORDER BY df DESC, token LIMIT $trVocab)),
+        vt AS (SELECT dt.doc_id, dt.token FROM dt JOIN v USING (token)),
+        co AS (SELECT a.token AS src, b.token AS dst,
+            CAST(COUNT(*) AS BIGINT) AS c
+          FROM vt a JOIN vt b
+            ON a.doc_id = b.doc_id AND a.token < b.token
+          GROUP BY 1, 2),
+        half AS (SELECT src, dst FROM co, ndt
+          WHERE c * $linkSupDen > $linkSupNum * nd),
+        nb AS MATERIALIZED (SELECT src, dst FROM half
+          UNION ALL SELECT dst, src FROM half),
+        d0 AS MATERIALIZED (SELECT src AS u, dst AS v,
+          CAST(1 AS BIGINT) AS d FROM nb),
+        ${(0 until 4).map { i =>
+          s"""d${i + 1} AS MATERIALIZED (SELECT u, v, MIN(d) AS d FROM (
+               SELECT u, v, d FROM d$i
+               UNION ALL
+               SELECT d$i.u, nb.dst AS v, d$i.d + 1
+               FROM d$i JOIN nb ON d$i.v = nb.src) t
+             GROUP BY 1, 2)"""
+        }.mkString(",\n")},
+        ecc AS (SELECT u AS token, MAX(d) AS ecc FROM d4 GROUP BY u),
+        r AS (SELECT MIN(ecc) AS radius, MAX(ecc) AS diameter FROM ecc)
+        SELECT token, ecc,
+          CAST(ecc = radius AS BIGINT) AS is_center,
+          CAST(ecc = diameter AS BIGINT) AS is_periphery
+        FROM ecc CROSS JOIN r ORDER BY token""")),
 
     QueryDef("q404_curriculum",
       (s, dir) => Curation.curriculumInterleave(

@@ -503,6 +503,20 @@ object Search {
                         vocab: Int, supNum: Int, supDen: Int,
                         rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds $rounds")
+    apspDistances(docs, idCol, textCol, vocab, supNum, supDen, rounds)
+      .filter(col("u") < col("v"))
+      .groupBy(col("d").as("dist")).agg(count(lit(1)).as("n_pairs"))
+      .orderBy("dist")
+  }
+
+  /** Min-plus relaxed all-pairs distance table (u, v, d) of the strong
+    * graph, `rounds` rounds (reaches every distance ≤ rounds+1) — the
+    * shared core of [[distanceHistogram]] (q371) and
+    * [[eccentricityProfile]] (q407).
+    */
+  private def apspDistances(docs: DataFrame, idCol: String,
+                            textCol: String, vocab: Int, supNum: Int,
+                            supDen: Int, rounds: Int): DataFrame = {
     val half = strongHalf(docs, idCol, textCol, vocab, supNum, supDen)
     val nb = half.union(
       half.select(col("dst").as("src"), col("src").as("dst")))
@@ -517,9 +531,31 @@ object Search {
       dist = dist.union(ext).groupBy("u", "v").agg(min("d").as("d"))
         .localCheckpoint(eager = true)
     }
-    dist.filter(col("u") < col("v"))
-      .groupBy(col("d").as("dist")).agg(count(lit(1)).as("n_pairs"))
-      .orderBy("dist")
+    dist
+  }
+
+  /** Eccentricity profile of the strong graph: per node the greatest
+    * shortest-path distance to any reachable node, plus integer flags
+    * for CENTER membership (ecc = radius, the graph's best "broadcast
+    * sources") and PERIPHERY membership (ecc = diameter) — the
+    * node-level decomposition of the q371 census whose max/min the
+    * Wiener/efficiency summaries (q396) collapse. All integer; the
+    * radius/diameter scalars broadcast onto the vocab-bounded
+    * eccentricity table.
+    */
+  def eccentricityProfile(docs: DataFrame, idCol: String, textCol: String,
+                          vocab: Int, supNum: Int, supDen: Int,
+                          rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds $rounds")
+    val ecc = apspDistances(docs, idCol, textCol, vocab, supNum, supDen,
+      rounds)
+      .groupBy(col("u").as("token")).agg(max("d").as("ecc"))
+    ecc.crossJoin(broadcast(ecc.agg(min("ecc").as("radius"),
+        max("ecc").as("diameter"))))
+      .select(col("token"), col("ecc"),
+        (col("ecc") === col("radius")).cast("long").as("is_center"),
+        (col("ecc") === col("diameter")).cast("long").as("is_periphery"))
+      .orderBy("token")
   }
 
   /** Bounded-horizon Katz centrality on the strong co-occurrence
@@ -773,7 +809,41 @@ object Search {
     */
   def boruvkaForest(docs: DataFrame, idCol: String, textCol: String,
                     vocab: Int, supNum: Int, supDen: Int,
-                    rounds: Int): DataFrame = {
+                    rounds: Int): DataFrame =
+    boruvkaCore(docs, idCol, textCol, vocab, supNum, supDen, rounds)
+      ._2.orderBy("src", "dst")
+
+  /** Single-linkage dendrogram levels read off the [[boruvkaForest]]:
+    * for every distinct forest weight `threshold`, the clustering at
+    * similarity ≥ threshold keeps exactly the forest edges with
+    * c ≥ threshold, so on a FOREST the cluster count is the CLOSED
+    * FORM |V| − |{edges ≥ threshold}| — no per-level CC pass, one
+    * cumulative window over the ≤ |V|−1 weight levels. This is the
+    * payoff the MSF buys over fixed-threshold components (q45): one
+    * artifact answers every threshold.
+    */
+  def dendrogramLevels(docs: DataFrame, idCol: String, textCol: String,
+                       vocab: Int, supNum: Int, supDen: Int,
+                       rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (nodes, forest) =
+      boruvkaCore(docs, idCol, textCol, vocab, supNum, supDen, rounds)
+    val lv = forest.groupBy(col("c").as("threshold"))
+      .agg(count(lit(1)).as("n_at"))
+    // ≤ |V|−1 weight levels: the bounded-grid global-order contract
+    lv.withColumn("n_edges_kept",
+        sum("n_at").over(graft.BoundedWindows.boundedWindow(
+            desc("threshold"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(nodes.agg(count(lit(1)).as("nn"))))
+      .select(col("threshold"), col("n_edges_kept"),
+        (col("nn") - col("n_edges_kept")).as("n_clusters"))
+      .orderBy("threshold")
+  }
+
+  private def boruvkaCore(docs: DataFrame, idCol: String, textCol: String,
+                          vocab: Int, supNum: Int, supDen: Int,
+                          rounds: Int): (DataFrame, DataFrame) = {
     require(rounds >= 1 && rounds <= 8, s"rounds $rounds")
     import org.apache.spark.sql.expressions.Window
     val (_, edges) = cooccurGraph(docs, idCol, textCol, vocab)
@@ -824,6 +894,6 @@ object Search {
           .localCheckpoint(eager = true)
       }
     }
-    forest.orderBy("src", "dst")
+    (nodes, forest)
   }
 }

@@ -145,6 +145,41 @@ class Round15EvalSpec extends AnyFunSuite {
     assert(fEdges.nonEmpty && nodes.length - merges >= 1)
   }
 
+  test("q406 dendrogram: monotone levels consistent with the q405 " +
+       "forest and the q403 node set") {
+    val levels = run("q406_dendrogram").collect()
+    val forest = run("q405_boruvka_msf").collect()
+    val nNodes = run("q403_stress_centrality").count()
+    assert(levels.nonEmpty)
+    // ascending threshold => kept edges non-increasing, clusters
+    // non-decreasing; every row satisfies the closed form
+    levels.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(lo.getLong(0) < hi.getLong(0))
+        assert(lo.getLong(1) >= hi.getLong(1))
+        assert(lo.getLong(2) <= hi.getLong(2))
+      case _ =>
+    }
+    levels.foreach(r => assert(r.getLong(1) + r.getLong(2) === nNodes))
+    // at the lowest threshold every forest edge is kept
+    assert(levels.head.getLong(1) === forest.length.toLong)
+  }
+
+  test("q407 eccentricity: radius <= diameter <= 2 radius, flags mark " +
+       "non-empty center and periphery, diameter matches the q371 census") {
+    val rows = run("q407_eccentricity").collect()
+    val eccs = rows.map(_.getLong(1))
+    val (radius, diameter) = (eccs.min, eccs.max)
+    assert(radius >= 1 && radius <= diameter && diameter <= 2 * radius)
+    rows.foreach { r =>
+      assert((r.getLong(2) == 1L) === (r.getLong(1) == radius))
+      assert((r.getLong(3) == 1L) === (r.getLong(1) == diameter))
+    }
+    val census = run("q371_graph_distances").collect()
+    assert(census.map(_.getLong(0)).max === diameter,
+      "node eccentricity max must equal the pair-census max distance")
+  }
+
   test("q404 curriculum: f strictly increasing in rank within source, " +
        "f in (0,1), and every source fills ~half of the first half") {
     val rows = run("q404_curriculum").collect()
