@@ -65,6 +65,13 @@ object QueriesExt {
     * squaring, NOT star contraction — an independent algorithm whose
     * edge-for-edge agreement with the Spark side is guaranteed only by
     * the uniqueness of the tie-broken MSF.
+    *
+    * DEPTH CONTRACT (coupled to trVocab): 6 squaring rounds cover
+    * forest paths of ≤ 2⁶ = 64 edges and 6 Borůvka rounds span ≤ 2⁶
+    * nodes, so this chain is correct only while trVocab ≤ 64. The
+    * Spark side fails loudly (`boruvkaCore` requires 2^rounds ≥ vocab);
+    * this oracle would go silently wrong instead — hence the matching
+    * require in q405/q406's callers stays at rounds = 6 ≥ log₂(trVocab).
     */
   private lazy val dBoruvkaChain: String = {
     val rounds = (1 to 6).map { r =>
@@ -19373,8 +19380,10 @@ object QueriesExt {
         FROM den CROSS JOIN w""")),
 
     // ── Winnowing fingerprints (q401, Schleimer et al. SIGMOD'03) ──────
-    // The MOSS selection rule: per-window minimum shingle hash,
-    // rightmost on ties — a bounded-density sketch (expected 2/(w+1))
+    // Standard winnowing (the scheme MOSS popularized): per-window
+    // minimum shingle hash, rightmost on ties (the paper's stateful
+    // "robust" tie rule is not needed for either bound) — a
+    // bounded-density sketch (expected 2/(w+1))
     // with a DETECTION GUARANTEE (any shared run of ≥ w+k−1 tokens
     // yields a shared fingerprint), which neither the 1-hash MinHash
     // (q23, no locality) nor every-shingle spans (q103, no compression)
@@ -19577,7 +19586,8 @@ object QueriesExt {
                FROM d$i JOIN nb ON d$i.v = nb.src) t
              GROUP BY 1, 2)"""
         }.mkString(",\n")},
-        ecc AS (SELECT u AS token, MAX(d) AS ecc FROM d4 GROUP BY u),
+        ecc AS (SELECT u AS token, MAX(d) AS ecc FROM d4
+          WHERE u <> v GROUP BY u),
         r AS (SELECT MIN(ecc) AS radius, MAX(ecc) AS diameter FROM ecc)
         SELECT token, ecc,
           CAST(ecc = radius AS BIGINT) AS is_center,

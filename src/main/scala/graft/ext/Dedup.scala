@@ -1025,10 +1025,14 @@ object Dedup {
 
   /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, "Winnowing:
     * Local Algorithms for Document Fingerprinting", SIGMOD 2003 — the
-    * MOSS selection rule): hash every k-token shingle, slide a window
-    * of `w` consecutive shingle hashes over the document, and keep the
-    * window MINIMUM (rightmost position on hash ties — the paper's
-    * robust-winnowing rule). Guarantee: any token run of length
+    * selection scheme MOSS popularized): hash every k-token shingle,
+    * slide a window of `w` consecutive shingle hashes over the
+    * document, and keep the window MINIMUM. This is STANDARD winnowing
+    * with a rightmost-position tie-break — a deterministic stateless
+    * rule; the paper's "robust winnowing" variant instead prefers
+    * re-selecting the previously selected fingerprint on ties, which is
+    * stateful across windows and not needed for the detection floor or
+    * density bound below. Guarantee: any token run of length
     * ≥ w + k − 1 shared between two documents contributes at least one
     * IDENTICAL selected fingerprint to both, while expected density is
     * 2/(w+1) — a bounded-size sketch with a detection floor, which is

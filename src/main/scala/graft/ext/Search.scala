@@ -547,8 +547,15 @@ object Search {
                           vocab: Int, supNum: Int, supDen: Int,
                           rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds $rounds")
+    // Relaxation manufactures d(u,u)=2 for every non-isolated node (the
+    // seed table has no self rows, but u→w→u round trips do), which
+    // would floor every eccentricity at 2 — a node adjacent to ALL
+    // others has true ecc 1. Self rows are not shortest-path facts, so
+    // drop them before the max. Every node keeps ≥1 row: seeding from
+    // edges gives each node in nb a d(u, neighbor)=1 entry.
     val ecc = apspDistances(docs, idCol, textCol, vocab, supNum, supDen,
       rounds)
+      .filter(col("u") =!= col("v"))
       .groupBy(col("u").as("token")).agg(max("d").as("ecc"))
     ecc.crossJoin(broadcast(ecc.agg(min("ecc").as("radius"),
         max("ecc").as("diameter"))))
@@ -845,6 +852,14 @@ object Search {
                           vocab: Int, supNum: Int, supDen: Int,
                           rounds: Int): (DataFrame, DataFrame) = {
     require(rounds >= 1 && rounds <= 8, s"rounds $rounds")
+    // Spanning is guaranteed only when components can halve down to one
+    // within the round budget: 2^rounds must cover every possible node
+    // count (≤ vocab). The oracle's unrolled chain (dBoruvkaChain) has
+    // the SAME bound baked into its reachability-squaring depth — a
+    // vocab bump without a rounds bump would make both engines silently
+    // agree on a truncated forest, so fail loudly here instead.
+    require((1L << rounds) >= vocab,
+      s"2^$rounds < vocab $vocab: Boruvka may not span; raise rounds")
     import org.apache.spark.sql.expressions.Window
     val (_, edges) = cooccurGraph(docs, idCol, textCol, vocab)
     val ndocs = docs.agg(count(lit(1)).as("nd"))

@@ -455,8 +455,12 @@ object NativeExprs {
     */
   private final class LevScratch {
     val peq = new Array[Long](128)
-    val stamp = new Array[Int](128)
-    var gen = 0
+    // Long generation counter: an Int would wrap after 2^31 evals on one
+    // executor thread, letting a stale stamp equal the current gen and
+    // OR stale pattern bits into a fresh row. A Long cannot wrap within
+    // any physical run (2^63 evals at 1/ns ≈ 292 years).
+    val stamp = new Array[Long](128)
+    var gen = 0L
     var wide: java.util.HashMap[Integer, java.lang.Long] = null
     val cpA = new Array[Int](64)
     val cpB = new Array[Int](64)
