@@ -112,6 +112,19 @@ object Bench {
       .getOrElse(600.0)
     val benchStart = System.nanoTime()
     def elapsedS: Double = (System.nanoTime() - benchStart) / 1e9
+    // r16 soft disk preflight: an sf3-scale shuffle dies mid-spill hours
+    // in when /tmp fills (the r15 q106 lesson) — warn up front here;
+    // tools/disk_preflight.sh is the strict scripted version (it also
+    // cleans stale /tmp/blockmgr-* from crashed runs).
+    locally {
+      val usableGb = new java.io.File("/tmp").getUsableSpace / (1L << 30)
+      val floorGb = sys.env.get("SPARK_GRAFT_DISK_FLOOR_GB")
+        .flatMap(v => scala.util.Try(v.trim.toLong).toOption).getOrElse(20L)
+      if (usableGb < floorGb)
+        System.err.println(s"[bench] WARNING: ${usableGb}G free on /tmp < " +
+          s"${floorGb}G floor — a spill-heavy run may fail mid-shuffle; " +
+          "run tools/disk_preflight.sh or free disk first")
+    }
     val sampled = scala.collection.mutable.Map.empty[String, Double]
     val roundLoads = scala.collection.mutable.ArrayBuffer.empty[Double]
 
@@ -130,11 +143,28 @@ object Bench {
     // Persist after every round: the round-7 artifact lost q01–q24 when the
     // driver only captured the tail of stdout, and the r11 artifact was
     // lost entirely to a mid-round SIGTERM. The file is the durable copy.
+    // A PREVIOUS run's artifact at the same SF is moved aside (suffixed
+    // with its own mtime) rather than destroyed — the r15 sf3 campaign
+    // lost a result to a silent same-SF overwrite and had to reconstruct
+    // it from the log.
+    var priorArtifactSaved = false
     def persist(line: String): Unit = try {
       val sfName = new java.io.File(sfDir).getName
       val outDir = new java.io.File("target")
       outDir.mkdirs()
       val f = new java.io.File(outDir, s"bench_$sfName.json")
+      if (!priorArtifactSaved) {
+        priorArtifactSaved = true
+        if (f.exists()) {
+          val bak = new java.io.File(outDir,
+            s"bench_$sfName.${f.lastModified() / 1000}.bak.json")
+          if (f.renameTo(bak))
+            System.err.println(s"[bench] prior artifact kept as ${bak.getPath}")
+          else
+            System.err.println(s"[bench] WARNING: could not preserve prior " +
+              s"${f.getPath}; overwriting")
+        }
+      }
       val w = new java.io.PrintWriter(f, "UTF-8")
       try w.println(line) finally w.close()
       System.err.println(s"[bench] wrote ${f.getPath}")

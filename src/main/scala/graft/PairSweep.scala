@@ -229,6 +229,43 @@ object PairSweep {
     // ── per-query invariant suites ─────────────────────────────────────
     import graft.ext.Dedup
 
+    // PPJoin plan invariants (q106, and q28 since r16): candidate-stage
+    // prune bounds (the prefix filter is lossless, so there is no drop
+    // counter — only internal consistency), plus verify-stage gate
+    // consistency: gate survivors = exact output + collision drops, and
+    // drops must be 0 at any physically testable corpus size (a drop
+    // requires a 60-bit md5 collision INSIDE a candidate pair).
+    def ppjoinMetricChecks(orig: DataFrame, df: DataFrame): Seq[Check] = {
+      val got = orig.queryExecution.observedMetrics
+      val cand = got.get(Dedup.PpjoinCandidateMetrics) match {
+        case Some(r) =>
+          val pp = r.getLong(r.schema.fieldIndex("prefix_pairs"))
+          val pr = r.getLong(r.schema.fieldIndex("pruned_positional"))
+          val ps = r.getLong(r.schema.fieldIndex("pruned_suffix_only"))
+          Check("ppjoin_metric_bounds", pr <= pp && ps <= pr,
+            s"prefix_pairs=$pp pruned_positional=$pr pruned_suffix_only=$ps")
+        case None =>
+          Check("ppjoin_metric_bounds", pass = false, "metric not observed")
+      }
+      val verify = got.get(Dedup.PpjoinVerifyMetrics) match {
+        case Some(r) =>
+          val gp = r.getLong(r.schema.fieldIndex("gate_pairs"))
+          val dr = r.getLong(r.schema.fieldIndex("hash_collision_drops"))
+          val out = df.count()
+          // observe metrics ACCUMULATE when the same Dataset is
+          // re-executed (min-of-N sampling runs the query N times), so
+          // gate_pairs must be an exact positive MULTIPLE of the
+          // per-run output, not equal to it
+          val ok = dr == 0L &&
+            (if (out == 0L) gp == 0L else gp % out == 0L && gp >= out)
+          Check("ppjoin_verify_gate", ok,
+            s"gate_pairs=$gp collision_drops=$dr output_rows=$out")
+        case None =>
+          Check("ppjoin_verify_gate", pass = false, "metric not observed")
+      }
+      Seq(cand, verify)
+    }
+
     // Each suite gets (orig, mat): `orig` is the as-built DataFrame whose
     // executed plan carries the observed bucket metrics; `mat` is its
     // localCheckpoint — all data-side checks run on `mat` so the query
@@ -262,7 +299,9 @@ object PairSweep {
             s"$inconsistent bases with differing simhash"))
       },
       "q28_ngram_jaccard" -> { (orig, df) =>
-        metricChecks(orig, Seq(Dedup.NgramBucketMetrics)) ++
+        // q28 executes the prefix-filtered PPJoin plan since r16 (the
+        // naive index is test-only): same invariants as q106
+        ppjoinMetricChecks(orig, df) ++
           orderedDistinct(df, "id_a", "id_b") ++
           clonePairCheck(df, "id_a", "id_b", offDoc, nDocs0, clonePairs,
             Some(("jaccard", 1.0, 0.0))) ++
@@ -306,25 +345,11 @@ object PairSweep {
             s"max block $mx at sf1.0 vs $mx0 at sf0.1 (expect exactly ${reps}x)")
       },
       "q106_ppjoin" -> { (orig, df) =>
-        // PpjoinCandidateMetrics has no drop counter (the prefix filter
-        // is lossless); assert it was observed and its bounds hold.
-        val got = orig.queryExecution.observedMetrics
-        val m = got.get(Dedup.PpjoinCandidateMetrics)
-        val bounds = m match {
-          case Some(r) =>
-            val pp = r.getLong(r.schema.fieldIndex("prefix_pairs"))
-            val pr = r.getLong(r.schema.fieldIndex("pruned_positional"))
-            val ps = r.getLong(r.schema.fieldIndex("pruned_suffix_only"))
-            Check("ppjoin_metric_bounds", pr <= pp && ps <= pr,
-              s"prefix_pairs=$pp pruned_positional=$pr pruned_suffix_only=$ps")
-          case None =>
-            Check("ppjoin_metric_bounds", pass = false, "metric not observed")
-        }
-        bounds +:
-          (orderedDistinct(df, "id_a", "id_b") ++
-            clonePairCheck(df, "id_a", "id_b", offDoc, nDocs0, clonePairs,
-              Some(("jaccard", 1.0, 0.0))) ++
-            sameCopyEquality(df, "q106_ppjoin", "id_a", "id_b", offDoc))
+        ppjoinMetricChecks(orig, df) ++
+          orderedDistinct(df, "id_a", "id_b") ++
+          clonePairCheck(df, "id_a", "id_b", offDoc, nDocs0, clonePairs,
+            Some(("jaccard", 1.0, 0.0))) ++
+          sameCopyEquality(df, "q106_ppjoin", "id_a", "id_b", offDoc)
       },
       "q119_containment_pairs" -> { (orig, df) =>
         val selfp = df.filter(col("id_sub") === col("id_sup")).count()

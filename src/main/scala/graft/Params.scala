@@ -178,8 +178,10 @@ object Params {
   val fuzzyPrefix = 40
   val fuzzyMaxDist = 30
   /** Prefix-filtered set-similarity join (q106): Jaccard threshold as a
-    * RATIONAL tNum/tDen (= [[jaccardMin]], so q106 states q28's exact
-    * contract under the prefix-filtered plan) — required overlaps and
+    * RATIONAL tNum/tDen (= [[jaccardMin]]; since r16 the prefix-filtered
+    * plan SERVES q28/q313/q327's exact-Jaccard contract too — the naive
+    * every-shingle index measured superlinear at sf3 and is now the
+    * test-only equivalence witness) — required overlaps and
     * prefix lengths stay integer-exact and the keep predicate
     * `shared·tDen ≥ tNum·(na + nb − shared)` never touches floating
     * point. */

@@ -779,10 +779,19 @@ object QueriesExt {
           FROM documents ORDER BY doc_id"""
       }),
 
-    // ── Exact n-gram Jaccard near-dup pairs (inverted index join) ──────
+    // ── Exact n-gram Jaccard near-dup pairs ────────────────────────────
+    // CONTRACT: all pairs with shingle-set Jaccard ≥ jaccardMin, exact.
+    // SERVED by the prefix-filtered PPJoin plan (q106's machinery,
+    // jaccardMin = ppjTNum/ppjTDen): the naive every-shingle inverted
+    // index (Dedup.ngramJaccardPairs) measured SUPERLINEAR at sf3
+    // (7.5× wall on 3× data — hot-shingle posting lists are unbounded),
+    // while the prefix-filtered plan is proven output-equivalent on
+    // boundary fixtures and the corpus (DedupSpec) and stays linear.
+    // The naive index remains as the test-only equivalence witness.
     QueryDef("q28_ngram_jaccard",
-      (s, dir) => Dedup.ngramJaccardPairs(tPar(s, dir, "documents"),
-        "doc_id", "text", shingleK, jaccardMin)
+      (s, dir) => Dedup.prefixFilterJaccardPairs(
+          tPar(s, dir, "documents"), "doc_id", "text", shingleK,
+          ppjTNum, ppjTDen)
         .orderBy("id_a", "id_b"),
       Some(s"""WITH sh AS (SELECT doc_id, unnest(list_distinct(
             ${dShingles(dTok, shingleK)})) AS shingle FROM documents),
@@ -13701,8 +13710,10 @@ object QueriesExt {
         val mh = Dedup.minhashCandidates(docs, "doc_id", "text",
           shingleK, minhashHashes, minhashBandRows)
           .select(col("id_a"), col("id_b")).localCheckpoint()
-        val jc = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-          shingleK, jaccardMin)
+        // scale-safe q28 plan (prefix-filtered; naive index is
+        // superlinear at sf3 — see q28's routing note)
+        val jc = Dedup.prefixFilterJaccardPairs(docs, "doc_id", "text",
+          shingleK, ppjTNum, ppjTDen)
           .select(col("id_a"), col("id_b")).localCheckpoint()
         val n1 = mh.agg(count(lit(1)).as("n1"))
         val n2 = jc.agg(count(lit(1)).as("n2"))
@@ -14533,8 +14544,10 @@ object QueriesExt {
       (s, dir) => {
         val docs = tPar(s, dir, "documents")
         val src = docs.select(col("doc_id"), col("source"))
-        val e = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-            shingleK, jaccardMin)
+        // scale-safe q28 plan (prefix-filtered; naive index is
+        // superlinear at sf3 — see q28's routing note)
+        val e = Dedup.prefixFilterJaccardPairs(docs, "doc_id", "text",
+            shingleK, ppjTNum, ppjTDen)
           .join(src.select(col("doc_id").as("id_a"),
             col("source").as("sa")), Seq("id_a"))
           .join(src.select(col("doc_id").as("id_b"),

@@ -111,6 +111,15 @@ object Dedup {
     */
   val PpjoinCandidateMetrics = "graft_ppjoin_candidates"
 
+  /** [[org.apache.spark.sql.Dataset.observe]] metrics of
+    * [[prefixFilterJaccardPairs]]'s verify stage: `gate_pairs` = pairs
+    * surviving the hashed-overlap gate (= exact output pairs plus
+    * collision false positives), `hash_collision_drops` = gate
+    * survivors the exact string confirm then rejected — expected 0; a
+    * nonzero value is a live 60-bit-collision witness, not an error.
+    */
+  val PpjoinVerifyMetrics = "graft_ppjoin_verify"
+
   private def observeBuckets(buckets: DataFrame, arrCol: String, cap: Int,
                              metric: String): DataFrame =
     buckets.observe(metric,
@@ -543,6 +552,15 @@ object Dedup {
     * shared shingle; no cross join anywhere. One shuffle on shingle hash +
     * one on the pair key.
     *
+    * TEST-ONLY CROSS-CHECK since r16: no production query executes this
+    * plan. Its candidate volume is Σ over shingles of |posting|² — at
+    * sf3 the hot-shingle lists made it IO-bound and superlinear (7.5×
+    * wall on 3× data, SWEEP_SF3.json) — so the exact-Jaccard contract
+    * (q28/q313/q327) is served by [[prefixFilterJaccardPairs]], which
+    * DedupSpec proves output-equivalent on boundary fixtures and the
+    * corpus. This implementation stays as the independent witness of
+    * that equivalence.
+    *
     * `maxPosting` bounds the quadratic pair stage on hot shingles
     * (stopword-ish n-grams at corpus scale): posting lists over the cap
     * are dropped from the index — their shared-count contribution is
@@ -830,10 +848,11 @@ object Dedup {
     *
     * The shingle table feeds two consumers (document frequencies and
     * the per-doc aggregate), and the per-doc aggregate — ONE row per
-    * doc carrying its size, rare-shingle prefix, and full sorted
-    * shingle array — feeds both sides of the candidate self-join, both
-    * sides of the verify, and the size filters; each is materialized
-    * once (`localCheckpoint`) instead of re-tokenizing the corpus per
+    * doc carrying its size, rare-shingle prefix, full sorted shingle
+    * array, AND the sorted 60-bit hash array the verify gate ships —
+    * feeds both sides of the candidate self-join, both verify stages,
+    * and the size filters; each is materialized once
+    * (`localCheckpoint`) instead of re-tokenizing the corpus per
     * consumer. At cluster scale the equivalent move is a staged write
     * of the per-doc table; the plan shape (one tokenize pass, then
     * joins over the materialized table) is the same.
@@ -881,7 +900,12 @@ object Dedup {
         slice(col("arr"), lit(1), expr(
           s"size(arr) - (($tNum * size(arr) + ${tDen - 1}) div $tDen) + 1"))
           .as("pfx"),
-        col("arr"))
+        col("arr"),
+        // 8-byte verify payload: sorted 60-bit md5 prefixes of the
+        // doc's distinct shingles (the hash-GATE side of the two-stage
+        // verify below). Computed once here, in the same corpus pass.
+        graft.functions.NativeExprs.md5Prefix60Sorted(col("arr.tok"))
+          .as("h"))
       .localCheckpoint()
     val ranked = docAgg
       .select(col(idCol), col("n"), posexplode(col("pfx")).as(Seq("pos", "e")))
@@ -933,30 +957,82 @@ object Dedup {
           .as("pruned_suffix_only"))
       .filter(col("ok_first") && col("ok_last"))
       .select(col("id_a"), col("id_b"))
-    // Exact verify by per-pair array intersection: the checkpointed
-    // per-doc table already holds each doc's distinct (df, shingle)
-    // structs sorted in the global order, so two id-keyed joins attach
-    // both arrays and the native SortedIntersectCountExpr counts the
-    // overlap by LINEAR MERGE — most comparisons resolve on the df
-    // long, strings are touched only on df ties, and no per-row hash
-    // set or result array is built (`size(array_intersect(...))` was
-    // the measured verify wall at sf1.0: ~16 s CPU-bound, identical
-    // under broadcast vs shuffled builds). This replaces the old
-    // shape — candidate pairs re-exploded against the full shingle
-    // table twice, then a per-pair count aggregation and two more size
-    // joins — with joins that shuffle only |cand| + |docs| rows and NO
-    // post-join aggregation. Per-doc shingle arrays are bounded by
-    // document length, so the widest row is a document, not a corpus
-    // property.
-    cand
-      .join(docAgg.select(col(idCol).as("id_a"), col("arr").as("ta"),
+    // Two-stage verify, EXACT end-to-end over the string universe:
+    //
+    //  1. hash GATE — the candidate joins attach each side's sorted
+    //     60-bit hash array (8 bytes/shingle) instead of the full
+    //     (df, shingle-string) structs, and a multiset linear merge
+    //     (SortedLongIntersectCountExpr) counts the hashed overlap.
+    //     The hashed count is an UPPER bound of the exact string
+    //     intersection (the hash is a function: each shared string
+    //     contributes a matchable hash pair, collisions only add), so
+    //     filtering on it NEVER drops a true pair. This payload change
+    //     is the sf3 fix: the old verify shipped both docs' full sorted
+    //     shingle-STRING arrays per candidate — ~an order of magnitude
+    //     more exchange bytes, which exceeded the host's spill budget
+    //     at sf3 under both codecs (SCALE.md r15).
+    //  2. exact CONFIRM — gate survivors are OUTPUT-sized (true pairs
+    //     plus astronomically-rare collision false positives), so the
+    //     survivor list BROADCASTS: each pair explodes into its two
+    //     (doc, side) rows, ONE map-side broadcast join re-attaches the
+    //     exact (df, tok) struct arrays from the checkpoint without the
+    //     corpus ever crossing an exchange, a survivor-sized pair-key
+    //     aggregation reunites the two sides, and
+    //     SortedIntersectCountExpr recounts the true overlap — most
+    //     comparisons resolve on the df long, strings only on ties.
+    //     The keep filter and the reported jaccard are computed from
+    //     the EXACT count, so a collision can only cost a wasted
+    //     confirm, never a wrong row; the observe metric below counts
+    //     such drops (expected 0 — a nonzero value is a live collision
+    //     witness, ~n²/2⁶¹). The single-broadcast shape also means the
+    //     gate pipeline has exactly ONE consumer — no checkpoint, so
+    //     the candidate observe above stays on this query's execution.
+    //
+    // Per-doc arrays are bounded by document length, so the widest row
+    // is a document, not a corpus property; the only exchanges are the
+    // hash-payload candidate joins and the survivor-sized confirm
+    // aggregation.
+    val gated = cand
+      .join(docAgg.select(col(idCol).as("id_a"), col("h").as("ha"),
         col("n").as("na")), "id_a")
-      .join(docAgg.select(col(idCol).as("id_b"), col("arr").as("tb"),
+      .join(docAgg.select(col(idCol).as("id_b"), col("h").as("hb"),
         col("n").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        graft.functions.NativeExprs.sortedLongIntersectCount(
+          col("ha"), col("hb")).as("shared_h"),
+        col("na"), col("nb"))
+      // single-reference form of shared·tDen ≥ tNum·(na+nb−shared):
+      // Catalyst inlines this filter into the hash join's condition,
+      // and there the merge expression would be evaluated once per
+      // OCCURRENCE — the (tDen+tNum) rearrangement references shared_h
+      // exactly once, so the gate costs one merge per candidate
+      .filter(col("shared_h") * (tDen + tNum) >=
+        lit(tNum) * (col("na") + col("nb")))
+      .select("id_a", "id_b", "na", "nb")
+    val sides = gated.select(explode(array(
+        struct(col("id_a").as("id"), lit(true).as("is_a"),
+          col("id_a"), col("id_b"), col("na"), col("nb")),
+        struct(col("id_b").as("id"), lit(false).as("is_a"),
+          col("id_a"), col("id_b"), col("na"), col("nb")))).as("e"))
+      .select(col("e.id").as("id"), col("e.is_a").as("is_a"),
+        col("e.id_a").as("id_a"), col("e.id_b").as("id_b"),
+        col("e.na").as("na"), col("e.nb").as("nb"))
+    docAgg.select(col(idCol).as("id"), col("arr"))
+      .join(broadcast(sides), Seq("id"))
+      .groupBy("id_a", "id_b", "na", "nb")
+      .agg(first(when(col("is_a"), col("arr")), ignoreNulls = true)
+          .as("ta"),
+        first(when(!col("is_a"), col("arr")), ignoreNulls = true)
+          .as("tb"))
       .select(col("id_a"), col("id_b"),
         graft.functions.NativeExprs.sortedIntersectCount(
           col("ta"), col("tb")).as("shared"),
         col("na"), col("nb"))
+      .observe(PpjoinVerifyMetrics,
+        count(lit(1)).as("gate_pairs"),
+        sum(when(col("shared") * tDen <
+          lit(tNum) * (col("na") + col("nb") - col("shared")), 1L)
+          .otherwise(0L)).as("hash_collision_drops"))
       .filter(col("shared") * tDen >=
         lit(tNum) * (col("na") + col("nb") - col("shared")))
       .select(col("id_a"), col("id_b"),

@@ -807,12 +807,19 @@ object Search {
     * not just fixed-threshold components (q45) — one artifact answers
     * every threshold.
     *
-    * Scale shape: each round is ONE per-component argmin (groupBy via a
-    * rank window on the component key) + one star-contraction CC pass
-    * ([[Dedup.dedupClustersStar]]) — both shuffle-native primitives
-    * with no sequential edge scan anywhere (Kruskal's sort-and-scan
-    * does not distribute; Borůvka is the textbook cluster MST). Here
-    * every table after the one corpus pass is ≤ vocab²-bounded.
+    * Scale shape: each round is ONE distributed job — tag cross edges
+    * via broadcast label maps, per-component argmin via
+    * partial-aggregating `min_by` (map-side combine, no window sort),
+    * collect the ≤ #components chosen edges — plus a driver union-find
+    * over that vocab-bounded chosen set (node state is a bounded
+    * CONTROL table, the same class as the engine's centroid collects;
+    * the r15 shape ran a star-contraction job chain per round and its
+    * wall was pure job-scheduling fixed cost). No sequential EDGE scan
+    * anywhere (Kruskal's sort-and-scan does not distribute; Borůvka is
+    * the textbook cluster MST); every distributed table after the one
+    * corpus pass is ≤ vocab²-bounded. For a DATA-sized graph, swap the
+    * driver merge back to [[Dedup.dedupClustersStar]] (the q45 path) —
+    * the round structure transfers unchanged.
     */
   def boruvkaForest(docs: DataFrame, idCol: String, textCol: String,
                     vocab: Int, supNum: Int, supDen: Int,
@@ -860,7 +867,6 @@ object Search {
     // agree on a truncated forest, so fail loudly here instead.
     require((1L << rounds) >= vocab,
       s"2^$rounds < vocab $vocab: Boruvka may not span; raise rounds")
-    import org.apache.spark.sql.expressions.Window
     val (_, edges) = cooccurGraph(docs, idCol, textCol, vocab)
     val ndocs = docs.agg(count(lit(1)).as("nd"))
     val strong = edges.crossJoin(broadcast(ndocs))
@@ -870,45 +876,72 @@ object Search {
     val nodes = strong.select(col("src").as("t"))
       .union(strong.select(col("dst").as("t"))).distinct()
       .localCheckpoint(eager = true)
-    var labels = nodes.select(col("t"), col("t").as("comp"))
-    var forest = strong.filter(lit(false)).localCheckpoint(eager = true)
-    var done = false
+    // Node STATE (labels) is ≤ vocab rows — the same bounded
+    // control-table class as the k-means centroid collects the engine
+    // already drivers — so labels live on the driver and each round's
+    // label map rides a broadcast join. This collapses a round from
+    // window-argmin + an O(log) star-contraction job CHAIN + a label
+    // join (the r15 shape; its wall was driver-scheduled tiny-job fixed
+    // cost, SCALE.md addendum) to ONE distributed job: tag cross edges,
+    // per-component argmin via partial-aggregating min_by (no window
+    // sort), collect the ≤ #components chosen edges, and merge
+    // components by union-find on the driver. The EDGE table stays
+    // distributed (vocab²-bounded ≠ vocab-bounded); for a DATA-sized
+    // graph swap the driver merge back to star contraction
+    // ([[Dedup.dedupClustersStar]], still the q45 path) — everything
+    // else transfers unchanged.
+    import docs.sparkSession.implicits._
+    val labels = scala.collection.mutable.Map[String, String]()
+    nodes.collect().foreach(r => labels(r.getString(0)) = r.getString(0))
+    val forestBuf = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Long)]
+    var done = labels.isEmpty
     for (_ <- 1 to rounds if !done) {
+      val labelDf = labels.toSeq.toDF("t", "comp") // LocalRelation: no job
       val e = strong
-        .join(broadcast(labels.select(col("t").as("src"),
+        .join(broadcast(labelDf.select(col("t").as("src"),
           col("comp").as("la"))), "src")
-        .join(broadcast(labels.select(col("t").as("dst"),
+        .join(broadcast(labelDf.select(col("t").as("dst"),
           col("comp").as("lb"))), "dst")
         .filter(col("la") =!= col("lb"))
-      // each cross edge is offered to BOTH endpoint components; the
-      // rank window is the per-component argmin under the total order
+      // each cross edge is offered to BOTH endpoint components; argmin
+      // under the total order (c desc, src, dst) = min_by over the
+      // struct (−c, src, dst) — unique per component (edges are
+      // distinct), so the pick is deterministic and identical to the
+      // r15 rank-window's rn = 1
       val offers = e.select(col("la").as("comp"), col("src"), col("dst"),
           col("c"), col("la"), col("lb"))
         .union(e.select(col("lb").as("comp"), col("src"), col("dst"),
           col("c"), col("la"), col("lb")))
-      val chosen = offers
-        .withColumn("rn", row_number().over(Window.partitionBy("comp")
-          .orderBy(desc("c"), col("src"), col("dst"))))
-        .filter(col("rn") === 1)
-        .select("src", "dst", "c", "la", "lb").distinct()
-        .localCheckpoint(eager = true)
+      val chosen = offers.groupBy("comp")
+        .agg(min_by(struct(col("src"), col("dst"), col("c"), col("la"),
+          col("lb")), struct((-col("c")).as("nc"), col("src"),
+          col("dst"))).as("m"))
+        .select(col("m.src"), col("m.dst"), col("m.c"), col("m.la"),
+          col("m.lb"))
+        .collect()
       if (chosen.isEmpty) done = true // spanning: later rounds are no-ops
       else {
-        forest = forest.union(chosen.select("src", "dst", "c")).distinct()
-          .localCheckpoint(eager = true)
-        // standard Borůvka contraction: components merge via the CHOSEN
-        // edges' endpoint-LABEL graph (≤ #components rows, halves per
-        // round) — never re-derive CC of the whole forest
-        val cc = Dedup.dedupClustersStar(
-          chosen.select(col("la").as("id_a"), col("lb").as("id_b")))
-        labels = labels
-          .join(broadcast(cc.withColumnRenamed("id", "comp")),
-            Seq("comp"), "left")
-          .select(col("t"), coalesce(col("cluster"), col("comp"))
-            .as("comp"))
-          .localCheckpoint(eager = true)
+        // dedupe on the driver (both endpoint components may claim the
+        // same edge), then merge components; labels stay canonical
+        // (min member) so the groupBy key partition matches star
+        // contraction's exactly
+        val picked = chosen.map(r => (r.getString(0), r.getString(1),
+          r.getLong(2))).distinct
+        forestBuf ++= picked
+        chosen.foreach { r =>
+          val (la, lb) = (labels(r.getString(0)), labels(r.getString(1)))
+          if (la != lb) {
+            val (keep, drop) = if (la < lb) (la, lb) else (lb, la)
+            labels.mapValuesInPlace((_, v) => if (v == drop) keep else v)
+          }
+        }
       }
     }
+    val forest =
+      if (forestBuf.isEmpty)
+        strong.filter(lit(false)).select("src", "dst", "c")
+      else forestBuf.toSeq.toDF("src", "dst", "c")
     (nodes, forest)
   }
 }

@@ -63,6 +63,133 @@ object NativeExprs {
       ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
   }
 
+  /** First 60 bits of md5(s) — numerically equal to
+    * `('0x' || substr(md5(s),1,15))::BIGINT` in DuckDB and
+    * `conv(substring(md5(s),1,15),16,10)` in Spark SQL: the portable
+    * hash universe the PPJoin verify gate uses (large enough that a
+    * collision inside one corpus is a ~n²/2⁶¹ event, small enough to
+    * stay a positive BIGINT on both engines).
+    */
+  private[functions] def baseHash60(bytes: Array[Byte]): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(bytes)
+    ((d(0) & 0xffL) << 52) | ((d(1) & 0xffL) << 44) |
+      ((d(2) & 0xffL) << 36) | ((d(3) & 0xffL) << 28) |
+      ((d(4) & 0xffL) << 20) | ((d(5) & 0xffL) << 12) |
+      ((d(6) & 0xffL) << 4) | ((d(7) & 0xf0L) >>> 4)
+  }
+
+  /** Sorted [[baseHash60]] hashes of a string array — the 8-byte verify
+    * payload `Dedup.prefixFilterJaccardPairs` ships per candidate side
+    * instead of the full shingle strings (the exchange volume that blew
+    * the sf3 disk budget). One pass, no intermediate hex strings (the
+    * built-in `sort_array(transform(a, s -> conv(substring(md5(s),1,15),
+    * 16,10)))` allocates three strings per element and loses
+    * containsNull=false); output is ascending with DUPLICATES KEPT, so
+    * a multiset merge over two outputs upper-bounds the string
+    * intersection (each shared string contributes a matchable pair even
+    * under collisions) — exactly the lossless-gate contract the caller's
+    * exact confirm stage relies on.
+    */
+  case class Md5Prefix60SortedExpr(child: Expression)
+      extends UnaryExpression {
+
+    override def dataType: DataType =
+      ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_md5_prefix60_sorted"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case ArrayType(StringType, false) => TypeCheckResult.TypeCheckSuccess
+        case t => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<string> with non-null elements, " +
+            s"got ${t.catalogString}")
+      }
+
+    def evalTokens(a: ArrayData): ArrayData = {
+      val n = a.numElements()
+      val out = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        out(i) = baseHash60(a.getUTF8String(i).getBytes)
+        i += 1
+      }
+      java.util.Arrays.sort(out)
+      new GenericArrayData(out)
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      evalTokens(input.asInstanceOf[ArrayData])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("h60Expr", this,
+        classOf[Md5Prefix60SortedExpr].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.evalTokens($c);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** Multiset |A ∩ B| of two ascending long arrays by linear merge —
+    * the 8-byte-element sibling of [[SortedIntersectCountExpr]] for
+    * [[Md5Prefix60SortedExpr]] payloads. Multiset semantics (a value
+    * occurring a times in A and b times in B contributes min(a,b)),
+    * which is what makes the hashed count an UPPER bound of the exact
+    * distinct-string intersection under collisions. Unsorted input
+    * silently undercounts — private engine primitive, not a general
+    * function.
+    */
+  case class SortedLongIntersectCountExpr(left: Expression,
+                                          right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_sorted_long_intersect_count"
+
+    private def elemOk(e: Expression): Boolean = e.dataType match {
+      case ArrayType(LongType, containsNull) => !containsNull
+      case _ => false
+    }
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (elemOk(left) && elemOk(right)) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: both operands must be array<bigint> with " +
+          s"non-null elements, got ${left.dataType.catalogString} / " +
+          s"${right.dataType.catalogString}")
+
+    def evalArrays(a: ArrayData, b: ArrayData): Long = {
+      val na = a.numElements()
+      val nb = b.numElements()
+      var i = 0
+      var j = 0
+      var c = 0L
+      while (i < na && j < nb) {
+        val va = a.getLong(i)
+        val vb = b.getLong(j)
+        if (va == vb) { c += 1; i += 1; j += 1 }
+        else if (va < vb) i += 1
+        else j += 1
+      }
+      c
+    }
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      evalArrays(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("slicExpr", this,
+        classOf[SortedLongIntersectCountExpr].getName)
+      nullSafeCodeGen(ctx, ev,
+        (a, b) => s"${ev.value} = $ref.evalArrays($a, $b);")
+    }
+
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(left = l, right = r)
+  }
+
   /** MinHash signature over k-word shingles of a token array: element i =
     * min over shingles of (a_i·h + b_i) mod P with h = [[baseHash28]].
     * Exactly [[Shingles.minHashSignature]]'s HOF semantics (whole-doc
@@ -1298,6 +1425,15 @@ object NativeExprs {
   def sortedIntersectCount(a: Column, b: Column): Column =
     ColumnBridge.column(
       SortedIntersectCountExpr(ColumnBridge.expression(a),
+        ColumnBridge.expression(b)))
+
+  def md5Prefix60Sorted(a: Column): Column =
+    ColumnBridge.column(
+      Md5Prefix60SortedExpr(ColumnBridge.expression(a)))
+
+  def sortedLongIntersectCount(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      SortedLongIntersectCountExpr(ColumnBridge.expression(a),
         ColumnBridge.expression(b)))
 
   def boundedLevenshtein(a: Column, b: Column, bound: Int): Column =

@@ -357,4 +357,88 @@ class NativeExprsSpec extends AnyFunSuite {
       assert(interp === gen)
     } finally spark.conf.set(conf, prev)
   }
+
+  test("Md5Prefix60SortedExpr ≡ sort_array(conv(substring(md5)))) — the " +
+       "documented DuckDB hash-universe recipe — on ASCII/multi-byte/" +
+       "empty docs; codegen ≡ interpreted") {
+    // tokens() output feeds the real caller; include multi-byte strings
+    // (hash is over UTF-8 BYTES) and the empty array
+    val rows = Seq(
+      Seq("aa bb cc", "bb cc dd", "zz"),
+      Seq("xin chào", "thế giới", "😀 emoji shingle"),
+      Seq("single"),
+      Seq.empty[String]
+    ).toDF("sh")
+      // the real caller passes containsNull=false arrays (struct-field
+      // extraction from collect_list output); coalesce in a transform
+      // narrows the toDF-inferred containsNull=true to false
+      .select(expr("transform(sh, x -> coalesce(x, 'null'))").as("sh"))
+    val out = rows.select(
+      NativeExprs.md5Prefix60Sorted(col("sh")).as("native"),
+      sort_array(expr(
+        "transform(sh, s -> cast(conv(substring(md5(cast(s as binary)), " +
+          "1, 15), 16, 10) as bigint))")).as("ref"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1), r.toString)
+    }
+    // every value fits a positive 60-bit long (DuckDB BIGINT-safe)
+    out.foreach(_.getSeq[Long](0).foreach(v =>
+      assert(v >= 0L && v < (1L << 60))))
+    val conf = "spark.sql.codegen.wholeStage"
+    val prev = spark.conf.get(conf)
+    try {
+      spark.conf.set(conf, "false")
+      val interp = rows.select(NativeExprs.md5Prefix60Sorted(col("sh")))
+        .collect().map(_.getSeq[Long](0))
+      assert(interp.toSeq === out.map(_.getSeq[Long](0)).toSeq)
+    } finally spark.conf.set(conf, prev)
+  }
+
+  test("SortedLongIntersectCountExpr: multiset merge count incl. " +
+       "duplicates, empties, disjoint; codegen ≡ interpreted; " +
+       "upper-bounds the distinct-string intersection under collisions") {
+    val rows = Seq(
+      (Seq(1L, 2L, 3L, 7L), Seq(2L, 3L, 7L, 9L)),       // overlap 3
+      (Seq(1L, 1L, 2L), Seq(1L, 1L, 1L, 2L)),           // multiset: 3
+      (Seq.empty[Long], Seq(1L)),                       // empty left
+      (Seq(5L), Seq.empty[Long]),                       // empty right
+      (Seq(1L, 2L), Seq(3L, 4L))                        // disjoint
+    ).toDF("a", "b")
+      .select(expr("transform(a, x -> coalesce(x, 0L))").as("a"),
+        expr("transform(b, x -> coalesce(x, 0L))").as("b"))
+    val got = rows.select(
+      NativeExprs.sortedLongIntersectCount(col("a"), col("b")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(3L, 3L, 0L, 0L, 0L))
+    val conf = "spark.sql.codegen.wholeStage"
+    val prev = spark.conf.get(conf)
+    try {
+      spark.conf.set(conf, "false")
+      val interp = rows.select(
+        NativeExprs.sortedLongIntersectCount(col("a"), col("b")))
+        .collect().map(_.getLong(0)).toSeq
+      assert(interp === got)
+    } finally spark.conf.set(conf, prev)
+
+    // the lossless-gate contract the PPJoin verify relies on: for hash
+    // arrays of string sets, multiset hash-intersect ≥ exact string
+    // intersect (a collision can only ADD matchable pairs, never hide a
+    // shared string) — simulate a colliding hash h(x)=x mod 4
+    val setsA = Seq("a", "b", "c", "e")
+    val setsB = Seq("b", "c", "d", "f")
+    def h(s: String): Long = (s.codePointAt(0) - 'a').toLong % 4L
+    val exact = setsA.toSet.intersect(setsB.toSet).size.toLong
+    val hashed = {
+      val ha = setsA.map(h).sorted
+      val hb = setsB.map(h).sorted
+      Seq((ha, hb)).toDF("a", "b")
+        .select(expr("transform(a, x -> coalesce(x, 0L))").as("a"),
+          expr("transform(b, x -> coalesce(x, 0L))").as("b"))
+        .select(NativeExprs.sortedLongIntersectCount(col("a"), col("b")))
+        .collect().head.getLong(0)
+    }
+    assert(hashed >= exact,
+      s"hash-gate must upper-bound exact ($hashed vs $exact)")
+  }
 }

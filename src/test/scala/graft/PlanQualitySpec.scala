@@ -277,6 +277,41 @@ class PlanQualitySpec extends AnyFunSuite {
       "prefix filter exists to avoid unkeyed joins; the plan must show it")
   }
 
+  test("q106/q28 verify: hash GATE on the 8-byte payload + exact " +
+       "confirm behind a survivor-sized broadcast (the r16 exchange " +
+       "fix) — the corpus arrays never cross an exchange") {
+    Seq("q106_ppjoin", "q28_ngram_jaccard").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("graft_sorted_long_intersect_count"),
+        s"$q: the verify gate must merge the hashed payload")
+      // the gate filter is inlined into the join CONDITION in the
+      // single-reference (tDen+tNum) form: exactly one merge per
+      // candidate (two references would double the gate CPU)
+      assert("graft_sorted_long_intersect_count".r.findAllIn(p).length
+        === 1, s"$q: gate merge must be evaluated once per candidate")
+      assert(p.contains("graft_ppjoin_verify"),
+        s"$q: the exact-confirm stage (collision observe) must run")
+      // the exact struct intersect is folded into the confirm
+      // aggregate's result projection (its pretty name does not print);
+      // the observe + the side-reuniting first() aggregate witness it
+      assert(p.contains("first(CASE WHEN is_a"),
+        s"$q: confirm must reunite the two broadcast-attached sides")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$q unkeyed join")
+    }
+  }
+
+  test("q28 executes the prefix-filtered plan, not the naive " +
+       "every-shingle inverted index (superlinear at sf3)") {
+    val p = plan("q28_ngram_jaccard")
+    // the naive index's observable signature is its posting-bucket
+    // metric; the prefix plan's is the verify metric
+    assert(!p.contains("graft_dedup_buckets_ngram"),
+      "q28 must not execute the naive posting-list index")
+    assert(p.contains("graft_ppjoin_verify"),
+      "q28 must execute the PPJoin verify (prefix-filtered plan)")
+  }
+
   test("q107 MAD: the 5-row median/MAD tables broadcast back onto " +
        "events; the events table is never self-joined") {
     val p = plan("q107_mad_outliers")

@@ -21,6 +21,10 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
+# r16: stale-scratch cleanup + free-disk floor (the r15 sf3 hazards).
+# Floor override: SPARK_GRAFT_DISK_FLOOR_GB (default 40).
+bash tools/disk_preflight.sh "${SPARK_GRAFT_DISK_FLOOR_GB:-40}"
+
 kind=${1:?usage: sweep_isolated.sh pairs|general [OUT.json]}
 case "$kind" in
   pairs)   main=graft.PairSweep;    fenv=SPARK_GRAFT_PAIR_FILTER
