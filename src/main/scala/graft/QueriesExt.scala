@@ -58,6 +58,37 @@ object QueriesExt {
   private val dNorm =
     "trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'), '\\s+', ' ', 'g'))"
 
+  /** Content-defined-chunking CTE chain (shared by q409/q410) — the
+    * exact integer contract of [[graft.ext.Dedup.cdcChunks]]: 28-bit
+    * md5-prefix token hashes, rolling 4-token hash via three lags
+    * (missing lag ⇒ NULL ⇒ no cut: min chunk length 4), cut iff bits
+    * 22–27 are zero, chunk index = prefix-sum of STRICTLY-preceding
+    * cuts, chunk fingerprint = md5 of the position-ordered tokens.
+    * Ends at `chunks(doc_id, chunk_idx, n_tokens, chunk_fp)`.
+    */
+  private lazy val dCdcChunkCtes: String =
+    s"""tkc AS (SELECT doc_id, unnest($dTok) AS tok,
+          CAST(generate_subscripts($dTok, 1) AS BIGINT) AS pos
+        FROM documents),
+      bhc AS (SELECT doc_id, pos, tok,
+          ('0x' || substr(md5(tok), 1, 7))::BIGINT AS h0 FROM tkc),
+      rhc AS (SELECT doc_id, pos, tok,
+          h0 + 2048 * lag(h0, 1) OVER wc + 4194304 * lag(h0, 2) OVER wc
+             + 8589934592 * lag(h0, 3) OVER wc AS h
+        FROM bhc WINDOW wc AS (PARTITION BY doc_id ORDER BY pos)),
+      ctc AS (SELECT doc_id, pos, tok,
+          CASE WHEN h IS NOT NULL AND (h // 4194304) % 64 = 0
+               THEN 1 ELSE 0 END AS cut FROM rhc),
+      cidc AS (SELECT doc_id, pos, tok,
+          CAST(COALESCE(SUM(cut) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS chunk_idx
+        FROM ctc),
+      chunks AS (SELECT doc_id, chunk_idx,
+          CAST(COUNT(*) AS BIGINT) AS n_tokens,
+          md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_fp
+        FROM cidc GROUP BY 1, 2)"""
+
   /** Unrolled-Borůvka CTE chain (shared by q405/q406): strong graph →
     * 6 rounds of (cross edges → per-component rank-window argmin →
     * forest union → components via reachability SQUARING) ending at
@@ -19618,5 +19649,68 @@ object QueriesExt {
             CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_src
           FROM documents)
         ORDER BY f, source, doc_id""")),
+
+    // ── Benchmark decontamination (q408) ───────────────────────────────
+    // Per EVAL document (house gate: baseHash(doc_id) % 5 == 0), the
+    // fraction of its distinct k-shingles appearing anywhere in the
+    // TRAIN split — the score a pipeline thresholds to drop evaluation
+    // documents that leaked into training data. Doc-level companion of
+    // q242's source-level leakage matrix; one shingle pass, train side
+    // collapsed to DISTINCT shingles, shingle-keyed LEFT join — never
+    // doc×doc. Ratio = one exact BIGINT/BIGINT IEEE division.
+    QueryDef("q408_decontamination",
+      (s, dir) => Dedup.decontamination(
+        tPar(s, dir, "documents"), "doc_id", "text", shingleK),
+      Some(s"""WITH sh AS (SELECT doc_id,
+            ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+              % 5 AS gate,
+            unnest(list_distinct(${dShingles(dTok, shingleK)})) AS shingle
+          FROM documents),
+        tr AS (SELECT DISTINCT shingle FROM sh WHERE gate <> 0),
+        ag AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+            CAST(COUNT(tr.shingle) AS BIGINT) AS n_shared
+          FROM sh LEFT JOIN tr USING (shingle)
+          WHERE gate = 0 GROUP BY 1)
+        SELECT doc_id, n_shingles, n_shared,
+          CAST(n_shared AS DOUBLE) / CAST(n_shingles AS DOUBLE)
+            AS contamination
+        FROM ag ORDER BY doc_id""")),
+
+    // ── Content-defined chunking (q409) ────────────────────────────────
+    // FastCDC/rsync chunking re-expressed relationally: a chunk ends at
+    // token position p iff p ≥ 4 and bits 22–27 of the rolling hash
+    // h(p) = bh_p + 2¹¹bh_{p−1} + 2²²bh_{p−2} + 2³³bh_{p−3} are zero
+    // (bh = 28-bit md5 prefix; expected chunk ≈ 64 tokens, min 4).
+    // Boundaries follow CONTENT, so an early insertion shifts only its
+    // own chunk — the property that makes chunk dedup (q410) stable
+    // under edits where fixed-size blocks break. All-integer, h < 2⁶²;
+    // windows are per-DOCUMENT (never global order).
+    QueryDef("q409_cdc_chunks",
+      (s, dir) => Dedup.cdcChunks(tPar(s, dir, "documents"),
+        "doc_id", "text"),
+      Some(s"WITH $dCdcChunkCtes\n" +
+        """SELECT doc_id, chunk_idx, n_tokens, chunk_fp FROM chunks
+        ORDER BY doc_id, chunk_idx""")),
+
+    // ── Chunk-level dedup savings (q410) ───────────────────────────────
+    // Collapse q409's chunks by fingerprint: total vs distinct chunks,
+    // total vs SAVED tokens ((copies−1)·len per duplicated chunk), and
+    // the savings ratio — the sub-document dedup yield number a corpus
+    // owner actually budgets by. Identical fp ⟹ identical content ⟹
+    // identical length, so min(n_tokens) per fp is exact. Two
+    // aggregations, nothing pairwise.
+    QueryDef("q410_chunk_dedup",
+      (s, dir) => Dedup.cdcDedupSummary(
+        Dedup.cdcChunks(tPar(s, dir, "documents"), "doc_id", "text")),
+      Some(s"WITH $dCdcChunkCtes,\n" +
+        """g AS (SELECT chunk_fp, CAST(COUNT(*) AS BIGINT) AS cnt,
+            MIN(n_tokens) AS len FROM chunks GROUP BY 1)
+        SELECT CAST(SUM(cnt) AS BIGINT) AS total_chunks,
+          CAST(COUNT(*) AS BIGINT) AS distinct_chunks,
+          CAST(SUM(cnt * len) AS BIGINT) AS total_tokens,
+          CAST(SUM((cnt - 1) * len) AS BIGINT) AS saved_tokens,
+          CAST(SUM((cnt - 1) * len) AS DOUBLE)
+            / CAST(SUM(cnt * len) AS DOUBLE) AS savings_ratio
+        FROM g""")),
   )
 }

@@ -1041,6 +1041,115 @@ object Dedup {
           .as("jaccard"))
   }
 
+  /** Benchmark decontamination score (q408): per EVAL document, how
+    * much of its distinct k-shingle set appears anywhere in the TRAIN
+    * split — the contamination fraction an LLM data pipeline thresholds
+    * to DROP evaluation documents that leaked into training data. The
+    * SET-level companion of q57's pairwise contamination
+    * ([[Curation.contaminationPairs]]: which train/bench PAIRS overlap,
+    * bench side broadcastable) and of q242's source-level leakage
+    * matrix: here the train side is the whole corpus vocabulary, so no
+    * pairing exists at any scale.
+    * The split is the house deterministic gate
+    * (baseHash(doc_id) % 5 == 0 ⇒ eval), so re-runs and both engines
+    * agree on membership.
+    *
+    * Shape at 100 TB: one tokenize+shingle pass feeds both sides (one
+    * materialization); the train side collapses to DISTINCT shingles
+    * (map-side combine); the probe is a shingle-keyed LEFT join — no
+    * doc×doc pairing anywhere, and at cluster scale the distinct train
+    * set can additionally sit behind a Bloom gate exactly like q63/q70's
+    * admission joins.
+    */
+  def decontamination(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int): DataFrame = {
+    val sh = docs.select(col(idCol),
+        (Shingles.baseHash(col(idCol).cast("string")) % 5 === 0)
+          .as("is_eval"),
+        explode(graft.functions.NativeExprs.wordShingles(
+          TextStats.tokens(col(textCol)), k, distinct = true))
+          .as("shingle"))
+      .localCheckpoint() // one shingle pass, two consumers
+    val train = sh.filter(!col("is_eval")).select("shingle").distinct()
+    sh.filter(col("is_eval"))
+      .join(train.withColumn("hit", lit(1L)), Seq("shingle"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_shared"))
+      .select(col(idCol), col("n_shingles"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n_shingles").cast("double"))
+          .as("contamination"))
+      .orderBy(idCol)
+  }
+
+  /** Content-defined chunking (q409) — the FastCDC/rsync idea re-expressed
+    * relationally: chunk boundaries come from the CONTENT (a rolling
+    * hash over the last 4 tokens), not from fixed offsets, so an
+    * insertion early in a document shifts only the chunk it lands in
+    * and chunk-level dedup (q410) still matches everything downstream —
+    * the property fixed-size blocks lack and the reason CDC is the
+    * backbone of large-corpus sub-document dedup.
+    *
+    * Exact integer contract (identical on both engines): per token
+    * position p (1-based), h(p) = bh(tok_p) + 2¹¹·bh(tok_{p−1}) +
+    * 2²²·bh(tok_{p−2}) + 2³³·bh(tok_{p−3}) with bh = the 28-bit
+    * md5-prefix base hash; a chunk ENDS at p iff p ≥ 4 (min chunk
+    * length) and bits 22–27 of h are zero (`(h div 2²²) % 64 == 0`,
+    * expected chunk ≈ 64 tokens — the selector bits mix three
+    * neighboring tokens' hashes, so the cut is content-local but not
+    * single-token). h < 2⁶² — no overflow, no modulus.
+    *
+    * Shape at 100 TB: one tokenize pass; the rolling hash and the
+    * cut-prefix-sum are per-DOCUMENT windows (partition key = doc id —
+    * never a global order); chunk assembly is one (doc, chunk)
+    * aggregation. Output: (doc_id, chunk_idx, n_tokens, chunk_fp) with
+    * chunk_fp = md5 of the chunk's space-joined tokens.
+    */
+  def cdcChunks(docs: DataFrame, idCol: String,
+                textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    val tk = docs.select(col(idCol),
+        posexplode(TextStats.tokens(col(textCol))).as(Seq("pos0", "tok")))
+      .select(col(idCol), (col("pos0") + 1).cast("long").as("pos"),
+        col("tok"), Shingles.baseHash(col("tok")).as("h0"))
+    val cut = tk
+      .withColumn("h", col("h0") + lit(2048L) * lag("h0", 1).over(w) +
+        lit(4194304L) * lag("h0", 2).over(w) +
+        lit(8589934592L) * lag("h0", 3).over(w))
+      .withColumn("cut", when(col("h").isNotNull &&
+        expr("(h div 4194304) % 64") === 0L, 1L).otherwise(0L))
+      .withColumn("chunk_idx", coalesce(
+        sum("cut").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    cut.groupBy(col(idCol), col("chunk_idx"))
+      .agg(count(lit(1)).as("n_tokens"),
+        md5(concat_ws(" ", transform(
+          sort_array(collect_list(struct(col("pos"), col("tok")))),
+          e => e.getField("tok"))).cast("binary")).as("chunk_fp"))
+      .orderBy(idCol, "chunk_idx")
+  }
+
+  /** Chunk-level dedup savings (q410): collapse [[cdcChunks]] output by
+    * chunk fingerprint and report the one-row corpus summary — total vs
+    * distinct chunks, total vs saved tokens (copies−1 of every
+    * duplicated chunk), and the savings ratio. Identical chunk_fp ⟹
+    * identical token content ⟹ identical n_tokens, so `min(n_tokens)`
+    * per fingerprint is exact, not an approximation. Two aggregations
+    * (chunk-keyed, then scalar) — nothing pairwise.
+    */
+  def cdcDedupSummary(chunks: DataFrame): DataFrame =
+    chunks.groupBy("chunk_fp")
+      .agg(count(lit(1)).as("cnt"), min("n_tokens").as("len"))
+      .agg(sum("cnt").cast("long").as("total_chunks"),
+        count(lit(1)).as("distinct_chunks"),
+        sum(col("cnt") * col("len")).cast("long").as("total_tokens"),
+        sum((col("cnt") - 1) * col("len")).cast("long").as("saved_tokens"))
+      .select(col("total_chunks"), col("distinct_chunks"),
+        col("total_tokens"), col("saved_tokens"),
+        (col("saved_tokens").cast("double") /
+          col("total_tokens").cast("double")).as("savings_ratio"))
+
   /** Sorted-neighborhood dedup (Hernández & Stolfo, SIGMOD '95): sort
     * the corpus on a content-derived key so near-identical rows land
     * adjacent, then compare each row only against its next `window`
