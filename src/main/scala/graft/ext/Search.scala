@@ -95,20 +95,69 @@ object Search {
   private[ext] def cooccurGraph(docs: DataFrame, idCol: String,
                                 textCol: String, vocab: Int)
   : (DataFrame, DataFrame) = {
-    val dt = docs.select(col(idCol).as("doc_id"),
-      explode(TextStats.tokens(col(textCol))).as("token")).distinct()
-    val v = dt.groupBy("token").agg(count(lit(1)).as("df"))
-      .orderBy(desc("df"), col("token")).limit(vocab)
-      .localCheckpoint()
-    val vt = dt.join(broadcast(v.select("token")), "token")
-    val half = vt.select(col("doc_id"), col("token").as("src"))
-      .join(vt.select(col("doc_id"), col("token").as("dst")), Seq("doc_id"))
-      .filter(col("src") < col("dst"))
-      .groupBy("src", "dst").agg(count(lit(1)).as("c"))
-    val edges = half.union(
-      half.select(col("dst").as("src"), col("src").as("dst"), col("c")))
-      .localCheckpoint()
+    val (vloc, half) = cooccurLocal(docs, idCol, textCol, vocab)
+    import docs.sparkSession.implicits._
+    val v = vloc.toSeq.toDF("token", "df")
+    val edges = (half ++ half.map(e => (e._2, e._1, e._3))).toSeq
+      .toDF("src", "dst", "c")
     (v, edges)
+  }
+
+  /** Collected vocab co-occurrence graph: top-`vocab` tokens by (df
+    * desc, token) and the canonical (src < dst) weighted edges, as
+    * driver values. The DISTRIBUTED part is the two corpus passes —
+    * (1) per-doc `array_distinct` + explode → map-side-partial df
+    * count (the (doc, token) dedup happens inside the row, so no
+    * corpus-sized distinct shuffle), (2) per-row pair emission against
+    * the vocab shipped in as a literal array (no self-join on doc_id,
+    * so no corpus-sized exchange at all; the pair aggregation
+    * partial-aggregates to ≤ vocab² keys). Both results are bounded
+    * CONTROL tables (≤ vocab and ≤ vocab(vocab−1)/2 rows — the same
+    * class as the engine's centroid/boundary collects), so the graph
+    * ITERATIONS built on top (BFS / peeling / fixpoints, all
+    * O(vocab³) worst case, CONSTANT in the corpus) run as plain Scala
+    * instead of driver-scheduled tiny Spark jobs. r16 measurements at
+    * sf0.1 (guide §1.1/§1.2): the old explode→distinct→self-join
+    * corpus pass was 2.06 s of q371's 3.9 s wall, and each
+    * localCheckpoint'd iteration round was another ~0.2–0.3 s of pure
+    * scheduling on a ≤ 1 600-row table. Float assembly stays in Spark
+    * on the LocalRelation results, so every double is produced by the
+    * identical expression tree as the pre-r16 plans.
+    */
+  private[ext] def cooccurLocal(docs: DataFrame, idCol: String,
+                                textCol: String, vocab: Int)
+  : (Array[(String, Long)], Array[(String, String, Long)]) = {
+    def dtoks = docs.select(col(idCol).as("doc_id"),
+      array_distinct(TextStats.tokens(col(textCol))).as("toks"))
+    val vloc = dtoks.select(explode(col("toks")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("df"))
+      .orderBy(desc("df"), col("token")).limit(vocab)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val vocabLit = array(vloc.map(t => lit(t._1)).toSeq: _*)
+    val vt = array_sort(array_intersect(col("toks"), vocabLit))
+    val pairStructs = flatten(transform(vt, x =>
+      transform(filter(vt, y => y > x), y =>
+        struct(x.as("src"), y.as("dst")))))
+    val half =
+      if (vloc.isEmpty) Array.empty[(String, String, Long)]
+      else dtoks.select(explode(pairStructs).as("p"))
+        .select(col("p.src").as("src"), col("p.dst").as("dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    (vloc, half)
+  }
+
+  /** [[cooccurLocal]] thinned to STRONG canonical edges (c·supDen >
+    * supNum·ndocs — the shared q328/q359/q370/q371/q372 gate, relative
+    * so it ports across corpus sizes), with weights.
+    */
+  private[ext] def strongLocal(docs: DataFrame, idCol: String,
+                               textCol: String, vocab: Int,
+                               supNum: Int, supDen: Int)
+  : Array[(String, String, Long)] = {
+    val (_, half) = cooccurLocal(docs, idCol, textCol, vocab)
+    val nd = docs.count()
+    half.filter(e => e._3 * supDen > supNum.toLong * nd)
   }
 
   def textRank(docs: DataFrame, idCol: String, textCol: String,
@@ -116,31 +165,32 @@ object Search {
                scale: Long): DataFrame = {
     require(dampNum >= 0 && dampNum <= dampDen, s"damping $dampNum/$dampDen")
     require(iters >= 1, s"iters $iters")
-    val (vFull, edges) = cooccurGraph(docs, idCol, textCol, vocab)
-    val v = vFull.select("token")
-    // edge table is ≤ vocab² rows — checkpoint the weighted form too:
-    // the rank loop below then runs on one flat table
-    val ew = edges.join(edges.groupBy("src").agg(sum("c").as("w")), "src")
-      .localCheckpoint()
-    val vN = v.crossJoin(broadcast(v.agg(count(lit(1)).as("n_nodes"))))
-      .localCheckpoint()
-    var r = vN.select(col("token"), expr(s"${scale}L div n_nodes").as("r"))
+    // r16: the rank fixpoint runs as plain Scala over the collected
+    // vocab graph (bounded control tables, [[cooccurLocal]]); every
+    // update is the same nonnegative-long multiply + floor division as
+    // the old per-iteration Spark jobs, so iteration k's rank vector is
+    // bit-identical. Only the final units→double division runs in Spark.
+    val (vloc, halfE) = cooccurLocal(docs, idCol, textCol, vocab)
+    val tokens = vloc.map(_._1)
+    val n = tokens.length.toLong
+    val dirEdges = halfE.flatMap(e =>
+      Seq((e._1, e._2, e._3), (e._2, e._1, e._3)))
+    val w = dirEdges.groupBy(_._1).map { case (s, es) =>
+      s -> es.map(_._3).sum }
+    var r: Map[String, Long] = tokens.map(t => t -> scale / n).toMap
     for (_ <- 1 to iters) {
-      val contrib = ew
-        .join(broadcast(r.withColumnRenamed("token", "src")), "src")
-        .select(col("dst"), expr("(r * c) div w").as("contrib"))
-        .groupBy("dst").agg(sum("contrib").as("s"))
-      r = vN
-        .join(broadcast(contrib.withColumnRenamed("dst", "token")),
-          Seq("token"), "left")
-        .select(col("token"),
-          (expr(s"(${dampDen - dampNum}L * ${scale}L) div " +
-             s"(${dampDen}L * n_nodes)") +
-           expr(s"(${dampNum}L * coalesce(s, 0L)) div ${dampDen}L"))
-            .as("r"))
+      val contrib = scala.collection.mutable.Map.empty[String, Long]
+      dirEdges.foreach { case (src, dst, c) =>
+        contrib(dst) = contrib.getOrElse(dst, 0L) + (r(src) * c) / w(src)
+      }
+      r = tokens.map(t => t ->
+        ((dampDen - dampNum).toLong * scale / (dampDen.toLong * n) +
+          dampNum.toLong * contrib.getOrElse(t, 0L) / dampDen)).toMap
     }
-    r.select(col("token"), col("r").as("rank_units"),
-      (col("r").cast("double") / lit(scale.toDouble)).as("rank"))
+    import docs.sparkSession.implicits._
+    tokens.map(t => (t, r(t))).toSeq.toDF("token", "r")
+      .select(col("token"), col("r").as("rank_units"),
+        (col("r").cast("double") / lit(scale.toDouble)).as("rank"))
       .orderBy(desc("rank_units"), col("token"))
   }
 
@@ -158,34 +208,32 @@ object Search {
                            iters: Int, scale: Long): DataFrame = {
     require(dampNum >= 0 && dampNum <= dampDen, s"damping $dampNum/$dampDen")
     require(iters >= 1, s"iters $iters")
-    val (vFull, edges) = cooccurGraph(docs, idCol, textCol, vocab)
-    val ew = edges.join(edges.groupBy("src").agg(sum("c").as("w")), "src")
-      .localCheckpoint()
-    val seeded = vFull
-      .crossJoin(broadcast(vFull.orderBy(desc("df"), col("token"))
-        .limit(1).select(col("token").as("seed_token"))))
-      .select(col("token"),
-        (col("token") === col("seed_token")).as("is_seed"))
-      .localCheckpoint()
-    var r = seeded.select(col("token"),
-      when(col("is_seed"), lit(scale)).otherwise(lit(0L)).as("r"))
+    // r16: same driver-side fixpoint as [[textRank]] — collected
+    // bounded graph, identical nonnegative integer arithmetic, final
+    // units→double division left to Spark.
+    val (vloc, halfE) = cooccurLocal(docs, idCol, textCol, vocab)
+    val tokens = vloc.map(_._1)
+    val seed = tokens.headOption.getOrElse("") // vloc is (df desc, token)
+    val dirEdges = halfE.flatMap(e =>
+      Seq((e._1, e._2, e._3), (e._2, e._1, e._3)))
+    val w = dirEdges.groupBy(_._1).map { case (s, es) =>
+      s -> es.map(_._3).sum }
+    var r: Map[String, Long] =
+      tokens.map(t => t -> (if (t == seed) scale else 0L)).toMap
     for (_ <- 1 to iters) {
-      val contrib = ew
-        .join(broadcast(r.withColumnRenamed("token", "src")), "src")
-        .select(col("dst"), expr("(r * c) div w").as("contrib"))
-        .groupBy("dst").agg(sum("contrib").as("s"))
-      r = seeded
-        .join(broadcast(contrib.withColumnRenamed("dst", "token")),
-          Seq("token"), "left")
-        .select(col("token"),
-          (when(col("is_seed"),
-            expr(s"(${dampDen - dampNum}L * ${scale}L) div ${dampDen}L"))
-            .otherwise(lit(0L)) +
-           expr(s"(${dampNum}L * coalesce(s, 0L)) div ${dampDen}L"))
-            .as("r"))
+      val contrib = scala.collection.mutable.Map.empty[String, Long]
+      dirEdges.foreach { case (src, dst, c) =>
+        contrib(dst) = contrib.getOrElse(dst, 0L) + (r(src) * c) / w(src)
+      }
+      r = tokens.map(t => t ->
+        ((if (t == seed) (dampDen - dampNum).toLong * scale / dampDen
+          else 0L) +
+          dampNum.toLong * contrib.getOrElse(t, 0L) / dampDen)).toMap
     }
-    r.select(col("token"), col("r").as("ppr_units"),
-      (col("r").cast("double") / lit(scale.toDouble)).as("ppr"))
+    import docs.sparkSession.implicits._
+    tokens.map(t => (t, r(t))).toSeq.toDF("token", "r")
+      .select(col("token"), col("r").as("ppr_units"),
+        (col("r").cast("double") / lit(scale.toDouble)).as("ppr"))
       .orderBy(desc("ppr_units"), col("token"))
   }
 
@@ -214,23 +262,28 @@ object Search {
   def bfsHops(docs: DataFrame, idCol: String, textCol: String,
               vocab: Int, iters: Int): DataFrame = {
     require(iters >= 1, s"iters $iters")
-    val (v, edges) = cooccurGraph(docs, idCol, textCol, vocab)
-    val source = v.orderBy(desc("df"), col("token")).limit(1)
-      .select(col("token"), lit(0L).as("d0"))
-    var d = v.select("token")
-      .join(broadcast(source), Seq("token"), "left")
-      .select(col("token"), coalesce(col("d0"), lit(BfsInf)).as("d"))
+    // r16: driver-side min-plus relaxation over the collected bounded
+    // graph ([[cooccurLocal]]) — identical integer recurrence
+    // (d_k(v) = min(d_{k-1}(v), min over (u,v) of d_{k-1}(u) + 1) with
+    // the same 999999 sentinel), zero per-iteration Spark jobs.
+    val (vloc, halfE) = cooccurLocal(docs, idCol, textCol, vocab)
+    val tokens = vloc.map(_._1)
+    val source = tokens.headOption.getOrElse("")
+    val dirEdges = halfE.flatMap(e => Seq((e._1, e._2), (e._2, e._1)))
+    var d: Map[String, Long] =
+      tokens.map(t => t -> (if (t == source) 0L else BfsInf)).toMap
     for (_ <- 1 to iters) {
-      val relax = edges
-        .join(broadcast(d.select(col("token").as("src"), col("d").as("ds"))),
-          "src")
-        .groupBy("dst").agg(min(col("ds")).as("m"))
-      d = d.join(broadcast(relax.withColumnRenamed("dst", "token")),
-          Seq("token"), "left")
-        .select(col("token"),
-          least(col("d"), coalesce(col("m") + 1L, lit(BfsInf))).as("d"))
+      val relax = scala.collection.mutable.Map.empty[String, Long]
+      dirEdges.foreach { case (src, dst) =>
+        val ds = d(src)
+        if (relax.getOrElse(dst, Long.MaxValue) > ds) relax(dst) = ds
+      }
+      d = tokens.map(t => t ->
+        math.min(d(t), relax.get(t).map(_ + 1L).getOrElse(BfsInf))).toMap
     }
-    d.select(col("token"), when(col("d") < BfsInf, col("d")).as("hops"))
+    import docs.sparkSession.implicits._
+    tokens.map(t => (t, if (d(t) < BfsInf) Some(d(t)) else None)).toSeq
+      .toDF("token", "hops")
       .orderBy(col("hops").asc_nulls_last, col("token"))
   }
 
@@ -257,40 +310,38 @@ object Search {
     */
   def triangleStats(docs: DataFrame, idCol: String, textCol: String,
                     vocab: Int): DataFrame = {
-    val (v, edges) = cooccurGraph(docs, idCol, textCol, vocab)
-    // canonical token-ordered undirected edges (one row per edge)
-    val half = edges.filter(col("src") < col("dst")).select("src", "dst")
-      .localCheckpoint()
-    val deg = half.select(col("src").as("t"))
-      .union(half.select(col("dst").as("t")))
-      .groupBy("t").agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
-    val lowFirst = (col("ds") < col("dd")) ||
-      (col("ds") === col("dd") && col("src") < col("dst"))
-    val oriented = half
-      .join(broadcast(deg.select(col("t").as("src"), col("deg").as("ds"))),
-        "src")
-      .join(broadcast(deg.select(col("t").as("dst"), col("deg").as("dd"))),
-        "dst")
-      .select(when(lowFirst, col("src")).otherwise(col("dst")).as("u"),
-        when(lowFirst, col("dst")).otherwise(col("src")).as("v"))
-      .localCheckpoint()
-    // both sides are ≤ vocab²-bounded — broadcast them so the census
-    // never sort-merges (checkpointed frames lose the size stats the
-    // planner would need to choose this itself)
-    val triangles = oriented.as("e1")
-      .join(broadcast(oriented.as("e2")),
-        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
-      .join(broadcast(half.as("c")),
-        col("c.src") === least(col("e1.v"), col("e2.v")) &&
-          col("c.dst") === greatest(col("e1.v"), col("e2.v")))
-      .agg(count(lit(1)).as("n_triangles"))
-    val wedges = deg.agg(
-      sum(expr("deg * (deg - 1) div 2")).cast("long").as("n_wedges"))
-    v.agg(count(lit(1)).as("n_nodes"))
-      .crossJoin(half.agg(count(lit(1)).as("n_edges")))
-      .crossJoin(wedges)
-      .crossJoin(triangles)
+    // r16: the census runs as plain Scala over the collected bounded
+    // graph ([[cooccurLocal]]) — node/edge/wedge/triangle counts are
+    // exact integers, so only the final IEEE division is left to Spark
+    // (the identical expression tree as the distributed census).
+    val (vloc, half) = cooccurLocal(docs, idCol, textCol, vocab)
+    val nNodes = vloc.length.toLong
+    val nEdges = half.length.toLong
+    val deg = scala.collection.mutable.Map.empty[String, Long]
+    half.foreach { case (s, d, _) =>
+      deg(s) = deg.getOrElse(s, 0L) + 1L
+      deg(d) = deg.getOrElse(d, 0L) + 1L
+    }
+    // sum(deg·(deg−1) div 2) over an EMPTY degree table is SQL null
+    val nWedges: Option[Long] =
+      if (deg.isEmpty) None
+      else Some(deg.valuesIterator.map(dg => dg * (dg - 1) / 2).sum)
+    val adj = half.map(e => (e._1, e._2)).toSet
+    val nbrs = scala.collection.mutable
+      .Map.empty[String, List[String]] // canonical higher neighbours
+    half.foreach { case (s, d, _) =>
+      nbrs(s) = d :: nbrs.getOrElse(s, Nil)
+    }
+    // triangle (a < b < c) counted once at edge (a, b) via witness c
+    var nTriangles = 0L
+    half.foreach { case (s, d, _) =>
+      nbrs.getOrElse(s, Nil).foreach { w =>
+        if (w > d && adj.contains((d, w))) nTriangles += 1L
+      }
+    }
+    import docs.sparkSession.implicits._
+    Seq((nNodes, nEdges, nWedges, nTriangles))
+      .toDF("n_nodes", "n_edges", "n_wedges", "n_triangles")
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
         col("n_triangles"),
         ((col("n_triangles") * 3).cast("double") /
@@ -316,23 +367,32 @@ object Search {
   def linkPrediction(docs: DataFrame, idCol: String, textCol: String,
                      vocab: Int, supNum: Int, supDen: Int,
                      topK: Int): DataFrame = {
-    val (_, edges) = cooccurGraph(docs, idCol, textCol, vocab)
-    val ndocs = docs.agg(count(lit(1)).as("nd"))
-    val nb = edges.crossJoin(broadcast(ndocs))
-      .filter(col("c") * supDen > lit(supNum) * col("nd"))
-      .select("src", "dst").localCheckpoint()
-    val deg = nb.groupBy("src").agg(count(lit(1)).as("deg"))
-    val cn = nb.select(col("src").as("a"), col("dst").as("w"))
-      .join(nb.select(col("src").as("b"), col("dst").as("w")), Seq("w"))
-      .filter(col("a") < col("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("cn"))
-    val existing = nb.filter(col("src") < col("dst"))
-      .select(col("src").as("a"), col("dst").as("b"))
-    cn.join(broadcast(existing), Seq("a", "b"), "left_anti")
-      .join(broadcast(deg.select(col("src").as("a"), col("deg").as("da"))),
-        Seq("a"))
-      .join(broadcast(deg.select(col("src").as("b"), col("deg").as("db"))),
-        Seq("b"))
+    // r16: common-neighbour counting runs as plain Scala over the
+    // collected strong graph ([[strongLocal]]) — all-integer; the two
+    // score divisions stay in Spark (identical expression tree).
+    val strong = strongLocal(docs, idCol, textCol, vocab, supNum, supDen)
+    val dirEdges = strong.flatMap(e => Seq((e._1, e._2), (e._2, e._1)))
+    val deg = dirEdges.groupBy(_._1).map { case (t, es) =>
+      t -> es.length.toLong }
+    val cn = scala.collection.mutable.Map.empty[(String, String), Long]
+    dirEdges.groupBy(_._1).valuesIterator.foreach { es =>
+      val ns = es.map(_._2).sorted
+      var i = 0
+      while (i < ns.length) {
+        var j = i + 1
+        while (j < ns.length) {
+          val k = (ns(i), ns(j))
+          cn(k) = cn.getOrElse(k, 0L) + 1L
+          j += 1
+        }
+        i += 1
+      }
+    }
+    val existing = strong.map(e => (e._1, e._2)).toSet
+    import docs.sparkSession.implicits._
+    cn.iterator.filterNot(kv => existing.contains(kv._1))
+      .map { case ((a, b), c) => (a, b, c, deg(a), deg(b)) }.toSeq
+      .toDF("a", "b", "cn", "da", "db")
       .select(col("a"), col("b"), col("cn"),
         (col("cn").cast("double") /
           (col("da") + col("db") - col("cn")).cast("double"))
@@ -362,26 +422,27 @@ object Search {
             k: Int, rounds: Int): DataFrame = {
     require(k >= 1, s"k $k")
     require(rounds >= 1, s"rounds $rounds")
-    val (_, edges) = cooccurGraph(docs, idCol, textCol, vocab)
-    var half = edges.filter(col("src") < col("dst")).select("src", "dst")
-      .localCheckpoint(eager = true)
+    // r16: the peel loop runs as plain Scala over the collected bounded
+    // graph ([[cooccurLocal]]) — exactly `rounds` synchronized peels,
+    // all-integer, zero per-round Spark jobs.
+    val (_, halfLoc) = cooccurLocal(docs, idCol, textCol, vocab)
+    var half = halfLoc.map(e => (e._1, e._2))
     for (_ <- 1 to rounds) {
-      val keep = half.select(col("src").as("t"))
-        .union(half.select(col("dst").as("t")))
-        .groupBy("t").agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k).select("t")
-      half = half
-        .join(broadcast(keep.withColumnRenamed("t", "src")),
-          Seq("src"), "left_semi")
-        .join(broadcast(keep.withColumnRenamed("t", "dst")),
-          Seq("dst"), "left_semi")
-        .select("src", "dst")
-        .localCheckpoint(eager = true)
+      val deg = scala.collection.mutable.Map.empty[String, Long]
+      half.foreach { case (s, d) =>
+        deg(s) = deg.getOrElse(s, 0L) + 1L
+        deg(d) = deg.getOrElse(d, 0L) + 1L
+      }
+      val keep = deg.iterator.filter(_._2 >= k).map(_._1).toSet
+      half = half.filter(e => keep.contains(e._1) && keep.contains(e._2))
     }
-    half.select(col("src").as("token"))
-      .union(half.select(col("dst").as("token")))
-      .groupBy("token").agg(count(lit(1)).as("core_degree"))
-      .orderBy("token")
+    val coreDeg = scala.collection.mutable.Map.empty[String, Long]
+    half.foreach { case (s, d) =>
+      coreDeg(s) = coreDeg.getOrElse(s, 0L) + 1L
+      coreDeg(d) = coreDeg.getOrElse(d, 0L) + 1L
+    }
+    import docs.sparkSession.implicits._
+    coreDeg.toSeq.toDF("token", "core_degree").orderBy("token")
   }
 
   /** Canonical (src < dst) STRONG edges of the co-occurrence graph:
@@ -394,12 +455,9 @@ object Search {
   private[ext] def strongHalf(docs: DataFrame, idCol: String,
                               textCol: String, vocab: Int,
                               supNum: Int, supDen: Int): DataFrame = {
-    val (_, edges) = cooccurGraph(docs, idCol, textCol, vocab)
-    val ndocs = docs.agg(count(lit(1)).as("nd"))
-    edges.crossJoin(broadcast(ndocs))
-      .filter(col("c") * supDen > lit(supNum) * col("nd"))
-      .filter(col("src") < col("dst")).select("src", "dst")
-      .localCheckpoint(eager = true)
+    import docs.sparkSession.implicits._
+    strongLocal(docs, idCol, textCol, vocab, supNum, supDen)
+      .map(e => (e._1, e._2)).toSeq.toDF("src", "dst")
   }
 
   /** Maximal k-truss of the STRONG co-occurrence graph: the
@@ -426,26 +484,33 @@ object Search {
              supNum: Int, supDen: Int, k: Int, rounds: Int): DataFrame = {
     require(k >= 3, s"k $k")
     require(rounds >= 1, s"rounds $rounds")
-    def support(half: DataFrame): DataFrame = {
-      val nb = half.select("src", "dst").union(
-        half.select(col("dst").as("src"), col("src").as("dst")))
-      half.join(
-        broadcast(nb.select(col("src").as("a"), col("dst").as("w"))
-          .join(nb.select(col("src").as("b"), col("dst").as("w")),
-            Seq("w"))
-          .filter(col("a") < col("b"))
-          .groupBy(col("a").as("src"), col("b").as("dst"))
-          .agg(count(lit(1)).as("support"))),
-        Seq("src", "dst"), "left")
-        .select(col("src"), col("dst"),
-          coalesce(col("support"), lit(0L)).as("support"))
+    // r16: the peel loop runs as plain Scala over the collected strong
+    // graph ([[strongLocal]]) — per round, each surviving edge's
+    // support is its endpoints' common-neighbour count in the CURRENT
+    // edge set (the same wedge count as the old broadcast join),
+    // all-integer, zero per-round Spark jobs.
+    def support(h: Array[(String, String)])
+    : Array[((String, String), Long)] = {
+      val nbrs = scala.collection.mutable
+        .Map.empty[String, scala.collection.mutable.Set[String]]
+      h.foreach { case (s, d) =>
+        nbrs.getOrElseUpdate(s,
+          scala.collection.mutable.Set.empty[String]) += d
+        nbrs.getOrElseUpdate(d,
+          scala.collection.mutable.Set.empty[String]) += s
+      }
+      h.map { case (s, d) =>
+        (s, d) -> nbrs(s).iterator.count(nbrs(d).contains).toLong }
     }
-    var half = strongHalf(docs, idCol, textCol, vocab, supNum, supDen)
+    var half = strongLocal(docs, idCol, textCol, vocab, supNum, supDen)
+      .map(e => (e._1, e._2))
     for (_ <- 1 to rounds) {
-      half = support(half).filter(col("support") >= k - 2)
-        .select("src", "dst").localCheckpoint(eager = true)
+      half = support(half).filter(_._2 >= k - 2).map(_._1)
     }
-    support(half).orderBy("src", "dst")
+    import docs.sparkSession.implicits._
+    support(half).map { case ((s, d), sup) => (s, d, sup) }.toSeq
+      .toDF("src", "dst", "support")
+      .orderBy("src", "dst")
   }
 
   /** Rich-club coefficient φ(k) = 2·E_k / (N_k(N_k−1)) of the strong
@@ -460,27 +525,23 @@ object Search {
   def richClub(docs: DataFrame, idCol: String, textCol: String,
                vocab: Int, supNum: Int, supDen: Int,
                ks: Seq[Int]): DataFrame = {
-    val half = strongHalf(docs, idCol, textCol, vocab, supNum, supDen)
-    val deg = half.select(col("src").as("t"))
-      .union(half.select(col("dst").as("t")))
-      .groupBy("t").agg(count(lit(1)).as("deg"))
-      .localCheckpoint(eager = true)
-    val ksDf = half.sparkSession.range(1)
-      .select(explode(array(ks.map(k => lit(k.toLong)): _*)).as("k"))
-    val nk = deg.crossJoin(broadcast(ksDf))
-      .filter(col("deg") > col("k"))
-      .groupBy("k").agg(count(lit(1)).as("n_nodes"))
-    val ek = half
-      .join(broadcast(deg.select(col("t").as("src"),
-        col("deg").as("ds"))), "src")
-      .join(broadcast(deg.select(col("t").as("dst"),
-        col("deg").as("dd"))), "dst")
-      .crossJoin(broadcast(ksDf))
-      .filter(col("ds") > col("k") && col("dd") > col("k"))
-      .groupBy("k").agg(count(lit(1)).as("n_edges"))
-    ksDf.join(nk, Seq("k"), "left").join(ek, Seq("k"), "left")
-      .select(col("k"), coalesce(col("n_nodes"), lit(0L)).as("n_nodes"),
-        coalesce(col("n_edges"), lit(0L)).as("n_edges"))
+    // r16: degree fold + per-k counts run as plain Scala over the
+    // collected strong graph ([[strongLocal]]) — all-integer; φ's
+    // division stays in Spark (identical expression tree).
+    val half = strongLocal(docs, idCol, textCol, vocab, supNum, supDen)
+      .map(e => (e._1, e._2))
+    val deg = scala.collection.mutable.Map.empty[String, Long]
+    half.foreach { case (s, d) =>
+      deg(s) = deg.getOrElse(s, 0L) + 1L
+      deg(d) = deg.getOrElse(d, 0L) + 1L
+    }
+    import docs.sparkSession.implicits._
+    ks.map { k =>
+      val nNodes = deg.valuesIterator.count(_ > k).toLong
+      val nEdges = half.count(e =>
+        deg(e._1) > k && deg(e._2) > k).toLong
+      (k.toLong, nNodes, nEdges)
+    }.toDF("k", "n_nodes", "n_edges")
       .withColumn("phi",
         when(col("n_nodes") >= 2L,
           lit(2.0) * col("n_edges").cast("double") /
@@ -503,35 +564,50 @@ object Search {
                         vocab: Int, supNum: Int, supDen: Int,
                         rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds $rounds")
-    apspDistances(docs, idCol, textCol, vocab, supNum, supDen, rounds)
-      .filter(col("u") < col("v"))
-      .groupBy(col("d").as("dist")).agg(count(lit(1)).as("n_pairs"))
+    val (_, dists) = apspLocal(
+      strongLocal(docs, idCol, textCol, vocab, supNum, supDen)
+        .map(e => (e._1, e._2)), rounds + 1L)
+    import docs.sparkSession.implicits._
+    dists.filter(t => t._1 < t._2)
+      .groupBy(_._3).map { case (d, xs) => (d, xs.length.toLong) }.toSeq
+      .toDF("dist", "n_pairs")
       .orderBy("dist")
   }
 
-  /** Min-plus relaxed all-pairs distance table (u, v, d) of the strong
-    * graph, `rounds` rounds (reaches every distance ≤ rounds+1) — the
-    * shared core of [[distanceHistogram]] (q371) and
-    * [[eccentricityProfile]] (q407).
+  /** BFS distance table (u, v, d) between DISTINCT nodes of the
+    * collected strong graph, capped at `maxD` — the driver-side (r16)
+    * twin of the old bounded min-plus relaxation (`rounds` relaxations
+    * reach every distance ≤ rounds+1; farther pairs are simply absent,
+    * the same contract), shared by [[distanceHistogram]] (q371/q396)
+    * and [[eccentricityProfile]] (q407). The old relaxation's
+    * d(u,u)=2 self rows are not emitted — both consumers filtered them
+    * out anyway.
     */
-  private def apspDistances(docs: DataFrame, idCol: String,
-                            textCol: String, vocab: Int, supNum: Int,
-                            supDen: Int, rounds: Int): DataFrame = {
-    val half = strongHalf(docs, idCol, textCol, vocab, supNum, supDen)
-    val nb = half.union(
-      half.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(eager = true)
-    var dist = nb.select(col("src").as("u"), col("dst").as("v"),
-      lit(1L).as("d")).localCheckpoint(eager = true)
-    for (_ <- 1 to rounds) {
-      val ext = dist
-        .join(broadcast(nb.select(col("src").as("v"),
-          col("dst").as("w"))), Seq("v"))
-        .select(col("u"), col("w").as("v"), (col("d") + 1L).as("d"))
-      dist = dist.union(ext).groupBy("u", "v").agg(min("d").as("d"))
-        .localCheckpoint(eager = true)
+  private def apspLocal(strong: Array[(String, String)], maxD: Long)
+  : (Array[String], Array[(String, String, Long)]) = {
+    val nbrs = scala.collection.mutable.Map.empty[String, List[String]]
+    strong.foreach { case (s, d) =>
+      nbrs(s) = d :: nbrs.getOrElse(s, Nil)
+      nbrs(d) = s :: nbrs.getOrElse(d, Nil)
     }
-    dist
+    val nodes = nbrs.keysIterator.toArray.sorted
+    val out = scala.collection.mutable
+      .ArrayBuffer.empty[(String, String, Long)]
+    nodes.foreach { s =>
+      val dist = scala.collection.mutable.Map(s -> 0L)
+      var frontier: List[String] = List(s)
+      var dcur = 0L
+      while (frontier.nonEmpty && dcur < maxD) {
+        dcur += 1L
+        val nf = scala.collection.mutable.ListBuffer.empty[String]
+        frontier.foreach(u => nbrs(u).foreach { w =>
+          if (!dist.contains(w)) { dist(w) = dcur; nf += w }
+        })
+        frontier = nf.toList
+      }
+      dist.foreach { case (v, d) => if (v != s) out += ((s, v, d)) }
+    }
+    (nodes, out.toArray)
   }
 
   /** Eccentricity profile of the strong graph: per node the greatest
@@ -547,22 +623,29 @@ object Search {
                           vocab: Int, supNum: Int, supDen: Int,
                           rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds $rounds")
-    // Relaxation manufactures d(u,u)=2 for every non-isolated node (the
-    // seed table has no self rows, but u→w→u round trips do), which
-    // would floor every eccentricity at 2 — a node adjacent to ALL
-    // others has true ecc 1. Self rows are not shortest-path facts, so
-    // drop them before the max. Every node keeps ≥1 row: seeding from
-    // edges gives each node in nb a d(u, neighbor)=1 entry.
-    val ecc = apspDistances(docs, idCol, textCol, vocab, supNum, supDen,
-      rounds)
-      .filter(col("u") =!= col("v"))
-      .groupBy(col("u").as("token")).agg(max("d").as("ecc"))
-    ecc.crossJoin(broadcast(ecc.agg(min("ecc").as("radius"),
-        max("ecc").as("diameter"))))
-      .select(col("token"), col("ecc"),
-        (col("ecc") === col("radius")).cast("long").as("is_center"),
-        (col("ecc") === col("diameter")).cast("long").as("is_periphery"))
-      .orderBy("token")
+    // r16 driver-side ([[apspLocal]]): self rows never exist here, so
+    // the q407 self-distance fix (drop d(u,u)=2 before the max — a node
+    // adjacent to ALL others has true ecc 1) is structural. Every
+    // non-isolated node keeps its eccentricity; radius/diameter flags
+    // are exact integer comparisons.
+    val (_, dists) = apspLocal(
+      strongLocal(docs, idCol, textCol, vocab, supNum, supDen)
+        .map(e => (e._1, e._2)), rounds + 1L)
+    val ecc = dists.groupBy(_._1).map { case (u, xs) =>
+      u -> xs.map(_._3).max }
+    import docs.sparkSession.implicits._
+    if (ecc.isEmpty)
+      Seq.empty[(String, Long, Long, Long)]
+        .toDF("token", "ecc", "is_center", "is_periphery")
+    else {
+      val radius = ecc.valuesIterator.min
+      val diameter = ecc.valuesIterator.max
+      ecc.toSeq.map { case (t, e) =>
+        (t, e, if (e == radius) 1L else 0L,
+          if (e == diameter) 1L else 0L)
+      }.toDF("token", "ecc", "is_center", "is_periphery")
+        .orderBy("token")
+    }
   }
 
   /** Bounded-horizon Katz centrality on the strong co-occurrence
@@ -580,24 +663,31 @@ object Search {
                      alphaNum: Int, alphaDen: Int,
                      rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 8, s"rounds $rounds")
-    val half = strongHalf(docs, idCol, textCol, vocab, supNum, supDen)
-    val nb = half.union(
-      half.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(eager = true)
-    val nodes = nb.select(col("src").as("t")).distinct()
-      .localCheckpoint(eager = true)
-    var p = nodes.select(col("t"), lit(1L).as("w"))
-    var acc: DataFrame = null
+    // r16: the exact-integer walk counts (p_r = A·p_{r−1}, p_0 = 1)
+    // run as plain Scala over the collected strong graph
+    // ([[strongLocal]]); each per-round term α^r·w is the same single
+    // IEEE multiply as before, and the cross-round decimal(30,8) sum +
+    // double cast stays in Spark — the identical assembly tree.
+    val dirEdges = strongLocal(docs, idCol, textCol, vocab, supNum,
+        supDen)
+      .flatMap(e => Seq((e._1, e._2), (e._2, e._1)))
+    val nodeArr = dirEdges.map(_._1).distinct.sorted
+    var p: Map[String, Long] = nodeArr.map(_ -> 1L).toMap
+    val terms = scala.collection.mutable
+      .ArrayBuffer.empty[(String, Double)]
     val alpha = alphaNum.toDouble / alphaDen
     for (r <- 1 to rounds) {
-      p = nb.join(broadcast(p.select(col("t").as("src"), col("w"))),
-          Seq("src"))
-        .groupBy(col("dst").as("t")).agg(sum("w").as("w"))
-        .localCheckpoint(eager = true)
-      val term = p.select(col("t"),
-        (lit(math.pow(alpha, r)) * col("w").cast("double")).as("x"))
-      acc = if (acc == null) term else acc.union(term)
+      val nxt = scala.collection.mutable.Map.empty[String, Long]
+      dirEdges.foreach { case (src, dst) =>
+        p.get(src).foreach(w => nxt(dst) = nxt.getOrElse(dst, 0L) + w)
+      }
+      p = nxt.toMap
+      val ar = math.pow(alpha, r)
+      p.foreach { case (t, w) => terms += ((t, ar * w.toDouble)) }
     }
+    import docs.sparkSession.implicits._
+    val nodes = nodeArr.toSeq.toDF("t")
+    val acc = terms.toSeq.toDF("t", "x")
     nodes.join(acc.groupBy("t").agg(
         sum(col("x").cast("decimal(30,8)")).cast("double").as("katz")),
       Seq("t"), "left")
@@ -623,23 +713,23 @@ object Search {
   def degreeAssortativity(docs: DataFrame, idCol: String, textCol: String,
                           vocab: Int, supNum: Int,
                           supDen: Int): DataFrame = {
-    val half = strongHalf(docs, idCol, textCol, vocab, supNum, supDen)
-    val nb = half.union(
-      half.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(eager = true)
-    val deg = nb.groupBy(col("src").as("t"))
-      .agg(count(lit(1)).as("deg"))
-      .localCheckpoint(eager = true)
-    val e = nb
-      .join(broadcast(deg.select(col("t").as("src"), col("deg").as("du"))),
-        "src")
-      .join(broadcast(deg.select(col("t").as("dst"), col("deg").as("dv"))),
-        "dst")
+    // r16: degrees fold as plain Scala over the collected strong graph
+    // ([[strongLocal]]); the exact decimal(38,0) endpoint-degree sums
+    // and the one final double division stay in Spark over the
+    // ≤ vocab²-row LocalRelation of (du, dv) — identical expressions.
+    val dirEdges = strongLocal(docs, idCol, textCol, vocab, supNum,
+        supDen)
+      .flatMap(e => Seq((e._1, e._2), (e._2, e._1)))
+    val deg = dirEdges.groupBy(_._1).map { case (t, es) =>
+      t -> es.length.toLong }
+    import docs.sparkSession.implicits._
+    val e = dirEdges.map { case (s, d) => (deg(s), deg(d)) }.toSeq
+      .toDF("du", "dv")
     val m = e.agg(count(lit(1)).as("m"),
       sum(col("du").cast("decimal(38,0)")).as("sj"),
       sum(col("du").cast("decimal(38,0)") * col("dv")).as("sjk"),
       sum(col("du").cast("decimal(38,0)") * col("du")).as("sjj"))
-    val nn = deg.agg(count(lit(1)).as("n_nodes"))
+    val nn = Seq(Tuple1(deg.size.toLong)).toDF("n_nodes")
     m.crossJoin(broadcast(nn))
       .select(col("n_nodes"), (expr("m div 2")).as("n_edges"),
         ((col("m") * col("sjk") - col("sj") * col("sj")).cast("double") /
@@ -663,23 +753,37 @@ object Search {
     */
   def localClustering(docs: DataFrame, idCol: String, textCol: String,
                       vocab: Int, supNum: Int, supDen: Int): DataFrame = {
-    val half = strongHalf(docs, idCol, textCol, vocab, supNum, supDen)
-      .localCheckpoint(eager = true) // wedge + closing joins re-read it
-    val nb = half.union(
-      half.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(eager = true)
-    val deg = nb.groupBy(col("src").as("t"))
-      .agg(count(lit(1)).as("deg"))
-    // wedges centred at v: unordered neighbour pairs (a < b), closed
-    // iff (a, b) is itself a canonical strong edge
-    val tri = nb.select(col("src").as("v"), col("dst").as("a"))
-      .join(nb.select(col("src").as("v"), col("dst").as("b")), "v")
-      .filter(col("a") < col("b"))
-      .join(broadcast(half.select(col("src").as("a"), col("dst").as("b"),
-        lit(1L).as("closed"))), Seq("a", "b"))
-      .groupBy(col("v").as("t")).agg(count(lit(1)).as("tv"))
-    val cc = deg.filter(col("deg") >= 2L)
-      .join(tri, Seq("t"), "left")
+    // r16: wedge counting runs as plain Scala over the collected strong
+    // graph ([[strongLocal]]) — all-integer (t, deg, tv); each cc
+    // division and the dsum-rail mean stay in Spark over the
+    // ≤ vocab-row LocalRelation (identical expressions).
+    val halfLoc = strongLocal(docs, idCol, textCol, vocab, supNum,
+        supDen)
+      .map(e => (e._1, e._2))
+    val nbrsM = scala.collection.mutable
+      .Map.empty[String, List[String]]
+    halfLoc.foreach { case (s, d) =>
+      nbrsM(s) = d :: nbrsM.getOrElse(s, Nil)
+      nbrsM(d) = s :: nbrsM.getOrElse(d, Nil)
+    }
+    val adj = halfLoc.toSet
+    import docs.sparkSession.implicits._
+    val ccIn = nbrsM.iterator.map { case (t, ns) =>
+      val sortedNs = ns.sorted.toArray
+      var tv = 0L
+      var i = 0
+      while (i < sortedNs.length) {
+        var j = i + 1
+        while (j < sortedNs.length) {
+          if (adj.contains((sortedNs(i), sortedNs(j)))) tv += 1L
+          j += 1
+        }
+        i += 1
+      }
+      (t, ns.length.toLong, if (tv > 0L) Some(tv) else None)
+    }.toSeq
+    val cc = ccIn.toDF("t", "deg", "tv")
+      .filter(col("deg") >= 2L)
       .select(col("t"),
         (lit(2.0) * coalesce(col("tv"), lit(0L)).cast("double") /
           (col("deg").cast("double") * (col("deg") - 1L).cast("double")))
@@ -752,41 +856,61 @@ object Search {
                        vocab: Int, supNum: Int, supDen: Int,
                        rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 8, s"rounds $rounds")
-    val half = strongHalf(docs, idCol, textCol, vocab, supNum, supDen)
-    val nb = half.union(
-      half.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(eager = true)
-    val nodes = nb.select(col("src").as("t")).distinct()
-      .localCheckpoint(eager = true)
-    var vis = nodes.select(col("t").as("s"), col("t").as("v"),
-      lit(0L).as("d"), lit(1L).as("sigma")).localCheckpoint(eager = true)
-    var frontier = vis
-    for (r <- 1 to rounds) {
-      val nf = frontier
-        .join(broadcast(nb.select(col("src").as("v"), col("dst").as("w"))),
-          Seq("v"))
-        .groupBy(col("s"), col("w").as("v"))
-        .agg(sum("sigma").as("sigma"))
-        .join(vis.select("s", "v"), Seq("s", "v"), "left_anti")
-        .select(col("s"), col("v"), lit(r.toLong).as("d"), col("sigma"))
-        .localCheckpoint(eager = true)
-      vis = vis.unionByName(nf).localCheckpoint(eager = true)
-      frontier = nf
+    // r16: the level-synchronous multi-source BFS (σ recurrence) and
+    // the σ_st(w) = σ(s,w)·σ(w,t) fold run as plain Scala over the
+    // collected strong graph ([[strongLocal]]) — exact BIGINT
+    // arithmetic end to end, same `rounds` horizon, zero per-level
+    // Spark jobs.
+    val nbrs = scala.collection.mutable.Map.empty[String, List[String]]
+    strongLocal(docs, idCol, textCol, vocab, supNum, supDen)
+      .foreach { case (s, d, _) =>
+        nbrs(s) = d :: nbrs.getOrElse(s, Nil)
+        nbrs(d) = s :: nbrs.getOrElse(d, Nil)
+      }
+    val nodeArr = nbrs.keysIterator.toArray.sorted
+    // dist(s)(v) / sig(s)(v) for d(s,v) ≤ rounds (the bounded horizon)
+    val dist = scala.collection.mutable
+      .Map.empty[String, scala.collection.mutable.Map[String, Long]]
+    val sig = scala.collection.mutable
+      .Map.empty[String, scala.collection.mutable.Map[String, Long]]
+    nodeArr.foreach { s =>
+      val ds = scala.collection.mutable.Map(s -> 0L)
+      val ss = scala.collection.mutable.Map(s -> 1L)
+      var frontier: List[String] = List(s)
+      for (r <- 1 to rounds if frontier.nonEmpty) {
+        val sigNew = scala.collection.mutable.Map.empty[String, Long]
+        frontier.foreach(u => nbrs(u).foreach { w =>
+          if (!ds.contains(w))
+            sigNew(w) = sigNew.getOrElse(w, 0L) + ss(u)
+        })
+        sigNew.foreach { case (w, sw) => ds(w) = r.toLong; ss(w) = sw }
+        frontier = sigNew.keysIterator.toList
+      }
+      dist(s) = ds
+      sig(s) = ss
     }
-    val sp = vis.filter(col("s") =!= col("v"))
-      .localCheckpoint(eager = true)
-    val thru = sp.select(col("s"), col("v").as("w"),
-        col("d").as("d1"), col("sigma").as("sig1"))
-      .join(broadcast(sp.select(col("s").as("w"), col("v").as("t2"),
-        col("d").as("d2"), col("sigma").as("sig2"))), Seq("w"))
-      .join(broadcast(sp.select(col("s"), col("v").as("t2"),
-        col("d").as("dst"))), Seq("s", "t2"))
-      .filter(col("s") < col("t2") && col("w") =!= col("s") &&
-        col("w") =!= col("t2") && col("d1") + col("d2") === col("dst"))
-      .groupBy("w").agg(sum(col("sig1") * col("sig2")).as("stress"))
-    nodes.join(broadcast(thru), nodes("t") === thru("w"), "left")
-      .select(col("t").as("token"),
-        coalesce(col("stress"), lit(0L)).as("stress"))
+    val stress = scala.collection.mutable.Map.empty[String, Long]
+    nodeArr.foreach { w =>
+      var acc = 0L
+      val dw = dist(w)
+      val sw = sig(w)
+      nodeArr.foreach { s =>
+        if (s != w && dist(s).contains(w)) {
+          val d1 = dist(s)(w)
+          val sig1 = sig(s)(w)
+          nodeArr.foreach { t2 =>
+            if (s < t2 && t2 != w && dw.contains(t2) &&
+                dist(s).contains(t2) &&
+                d1 + dw(t2) == dist(s)(t2))
+              acc += sig1 * sw(t2)
+          }
+        }
+      }
+      if (acc > 0L) stress(w) = acc
+    }
+    import docs.sparkSession.implicits._
+    nodeArr.map(t => (t, stress.getOrElse(t, 0L))).toSeq
+      .toDF("token", "stress")
       .orderBy("token")
   }
 
@@ -867,70 +991,39 @@ object Search {
     // agree on a truncated forest, so fail loudly here instead.
     require((1L << rounds) >= vocab,
       s"2^$rounds < vocab $vocab: Boruvka may not span; raise rounds")
-    val (_, edges) = cooccurGraph(docs, idCol, textCol, vocab)
-    val ndocs = docs.agg(count(lit(1)).as("nd"))
-    val strong = edges.crossJoin(broadcast(ndocs))
-      .filter(col("c") * supDen > lit(supNum) * col("nd"))
-      .filter(col("src") < col("dst")).select("src", "dst", "c")
-      .localCheckpoint(eager = true)
-    val nodes = strong.select(col("src").as("t"))
-      .union(strong.select(col("dst").as("t"))).distinct()
-      .localCheckpoint(eager = true)
-    // Node STATE (labels) is ≤ vocab rows — the same bounded
-    // control-table class as the k-means centroid collects the engine
-    // already drivers — so labels live on the driver and each round's
-    // label map rides a broadcast join. This collapses a round from
-    // window-argmin + an O(log) star-contraction job CHAIN + a label
-    // join (the r15 shape; its wall was driver-scheduled tiny-job fixed
-    // cost, SCALE.md addendum) to ONE distributed job: tag cross edges,
-    // per-component argmin via partial-aggregating min_by (no window
-    // sort), collect the ≤ #components chosen edges, and merge
-    // components by union-find on the driver. The EDGE table stays
-    // distributed (vocab²-bounded ≠ vocab-bounded); for a DATA-sized
-    // graph swap the driver merge back to star contraction
-    // ([[Dedup.dedupClustersStar]], still the q45 path) — everything
-    // else transfers unchanged.
-    import docs.sparkSession.implicits._
+    // r16: the whole round loop runs as plain Scala over the collected
+    // strong graph ([[strongLocal]], a bounded control table like the
+    // engine's centroid collects) — the r15 shape still ran one
+    // distributed argmin job per round whose wall was pure scheduling
+    // fixed cost. Per round, each component claims its best incident
+    // cross edge under the SAME total order (c desc, src, dst) as the
+    // old min_by struct (−c, src, dst); claimed edges are deduped and
+    // components merge by canonical min label, so the forest is
+    // edge-for-edge the old one (and the oracle's). For a DATA-sized
+    // graph swap the merge back to star contraction
+    // ([[Dedup.dedupClustersStar]], still the q45 path) — the round
+    // structure transfers unchanged.
+    val strong = strongLocal(docs, idCol, textCol, vocab, supNum, supDen)
+    val nodeArr = strong.flatMap(e => Seq(e._1, e._2)).distinct.sorted
     val labels = scala.collection.mutable.Map[String, String]()
-    nodes.collect().foreach(r => labels(r.getString(0)) = r.getString(0))
+    nodeArr.foreach(t => labels(t) = t)
     val forestBuf = scala.collection.mutable.ArrayBuffer
       .empty[(String, String, Long)]
     var done = labels.isEmpty
+    val pickOrd = Ordering.by((e: (String, String, Long)) =>
+      (-e._3, e._1, e._2))
     for (_ <- 1 to rounds if !done) {
-      val labelDf = labels.toSeq.toDF("t", "comp") // LocalRelation: no job
-      val e = strong
-        .join(broadcast(labelDf.select(col("t").as("src"),
-          col("comp").as("la"))), "src")
-        .join(broadcast(labelDf.select(col("t").as("dst"),
-          col("comp").as("lb"))), "dst")
-        .filter(col("la") =!= col("lb"))
-      // each cross edge is offered to BOTH endpoint components; argmin
-      // under the total order (c desc, src, dst) = min_by over the
-      // struct (−c, src, dst) — unique per component (edges are
-      // distinct), so the pick is deterministic and identical to the
-      // r15 rank-window's rn = 1
-      val offers = e.select(col("la").as("comp"), col("src"), col("dst"),
-          col("c"), col("la"), col("lb"))
-        .union(e.select(col("lb").as("comp"), col("src"), col("dst"),
-          col("c"), col("la"), col("lb")))
-      val chosen = offers.groupBy("comp")
-        .agg(min_by(struct(col("src"), col("dst"), col("c"), col("la"),
-          col("lb")), struct((-col("c")).as("nc"), col("src"),
-          col("dst"))).as("m"))
-        .select(col("m.src"), col("m.dst"), col("m.c"), col("m.la"),
-          col("m.lb"))
-        .collect()
-      if (chosen.isEmpty) done = true // spanning: later rounds are no-ops
+      val cross = strong.filter(e => labels(e._1) != labels(e._2))
+      if (cross.isEmpty) done = true // spanning: later rounds are no-ops
       else {
-        // dedupe on the driver (both endpoint components may claim the
-        // same edge), then merge components; labels stay canonical
-        // (min member) so the groupBy key partition matches star
-        // contraction's exactly
-        val picked = chosen.map(r => (r.getString(0), r.getString(1),
-          r.getLong(2))).distinct
-        forestBuf ++= picked
-        chosen.foreach { r =>
-          val (la, lb) = (labels(r.getString(0)), labels(r.getString(1)))
+        // each cross edge is offered to BOTH endpoint components
+        val chosen = cross
+          .flatMap(e => Seq(labels(e._1) -> e, labels(e._2) -> e))
+          .groupBy(_._1).valuesIterator
+          .map(offers => offers.map(_._2).min(pickOrd)).toArray
+        forestBuf ++= chosen.distinct
+        chosen.foreach { e =>
+          val (la, lb) = (labels(e._1), labels(e._2))
           if (la != lb) {
             val (keep, drop) = if (la < lb) (la, lb) else (lb, la)
             labels.mapValuesInPlace((_, v) => if (v == drop) keep else v)
@@ -938,10 +1031,9 @@ object Search {
         }
       }
     }
-    val forest =
-      if (forestBuf.isEmpty)
-        strong.filter(lit(false)).select("src", "dst", "c")
-      else forestBuf.toSeq.toDF("src", "dst", "c")
+    import docs.sparkSession.implicits._
+    val nodes = nodeArr.toSeq.toDF("t")
+    val forest = forestBuf.toSeq.toDF("src", "dst", "c")
     (nodes, forest)
   }
 }

@@ -320,12 +320,15 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("q108 textrank: rank iterations join the bounded edge table by " +
-       "broadcast; the corpus is never cartesian-joined") {
+  test("q108 textrank: the rank fixpoint runs driver-side over the " +
+       "collected bounded graph (r16) — the final plan is a local " +
+       "relation, never a corpus join chain") {
     val p = plan("q108_textrank")
     assert(!p.contains("CartesianProduct"))
-    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3,
-      "vocab gate + per-iteration rank joins must broadcast")
+    assert(p.contains("LocalTableScan"),
+      "ranks must assemble from the driver-computed control table")
+    assert(!p.contains("Scan parquet"),
+      "the corpus passes live in cooccurLocal, not the final plan")
   }
 
   test("q109 video frames: one corpus scan through a narrow codec " +
@@ -336,14 +339,15 @@ class PlanQualitySpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllIn(p).length <= 1)
   }
 
-  test("q110 bfs: relaxations are broadcast joins over the checkpointed " +
-       "edge table; the corpus is never cartesian-joined") {
+  test("q110 bfs: the relaxation runs driver-side over the collected " +
+       "bounded graph (r16) — the final plan is a local relation with " +
+       "no corpus scan") {
     val p = plan("q110_bfs_hops")
     assert(!p.contains("CartesianProduct"))
-    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3,
-      "source seed + per-iteration relax joins must broadcast")
+    assert(p.contains("LocalTableScan"),
+      "hops must assemble from the driver-computed control table")
     assert("Scan parquet".r.findAllIn(p).length === 0,
-      "checkpoints must cut the corpus out of the iteration plan")
+      "the corpus passes live in cooccurLocal, not the final plan")
   }
 
   test("q111 markov: one window shuffle; the row-total join broadcasts") {
