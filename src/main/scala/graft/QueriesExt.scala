@@ -17942,33 +17942,40 @@ object QueriesExt {
     // the achieved row margin (convergence is VISIBLE in the result).
     QueryDef("q376_ipf_raking",
       (s, dir) => {
+        // r16: the (wd, event_type) contingency grid is ≤ 7·|types|
+        // rows — a bounded control table — so after the one distributed
+        // aggregation the 3 IPF rounds run as plain Scala (the old
+        // per-round broadcast-join chain was 26 tiny jobs / 0.6 s of
+        // job time under a 3.6 s wall — pure scheduling). Per-cell
+        // updates are the same IEEE ops in the same order; the margin
+        // sums ride Parity.dsumLocal, the bit-identical driver twin of
+        // the dsum rail (ParitySpec).
         val base = t(s, dir, "events")
           .groupBy(expr("unix_micros(ts) div 86400000000 % 7").as("wd"),
             col("event_type"))
           .agg(count(lit(1)).as("c"))
-          .localCheckpoint()
-        val tot = base.agg(sum("c").as("nt"))
-        val colT = base.groupBy("event_type").agg(sum("c").as("ct"))
-        var w = base.crossJoin(broadcast(tot))
-          .select(col("wd"), col("event_type"), col("nt"),
-            col("c").cast("double").as("w"), col("c"))
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        val nt = base.map(_._3).sum
+        val ct = base.groupBy(_._2).map { case (et, xs) =>
+          et -> xs.map(_._3).sum }
+        var w: Array[(Long, String, Long, Double)] =
+          base.map(b => (b._1, b._2, b._3, b._3.toDouble))
         for (_ <- 1 to 3) {
-          val rs = w.groupBy("wd").agg(dsum(col("w")).as("rsum"))
-          w = w.join(broadcast(rs), Seq("wd"))
-            .select(col("wd"), col("event_type"), col("nt"), col("c"),
-              (col("w") * (col("nt").cast("double") / lit(7.0)) /
-                col("rsum")).as("w"))
-          val cs = w.groupBy("event_type").agg(dsum(col("w")).as("csum"))
-          w = w.join(broadcast(cs), Seq("event_type"))
-            .join(broadcast(colT), Seq("event_type"))
-            .select(col("wd"), col("event_type"), col("nt"), col("c"),
-              (col("w") * col("ct").cast("double") / col("csum"))
-                .as("w"))
+          val rs = w.groupBy(_._1).map { case (wd, xs) =>
+            wd -> graft.functions.Parity.dsumLocal(xs.map(_._4)) }
+          w = w.map { case (wd, et, c, x) =>
+            (wd, et, c, x * (nt.toDouble / 7.0) / rs(wd)) }
+          val cs = w.groupBy(_._2).map { case (et, xs) =>
+            et -> graft.functions.Parity.dsumLocal(xs.map(_._4)) }
+          w = w.map { case (wd, et, c, x) =>
+            (wd, et, c, x * ct(et).toDouble / cs(et)) }
         }
-        val rowAfter = w.groupBy("wd").agg(dsum(col("w")).as("row_margin"))
-        w.join(broadcast(rowAfter), Seq("wd"))
-          .select(col("wd"), col("event_type"), col("c").as("raw"),
-            col("w").as("weight"), col("row_margin"))
+        val rowMargin = w.groupBy(_._1).map { case (wd, xs) =>
+          wd -> graft.functions.Parity.dsumLocal(xs.map(_._4)) }
+        import s.implicits._
+        w.map { case (wd, et, c, x) => (wd, et, c, x, rowMargin(wd)) }
+          .toSeq
+          .toDF("wd", "event_type", "raw", "weight", "row_margin")
           .orderBy("wd", "event_type")
       },
       Some(s"""WITH base AS (SELECT

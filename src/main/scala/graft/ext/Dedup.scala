@@ -528,6 +528,12 @@ object Dedup {
     while (!converged) {
       round += 1
       val tRound = System.nanoTime()
+      // r16 note: fusing the two stars into one checkpoint per round was
+      // MEASURED A LOSS (q166 3.5→4.0 s, q45 2.8→3.4 s at sf0.1):
+      // small-star references large-star's output twice (argmin groupBy
+      // + re-point join), and without the materialization the large-star
+      // subplan executes twice — the checkpoint is cheaper than the
+      // recomputation. Kept as-is deliberately.
       val ls = largeStar(edges).localCheckpoint(eager = true)
       val next = smallStar(ls).localCheckpoint(eager = true)
       val nextCount = next.count()

@@ -51,9 +51,14 @@ object Shingles {
   def affineA(i: Int): Long = (2654435761L * (i + 1)) % 2147483647L
   def affineB(i: Int): Long = (2654435761L * i + 104729L) % MinHashP
 
-  /** 28-bit numeric base hash of one shingle: first 7 md5 hex chars. */
+  /** 28-bit numeric base hash of one shingle: first 7 md5 hex chars.
+    * Codegen'd native expression (r16) — value-identical to the old
+    * `conv(substring(md5(s), 1, 7), 16, 10).cast("long")` pipeline
+    * (NativeExprsSpec locks the equality) without materializing the
+    * 32-char hex string per row.
+    */
   def baseHash(s: Column): Column =
-    conv(substring(md5(s), 1, 7), 16, 10).cast("long")
+    graft.functions.NativeExprs.md5Prefix(s, 7)
 
   /** MinHash signature as `array<long>`: element i is
     * min over shingles of (a_i·baseHash + b_i) mod P.

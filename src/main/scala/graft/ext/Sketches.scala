@@ -333,8 +333,11 @@ object Sketches {
                    key: Column): DataFrame = {
     val split = 4398046511104L // 2^42: 6 bucket bits / 42 rank bits
     val gs = groupCols.map(col)
-    df.select(gs :+ conv(substring(md5(key), 1, 12), 16, 10)
-        .cast("long").as("__h"): _*)
+    // r16: codegen'd 48-bit md5 prefix, value-identical to
+    // conv(substring(md5(key),1,12),16,10) without the hex-string
+    // materialization (NativeExprsSpec locks the equality)
+    df.select(gs :+ graft.functions.NativeExprs.md5Prefix(key, 12)
+        .as("__h"): _*)
       .withColumn("__bucket", expr(s"__h div ${split}L"))
       .withColumn("__rest", col("__h") % split)
       .withColumn("__rank", when(col("__rest") === 0, 43)

@@ -29,28 +29,26 @@ object Stats {
     */
   def numericColumnStats(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "numericColumnStats with no columns")
-    val aggs = cols.flatMap { c =>
-      Seq(count(col(c)).as(s"__n_$c"),
-        count(lit(1)).as(s"__rows_$c"),
-        count_distinct(col(c)).as(s"__ndv_$c"),
-        min(col(c)).cast("double").as(s"__min_$c"),
-        max(col(c)).cast("double").as(s"__max_$c"),
-        sum(col(c).cast(DecimalType(30, 8))).cast("double").as(s"__sum_$c"))
-    }
-    val one = df.agg(aggs.head, aggs.tail: _*)
-    val packed = one.select(explode(array(cols.map { c =>
-      struct(lit(c).as("column"),
-        col(s"__rows_$c").as("n"),
-        (col(s"__rows_$c") - col(s"__n_$c")).as("n_null"),
-        col(s"__ndv_$c").as("ndv"),
-        col(s"__min_$c").as("min_v"),
-        col(s"__max_$c").as("max_v"),
-        (col(s"__sum_$c") / col(s"__n_$c").cast("double")).as("mean_v"))
-    }: _*)).as("s"))
-    packed.select(col("s.column").as("column"), col("s.n").as("n"),
-      col("s.n_null").as("n_null"), col("s.ndv").as("ndv"),
-      col("s.min_v").as("min_v"), col("s.max_v").as("max_v"),
-      col("s.mean_v").as("mean_v"))
+    // One single-count_distinct aggregate PER COLUMN, unioned (r16):
+    // n distinct aggregates in ONE agg made Spark plan an Expand of
+    // (n+1)× every input row through the hash aggregate — 3M expanded
+    // rows for lineitem×4 at sf0.1, 2.2 s of the old 3.6 s q132 wall.
+    // Per-column aggs plan the expand-free two-stage distinct form,
+    // scan only their own parquet column, and the union's branches
+    // share one job. Values are identical (same aggregates, same
+    // decimal mean rail).
+    cols.map { c =>
+      df.select(col(c)).agg(
+        count(lit(1)).as("n"),
+        (count(lit(1)) - count(col(c))).as("n_null"),
+        count_distinct(col(c)).as("ndv"),
+        min(col(c)).cast("double").as("min_v"),
+        max(col(c)).cast("double").as("max_v"),
+        (sum(col(c).cast(DecimalType(30, 8))).cast("double") /
+          count(col(c)).cast("double")).as("mean_v"))
+        .select(lit(c).as("column"), col("n"), col("n_null"), col("ndv"),
+          col("min_v"), col("max_v"), col("mean_v"))
+    }.reduce(_.unionByName(_))
   }
 
 

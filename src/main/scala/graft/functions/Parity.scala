@@ -33,4 +33,19 @@ object Parity {
     * must CAST(... AS BIGINT) to line up with this).
     */
   def lsum(c: Column): Column = sum(c.cast("long"))
+
+  /** Driver-side twin of [[dsum]], bit-identical by construction (r16):
+    * Spark's double→decimal(30,8) cast is `BigDecimal(Double.toString(v))`
+    * (shortest-repr, valueOf semantics) rounded HALF_UP to scale 8;
+    * decimal addition is exact, and the final double cast is
+    * `BigDecimal.doubleValue`. ParitySpec locks the equality against
+    * [[dsum]] on adversarial doubles. For the bounded control tables the
+    * r16 driver-local operators fold (IPF grids, vocab graphs), this
+    * replaces a per-iteration Spark aggregation job with plain Scala.
+    */
+  def dsumLocal(xs: IterableOnce[Double]): Double =
+    xs.iterator.foldLeft(java.math.BigDecimal.ZERO) { (acc, v) =>
+      acc.add(new java.math.BigDecimal(java.lang.Double.toString(v))
+        .setScale(8, java.math.RoundingMode.HALF_UP))
+    }.doubleValue
 }

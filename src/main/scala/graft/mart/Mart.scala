@@ -50,8 +50,9 @@ object Mart {
     * external engine reproduces the key from the md5 hex prefix.
     */
   def surrogateKey(naturalKey: Column, versionStart: Column): Column =
-    conv(substring(md5(concat_ws("|", naturalKey.cast("string"),
-      versionStart.cast("string"))), 1, 15), 16, 10).cast("long")
+    graft.functions.NativeExprs.md5Prefix(
+      concat_ws("|", naturalKey.cast("string"),
+        versionStart.cast("string")), 15)
 
   /** SCD2-keyed product dimension from the warehouse: one row per
     * version, surrogate-keyed, with the validity window renamed to the

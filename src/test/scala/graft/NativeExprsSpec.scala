@@ -395,6 +395,44 @@ class NativeExprsSpec extends AnyFunSuite {
     } finally spark.conf.set(conf, prev)
   }
 
+  test("Md5PrefixExpr ≡ conv(substring(md5(s),1,hexLen),16,10) for " +
+       "hexLen 7/12/15 on ASCII/multi-byte/empty strings; codegen ≡ " +
+       "interpreted") {
+    val rows = Seq("", "a", "0|evt-123", "xin chào thế giới",
+      "😀 emoji", "w|17", "the quick brown fox", "42#7").toDF("s")
+    for (hexLen <- Seq(7, 12, 15)) {
+      val out = rows.select(
+        NativeExprs.md5Prefix(col("s"), hexLen).as("native"),
+        expr(s"cast(conv(substring(md5(s), 1, $hexLen), 16, 10) " +
+          "as bigint)").as("ref"))
+        .collect()
+      out.foreach(r => assert(r.getLong(0) === r.getLong(1),
+        s"hexLen=$hexLen ${r.toString}"))
+      out.foreach(r =>
+        assert(r.getLong(0) >= 0L && r.getLong(0) < (1L << (4 * hexLen))))
+    }
+    // null propagates like the built-in pipeline
+    val withNull = Seq(Some("x"), None).toDF("s")
+    val nulls = withNull.select(
+      NativeExprs.md5Prefix(col("s"), 7).as("native"),
+      expr("cast(conv(substring(md5(s), 1, 7), 16, 10) as bigint)")
+        .as("ref")).collect()
+    nulls.foreach { r =>
+      assert(r.isNullAt(0) === r.isNullAt(1))
+      if (!r.isNullAt(0)) assert(r.getLong(0) === r.getLong(1))
+    }
+    val conf = "spark.sql.codegen.wholeStage"
+    val prev = spark.conf.get(conf)
+    try {
+      spark.conf.set(conf, "false")
+      val interp = rows.select(NativeExprs.md5Prefix(col("s"), 7))
+        .collect().map(_.getLong(0)).toSeq
+      val gen = rows.select(NativeExprs.md5Prefix(col("s"), 7))
+      spark.conf.set(conf, "true")
+      assert(gen.collect().map(_.getLong(0)).toSeq === interp)
+    } finally spark.conf.set(conf, prev)
+  }
+
   test("SortedLongIntersectCountExpr: multiset merge count incl. " +
        "duplicates, empties, disjoint; codegen ≡ interpreted; " +
        "upper-bounds the distinct-string intersection under collisions") {
